@@ -1,0 +1,23 @@
+"""dbreg_spark — a PySpark-native regression & analytics engine.
+
+Brand-new implementation of the capabilities of grantmcdermott/dbreg
+(OLS/fixed-effects regression pushed into the engine via four acceleration
+strategies, robust/clustered SEs, binscatter) re-expressed as idiomatic
+Spark DataFrame plans, plus large-scale data-pipeline operators (dedup,
+similarity search, text analysis, multimodal plumbing).
+"""
+
+from .api import dbreg
+from .design import standardize_coef_names
+from .formula import parse_formula, parse_vcov
+from .model import DbregModel
+
+__all__ = [
+    "dbreg",
+    "DbregModel",
+    "parse_formula",
+    "parse_vcov",
+    "standardize_coef_names",
+]
+
+__version__ = "0.1.0"

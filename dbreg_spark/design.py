@@ -1,0 +1,182 @@
+"""Design-matrix compiler: formula terms → named column expressions.
+
+Re-implements the semantics of the reference's SQL design-matrix builder
+(reference: R/sql_model_matrix.R:34-175) on top of a Spark DataFrame:
+
+- column types come from ``df.schema`` (string/boolean ⇒ factor, numeric ⇒
+  numeric), replacing the reference's LIMIT-0 probe;
+- factor levels are harvested with a distinct+orderBy scan (first level =
+  reference level, matching the reference's ``SELECT DISTINCT ... ORDER BY``);
+- one-hot dummies are CASE WHEN expressions, reference level dropped
+  following R contrasts rules: in an interaction, a factor keeps its
+  reference level *unless* the variable is an FE or the complementary term is
+  also in the model (reference: R/sql_model_matrix.R:115-121);
+- interactions are cartesian products of the per-variable expansions, named
+  ``a_x_b`` (reported back as ``a:b``).
+
+Everything is emitted as the neutral expression IR from
+:mod:`dbreg_spark.plans.exprs`, so it renders both to Spark Columns and to
+oracle SQL.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .formula import ParsedFormula, Term
+from .plans.exprs import Expr, Lit, OneHot, Var
+
+SEP = "_x_"
+
+_FACTOR_TYPES = (T.StringType, T.BooleanType)
+
+
+def standardize_coef_names(names):
+    """``a_x_b`` → ``a:b`` (reference: R/utils.R:6)."""
+    if isinstance(names, str):
+        return names.replace(SEP, ":")
+    return [n.replace(SEP, ":") for n in names]
+
+
+@dataclass
+class DesignInfo:
+    """Expanded design: parallel lists of column names and expressions."""
+
+    names: list[str]
+    exprs: list[Expr]
+    factor_levels: dict[str, list]
+    # variables classified numeric (used by mundlak group means)
+    numeric_vars: list[str] = field(default_factory=list)
+
+
+def classify_columns(df: DataFrame, vars_: list[str]) -> dict[str, str]:
+    """'factor' for string/boolean columns, 'numeric' otherwise
+    (reference: R/sql_model_matrix.R:87-98)."""
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    out = {}
+    for v in vars_:
+        if v not in schema:
+            raise ValueError(f"column {v!r} not found in input")
+        out[v] = "factor" if isinstance(schema[v], _FACTOR_TYPES) else "numeric"
+    return out
+
+
+def factor_levels(df: DataFrame, vars_: list[str]) -> dict[str, list]:
+    """Distinct non-null levels, ascending — first level is the reference.
+
+    One small job per factor; level tables are tiny by assumption (the
+    reference caps its scan at 100k rows, R/sql_model_matrix.R:93-94 — we
+    scan fully for determinism; a low-cardinality distinct is cheap and
+    map-side-combined in Spark).
+    """
+    out = {}
+    for v in vars_:
+        rows = (
+            df.select(v)
+            .where(F.col(v).isNotNull())
+            .distinct()
+            .orderBy(v)
+            .collect()
+        )
+        out[v] = [r[0] for r in rows]
+    return out
+
+
+def _expand_variable(
+    var: str,
+    types: dict[str, str],
+    levels: dict[str, list],
+    expand: str,
+    in_interaction: bool,
+    drop_ref: bool,
+) -> list[tuple[str, Expr]]:
+    """(reference: R/sql_model_matrix.R:130-155)"""
+    is_factor = types[var] == "factor"
+    if is_factor and (expand == "all" or in_interaction):
+        lvls = levels[var]
+        if len(lvls) < 2:
+            return [(f"{var}_constant", Lit(1.0))]
+        if drop_ref:
+            lvls = lvls[1:]
+        return [(f"{var}{lvl}", OneHot(var, lvl)) for lvl in lvls]
+    return [(var, Var(var))]
+
+
+def _cross_product(expansions: list[list[tuple[str, Expr]]]) -> list[tuple[str, Expr]]:
+    """(reference: R/sql_model_matrix.R:159-175)"""
+    if len(expansions) == 1:
+        return expansions[0]
+    rest = _cross_product(expansions[1:])
+    out = []
+    for n1, e1 in expansions[0]:
+        for n2, e2 in rest:
+            out.append((f"{n1}{SEP}{n2}", e1 * e2))
+    return out
+
+
+def expand_term(
+    term: Term,
+    types: dict[str, str],
+    levels: dict[str, list],
+    expand: str,
+    all_term_keys: set[tuple[str, ...]],
+    fe_vars: list[str],
+) -> list[tuple[str, Expr]]:
+    """(reference: R/sql_model_matrix.R:105-126)"""
+    vars_ = list(term.vars)
+    is_interaction = len(vars_) > 1
+    if not is_interaction and expand == "interactions":
+        return [(vars_[0], Var(vars_[0]))]
+    expansions = []
+    for v in vars_:
+        drop_ref = True
+        if is_interaction and types[v] == "factor":
+            other = tuple(sorted(set(vars_) - {v}))
+            drop_ref = v in fe_vars or other in all_term_keys
+        expansions.append(
+            _expand_variable(v, types, levels, expand, is_interaction, drop_ref)
+        )
+    return _cross_product(expansions)
+
+
+def build_design(
+    df: DataFrame,
+    parsed: ParsedFormula,
+    expand: str = "all",
+    fe_vars: list[str] | None = None,
+) -> DesignInfo:
+    """Expand RHS part-1 terms into named expressions.
+
+    ``expand="all"`` expands factors and interactions (moments/demean/mundlak
+    paths); ``expand="interactions"`` expands only interaction terms, leaving
+    factor main effects as raw grouping columns (compress path; reference:
+    R/dbreg.R:1514-1534).
+    """
+    fe_vars = fe_vars if fe_vars is not None else parsed.fe
+    vars_ = parsed.xvars
+    types = classify_columns(df, vars_)
+    fvars = [v for v in vars_ if types[v] == "factor"]
+    levels = factor_levels(df, fvars) if fvars else {}
+
+    all_term_keys = {t.sorted_key for t in parsed.terms}
+    # FE vars count as terms for the drop-reference rule
+    # (reference: R/sql_model_matrix.R:61 `all_terms = unique(c(term_labels, fe_vars))`)
+    for v in fe_vars:
+        all_term_keys.add((v,))
+
+    names: list[str] = []
+    exprs: list[Expr] = []
+    for term in parsed.terms:
+        for n, e in expand_term(term, types, levels, expand, all_term_keys, fe_vars):
+            names.append(n)
+            exprs.append(e)
+    return DesignInfo(
+        names=names,
+        exprs=exprs,
+        factor_levels=levels,
+        numeric_vars=[v for v in vars_ if types[v] == "numeric"],
+    )

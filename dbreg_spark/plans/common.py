@@ -1,0 +1,189 @@
+"""Shared plan-building machinery for the four estimation strategies.
+
+A *plan* here is (a) a Spark DataFrame DAG ending in one aggregation, and
+(b) an equivalent ANSI-SQL string for the DuckDB oracle / ``sql_only`` parity
+mode. Both are generated from one list of ``(alias, Agg)`` pairs, so the two
+executions are the same computation by construction.
+
+Moment alias conventions (indexed, collision-free — the reference adopted the
+same scheme for demean/mundlak, R/dbreg.R:1069-1094, 1344-1363):
+
+- ``n_total``: row count; ``n_fe1``/``n_fe2``: distinct FE levels;
+- ``sum_y``, ``sum_y_sq``: Σy, Σy²  (for demean these are of ỹ);
+- ``sum_{i}``: Σxᵢ  (intercept models only);
+- ``sum_{i}_y``: Σxᵢy;
+- ``sum_{i}_{j}`` (i ≤ j): Σxᵢxⱼ.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .exprs import (
+    Agg,
+    Cast,
+    Expr,
+    Lit,
+    Var,
+    acountd,
+    agg_to_spark,
+    agg_to_sql,
+    asum,
+    count_star,
+    to_spark,
+    to_sql,
+)
+
+
+# --------------------------------------------------------------------------
+# Source abstraction
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Source:
+    """A relational input: a DataFrame plus (optionally) a SQL FROM-clause
+    naming the same relation for oracle-SQL emission."""
+
+    df: DataFrame
+    sql_from: str | None = None  # e.g. "FROM lineitem"
+
+    def require_sql(self) -> str:
+        if not self.sql_from:
+            raise ValueError(
+                "SQL emission requires a named source (table=... or path=...)"
+            )
+        return self.sql_from
+
+
+def resolve_source(
+    spark: SparkSession | None = None,
+    data=None,
+    table: str | None = None,
+    path: str | None = None,
+) -> Source:
+    """Source precedence: table > data > path (reference: R/utils.R:105-205)."""
+    if table is not None:
+        if spark is None:
+            raise ValueError("spark session required with table=")
+        return Source(df=spark.table(table), sql_from=f"FROM {table}")
+    if data is not None:
+        if isinstance(data, DataFrame):
+            return Source(df=data, sql_from=None)
+        # pandas or anything createDataFrame accepts
+        if spark is None:
+            raise ValueError("spark session required with in-memory data")
+        return Source(df=spark.createDataFrame(data), sql_from=None)
+    if path is not None:
+        if spark is None:
+            raise ValueError("spark session required with path=")
+        return Source(
+            df=spark.read.parquet(path),
+            sql_from=f"FROM read_parquet('{path}')",
+        )
+    raise ValueError("one of table=, data=, path= is required")
+
+
+def not_null_filter_sql(vars_: list[str]) -> str:
+    return " AND ".join(f"{v} IS NOT NULL" for v in vars_)
+
+
+def filter_missing(df: DataFrame, vars_: list[str]) -> DataFrame:
+    """IS-NOT-NULL filter on model variables (reference: R/dbreg.R:451-468).
+    Expressed as a conjunction so it reaches the parquet scan as pushed
+    filters."""
+    cond = None
+    for v in vars_:
+        c = F.col(v).isNotNull()
+        cond = c if cond is None else (cond & c)
+    return df.where(cond) if cond is not None else df
+
+
+# --------------------------------------------------------------------------
+# Moment aggregation specs
+# --------------------------------------------------------------------------
+
+
+def _dx(e: Expr) -> Expr:
+    """Cast a product operand to double before multiplying — deliberate
+    upgrade over the reference's FLOAT casts (SURVEY §7.4: numeric
+    fidelity)."""
+    return Cast(e, "double")
+
+
+def moment_spec(
+    y: Expr,
+    xs: list[Expr],
+    intercept: bool,
+    n_fe_exprs: list[Expr] | None = None,
+) -> list[tuple[str, Agg]]:
+    """Build the single-row sufficient-statistics aggregation.
+
+    With ``intercept=True`` mirrors the moments/mundlak queries
+    (R/dbreg.R:724-757, 1334-1363); with ``intercept=False`` mirrors the
+    demean moment query on tilde columns (R/dbreg.R:1055-1094).
+    """
+    spec: list[tuple[str, Agg]] = [("n_total", count_star())]
+    for k, fe_e in enumerate(n_fe_exprs or []):
+        spec.append((f"n_fe{k + 1}", acountd(fe_e)))
+    yd = _dx(y)
+    if intercept:
+        spec.append(("sum_y", asum(yd)))
+    spec.append(("sum_y_sq", asum(yd * yd)))
+    for i, x in enumerate(xs, start=1):
+        xd = _dx(x)
+        if intercept:
+            spec.append((f"sum_{i}", asum(xd)))
+        spec.append((f"sum_{i}_y", asum(xd * yd)))
+    for i, xi in enumerate(xs, start=1):
+        for j in range(i, len(xs) + 1):
+            xj = xs[j - 1]
+            spec.append((f"sum_{i}_{j}", asum(_dx(xi) * _dx(xj))))
+    return spec
+
+
+def run_agg(df: DataFrame, spec: list[tuple[str, Agg]]) -> dict:
+    """Execute a single-row aggregation and return it as a plain dict."""
+    cols = [agg_to_spark(a).alias(name) for name, a in spec]
+    row = df.agg(*cols).collect()[0]
+    return row.asDict()
+
+
+def agg_select_sql(spec: list[tuple[str, Agg]]) -> str:
+    return ",\n  ".join(f"{agg_to_sql(a)} AS {name}" for name, a in spec)
+
+
+# --------------------------------------------------------------------------
+# Normal-equation assembly from a collected moments row (K1)
+# --------------------------------------------------------------------------
+
+
+def assemble_normal_eqs(
+    row: dict, p_x: int, intercept: bool
+) -> tuple[np.ndarray, np.ndarray, float, float | None, float]:
+    """Decode the moments row into (XtX, Xty, n_total, sum_y, sum_y_sq)
+    (reference: R/dbreg.R:772-793, 1402-1424)."""
+    n_total = float(row["n_total"])
+    sum_y = float(row["sum_y"]) if intercept else None
+    sum_y_sq = float(row["sum_y_sq"])
+    off = 1 if intercept else 0
+    p = p_x + off
+    xtx = np.zeros((p, p))
+    xty = np.zeros(p)
+    if intercept:
+        xtx[0, 0] = n_total
+        xty[0] = sum_y
+        for i in range(1, p_x + 1):
+            s = float(row[f"sum_{i}"])
+            xtx[0, i] = xtx[i, 0] = s
+    for i in range(1, p_x + 1):
+        xty[i - 1 + off] = float(row[f"sum_{i}_y"])
+        for j in range(i, p_x + 1):
+            v = float(row[f"sum_{i}_{j}"])
+            xtx[i - 1 + off, j - 1 + off] = v
+            xtx[j - 1 + off, i - 1 + off] = v
+    return xtx, xty, n_total, sum_y, sum_y_sq

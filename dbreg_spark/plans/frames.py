@@ -1,0 +1,241 @@
+"""Analysis-frame builders: one per strategy.
+
+An *analysis frame* is the DataFrame (and its SQL CTE mirror) over which the
+single-row moment aggregation and the optional second-pass "meat" aggregation
+both run. Its columns are: FE/cluster keys, the outcome, and the (expanded)
+regressor columns — for demean, these hold the *demeaned* (tilde) values; for
+mundlak, the group-mean (``_bar_``) columns are appended.
+
+All heavy group-mean attachment is done with ``groupBy().agg()`` + broadcast
+hash joins: the group-mean tables have one row per FE level, so at 100 TB the
+full data is never shuffled — only tiny aggregate tables move (the map-side
+partial aggregation reduces each scan partition to its distinct FE levels).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..design import DesignInfo
+from ..formula import ParsedFormula
+from .common import Source, filter_missing, not_null_filter_sql
+from .exprs import Expr, Var, to_spark, to_sql
+
+
+@dataclass
+class Frame:
+    """Analysis frame: Spark side + SQL mirror."""
+
+    df: DataFrame
+    y_col: str
+    x_cols: list[str]
+    key_cols: list[str]  # FE (+cluster) columns carried through
+    sql_cte: str | None  # "WITH ... <cte_name> AS (...)" prefix, or None
+    cte_name: str
+
+
+def _base_select_exprs(
+    parsed: ParsedFormula,
+    design: DesignInfo,
+    extra_cols: list[str],
+) -> list[tuple[str, Expr]]:
+    """(alias, expr) pairs for the base projection: keys, y, design columns."""
+    out: list[tuple[str, Expr]] = []
+    for c in extra_cols:
+        out.append((c, Var(c)))
+    out.append((parsed.yvar, Var(parsed.yvar)))
+    for n, e in zip(design.names, design.exprs):
+        if n not in {c for c, _ in out}:
+            out.append((n, e))
+    return out
+
+
+def build_base_frame(
+    source: Source,
+    parsed: ParsedFormula,
+    design: DesignInfo,
+    drop_missings: bool = True,
+    extra_cols: list[str] | None = None,
+    want_sql: bool = True,
+) -> Frame:
+    """Base frame: filtered source projected to keys + y + design columns.
+
+    This is the ``WITH base AS (SELECT ... FROM ... WHERE ... IS NOT NULL)``
+    CTE of the reference (R/dbreg.R:751, 906-909). The projection plus
+    conjunctive null filter compile to a parquet scan with pushed filters and
+    a pruned ReadSchema.
+    """
+    keys = list(dict.fromkeys((parsed.fe or []) + (extra_cols or [])))
+    sel = _base_select_exprs(parsed, design, keys)
+
+    df = source.df
+    if drop_missings:
+        df = filter_missing(df, [parsed.yvar] + parsed.xvars + (parsed.fe or []))
+    df = df.select(*[to_spark(e).alias(n) for n, e in sel])
+
+    sql_cte = None
+    if want_sql and source.sql_from:
+        cols_sql = ",\n    ".join(
+            (to_sql(e) if isinstance(e, Var) and e.name == n else f"{to_sql(e)} AS {n}")
+            for n, e in sel
+        )
+        where = ""
+        if drop_missings:
+            where = "\n  WHERE " + not_null_filter_sql(
+                [parsed.yvar] + parsed.xvars + (parsed.fe or [])
+            )
+        sql_cte = f"WITH base AS (\n  SELECT\n    {cols_sql}\n  {source.require_sql()}{where}\n)"
+
+    return Frame(
+        df=df,
+        y_col=parsed.yvar,
+        x_cols=list(design.names),
+        key_cols=keys,
+        sql_cte=sql_cte,
+        cte_name="base",
+    )
+
+
+def build_demeaned_frame(base: Frame, fe: list[str], broadcast_means: bool = True) -> Frame:
+    """Attach group means and demean (reference: R/dbreg.R:902-1053).
+
+    1 FE:  ṽ = v − mean(v | fe1)
+    2 FE:  ṽ = v − mean(v | fe1) − mean(v | fe2) + mean(v)   (balanced TWFE)
+
+    Spark formulation: per-FE ``groupBy().agg(avg)`` (tiny result, map-side
+    combined) broadcast-joined back; the grand mean is a 1-row aggregate
+    cross-joined. The big table is never shuffled.
+    """
+    vals = [base.y_col] + base.x_cols
+    bc = F.broadcast if broadcast_means else (lambda d: d)
+
+    if len(fe) == 1:
+        fe1 = fe[0]
+        means = base.df.groupBy(fe1).agg(
+            *[F.avg(c).alias(f"{c}__m1") for c in vals]
+        )
+        dm = (
+            base.df.join(bc(means), on=fe1)
+            .select(
+                fe1,
+                *[(F.col(c) - F.col(f"{c}__m1")).alias(c) for c in vals],
+            )
+        )
+        sql_cte = None
+        if base.sql_cte:
+            mean_cols = ", ".join(f"AVG({c}) AS {c}__m1" for c in vals)
+            tilde = ",\n    ".join(
+                f"(b.{c} - gm.{c}__m1) AS {c}" for c in vals
+            )
+            sql_cte = (
+                f"{base.sql_cte},\ngroup_means AS (\n  SELECT {fe1}, {mean_cols}"
+                f" FROM {base.cte_name} GROUP BY {fe1}\n),\n"
+                f"demeaned AS (\n  SELECT b.{fe1},\n    {tilde}\n"
+                f"  FROM {base.cte_name} b JOIN group_means gm ON b.{fe1} = gm.{fe1}\n)"
+            )
+        return Frame(dm, base.y_col, base.x_cols, [fe1], sql_cte, "demeaned")
+
+    fe1, fe2 = fe[0], fe[1]
+    um = base.df.groupBy(fe1).agg(*[F.avg(c).alias(f"{c}__m1") for c in vals])
+    tm = base.df.groupBy(fe2).agg(*[F.avg(c).alias(f"{c}__m2") for c in vals])
+    om = base.df.agg(*[F.avg(c).alias(f"{c}__mo") for c in vals])
+    dm = (
+        base.df.join(bc(um), on=fe1)
+        .join(bc(tm), on=fe2)
+        .crossJoin(bc(om))
+        .select(
+            fe1,
+            fe2,
+            *[
+                (
+                    F.col(c)
+                    - F.col(f"{c}__m1")
+                    - F.col(f"{c}__m2")
+                    + F.col(f"{c}__mo")
+                ).alias(c)
+                for c in vals
+            ],
+        )
+    )
+    sql_cte = None
+    if base.sql_cte:
+        u_cols = ", ".join(f"AVG({c}) AS {c}__m1" for c in vals)
+        t_cols = ", ".join(f"AVG({c}) AS {c}__m2" for c in vals)
+        o_cols = ", ".join(f"AVG({c}) AS {c}__mo" for c in vals)
+        tilde = ",\n    ".join(
+            f"(b.{c} - um.{c}__m1 - tm.{c}__m2 + o.{c}__mo) AS {c}" for c in vals
+        )
+        sql_cte = (
+            f"{base.sql_cte},\n"
+            f"unit_means AS (\n  SELECT {fe1}, {u_cols} FROM {base.cte_name} GROUP BY {fe1}\n),\n"
+            f"time_means AS (\n  SELECT {fe2}, {t_cols} FROM {base.cte_name} GROUP BY {fe2}\n),\n"
+            f"overall AS (\n  SELECT {o_cols} FROM {base.cte_name}\n),\n"
+            f"demeaned AS (\n  SELECT b.{fe1}, b.{fe2},\n    {tilde}\n"
+            f"  FROM {base.cte_name} b\n"
+            f"  JOIN unit_means um ON b.{fe1} = um.{fe1}\n"
+            f"  JOIN time_means tm ON b.{fe2} = tm.{fe2}\n"
+            f"  CROSS JOIN overall o\n)"
+        )
+    return Frame(dm, base.y_col, base.x_cols, [fe1, fe2], sql_cte, "demeaned")
+
+
+def build_mundlak_frame(
+    base: Frame,
+    fe: list[str],
+    numeric_xvars: list[str],
+    broadcast_means: bool = True,
+) -> Frame:
+    """Augment with per-FE group means of the numeric regressors
+    (reference: R/dbreg.R:1295-1332). ``x_bar_fek`` columns are appended; the
+    regression is y on [X, x̄₁, …, x̄ₖ] *with* intercept — the CRE/Mundlak
+    estimator."""
+    bc = F.broadcast if broadcast_means else (lambda d: d)
+    numeric_in_frame = [v for v in numeric_xvars if v in base.x_cols]
+    df = base.df
+    xbar_all: list[str] = []
+    sql_parts: list[str] = []
+    join_sql: list[str] = []
+    for k, fe_k in enumerate(fe, start=1):
+        suffix = f"_bar_{fe_k}"
+        xbar_k = [f"{v}{suffix}" for v in numeric_in_frame]
+        xbar_all.extend(xbar_k)
+        if numeric_in_frame:
+            means = base.df.groupBy(fe_k).agg(
+                *[F.avg(v).alias(f"{v}{suffix}") for v in numeric_in_frame]
+            )
+            df = df.join(bc(means), on=fe_k)
+            mc = ", ".join(f"AVG({v}) AS {v}{suffix}" for v in numeric_in_frame)
+            sql_parts.append(
+                f"fe{k}_means AS (SELECT {fe_k}, {mc} FROM {base.cte_name} GROUP BY {fe_k})"
+            )
+            join_sql.append(f"JOIN fe{k}_means m{k} ON b.{fe_k} = m{k}.{fe_k}")
+
+    sql_cte = None
+    if base.sql_cte:
+        aug_cols = ", ".join(
+            [f"b.{c}" for c in base.key_cols + [base.y_col] + base.x_cols]
+            + [
+                f"m{k}.{v}_bar_{fe_k}"
+                for k, fe_k in enumerate(fe, start=1)
+                for v in numeric_in_frame
+            ]
+        )
+        sql_cte = (
+            f"{base.sql_cte},\n"
+            + ",\n".join(sql_parts)
+            + (",\n" if sql_parts else "")
+            + f"augmented AS (SELECT {aug_cols} FROM {base.cte_name} b "
+            + " ".join(join_sql)
+            + ")"
+        )
+    return Frame(
+        df=df,
+        y_col=base.y_col,
+        x_cols=base.x_cols + xbar_all,
+        key_cols=base.key_cols,
+        sql_cte=sql_cte,
+        cte_name="augmented",
+    )

@@ -1,0 +1,134 @@
+"""Second-pass sandwich "meat" aggregations for HC1 and cluster-robust SEs.
+
+Mirrors the reference's residual-with-embedded-β second pass
+(R/dbreg.R:1807-2000): the fitted coefficients are baked into a residual
+column expression as double literals and a single aggregation computes either
+
+- HC1:      meat[i,j] = Σ e²·xᵢ·xⱼ   (one row out), or
+- cluster:  per-cluster scores s_g[j] = Σ_g e·xⱼ, then M = Σ_g s_g s_gᵀ.
+
+The cluster outer-product sum is computed *distributively* as one more
+aggregation over the score table (Σ s_i·s_j per pair), so the driver never
+loops over clusters — an upgrade over the reference's R-side loop
+(R/dbreg.R:1991-1995, SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from .common import agg_select_sql, run_agg
+from .exprs import Agg, Cast, Expr, Lit, Var, agg_to_spark, agg_to_sql, asum, to_sql
+from .frames import Frame
+
+
+def _resid_expr(frame: Frame, betahat: np.ndarray, x_names: list[str], intercept: bool) -> Expr:
+    """(y − b₀ − Σ βⱼ·xⱼ) with β as exact double literals
+    (reference: R/dbreg.R:1822-1836)."""
+    b = np.asarray(betahat, dtype=float).reshape(-1)
+    off = 1 if intercept else 0
+    e: Expr = Var(frame.y_col)
+    if intercept:
+        e = e - Lit(float(b[0]))
+    for j, xn in enumerate(x_names):
+        e = e - (Lit(float(b[j + off])) * Var(xn))
+    return e
+
+
+def _d(e: Expr) -> Expr:
+    return Cast(e, "double")
+
+
+def hc1_meat(
+    frame: Frame, betahat: np.ndarray, x_names: list[str], intercept: bool
+) -> tuple[np.ndarray, str | None]:
+    """Return the (p×p) HC1 meat matrix and its oracle SQL (if emittable)."""
+    r = _resid_expr(frame, betahat, x_names, intercept)
+    cols: list[Expr] = ([Lit(1.0)] if intercept else []) + [Var(n) for n in x_names]
+    spec: list[tuple[str, Agg]] = []
+    p = len(cols)
+    for i in range(p):
+        for j in range(i, p):
+            spec.append(
+                (f"meat_{i}_{j}", asum(_d(r) * _d(r) * _d(cols[i]) * _d(cols[j])))
+            )
+    row = run_agg(frame.df, spec)
+    meat = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            meat[i, j] = meat[j, i] = float(row[f"meat_{i}_{j}"])
+    sql = None
+    if frame.sql_cte:
+        sql = (
+            f"{frame.sql_cte},\nmeat AS (\n  SELECT {agg_select_sql(spec)}"
+            f"\n  FROM {frame.cte_name}\n)\nSELECT * FROM meat"
+        )
+    return meat, sql
+
+
+def cluster_meat(
+    frame: Frame,
+    betahat: np.ndarray,
+    x_names: list[str],
+    intercept: bool,
+    cluster_col: str,
+) -> tuple[np.ndarray, int, str | None]:
+    """Return (meat matrix, n_clusters, oracle SQL for the score table).
+
+    Stage 1: groupBy(cluster).agg(score_j = Σ e·xⱼ)  — shuffle is only the
+    per-partition partial score rows.
+    Stage 2: one more single-row agg of score products Σ s_i·s_j plus
+    COUNT(*) for G. Nothing proportional to G ever reaches the driver.
+    """
+    r = _resid_expr(frame, betahat, x_names, intercept)
+    cols: list[Expr] = ([Lit(1.0)] if intercept else []) + [Var(n) for n in x_names]
+    p = len(cols)
+    score_aggs = [
+        agg_to_spark(asum(_d(r) * _d(c))).alias(f"score_{j}") for j, c in enumerate(cols)
+    ]
+    scores = frame.df.groupBy(cluster_col).agg(*score_aggs)
+
+    outer_spec: list[tuple[str, Agg]] = [("n_clusters", Agg("count_star", None, "long"))]
+    for i in range(p):
+        for j in range(i, p):
+            outer_spec.append(
+                (f"m_{i}_{j}", asum(Var(f"score_{i}") * Var(f"score_{j}")))
+            )
+    row = run_agg(scores, outer_spec)
+    g = int(row["n_clusters"])
+    meat = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            meat[i, j] = meat[j, i] = float(row[f"m_{i}_{j}"])
+
+    sql = None
+    if frame.sql_cte:
+        score_sql = ", ".join(
+            f"{agg_to_sql(asum(_d(r) * _d(c)))} AS score_{j}" for j, c in enumerate(cols)
+        )
+        sql = (
+            f"{frame.sql_cte},\ncluster_scores AS (\n  SELECT {cluster_col}, {score_sql}"
+            f"\n  FROM {frame.cte_name}\n  GROUP BY {cluster_col}\n)\n"
+            "SELECT * FROM cluster_scores"
+        )
+    return meat, g, sql
+
+
+def count_nested_fe_levels(frame_df, fe: list[str], cluster_col: str) -> int:
+    """ssc="nested": count levels of FEs fully nested within the cluster
+    variable (reference: R/dbreg.R:1724-1752)."""
+    if not fe or cluster_col is None:
+        return 0
+    nested = 0
+    for f in fe:
+        spans = (
+            frame_df.groupBy(f)
+            .agg(F.countDistinct(cluster_col).alias("g"))
+            .where(F.col("g") > 1)
+            .limit(1)
+            .count()
+        )
+        if spans == 0:
+            nested += frame_df.select(f).distinct().count()
+    return nested

