@@ -218,18 +218,26 @@ def _any_continuous(df: DataFrame, xvars: list[str]) -> bool:
 
 
 def _is_balanced(source: Source, parsed: ParsedFormula) -> bool:
-    """Balanced-panel probe: all FE cells have equal counts
-    (reference: R/dbreg.R:627-631)."""
+    """Balanced-panel probe: all FE cells have equal counts AND the
+    fe1×fe2 grid is complete (reference probes only the first condition,
+    R/dbreg.R:627-631; double-demeaning additionally requires the complete
+    grid, so we check both — one tiny aggregation over the cell counts)."""
     from .plans.common import filter_missing
 
+    fe1, fe2 = parsed.fe
     df = filter_missing(source.df, [parsed.yvar] + parsed.xvars + parsed.fe)
-    return (
-        df.groupBy(*parsed.fe)
+    row = (
+        df.groupBy(fe1, fe2)
         .count()
-        .select(F.countDistinct("count").alias("k"))
-        .collect()[0]["k"]
-        == 1
+        .agg(
+            F.countDistinct("count").alias("k"),
+            F.count(F.lit(1)).alias("cells"),
+            F.countDistinct(fe1).alias("g1"),
+            F.countDistinct(fe2).alias("g2"),
+        )
+        .collect()[0]
     )
+    return row["k"] == 1 and row["cells"] == row["g1"] * row["g2"]
 
 
 # --------------------------------------------------------------------------
@@ -774,13 +782,13 @@ def _compress_cluster_meat(
     if drop_missings:
         df = filter_missing(df, needed)
     proj = df.select(
-        F.col(cluster_var),
+        F.col(cluster_var).alias("__cluster__"),
         *[to_spark(e).alias(n) for n, e in zip(design.names, design.exprs)],
         *[F.col(f) for f in parsed.fe],
         F.col(parsed.yvar),
     )
     cc = (
-        proj.groupBy(cluster_var, *group_cols)
+        proj.groupBy("__cluster__", *group_cols)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_gc"),
             F.sum(F.col(parsed.yvar).cast("double")).alias("sum_y_gc"),
@@ -790,11 +798,11 @@ def _compress_cluster_meat(
     cell_key = pdf[group_cols].astype(str).agg("\x1f".join, axis=1)
     cc_key = cc[group_cols].astype(str).agg("\x1f".join, axis=1)
     cell_row = pd.Series(np.arange(len(pdf)), index=cell_key)
-    rows = cell_row.reindex(cc_key).to_numpy()
+    rows = cell_row.reindex(cc_key).to_numpy(dtype="int64")
     yhat_cc = yhat[rows]
     u_sum = cc["sum_y_gc"].to_numpy(dtype=float) - cc["n_gc"].to_numpy(dtype=float) * yhat_cc
 
-    clusters, cidx = np.unique(cc[cluster_var].to_numpy(), return_inverse=True)
+    clusters, cidx = np.unique(cc["__cluster__"].to_numpy(), return_inverse=True)
     # evaluate the design on the cluster-cell rows and form S = X'U directly
     cd_cc = CellDesign(cc, design.names, parsed.fe)
     S_full = cd_cc.cross_gram_cat(u_sum, cidx, len(clusters))

@@ -1,0 +1,87 @@
+"""Post-estimation: predict / gof / tidy / confint
+(mirrors reference test_sim.R:123-182, test_gof.R)."""
+
+import numpy as np
+import pytest
+
+from dbreg_spark import dbreg
+
+from fixtures import iid_se, lsdv_matrix, ols_fit, panel_balanced
+
+
+@pytest.fixture(scope="module")
+def panel(spark):
+    pdf = panel_balanced()
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_predict_moments(panel):
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2", df, strategy="moments")
+    pred = m.predict(df).select("fit").toPandas()["fit"].to_numpy()
+    X = np.column_stack([np.ones(len(pdf)), pdf["x1"], pdf["x2"]])
+    beta, _ = ols_fit(X, pdf["y"].to_numpy(float))
+    np.testing.assert_allclose(pred, X @ beta, rtol=1e-8)
+
+
+def test_predict_intervals(panel):
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2", df, strategy="moments")
+    out = m.predict(df, interval="confidence").select("fit", "lwr", "upr").toPandas()
+    assert (out["lwr"] < out["fit"]).all() and (out["fit"] < out["upr"]).all()
+    outp = m.predict(df, interval="prediction").select("fit", "lwr", "upr").toPandas()
+    # prediction intervals strictly wider than confidence intervals
+    assert ((outp["upr"] - outp["lwr"]) > (out["upr"] - out["lwr"])).all()
+
+
+def test_predict_mundlak(panel):
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm", df, strategy="mundlak")
+    pred = m.predict(df).select("fit").toPandas()["fit"].to_numpy()
+    d = pdf.copy()
+    for x in ["x1", "x2"]:
+        d[f"{x}_bar_firm"] = d.groupby("firm")[x].transform("mean")
+    xs = ["x1", "x2", "x1_bar_firm", "x2_bar_firm"]
+    X = np.column_stack([np.ones(len(d))] + [d[c] for c in xs])
+    beta, _ = ols_fit(X, d["y"].to_numpy(float))
+    np.testing.assert_allclose(np.sort(pred), np.sort(X @ beta), rtol=1e-8)
+
+
+def test_gof_matches_oracle(panel):
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm", df, strategy="demean")
+    # within R2 (reference stores demeaned TSS, R/dbreg.R:1214)
+    d = pdf.copy()
+    for c in ["y", "x1", "x2"]:
+        d[c] = d[c] - d.groupby("firm")[c].transform("mean")
+    X = d[["x1", "x2"]].to_numpy(float)
+    y = d["y"].to_numpy(float)
+    beta, resid = ols_fit(X, y)
+    rss = resid @ resid
+    tss = y @ y
+    np.testing.assert_allclose(m.r2(), 1 - rss / tss, rtol=1e-7)
+    np.testing.assert_allclose(m.rmse(), np.sqrt(rss / len(d)), rtol=1e-7)
+
+
+def test_tidy_glance_confint(panel):
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2", df, strategy="moments")
+    t = m.tidy(conf_int=True)
+    assert set(["term", "estimate", "std.error", "conf.low", "conf.high"]).issubset(
+        t.columns
+    )
+    g = m.glance()
+    assert g["nobs"].iloc[0] == 500
+    ci = m.confint(0.95)
+    w95 = (ci.iloc[:, 1] - ci.iloc[:, 0]).to_numpy()
+    w99 = (
+        m.confint(0.99).iloc[:, 1] - m.confint(0.99).iloc[:, 0]
+    ).to_numpy()
+    assert (w99 > w95).all()
+
+
+def test_repr_smoke(panel):
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm", df, strategy="demean", vcov="hc1")
+    s = repr(m)
+    assert "demean" in s and "hc1" in s and "x1" in s

@@ -1,0 +1,287 @@
+"""demean / mundlak / compress strategies vs LSDV numpy oracles
+(mirrors the reference's test_sim.R / test_trade.R oracle pattern)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dbreg_spark import dbreg
+
+from fixtures import (
+    cr1_se,
+    iid_se,
+    lsdv_matrix,
+    ols_fit,
+    panel_balanced,
+    panel_unbalanced,
+    trade_like,
+)
+
+
+@pytest.fixture(scope="module")
+def panel(spark):
+    pdf = panel_balanced()
+    return spark.createDataFrame(pdf), pdf
+
+
+@pytest.fixture(scope="module")
+def panel_unbal(spark):
+    pdf = panel_unbalanced()
+    return spark.createDataFrame(pdf), pdf
+
+
+@pytest.fixture(scope="module")
+def trade(spark):
+    pdf = trade_like()
+    return spark.createDataFrame(pdf), pdf
+
+
+# ---------------------------------------------------------------- demean ----
+
+
+def test_demean_1fe_vs_lsdv(panel):
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm", df, strategy="demean")
+    X, names, y = lsdv_matrix(pdf, "y", ["x1", "x2"], ["firm"])
+    beta, resid = ols_fit(X, y)
+    se = iid_se(X, resid)
+    np.testing.assert_allclose(m.coef()[["x1", "x2"]], beta[1:3], rtol=1e-6)
+    np.testing.assert_allclose(m.se()[["x1", "x2"]], se[1:3], rtol=1e-6)
+    assert m.n_fe1 == 50 and m.n_fe2 == 1
+    assert m.df_residual == len(pdf) - 2 - 50
+
+
+def test_demean_2fe_balanced_vs_lsdv(panel):
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm + year", df, strategy="demean")
+    X, names, y = lsdv_matrix(pdf, "y", ["x1", "x2"], ["firm", "year"])
+    beta, resid = ols_fit(X, y)
+    se = iid_se(X, resid)
+    np.testing.assert_allclose(m.coef()[["x1", "x2"]], beta[1:3], rtol=1e-6)
+    np.testing.assert_allclose(m.se()[["x1", "x2"]], se[1:3], rtol=1e-6)
+
+
+def test_demean_hc1(panel):
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm", df, strategy="demean", vcov="hc1")
+    # oracle: within-transformed X, HC1 scale N/df_res with FE dof
+    d = pdf.copy()
+    for c in ["y", "x1", "x2"]:
+        d[c] = d[c] - d.groupby("firm")[c].transform("mean")
+    Xt = d[["x1", "x2"]].to_numpy(float)
+    yt = d["y"].to_numpy(float)
+    beta, *_ = np.linalg.lstsq(Xt, yt, rcond=None)
+    e = yt - Xt @ beta
+    n = len(d)
+    df_res = n - 2 - 50
+    bread = np.linalg.inv(Xt.T @ Xt)
+    meat = (Xt * (e**2)[:, None]).T @ Xt
+    V = (n / df_res) * bread @ meat @ bread
+    np.testing.assert_allclose(m.se().to_numpy(), np.sqrt(np.diag(V)), rtol=1e-6)
+
+
+def test_demean_cluster(panel):
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm", df, strategy="demean", vcov="~firm")
+    d = pdf.copy()
+    for c in ["y", "x1", "x2"]:
+        d[c] = d[c] - d.groupby("firm")[c].transform("mean")
+    Xt = d[["x1", "x2"]].to_numpy(float)
+    yt = d["y"].to_numpy(float)
+    beta, *_ = np.linalg.lstsq(Xt, yt, rcond=None)
+    e = yt - Xt @ beta
+    se = cr1_se(Xt, e, pdf["firm"].to_numpy(), n_params=2 + 50)
+    np.testing.assert_allclose(m.se().to_numpy(), se, rtol=1e-6)
+    assert m.n_clusters == 50
+
+
+# --------------------------------------------------------------- mundlak ----
+
+
+def test_mundlak_vs_manual(panel):
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm + year", df, strategy="mundlak")
+    d = pdf.copy()
+    for f in ["firm", "year"]:
+        for x in ["x1", "x2"]:
+            d[f"{x}_bar_{f}"] = d.groupby(f)[x].transform("mean")
+    xs = ["x1", "x2", "x1_bar_firm", "x2_bar_firm", "x1_bar_year", "x2_bar_year"]
+    X = np.column_stack([np.ones(len(d))] + [d[c].to_numpy(float) for c in xs])
+    beta, resid = ols_fit(X, d["y"].to_numpy(float))
+    se = iid_se(X, resid)
+    np.testing.assert_allclose(m.coef().to_numpy(), beta, rtol=1e-6)
+    np.testing.assert_allclose(m.se().to_numpy(), se, rtol=1e-6)
+    # mundlak slope == within slope on balanced panels
+    w = dbreg("y ~ x1 + x2 | firm + year", df, strategy="demean")
+    np.testing.assert_allclose(
+        m.coef()[["x1", "x2"]], w.coef()[["x1", "x2"]], rtol=1e-6
+    )
+
+
+# -------------------------------------------------------------- compress ----
+
+
+def test_compress_vs_lsdv(trade):
+    df, pdf = trade
+    m = dbreg("euros ~ dist_km | destination + origin", df, strategy="compress")
+    assert m.nobs == 210 * 170 // 170  # 210 dyads
+    assert m.nobs_orig == len(pdf)
+    X, names, y = lsdv_matrix(pdf, "euros", ["dist_km"], ["destination", "origin"])
+    beta, resid = ols_fit(X, y)
+    se = iid_se(X, resid)
+    np.testing.assert_allclose(m.coef()["dist_km"], beta[1], rtol=1e-6)
+    np.testing.assert_allclose(m.se()["dist_km"], se[1], rtol=1e-6)
+
+
+def test_compress_cluster(trade):
+    df, pdf = trade
+    m = dbreg(
+        "euros ~ dist_km | destination + origin",
+        df,
+        strategy="compress",
+        vcov="~destination",
+    )
+    X, names, y = lsdv_matrix(pdf, "euros", ["dist_km"], ["destination", "origin"])
+    beta, resid = ols_fit(X, y)
+    se = cr1_se(X, resid, pdf["destination"].to_numpy(), n_params=X.shape[1])
+    np.testing.assert_allclose(m.se()["dist_km"], se[1], rtol=2e-5)
+    assert m.n_clusters == 15
+
+
+def test_compress_nested_ssc(trade):
+    df, pdf = trade
+    m_full = dbreg(
+        "euros ~ dist_km | destination + origin",
+        df,
+        strategy="compress",
+        vcov="~destination",
+        ssc="full",
+    )
+    m_nested = dbreg(
+        "euros ~ dist_km | destination + origin",
+        df,
+        strategy="compress",
+        vcov="~destination",
+        ssc="nested",
+    )
+    # destination FE is nested in destination cluster → K shrinks → SE shrinks
+    assert m_nested.se()["dist_km"] < m_full.se()["dist_km"]
+
+
+def test_compress_data_only(trade):
+    df, pdf = trade
+    cells = dbreg(
+        "euros ~ dist_km | destination + origin", df, strategy="compress", data_only=True
+    )
+    assert len(cells) == 210
+    assert set(["n", "sum_y", "sum_y_sq", "mean_y", "wts"]).issubset(cells.columns)
+    assert cells["n"].sum() == len(pdf)
+
+
+# ------------------------------------------------------------------ auto ----
+
+
+def test_auto_selects_demean_balanced(panel):
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm + year", df, strategy="auto")
+    assert m.strategy == "demean"
+
+
+def test_auto_unbalanced_twfe_errors(panel_unbal):
+    df, pdf = panel_unbal
+    with pytest.raises(ValueError, match="unbalanced"):
+        dbreg("y ~ x1 + x2 | firm + year", df, strategy="auto")
+
+
+def test_auto_compressible_picks_compress(trade):
+    df, pdf = trade
+    m = dbreg("euros ~ dist_km | destination + origin", df, strategy="auto")
+    assert m.strategy == "compress"
+
+
+def test_auto_no_fe_continuous_picks_moments(panel):
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2", df, strategy="auto")
+    assert m.strategy == "moments"
+
+
+# -------------------------------------------------- SQL parity (duckdb) -----
+
+
+def test_demean_sql_matches_duckdb(spark, panel):
+    import duckdb
+
+    df, pdf = panel
+    df.createOrReplaceTempView("panel_tv")
+    sql = dbreg(
+        "y ~ x1 + x2 | firm + year",
+        table="panel_tv",
+        spark=spark,
+        strategy="demean",
+        sql_only=True,
+    )
+    con = duckdb.connect()
+    con.register("panel_tv", pdf)
+    ddf = con.execute(sql).fetchdf()
+    row = dbreg(
+        "y ~ x1 + x2 | firm + year",
+        table="panel_tv",
+        spark=spark,
+        strategy="demean",
+        data_only=True,
+    )
+    for c in ddf.columns:
+        np.testing.assert_allclose(row[c].iloc[0], ddf[c].iloc[0], rtol=1e-7, err_msg=c)
+
+
+def test_mundlak_sql_matches_duckdb(spark, panel):
+    import duckdb
+
+    df, pdf = panel
+    df.createOrReplaceTempView("panel_tv")
+    sql = dbreg(
+        "y ~ x1 + x2 | firm",
+        table="panel_tv",
+        spark=spark,
+        strategy="mundlak",
+        sql_only=True,
+    )
+    con = duckdb.connect()
+    con.register("panel_tv", pdf)
+    ddf = con.execute(sql).fetchdf()
+    row = dbreg(
+        "y ~ x1 + x2 | firm",
+        table="panel_tv",
+        spark=spark,
+        strategy="mundlak",
+        data_only=True,
+    )
+    for c in ddf.columns:
+        np.testing.assert_allclose(row[c].iloc[0], ddf[c].iloc[0], rtol=1e-7, err_msg=c)
+
+
+def test_compress_sql_matches_duckdb(spark, trade):
+    import duckdb
+
+    df, pdf = trade
+    df.createOrReplaceTempView("trade_tv")
+    sql = dbreg(
+        "euros ~ dist_km | destination + origin",
+        table="trade_tv",
+        spark=spark,
+        strategy="compress",
+        sql_only=True,
+    )
+    con = duckdb.connect()
+    con.register("trade_tv", pdf)
+    ddf = con.execute(sql).fetchdf().sort_values(["destination", "origin"]).reset_index(drop=True)
+    cells = dbreg(
+        "euros ~ dist_km | destination + origin",
+        table="trade_tv",
+        spark=spark,
+        strategy="compress",
+        data_only=True,
+    ).sort_values(["destination", "origin"]).reset_index(drop=True)
+    assert len(ddf) == len(cells)
+    np.testing.assert_allclose(cells["n"], ddf["n"])
+    np.testing.assert_allclose(cells["sum_y"], ddf["sum_y"], rtol=1e-9)
