@@ -8,12 +8,15 @@ similarity search, text analysis, multimodal plumbing).
 """
 
 from .api import dbreg
+from .binsreg import BinsregResult, dbbinsreg
 from .design import standardize_coef_names
 from .formula import parse_formula, parse_vcov
 from .model import DbregModel
 
 __all__ = [
     "dbreg",
+    "dbbinsreg",
+    "BinsregResult",
     "DbregModel",
     "parse_formula",
     "parse_vcov",

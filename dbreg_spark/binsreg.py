@@ -1,0 +1,457 @@
+"""`dbbinsreg` — database-side binscatter, Spark-native.
+
+Re-implements the reference's binscatter estimator
+(R/dbbinsreg.R:245-1783, Cattaneo-Crump-Farrell-Feir 2024 style):
+quantile/equal-width/manual binning, piecewise-polynomial (unconstrained,
+s=0) or regression-spline (constrained, s>0) fits, pointwise CIs and sup-t
+confidence bands.
+
+Differences from the reference, all scale-motivated (SURVEY §7.4):
+
+- bin breaks come from exact numpy quantiles (small data) or a capped random
+  sample (large data) and are applied as a literal CASE ladder — never a
+  global NTILE window;
+- the unconstrained path NEVER pulls row-level data to the driver (the
+  reference fetches the binned rows into R, R/dbbinsreg.R:881): bin dummies
+  and per-bin polynomial columns are Spark column expressions fed to the
+  moments/demean strategies, so the whole fit is one aggregation pass;
+- sup-t confidence bands use the full fit-covariance quadratic form for any
+  degree (the reference's simulation covers degree 0 only).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from . import stats as _tstats
+from .api import dbreg
+from .formula import parse_formula
+from .model import DbregModel
+from .operators.binning import (
+    BreakInfo,
+    assign_bins,
+    bin_geometry,
+    compute_breaks,
+)
+from .plans.common import resolve_source
+
+
+@dataclass
+class BinsregResult:
+    points: pd.DataFrame | None
+    line: pd.DataFrame | None
+    bins: pd.DataFrame
+    model: DbregModel
+    opt: dict
+    knots: np.ndarray | None = None
+
+    def __repr__(self) -> str:
+        o = self.opt
+        lines = [
+            f"dbbinsreg  |  {o['y_var']} ~ {o['x_var']}  nbins={o['nbins']} "
+            f"binspos={o['binspos']}  points={o['points']}  line={o['line']}",
+            f"N = {o['N']:,}",
+        ]
+        if self.points is not None:
+            with pd.option_context("display.float_format", lambda v: f"{v:.5g}"):
+                lines.append(str(self.points.head(25)))
+        return "\n".join(lines)
+
+
+def _parse_ps(val, name: str, default=None):
+    if val is None or val is False:
+        return default
+    if val is True:
+        return (0, 0)
+    p, s = int(val[0]), int(val[1])
+    if s > p:
+        raise ValueError(f"{name}: smoothness s must be <= degree p (got ({p}, {s}))")
+    return (p, s)
+
+
+def dbbinsreg(
+    fml: str,
+    data=None,
+    *,
+    spark: SparkSession | None = None,
+    table: str | None = None,
+    path: str | None = None,
+    points=(0, 0),
+    line=None,
+    linegrid: int = 20,
+    nbins: int = 20,
+    binspos="qs",
+    randcut: float | None = None,
+    ci: bool = True,
+    cb: bool = False,
+    vcov=None,
+    level: float = 0.95,
+    nsims: int = 500,
+    seed: int = 42,
+    verbose: bool = False,
+) -> BinsregResult:
+    """Binned scatterplot estimator on a Spark-resident table.
+
+    ``fml`` is ``y ~ x [+ controls] [| fe]`` — the first RHS variable is the
+    running variable. ``points``/``line`` are (degree, smoothness) pairs.
+    """
+    pts = _parse_ps(points, "points", default=None)
+    lns = _parse_ps(line, "line", default=None)
+    points_on = pts is not None
+    line_on = lns is not None
+    if not points_on and not line_on:
+        pts, points_on = (0, 0), True
+    if line is True and pts is not None:
+        lns = pts
+
+    if not 0.0 < level < 1.0:
+        raise ValueError("level must be in (0, 1)")
+    alpha = 1 - level
+    if vcov is None and ci:
+        vcov = "hc1"
+    elif vcov is None:
+        vcov = "iid"
+
+    parsed = parse_formula(fml)
+    if parsed.has_interactions:
+        raise ValueError(
+            "dbbinsreg does not support interaction terms; specify controls "
+            "as separate additive terms."
+        )
+    y = parsed.yvar
+    x = parsed.xvars[0]
+    controls = parsed.xvars[1:]
+    fe = parsed.fe
+
+    if spark is None and isinstance(data, DataFrame):
+        spark = data.sparkSession
+    source = resolve_source(spark=spark, data=data, table=table, path=path)
+    df = source.df
+
+    # ---- breaks ---------------------------------------------------------
+    if isinstance(binspos, str):
+        method = {"qs": "quantile", "es": "equal", "log": "log_equal"}.get(binspos)
+        if method is None:
+            raise ValueError("binspos must be 'qs', 'es', 'log', or a numeric vector")
+        bi = compute_breaks(
+            df, x, nbins, method=method, randcut=randcut, seed=seed,
+            extra_notnull=[y],
+        )
+        breaks = bi.breaks
+        n_rows_orig = bi.n_rows
+    else:
+        breaks = np.sort(np.asarray(binspos, dtype=float))
+        if len(breaks) < 2:
+            raise ValueError("binspos needs at least 2 break values")
+        n_rows_orig = None
+    B = len(breaks) - 1
+
+    common = dict(
+        df=df, y=y, x=x, controls=controls, fe=fe, breaks=breaks, vcov=vcov,
+        ci=ci, verbose=verbose,
+    )
+
+    def _fit(p, s):
+        if s == 0:
+            return _unconstrained(degree=p, **common)
+        return _constrained(degree=p, smooth=s, **common)
+
+    opt = dict(
+        points=pts,
+        line=lns,
+        nbins=B,
+        binspos=binspos if isinstance(binspos, str) else "manual",
+        x_var=x,
+        y_var=y,
+        level=level,
+        ci=ci,
+        cb=cb,
+        vcov=vcov,
+        N=None,
+        N_orig=n_rows_orig,
+    )
+
+    if points_on and line_on and pts != lns:
+        fit_p, geo_p, eval_p, se_p, knots_p = _fit(*pts)
+        fit_l, geo_l, eval_l, se_l, _ = _fit(*lns)
+        return _build_output(
+            fit_p, geo_p, eval_p, se_p, knots_p, opt, alpha, linegrid, cb, nsims,
+            seed, points_on, line_on, line_eval=(geo_l, eval_l),
+        )
+    p, s = pts if points_on else lns
+    fit, geo, eval_fn, se_fn, knots = _fit(p, s)
+    return _build_output(
+        fit, geo, eval_fn, se_fn, knots, opt, alpha, linegrid, cb, nsims, seed,
+        points_on, line_on,
+    )
+
+
+# --------------------------------------------------------------------------
+# unconstrained path (s = 0): piecewise polynomial via bin dummies
+# (reference: R/dbbinsreg.R:959-1085 — but fully distributed here)
+# --------------------------------------------------------------------------
+
+
+def _unconstrained(df, y, x, controls, fe, breaks, degree, vcov, ci, verbose):
+    binned = assign_bins(df, x, y, breaks, keep_cols=controls + fe)
+    geo = bin_geometry(binned, x)
+
+    # drop bins with too few observations for the requested degree
+    min_obs = degree + 1
+    bad = geo[geo["n"] < min_obs]["bin"].tolist()
+    if bad:
+        binned = binned.where(~F.col("bin").isin(bad))
+        geo = geo[~geo["bin"].isin(bad)].reset_index(drop=True)
+    present = geo["bin"].tolist()
+
+    cols = [F.col(y)]
+    sel_names = [y]
+    cols.append(F.col("bin").cast("string").alias("bin"))
+    sel_names.append("bin")
+    rhs_terms = ["bin"]
+
+    if degree > 0:
+        left = dict(zip(geo["bin"], geo["x_left"]))
+        width = dict(zip(geo["bin"], geo["x_right"] - geo["x_left"]))
+        for b in present:
+            h = width[b] if width[b] != 0 else 1.0
+            u = (F.col(x) - F.lit(float(left[b]))) / F.lit(float(h))
+            for d in range(1, degree + 1):
+                cname = f"u_{b}" if d == 1 else f"u{d}_{b}"
+                cols.append(
+                    F.when(F.col("bin") == b, u**d).otherwise(F.lit(0.0)).alias(cname)
+                )
+                sel_names.append(cname)
+                rhs_terms.append(cname)
+
+    for c in controls:
+        cols.append(F.col(c))
+        sel_names.append(c)
+        rhs_terms.append(c)
+    for f_ in fe:
+        cols.append(F.col(f_))
+        sel_names.append(f_)
+
+    frame = binned.select(*cols)
+    fml = f"{y} ~ {' + '.join(rhs_terms)}"
+    if fe:
+        fml += " | " + " + ".join(fe)
+    strategy = "demean" if fe else "moments"
+    fit = dbreg(fml, frame, strategy=strategy, vcov=vcov if ci else "iid", verbose=verbose)
+
+    coefs = fit.coef()
+    has_intercept = "(Intercept)" in coefs.index
+    V = fit.vcov() if ci else None
+
+    def _weights(x_val, b):
+        """coefficient-space weight vector for the fitted value at (x, bin)."""
+        w = pd.Series(0.0, index=coefs.index)
+        if has_intercept:
+            w["(Intercept)"] = 1.0
+        bc = f"bin{b}"
+        if bc in w.index:
+            w[bc] = 1.0
+        if degree > 0:
+            row = geo[geo["bin"] == b]
+            if len(row):
+                x_left = float(row["x_left"].iloc[0])
+                h = float(row["x_right"].iloc[0] - x_left) or 1.0
+                u = (x_val - x_left) / h
+                for d in range(1, degree + 1):
+                    cname = f"u_{b}" if d == 1 else f"u{d}_{b}"
+                    if cname in w.index:
+                        w[cname] = u**d
+        return w
+
+    def eval_fn(x_val, b):
+        return float(_weights(x_val, b) @ coefs)
+
+    def se_fn(x_val, b):
+        if V is None:
+            return np.nan
+        w = _weights(x_val, b).to_numpy()
+        v = float(w @ V.to_numpy() @ w)
+        return np.sqrt(max(v, 0.0))
+
+    se_fn.weights_of = lambda xv, b: _weights(xv, b).to_numpy()
+    return fit, geo, eval_fn, se_fn, None
+
+
+# --------------------------------------------------------------------------
+# constrained path (s > 0): truncated-power regression splines
+# (reference: R/dbbinsreg.R:1094-1319)
+# --------------------------------------------------------------------------
+
+
+def _constrained(df, y, x, controls, fe, breaks, degree, smooth, vcov, ci, verbose):
+    binned = assign_bins(df, x, y, breaks, keep_cols=controls + fe)
+    geo = bin_geometry(binned, x)
+    knots = geo["x_right"].to_numpy(dtype=float)[:-1]
+
+    cols = [F.col(y)]
+    rhs_terms = []
+    for d in range(1, degree + 1):
+        cname = f"x{d}_spline"
+        cols.append((F.col(x) ** d).alias(cname))
+        rhs_terms.append(cname)
+    for j, kappa in enumerate(knots, start=1):
+        for r in range(smooth, degree + 1):
+            cname = f"knot{j}_pow{r}"
+            if r == 0:
+                e = F.when(F.col(x) > F.lit(float(kappa)), F.lit(1.0)).otherwise(F.lit(0.0))
+            else:
+                e = F.when(
+                    F.col(x) > F.lit(float(kappa)),
+                    (F.col(x) - F.lit(float(kappa))) ** r,
+                ).otherwise(F.lit(0.0))
+            cols.append(e.alias(cname))
+            rhs_terms.append(cname)
+    for c in controls:
+        cols.append(F.col(c))
+        rhs_terms.append(c)
+    for f_ in fe:
+        cols.append(F.col(f_))
+
+    frame = binned.select(*cols)
+    fml = f"{y} ~ {' + '.join(rhs_terms)}"
+    if fe:
+        fml += " | " + " + ".join(fe)
+    strategy = "demean" if fe else "moments"
+    fit = dbreg(fml, frame, strategy=strategy, vcov=vcov if ci else "iid", verbose=verbose)
+
+    coefs = fit.coef()
+    has_intercept = "(Intercept)" in coefs.index
+    V = fit.vcov() if ci else None
+    basis_names = [t for t in rhs_terms if t.endswith("_spline") or t.startswith("knot")]
+
+    def _weights(x_val, b=None):
+        w = pd.Series(0.0, index=coefs.index)
+        if has_intercept:
+            w["(Intercept)"] = 1.0
+        for d in range(1, degree + 1):
+            cname = f"x{d}_spline"
+            if cname in w.index:
+                w[cname] = x_val**d
+        for j, kappa in enumerate(knots, start=1):
+            for r in range(smooth, degree + 1):
+                cname = f"knot{j}_pow{r}"
+                if cname in w.index:
+                    if r == 0:
+                        w[cname] = 1.0 if x_val > kappa else 0.0
+                    else:
+                        w[cname] = max(0.0, x_val - kappa) ** r
+        return w
+
+    def eval_fn(x_val, b=None):
+        return float(_weights(x_val) @ coefs)
+
+    def se_fn(x_val, b=None):
+        if V is None:
+            return np.nan
+        w = _weights(x_val).to_numpy()
+        v = float(w @ V.to_numpy() @ w)
+        return np.sqrt(max(v, 0.0))
+
+    se_fn.weights_of = lambda xv, b=None: _weights(xv).to_numpy()
+    return fit, geo, eval_fn, se_fn, knots
+
+
+# --------------------------------------------------------------------------
+# output assembly (reference: R/dbbinsreg.R:1648-1783)
+# --------------------------------------------------------------------------
+
+
+def _build_output(
+    fit,
+    geo,
+    eval_fn,
+    se_fn,
+    knots,
+    opt,
+    alpha,
+    linegrid,
+    cb,
+    nsims,
+    seed,
+    points_on,
+    line_on,
+    line_eval=None,
+):
+    B = len(geo)
+    crit = _tstats.t_ppf(1 - alpha / 2, fit.df_residual)
+
+    points_df = None
+    if points_on:
+        xm = geo["x_mean"].to_numpy(dtype=float)
+        bins = geo["bin"].tolist()
+        fits = np.array([eval_fn(xm[i], bins[i]) for i in range(B)])
+        points_df = pd.DataFrame({"x": xm, "bin": bins, "fit": fits})
+        ses = np.array([se_fn(xm[i], bins[i]) for i in range(B)])
+        if np.isfinite(ses).any():
+            points_df["se"] = ses
+            points_df["lwr"] = fits - crit * ses
+            points_df["upr"] = fits + crit * ses
+            if cb:
+                crit_cb = _supt_critical(fit, geo, eval_fn, se_fn, alpha, nsims, seed)
+                points_df["cb_lwr"] = fits - crit_cb * ses
+                points_df["cb_upr"] = fits + crit_cb * ses
+
+    line_df = None
+    if line_on:
+        lg, le = (geo, eval_fn) if line_eval is None else line_eval
+        rows = []
+        for _, r in lg.iterrows():
+            b = int(r["bin"])
+            xs = np.linspace(r["x_left"], r["x_right"], linegrid)
+            for xv in xs:
+                rows.append((xv, b, le(xv, b)))
+        line_df = pd.DataFrame(rows, columns=["x", "bin", "fit"])
+
+    bins_df = pd.DataFrame(
+        {"id": geo["bin"], "left": geo["x_left"], "right": geo["x_right"]}
+    )
+    opt = dict(opt)
+    opt["N"] = int(geo["n"].sum())
+    opt["nbins"] = B
+    return BinsregResult(
+        points=points_df, line=line_df, bins=bins_df, model=fit, opt=opt, knots=knots
+    )
+
+
+def _supt_critical(fit, geo, eval_fn, se_fn, alpha, nsims, seed):
+    """sup-t critical value via simulation from N(0, C) where C is the
+    covariance of the fitted values at the bin means (any degree — the
+    full W V W' quadratic form)."""
+    V = fit.vcov().to_numpy()
+    coefs = fit.coef()
+    B = len(geo)
+    W = np.zeros((B, len(coefs)))
+    xm = geo["x_mean"].to_numpy(dtype=float)
+    bins = geo["bin"].tolist()
+    # re-derive weight vectors through the se machinery: finite diff not
+    # needed — eval/se closures carry _weights, but to stay generic we build
+    # W from the covariance diagonal structure via per-bin perturbation.
+    # Instead: rebuild from se_fn being w'Vw — we need w itself, so we expose
+    # the closure attribute if present.
+    weights_of = getattr(se_fn, "weights_of", None)
+    if weights_of is None:
+        # fall back: independent normal draws scaled by se (degree-0 behavior,
+        # matching the reference's simulation R/dbbinsreg.R:1675-1686)
+        ses = np.array([se_fn(xm[i], bins[i]) for i in range(B)])
+        rng = np.random.default_rng(seed)
+        draws = rng.standard_normal((nsims, B))
+        sup_t = np.abs(draws).max(axis=1)
+        return float(np.quantile(sup_t, 1 - alpha))
+    for i in range(B):
+        W[i] = weights_of(xm[i], bins[i])
+    C = W @ V @ W.T
+    ses = np.sqrt(np.clip(np.diag(C), 1e-300, None))
+    rng = np.random.default_rng(seed)
+    draws = rng.multivariate_normal(np.zeros(B), C, size=nsims, method="svd")
+    sup_t = np.abs(draws / ses).max(axis=1)
+    return float(np.quantile(sup_t, 1 - alpha))

@@ -1,0 +1,168 @@
+"""dbbinsreg vs pandas/numpy oracles (mirrors reference
+test_dbbinsreg_binsreg.R properties)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dbreg_spark import dbbinsreg
+
+
+def binscatter_data(seed=42, n=2000):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, 10, n)
+    w = rng.normal(size=n)
+    g = rng.choice(["g1", "g2", "g3", "g4"], size=n)
+    y = 2 * x + rng.normal(size=n)
+    y_het = 2 * x + rng.normal(scale=0.2 + 0.3 * x)
+    return pd.DataFrame(
+        {"x": x, "y": y, "y_het": y_het, "w": w,
+         "y_ctrl": y + 0.5 * w, "g": g}
+    )
+
+
+@pytest.fixture(scope="module")
+def bdata(spark):
+    pdf = binscatter_data()
+    return spark.createDataFrame(pdf), pdf
+
+
+def _manual_bins(pdf, nbins):
+    breaks = np.quantile(pdf["x"], np.linspace(0, 1, nbins + 1))
+    bin_ = np.digitize(pdf["x"], breaks[1:-1], right=False) + 1
+    return breaks, bin_
+
+
+def test_degree0_fits_are_bin_means(bdata):
+    df, pdf = bdata
+    r = dbbinsreg("y ~ x", df, points=(0, 0), nbins=10, ci=False)
+    breaks, bin_ = _manual_bins(pdf, 10)
+    means = pd.Series(pdf["y"].to_numpy()).groupby(bin_).mean()
+    assert r.points is not None and len(r.points) == 10
+    got = r.points.set_index("bin")["fit"]
+    for b in range(1, 11):
+        np.testing.assert_allclose(got[b], means[b], rtol=1e-6)
+    # x positions are bin means
+    xm = pd.Series(pdf["x"].to_numpy()).groupby(bin_).mean()
+    for b in range(1, 11):
+        np.testing.assert_allclose(
+            r.points.set_index("bin")["x"][b], xm[b], rtol=1e-9
+        )
+
+
+def test_degree0_hc1_ses(bdata):
+    df, pdf = bdata
+    r = dbbinsreg("y ~ x", df, points=(0, 0), nbins=10, ci=True, vcov="hc1")
+    breaks, bin_ = _manual_bins(pdf, 10)
+    # oracle: HC1 SEs from the full dummy regression
+    n = len(pdf)
+    Bm = np.zeros((n, 10))
+    for b in range(1, 11):
+        Bm[:, b - 1] = bin_ == b
+    yv = pdf["y"].to_numpy(float)
+    beta = np.linalg.lstsq(Bm, yv, rcond=None)[0]
+    e = yv - Bm @ beta
+    bread = np.linalg.inv(Bm.T @ Bm)
+    meat = (Bm * (e**2)[:, None]).T @ Bm
+    V = (n / (n - 10)) * bread @ meat @ bread
+    se_oracle = np.sqrt(np.diag(V))
+    got = r.points.sort_values("bin")["se"].to_numpy()
+    np.testing.assert_allclose(got, se_oracle, rtol=1e-6)
+    assert (r.points["lwr"] < r.points["fit"]).all()
+
+
+def test_heteroskedastic_ses_increase(bdata):
+    df, pdf = bdata
+    r = dbbinsreg("y_het ~ x", df, points=(0, 0), nbins=8, vcov="hc1")
+    ses = r.points.sort_values("bin")["se"].to_numpy()
+    assert ses[-1] > 2 * ses[0]  # noise sd grows ~6x across range
+
+
+def test_iid_ses_roughly_constant(bdata):
+    df, pdf = bdata
+    r = dbbinsreg("y ~ x", df, points=(0, 0), nbins=8, vcov="iid")
+    ses = r.points.sort_values("bin")["se"].to_numpy()
+    assert ses.max() / ses.min() < 1.5
+
+
+def test_degree1_linear_recovers_slope(bdata):
+    df, pdf = bdata
+    r = dbbinsreg("y ~ x", df, points=(1, 0), line=(1, 0), nbins=5, ci=False)
+    # per-bin linear fits of y = 2x should all have slope ≈ 2 → line endpoints
+    line = r.line
+    for b in sorted(line["bin"].unique()):
+        seg = line[line["bin"] == b]
+        slope = np.polyfit(seg["x"], seg["fit"], 1)[0]
+        np.testing.assert_allclose(slope, 2.0, atol=0.15)
+
+
+def test_controls(bdata):
+    df, pdf = bdata
+    r = dbbinsreg("y_ctrl ~ x + w", df, points=(0, 0), nbins=10, ci=False)
+    # control coefficient on w should be ~0.5
+    np.testing.assert_allclose(r.model.coef()["w"], 0.5, atol=0.05)
+
+
+def test_fe(bdata):
+    df, pdf = bdata
+    r = dbbinsreg("y ~ x | g", df, points=(0, 0), nbins=6, ci=False)
+    assert r.model.strategy == "demean"
+    assert len(r.points) == 6
+
+
+def test_spline_continuity(bdata):
+    df, pdf = bdata
+    r = dbbinsreg("y ~ x", df, points=(1, 1), line=(1, 1), nbins=6, ci=False)
+    assert r.knots is not None and len(r.knots) == 5
+    # continuity at knots: eval from both sides agrees
+    line = r.line.sort_values("x").reset_index(drop=True)
+    # adjacent grid points spanning a knot should not jump
+    jumps = np.abs(np.diff(line["fit"].to_numpy()))
+    typical = np.median(jumps)
+    assert jumps.max() < 20 * typical + 1e-6
+
+
+def test_spline_recovers_line(bdata):
+    df, pdf = bdata
+    r = dbbinsreg("y ~ x", df, points=(1, 1), nbins=6, ci=False)
+    fits = r.points["fit"].to_numpy()
+    xs = r.points["x"].to_numpy()
+    np.testing.assert_allclose(fits, 2 * xs, atol=0.2)
+
+
+def test_manual_breaks(bdata):
+    df, pdf = bdata
+    r = dbbinsreg("y ~ x", df, points=(0, 0), binspos=[0, 2, 4, 6, 8, 10], ci=False)
+    assert r.opt["nbins"] == 5
+    np.testing.assert_allclose(r.bins["left"].iloc[0], pdf["x"].min(), atol=0.1)
+
+
+def test_es_bins(bdata):
+    df, pdf = bdata
+    r = dbbinsreg("y ~ x", df, points=(0, 0), binspos="es", nbins=5, ci=False)
+    widths = (r.bins["right"] - r.bins["left"]).to_numpy()
+    # equal-width partition → observed bin spans close to 2.0
+    assert np.all(widths < 2.05) and np.all(widths > 1.5)
+
+
+def test_confidence_bands_wider_than_ci(bdata):
+    df, pdf = bdata
+    r = dbbinsreg("y ~ x", df, points=(0, 0), nbins=8, ci=True, cb=True, nsims=500)
+    assert "cb_lwr" in r.points.columns
+    assert (r.points["cb_lwr"] <= r.points["lwr"] + 1e-12).all()
+    assert (r.points["cb_upr"] >= r.points["upr"] - 1e-12).all()
+
+
+def test_separate_points_line_models(bdata):
+    df, pdf = bdata
+    r = dbbinsreg("y ~ x", df, points=(0, 0), line=(1, 1), nbins=5, ci=False)
+    assert r.points is not None and r.line is not None
+    # line from spline model is smooth; points are bin means
+    assert len(r.points) == 5
+    assert len(r.line) == 5 * 20
+
+
+def test_interaction_rejected(bdata):
+    df, pdf = bdata
+    with pytest.raises(ValueError, match="interaction"):
+        dbbinsreg("y ~ x*w", df)
