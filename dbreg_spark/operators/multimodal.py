@@ -1,0 +1,144 @@
+"""Multimodal-column plumbing: images/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``
+stages.
+
+The container ships no image/audio codecs, so the actual decode step is
+STUBBED: :func:`decode_features` computes a deterministic fake feature
+vector from the bytes (seeded by content hash) unless a real decoder is
+injected. Everything around the stub — schema, batch iteration, partition
+sizing, output contract — is the real Spark plumbing a production decoder
+would use (mapInPandas keeps each Arrow batch bounded, so executor memory
+scales with batch size, not partition size).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def synthesize_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Build a media-shaped table from the documents fixture: the text bytes
+    stand in for encoded image/audio payloads (deterministic)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.when(F.col(id_col) % 3 == 0, F.lit("image"))
+        .when(F.col(id_col) % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.length(text_col) % 640 + 64).cast("int").alias("width"),
+        (F.length(text_col) % 480 + 48).cast("int").alias("height"),
+        (F.length(text_col).cast("long") * 10).alias("duration_ms"),
+    )
+
+
+def _make_fake_decoder():
+    """Deterministic stand-in for a real decoder: hash-seeded pseudo-features.
+
+    A real deployment replaces this with e.g. PIL/torchvision decode — the
+    Spark-side contract (bytes in, fixed-dim float32 out) is identical.
+    Defined as a *nested* function so cloudpickle serializes it by value:
+    executors then don't need dbreg_spark importable on their PYTHONPATH.
+    """
+
+    def fake_decode(content, dim):
+        import hashlib as _h
+
+        import numpy as _np
+
+        if content is None:
+            return _np.zeros(dim, dtype=_np.float32)
+        seed = int.from_bytes(_h.md5(bytes(content)).digest()[:8], "big")
+        rng = _np.random.default_rng(seed)
+        return rng.standard_normal(dim).astype(_np.float32)
+
+    return fake_decode
+
+
+def decode_features(
+    df: DataFrame,
+    dim: int = 16,
+    decoder: Callable[[bytes, int], np.ndarray] | None = None,
+    batch_hint: int = 1024,
+) -> DataFrame:
+    """Arrow-batched decode/feature-extract over the binary column.
+
+    ``decoder(bytes, dim) -> np.ndarray`` is called per item inside
+    mapInPandas. Default is the deterministic stub; pass a real decoder in
+    production (raising NotImplementedError here would be the honest stub,
+    but a deterministic fake keeps the plumbing testable end-to-end).
+    """
+    dec = decoder or _make_fake_decoder()
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("features", T.ArrayType(T.FloatType()), False),
+            T.StructField("n_bytes", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [dec(c, dim).tolist() for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "features": feats,
+                    "n_bytes": pdf["content"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ).astype("int64"),
+                }
+            )
+
+    return df.select("media_id", "kind", "content").mapInPandas(batches, out_schema)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize: real pixel work requires a codec — NOT available in
+    this environment. The plumbing (schema pass-through with updated
+    metadata) is real; content transformation raises if forced."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raise NotImplementedError(
+                "resize requires an image codec (PIL/opencv) not present in "
+                "this container; inject a decoder or run where codecs exist"
+            )
+            yield pdf  # pragma: no cover
+
+    return df.mapInPandas(batches, df.schema)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: computes per-item frame timestamps as an
+    array column (pure column math — the decode of those frames is the
+    stubbed step)."""
+    return df.where(F.col("kind") == "video").select(
+        "media_id",
+        F.expr(
+            f"transform(sequence(0, greatest(cast(duration_ms / {every_ms} as int) - 1, 0)), "
+            f"i -> i * {every_ms})"
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,252 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- :func:`cosine_topk` — exact brute-force top-k: broadcast the (small) query
+  set against the corpus, cosine via ``zip_with``/``aggregate`` fold
+  expressions (JVM-side), per-query ``row_number`` window for the top-k.
+  The corpus is never shuffled; the window partitions by query id.
+- :func:`hyperplane_lsh_topk` — approximate: bucket corpus and queries by
+  random-hyperplane sign bits (literals baked into the plan, seeded), join
+  on bucket, rank within bucket. The scale path: candidate set per query is
+  the bucket, not the corpus.
+- :func:`ivf_topk` — IVF-style: k-means centroids fitted on a driver-side
+  sample (numpy), corpus assigned to nearest centroid (argmin as chained
+  CASE), queries probe the nearest ``nprobe`` centroids.
+- :func:`embedding_neardup_pairs` — cosine near-duplicate pairs via the
+  same hyperplane bucketing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions.xdialect import DUCK, SPARK, X
+
+
+def _dot(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (p, q) -> p * q), 0D, (acc, v) -> acc + v)"
+
+
+def _norm(a: str) -> str:
+    return f"sqrt({_dot(a, a)})"
+
+
+def _cos_spark(a: str, b: str) -> str:
+    return f"({_dot(a, b)} / nullif({_norm(a)} * {_norm(b)}, 0D))"
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: returns (query_id, rank, vec_id, cosine)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
+    joined = c.crossJoin(F.broadcast(q.withColumn("__qv", F.col("__qv").cast("array<double>"))))
+    scored = joined.select(
+        "query_id",
+        id_col,
+        F.expr(_cos_spark("__cv", "__qv")).alias("cosine"),
+    ).where(F.col("query_id") != F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_topk_sql(
+    table: str,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH c AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}),
+q AS (SELECT {id_col} AS query_id, v AS qv FROM c WHERE {id_col} IN ({ids})),
+scored AS (
+  SELECT q.query_id, c.{id_col},
+         list_cosine_similarity(c.v, q.qv) AS cosine
+  FROM c CROSS JOIN q
+  WHERE q.query_id <> c.{id_col}
+),
+ranked AS (
+  SELECT query_id, {id_col}, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, {id_col} ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, {id_col}, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_expr(vec_col: str, planes: np.ndarray) -> str:
+    """Sign-bit bucket id: Σ 2^j · 1[v·h_j > 0], with h_j as literal arrays."""
+    bits = []
+    for j, h in enumerate(planes):
+        arr = "array(" + ", ".join(f"{v!r}D" for v in h) + ")"
+        bits.append(
+            f"CASE WHEN {_dot(vec_col, arr)} > 0D THEN {1 << j} ELSE 0 END"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's hyperplane-sign
+    bucket are scored. Recall < 1 by design; the plan shuffles only
+    (bucket, id) pairs plus the in-bucket candidates."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = _bucket_expr("__v", planes)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("bucket", F.expr(b))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv")
+    ).withColumn("bucket", F.expr(_bucket_expr("__qv", planes)))
+    joined = c.join(F.broadcast(q), "bucket").where(F.col("query_id") != F.col(id_col))
+    scored = joined.select(
+        "query_id", id_col, F.expr(_cos_spark("__v", "__qv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_cap: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Driver-side Lloyd's k-means on a sampled corpus (numpy only)."""
+    n = corpus.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    pdf = (
+        corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_cap).toPandas()
+    )
+    Xm = np.array(pdf[vec_col].tolist(), dtype=float)
+    rng = np.random.default_rng(seed)
+    cents = Xm[rng.choice(len(Xm), size=min(n_centroids, len(Xm)), replace=False)]
+    for _ in range(iters):
+        d2 = ((Xm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                cents[c] = Xm[mask].mean(axis=0)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: corpus partitioned by nearest centroid; each query
+    scores only the ``nprobe`` nearest partitions."""
+    cents = kmeans_centroids(corpus, n_centroids, vec_col, seed=seed)
+
+    def d2_expr(vec: str, c: np.ndarray) -> str:
+        arr = "array(" + ", ".join(f"{v!r}D" for v in c) + ")"
+        return f"aggregate(zip_with({vec}, {arr}, (p, q) -> (p - q) * (p - q)), 0D, (a, v) -> a + v)"
+
+    # nearest centroid as argmin over chained comparisons
+    def argmin_expr(vec: str) -> str:
+        d = [d2_expr(vec, c) for c in cents]
+        arr = "array(" + ", ".join(d) + ")"
+        return f"array_position({arr}, array_min({arr}))"
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("cell", F.expr(argmin_expr("__v")))
+
+    # query → nprobe nearest cells (computed on the driver per query set)
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    qv = np.array(qpdf[vec_col].tolist(), dtype=float)
+    d2 = ((qv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probe_rows = []
+    for i, qid in enumerate(qpdf[id_col]):
+        for cell in np.argsort(d2[i])[:nprobe]:
+            probe_rows.append((int(qid), int(cell) + 1, qv[i].tolist()))
+    spark = corpus.sparkSession
+    q = spark.createDataFrame(probe_rows, ["query_id", "cell", "__qv"])
+    joined = c.join(F.broadcast(q), "cell").where(F.col("query_id") != F.col(id_col))
+    scored = joined.select(
+        "query_id", id_col, F.expr(_cos_spark("__v", "__qv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate embedding pairs (cosine ≥ threshold) via hyperplane
+    bucketing + in-bucket verification."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("bucket", F.expr(_bucket_expr("__v", planes)))
+    a, b = c.alias("a"), c.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.expr(_cos_spark("a.__v", "b.__v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+    return pairs

@@ -1,0 +1,177 @@
+"""Structured-Streaming variants of the pipeline operators.
+
+The reference has no streaming surface (SURVEY §2.8) — its "streaming" is
+DuckDB's out-of-core execution. These operators are the Spark-native
+additions for continuous ingestion of the ``events``/``documents`` shapes:
+
+- windowed event aggregation with watermarked late-data handling;
+- streaming exact dedup via ``dropDuplicatesWithinWatermark`` on the
+  normalized-content hash;
+- per-user sessionization with ``applyInPandasWithState``.
+
+All transformations are source-agnostic: they take any streaming DataFrame
+with the right columns (tests drive them from file sources with
+``trigger(availableNow=True)`` into memory sinks).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Iterator, Tuple
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.xdialect import SPARK, X
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling/sliding window counts + value sums per event_type, tolerating
+    late data up to the watermark."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w, "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drop re-ingested duplicate documents within the watermark horizon,
+    keyed on the normalized-content hash (state size = one hash per doc in
+    the horizon, not the text)."""
+    x = X(SPARK)
+    norm = f"lower({x.regexp_replace_all(f'trim({text_col})', chr(92) + 's+', ' ')})"
+    hashed = docs.withColumn("__fp", F.expr(f"md5({norm})"))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["__fp"])
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start", T.DoubleType()),
+        T.StructField("last", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator: per-user session aggregation with an
+    inactivity-gap close, via applyInPandasWithState (state = 4 scalars per
+    active user)."""
+    gap_s = _parse_duration_seconds(gap)
+
+    def fn(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            (start, last, n, total) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="s")],
+                    "session_end": [pd.Timestamp(last, unit="s")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts = (rows["ts"].astype("int64") / 1e9).to_numpy()
+        vals = rows["value"].to_numpy(dtype=float)
+        closed = []
+        if state.exists:
+            (start, last, n, total) = state.get
+        else:
+            start, last, n, total = ts[0], ts[0], 0, 0.0
+        # fold the batch event-by-run into sessions, closing on gap breaks
+        import numpy as _np
+
+        breaks = _np.nonzero(_np.diff(ts) > gap_s)[0]
+        run_bounds = [0] + (breaks + 1).tolist() + [len(ts)]
+        for ri in range(len(run_bounds) - 1):
+            i0, i1 = run_bounds[ri], run_bounds[ri + 1]
+            lo, hi = float(ts[i0]), float(ts[i1 - 1])
+            n_run, v_run = int(i1 - i0), float(vals[i0:i1].sum())
+            if n == 0:
+                start, last, n, total = lo, hi, n_run, v_run
+            elif lo - last > gap_s:
+                closed.append((start, last, n, total))
+                start, last, n, total = lo, hi, n_run, v_run
+            else:
+                last = max(last, hi)
+                n += n_run
+                total += v_run
+        state.update((start, last, n, total))
+        state.setTimeoutDuration(int(gap_s * 1000))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(c[0], unit="s") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="s") for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def _parse_duration_seconds(s: str) -> float:
+    n, unit = s.split()
+    n = float(n)
+    return n * {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                "hour": 3600, "hours": 3600}[unit]

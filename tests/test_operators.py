@@ -1,0 +1,291 @@
+"""Pipeline operators (text / dedup / similarity / multimodal) vs DuckDB
+oracles on the documents & embeddings testdata tables."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dbreg_spark.operators import dedup, multimodal, similarity, text
+
+
+def _compare(spark_pdf, duck_pdf, keys, float_cols=(), rtol=1e-9):
+    a = spark_pdf.sort_values(keys).reset_index(drop=True)
+    b = duck_pdf.sort_values(keys).reset_index(drop=True)
+    assert len(a) == len(b), f"row counts differ: {len(a)} vs {len(b)}"
+    for c in a.columns:
+        assert c in b.columns, f"missing column {c}"
+        if c in float_cols:
+            np.testing.assert_allclose(
+                a[c].to_numpy(float), b[c].to_numpy(float), rtol=rtol, err_msg=c
+            )
+        else:
+            assert a[c].tolist() == b[c].tolist(), f"mismatch in {c}"
+
+
+@pytest.fixture(scope="module")
+def docs(tables):
+    return tables["documents"]
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"]
+
+
+# ------------------------------------------------------------------ text ----
+
+
+def test_text_stats_vs_duckdb(docs, duck):
+    got = text.text_stats(docs).toPandas()
+    want = duck.execute(text.text_stats_sql("documents")).fetchdf()
+    float_cols = [
+        "punct_ratio", "digit_ratio", "stopword_ratio", "unique_token_ratio",
+        "mean_token_len", "quality_score",
+    ]
+    got = got[["doc_id"] + [c for c in want.columns if c != "doc_id"]]
+    _compare(got, want, ["doc_id"], float_cols)
+
+
+def test_fingerprints_vs_duckdb(docs, duck):
+    got = text.fingerprints(docs).toPandas()
+    want = duck.execute(text.fingerprints_sql("documents")).fetchdf()
+    got = got[["doc_id", "fp_md5", "fp_rolling"]]
+    _compare(got, want, ["doc_id"])
+
+
+def test_lang_pred_is_plausible(docs):
+    got = text.text_stats(docs).select("lang_pred").distinct().toPandas()
+    assert set(got["lang_pred"]).issubset({"en", "de", "fr", "es", "it", "und"})
+
+
+# ----------------------------------------------------------------- dedup ----
+
+
+def test_exact_dedup_vs_duckdb(spark, docs, duck):
+    # inject known duplicates so groups are non-trivial
+    dup = docs.limit(5).selectExpr("doc_id + 100000 AS doc_id", "text", "lang",
+                                   "source", "n_chars")
+    both = docs.unionAll(dup)
+    both.createOrReplaceTempView("docs_dup")
+    duck.execute(
+        "CREATE OR REPLACE VIEW docs_dup AS "
+        "SELECT * FROM documents UNION ALL "
+        "SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars "
+        "FROM documents ORDER BY doc_id LIMIT 505"
+    )
+    # duckdb view above isn't identical (LIMIT after UNION) — build exactly:
+    duck.execute(
+        "CREATE OR REPLACE VIEW docs_dup AS "
+        "SELECT * FROM documents UNION ALL "
+        "SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars "
+        "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 5)"
+    )
+    got = dedup.exact_duplicates(both).toPandas()
+    want = duck.execute(dedup.exact_duplicates_sql("docs_dup")).fetchdf()
+    _compare(got, want, ["doc_id"])
+    assert (got["group_size"] > 1).sum() == 10  # 5 pairs
+
+
+def test_minhash_signatures_vs_duckdb(docs, duck):
+    got = dedup.minhash_signatures(docs, n_hashes=8).toPandas()
+    want = duck.execute(
+        dedup.minhash_signatures_sql("documents", n_hashes=8)
+    ).fetchdf()
+    _compare(got, want, ["doc_id"])
+
+
+def test_minhash_similar_docs_share_signature(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog again and again today",
+                "the quick brown fox jumps over the lazy dog again and again now",
+                "completely different content about spark query engines and planning",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sigs = dedup.minhash_signatures(df, n_hashes=16, shingle_words=2).toPandas()
+    s = sigs.set_index("doc_id")
+    agree_12 = sum(s.loc[1, f"sig_{i}"] == s.loc[2, f"sig_{i}"] for i in range(16))
+    agree_13 = sum(s.loc[1, f"sig_{i}"] == s.loc[3, f"sig_{i}"] for i in range(16))
+    assert agree_12 >= 8 and agree_13 == 0
+
+
+def test_minhash_lsh_pairs_vs_duckdb(spark, duck):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 7)),
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+                "one two three four five six seven eight nine ten",
+                "one two three four five six seven eight nine eleven",
+                "unrelated words entirely on their own path through space",
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("mh_docs")
+    duck.register("mh_docs", pdf)
+    got = dedup.minhash_lsh_pairs(
+        spark.table("mh_docs"), n_hashes=16, band_rows=2, shingle_words=2,
+        jaccard_threshold=0.4,
+    ).toPandas()
+    want = duck.execute(
+        dedup.minhash_lsh_pairs_sql(
+            "mh_docs", n_hashes=16, band_rows=2, shingle_words=2,
+            jaccard_threshold=0.4,
+        )
+    ).fetchdf()
+    _compare(got, want, ["id_a", "id_b"], ["jaccard"], rtol=1e-6)
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (1, 6) in pairs  # exact dup
+    assert (1, 2) in pairs  # near dup
+
+
+def test_simhash_vs_duckdb(docs, duck):
+    got = dedup.simhash(docs).toPandas()
+    want = duck.execute(dedup.simhash_sql("documents")).fetchdf()
+    _compare(got, want, ["doc_id"])
+
+
+def test_simhash_hamming_close_for_near_dups(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                " ".join(["word%d" % i for i in range(60)]),
+                " ".join(["word%d" % i for i in range(59)] + ["changed"]),
+                " ".join(["other%d" % i for i in range(60)]),
+            ],
+        }
+    )
+    got = dedup.simhash(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ham(got.loc[1, "simhash"], got.loc[2, "simhash"]) <= 6
+    assert ham(got.loc[1, "simhash"], got.loc[3, "simhash"]) >= 8
+
+
+def test_ngram_jaccard_vs_duckdb(spark, duck):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c d e f g h i j",
+                "a b c d e f g h i k",
+                "z y x w v u t s r q",
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("nj_docs")
+    duck.register("nj_docs", pdf)
+    got = dedup.ngram_jaccard_pairs(
+        spark.table("nj_docs"), shingle_words=2, threshold=0.5
+    ).toPandas()
+    want = duck.execute(
+        dedup.ngram_jaccard_pairs_sql("nj_docs", shingle_words=2, threshold=0.5)
+    ).fetchdf()
+    _compare(got, want, ["id_a", "id_b"], ["jaccard"], rtol=1e-6)
+    assert set(zip(got["id_a"], got["id_b"])) == {(1, 2)}
+
+
+# ------------------------------------------------------------ similarity ----
+
+
+def test_cosine_topk_vs_duckdb(emb, duck):
+    qids = [0, 1, 2]
+    queries = emb.where(emb.vec_id.isin(qids))
+    got = similarity.cosine_topk(emb, queries, k=5).toPandas()
+    want = duck.execute(similarity.cosine_topk_sql("embeddings", qids, k=5)).fetchdf()
+    _compare(got, want, ["query_id", "rank"], ["cosine"], rtol=1e-5)
+
+
+def _clustered_embeddings(spark, n_clusters=5, per=40, dim=16, seed=3):
+    """Planted structure: tight clusters so nearest neighbors are meaningful
+    (the driver's embeddings fixture is isotropic noise — no ANN method can
+    beat chance on it, so recall is tested on clustered data)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 5
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + 0.3 * rng.standard_normal(dim)
+            rows.append((vid, v.tolist(), c))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_lsh_topk_recall(spark):
+    emb = _clustered_embeddings(spark)
+    qids = [0, 40, 80, 120, 160]  # one per cluster
+    queries = emb.where(emb.vec_id.isin(qids))
+    exact = similarity.cosine_topk(emb, queries, k=5).toPandas()
+    approx = similarity.hyperplane_lsh_topk(emb, queries, k=5, n_planes=4).toPandas()
+    hits = 0
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+    assert hits >= 15  # clustered data: most true neighbors share the bucket
+    assert (approx["rank"] <= 5).all()
+
+
+def test_ivf_topk_recall(spark):
+    emb = _clustered_embeddings(spark)
+    qids = [0, 40, 80, 120, 160]
+    queries = emb.where(emb.vec_id.isin(qids))
+    exact = similarity.cosine_topk(emb, queries, k=5).toPandas()
+    approx = similarity.ivf_topk(emb, queries, k=5, n_centroids=5, nprobe=2).toPandas()
+    hits = 0
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+    assert hits >= 20  # nprobe covers the home cluster → near-perfect recall
+
+
+def test_embedding_neardup_self(spark, emb):
+    dup = emb.limit(3).selectExpr("vec_id + 10000 AS vec_id", "embedding", "label")
+    both = emb.unionAll(dup)
+    pairs = similarity.embedding_neardup_pairs(both, threshold=0.999).toPandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    expected = {(i, i + 10000) for i in [0, 1, 2]}
+    assert expected.issubset(found)
+
+
+# ------------------------------------------------------------ multimodal ----
+
+
+def test_media_decode_plumbing(docs):
+    media = multimodal.synthesize_media(docs)
+    feats = multimodal.decode_features(media, dim=8).toPandas()
+    assert len(feats) == docs.count()
+    assert feats["features"].map(len).eq(8).all()
+    assert (feats["n_bytes"] > 0).all()
+    # deterministic: same content → same features
+    f2 = multimodal.decode_features(media, dim=8).toPandas()
+    a = feats.sort_values("media_id")["features"].tolist()
+    b = f2.sort_values("media_id")["features"].tolist()
+    assert a == b
+
+
+def test_frame_sample_plan(docs):
+    media = multimodal.synthesize_media(docs)
+    plan = multimodal.frame_sample_plan(media, every_ms=500).toPandas()
+    assert (plan["frame_ts_ms"].map(len) >= 1).all()
+    first = plan["frame_ts_ms"].iloc[0]
+    assert first[0] == 0 and (len(first) < 2 or first[1] == 500)
+
+
+def test_resize_stub_raises(docs):
+    media = multimodal.synthesize_media(docs)
+    import pyspark.errors
+
+    with pytest.raises(Exception):
+        multimodal.resize_stub(media, 64, 64).count()

@@ -1,0 +1,123 @@
+"""Structured-Streaming operators driven from file sources with
+availableNow triggers into memory sinks."""
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pandas as pd
+import pytest
+import pyspark.sql.functions as F
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tables):
+    """Write the events table out as a small parquet directory usable as a
+    streaming file source."""
+    d = tempfile.mkdtemp(prefix="dbreg_stream_")
+    tables["events"].repartition(4).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts(spark, tables, event_stream_dir):
+    from dbreg_spark.streaming.ops import windowed_event_counts
+
+    schema = tables["events"].schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    out = windowed_event_counts(stream, window="1 day", watermark="2 days")
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    _run_stream(out, name)
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    # oracle: batch computation of the same windows
+    want = (
+        tables["events"]
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("value").alias("sum_value"))
+        .toPandas()
+    )
+    # append mode: windows still above the final watermark are withheld, so
+    # the emitted set is a prefix of the batch oracle — every emitted row
+    # must match the oracle exactly
+    want["window_start"] = want["window"].map(lambda w: w["start"])
+    merged = got.merge(
+        want[["window_start", "event_type", "n", "sum_value"]],
+        on=["window_start", "event_type"],
+        suffixes=("", "_want"),
+    )
+    assert len(merged) == len(got) > 0
+    assert (merged["n"] == merged["n_want"]).all()
+    assert got["n"].sum() >= 0.5 * want["n"].sum()
+
+
+def test_streaming_dedup(spark, event_stream_dir, tables):
+    from dbreg_spark.streaming.ops import streaming_dedup
+
+    # documents-as-stream with injected duplicate text keyed by event ts
+    docs = tables["documents"].limit(50)
+    ev = tables["events"].select("ts").limit(50)
+    pdf_docs = docs.toPandas()
+    pdf_ts = ev.toPandas()
+    pdf = pd.concat(
+        [
+            pdf_docs.assign(ts=pdf_ts["ts"].values),
+            pdf_docs.head(10).assign(ts=pdf_ts["ts"].head(10).values),  # dups
+        ]
+    )
+    d = tempfile.mkdtemp(prefix="dbreg_dedup_stream_")
+    try:
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(sdf.schema).parquet(d)
+        out = streaming_dedup(stream, text_col="text", ts_col="ts")
+        name = f"dd_{uuid.uuid4().hex[:8]}"
+        _run_stream(out, name)
+        got = spark.sql(f"SELECT * FROM {name}").toPandas()
+        assert len(got) == 50  # 60 in, 10 dups dropped
+        assert got["__fp"].is_unique
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sessionize(spark, tables):
+    from dbreg_spark.streaming.ops import sessionize
+
+    # two users, two bursts separated by > gap
+    rows = []
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    for u in [1, 2]:
+        for i in range(5):
+            rows.append((u, base + pd.Timedelta(seconds=10 * i), 1.0))
+        for i in range(3):
+            rows.append((u, base + pd.Timedelta(hours=2, seconds=10 * i), 2.0))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    d = tempfile.mkdtemp(prefix="dbreg_sess_stream_")
+    try:
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(sdf.schema).parquet(d)
+        out = sessionize(stream, gap="30 minutes", watermark="4 hours")
+        name = f"sess_{uuid.uuid4().hex[:8]}"
+        _run_stream(out, name)
+        got = spark.sql(f"SELECT * FROM {name}").toPandas()
+        # both bursts arrive in one batch → the first (closed) session per
+        # user is emitted; the still-open one stays in state
+        assert len(got) == 2
+        assert set(got["user_id"]) == {1, 2}
+        assert (got["n_events"] == 5).all()
+        assert (got["total_value"] == 5.0).all()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
