@@ -1,38 +1,606 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (compress-strategy fixed-effects
+regression on sf0.001 lineitem) and returns its coefficient table as a
+DataFrame. ``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 (plus the pipeline operators); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for each. Column names and float rounding are aligned
+on both sides: every floating aggregate is rounded to 6 significant digits
+with the same dialect-neutral expression, so cross-engine value hashes match
+despite differing summation orders.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from dbreg_spark.sources.io import load_tables
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+ROUND_SIG = 6
+
+
+def _round_sig_sql(col: str, sig: int = ROUND_SIG) -> str:
+    """Dialect-neutral round-to-significant-digits (same text runs on Spark
+    SQL and DuckDB).
+
+    Only NON-NEGATIVE integer powers of ten appear (POWER(10, -k) differs
+    between Java's Math.pow and DuckDB's libm by 1 ulp, which flips rounding
+    at .5 boundaries; 10^k for k ≥ 0 is exactly representable in both).
+    ROUND ties go half-away-from-zero in both engines (verified)."""
+    e = f"(FLOOR(LOG10(ABS({col}))) - {sig - 1})"
+    pos = f"POWER(10, GREATEST({e}, 0))"
+    neg = f"POWER(10, GREATEST(-({e}), 0))"
+    return (
+        f"CASE WHEN {col} IS NULL OR {col} = 0 THEN CAST({col} AS DOUBLE) "
+        f"ELSE ROUND(({col}) * {neg} / {pos}) * {pos} / {neg} END"
+    )
+
+
+def _round_doubles_df(df: DataFrame, skip: tuple[str, ...] = ()) -> DataFrame:
+    from pyspark.sql import types as T
+
+    cols = []
+    for f in df.schema.fields:
+        if f.name not in skip and isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            cols.append(F.expr(_round_sig_sql(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def _round_doubles_sql(inner_sql: str, columns: list[str], double_cols: list[str]) -> str:
+    sel = ", ".join(
+        f"{_round_sig_sql(c)} AS {c}" if c in double_cols else c for c in columns
+    )
+    return f"SELECT {sel} FROM (\n{inner_sql}\n) __rounded_t"
+
+
+def _tables(spark: SparkSession, sf_dir: str) -> dict:
+    return load_tables(spark, sf_dir, register=True)
+
+
+# regression specs reused across queries (FIXTURES.md F8 lineitem mapping)
+FML_NOFE = "l_extendedprice ~ l_quantity + l_discount"
+FML_1FE = "l_extendedprice ~ l_quantity + l_discount | l_returnflag"
+FML_2FE = "l_extendedprice ~ l_quantity + l_discount | l_returnflag + l_linestatus"
+FML_COMPRESS = "l_tax ~ l_quantity + l_discount | l_returnflag + l_linestatus"
+MEAT_BETA = [50000.0, -20.0, 15000.0]  # fixed (intercept, quantity, discount)
+
+EP_BREAKS = [float(b) for b in range(0, 121000, 12100)]  # 10 manual bins
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Compress-strategy FE regression on sf0.001 lineitem → coeftable."""
+    from dbreg_spark import dbreg
+
+    t = _tables(spark, "/root/testdata/sf0.001")
+    m = dbreg(FML_COMPRESS, t["lineitem"], strategy="compress", vcov="hc1")
+    pdf = m.tidy().rename(
+        columns={"std.error": "std_error", "p.value": "p_value"}
+    )
+    return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# query registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dbreg_spark import dbbinsreg, dbreg
+    from dbreg_spark.api import build_meat_plan, build_plan
+    from dbreg_spark.operators import dedup, similarity, text
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # ---- regression-engine aggregation plans (SURVEY §2.4) ----
+    def plan_query(fml, strategy):
+        def run(spark, sf_dir):
+            _tables(spark, sf_dir)
+            df, _ = build_plan(fml, spark=spark, table="lineitem", strategy=strategy)
+            return _round_doubles_df(df)
+
+        return run
+
+    Q["moments_nofe"] = plan_query(FML_NOFE, "moments")
+    Q["demean_moments_1fe"] = plan_query(FML_1FE, "demean")
+    Q["demean_moments_2fe"] = plan_query(FML_2FE, "demean")
+    Q["mundlak_moments_2fe"] = plan_query(FML_2FE, "mundlak")
+    Q["compress_cells"] = plan_query(FML_COMPRESS, "compress")
+    Q["group_means_1fe"] = plan_query(FML_1FE, "group_means")
+
+    def meat_hc1(spark, sf_dir):
+        _tables(spark, sf_dir)
+        df, _ = build_meat_plan(
+            FML_NOFE, spark=spark, table="lineitem", beta=MEAT_BETA, kind="hc1"
+        )
+        return _round_doubles_df(df)
+
+    Q["meat_hc1_fixed_beta"] = meat_hc1
+
+    def cluster_scores(spark, sf_dir):
+        _tables(spark, sf_dir)
+        df, _ = build_meat_plan(
+            FML_NOFE,
+            spark=spark,
+            table="lineitem",
+            beta=MEAT_BETA,
+            kind="cluster",
+            cluster="l_returnflag",
+        )
+        return _round_doubles_df(df)
+
+    Q["cluster_scores_fixed_beta"] = cluster_scores
+
+    # ---- design matrix (SURVEY §2.7 F1-F2) ----
+    def design_matrix(spark, sf_dir):
+        from dbreg_spark.design import build_design
+        from dbreg_spark.formula import parse_formula
+        from dbreg_spark.plans.exprs import to_spark
+
+        t = _tables(spark, sf_dir)
+        parsed = parse_formula("l_tax ~ l_quantity*l_returnflag")
+        design = build_design(t["lineitem"], parsed, expand="all")
+        return t["lineitem"].select(
+            "l_orderkey",
+            "l_linenumber",
+            *[to_spark(e).alias(n) for n, e in zip(design.names, design.exprs)],
+        )
+
+    Q["design_matrix_interactions"] = design_matrix
+
+    # ---- probes (SURVEY §2.4 A6-A9, A13) ----
+    def probe_compression(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        li = t["lineitem"]
+        filtered = li.where(
+            "l_tax IS NOT NULL AND l_quantity IS NOT NULL AND l_discount IS NOT NULL "
+            "AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL"
+        )
+        n = filtered.count()
+        g = (
+            filtered.select("l_quantity", "l_discount", "l_returnflag", "l_linestatus")
+            .distinct()
+            .count()
+        )
+        return spark.createDataFrame(
+            [(n, g, round(g / max(n, 1), 6))], ["n_total", "n_groups", "ratio"]
+        )
+
+    Q["probe_compression"] = probe_compression
+
+    def probe_balance(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        cells = t["lineitem"].groupBy("l_returnflag", "l_linestatus").count()
+        return cells.agg(
+            F.countDistinct("count").cast("long").alias("k"),
+            F.count(F.lit(1)).cast("long").alias("cells"),
+            F.countDistinct("l_returnflag").cast("long").alias("g1"),
+            F.countDistinct("l_linestatus").cast("long").alias("g2"),
+        )
+
+    Q["probe_balance"] = probe_balance
+
+    def probe_nested_fe(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        return (
+            t["lineitem"]
+            .groupBy(F.col("l_returnflag").alias("fe"))
+            .agg(F.countDistinct("l_linestatus").cast("long").alias("n_clusters"))
+        )
+
+    Q["probe_nested_fe"] = probe_nested_fe
+
+    # ---- binning (SURVEY §2.5 W1-W2, §2.4 A14, F8/F10) ----
+    def bin_geometry_manual(spark, sf_dir):
+        from dbreg_spark.operators.binning import assign_bins, bin_geometry
+
+        t = _tables(spark, sf_dir)
+        import numpy as np
+
+        binned = assign_bins(
+            t["lineitem"], "l_extendedprice", "l_tax", np.array(EP_BREAKS)
+        )
+        geo = bin_geometry(binned, "l_extendedprice")
+        out = spark.createDataFrame(geo)
+        return _round_doubles_df(out)
+
+    Q["bin_geometry_manual"] = bin_geometry_manual
+
+    def ntile_bins(spark, sf_dir):
+        _tables(spark, sf_dir)
+        return spark.sql(
+            "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            "SELECT NTILE(8) OVER (ORDER BY l_quantity) AS bin FROM lineitem "
+            "WHERE l_quantity IS NOT NULL) t GROUP BY bin ORDER BY bin"
+        )
+
+    Q["ntile_bins"] = ntile_bins
+
+    def binscatter_deg0(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        r = dbbinsreg(
+            "l_tax ~ l_extendedprice",
+            t["lineitem"],
+            points=(0, 0),
+            binspos=EP_BREAKS,
+            ci=True,
+            vcov="hc1",
+        )
+        pdf = r.points[["bin", "x", "fit", "se"]].copy()
+        out = spark.createDataFrame(pdf)
+        return _round_doubles_df(out)
+
+    Q["binscatter_deg0_manual"] = binscatter_deg0
+
+    # ---- text / dedup / similarity pipeline operators ----
+    def q_text_stats(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        return _round_doubles_df(text.text_stats(t["documents"]).drop("lang", "source", "n_chars"))
+
+    Q["text_stats"] = q_text_stats
+
+    def q_fingerprints(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        return text.fingerprints(t["documents"]).select("doc_id", "fp_md5", "fp_rolling")
+
+    Q["text_fingerprints"] = q_fingerprints
+
+    def q_exact_dedup(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        return dedup.exact_duplicates(t["documents"])
+
+    Q["dedup_exact"] = q_exact_dedup
+
+    def q_minhash(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        return dedup.minhash_signatures(t["documents"], n_hashes=8)
+
+    Q["dedup_minhash_signatures"] = q_minhash
+
+    def q_lsh(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        return dedup.minhash_lsh_pairs(
+            t["documents"], n_hashes=16, band_rows=2, shingle_words=2,
+            jaccard_threshold=0.3,
+        )
+
+    Q["dedup_minhash_lsh_pairs"] = q_lsh
+
+    def q_simhash(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        return dedup.simhash(t["documents"])
+
+    Q["dedup_simhash"] = q_simhash
+
+    def q_ngram_jaccard(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        return dedup.ngram_jaccard_pairs(
+            t["documents"], shingle_words=2, threshold=0.2
+        )
+
+    Q["dedup_ngram_jaccard"] = q_ngram_jaccard
+
+    def q_cosine_topk(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        emb = t["embeddings"]
+        queries_df = emb.where("vec_id < 5")
+        return similarity.cosine_topk(emb, queries_df, k=10)
+
+    Q["similarity_cosine_topk"] = q_cosine_topk
+
+    # approximate ANN variants: deterministic but not SQL-expressible at
+    # reasonable cost → rows-only check (no oracle entry)
+    def q_ivf(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        emb = t["embeddings"]
+        queries_df = emb.where("vec_id < 5")
+        return similarity.ivf_topk(emb, queries_df, k=10, n_centroids=8, nprobe=3)
+
+    Q["similarity_ivf_topk"] = q_ivf
+
+    # ---- events: windows + sessionization (batch mirrors of streaming) ----
+    def q_events_daily(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        return (
+            t["events"]
+            .groupBy(
+                F.date_trunc("day", "ts").cast("date").cast("string").alias("day"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.expr(_round_sig_sql("SUM(value)")).alias("sum_value"),
+            )
+        )
+
+    Q["events_window_daily"] = q_events_daily
+
+    def q_sessionize(spark, sf_dir):
+        _tables(spark, sf_dir)
+        return spark.sql(_SESSIONIZE_SQL_SPARK)
+
+    Q["events_sessionize_batch"] = q_sessionize
+
+    return Q
+
+
+_SESSIONIZE_TMPL = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev IS NULL OR {epoch_ts} - {epoch_prev} > 1800
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM lagged
+),
+numbered AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {round_sum} AS total_value,
+       CAST(MIN(ts) AS STRING) AS session_start,
+       CAST(MAX(ts) AS STRING) AS session_end
+FROM numbered
+GROUP BY user_id, sess_id
+"""
+
+
+def _sessionize_sql(engine: str) -> str:
+    if engine == "spark":
+        epoch_ts, epoch_prev = "unix_timestamp(ts)", "unix_timestamp(prev)"
+    else:
+        epoch_ts, epoch_prev = "epoch(ts)", "epoch(prev)"
+    tmpl = _SESSIONIZE_TMPL.format(
+        epoch_ts=epoch_ts,
+        epoch_prev=epoch_prev,
+        round_sum=_round_sig_sql("SUM(value)"),
+    )
+    if engine == "duck":
+        tmpl = tmpl.replace("CAST(MIN(ts) AS STRING)", "STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S')")
+        tmpl = tmpl.replace("CAST(MAX(ts) AS STRING)", "STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S')")
+    else:
+        tmpl = tmpl.replace(
+            "CAST(MIN(ts) AS STRING)", "date_format(MIN(ts), 'yyyy-MM-dd HH:mm:ss')"
+        )
+        tmpl = tmpl.replace(
+            "CAST(MAX(ts) AS STRING)", "date_format(MAX(ts), 'yyyy-MM-dd HH:mm:ss')"
+        )
+    return tmpl
+
+
+_SESSIONIZE_SQL_SPARK = _sessionize_sql("spark")
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _plan_oracle_sql(fml: str, strategy: str) -> str:
+    """Emit a strategy plan's oracle SQL using DuckDB itself for the schema
+    probe (no Spark session needed): factor levels and types are read from
+    the sf0.01 parquet footer/scan via a temporary in-process connection."""
+    # The SQL emission path needs a DataFrame-shaped schema; reuse Spark if a
+    # session is alive, else fall back to a tiny local one.
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from dbreg_spark.sources.io import get_session
+
+        spark = get_session("oracle-sql-emit", master="local[2]", shuffle_partitions=2)
+    _tables(spark, os.environ.get("SPARK_GRAFT_SF_DIR_FOR_SQL", "/root/testdata/sf0.01"))
+    from dbreg_spark.api import build_plan
+
+    df, sql = build_plan(fml, spark=spark, table="lineitem", strategy=strategy)
+    from pyspark.sql import types as T
+
+    cols = [f.name for f in df.schema.fields]
+    dbl = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+    ]
+    return _round_doubles_sql(sql, cols, dbl)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dbreg_spark.operators import dedup, text
+
+    O: dict[str, str] = {}
+    for name, fml, strat in [
+        ("moments_nofe", FML_NOFE, "moments"),
+        ("demean_moments_1fe", FML_1FE, "demean"),
+        ("demean_moments_2fe", FML_2FE, "demean"),
+        ("mundlak_moments_2fe", FML_2FE, "mundlak"),
+        ("compress_cells", FML_COMPRESS, "compress"),
+        ("group_means_1fe", FML_1FE, "group_means"),
+    ]:
+        O[name] = _plan_oracle_sql(fml, strat)
+
+    b0, b1, b2 = MEAT_BETA
+    resid = (
+        f"(l_extendedprice - {b0!r} - (({b1!r} * l_quantity) + ({b2!r} * l_discount)))"
+    )
+    base = (
+        "SELECT l_extendedprice, l_quantity, l_discount, l_returnflag FROM lineitem "
+        "WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL "
+        "AND l_discount IS NOT NULL"
+    )
+    cols = ["1.0", "l_quantity", "l_discount"]
+    meat_terms = []
+    for i in range(3):
+        for j in range(i, 3):
+            meat_terms.append(
+                f"SUM(CAST({resid} AS DOUBLE) * CAST({resid} AS DOUBLE) * "
+                f"CAST({cols[i]} AS DOUBLE) * CAST({cols[j]} AS DOUBLE)) AS meat_{i}_{j}"
+            )
+    meat_names = [f"meat_{i}_{j}" for i in range(3) for j in range(i, 3)]
+    O["meat_hc1_fixed_beta"] = _round_doubles_sql(
+        "SELECT " + ", ".join(meat_terms) + f" FROM ({base}) b", meat_names, meat_names
+    )
+
+    score_terms = [
+        f"SUM(CAST({resid} AS DOUBLE) * CAST({c} AS DOUBLE)) AS score_{j}"
+        for j, c in enumerate(cols)
+    ]
+    O["cluster_scores_fixed_beta"] = _round_doubles_sql(
+        "SELECT l_returnflag, "
+        + ", ".join(score_terms)
+        + f" FROM ({base} AND l_returnflag IS NOT NULL) b GROUP BY l_returnflag",
+        ["l_returnflag", "score_0", "score_1", "score_2"],
+        ["score_0", "score_1", "score_2"],
+    )
+
+    # design matrix: levels of l_returnflag are A < N < R; drop reference A
+    O["design_matrix_interactions"] = """
+SELECT l_orderkey, l_linenumber,
+  l_quantity,
+  CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS l_returnflagN,
+  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS l_returnflagR,
+  (l_quantity) * (CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END) AS l_quantity_x_l_returnflagN,
+  (l_quantity) * (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS l_quantity_x_l_returnflagR
+FROM lineitem
+"""
+
+    O["probe_compression"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT l_quantity, l_discount, l_returnflag, l_linestatus
+             FROM lineitem
+             WHERE l_tax IS NOT NULL AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+               AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL) g) AS BIGINT) AS n_groups,
+       ROUND(CAST((SELECT COUNT(*) FROM (SELECT DISTINCT l_quantity, l_discount, l_returnflag, l_linestatus
+             FROM lineitem
+             WHERE l_tax IS NOT NULL AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+               AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL) g) AS DOUBLE)
+             / GREATEST(COUNT(*), 1), 6) AS ratio
+FROM lineitem
+WHERE l_tax IS NOT NULL AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+  AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+"""
+
+    O["probe_balance"] = """
+SELECT CAST(COUNT(DISTINCT cnt) AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS cells,
+       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS g1,
+       CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS g2
+FROM (SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_linestatus) t
+"""
+
+    O["probe_nested_fe"] = (
+        "SELECT l_returnflag AS fe, CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) "
+        "AS n_clusters FROM lineitem GROUP BY l_returnflag"
+    )
+
+    from dbreg_spark.operators.binning import bin_case_sql
+
+    import numpy as np
+
+    bin_expr = bin_case_sql("l_extendedprice", np.array(EP_BREAKS))
+    lo, hi = EP_BREAKS[0], EP_BREAKS[-1]
+    where = (
+        f"l_extendedprice IS NOT NULL AND l_tax IS NOT NULL "
+        f"AND l_extendedprice >= {lo!r} AND l_extendedprice <= {hi!r}"
+    )
+    geo_inner = f"""
+WITH binned AS (
+  SELECT l_extendedprice, {bin_expr} AS bin FROM lineitem WHERE {where}
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+  MIN(l_extendedprice) AS x_left,
+  MAX(l_extendedprice) AS x_right,
+  (MIN(l_extendedprice) + MAX(l_extendedprice)) / 2.0 AS x_mid,
+  AVG(l_extendedprice) AS x_mean,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM binned GROUP BY bin
+"""
+    O["bin_geometry_manual"] = _round_doubles_sql(
+        geo_inner,
+        ["bin", "x_left", "x_right", "x_mid", "x_mean", "n"],
+        ["x_left", "x_right", "x_mid", "x_mean"],
+    )
+
+    O["ntile_bins"] = (
+        "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        "SELECT NTILE(8) OVER (ORDER BY l_quantity) AS bin FROM lineitem "
+        "WHERE l_quantity IS NOT NULL) t GROUP BY bin ORDER BY bin"
+    )
+
+    # degree-0 binscatter closed form: fit_b = mean(y|b),
+    # se_b = sqrt(N/(N-B) * Σ_b e²) / n_b  (HC1 on the dummy-only model)
+    bs_inner = f"""
+WITH binned AS (
+  SELECT l_tax AS y, l_extendedprice AS x, {bin_expr} AS bin
+  FROM lineitem WHERE {where}
+),
+g AS (
+  SELECT bin, COUNT(*) AS n_b, AVG(x) AS x_mean, AVG(y) AS fit,
+         SUM(y * y) - COUNT(*) * AVG(y) * AVG(y) AS sse
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(n_b) AS n, COUNT(*) AS b FROM g)
+SELECT CAST(g.bin AS BIGINT) AS bin, g.x_mean AS x, g.fit,
+       SQRT((tot.n / (tot.n - tot.b)) * g.sse) / g.n_b AS se
+FROM g CROSS JOIN tot
+"""
+    O["binscatter_deg0_manual"] = _round_doubles_sql(
+        bs_inner, ["bin", "x", "fit", "se"], ["x", "fit", "se"]
+    )
+
+    # ---- pipeline operators (cross-dialect templates) ----
+    ts_cols = [
+        "doc_id", "n_chars_c", "n_tokens", "n_tokens_bpe", "punct_ratio",
+        "digit_ratio", "stopword_ratio", "unique_token_ratio", "mean_token_len",
+        "quality_score", "lang_pred",
+    ]
+    dbl = [
+        "punct_ratio", "digit_ratio", "stopword_ratio", "unique_token_ratio",
+        "mean_token_len", "quality_score",
+    ]
+    O["text_stats"] = _round_doubles_sql(text.text_stats_sql("documents"), ts_cols, dbl)
+    O["text_fingerprints"] = text.fingerprints_sql("documents")
+    O["dedup_exact"] = dedup.exact_duplicates_sql("documents")
+    O["dedup_minhash_signatures"] = dedup.minhash_signatures_sql("documents", n_hashes=8)
+    O["dedup_minhash_lsh_pairs"] = dedup.minhash_lsh_pairs_sql(
+        "documents", n_hashes=16, band_rows=2, shingle_words=2, jaccard_threshold=0.3
+    )
+    O["dedup_simhash"] = dedup.simhash_sql("documents")
+    O["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(
+        "documents", shingle_words=2, threshold=0.2
+    )
+
+    from dbreg_spark.operators import similarity as _sim
+
+    O["similarity_cosine_topk"] = _sim.cosine_topk_sql(
+        "embeddings", [0, 1, 2, 3, 4], k=10
+    )
+
+    O["events_window_daily"] = f"""
+SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_round_sig_sql("SUM(value)")} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    O["events_sessionize_batch"] = _sessionize_sql("duck")
+
+    return O

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric mirrors BASELINE.md's NYC-taxi anchor: end-to-end
+compress-strategy fixed-effects regression with HC1 SEs (probe + groupby +
+WLS + sandwich). Each query is timed after a session warm-up so JVM startup
+is excluded (the reference's "<3 s" likewise excludes R startup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+
+def main() -> None:
+    import pyspark.sql.functions as F
+
+    from dbreg_spark import dbbinsreg, dbreg
+    from dbreg_spark.operators import dedup, similarity, text
+    from dbreg_spark.sources.io import get_session, load_tables
+
+    spark = get_session(
+        "dbreg-bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t = load_tables(spark, SF_DIR, register=True)
+    li = t["lineitem"]
+    # warm up: touch every table once (parquet footers, JIT, codegen caches)
+    for df in t.values():
+        df.count()
+
+    timings: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # ---- the BASELINE.md headline analog: compress + HC1 on 2 FE ----
+    bench(
+        "reg_compress_hc1",
+        lambda: dbreg(
+            "l_tax ~ l_quantity + l_discount | l_returnflag + l_linestatus",
+            li,
+            strategy="compress",
+            vcov="hc1",
+        ),
+    )
+    bench(
+        "reg_compress_auto",
+        lambda: dbreg(
+            "l_tax ~ l_quantity + l_discount | l_returnflag + l_linestatus",
+            li,
+            strategy="auto",
+            vcov="hc1",
+        ),
+    )
+    bench(
+        "reg_compress_cluster",
+        lambda: dbreg(
+            "l_tax ~ l_quantity + l_discount | l_returnflag + l_linestatus",
+            li,
+            strategy="compress",
+            vcov="~l_returnflag",
+        ),
+    )
+    bench(
+        "reg_moments_hc1",
+        lambda: dbreg(
+            "l_extendedprice ~ l_quantity + l_discount",
+            li,
+            strategy="moments",
+            vcov="hc1",
+        ),
+    )
+    bench(
+        "reg_demean_2fe_hc1",
+        lambda: dbreg(
+            "l_extendedprice ~ l_quantity + l_discount | l_returnflag + l_linestatus",
+            li,
+            strategy="demean",
+            vcov="hc1",
+        ),
+    )
+    bench(
+        "reg_mundlak_cluster",
+        lambda: dbreg(
+            "l_extendedprice ~ l_quantity + l_discount | l_returnflag + l_linestatus",
+            li,
+            strategy="mundlak",
+            vcov="~l_returnflag",
+        ),
+    )
+    bench(
+        "binscatter_qs20",
+        lambda: dbbinsreg(
+            "l_tax ~ l_extendedprice", li, points=(0, 0), nbins=20, vcov="hc1"
+        ),
+    )
+    bench(
+        "text_stats",
+        lambda: text.text_stats(t["documents"]).agg(F.count(F.lit(1))).collect(),
+    )
+    bench(
+        "dedup_minhash_lsh",
+        lambda: dedup.minhash_lsh_pairs(
+            t["documents"], n_hashes=16, band_rows=2, shingle_words=2,
+            jaccard_threshold=0.3,
+        ).count(),
+    )
+    bench(
+        "dedup_simhash",
+        lambda: dedup.simhash(t["documents"]).agg(F.count(F.lit(1))).collect(),
+    )
+
+    emb = t["embeddings"]
+    qs = emb.where("vec_id < 5")
+    bench("similarity_topk", lambda: similarity.cosine_topk(emb, qs, k=10).count())
+
+    import __spark_entry__ as em
+
+    bench(
+        "events_sessionize",
+        lambda: em.queries()["events_sessionize_batch"](spark, SF_DIR).count(),
+    )
+
+    sf = None
+    for tok in SF_DIR.replace("/", " ").split():
+        if tok.startswith("sf"):
+            try:
+                sf = float(tok[2:])
+            except ValueError:
+                pass
+
+    out = {
+        "metric": "compress-strategy FE regression with HC1 (BASELINE.md NYC analog), end-to-end seconds",
+        "value": timings["reg_compress_hc1"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(CPUS),
+        "rows_lineitem": li.count(),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

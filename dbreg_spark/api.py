@@ -814,3 +814,122 @@ def _compress_cluster_meat(
             S[r] = S_full[pos[name]]
     meat = S @ S.T
     return meat, len(clusters)
+
+
+# --------------------------------------------------------------------------
+# lazy plan builder (used by the driver-contract query inventory): returns
+# the one-row/one-table aggregation DataFrame *unexecuted* plus its oracle SQL
+# --------------------------------------------------------------------------
+
+
+def build_plan(
+    fml: str,
+    data=None,
+    *,
+    spark: SparkSession | None = None,
+    table: str | None = None,
+    path: str | None = None,
+    strategy: str = "moments",
+    drop_missings: bool = True,
+    broadcast_means: bool = True,
+):
+    """Build (agg_df, oracle_sql) for a strategy's main aggregation without
+    executing it. ``strategy`` in {moments, demean, mundlak, compress,
+    group_means}."""
+    from .plans.exprs import agg_to_spark
+
+    parsed = parse_formula(fml)
+    if spark is None and isinstance(data, DataFrame):
+        spark = data.sparkSession
+    source = resolve_source(spark=spark, data=data, table=table, path=path)
+
+    if strategy == "compress":
+        design = build_design(source.df, parsed, expand="interactions", fe_vars=parsed.fe)
+        comp, _, sql = compress_plan(source, parsed, design, drop_missings)
+        return comp, sql
+
+    design = build_design(source.df, parsed, expand="all", fe_vars=parsed.fe)
+    base = build_base_frame(
+        source, parsed, design, drop_missings, want_sql=source.sql_from is not None
+    )
+    if strategy == "moments":
+        frame, intercept, n_fe = base, True, []
+    elif strategy == "demean":
+        frame, intercept, n_fe = (
+            build_demeaned_frame(base, parsed.fe, broadcast_means),
+            False,
+            [Var(f) for f in parsed.fe],
+        )
+    elif strategy == "mundlak":
+        frame, intercept, n_fe = (
+            build_mundlak_frame(base, parsed.fe, design.numeric_vars, broadcast_means),
+            True,
+            [Var(f) for f in parsed.fe[:2]],
+        )
+    elif strategy == "group_means":
+        # per-FE group means table (A3/A4): fe level + mean of y and xs
+        fe1 = parsed.fe[0]
+        vals = [base.y_col] + base.x_cols
+        gm = base.df.groupBy(fe1).agg(
+            *[F.avg(c).alias(f"{c}_mean") for c in vals]
+        )
+        sql = None
+        if base.sql_cte:
+            mean_cols = ", ".join(f"AVG({c}) AS {c}_mean" for c in vals)
+            sql = (
+                f"{base.sql_cte}\nSELECT {fe1}, {mean_cols} FROM {base.cte_name} "
+                f"GROUP BY {fe1}"
+            )
+        return gm, sql
+    else:
+        raise ValueError(f"unknown plan strategy {strategy!r}")
+
+    spec = moment_spec(
+        Var(frame.y_col),
+        [Var(n) for n in frame.x_cols],
+        intercept=intercept,
+        n_fe_exprs=n_fe,
+    )
+    agg_df = frame.df.agg(*[agg_to_spark(a).alias(n) for n, a in spec])
+    sql = None
+    if frame.sql_cte:
+        sql = (
+            f"{frame.sql_cte},\nmoments AS (\n  SELECT {agg_select_sql(spec)}"
+            f"\n  FROM {frame.cte_name}\n)\nSELECT * FROM moments"
+        )
+    return agg_df, sql
+
+
+def build_meat_plan(
+    fml: str,
+    *,
+    spark: SparkSession,
+    table: str,
+    beta: list[float],
+    kind: str = "hc1",
+    cluster: str | None = None,
+    drop_missings: bool = True,
+):
+    """Lazy second-pass plan with a FIXED beta vector (deterministic across
+    scale factors — exercises the meat/score aggregation shape)."""
+    import numpy as np
+
+    from .plans.meat import cluster_scores_plan, hc1_meat_plan
+
+    parsed = parse_formula(fml)
+    source = resolve_source(spark=spark, table=table)
+    design = build_design(source.df, parsed, expand="all", fe_vars=parsed.fe)
+    base = build_base_frame(
+        source,
+        parsed,
+        design,
+        drop_missings,
+        extra_cols=[cluster] if cluster else None,
+        want_sql=True,
+    )
+    b = np.asarray(beta, dtype=float)
+    if kind == "hc1":
+        _, agg_df, sql = hc1_meat_plan(base, b, base.x_cols, intercept=True)
+        return agg_df, sql
+    scores, sql = cluster_scores_plan(base, b, base.x_cols, True, cluster)
+    return scores, sql

@@ -122,9 +122,19 @@ class X:
         joined = self.array_join(self.slice(words, "i", n), " ")
         return self.transform(self.seq("1", count), f"i -> {joined}")
 
-    def minhash_sig(self, s: str, n_shingle: int, a: int, b: int, prime: int, modb: int) -> str:
-        """One MinHash value: min over shingles of (a·h(shingle)+b) mod p,
-        with h reduced mod ``modb`` to keep a·h inside int64."""
+    def shingle_hashes(self, s: str, n_shingle: int, modb: int) -> str:
+        """Array of distinct-shingle hashes, reduced mod ``modb`` — computed
+        ONCE per document and shared by all H minhash functions (md5 per
+        shingle is the expensive part)."""
         sh = self.array_distinct(self.word_ngrams(s, n_shingle))
-        lam = f"g -> ({a} * ({self.md5int('g')} % {modb}) + {b}) % {prime}"
-        return self.array_min(self.transform(sh, lam))
+        return self.transform(sh, f"g -> {self.md5int('g')} % {modb}")
+
+    def minhash_from_hashes(self, h_arr: str, a: int, b: int, prime: int) -> str:
+        """One MinHash value from a precomputed shingle-hash array:
+        min over h of (a·h + b) mod p (a·h stays inside int64 by
+        construction: a < p < 2³¹, h < modb = 2³¹)."""
+        return self.array_min(self.transform(h_arr, f"h -> ({a} * h + {b}) % {prime}"))
+
+    def minhash_sig(self, s: str, n_shingle: int, a: int, b: int, prime: int, modb: int) -> str:
+        """One MinHash value straight from text (single-hash convenience)."""
+        return self.minhash_from_hashes(self.shingle_hashes(s, n_shingle, modb), a, b, prime)

@@ -96,15 +96,20 @@ def minhash_signatures(
     shingle_words: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Per-document MinHash signature as ``sig_0..sig_{H-1}`` columns."""
+    """Per-document MinHash signature as ``sig_0..sig_{H-1}`` columns.
+
+    Two-stage: the shingle-hash array is materialized once per document,
+    then each of the H signatures is a cheap arithmetic fold over it."""
     x = X(SPARK)
     params = minhash_params(n_hashes, seed)
-    return df.select(
+    staged = df.select(
+        F.col(id_col),
+        F.expr(x.shingle_hashes(col, shingle_words, MH_MODB)).alias("__hs"),
+    )
+    return staged.select(
         F.col(id_col),
         *[
-            F.expr(x.minhash_sig(col, shingle_words, a, b, MH_PRIME, MH_MODB)).alias(
-                f"sig_{i}"
-            )
+            F.expr(x.minhash_from_hashes("__hs", a, b, MH_PRIME)).alias(f"sig_{i}")
             for i, (a, b) in enumerate(params)
         ],
     )
@@ -121,10 +126,14 @@ def minhash_signatures_sql(
     x = X(DUCK)
     params = minhash_params(n_hashes, seed)
     cols = [id_col] + [
-        f"{x.minhash_sig(col, shingle_words, a, b, MH_PRIME, MH_MODB)} AS sig_{i}"
+        f"{x.minhash_from_hashes('__hs', a, b, MH_PRIME)} AS sig_{i}"
         for i, (a, b) in enumerate(params)
     ]
-    return "SELECT " + ",\n  ".join(cols) + f" FROM {table}"
+    return (
+        f"WITH __staged AS (SELECT {id_col}, "
+        f"{x.shingle_hashes(col, shingle_words, MH_MODB)} AS __hs FROM {table})\n"
+        "SELECT " + ",\n  ".join(cols) + " FROM __staged"
+    )
 
 
 def _band_exprs(x: X, n_hashes: int, band_rows: int) -> list[str]:
@@ -207,7 +216,7 @@ def minhash_lsh_pairs_sql(
     x = X(DUCK)
     params = minhash_params(n_hashes, seed)
     sig_cols = ",\n    ".join(
-        f"{x.minhash_sig(col, shingle_words, a, b, MH_PRIME, MH_MODB)} AS sig_{i}"
+        f"{x.minhash_from_hashes('__hs', a, b, MH_PRIME)} AS sig_{i}"
         for i, (a, b) in enumerate(params)
     )
     band_selects = "\nUNION ALL\n".join(
@@ -220,10 +229,13 @@ def minhash_lsh_pairs_sql(
         f"len(list_distinct(list_concat(sa.sh, sb.sh)))"
     )
     return f"""
-WITH sigs AS (
+WITH __staged AS (
+  SELECT {id_col}, {x.shingle_hashes(col, shingle_words, MH_MODB)} AS __hs FROM {table}
+),
+sigs AS (
   SELECT {id_col},
     {sig_cols}
-  FROM {table}
+  FROM __staged
 ),
 bands AS (
 {band_selects}
