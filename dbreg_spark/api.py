@@ -136,8 +136,15 @@ def _estimate_compression(source: Source, parsed: ParsedFormula, drop_missings=T
         df = filter_missing(df, [parsed.yvar] + parsed.xvars + parsed.fe)
     if not key_cols:
         return 1.0, None
-    total_n = df.count()
-    n_groups = df.select(*key_cols).distinct().count()
+    # single-pass probe: COUNT(*) and approximate distinct-tuple count in one
+    # aggregation (reference pays an exact DISTINCT scan, R/dbreg.R:528-535;
+    # approx is sanctioned for probes — the thresholds are heuristics and the
+    # compress executor recomputes exact cells anyway)
+    row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.approx_count_distinct(F.struct(*key_cols), rsd=0.02).alias("__g"),
+    ).collect()[0]
+    total_n, n_groups = row["__n"], row["__g"]
     return n_groups / max(total_n, 1), n_groups
 
 
@@ -147,10 +154,17 @@ def _choose_strategy(source, parsed, strategy, compress_ratio, compress_nmax, ve
     if strategy != "auto":
         chosen = strategy
     else:
+        # cheap check first: the continuous heuristic reads dtypes (zero jobs
+        # when no float regressors) and decides the no-FE case outright, so
+        # the distinct-tuple probe is skipped when its answer can't matter
+        any_continuous = _any_continuous(source.df, parsed.xvars)
+        if len(fe) == 0 and any_continuous:
+            if verbose:
+                print("[dbreg] auto: continuous regressors, no FE -> moments (probe skipped)")
+            return "moments", None
         cr_est, comp_size = _estimate_compression(source, parsed)
         fail_ratio = cr_est is not None and cr_est > compress_ratio
         fail_nmax = comp_size is not None and comp_size > compress_nmax
-        any_continuous = _any_continuous(source.df, parsed.xvars)
         if verbose:
             print(
                 f"[dbreg] auto: compression ratio {cr_est:.4g} "

@@ -93,6 +93,7 @@ def dbbinsreg(
     level: float = 0.95,
     nsims: int = 500,
     seed: int = 42,
+    strategy: str = "auto",
     verbose: bool = False,
 ) -> BinsregResult:
     """Binned scatterplot estimator on a Spark-resident table.
@@ -153,7 +154,7 @@ def dbbinsreg(
 
     common = dict(
         df=df, y=y, x=x, controls=controls, fe=fe, breaks=breaks, vcov=vcov,
-        ci=ci, verbose=verbose,
+        ci=ci, strategy=strategy, verbose=verbose,
     )
 
     def _fit(p, s):
@@ -197,7 +198,7 @@ def dbbinsreg(
 # --------------------------------------------------------------------------
 
 
-def _unconstrained(df, y, x, controls, fe, breaks, degree, vcov, ci, verbose):
+def _unconstrained(df, y, x, controls, fe, breaks, degree, vcov, ci, strategy, verbose):
     binned = assign_bins(df, x, y, breaks, keep_cols=controls + fe)
     geo = bin_geometry(binned, x)
 
@@ -241,7 +242,9 @@ def _unconstrained(df, y, x, controls, fe, breaks, degree, vcov, ci, verbose):
     fml = f"{y} ~ {' + '.join(rhs_terms)}"
     if fe:
         fml += " | " + " + ".join(fe)
-    strategy = "demean" if fe else "moments"
+    # "auto" picks compress for the degree-0 bin-dummy design (B cells, driver
+    # WLS) and falls back to moments/demean when polynomial u-columns make the
+    # design incompressible (reference recurses into dbreg too, R/dbbinsreg.R:1069)
     fit = dbreg(fml, frame, strategy=strategy, vcov=vcov if ci else "iid", verbose=verbose)
 
     coefs = fit.coef()
@@ -288,7 +291,7 @@ def _unconstrained(df, y, x, controls, fe, breaks, degree, vcov, ci, verbose):
 # --------------------------------------------------------------------------
 
 
-def _constrained(df, y, x, controls, fe, breaks, degree, smooth, vcov, ci, verbose):
+def _constrained(df, y, x, controls, fe, breaks, degree, smooth, vcov, ci, strategy, verbose):
     binned = assign_bins(df, x, y, breaks, keep_cols=controls + fe)
     geo = bin_geometry(binned, x)
     knots = geo["x_right"].to_numpy(dtype=float)[:-1]
@@ -321,7 +324,9 @@ def _constrained(df, y, x, controls, fe, breaks, degree, smooth, vcov, ci, verbo
     fml = f"{y} ~ {' + '.join(rhs_terms)}"
     if fe:
         fml += " | " + " + ".join(fe)
-    strategy = "demean" if fe else "moments"
+    # "auto" picks compress for the degree-0 bin-dummy design (B cells, driver
+    # WLS) and falls back to moments/demean when polynomial u-columns make the
+    # design incompressible (reference recurses into dbreg too, R/dbbinsreg.R:1069)
     fit = dbreg(fml, frame, strategy=strategy, vcov=vcov if ci else "iid", verbose=verbose)
 
     coefs = fit.coef()

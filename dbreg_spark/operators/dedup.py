@@ -159,17 +159,31 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs via LSH banding, verified by exact
     shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b."""
     x = X(SPARK)
-    sigs = minhash_signatures(df, col, id_col, n_hashes, shingle_words, seed)
-    shingles = df.select(
+    params = minhash_params(n_hashes, seed)
+    # the md5-per-shingle hash array is the expensive part; cache it so the
+    # 16 minhash folds, the band buckets (computed twice by the self-join)
+    # and the Jaccard verification all read the materialized integer arrays
+    # instead of re-inlining the text-hashing expression (projection collapse
+    # would otherwise recompute it once per signature)
+    staged = df.select(
         F.col(id_col),
-        F.expr(x.array_distinct(x.word_ngrams(col, shingle_words))).alias("__sh"),
+        F.expr(x.shingle_hashes(col, shingle_words, MH_MODB)).alias("__hs"),
+    ).cache()
+    sigs = staged.select(
+        F.col(id_col),
+        *[
+            F.expr(x.minhash_from_hashes("__hs", a_, b_, MH_PRIME)).alias(f"sig_{i}")
+            for i, (a_, b_) in enumerate(params)
+        ],
     )
-    bands = None
-    for bi, be in enumerate(_band_exprs(x, n_hashes, band_rows)):
-        part = sigs.select(
-            F.col(id_col), F.lit(bi).alias("band"), F.expr(be).alias("bucket")
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # one scan computes every band bucket (posexplode of a bucket array);
+    # a unionAll-per-band shape would rehash all shingle text once per band
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.expr(be) for be in _band_exprs(x, n_hashes, band_rows)])
+        ).alias("band", "bucket"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -184,8 +198,12 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sa = shingles.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    sb = shingles.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    # Jaccard over the integer shingle-hash sets (not the raw strings):
+    # identical on both engines by construction, and integer array intersects
+    # are several times cheaper than string ones at verification volume
+    sa = staged.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("hs_a"))
+    sb = staged.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("hs_b"))
+    inter = F.expr("size(array_intersect(hs_a, hs_b))")
     pairs = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -193,8 +211,8 @@ def minhash_lsh_pairs(
             "id_a",
             "id_b",
             (
-                F.expr("size(array_intersect(sh_a, sh_b))").cast("double")
-                / F.expr("size(array_union(sh_a, sh_b))")
+                inter.cast("double")
+                / (F.expr("size(hs_a)") + F.expr("size(hs_b)") - inter)
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= jaccard_threshold)
@@ -223,10 +241,11 @@ def minhash_lsh_pairs_sql(
         f"SELECT {id_col}, {bi} AS band, {be} AS bucket FROM sigs"
         for bi, be in enumerate(_band_exprs(x, n_hashes, band_rows))
     )
-    sh = x.array_distinct(x.word_ngrams(col, shingle_words))
+    # Jaccard over the integer shingle-hash sets — same definition as the
+    # Spark side (cross-engine identical by construction)
     jac = (
-        f"CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / "
-        f"len(list_distinct(list_concat(sa.sh, sb.sh)))"
+        f"CAST(len(list_intersect(sa.__hs, sb.__hs)) AS DOUBLE) / "
+        f"(len(sa.__hs) + len(sb.__hs) - len(list_intersect(sa.__hs, sb.__hs)))"
     )
     return f"""
 WITH __staged AS (
@@ -244,14 +263,11 @@ cand AS (
   SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.{id_col} < b.{id_col}
-),
-shingles AS (
-  SELECT {id_col}, {sh} AS sh FROM {table}
 )
 SELECT cand.id_a, cand.id_b, ROUND({jac}, 6) AS jaccard
 FROM cand
-JOIN shingles sa ON sa.{id_col} = cand.id_a
-JOIN shingles sb ON sb.{id_col} = cand.id_b
+JOIN __staged sa ON sa.{id_col} = cand.id_a
+JOIN __staged sb ON sb.{id_col} = cand.id_b
 WHERE {jac} >= {jaccard_threshold}
 """
 

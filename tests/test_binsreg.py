@@ -105,9 +105,19 @@ def test_controls(bdata):
 
 def test_fe(bdata):
     df, pdf = bdata
+    # auto compresses the discrete bin x FE design (6 x few cells)
     r = dbbinsreg("y ~ x | g", df, points=(0, 0), nbins=6, ci=False)
-    assert r.model.strategy == "demean"
+    assert r.model.strategy == "compress"
     assert len(r.points) == 6
+    # explicit strategy is honored; fits agree up to the FE-parameterization
+    # constant (reference behaves the same: construct_output evaluates only
+    # intercept+bin coefs, R/dbbinsreg.R:1472-1483, so the level depends on
+    # which FE normalization the strategy uses while the shape is invariant)
+    r2 = dbbinsreg("y ~ x | g", df, points=(0, 0), nbins=6, ci=False, strategy="demean")
+    assert r2.model.strategy == "demean"
+    f1 = r.points["fit"].to_numpy()
+    f2 = r2.points["fit"].to_numpy()
+    np.testing.assert_allclose(f1 - f1.mean(), f2 - f2.mean(), atol=1e-8)
 
 
 def test_spline_continuity(bdata):
