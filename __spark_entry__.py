@@ -315,6 +315,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["similarity_ivf_topk"] = q_ivf
 
+    def q_hyper_lsh(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        emb = t["embeddings"]
+        queries_df = emb.where("vec_id < 5")
+        return similarity.hyperplane_lsh_topk(emb, queries_df, k=10, n_planes=4, dim=64)
+
+    Q["similarity_hyperplane_lsh"] = q_hyper_lsh
+
+    def q_emb_neardup(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        return similarity.embedding_neardup_pairs(
+            t["embeddings"], threshold=0.2, n_planes=4
+        )
+
+    Q["dedup_embedding_neardup"] = q_emb_neardup
+
+    # ---- multimodal plumbing (binary columns + typed metadata) ----
+    def q_mm_metadata(spark, sf_dir):
+        from dbreg_spark.operators import multimodal as mm
+
+        t = _tables(spark, sf_dir)
+        media = mm.synthesize_media(t["documents"])
+        return media.select(
+            "media_id", "kind", "mime", "width", "height", "duration_ms",
+            F.length("content").cast("long").alias("n_bytes"),
+        )
+
+    Q["multimodal_metadata"] = q_mm_metadata
+
+    def q_mm_frames(spark, sf_dir):
+        from dbreg_spark.operators import multimodal as mm
+
+        t = _tables(spark, sf_dir)
+        media = mm.synthesize_media(t["documents"])
+        plan = mm.frame_sample_plan(media, every_ms=1000)
+        return plan.select(
+            "media_id", F.explode("frame_ts_ms").alias("ts_ms")
+        ).select("media_id", F.col("ts_ms").cast("long").alias("ts_ms"))
+
+    Q["multimodal_frame_plan"] = q_mm_frames
+
+    # decode runs through mapInPandas (Arrow-batched stub decoder) — the
+    # Python stage is deterministic but not SQL-expressible → rows-only
+    def q_mm_decode(spark, sf_dir):
+        from dbreg_spark.operators import multimodal as mm
+
+        t = _tables(spark, sf_dir)
+        media = mm.synthesize_media(t["documents"])
+        feats = mm.decode_features(media, dim=8)
+        return feats.select(
+            "media_id", "kind", "n_bytes", F.size("features").alias("feat_dim")
+        )
+
+    Q["multimodal_decode_features"] = q_mm_decode
+
+    # ---- end-to-end coefficient parity vs an independent estimator ----
+    def q_ols_simple(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        m = dbreg(
+            "l_extendedprice ~ l_quantity", t["lineitem"],
+            strategy="moments", vcov="iid",
+        )
+        pdf = m.tidy()[["term", "estimate", "std.error"]].rename(
+            columns={"std.error": "std_error"}
+        )
+        return _round_doubles_df(spark.createDataFrame(pdf))
+
+    Q["ols_coef_simple"] = q_ols_simple
+
+    def q_ols_demean(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        m = dbreg(
+            "l_extendedprice ~ l_quantity | l_returnflag", t["lineitem"],
+            strategy="demean", vcov="iid",
+        )
+        pdf = m.tidy()[["term", "estimate", "std.error"]].rename(
+            columns={"std.error": "std_error"}
+        )
+        return _round_doubles_df(spark.createDataFrame(pdf))
+
+    Q["ols_coef_demean_1fe"] = q_ols_demean
+
     # ---- events: windows + sessionization (batch mirrors of streaming) ----
     def q_events_daily(spark, sf_dir):
         t = _tables(spark, sf_dir)
@@ -592,6 +674,76 @@ FROM g CROSS JOIN tot
 
     O["similarity_cosine_topk"] = _sim.cosine_topk_sql(
         "embeddings", [0, 1, 2, 3, 4], k=10
+    )
+    O["similarity_hyperplane_lsh"] = _sim.hyperplane_lsh_topk_sql(
+        "embeddings", [0, 1, 2, 3, 4], k=10, n_planes=4, dim=64
+    )
+    O["dedup_embedding_neardup"] = _sim.embedding_neardup_pairs_sql(
+        "embeddings", threshold=0.2, n_planes=4, dim=64
+    )
+
+    # multimodal: the synthesized media table re-expressed over documents
+    O["multimodal_metadata"] = """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+  'application/octet-stream' AS mime,
+  CAST(length(text) % 640 + 64 AS INTEGER) AS width,
+  CAST(length(text) % 480 + 48 AS INTEGER) AS height,
+  CAST(length(text) AS BIGINT) * 10 AS duration_ms,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+    O["multimodal_frame_plan"] = """
+SELECT media_id, CAST(i * 1000 AS BIGINT) AS ts_ms
+FROM (SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) * 10 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2) v,
+     unnest(generate_series(0, greatest(CAST(FLOOR(duration_ms / 1000.0) AS INT) - 1, 0))) AS u(i)
+"""
+
+    # independent-estimator parity: DuckDB's regr_* aggregates play the
+    # lm/feols oracle role for the full fit (estimate AND std error)
+    ols_inner = """
+WITH s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) n, AVG(l_quantity) mx,
+         regr_intercept(l_extendedprice, l_quantity) b0,
+         regr_slope(l_extendedprice, l_quantity) b1,
+         regr_syy(l_extendedprice, l_quantity) syy,
+         regr_sxy(l_extendedprice, l_quantity) sxy,
+         regr_sxx(l_extendedprice, l_quantity) sxx
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+)
+SELECT '(Intercept)' AS term, b0 AS estimate,
+       sqrt((syy - b1*sxy)/(n - 2) * (1.0/n + mx*mx/sxx)) AS std_error FROM s
+UNION ALL
+SELECT 'l_quantity', b1, sqrt(((syy - b1*sxy)/(n - 2))/sxx) FROM s
+"""
+    O["ols_coef_simple"] = _round_doubles_sql(
+        ols_inner, ["term", "estimate", "std_error"], ["estimate", "std_error"]
+    )
+
+    # FE slope via window demeaning; dof = N - p - (G-1) - 1 (SURVEY K7)
+    ols_demean_inner = """
+WITH d AS (
+  SELECT l_extendedprice - AVG(l_extendedprice) OVER (PARTITION BY l_returnflag) AS yt,
+         l_quantity - AVG(l_quantity) OVER (PARTITION BY l_returnflag) AS xt,
+         l_returnflag
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) n, CAST(COUNT(DISTINCT l_returnflag) AS DOUBLE) g,
+         regr_slope(yt, xt) b1, regr_syy(yt, xt) syy,
+         regr_sxy(yt, xt) sxy, regr_sxx(yt, xt) sxx
+  FROM d
+)
+SELECT 'l_quantity' AS term, b1 AS estimate,
+       sqrt(((syy - b1*sxy)/(n - 1 - (g - 1) - 1))/sxx) AS std_error FROM s
+"""
+    O["ols_coef_demean_1fe"] = _round_doubles_sql(
+        ols_demean_inner, ["term", "estimate", "std_error"], ["estimate", "std_error"]
     )
 
     O["events_window_daily"] = f"""

@@ -142,6 +142,77 @@ def hyperplane_lsh_topk(
     )
 
 
+def _duck_plane_lit(h: np.ndarray) -> str:
+    return "[" + ", ".join(f"{v!r}" for v in h) + "]::DOUBLE[]"
+
+
+def _bucket_expr_duck(vec_col: str, planes: np.ndarray) -> str:
+    """DuckDB twin of :func:`_bucket_expr` — list_inner_product sums in the
+    same element order as the Spark fold, so the sign bits agree."""
+    bits = [
+        f"CASE WHEN list_inner_product({vec_col}, {_duck_plane_lit(h)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j, h in enumerate(planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def hyperplane_lsh_topk_sql(
+    table: str,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> str:
+    planes = _hyperplanes(dim, n_planes, seed)
+    ids = ", ".join(str(i) for i in query_ids)
+    b = _bucket_expr_duck("v", planes)
+    return f"""
+WITH c AS (
+  SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}
+),
+cb AS (SELECT {id_col}, v, {b} AS bucket FROM c),
+q AS (SELECT {id_col} AS query_id, v AS qv, bucket FROM cb WHERE {id_col} IN ({ids})),
+scored AS (
+  SELECT q.query_id, cb.{id_col}, list_cosine_similarity(cb.v, q.qv) AS cosine
+  FROM cb JOIN q USING (bucket) WHERE q.query_id <> cb.{id_col}
+),
+ranked AS (
+  SELECT query_id, {id_col}, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, {id_col} ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, {id_col}, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def embedding_neardup_pairs_sql(
+    table: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> str:
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = _bucket_expr_duck("v", planes)
+    return f"""
+WITH cb AS (
+  SELECT {id_col}, {vec_col}::DOUBLE[] AS v, {b} AS bucket
+  FROM {table}
+)
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+"""
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,

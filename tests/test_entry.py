@@ -31,7 +31,7 @@ def test_oracle_keys_subset(inventory):
     q, o = inventory
     assert set(o).issubset(set(q))
     # queries without oracle = intentionally rows-only
-    assert set(q) - set(o) == {"similarity_ivf_topk"}
+    assert set(q) - set(o) == {"similarity_ivf_topk", "multimodal_decode_features"}
 
 
 def test_entry_smoke(spark):
@@ -67,6 +67,12 @@ def test_entry_smoke(spark):
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "similarity_cosine_topk",
+        "similarity_hyperplane_lsh",
+        "dedup_embedding_neardup",
+        "multimodal_metadata",
+        "multimodal_frame_plan",
+        "ols_coef_simple",
+        "ols_coef_demean_1fe",
         "events_window_daily",
         "events_sessionize_batch",
     ],
