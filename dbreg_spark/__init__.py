@@ -7,7 +7,7 @@ Spark DataFrame plans, plus large-scale data-pipeline operators (dedup,
 similarity search, text analysis, multimodal plumbing).
 """
 
-from .api import dbreg
+from .api import dbreg, sql_model_matrix
 from .binsreg import BinsregResult, dbbinsreg
 from .design import standardize_coef_names
 from .formula import parse_formula, parse_vcov
@@ -15,6 +15,7 @@ from .model import DbregModel
 
 __all__ = [
     "dbreg",
+    "sql_model_matrix",
     "dbbinsreg",
     "BinsregResult",
     "DbregModel",

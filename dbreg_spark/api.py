@@ -310,11 +310,14 @@ def _execute_moments(
 
     meat = n_clusters = None
     kept_x = [n for n in frame.x_cols if standardize_coef_names(n) in collin.keep_names]
+    # the pivoted QR may drop the intercept itself (e.g. a constant regressor
+    # column wins its pivot) — the meat residual must use the kept layout
+    icpt = "(Intercept)" in collin.keep_names
     if vcov_type == "hc1":
-        meat, _ = hc1_meat(frame, sol.betahat, kept_x, intercept=True)
+        meat, _ = hc1_meat(frame, sol.betahat, kept_x, intercept=icpt)
     elif vcov_type == "cluster":
         meat, n_clusters, _ = cluster_meat(
-            frame, sol.betahat, kept_x, intercept=True, cluster_col=cluster_var
+            frame, sol.betahat, kept_x, intercept=icpt, cluster_col=cluster_var
         )
 
     V = compute_vcov(vcov_type, sol.xtx_inv, rss, df_res, n_total, p, meat, n_clusters)
@@ -571,11 +574,14 @@ def _execute_mundlak(
 
     meat = n_clusters = None
     kept_x = [n for n in frame.x_cols if standardize_coef_names(n) in collin.keep_names]
+    # the intercept itself can lose its pivot to a near-constant x_bar column
+    # (tiny samples with a 2-level FE) — meat must follow the kept layout
+    icpt = "(Intercept)" in collin.keep_names
     if vcov_type == "hc1":
-        meat, _ = hc1_meat(frame, sol.betahat, kept_x, intercept=True)
+        meat, _ = hc1_meat(frame, sol.betahat, kept_x, intercept=icpt)
     elif vcov_type == "cluster":
         meat, n_clusters, _ = cluster_meat(
-            frame, sol.betahat, kept_x, intercept=True, cluster_col=cluster_var
+            frame, sol.betahat, kept_x, intercept=icpt, cluster_col=cluster_var
         )
 
     V = compute_vcov(vcov_type, sol.xtx_inv, rss, df_res, n_total, p, meat, n_clusters)
@@ -947,3 +953,43 @@ def build_meat_plan(
         return agg_df, sql
     scores, sql = cluster_scores_plan(base, b, base.x_cols, True, cluster)
     return scores, sql
+
+
+# --------------------------------------------------------------------------
+# public design-matrix compiler (reference: R/sql_model_matrix.R:34-68)
+# --------------------------------------------------------------------------
+
+
+def sql_model_matrix(
+    fml: str,
+    data=None,
+    *,
+    spark: SparkSession | None = None,
+    table: str | None = None,
+    path: str | None = None,
+    expand: str = "all",
+    fe_vars: list[str] | None = None,
+) -> dict:
+    """Compile an R-style formula into SQL design-matrix expressions.
+
+    Accepts one-sided (``~ x1 + x2*x3``) or two-sided formulas and returns
+    ``{"select_exprs": [...], "col_names": [...], "factor_levels": {...}}``
+    — the same contract as the reference's exported ``sql_model_matrix()``.
+    ``expand="all"`` one-hot-expands factors (reference level dropped per
+    R-contrasts rules); ``expand="interactions"`` expands only interaction
+    terms, leaving factor main effects as raw columns.
+    """
+    if expand not in ("all", "interactions"):
+        raise ValueError("expand must be 'all' or 'interactions'")
+    if spark is None and isinstance(data, DataFrame):
+        spark = data.sparkSession
+    source = resolve_source(spark=spark, data=data, table=table, path=path)
+    parsed = parse_formula(fml)
+    design = build_design(source.df, parsed, expand=expand, fe_vars=fe_vars or parsed.fe)
+    from .plans.exprs import to_sql
+
+    return {
+        "select_exprs": [to_sql(e) for e in design.exprs],
+        "col_names": list(design.names),
+        "factor_levels": dict(design.factor_levels),
+    }

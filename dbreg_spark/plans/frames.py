@@ -37,6 +37,31 @@ class Frame:
     cte_name: str
 
 
+# Above this estimated input size, the multi-FE mean tables are computed in a
+# single GROUPING SETS scan and cached (halves source I/O; the cached tiny
+# table also feeds the HC1/cluster second pass). Below it, per-FE groupBys
+# win: scans of page-cached small inputs are cheaper than the Expand operator
+# plus the cache-materialization job barrier (measured at sf0.1: 0.9s vs
+# 1.5s). At 100 TB the scan is the scarce resource, so the one-scan shape
+# takes over.
+ONE_SCAN_MEANS_BYTES = 2 << 30
+
+
+def _input_size_bytes(df: DataFrame) -> int | None:
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def _use_one_scan_means(df: DataFrame, override: bool | None) -> bool:
+    if override is not None:
+        return override
+    size = _input_size_bytes(df)
+    # unknown size -> assume large (scale-safe default)
+    return size is None or size > ONE_SCAN_MEANS_BYTES
+
+
 def _base_select_exprs(
     parsed: ParsedFormula,
     design: DesignInfo,
@@ -99,7 +124,12 @@ def build_base_frame(
     )
 
 
-def build_demeaned_frame(base: Frame, fe: list[str], broadcast_means: bool = True) -> Frame:
+def build_demeaned_frame(
+    base: Frame,
+    fe: list[str],
+    broadcast_means: bool = True,
+    one_scan_means: bool | None = None,
+) -> Frame:
     """Attach group means and demean (reference: R/dbreg.R:902-1053).
 
     1 FE:  ṽ = v − mean(v | fe1)
@@ -139,9 +169,33 @@ def build_demeaned_frame(base: Frame, fe: list[str], broadcast_means: bool = Tru
         return Frame(dm, base.y_col, base.x_cols, [fe1], sql_cte, "demeaned")
 
     fe1, fe2 = fe[0], fe[1]
-    um = base.df.groupBy(fe1).agg(*[F.avg(c).alias(f"{c}__m1") for c in vals])
-    tm = base.df.groupBy(fe2).agg(*[F.avg(c).alias(f"{c}__m2") for c in vals])
-    om = base.df.agg(*[F.avg(c).alias(f"{c}__mo") for c in vals])
+    if _use_one_scan_means(base.df, one_scan_means):
+        # ONE scan computes unit means, time means AND the grand mean via
+        # GROUPING SETS ((fe1),(fe2),()) — separate groupBys would re-read
+        # the source three times (3x I/O at 100 TB). The result is G1+G2+1
+        # tiny rows, cached so the three broadcast sides (and the meat pass)
+        # reuse the materialized table instead of re-scanning.
+        gs = (
+            base.df.groupingSets([[fe1], [fe2], []], fe1, fe2)
+            .agg(
+                *[F.avg(c).alias(f"{c}__m") for c in vals],
+                F.grouping_id().alias("__gid"),
+            )
+            .cache()
+        )
+        um = gs.where("__gid = 1").select(
+            fe1, *[F.col(f"{c}__m").alias(f"{c}__m1") for c in vals]
+        )
+        tm = gs.where("__gid = 2").select(
+            fe2, *[F.col(f"{c}__m").alias(f"{c}__m2") for c in vals]
+        )
+        om = gs.where("__gid = 3").select(
+            *[F.col(f"{c}__m").alias(f"{c}__mo") for c in vals]
+        )
+    else:
+        um = base.df.groupBy(fe1).agg(*[F.avg(c).alias(f"{c}__m1") for c in vals])
+        tm = base.df.groupBy(fe2).agg(*[F.avg(c).alias(f"{c}__m2") for c in vals])
+        om = base.df.agg(*[F.avg(c).alias(f"{c}__mo") for c in vals])
     dm = (
         base.df.join(bc(um), on=fe1)
         .join(bc(tm), on=fe2)
@@ -187,6 +241,7 @@ def build_mundlak_frame(
     fe: list[str],
     numeric_xvars: list[str],
     broadcast_means: bool = True,
+    one_scan_means: bool | None = None,
 ) -> Frame:
     """Augment with per-FE group means of the numeric regressors
     (reference: R/dbreg.R:1295-1332). ``x_bar_fek`` columns are appended; the
@@ -195,6 +250,28 @@ def build_mundlak_frame(
     bc = F.broadcast if broadcast_means else (lambda d: d)
     numeric_in_frame = [v for v in numeric_xvars if v in base.x_cols]
     df = base.df
+
+    # all per-FE mean tables from ONE scan via GROUPING SETS ((fe1),...,(fek))
+    # (k separate groupBys would re-read the source k times); the tiny cached
+    # result feeds every broadcast join. grouping_id bit for fe_i is set when
+    # fe_i is aggregated away, so the set that groups BY fe_i has gid =
+    # all-ones minus fe_i's bit.
+    gs = None
+    if (
+        numeric_in_frame
+        and len(fe) > 1
+        and _use_one_scan_means(base.df, one_scan_means)
+    ):
+        gs = (
+            base.df.groupingSets([[f] for f in fe], *fe)
+            .agg(
+                *[F.avg(v).alias(f"{v}__m") for v in numeric_in_frame],
+                F.grouping_id().alias("__gid"),
+            )
+            .cache()
+        )
+    all_ones = (1 << len(fe)) - 1
+
     xbar_all: list[str] = []
     sql_parts: list[str] = []
     join_sql: list[str] = []
@@ -203,9 +280,16 @@ def build_mundlak_frame(
         xbar_k = [f"{v}{suffix}" for v in numeric_in_frame]
         xbar_all.extend(xbar_k)
         if numeric_in_frame:
-            means = base.df.groupBy(fe_k).agg(
-                *[F.avg(v).alias(f"{v}{suffix}") for v in numeric_in_frame]
-            )
+            if gs is not None:
+                gid = all_ones ^ (1 << (len(fe) - k))
+                means = gs.where(F.col("__gid") == gid).select(
+                    fe_k,
+                    *[F.col(f"{v}__m").alias(f"{v}{suffix}") for v in numeric_in_frame],
+                )
+            else:
+                means = base.df.groupBy(fe_k).agg(
+                    *[F.avg(v).alias(f"{v}{suffix}") for v in numeric_in_frame]
+                )
             df = df.join(bc(means), on=fe_k)
             mc = ", ".join(f"AVG({v}) AS {v}{suffix}" for v in numeric_in_frame)
             sql_parts.append(

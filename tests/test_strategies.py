@@ -285,3 +285,62 @@ def test_compress_sql_matches_duckdb(spark, trade):
     assert len(ddf) == len(cells)
     np.testing.assert_allclose(cells["n"], ddf["n"])
     np.testing.assert_allclose(cells["sum_y"], ddf["sum_y"], rtol=1e-9)
+
+
+def test_one_scan_means_parity(panel):
+    """The grouping-sets (one-scan) means path and the per-FE groupBy path
+    produce identical demean/mundlak moments (the size heuristic switches
+    between them; both must agree to double precision)."""
+    import pyspark.sql.functions as F
+
+    from dbreg_spark.design import build_design
+    from dbreg_spark.formula import parse_formula
+    from dbreg_spark.plans.common import resolve_source
+    from dbreg_spark.plans.frames import (
+        build_base_frame,
+        build_demeaned_frame,
+        build_mundlak_frame,
+    )
+
+    df, pdf = panel
+    parsed = parse_formula("y ~ x1 + x2 | firm + year")
+    source = resolve_source(data=df, spark=df.sparkSession)
+    design = build_design(source.df, parsed, expand="all")
+    base = build_base_frame(source, parsed, design, want_sql=False)
+
+    def moments(frame):
+        cols = [frame.y_col] + frame.x_cols
+        aggs = []
+        for i in range(len(cols)):
+            for j in range(i, len(cols)):
+                aggs.append(
+                    F.sum(F.col(cols[i]) * F.col(cols[j])).alias(f"s_{i}_{j}")
+                )
+        return frame.df.agg(*aggs).collect()[0].asDict()
+
+    for builder, kwargs in [
+        (build_demeaned_frame, dict(fe=["firm", "year"])),
+        (build_mundlak_frame, dict(fe=["firm", "year"], numeric_xvars=["x1", "x2"])),
+    ]:
+        m_one = moments(builder(base, one_scan_means=True, **kwargs))
+        m_per = moments(builder(base, one_scan_means=False, **kwargs))
+        assert m_one.keys() == m_per.keys()
+        for k in m_one:
+            np.testing.assert_allclose(m_one[k], m_per[k], rtol=1e-12, err_msg=k)
+
+
+def test_mundlak_cluster_survives_intercept_drop(spark):
+    """At sf0.001 the x_bar columns of a 2-level FE are near-constant and the
+    pivoted QR drops the intercept itself; the meat pass must follow the kept
+    coefficient layout instead of assuming the intercept survived."""
+    from dbreg_spark.sources.io import load_parquet
+
+    li = load_parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    m = dbreg(
+        "l_extendedprice ~ l_quantity + l_discount | l_returnflag + l_linestatus",
+        li,
+        strategy="mundlak",
+        vcov="~l_returnflag",
+    )
+    assert len(m.coef()) >= 5
+    assert (m.se() > 0).all()
