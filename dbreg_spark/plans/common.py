@@ -81,8 +81,23 @@ def resolve_source(
     if path is not None:
         if spark is None:
             raise ValueError("spark session required with path=")
+        low = path.lower().rstrip("/")
+        if low.endswith(".csv") or low.endswith(".csv.gz"):
+            return Source(
+                df=spark.read.csv(path, header=True, inferSchema=True),
+                sql_from=f"FROM read_csv_auto('{path}')",
+            )
+        if low.endswith(".json") or low.endswith(".jsonl") or low.endswith(".ndjson"):
+            return Source(
+                df=spark.read.json(path),
+                sql_from=f"FROM read_json_auto('{path}')",
+            )
+        # default: parquet file/dir/glob (Hive-partition discovery is native;
+        # load_parquet also repairs TIMESTAMP(NANOS) columns)
+        from ..sources.io import load_parquet
+
         return Source(
-            df=spark.read.parquet(path),
+            df=load_parquet(spark, path),
             sql_from=f"FROM read_parquet('{path}')",
         )
     raise ValueError("one of table=, data=, path= is required")

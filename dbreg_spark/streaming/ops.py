@@ -69,6 +69,34 @@ def streaming_dedup(
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["__fp"])
 
 
+def sessionize_builtin(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization with the BUILT-IN ``session_window`` operator
+    — the idiomatic (JVM-side, codegen'd) path when plain inactivity-gap
+    semantics suffice. :func:`sessionize` below keeps the custom
+    applyInPandasWithState formulation for when per-session logic goes
+    beyond what session_window expresses (mid-session emission, custom
+    close rules)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
