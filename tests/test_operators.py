@@ -289,3 +289,36 @@ def test_resize_stub_raises(docs):
 
     with pytest.raises(Exception):
         multimodal.resize_stub(media, 64, 64).count()
+
+
+def test_word_ngrams_edge_docs_cross_engine(spark, duck):
+    """Spark's zip_with n-gram construction and DuckDB's slice form must
+    agree on edge docs: empty text, single word, exactly-n words, repeats."""
+    import pandas as pd
+
+    from dbreg_spark.functions.xdialect import DUCK, SPARK, X
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": ["", "one", "two words", "a b c", "dup dup dup"],
+        }
+    )
+    sdf = spark.createDataFrame(docs)
+    for n in (2, 3):
+        xs, xd = X(SPARK), X(DUCK)
+        got = {
+            r["doc_id"]: r["g"]
+            for r in sdf.selectExpr(
+                "doc_id", f"array_distinct({xs.word_ngrams('text', n)}) AS g"
+            ).collect()
+        }
+        duck.register("edge_docs", docs)
+        want = {
+            r[0]: r[1]
+            for r in duck.execute(
+                f"SELECT doc_id, list_distinct({xd.word_ngrams('text', n)}) FROM edge_docs"
+            ).fetchall()
+        }
+        for k in want:
+            assert sorted(got[k]) == sorted(want[k]), (n, k, got[k], want[k])
