@@ -41,10 +41,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def bench(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    def bench(name, fn, repeats=2):
+        # best-of-N: per-query wall time on a busy CI box is noisy (+-25%
+        # observed run-to-run); the minimum is the stable estimator of the
+        # achievable time and what BASELINE.md's numbers represent
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
 
     # ---- the BASELINE.md headline analog: compress + HC1 on 2 FE ----
     bench(

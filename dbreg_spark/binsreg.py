@@ -36,6 +36,7 @@ from .operators.binning import (
     BreakInfo,
     assign_bins,
     bin_geometry,
+    bin_geometry_np,
     compute_breaks,
 )
 from .plans.common import resolve_source
@@ -145,16 +146,20 @@ def dbbinsreg(
         )
         breaks = bi.breaks
         n_rows_orig = bi.n_rows
+        # full column already on the driver and no extra filter columns ->
+        # geometry is computable in numpy (one less Spark job)
+        xs_full = bi.xs if not controls and not fe else None
     else:
         breaks = np.sort(np.asarray(binspos, dtype=float))
         if len(breaks) < 2:
             raise ValueError("binspos needs at least 2 break values")
         n_rows_orig = None
+        xs_full = None
     B = len(breaks) - 1
 
     common = dict(
         df=df, y=y, x=x, controls=controls, fe=fe, breaks=breaks, vcov=vcov,
-        ci=ci, strategy=strategy, verbose=verbose,
+        ci=ci, strategy=strategy, xs_full=xs_full, verbose=verbose,
     )
 
     def _fit(p, s):
@@ -198,9 +203,9 @@ def dbbinsreg(
 # --------------------------------------------------------------------------
 
 
-def _unconstrained(df, y, x, controls, fe, breaks, degree, vcov, ci, strategy, verbose):
+def _unconstrained(df, y, x, controls, fe, breaks, degree, vcov, ci, strategy, xs_full, verbose):
     binned = assign_bins(df, x, y, breaks, keep_cols=controls + fe)
-    geo = bin_geometry(binned, x)
+    geo = bin_geometry_np(xs_full, breaks) if xs_full is not None else bin_geometry(binned, x)
 
     # drop bins with too few observations for the requested degree
     min_obs = degree + 1
@@ -291,9 +296,9 @@ def _unconstrained(df, y, x, controls, fe, breaks, degree, vcov, ci, strategy, v
 # --------------------------------------------------------------------------
 
 
-def _constrained(df, y, x, controls, fe, breaks, degree, smooth, vcov, ci, strategy, verbose):
+def _constrained(df, y, x, controls, fe, breaks, degree, smooth, vcov, ci, strategy, xs_full, verbose):
     binned = assign_bins(df, x, y, breaks, keep_cols=controls + fe)
-    geo = bin_geometry(binned, x)
+    geo = bin_geometry_np(xs_full, breaks) if xs_full is not None else bin_geometry(binned, x)
     knots = geo["x_right"].to_numpy(dtype=float)[:-1]
 
     cols = [F.col(y)]

@@ -27,6 +27,9 @@ class BreakInfo:
     method: str  # quantile | equal | log_equal | manual
     sampled: bool
     n_rows: int | None
+    # full collected x column when the quantile path read it anyway (≤ 1e6
+    # rows) — lets the caller compute bin geometry in numpy, one less job
+    xs: np.ndarray | None = None
 
 
 def compute_breaks(
@@ -90,7 +93,13 @@ def compute_breaks(
         breaks = np.exp(np.linspace(np.log(xs.min()), np.log(xs.max()), nbins + 1))
     else:
         raise ValueError(f"unknown break method {method!r}")
-    return BreakInfo(np.asarray(breaks, dtype=float), method, sampled, n_rows)
+    return BreakInfo(
+        np.asarray(breaks, dtype=float),
+        method,
+        sampled,
+        n_rows,
+        xs=None if sampled else xs,
+    )
 
 
 def bin_case_column(x: str, breaks: np.ndarray):
@@ -151,6 +160,28 @@ def assign_bins_ntile(df: DataFrame, x: str, y: str | None, nbins: int) -> DataF
         cond = cond & F.col(y).isNotNull()
     w = Window.orderBy(F.col(x))
     return df.where(cond).withColumn("bin", F.ntile(nbins).over(w))
+
+
+def bin_geometry_np(xs: np.ndarray, breaks: np.ndarray) -> pd.DataFrame:
+    """Bin geometry from an already-collected x column — same assignment
+    semantics as :func:`bin_case_column` (left-closed, last bin closed),
+    identical break doubles, zero Spark jobs."""
+    breaks = np.asarray(breaks, dtype=float)
+    xs = xs[(xs >= breaks[0]) & (xs <= breaks[-1])]
+    idx = np.searchsorted(breaks, xs, side="right") - 1
+    idx = np.clip(idx, 0, len(breaks) - 2)
+    df = pd.DataFrame({"bin": idx + 1, "x": xs})
+    geo = (
+        df.groupby("bin")["x"]
+        .agg(x_left="min", x_right="max", x_mean="mean", n="count")
+        .reset_index()
+    )
+    geo["x_mid"] = (geo["x_left"] + geo["x_right"]) / 2.0
+    geo["n"] = geo["n"].astype("int64")
+    geo["bin"] = geo["bin"].astype(int)
+    return geo[["bin", "x_left", "x_right", "x_mid", "x_mean", "n"]].sort_values(
+        "bin"
+    ).reset_index(drop=True)
 
 
 def bin_geometry(binned: DataFrame, x: str) -> pd.DataFrame:

@@ -176,3 +176,26 @@ def test_interaction_rejected(bdata):
     df, pdf = bdata
     with pytest.raises(ValueError, match="interaction"):
         dbbinsreg("y ~ x*w", df)
+
+
+def test_bin_geometry_np_matches_spark(spark, tables):
+    """The numpy geometry fast path must agree with the Spark aggregation
+    bin-for-bin on real data (same break doubles, same edge semantics)."""
+    from dbreg_spark.operators.binning import (
+        assign_bins,
+        bin_geometry,
+        bin_geometry_np,
+        compute_breaks,
+    )
+
+    li = tables["lineitem"]
+    bi = compute_breaks(li, "l_extendedprice", 13, method="quantile",
+                        extra_notnull=["l_tax"])
+    assert bi.xs is not None
+    binned = assign_bins(li, "l_extendedprice", "l_tax", bi.breaks)
+    g_spark = bin_geometry(binned, "l_extendedprice")
+    g_np = bin_geometry_np(bi.xs, bi.breaks)
+    assert list(g_spark["bin"]) == list(g_np["bin"])
+    assert list(g_spark["n"]) == list(g_np["n"])
+    for c in ["x_left", "x_right", "x_mid", "x_mean"]:
+        np.testing.assert_allclose(g_spark[c], g_np[c], rtol=1e-12, err_msg=c)
