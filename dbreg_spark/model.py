@@ -49,23 +49,50 @@ class DbregModel:
     intercept: bool = True
 
     # -- inference ---------------------------------------------------------
-    def coef(self) -> pd.Series:
-        return self.coeftable["estimate"]
+    def _is_fe_coef(self, name: str) -> bool:
+        """FE-level dummies (compress models) are named ``{fe_var}{level}``
+        (reference: stats-methods.R:28-60 filters the same way)."""
+        return any(name != f and name.startswith(f) for f in (self.fe or []))
 
-    def se(self) -> pd.Series:
-        return self.coeftable["std.error"]
+    def _filter_fe(self, s, fe):
+        if fe is None:
+            return s
+        mask = [self._is_fe_coef(n) for n in s.index]
+        if fe:
+            return s[mask]
+        return s[[not m for m in mask]]
+
+    def coef(self, fe: bool | None = None) -> pd.Series:
+        """Estimates; ``fe=False`` drops FE-level dummies, ``fe=True`` keeps
+        only them (reference: ``coef.dbreg(fe=)``)."""
+        return self._filter_fe(self.coeftable["estimate"], fe)
+
+    def se(self, fe: bool | None = None) -> pd.Series:
+        return self._filter_fe(self.coeftable["std.error"], fe)
 
     def vcov(self) -> pd.DataFrame:
         return pd.DataFrame(self.vcov_, index=self.coef_names, columns=self.coef_names)
 
-    def confint(self, level: float = 0.95) -> pd.DataFrame:
+    def confint(
+        self,
+        parm: list[str] | None = None,
+        level: float = 0.95,
+        fe: bool | None = None,
+    ) -> pd.DataFrame:
         crit = _tstats.t_ppf(1 - (1 - level) / 2, self.df_residual)
         est, se = self.coeftable["estimate"], self.coeftable["std.error"]
         lo = est - crit * se
         hi = est + crit * se
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {f"{(1 - level) / 2:.1%}": lo, f"{1 - (1 - level) / 2:.1%}": hi}
         )
+        out = self._filter_fe(out, fe)
+        if parm is not None:
+            missing = [p for p in parm if p not in out.index]
+            if missing:
+                raise ValueError(f"unknown coefficient(s): {missing}")
+            out = out.loc[parm]
+        return out
 
     # -- goodness of fit (reference: R/gof.R:10-27) ------------------------
     def r2(self) -> float:
@@ -85,7 +112,7 @@ class DbregModel:
     def tidy(self, conf_int: bool = False, level: float = 0.95) -> pd.DataFrame:
         out = self.coeftable.reset_index().rename(columns={"index": "term"})
         if conf_int:
-            ci = self.confint(level)
+            ci = self.confint(level=level)
             out["conf.low"] = ci.iloc[:, 0].values
             out["conf.high"] = ci.iloc[:, 1].values
         return out

@@ -72,10 +72,10 @@ def test_tidy_glance_confint(panel):
     )
     g = m.glance()
     assert g["nobs"].iloc[0] == 500
-    ci = m.confint(0.95)
+    ci = m.confint(level=0.95)
     w95 = (ci.iloc[:, 1] - ci.iloc[:, 0]).to_numpy()
     w99 = (
-        m.confint(0.99).iloc[:, 1] - m.confint(0.99).iloc[:, 0]
+        m.confint(level=0.99).iloc[:, 1] - m.confint(level=0.99).iloc[:, 0]
     ).to_numpy()
     assert (w99 > w95).all()
 
@@ -85,3 +85,43 @@ def test_repr_smoke(panel):
     m = dbreg("y ~ x1 + x2 | firm", df, strategy="demean", vcov="hc1")
     s = repr(m)
     assert "demean" in s and "hc1" in s and "x1" in s
+
+
+def test_coef_confint_fe_filter(spark, tables):
+    from dbreg_spark import dbreg
+
+    m = dbreg(
+        "l_tax ~ l_quantity | l_returnflag + l_linestatus",
+        tables["lineitem"],
+        strategy="compress",
+    )
+    allc = m.coef()
+    nofe = m.coef(fe=False)
+    onlyfe = m.coef(fe=True)
+    assert set(nofe.index) == {"(Intercept)", "l_quantity"}
+    assert set(onlyfe.index) == set(allc.index) - set(nofe.index)
+    assert len(onlyfe) >= 2  # at least one dummy per FE
+    ci = m.confint(parm=["l_quantity"])
+    assert list(ci.index) == ["l_quantity"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown coefficient"):
+        m.confint(parm=["nope"])
+
+
+def test_hive_partitioned_path_source(spark, tables, tmp_path):
+    """Partitioned-parquet path sources: partition discovery + pruning are
+    native (reference relies on the backend for this, README.md:122-127)."""
+    import pyspark.sql.functions as F
+
+    from dbreg_spark import dbreg
+
+    d = str(tmp_path / "part_li")
+    tables["lineitem"].limit(20000).write.partitionBy("l_returnflag").mode(
+        "overwrite"
+    ).parquet(d)
+    m = dbreg("l_tax ~ l_quantity | l_returnflag", spark=spark, path=d,
+              strategy="demean")
+    assert m.nobs_orig > 0
+    # the partition column is usable as an FE after discovery
+    assert m.n_fe1 >= 2

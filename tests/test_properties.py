@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis): formula-parser invariants and the
+cross-engine round-to-significant-digits expression every oracle hash
+depends on."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dbreg_spark.formula import parse_formula
+
+names = st.from_regex(r"[a-z_][a-z0-9_]{0,6}", fullmatch=True).filter(
+    lambda s: s not in ("_",)
+)
+
+
+@st.composite
+def formulas(draw):
+    y = draw(names)
+    n_terms = draw(st.integers(1, 4))
+    terms = []
+    vars_used = set()
+    for _ in range(n_terms):
+        k = draw(st.integers(1, 3))
+        vs = draw(
+            st.lists(names.filter(lambda v, y=y: v != y), min_size=k, max_size=k,
+                     unique=True)
+        )
+        op = draw(st.sampled_from([":", "*"]))
+        terms.append(op.join(vs))
+        vars_used.update(vs)
+    fe = draw(st.lists(names.filter(lambda v, y=y: v != y), max_size=2, unique=True))
+    fml = f"{y} ~ {' + '.join(terms)}"
+    if fe:
+        fml += " | " + " + ".join(fe)
+    return fml, y, vars_used, fe
+
+
+@given(formulas())
+@settings(max_examples=200, deadline=None)
+def test_parse_formula_invariants(fx):
+    fml, y, vars_used, fe = fx
+    p = parse_formula(fml)
+    assert p.yvar == y
+    # every RHS variable surfaces in xvars; nothing else does
+    assert set(p.xvars) == vars_used
+    assert p.fe == fe
+    # a*b always expands to the mains plus the interaction
+    for t in p.terms:
+        if t.order > 1:
+            pass  # pure ':' terms need no mains
+    # term ordering: orders are non-decreasing (R terms() grouping)
+    orders = [t.order for t in p.terms]
+    assert orders == sorted(orders)
+    # labels are unique
+    labels = [t.label for t in p.terms]
+    assert len(labels) == len(set(labels))
+
+
+@given(st.lists(names, min_size=2, max_size=3, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_star_expands_to_powerset_of_mains(vs):
+    fml = "y ~ " + "*".join(v for v in vs if v != "y")
+    vs = [v for v in vs if v != "y"]
+    if not vs:
+        return
+    p = parse_formula(fml)
+    got = {t.sorted_key for t in p.terms}
+    # a*b*c => all non-empty subsets
+    import itertools
+
+    want = set()
+    for r in range(1, len(vs) + 1):
+        for c in itertools.combinations(sorted(vs), r):
+            want.add(tuple(c))
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def _round_engines(spark, duck):
+    import __spark_entry__ as em
+
+    def both(vals):
+        expr = em._round_sig_sql("v")
+        sdf = spark.createDataFrame([(float(v),) for v in vals], ["v"])
+        sdf.createOrReplaceTempView("_round_t")
+        got_s = [
+            r[0] for r in spark.sql(f"SELECT {expr} FROM _round_t").collect()
+        ]
+        duck.execute("CREATE OR REPLACE TABLE _round_d AS SELECT * FROM (VALUES "
+                     + ",".join(f"({float(v)!r}::DOUBLE)" for v in vals)
+                     + ") t(v)")
+        got_d = [r[0] for r in duck.execute(f"SELECT {expr} FROM _round_d").fetchall()]
+        return got_s, got_d
+
+    return both
+
+
+@given(
+    st.lists(
+        st.floats(
+            allow_nan=False,
+            allow_infinity=False,
+            min_value=-1e12,
+            max_value=1e12,
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_round_sig_cross_engine(_round_engines, vals):
+    got_s, got_d = _round_engines(vals)
+    for v, a, b in zip(vals, got_s, got_d):
+        assert (a == b) or (math.isnan(a) and math.isnan(b)), (v, a, b)
+        if v != 0 and not math.isnan(a) and a != 0:
+            # 6 significant digits preserved
+            assert abs(a - v) <= abs(v) * 1e-5 + 1e-300
