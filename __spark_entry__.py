@@ -37,7 +37,12 @@ def _round_sig_sql(col: str, sig: int = ROUND_SIG) -> str:
     Only NON-NEGATIVE integer powers of ten appear (POWER(10, -k) differs
     between Java's Math.pow and DuckDB's libm by 1 ulp, which flips rounding
     at .5 boundaries; 10^k for k ≥ 0 is exactly representable in both).
-    ROUND ties go half-away-from-zero in both engines (verified)."""
+    ROUND ties go half-away-from-zero in both engines (verified).
+
+    Valid for |v| in ~[1e-16, 1e16]: beyond that the scale factor 10^k
+    (k > 22) is itself inexact and the two engines' POWER results can
+    differ by 1 ulp (found by hypothesis at 3.38e-242). Every gate query's
+    doubles are inside the valid range by construction."""
     e = f"(FLOOR(LOG10(ABS({col}))) - {sig - 1})"
     pos = f"POWER(10, GREATEST({e}, 0))"
     neg = f"POWER(10, GREATEST(-({e}), 0))"

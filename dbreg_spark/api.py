@@ -401,7 +401,7 @@ def _execute_demean(
         )
     if sql_only:
         return sql if sql is not None else _spec_only_sql(spec, "demeaned")
-    row = run_agg(frame.df, spec)
+    row = run_agg(frame.df, spec, fe_cols=parsed.fe)
     if data_only:
         return pd.DataFrame([row])
 
@@ -554,7 +554,7 @@ def _execute_mundlak(
         )
     if sql_only:
         return sql if sql is not None else _spec_only_sql(spec, "augmented")
-    row = run_agg(frame.df, spec)
+    row = run_agg(frame.df, spec, fe_cols=parsed.fe)
     if data_only:
         return pd.DataFrame([row])
 
@@ -587,16 +587,10 @@ def _execute_mundlak(
     V = compute_vcov(vcov_type, sol.xtx_inv, rss, df_res, n_total, p, meat, n_clusters)
     ct = gen_coeftable(sol.betahat, V, df_res, collin.keep_names)
 
-    # per-FE mean tables (tiny) kept for predict()
-    fe_means = {}
+    # per-FE mean tables for predict(): computed LAZILY on first predict()
+    # call (two extra jobs per fit otherwise, paid even when nobody predicts)
     numeric_in_frame = [v for v in design.numeric_vars if v in base.x_cols]
-    if numeric_in_frame:
-        for fe_k in fe:
-            fe_means[fe_k] = (
-                base.df.groupBy(fe_k)
-                .agg(*[F.avg(v).alias(f"{v}_bar_{fe_k}") for v in numeric_in_frame])
-                .toPandas()
-            )
+    fe_means_src = (base.df, numeric_in_frame, list(fe)) if numeric_in_frame else None
 
     return DbregModel(
         coeftable=ct,
@@ -621,7 +615,7 @@ def _execute_mundlak(
         query_string=sql,
         design_info=design,
         parsed=parsed,
-        fe_means=fe_means or None,
+        fe_means_src=fe_means_src,
     )
 
 

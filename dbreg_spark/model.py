@@ -45,8 +45,23 @@ class DbregModel:
     # handles used by predict(); not part of the printed surface
     design_info: object = None
     parsed: object = None
-    fe_means: Optional[pd.DataFrame] = None
+    fe_means: Optional[dict] = None
+    # (base_df, numeric_vars, fe) for lazy fe_means computation (mundlak)
+    fe_means_src: object = None
     intercept: bool = True
+
+    def _ensure_fe_means(self):
+        if self.fe_means is None and self.fe_means_src is not None:
+            import pyspark.sql.functions as F
+
+            df, numeric_vars, fe = self.fe_means_src
+            self.fe_means = {
+                fe_k: df.groupBy(fe_k)
+                .agg(*[F.avg(v).alias(f"{v}_bar_{fe_k}") for v in numeric_vars])
+                .toPandas()
+                for fe_k in fe
+            }
+        return self.fe_means
 
     # -- inference ---------------------------------------------------------
     def _is_fe_coef(self, name: str) -> bool:
@@ -162,7 +177,7 @@ class DbregModel:
                 used.append(raw_name)
         # mundlak: add group-mean terms via broadcast-joined means
         df = newdata
-        if self.strategy == "mundlak" and self.fe_means is not None:
+        if self.strategy == "mundlak" and self._ensure_fe_means() is not None:
             spark = newdata.sparkSession
             for fe_k, pdf in self.fe_means.items():
                 mdf = F.broadcast(spark.createDataFrame(pdf))

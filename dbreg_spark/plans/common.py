@@ -161,10 +161,42 @@ def moment_spec(
     return spec
 
 
-def run_agg(df: DataFrame, spec: list[tuple[str, Agg]]) -> dict:
-    """Execute a single-row aggregation and return it as a plain dict."""
-    cols = [agg_to_spark(a).alias(name) for name, a in spec]
-    row = df.agg(*cols).collect()[0]
+def run_agg(
+    df: DataFrame, spec: list[tuple[str, Agg]], fe_cols: list[str] | None = None
+) -> dict:
+    """Execute a single-row aggregation and return it as a plain dict.
+
+    When the spec carries exact ``COUNT(DISTINCT fe)`` entries and ``fe_cols``
+    names those columns, the aggregation runs in TWO levels: partial sums per
+    FE cell (map-side combined, tiny shuffle), then final sums plus the
+    distinct counts over the cell table. A single-level plan would put the
+    distinct aggregates through Spark's Expand operator — every input row
+    duplicated once per distinct column — which measured 2.3x slower at
+    sf0.1 and triples the aggregation input at 100 TB. The two-level shape
+    pays one cell-keyed shuffle instead (cells = occupied FE combinations).
+    """
+    cd = [(name, a) for name, a in spec if a.kind == "count_distinct"]
+    two_level = (
+        bool(fe_cols)
+        and bool(cd)
+        and all(isinstance(a.expr, Var) and a.expr.name in fe_cols for _, a in cd)
+    )
+    if not two_level:
+        cols = [agg_to_spark(a).alias(name) for name, a in spec]
+        row = df.agg(*cols).collect()[0]
+        return row.asDict()
+
+    partial_cols = []
+    final_cols = []
+    for i, (name, a) in enumerate(spec):
+        if a.kind == "count_distinct":
+            final_cols.append(F.countDistinct(a.expr.name).alias(name))
+        else:
+            pc = f"__p{i}"
+            partial_cols.append(agg_to_spark(a).alias(pc))
+            final_cols.append(F.sum(pc).alias(name))
+    cells = df.groupBy(*fe_cols).agg(*partial_cols)
+    row = cells.agg(*final_cols).collect()[0]
     return row.asDict()
 
 

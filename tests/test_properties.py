@@ -98,18 +98,16 @@ def _round_engines(spark, duck):
     return both
 
 
-@given(
-    st.lists(
-        st.floats(
-            allow_nan=False,
-            allow_infinity=False,
-            min_value=-1e12,
-            max_value=1e12,
-        ),
-        min_size=1,
-        max_size=50,
-    )
-)
+def _bounded_floats():
+    """Doubles within the rounding expression's documented validity range
+    (|v| in [1e-15, 1e15] or 0): outside it 10^k (k > 22) is inexact and
+    the engines legitimately differ by 1 ulp (see _round_sig_sql)."""
+    mag = st.floats(min_value=1e-15, max_value=1e15, allow_nan=False)
+    signed = st.builds(lambda m, s: m * s, mag, st.sampled_from([-1.0, 1.0]))
+    return st.one_of(st.just(0.0), signed)
+
+
+@given(st.lists(_bounded_floats(), min_size=1, max_size=50))
 @settings(max_examples=20, deadline=None)
 def test_round_sig_cross_engine(_round_engines, vals):
     got_s, got_d = _round_engines(vals)
