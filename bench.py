@@ -41,10 +41,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def bench(name, fn, repeats=2):
-        # best-of-N: per-query wall time on a busy CI box is noisy (+-25%
-        # observed run-to-run); the minimum is the stable estimator of the
-        # achievable time and what BASELINE.md's numbers represent
+    def bench(name, fn, repeats=3):
+        # best-of-N: per-query wall time in a shared JVM is noisy (+-25%
+        # observed run-to-run from GC/JIT state); the minimum is the stable
+        # estimator of achievable time and what BASELINE.md's numbers mean
         best = None
         for _ in range(repeats):
             t0 = time.perf_counter()

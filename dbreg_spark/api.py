@@ -125,27 +125,44 @@ def dbreg(
 # --------------------------------------------------------------------------
 
 
-def _estimate_compression(source: Source, parsed: ParsedFormula, drop_missings=True):
-    """compression ratio = distinct(x, fe tuples) / rows
-    (reference: R/dbreg.R:509-575)."""
+def _combined_probe(source: Source, parsed: ParsedFormula, drop_missings=True):
+    """All auto-chooser statistics from one aggregation pass:
+    (any_continuous, compression_ratio, compressed_size).
+
+    The compression ratio = distinct(x, fe tuples)/rows (reference:
+    R/dbreg.R:509-575, paid there as an exact DISTINCT scan) and the
+    continuous-regressor heuristic (R/dbreg.R:420-441) both reduce to
+    cardinality sketches, so they share a single scan; approx is fine —
+    the thresholds are heuristics and the compress executor recomputes
+    exact cells anyway."""
+    from pyspark.sql import types as T
+
     from .plans.common import filter_missing
 
     key_cols = parsed.xvars + parsed.fe
     df = source.df
     if drop_missings:
         df = filter_missing(df, [parsed.yvar] + parsed.xvars + parsed.fe)
+
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    float_vars = [
+        v
+        for v in parsed.xvars
+        if isinstance(schema.get(v), (T.DoubleType, T.FloatType, T.DecimalType))
+    ]
     if not key_cols:
-        return 1.0, None
-    # single-pass probe: COUNT(*) and approximate distinct-tuple count in one
-    # aggregation (reference pays an exact DISTINCT scan, R/dbreg.R:528-535;
-    # approx is sanctioned for probes — the thresholds are heuristics and the
-    # compress executor recomputes exact cells anyway)
-    row = df.agg(
+        return False, 1.0, None
+
+    aggs = [
         F.count(F.lit(1)).alias("__n"),
         F.approx_count_distinct(F.struct(*key_cols), rsd=0.02).alias("__g"),
-    ).collect()[0]
+    ] + [F.approx_count_distinct(v).alias(f"__c_{v}") for v in float_vars]
+    row = df.agg(*aggs).collect()[0]
     total_n, n_groups = row["__n"], row["__g"]
-    return n_groups / max(total_n, 1), n_groups
+    any_continuous = any(
+        row[f"__c_{v}"] > min(50, 0.2 * total_n) for v in float_vars
+    )
+    return any_continuous, n_groups / max(total_n, 1), n_groups
 
 
 def _choose_strategy(source, parsed, strategy, compress_ratio, compress_nmax, verbose):
@@ -154,15 +171,11 @@ def _choose_strategy(source, parsed, strategy, compress_ratio, compress_nmax, ve
     if strategy != "auto":
         chosen = strategy
     else:
-        # cheap check first: the continuous heuristic reads dtypes (zero jobs
-        # when no float regressors) and decides the no-FE case outright, so
-        # the distinct-tuple probe is skipped when its answer can't matter
-        any_continuous = _any_continuous(source.df, parsed.xvars)
-        if len(fe) == 0 and any_continuous:
-            if verbose:
-                print("[dbreg] auto: continuous regressors, no FE -> moments (probe skipped)")
-            return "moments", None
-        cr_est, comp_size = _estimate_compression(source, parsed)
+        # ONE combined probe pass: COUNT(*), the approximate distinct-tuple
+        # count, and the per-float-regressor approximate cardinalities ride
+        # in the same aggregation (the reference pays separate round trips,
+        # R/dbreg.R:509-575 + 420-441; sketches share the scan here)
+        any_continuous, cr_est, comp_size = _combined_probe(source, parsed)
         fail_ratio = cr_est is not None and cr_est > compress_ratio
         fail_nmax = comp_size is not None and comp_size > compress_nmax
         if verbose:
@@ -208,27 +221,6 @@ def _choose_strategy(source, parsed, strategy, compress_ratio, compress_nmax, ve
     if chosen == "mundlak" and len(fe) == 0:
         raise ValueError("mundlak strategy requires at least one fixed effect")
     return chosen, cr_est
-
-
-def _any_continuous(df: DataFrame, xvars: list[str]) -> bool:
-    """Continuous-regressor heuristic (reference: R/dbreg.R:420-441): a
-    float-typed column with many distinct values. Uses approx_count_distinct
-    so the probe stays one cheap pass."""
-    from pyspark.sql import types as T
-
-    float_vars = [
-        f.name
-        for f in df.schema.fields
-        if f.name in xvars and isinstance(f.dataType, (T.DoubleType, T.FloatType, T.DecimalType))
-    ]
-    if not float_vars:
-        return False
-    aggs = [F.approx_count_distinct(v).alias(v) for v in float_vars] + [
-        F.count(F.lit(1)).alias("__n")
-    ]
-    row = df.agg(*aggs).collect()[0].asDict()
-    n = row.pop("__n")
-    return any(cnt > min(50, 0.2 * n) for cnt in row.values())
 
 
 def _is_balanced(source: Source, parsed: ParsedFormula) -> bool:
