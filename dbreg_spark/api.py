@@ -165,6 +165,47 @@ def _combined_probe(source: Source, parsed: ParsedFormula, drop_missings=True):
     return any_continuous, n_groups / max(total_n, 1), n_groups
 
 
+def _cluster_label(cluster_vars):
+    return "+".join(cluster_vars) if cluster_vars else None
+
+
+def _cluster_meat_any(frame, betahat, kept_x, icpt, cluster_vars, n_total, n_params):
+    """Single- or multiway-cluster meat.
+
+    Multiway (Cameron-Gelbach-Miller): V = Σ_S (−1)^{|S|+1} V_S over the
+    non-empty subsets S of the cluster variables, each V_S a CR1 sandwich
+    clustered on the interaction of S. Returned as an *effective* meat
+    scaled so that compute_vcov's single CR1 formula (with G = min
+    single-variable G, the conventional reporting choice) reproduces the
+    component sum exactly. Each component is one groupBy pass — 2^k − 1
+    passes for k cluster variables (k ≤ 3)."""
+    from itertools import combinations
+
+    if len(cluster_vars) == 1:
+        return cluster_meat(
+            frame, betahat, kept_x, intercept=icpt, cluster_col=cluster_vars[0]
+        )
+    comps = []
+    g_single = {}
+    for r in range(1, len(cluster_vars) + 1):
+        for S in combinations(cluster_vars, r):
+            meat_S, g_S, _sql = cluster_meat(
+                frame, betahat, kept_x, intercept=icpt, cluster_col=list(S)
+            )
+            comps.append((r, meat_S, g_S))
+            if r == 1:
+                g_single[S[0]] = g_S
+    g_min = min(g_single.values())
+    scale_ref = (g_min / (g_min - 1)) * (n_total / (n_total - n_params))
+    meat_eff = None
+    for r, meat_S, g_S in comps:
+        sign = 1.0 if r % 2 == 1 else -1.0
+        scale_S = (g_S / (g_S - 1)) * (n_total / (n_total - n_params))
+        term = sign * (scale_S / scale_ref) * meat_S
+        meat_eff = term if meat_eff is None else meat_eff + term
+    return meat_eff, g_min, None
+
+
 def _choose_strategy(source, parsed, strategy, compress_ratio, compress_nmax, verbose):
     fe = parsed.fe
     cr_est = None
@@ -271,7 +312,7 @@ def _execute_moments(
         parsed,
         design,
         drop_missings,
-        extra_cols=[cluster_var] if cluster_var else None,
+        extra_cols=cluster_var if cluster_var else None,
         want_sql=source.sql_from is not None,
     )
     spec = moment_spec(
@@ -308,8 +349,8 @@ def _execute_moments(
     if vcov_type == "hc1":
         meat, _ = hc1_meat(frame, sol.betahat, kept_x, intercept=icpt)
     elif vcov_type == "cluster":
-        meat, n_clusters, _ = cluster_meat(
-            frame, sol.betahat, kept_x, intercept=icpt, cluster_col=cluster_var
+        meat, n_clusters, _ = _cluster_meat_any(
+            frame, sol.betahat, kept_x, icpt, cluster_var, n_total, p
         )
 
     V = compute_vcov(vcov_type, sol.xtx_inv, rss, df_res, n_total, p, meat, n_clusters)
@@ -323,7 +364,7 @@ def _execute_moments(
         fe=[],
         strategy="moments",
         vcov_type=vcov_type,
-        cluster_var=cluster_var,
+        cluster_var=_cluster_label(cluster_var),
         nobs=1,
         nobs_orig=int(n_total),
         df_residual=df_res,
@@ -370,12 +411,12 @@ def _execute_demean(
         parsed,
         design,
         drop_missings,
-        extra_cols=[cluster_var] if cluster_var else None,
+        extra_cols=cluster_var if cluster_var else None,
         want_sql=source.sql_from is not None,
     )
     frame = build_demeaned_frame(base, fe, broadcast_means)
-    if cluster_var and cluster_var not in frame.df.columns:
-        # carry the cluster key through the demeaned projection
+    if cluster_var and any(c not in frame.df.columns for c in cluster_var):
+        # carry the cluster keys through the demeaned projection
         frame = _reattach_cluster(base, frame, fe, cluster_var, broadcast_means)
 
     n_fe_exprs = [Var(f) for f in fe]
@@ -417,11 +458,13 @@ def _execute_demean(
     if vcov_type == "hc1":
         meat, _ = hc1_meat(frame, sol.betahat, kept_x, intercept=False)
     elif vcov_type == "cluster":
-        meat, n_clusters, _ = cluster_meat(
-            frame, sol.betahat, kept_x, intercept=False, cluster_col=cluster_var
+        meat, n_clusters, _ = _cluster_meat_any(
+            frame, sol.betahat, kept_x, False, cluster_var, n_total, n_params_cluster
         )
         if ssc == "nested":
-            nested = count_nested_fe_levels(base.df, fe, cluster_var)
+            if len(cluster_var) > 1:
+                raise ValueError("ssc='nested' is not defined for multiway clustering")
+            nested = count_nested_fe_levels(base.df, fe, cluster_var[0])
             n_params_cluster = p_kept + df_fe - nested
 
     V = compute_vcov(
@@ -437,7 +480,7 @@ def _execute_demean(
         fe=fe,
         strategy="demean",
         vcov_type=vcov_type,
-        cluster_var=cluster_var,
+        cluster_var=_cluster_label(cluster_var),
         nobs=1,
         nobs_orig=int(n_total),
         df_residual=df_res,
@@ -455,20 +498,21 @@ def _execute_demean(
     )
 
 
-def _reattach_cluster(base: Frame, frame: Frame, fe, cluster_var, broadcast_means):
-    """Rebuild the demeaned frame carrying the cluster column through."""
-    # Cheap approach: re-run the demeaning select with the cluster col kept.
+def _reattach_cluster(base: Frame, frame: Frame, fe, cluster_vars, broadcast_means):
+    """Rebuild the demeaned frame carrying the cluster column(s) through."""
+    # Cheap approach: re-run the demeaning select with the cluster cols kept.
     vals = [base.y_col] + base.x_cols
     bc = F.broadcast if broadcast_means else (lambda d: d)
+    ccols = list(cluster_vars)
     if len(fe) == 1:
         fe1 = fe[0]
         means = base.df.groupBy(fe1).agg(*[F.avg(c).alias(f"{c}__m1") for c in vals])
         dm = base.df.join(bc(means), on=fe1).select(
             fe1,
-            cluster_var,
+            *ccols,
             *[(F.col(c) - F.col(f"{c}__m1")).alias(c) for c in vals],
         )
-        keys = [fe1, cluster_var]
+        keys = [fe1] + ccols
     else:
         fe1, fe2 = fe
         um = base.df.groupBy(fe1).agg(*[F.avg(c).alias(f"{c}__m1") for c in vals])
@@ -481,7 +525,7 @@ def _reattach_cluster(base: Frame, frame: Frame, fe, cluster_var, broadcast_mean
             .select(
                 fe1,
                 fe2,
-                cluster_var,
+                *ccols,
                 *[
                     (
                         F.col(c) - F.col(f"{c}__m1") - F.col(f"{c}__m2") + F.col(f"{c}__mo")
@@ -490,11 +534,12 @@ def _reattach_cluster(base: Frame, frame: Frame, fe, cluster_var, broadcast_mean
                 ],
             )
         )
-        keys = [fe1, fe2, cluster_var]
+        keys = [fe1, fe2] + ccols
     sql_cte = frame.sql_cte
     if sql_cte is not None:
-        # mirror: add cluster column into the demeaned CTE projection
-        sql_cte = sql_cte.replace("SELECT b.", f"SELECT b.{cluster_var}, b.", 1)
+        # mirror: add cluster columns into the demeaned CTE projection
+        prefix = "".join(f"b.{c}, " for c in ccols)
+        sql_cte = sql_cte.replace("SELECT b.", f"SELECT {prefix}b.", 1)
     return Frame(dm, base.y_col, base.x_cols, keys, sql_cte, frame.cte_name)
 
 
@@ -526,7 +571,7 @@ def _execute_mundlak(
         parsed,
         design,
         drop_missings,
-        extra_cols=[cluster_var] if cluster_var else None,
+        extra_cols=cluster_var if cluster_var else None,
         want_sql=source.sql_from is not None,
     )
     frame = build_mundlak_frame(base, fe, design.numeric_vars, broadcast_means)
@@ -572,8 +617,8 @@ def _execute_mundlak(
     if vcov_type == "hc1":
         meat, _ = hc1_meat(frame, sol.betahat, kept_x, intercept=icpt)
     elif vcov_type == "cluster":
-        meat, n_clusters, _ = cluster_meat(
-            frame, sol.betahat, kept_x, intercept=icpt, cluster_col=cluster_var
+        meat, n_clusters, _ = _cluster_meat_any(
+            frame, sol.betahat, kept_x, icpt, cluster_var, n_total, p
         )
 
     V = compute_vcov(vcov_type, sol.xtx_inv, rss, df_res, n_total, p, meat, n_clusters)
@@ -593,7 +638,7 @@ def _execute_mundlak(
         fe=fe,
         strategy="mundlak",
         vcov_type=vcov_type,
-        cluster_var=cluster_var,
+        cluster_var=_cluster_label(cluster_var),
         nobs=1,
         nobs_orig=int(n_total),
         df_residual=df_res,
@@ -730,9 +775,14 @@ def _execute_compress(
         # meat = X' diag(rss_g) X on kept columns (reference: R/dbreg.R:1771)
         meat = cd.gram(rss_g)[np.ix_(collin.keep_idx, collin.keep_idx)]
     elif vcov_type == "cluster":
+        if len(cluster_var) > 1:
+            raise ValueError(
+                "multiway clustering is not supported by the compress strategy; "
+                "use strategy='moments'/'demean'/'mundlak'"
+            )
         meat, n_clusters = _compress_cluster_meat(
-            source, parsed, design, group_cols, cluster_var, pdf, cd, collin, sol.betahat,
-            yhat, drop_missings
+            source, parsed, design, group_cols, cluster_var[0], pdf, cd, collin,
+            sol.betahat, yhat, drop_missings
         )
         if ssc == "nested":
             from .plans.common import filter_missing
@@ -740,7 +790,9 @@ def _execute_compress(
             fdf = filter_missing(
                 source.df, [parsed.yvar] + parsed.xvars + parsed.fe
             )
-            nested = count_nested_fe_levels(fdf, parsed.fe, cluster_var)
+            if len(cluster_var) > 1:
+                raise ValueError("ssc='nested' is not defined for multiway clustering")
+            nested = count_nested_fe_levels(fdf, parsed.fe, cluster_var[0])
             n_params_cluster = p - nested
 
     V = compute_vcov(
@@ -756,7 +808,7 @@ def _execute_compress(
         fe=parsed.fe,
         strategy="compress",
         vcov_type=vcov_type,
-        cluster_var=cluster_var,
+        cluster_var=_cluster_label(cluster_var),
         nobs=nobs_comp,
         nobs_orig=nobs_orig,
         df_residual=df_res,

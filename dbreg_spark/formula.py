@@ -180,27 +180,33 @@ def parse_formula(fml: str) -> ParsedFormula:
     return ParsedFormula(yvar=yvar, terms=deduped, fe=fe, intercept=intercept)
 
 
-def parse_cluster(spec) -> str:
-    """Parse a cluster spec: "~ firm" or "firm" → "firm"
-    (reference: R/utils.R:276-314)."""
+def parse_cluster(spec) -> list[str]:
+    """Parse a cluster spec: "~ firm" → ["firm"], "~ firm + year" →
+    ["firm", "year"] (multiway, Cameron-Gelbach-Miller). The reference
+    allows one variable only (R/utils.R:284-287); multiway is a
+    Spark-native extension (SURVEY §7.5)."""
     if spec is None:
         raise ValueError("no cluster spec")
     s = str(spec).strip()
     if s.startswith("~"):
         s = s[1:].strip()
     vars_ = [v.strip() for v in s.split("+") if v.strip()]
-    if len(vars_) != 1:
-        raise ValueError("Only single-variable clustering is currently supported")
-    return vars_[0]
+    if not 1 <= len(vars_) <= 3:
+        raise ValueError("cluster spec needs 1-3 variables")
+    for v in vars_:
+        if not _TOKEN.match(v):
+            raise ValueError(f"invalid cluster variable {v!r}")
+    return vars_
 
 
-def parse_vcov(vcov, cluster=None, valid=("iid", "hc1")) -> tuple[str, str | None]:
-    """Returns (vcov_type, cluster_var). Mirrors R/utils.R:276-314."""
-    vcov_type, cluster_var = None, None
+def parse_vcov(vcov, cluster=None, valid=("iid", "hc1")) -> tuple[str, list[str] | None]:
+    """Returns (vcov_type, cluster_vars). Mirrors R/utils.R:276-314; the
+    cluster list has >1 entry only for the multiway extension."""
+    vcov_type, cluster_vars = None, None
     if vcov is None:
         vcov_type = valid[0]
     elif isinstance(vcov, str) and vcov.strip().startswith("~"):
-        cluster_var = parse_cluster(vcov)
+        cluster_vars = parse_cluster(vcov)
         vcov_type = "cluster"
     elif isinstance(vcov, str):
         vt = vcov.strip().lower()
@@ -211,6 +217,6 @@ def parse_vcov(vcov, cluster=None, valid=("iid", "hc1")) -> tuple[str, str | Non
     else:
         raise ValueError("vcov must be a string or a cluster formula string")
     if cluster is not None:
-        cluster_var = parse_cluster(cluster)
+        cluster_vars = parse_cluster(cluster)
         vcov_type = "cluster"
-    return vcov_type, cluster_var
+    return vcov_type, cluster_vars

@@ -94,12 +94,13 @@ def cluster_meat(
     betahat: np.ndarray,
     x_names: list[str],
     intercept: bool,
-    cluster_col: str,
+    cluster_col: str | list[str],
 ) -> tuple[np.ndarray, int, str | None]:
     """Return (meat matrix, n_clusters, oracle SQL for the score table).
 
-    Stage 1: groupBy(cluster).agg(score_j = Σ e·xⱼ)  — shuffle is only the
-    per-partition partial score rows.
+    Stage 1: groupBy(cluster cols).agg(score_j = Σ e·xⱼ) — shuffle is only
+    the per-partition partial score rows. Multiple columns cluster on their
+    interaction (the CGM intersection components).
     Stage 2: one more single-row agg of score products Σ s_i·s_j plus
     COUNT(*) for G. Nothing proportional to G ever reaches the driver.
     """
@@ -127,15 +128,16 @@ def cluster_scores_plan(
     betahat: np.ndarray,
     x_names: list[str],
     intercept: bool,
-    cluster_col: str,
+    cluster_col: str | list[str],
 ):
     """Lazy per-cluster score aggregation: (scores_df, sql). The residual is
     materialized once (see hc1_meat_plan)."""
     from .exprs import to_spark, to_sql
 
+    ccols = [cluster_col] if isinstance(cluster_col, str) else list(cluster_col)
     r = _resid_expr(frame, betahat, x_names, intercept)
     proj = frame.df.select(
-        F.col(cluster_col),
+        *[F.col(c) for c in ccols],
         to_spark(Cast(r, "double")).alias("__e"),
         *[F.col(n) for n in x_names],
     )
@@ -144,18 +146,19 @@ def cluster_scores_plan(
     score_aggs = [
         agg_to_spark(asum(e * _d(c))).alias(f"score_{j}") for j, c in enumerate(cols)
     ]
-    scores = proj.groupBy(cluster_col).agg(*score_aggs)
+    scores = proj.groupBy(*ccols).agg(*score_aggs)
     sql = None
     if frame.sql_cte:
+        clist = ", ".join(ccols)
         xs = "".join(f", {n}" for n in x_names)
         score_sql = ", ".join(
             f"{agg_to_sql(asum(e * _d(c)))} AS score_{j}" for j, c in enumerate(cols)
         )
         sql = (
-            f"{frame.sql_cte},\nresid AS (\n  SELECT {cluster_col}, "
+            f"{frame.sql_cte},\nresid AS (\n  SELECT {clist}, "
             f"CAST({to_sql(r)} AS DOUBLE) AS __e{xs}\n  FROM {frame.cte_name}\n),\n"
-            f"cluster_scores AS (\n  SELECT {cluster_col}, {score_sql}"
-            f"\n  FROM resid\n  GROUP BY {cluster_col}\n)\n"
+            f"cluster_scores AS (\n  SELECT {clist}, {score_sql}"
+            f"\n  FROM resid\n  GROUP BY {clist}\n)\n"
             "SELECT * FROM cluster_scores"
         )
     return scores, sql

@@ -46,8 +46,9 @@ def test_dedupe_orders():
 def test_vcov_parse():
     assert parse_vcov("iid") == ("iid", None)
     assert parse_vcov("HC1") == ("hc1", None)
-    assert parse_vcov("~firm") == ("cluster", "firm")
-    assert parse_vcov("iid", cluster="~firm") == ("cluster", "firm")
+    assert parse_vcov("~firm") == ("cluster", ["firm"])
+    assert parse_vcov("iid", cluster="~firm") == ("cluster", ["firm"])
+    assert parse_vcov("~firm + year") == ("cluster", ["firm", "year"])
 
 
 def test_errors():
