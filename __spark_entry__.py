@@ -82,6 +82,21 @@ FML_2FE = "l_extendedprice ~ l_quantity + l_discount | l_returnflag + l_linestat
 FML_COMPRESS = "l_tax ~ l_quantity + l_discount | l_returnflag + l_linestatus"
 MEAT_BETA = [50000.0, -20.0, 15000.0]  # fixed (intercept, quantity, discount)
 
+# fixed-β predict gates (literal-β pattern, like MEAT_BETA): the transform
+# under test is the predict() scoring plan — demean group-mean reconstruction
+# and compress FE-dummy scoring — with β pinned so cross-engine hashes cannot
+# drift on estimator last-ulp noise (β estimation itself is pinned by the
+# ols_coef_* gates)
+PRED_DEMEAN_BETA = -20.0
+PRED_COMPRESS_BETA = {
+    "(Intercept)": 0.02,
+    "l_quantity": 0.0001,
+    "l_discount": 0.01,
+    "l_returnflagN": 0.003,
+    "l_returnflagR": -0.002,
+    "l_linestatusO": 0.001,
+}
+
 EP_BREAKS = [float(b) for b in range(0, 121000, 12100)]  # 10 manual bins
 
 
@@ -401,6 +416,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _round_doubles_df(spark.createDataFrame(pdf))
 
     Q["ols_coef_demean_1fe"] = q_ols_demean
+
+    # ---- predict() scoring plans (K9; reference stats-methods.R:94-236) ----
+    def q_predict_demean(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        m = dbreg(
+            "l_extendedprice ~ l_quantity | l_returnflag", t["lineitem"],
+            strategy="demean",
+        )
+        m.coeftable.loc["l_quantity", "estimate"] = PRED_DEMEAN_BETA
+        return m.predict(t["lineitem"]).select(
+            "l_orderkey", "l_linenumber", F.expr(_round_sig_sql("fit")).alias("fit")
+        )
+
+    Q["predict_demean_1fe"] = q_predict_demean
+
+    def q_predict_compress(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        m = dbreg(FML_COMPRESS, t["lineitem"], strategy="compress")
+        for name, b in PRED_COMPRESS_BETA.items():
+            if name in m.coeftable.index:
+                m.coeftable.loc[name, "estimate"] = b
+        return m.predict(t["lineitem"]).select(
+            "l_orderkey", "l_linenumber", F.expr(_round_sig_sql("fit")).alias("fit")
+        )
+
+    Q["predict_compress_fe"] = q_predict_compress
 
     # ---- events: windows + sessionization (batch mirrors of streaming) ----
     def q_events_daily(spark, sf_dir):
@@ -749,6 +790,33 @@ SELECT 'l_quantity' AS term, b1 AS estimate,
 """
     O["ols_coef_demean_1fe"] = _round_doubles_sql(
         ols_demean_inner, ["term", "estimate", "std_error"], ["estimate", "std_error"]
+    )
+
+    # predict gates: fixed-β scoring plans (see PRED_* constants)
+    O["predict_demean_1fe"] = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         AVG(CAST(l_quantity AS DOUBLE)) AS xbar,
+         AVG(CAST(l_extendedprice AS DOUBLE)) AS ybar
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber,
+       {_round_sig_sql(f"(m.ybar + {PRED_DEMEAN_BETA!r} * (CAST(l.l_quantity AS DOUBLE) - m.xbar))")} AS fit
+FROM lineitem l LEFT JOIN m ON l.l_returnflag = m.l_returnflag
+"""
+
+    _pc = PRED_COMPRESS_BETA
+    _pc_fit = (
+        f"({_pc['(Intercept)']!r} "
+        f"+ (CASE WHEN l_returnflag = 'N' THEN {_pc['l_returnflagN']!r} "
+        f"WHEN l_returnflag = 'R' THEN {_pc['l_returnflagR']!r} ELSE 0.0 END) "
+        f"+ (CASE WHEN l_linestatus = 'O' THEN {_pc['l_linestatusO']!r} ELSE 0.0 END) "
+        f"+ {_pc['l_quantity']!r} * CAST(l_quantity AS DOUBLE) "
+        f"+ {_pc['l_discount']!r} * CAST(l_discount AS DOUBLE))"
+    )
+    O["predict_compress_fe"] = (
+        f"SELECT l_orderkey, l_linenumber, {_round_sig_sql(_pc_fit)} AS fit "
+        "FROM lineitem"
     )
 
     O["events_window_daily"] = f"""

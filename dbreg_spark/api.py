@@ -624,11 +624,6 @@ def _execute_mundlak(
     V = compute_vcov(vcov_type, sol.xtx_inv, rss, df_res, n_total, p, meat, n_clusters)
     ct = gen_coeftable(sol.betahat, V, df_res, collin.keep_names)
 
-    # per-FE mean tables for predict(): computed LAZILY on first predict()
-    # call (two extra jobs per fit otherwise, paid even when nobody predicts)
-    numeric_in_frame = [v for v in design.numeric_vars if v in base.x_cols]
-    fe_means_src = (base.df, numeric_in_frame, list(fe)) if numeric_in_frame else None
-
     return DbregModel(
         coeftable=ct,
         vcov_=V,
@@ -652,7 +647,6 @@ def _execute_mundlak(
         query_string=sql,
         design_info=design,
         parsed=parsed,
-        fe_means_src=fe_means_src,
     )
 
 
@@ -752,6 +746,12 @@ def _execute_compress(
     from .wls import CellDesign
 
     cd = CellDesign(pdf, design.names, parsed.fe)
+    # level tables for predict() FE/factor-dummy scoring and the exact
+    # fe-coefficient name set used by coef(fe=)/se(fe=)/confint(fe=)
+    cat_levels = {b.var: list(b.levels) for b in cd.blocks if b.kind == "cat"}
+    fe_coef_names = frozenset(
+        f"{v}{lvl}" for v in parsed.fe for lvl in cat_levels.get(v, [])
+    )
     n_vec = pdf["n"].to_numpy(dtype=float)
     sum_y = pdf["sum_y"].to_numpy(dtype=float)
     sum_y_sq = pdf["sum_y_sq"].to_numpy(dtype=float)
@@ -821,6 +821,10 @@ def _execute_compress(
         query_string=sql,
         design_info=design,
         parsed=parsed,
+        cells=pdf,
+        spark_session=source.df.sparkSession,
+        cat_levels=cat_levels,
+        fe_coef_names=fe_coef_names,
     )
 
 

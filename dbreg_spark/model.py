@@ -19,6 +19,17 @@ from . import stats as _tstats
 from .design import standardize_coef_names
 
 
+def _balanced_sum(terms: list):
+    """Sum Column expressions as a balanced binary tree (depth log n, not n —
+    long left-deep add chains overflow Spark's column-conversion stack)."""
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
 @dataclass
 class DbregModel:
     coeftable: pd.DataFrame  # index = coef names; estimate/std.error/statistic/p.value
@@ -45,29 +56,24 @@ class DbregModel:
     # handles used by predict(); not part of the printed surface
     design_info: object = None
     parsed: object = None
-    fe_means: Optional[dict] = None
-    # (base_df, numeric_vars, fe) for lazy fe_means computation (mundlak)
-    fe_means_src: object = None
     intercept: bool = True
-
-    def _ensure_fe_means(self):
-        if self.fe_means is None and self.fe_means_src is not None:
-            import pyspark.sql.functions as F
-
-            df, numeric_vars, fe = self.fe_means_src
-            self.fe_means = {
-                fe_k: df.groupBy(fe_k)
-                .agg(*[F.avg(v).alias(f"{v}_bar_{fe_k}") for v in numeric_vars])
-                .toPandas()
-                for fe_k in fe
-            }
-        return self.fe_means
+    # compress only: retained compressed cells (reference keeps object$data,
+    # R/dbreg.R:2089-2100, enabling predict(newdata=NULL))
+    cells: Optional[pd.DataFrame] = None
+    spark_session: object = None
+    # compress only: categorical design blocks {var: [non-reference levels]}
+    # — covers FE vars AND unexpanded factor regressors
+    cat_levels: Optional[dict] = None
+    # exact FE-dummy coefficient names (so a regressor sharing an FE's name
+    # prefix is never misclassified)
+    fe_coef_names: frozenset = frozenset()
 
     # -- inference ---------------------------------------------------------
     def _is_fe_coef(self, name: str) -> bool:
-        """FE-level dummies (compress models) are named ``{fe_var}{level}``
-        (reference: stats-methods.R:28-60 filters the same way)."""
-        return any(name != f and name.startswith(f) for f in (self.fe or []))
+        """FE-level dummies (compress models), matched against the exact
+        name set built from the cell design's level tables (reference:
+        stats-methods.R:28-60 uses the stored coef_names the same way)."""
+        return name in self.fe_coef_names
 
     def _filter_fe(self, s, fe):
         if fe is None:
@@ -148,61 +154,83 @@ class DbregModel:
         )
 
     # -- predict (distributed; reference: R/stats-methods.R:94-236) --------
-    def predict(self, newdata, interval: str | None = None, level: float = 0.95):
+    def predict(self, newdata=None, interval: str | None = None, level: float = 0.95):
         """Score a Spark DataFrame with the fitted coefficients.
 
         Returns the input with a ``fit`` column appended (plus ``lwr``/``upr``
         when ``interval`` is "confidence" or "prediction"). Runs fully
-        distributed: β is embedded as literals, x'Vx is expanded as a
-        quadratic form in columns.
+        distributed: β is embedded as literals, group means come from
+        broadcast-joined tiny aggregates of *newdata* (matching the
+        reference's ``ave(newdata...)`` semantics, stats-methods.R:128-201),
+        and x'Vx is expanded as a quadratic form in columns.
+
+        Strategy-specific semantics (reference: stats-methods.R:71-111):
+
+        - ``demean``: predictors are demeaned with group means computed from
+          ``newdata``. When the outcome is present its group means are added
+          back (level predictions); otherwise within-group predictions are
+          returned with a warning. Intervals are refused (FE uncertainty was
+          absorbed at estimation) and downgraded to point predictions.
+        - ``mundlak``: the ``x_bar_fe`` regressors are recomputed from
+          ``newdata`` group means.
+        - ``compress``: FE-level (and factor-level) dummy coefficients are
+          scored via broadcast-joined level→β lookup tables;
+          ``newdata=None`` predicts on the retained compressed cells
+          (stats-methods.R:113-118).
         """
+        import warnings
+
         import pyspark.sql.functions as F
 
-        from .plans.exprs import to_spark
+        if interval == "none":
+            interval = None
+        if interval not in (None, "confidence", "prediction"):
+            raise ValueError("interval must be 'none', 'confidence' or 'prediction'")
+        if self.strategy == "demean" and interval is not None:
+            warnings.warn(
+                "Confidence/prediction intervals not supported for demean "
+                "strategy (fixed effect uncertainty unavailable). Returning "
+                "point predictions."
+            )
+            interval = None
 
+        if newdata is None:
+            if self.strategy == "compress" and self.cells is not None:
+                keep = [
+                    c
+                    for c in self.cells.columns
+                    if c not in ("n", "sum_y", "sum_y_sq", "mean_y", "wts")
+                ]
+                newdata = self.spark_session.createDataFrame(self.cells[keep])
+            else:
+                raise ValueError(
+                    "newdata is required for predictions, as dbreg does not "
+                    "retain the original data (compressed cells are retained "
+                    "only for strategy='compress')."
+                )
         if self.design_info is None:
             raise ValueError("model does not carry design info; cannot predict")
-        names = list(self.design_info.names)
-        exprs = {n: to_spark(e) for n, e in zip(names, self.design_info.exprs)}
+
+        if self.strategy == "demean":
+            return self._predict_demean(newdata)
 
         beta = self.coeftable["estimate"]
-        fit = F.lit(0.0)
-        if "(Intercept)" in beta.index:
-            fit = fit + F.lit(float(beta["(Intercept)"]))
-        used: list[str] = []
-        for raw_name in names:
-            cname = standardize_coef_names(raw_name)
-            if cname in beta.index:
-                fit = fit + F.lit(float(beta[cname])) * exprs[raw_name]
-                used.append(raw_name)
-        # mundlak: add group-mean terms via broadcast-joined means
-        df = newdata
-        if self.strategy == "mundlak" and self._ensure_fe_means() is not None:
-            spark = newdata.sparkSession
-            for fe_k, pdf in self.fe_means.items():
-                mdf = F.broadcast(spark.createDataFrame(pdf))
-                df = df.join(mdf, on=fe_k, how="left")
-            for bar_col in [c for c in beta.index if "_bar_" in c]:
-                fit = fit + F.lit(float(beta[bar_col])) * F.col(bar_col)
+        df, fit, col_exprs = self._score_terms(newdata, beta)
         out = df.withColumn("fit", fit)
 
         if interval in ("confidence", "prediction"):
-            # var(x'b) = x' V x expanded into column arithmetic
-            cols = []
-            for cname in self.coef_names:
-                if cname == "(Intercept)":
-                    cols.append(F.lit(1.0))
-                elif "_bar_" in cname:
-                    cols.append(F.col(cname))
-                else:
-                    raw = cname.replace(":", "_x_")
-                    cols.append(exprs.get(raw, F.col(cname)))
+            # var(x'b) = x' V x expanded into column arithmetic; terms are
+            # summed as a balanced tree (a left-deep chain of p² adds
+            # overflows the plan-conversion stack for FE-dummy designs)
+            cols = [col_exprs[c] for c in self.coef_names]
             V = self.vcov_
-            var_fit = F.lit(0.0)
-            for i in range(len(cols)):
-                for j in range(len(cols)):
-                    if V[i, j] != 0.0:
-                        var_fit = var_fit + F.lit(float(V[i, j])) * cols[i] * cols[j]
+            terms = [
+                F.lit(float(V[i, j])) * cols[i] * cols[j]
+                for i in range(len(cols))
+                for j in range(len(cols))
+                if V[i, j] != 0.0
+            ]
+            var_fit = _balanced_sum(terms) if terms else F.lit(0.0)
             if interval == "prediction":
                 sigma2 = self.rss / self.df_residual
                 var_fit = var_fit + F.lit(float(sigma2))
@@ -212,6 +240,152 @@ class DbregModel:
                 "upr", F.col("fit") + crit * se_fit
             )
         return out
+
+    def _design_expr(self, raw_name: str, newdata):
+        """Spark expression for a design column on ``newdata``: the column
+        itself when already materialized (e.g. predicting on compressed
+        cells), else the design expression re-evaluated."""
+        import pyspark.sql.functions as F
+
+        from .plans.exprs import to_spark
+
+        if raw_name in newdata.columns:
+            return F.col(raw_name).cast("double")
+        exprs = dict(zip(self.design_info.names, self.design_info.exprs))
+        return to_spark(exprs[raw_name])
+
+    def _score_terms(self, newdata, beta):
+        """(df, fit_expr, {coef_name: column_expr}) for moments / mundlak /
+        compress scoring. ``df`` is ``newdata`` with any broadcast-joined
+        helper columns (mundlak group means, compress level lookups)."""
+        import pandas as pd_
+        import pyspark.sql.functions as F
+
+        df = newdata
+        fit = F.lit(0.0)
+        col_exprs: dict = {}
+        if "(Intercept)" in beta.index:
+            fit = fit + F.lit(float(beta["(Intercept)"]))
+        col_exprs["(Intercept)"] = F.lit(1.0)
+
+        cat_levels = self.cat_levels or {}
+        # categorical blocks (compress): one tiny level→β lookup table per
+        # variable, broadcast-joined — scales to many FE levels where a
+        # literal CASE ladder would blow up the plan
+        for v, lvls in cat_levels.items():
+            if not lvls:
+                continue
+            bvals = [float(beta.get(f"{v}{lvl}", 0.0)) for lvl in lvls]
+            if not any(bvals) and all(f"{v}{lvl}" not in beta.index for lvl in lvls):
+                continue
+            lut = pd_.DataFrame({v: pd_.Series(lvls), f"__beta_{v}": bvals})
+            small = F.broadcast(newdata.sparkSession.createDataFrame(lut))
+            df = df.join(small, on=v, how="left")
+            fit = fit + F.coalesce(F.col(f"__beta_{v}"), F.lit(0.0))
+            for lvl in lvls:
+                cname = f"{v}{lvl}"
+                if cname in self.coef_names:
+                    col_exprs[cname] = (F.col(v) == F.lit(lvl)).cast("double")
+
+        # numeric / expanded design columns
+        for raw_name in self.design_info.names:
+            if raw_name in cat_levels:
+                continue  # scored above as a categorical block
+            cname = standardize_coef_names(raw_name)
+            expr = self._design_expr(raw_name, newdata)
+            col_exprs[cname] = expr
+            if cname in beta.index:
+                fit = fit + F.lit(float(beta[cname])) * expr
+
+        # mundlak: group-mean regressors recomputed from newdata
+        # (reference: stats-methods.R:183-201)
+        if self.strategy == "mundlak":
+            numeric_vars = list(getattr(self.design_info, "numeric_vars", []))
+            for fe_k in self.fe or []:
+                bars = [
+                    (v, f"{v}_bar_{fe_k}")
+                    for v in numeric_vars
+                    if f"{v}_bar_{fe_k}" in beta.index
+                ]
+                if not bars:
+                    continue
+                means = newdata.groupBy(fe_k).agg(
+                    *[
+                        F.avg(F.col(v).cast("double")).alias(bar)
+                        for v, bar in bars
+                    ]
+                )
+                df = df.join(F.broadcast(means), on=fe_k, how="left")
+                for _, bar in bars:
+                    fit = fit + F.lit(float(beta[bar])) * F.col(bar)
+                    col_exprs[bar] = F.col(bar)
+        return df, fit, col_exprs
+
+    def _predict_demean(self, newdata):
+        """Demean-strategy predict (reference: stats-methods.R:133-181):
+        demean newdata predictors with group means computed *from newdata*,
+        add back the outcome group means when the outcome is present."""
+        import warnings
+
+        import pyspark.sql.functions as F
+
+        beta = self.coeftable["estimate"]
+        fe = self.fe
+        has_y = self.yvar in newdata.columns
+        if not has_y:
+            warnings.warn(
+                f"Outcome '{self.yvar}' not found in newdata. Returning "
+                "within-group predictions (demean strategy only)."
+            )
+        orig_cols = list(newdata.columns)
+
+        used = [
+            (raw, standardize_coef_names(raw))
+            for raw in self.design_info.names
+            if standardize_coef_names(raw) in beta.index
+        ]
+        proj = newdata
+        tmp_cols = []
+        for i, (raw, _) in enumerate(used):
+            a = f"__px_{i}"
+            proj = proj.withColumn(a, self._design_expr(raw, newdata))
+            tmp_cols.append(a)
+
+        def mean_table(group_by: list[str], suffix: str):
+            aggs = [F.avg(F.col(a)).alias(f"{a}{suffix}") for a in tmp_cols]
+            if has_y:
+                aggs.append(
+                    F.avg(F.col(self.yvar).cast("double")).alias(f"__py{suffix}")
+                )
+            if group_by:
+                return proj.groupBy(*group_by).agg(*aggs)
+            return proj.agg(*aggs)
+
+        if len(fe) == 1:
+            j = proj.join(F.broadcast(mean_table([fe[0]], "_m1")), on=fe[0], how="left")
+            demeaned = {a: F.col(a) - F.col(f"{a}_m1") for a in tmp_cols}
+            ybar = F.col("__py_m1") if has_y else F.lit(0.0)
+        else:
+            # balanced-TWFE double demeaning, mirroring the estimator
+            j = (
+                proj.join(F.broadcast(mean_table([fe[0]], "_m1")), on=fe[0], how="left")
+                .join(F.broadcast(mean_table([fe[1]], "_m2")), on=fe[1], how="left")
+                .crossJoin(F.broadcast(mean_table([], "_mo")))
+            )
+            demeaned = {
+                a: F.col(a) - F.col(f"{a}_m1") - F.col(f"{a}_m2") + F.col(f"{a}_mo")
+                for a in tmp_cols
+            }
+            ybar = (
+                F.col("__py_m1") + F.col("__py_m2") - F.col("__py_mo")
+                if has_y
+                else F.lit(0.0)
+            )
+
+        fit = ybar
+        for a, (_, cname) in zip(tmp_cols, used):
+            fit = fit + F.lit(float(beta[cname])) * demeaned[a]
+        return j.withColumn("fit", fit).select(*orig_cols, "fit")
 
     # -- display -----------------------------------------------------------
     def __repr__(self) -> str:

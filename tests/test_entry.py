@@ -73,6 +73,8 @@ def test_entry_smoke(spark):
         "multimodal_frame_plan",
         "ols_coef_simple",
         "ols_coef_demean_1fe",
+        "predict_demean_1fe",
+        "predict_compress_fe",
         "events_window_daily",
         "events_sessionize_batch",
     ],

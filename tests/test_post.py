@@ -47,6 +47,117 @@ def test_predict_mundlak(panel):
     np.testing.assert_allclose(np.sort(pred), np.sort(X @ beta), rtol=1e-8)
 
 
+def test_predict_demean_1fe_matches_lsdv(panel):
+    """Demean predict = (x−x̄_g)β + ȳ_g must equal the LSDV fitted values
+    (reference: stats-methods.R:133-155)."""
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm", df, strategy="demean")
+    out = m.predict(df).toPandas().sort_values(["firm", "year"])
+    X, _, y = lsdv_matrix(pdf, "y", ["x1", "x2"], ["firm"])
+    beta, _ = ols_fit(X, y)
+    want = (
+        pdf.assign(fit=X @ beta).sort_values(["firm", "year"])["fit"].to_numpy()
+    )
+    np.testing.assert_allclose(out["fit"].to_numpy(), want, rtol=1e-8)
+
+
+def test_predict_demean_2fe_matches_lsdv(panel):
+    """Balanced TWFE: ŷ = x̃β + ȳ_u + ȳ_t − ȳ_o equals the LSDV fit
+    (reference: stats-methods.R:156-181)."""
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm + year", df, strategy="demean")
+    out = m.predict(df).toPandas().sort_values(["firm", "year"])
+    X, _, y = lsdv_matrix(pdf, "y", ["x1", "x2"], ["firm", "year"])
+    beta, _ = ols_fit(X, y)
+    want = (
+        pdf.assign(fit=X @ beta).sort_values(["firm", "year"])["fit"].to_numpy()
+    )
+    np.testing.assert_allclose(out["fit"].to_numpy(), want, rtol=1e-8)
+
+
+def test_predict_demean_no_outcome_within(panel):
+    """Without y in newdata: within-group predictions + warning
+    (reference: stats-methods.R:146-153)."""
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm", df, strategy="demean")
+    with pytest.warns(UserWarning, match="within-group"):
+        out = m.predict(df.drop("y")).toPandas().sort_values(["firm", "year"])
+    d = pdf.copy()
+    for c in ["x1", "x2"]:
+        d[c] = d[c] - d.groupby("firm")[c].transform("mean")
+    b = m.coef()
+    want = (
+        d.assign(fit=b["x1"] * d["x1"] + b["x2"] * d["x2"])
+        .sort_values(["firm", "year"])["fit"]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(out["fit"].to_numpy(), want, rtol=1e-8)
+
+
+def test_predict_demean_interval_downgrade(panel):
+    """Intervals are refused for demean (reference: stats-methods.R:104-111)."""
+    df, _ = panel
+    m = dbreg("y ~ x1 + x2 | firm", df, strategy="demean")
+    with pytest.warns(UserWarning, match="point predictions"):
+        out = m.predict(df, interval="confidence")
+    assert "lwr" not in out.columns and "fit" in out.columns
+
+
+def test_predict_compress_fe_matches_lsdv(panel):
+    """Compress predict scores FE-dummy coefficients (reference:
+    stats-methods.R:203-209)."""
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm", df, strategy="compress")
+    out = m.predict(df).toPandas().sort_values(["firm", "year"])
+    X, _, y = lsdv_matrix(pdf, "y", ["x1", "x2"], ["firm"])
+    beta, _ = ols_fit(X, y)
+    want = (
+        pdf.assign(fit=X @ beta).sort_values(["firm", "year"])["fit"].to_numpy()
+    )
+    np.testing.assert_allclose(out["fit"].to_numpy(), want, rtol=1e-8)
+
+
+def test_predict_compress_default_cells(panel):
+    """newdata=None predicts on the retained compressed cells
+    (reference: stats-methods.R:113-118)."""
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm", df, strategy="compress")
+    out = m.predict().toPandas()
+    assert len(out) == m.nobs and "fit" in out.columns
+    # cell-level fits must agree with row-level fits on the same key
+    row = m.predict(df).toPandas()
+    merged = out.merge(row, on=["x1", "x2", "firm"], suffixes=("_cell", "_row"))
+    np.testing.assert_allclose(
+        merged["fit_cell"].to_numpy(), merged["fit_row"].to_numpy(), rtol=1e-10
+    )
+
+
+def test_predict_compress_intervals(panel):
+    df, _ = panel
+    m = dbreg("y ~ x1 + x2 | firm", df, strategy="compress")
+    out = m.predict(df, interval="confidence").select("fit", "lwr", "upr").toPandas()
+    assert (out["lwr"] < out["fit"]).all() and (out["fit"] < out["upr"]).all()
+
+
+def test_fe_coef_prefix_not_confused(spark):
+    """A regressor sharing an FE's name prefix (fe 'f', regressor 'f2') must
+    not be classified as an FE dummy by coef(fe=)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "f": (10 * rng.integers(1, 4, 300)).astype("int64"),
+            "f2": rng.normal(size=300),
+        }
+    )
+    pdf["y"] = 1 + 2 * pdf["f2"] + 0.05 * pdf["f"] + rng.normal(0, 0.1, 300)
+    df = spark.createDataFrame(pdf)
+    m = dbreg("y ~ f2 | f", df, strategy="compress")
+    assert "f2" in m.coef(fe=False).index
+    assert set(m.coef(fe=True).index) == {"f20", "f30"}  # dummies, ref 10 dropped
+
+
 def test_gof_matches_oracle(panel):
     df, pdf = panel
     m = dbreg("y ~ x1 + x2 | firm", df, strategy="demean")
