@@ -724,17 +724,26 @@ def _execute_compress(
     comp, group_cols, sql = compress_plan(source, parsed, design, drop_missings)
     if sql_only:
         return sql
-    pdf = comp.toPandas()
     if data_only:
-        return pdf
+        return comp.toPandas()
+    # guarded collect: at most compress_nmax+1 rows ever cross to the driver
+    # (the pre-guard toPandas() could OOM the driver on a low-compression key
+    # at scale); past the cap, fall back to the distributed-Gram solve
+    # instead of refusing (reference refuses: R/dbreg.R:1575-1580)
+    pdf = comp.limit(compress_nmax + 1).toPandas()
+    if len(pdf) > compress_nmax:
+        if verbose:
+            print(
+                f"[dbreg] compressed size exceeds compress_nmax "
+                f"({compress_nmax:,}); using the distributed-Gram fallback"
+            )
+        return _execute_compress_distributed(
+            comp, parsed, design, vcov_type, cluster_var,
+            compression_ratio_est, sql, verbose,
+        )
     nobs_orig = int(pdf["n"].sum())
     nobs_comp = len(pdf)
     compression_ratio = nobs_comp / max(nobs_orig, 1)
-    if nobs_comp > compress_nmax:
-        raise ValueError(
-            f"[dbreg] compressed size {nobs_comp:,} exceeds compress_nmax "
-            f"({compress_nmax:,}); use demean/mundlak or raise compress_nmax."
-        )
     if verbose and compression_ratio > 0.8:
         import warnings
 
@@ -826,6 +835,102 @@ def _execute_compress(
         cat_levels=cat_levels,
         fe_coef_names=fe_coef_names,
     )
+
+
+def _execute_compress_distributed(
+    comp, parsed, design, vcov_type, cluster_var, compression_ratio_est, sql,
+    verbose,
+):
+    """Compress WLS past the driver-transfer cap: X'WX / X'Wy assembled from
+    blocked groupBy aggregates over the (persisted) cell table — the cells
+    never reach the driver. See :mod:`dbreg_spark.gram` for the plan shape.
+    β / iid / HC1 match the driver-WLS path exactly (same blocks, same
+    estimator); cluster vcov would need per-(cluster, cell) scores at a
+    scale where the cell table itself is too big to collect — refused with
+    guidance."""
+    from .gram import blocked_gram, build_blocks, yhat_frame
+
+    if vcov_type == "cluster":
+        raise ValueError(
+            "[dbreg] cluster vcov is not supported by the distributed-Gram "
+            "compress fallback (cell table exceeds compress_nmax); use "
+            "strategy='demean'/'mundlak' for clustered SEs at this scale, "
+            "or raise compress_nmax."
+        )
+    comp = comp.persist()
+    try:
+        blocks, col_names, levels = build_blocks(comp, design.names, parsed.fe)
+        mom = blocked_gram(comp, blocks, "n", with_y=True)
+        xtx, xty, syy = mom["xtx"], mom["xty"], mom["syy"]
+        n_tot = float(xtx[0, 0])
+        sum_y = float(xty[0])
+        nobs_comp = comp.count()
+        compression_ratio = nobs_comp / max(n_tot, 1.0)
+        if verbose and compression_ratio > 0.8:
+            import warnings
+
+            warnings.warn(
+                f"[dbreg] compression ineffective ({100 * compression_ratio:.1f}% "
+                "of original rows). Consider strategy='mundlak'."
+            )
+
+        collin = detect_collinearity(xtx, xty, col_names)
+        sol = solve_with_fallback(collin.xtx, collin.xty)
+        p = len(collin.keep_names)
+        beta_full = np.zeros(len(col_names))
+        beta_full[np.asarray(collin.keep_idx, dtype=int)] = sol.betahat
+
+        scored, yhat = yhat_frame(comp, blocks, beta_full)
+        scored = scored.withColumn(
+            "__rss_g",
+            F.col("sum_y_sq").cast("double")
+            - 2.0 * yhat * F.col("sum_y").cast("double")
+            + F.col("n").cast("double") * yhat * yhat,
+        )
+        meat = None
+        if vcov_type == "hc1":
+            g = blocked_gram(scored, blocks, "__rss_g")["xtx"]
+            rss_total = float(g[0, 0])
+            meat = g[np.ix_(collin.keep_idx, collin.keep_idx)]
+        else:
+            rss_total = float(scored.agg(F.sum("__rss_g")).collect()[0][0])
+
+        df_res = max(n_tot - p, 1)
+        tss = tss_from_moments(syy, sum_y, n_tot)
+        V = compute_vcov(vcov_type, sol.xtx_inv, rss_total, df_res, n_tot, p, meat, None)
+        ct = gen_coeftable(sol.betahat, V, df_res, collin.keep_names)
+        cat_levels = {v: lv[1:] for v, lv in levels.items()}
+        return DbregModel(
+            coeftable=ct,
+            vcov_=V,
+            coef_names=collin.keep_names,
+            yvar=parsed.yvar,
+            xvars=standardize_coef_names(parsed.xvars),
+            fe=parsed.fe,
+            strategy="compress",
+            vcov_type=vcov_type,
+            cluster_var=_cluster_label(cluster_var),
+            nobs=nobs_comp,
+            nobs_orig=int(n_tot),
+            df_residual=df_res,
+            rss=rss_total,
+            tss=tss,
+            n_clusters=None,
+            collin_vars=collin.drop_names,
+            compression_ratio=compression_ratio,
+            compression_ratio_est=compression_ratio_est,
+            query_string=sql,
+            design_info=design,
+            parsed=parsed,
+            cells=None,  # too large to retain; predict(newdata=...) works
+            spark_session=comp.sparkSession,
+            cat_levels=cat_levels,
+            fe_coef_names=frozenset(
+                f"{v}{lvl}" for v in parsed.fe for lvl in cat_levels.get(v, [])
+            ),
+        )
+    finally:
+        comp.unpersist()
 
 
 def _compress_cluster_meat(
