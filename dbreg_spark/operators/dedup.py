@@ -321,37 +321,62 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_words: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicates: candidates share ≥1 shingle
-    (explode → equi-join on shingle hash), then intersection/union counts
-    from the join itself. Returns (id_a, id_b, jaccard ≥ threshold)."""
+    (explode → equi-join on shingle hash), then exact Jaccard from the full
+    shingle-hash sets. Returns (id_a, id_b, jaccard ≥ threshold).
+
+    ``max_df`` is the scale guard: shingles appearing in more than ``max_df``
+    documents are excluded from *candidate generation* (one groupBy pre-pass
+    + a broadcast anti-join). Without it, a shingle with document frequency
+    d contributes d² join rows — a common trigram at corpus scale is a
+    cartesian-class explosion. Jaccard itself is always computed on the
+    complete shingle sets, so the cap only affects which pairs are
+    *surfaced*: a pair sharing nothing but ubiquitous shingles is skipped
+    (by construction such pairs sit at low Jaccard for any sensible cap).
+    """
     x = X(SPARK)
-    sh = df.select(
+    staged = df.select(
         F.col(id_col),
-        F.expr(x.array_distinct(x.word_ngrams(col, shingle_words))).alias("sh"),
+        F.expr(
+            x.array_distinct(
+                x.transform(x.word_ngrams(col, shingle_words), f"g -> {x.md5int('g')}")
+            )
+        ).alias("hs"),
     )
-    sizes = sh.select(id_col, F.size("sh").alias("nsh"))
-    tok = sh.select(
-        F.col(id_col), F.explode(F.expr(x.transform("sh", f"g -> {x.md5int('g')}"))).alias("gh")
-    )
+    tok = staged.select(F.col(id_col), F.explode("hs").alias("gh"))
+    if max_df is not None:
+        hot = (
+            tok.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("gh")
+        )
+        tok = tok.join(F.broadcast(hot), "gh", "left_anti")
     a = tok.alias("a")
     b = tok.alias("b")
-    shared = (
-        a.join(b, (F.col("a.gh") == F.col("b.gh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("nsh").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("nsh").alias("n_b"))
+    sa = staged.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+    sb = staged.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.expr("size(array_intersect(hs_a, hs_b))")
     return (
-        shared.join(na, "id_a")
-        .join(nb, "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.col("n_shared").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+                inter.cast("double")
+                / (F.expr("size(hs_a)") + F.expr("size(hs_b)") - inter)
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
@@ -365,27 +390,39 @@ def ngram_jaccard_pairs_sql(
     id_col: str = "doc_id",
     shingle_words: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> str:
     x = X(DUCK)
-    sh = x.array_distinct(x.word_ngrams(col, shingle_words))
+    hs = x.array_distinct(
+        x.transform(x.word_ngrams(col, shingle_words), f"g -> {x.md5int('g')}")
+    )
+    df_filter = ""
+    if max_df is not None:
+        df_filter = (
+            f"\n  WHERE gh NOT IN (SELECT gh FROM tok0 GROUP BY gh "
+            f"HAVING COUNT(*) > {max_df})"
+        )
+    jac = (
+        "CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) / "
+        "(len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))"
+    )
     return f"""
-WITH sh AS (
-  SELECT {id_col}, {sh} AS sh FROM {table}
+WITH staged AS (
+  SELECT {id_col}, {hs} AS hs FROM {table}
 ),
-sizes AS (SELECT {id_col}, len(sh) AS nsh FROM sh),
+tok0 AS (
+  SELECT {id_col}, g.g AS gh FROM staged, unnest(staged.hs) AS g(g)
+),
 tok AS (
-  SELECT {id_col}, {x.md5int('g.g')} AS gh
-  FROM sh, unnest(sh.sh) AS g(g)
+  SELECT {id_col}, gh FROM tok0{df_filter}
 ),
-shared AS (
-  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
   FROM tok a JOIN tok b ON a.gh = b.gh AND a.{id_col} < b.{id_col}
-  GROUP BY 1, 2
 )
-SELECT id_a, id_b,
-  ROUND(CAST(n_shared AS DOUBLE) / (na.nsh + nb.nsh - n_shared), 6) AS jaccard
-FROM shared
-JOIN sizes na ON na.{id_col} = shared.id_a
-JOIN sizes nb ON nb.{id_col} = shared.id_b
-WHERE CAST(n_shared AS DOUBLE) / (na.nsh + nb.nsh - n_shared) >= {threshold}
+SELECT cand.id_a, cand.id_b, ROUND({jac}, 6) AS jaccard
+FROM cand
+JOIN staged sa ON sa.{id_col} = cand.id_a
+JOIN staged sb ON sb.{id_col} = cand.id_b
+WHERE {jac} >= {threshold}
 """

@@ -194,6 +194,41 @@ def test_ngram_jaccard_vs_duckdb(spark, duck):
     assert set(zip(got["id_a"], got["id_b"])) == {(1, 2)}
 
 
+def test_ngram_jaccard_max_df_bounds_candidates(spark, duck):
+    """A shingle present in every document must not generate O(n²) candidate
+    pairs when max_df is set; pairs sharing rare shingles survive with their
+    EXACT Jaccard (full-set intersection), and the DuckDB twin agrees."""
+    n = 40
+    texts = [f"common tail words plus unique{i} token{i} here{i}" for i in range(n)]
+    # two genuine near-duplicates sharing rare shingles
+    texts[0] = "common tail words plus alpha beta gamma delta"
+    texts[1] = "common tail words plus alpha beta gamma epsilon"
+    pdf = pd.DataFrame({"doc_id": list(range(n)), "text": texts})
+    spark.createDataFrame(pdf).createOrReplaceTempView("hot_docs")
+    duck.register("hot_docs", pdf)
+
+    got = dedup.ngram_jaccard_pairs(
+        spark.table("hot_docs"), shingle_words=2, threshold=0.3, max_df=5
+    ).toPandas()
+    want = duck.execute(
+        dedup.ngram_jaccard_pairs_sql("hot_docs", shingle_words=2, threshold=0.3, max_df=5)
+    ).fetchdf()
+    _compare(got, want, ["id_a", "id_b"], ["jaccard"], rtol=1e-6)
+    assert set(zip(got["id_a"], got["id_b"])) == {(0, 1)}
+
+    # the candidate join itself is bounded: with the ubiquitous "common tail"
+    # shingles df-capped out, candidate pairs collapse from O(n²) to the two
+    # genuine near-dups
+    tok_pairs = dedup.ngram_jaccard_pairs(
+        spark.table("hot_docs"), shingle_words=2, threshold=0.0, max_df=5
+    ).count()
+    uncapped = dedup.ngram_jaccard_pairs(
+        spark.table("hot_docs"), shingle_words=2, threshold=0.0
+    ).count()
+    assert uncapped == n * (n - 1) // 2  # every pair shares the hot shingles
+    assert tok_pairs <= 2
+
+
 # ------------------------------------------------------------ similarity ----
 
 
