@@ -107,32 +107,76 @@ def _bucket_expr(vec_col: str, planes: np.ndarray) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+def _band_bucket_exprs(
+    vec_col: str, dim: int, n_planes: int, n_bands: int, seed: int
+) -> list[str]:
+    """One sign-bit bucket expression per band (b bands × r planes, all
+    drawn from one seeded stream so Spark and DuckDB agree)."""
+    planes = _hyperplanes(dim, n_planes * n_bands, seed)
+    return [
+        _bucket_expr(vec_col, planes[bnd * n_planes : (bnd + 1) * n_planes])
+        for bnd in range(n_bands)
+    ]
+
+
+def auto_planes(n_rows: int, target_bucket: int = 64) -> int:
+    """Planes per band sized to the corpus: 2^r buckets with ~target_bucket
+    expected occupancy, min 4. At n=10⁹ and target 64 this is r=24 —
+    in-bucket candidate volume stays ~n·target instead of n²/2^r."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n_rows, 2) / target_bucket)))
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
+    n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: only candidates in the query's hyperplane-sign
-    bucket are scored. Recall < 1 by design; the plan shuffles only
-    (bucket, id) pairs plus the in-bucket candidates."""
+    """Approximate top-k via banded (OR-construction) hyperplane LSH: a
+    candidate is scored when it shares ANY of the ``n_bands`` sign-bucket
+    tables with the query. More planes per band ⇒ smaller buckets (less
+    candidate volume); more bands ⇒ recall recovered (miss probability
+    (1−p^r)^b). ``n_planes=None`` sizes r to the corpus via
+    :func:`auto_planes`. The plan shuffles only (band, bucket, id) plus the
+    in-bucket candidates; duplicate candidates across bands are deduped by
+    a (query, id) max-aggregation before ranking."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    b = _bucket_expr("__v", planes)
+    if n_planes is None:
+        n_planes = auto_planes(corpus.count())
+    bexprs = _band_bucket_exprs("__v", dim, n_planes, n_bands, seed)
+    qexprs = _band_bucket_exprs("__qv", dim, n_planes, n_bands, seed)
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).withColumn("bucket", F.expr(b))
+    ).select(
+        F.col(id_col),
+        "__v",
+        F.posexplode(F.array(*[F.expr(e) for e in bexprs])).alias("band", "bucket"),
+    )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv")
-    ).withColumn("bucket", F.expr(_bucket_expr("__qv", planes)))
-    joined = c.join(F.broadcast(q), "bucket").where(F.col("query_id") != F.col(id_col))
-    scored = joined.select(
-        "query_id", id_col, F.expr(_cos_spark("__v", "__qv")).alias("cosine")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).select(
+        "query_id",
+        "__qv",
+        F.posexplode(F.array(*[F.expr(e) for e in qexprs])).alias("band", "bucket"),
+    )
+    joined = c.join(F.broadcast(q), ["band", "bucket"]).where(
+        F.col("query_id") != F.col(id_col)
+    )
+    scored = (
+        joined.select(
+            "query_id", id_col, F.expr(_cos_spark("__v", "__qv")).alias("cosine")
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -157,28 +201,45 @@ def _bucket_expr_duck(vec_col: str, planes: np.ndarray) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+def _band_bucket_exprs_duck(
+    vec_col: str, dim: int, n_planes: int, n_bands: int, seed: int
+) -> list[str]:
+    planes = _hyperplanes(dim, n_planes * n_bands, seed)
+    return [
+        _bucket_expr_duck(vec_col, planes[bnd * n_planes : (bnd + 1) * n_planes])
+        for bnd in range(n_bands)
+    ]
+
+
 def hyperplane_lsh_topk_sql(
     table: str,
     query_ids: list[int],
     k: int = 10,
     n_planes: int = 8,
+    n_bands: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> str:
-    planes = _hyperplanes(dim, n_planes, seed)
     ids = ", ".join(str(i) for i in query_ids)
-    b = _bucket_expr_duck("v", planes)
+    bexprs = _band_bucket_exprs_duck("v", dim, n_planes, n_bands, seed)
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, v, {bi} AS band, {be} AS bucket FROM c"
+        for bi, be in enumerate(bexprs)
+    )
     return f"""
 WITH c AS (
   SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}
 ),
-cb AS (SELECT {id_col}, v, {b} AS bucket FROM c),
-q AS (SELECT {id_col} AS query_id, v AS qv, bucket FROM cb WHERE {id_col} IN ({ids})),
+cb AS (
+{band_selects}
+),
+q AS (SELECT {id_col} AS query_id, v AS qv, band, bucket FROM cb WHERE {id_col} IN ({ids})),
 scored AS (
-  SELECT q.query_id, cb.{id_col}, list_cosine_similarity(cb.v, q.qv) AS cosine
-  FROM cb JOIN q USING (bucket) WHERE q.query_id <> cb.{id_col}
+  SELECT q.query_id, cb.{id_col}, MAX(list_cosine_similarity(cb.v, q.qv)) AS cosine
+  FROM cb JOIN q USING (band, bucket) WHERE q.query_id <> cb.{id_col}
+  GROUP BY 1, 2
 ),
 ranked AS (
   SELECT query_id, {id_col}, cosine,
@@ -194,21 +255,37 @@ def embedding_neardup_pairs_sql(
     table: str,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_bands: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
     seed: int = 42,
 ) -> str:
-    planes = _hyperplanes(dim, n_planes, seed)
-    b = _bucket_expr_duck("v", planes)
+    bexprs = _band_bucket_exprs_duck("v", dim, n_planes, n_bands, seed)
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, v, {bi} AS band, {be} AS bucket FROM c"
+        for bi, be in enumerate(bexprs)
+    )
+    cap = ""
+    if max_bucket is not None:
+        cap = (
+            f",\ncapped AS (\n  SELECT cb.* FROM cb\n"
+            f"  JOIN (SELECT band, bucket FROM cb GROUP BY band, bucket "
+            f"HAVING COUNT(*) <= {max_bucket}) ok USING (band, bucket)\n)"
+        )
+    src = "capped" if max_bucket is not None else "cb"
     return f"""
-WITH cb AS (
-  SELECT {id_col}, {vec_col}::DOUBLE[] AS v, {b} AS bucket
-  FROM {table}
-)
-SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+WITH c AS (
+  SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}
+),
+cb AS (
+{band_selects}
+){cap}
+SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
        ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
-FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+FROM {src} a JOIN {src} b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.{id_col} < b.{id_col}
 WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
 """
 
@@ -293,23 +370,52 @@ def ivf_topk(
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
+    n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-duplicate embedding pairs (cosine ≥ threshold) via hyperplane
-    bucketing + in-bucket verification."""
+    """Near-duplicate embedding pairs (cosine ≥ threshold) via banded
+    (OR-construction) hyperplane LSH + in-bucket verification.
+
+    Scale shape: ``n_bands`` independent bucket tables of 2^``n_planes``
+    cells each — the in-bucket self-join volume is Σ_band Σ_bucket m² with
+    m ≈ n/2^r per bucket, i.e. ~b·n²/2^r, tuned by sizing r to the corpus
+    (``n_planes=None`` → :func:`auto_planes`). A near-dup pair at cosine c
+    is missed by all bands with probability (1−p^r)^b, p = 1−arccos(c)/π.
+    ``max_bucket`` drops pathological hot buckets (skew guard) from
+    candidate generation — pairs in them are still found via their other
+    bands. Duplicate candidates across bands are removed by DISTINCT after
+    scoring (cosine is band-independent)."""
     dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    if n_planes is None:
+        n_planes = auto_planes(corpus.count())
+    bexprs = _band_bucket_exprs("__v", dim, n_planes, n_bands, seed)
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).withColumn("bucket", F.expr(_bucket_expr("__v", planes)))
+    ).select(
+        F.col(id_col),
+        "__v",
+        F.posexplode(F.array(*[F.expr(e) for e in bexprs])).alias("band", "bucket"),
+    )
+    if max_bucket is not None:
+        # anti-join against the HOT list (few rows by definition) — the
+        # complement OK list is the whole bucket space
+        hot = (
+            c.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .where(F.col("__m") > max_bucket)
+            .select("band", "bucket")
+        )
+        c = c.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a, b = c.alias("a"), c.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -319,5 +425,6 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .distinct()
     )
     return pairs
