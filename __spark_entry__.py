@@ -325,13 +325,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["similarity_cosine_topk"] = q_cosine_topk
 
-    # approximate ANN variants: deterministic but not SQL-expressible at
-    # reasonable cost → rows-only check (no oracle entry)
+    # IVF with the deterministic centroid fixture: cell assignment, probe
+    # selection and scoring all replayable by the DuckDB twin (hash-matched)
     def q_ivf(spark, sf_dir):
         t = _tables(spark, sf_dir)
         emb = t["embeddings"]
         queries_df = emb.where("vec_id < 5")
-        return similarity.ivf_topk(emb, queries_df, k=10, n_centroids=8, nprobe=3)
+        return similarity.ivf_topk(
+            emb, queries_df, k=10, nprobe=3,
+            centroids=similarity.fixed_ivf_centroids(8, 64),
+        )
 
     Q["similarity_ivf_topk"] = q_ivf
 
@@ -723,6 +726,10 @@ FROM g CROSS JOIN tot
     )
     O["similarity_hyperplane_lsh"] = _sim.hyperplane_lsh_topk_sql(
         "embeddings", [0, 1, 2, 3, 4], k=10, n_planes=4, dim=64
+    )
+    O["similarity_ivf_topk"] = _sim.ivf_topk_sql(
+        "embeddings", [0, 1, 2, 3, 4],
+        centroids=_sim.fixed_ivf_centroids(8, 64), k=10, nprobe=3,
     )
     O["dedup_embedding_neardup"] = _sim.embedding_neardup_pairs_sql(
         "embeddings", threshold=0.2, n_planes=4, dim=64

@@ -317,6 +317,23 @@ def kmeans_centroids(
     return cents
 
 
+def fixed_ivf_centroids(n_centroids: int = 8, dim: int = 64, seed: int = 202) -> np.ndarray:
+    """Deterministic centroid fixture (seeded, data-independent) so the
+    DuckDB oracle can replay the exact same cell assignment — flips the
+    ``similarity_ivf_topk`` gate from rows-only to hash-matched."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_centroids, dim))
+
+
+def _d2_quadratic_spark(vec: str, c: np.ndarray) -> str:
+    """‖v−c‖² = v·v − 2 v·c + c·c, with the dot products as sequential folds
+    — the exact arithmetic the DuckDB twin runs (list_inner_product is a
+    sequential loop), so cell argmins agree across engines."""
+    arr = "array(" + ", ".join(f"{v!r}D" for v in c) + ")"
+    cc = float(np.dot(c, c))
+    return f"(__vv - 2D * {_dot(vec, arr)} + {cc!r}D)"
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -326,32 +343,38 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus partitioned by nearest centroid; each query
-    scores only the ``nprobe`` nearest partitions."""
-    cents = kmeans_centroids(corpus, n_centroids, vec_col, seed=seed)
+    scores only the ``nprobe`` nearest partitions. ``centroids`` overrides
+    the sampled-kmeans fit (e.g. :func:`fixed_ivf_centroids` for the
+    deterministic gate)."""
+    cents = (
+        np.asarray(centroids, dtype=float)
+        if centroids is not None
+        else kmeans_centroids(corpus, n_centroids, vec_col, seed=seed)
+    )
 
-    def d2_expr(vec: str, c: np.ndarray) -> str:
-        arr = "array(" + ", ".join(f"{v!r}D" for v in c) + ")"
-        return f"aggregate(zip_with({vec}, {arr}, (p, q) -> (p - q) * (p - q)), 0D, (a, v) -> a + v)"
-
-    # nearest centroid as argmin over chained comparisons
+    # nearest centroid as argmin (first index attaining the min)
     def argmin_expr(vec: str) -> str:
-        d = [d2_expr(vec, c) for c in cents]
+        d = [_d2_quadratic_spark(vec, c) for c in cents]
         arr = "array(" + ", ".join(d) + ")"
         return f"array_position({arr}, array_min({arr}))"
 
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).withColumn("cell", F.expr(argmin_expr("__v")))
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .withColumn("__vv", F.expr(_dot("__v", "__v")))
+        .withColumn("cell", F.expr(argmin_expr("__v")))
+    )
 
-    # query → nprobe nearest cells (computed on the driver per query set)
+    # query → nprobe nearest cells (computed on the driver per query set,
+    # same quadratic-form arithmetic as the corpus assignment)
     qpdf = queries.select(id_col, vec_col).toPandas()
     qv = np.array(qpdf[vec_col].tolist(), dtype=float)
-    d2 = ((qv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    d2 = (qv * qv).sum(axis=1)[:, None] - 2.0 * qv @ cents.T + (cents * cents).sum(axis=1)[None, :]
     probe_rows = []
     for i, qid in enumerate(qpdf[id_col]):
-        for cell in np.argsort(d2[i])[:nprobe]:
+        for cell in np.argsort(d2[i], kind="stable")[:nprobe]:
             probe_rows.append((int(qid), int(cell) + 1, qv[i].tolist()))
     spark = corpus.sparkSession
     q = spark.createDataFrame(probe_rows, ["query_id", "cell", "__qv"])
@@ -365,6 +388,62 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", id_col, F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ivf_topk_sql(
+    table: str,
+    query_ids: list[int],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`ivf_topk` with fixed centroids: cell assignment
+    by ROW_NUMBER over the same quadratic-form distances, probe selection in
+    SQL (ORDER BY d2, cell — matching the stable argsort tie-break)."""
+    cents = np.asarray(centroids, dtype=float)
+    ids = ", ".join(str(i) for i in query_ids)
+    vals = ",\n    ".join(
+        f"({i + 1}, {_duck_plane_lit(c)}, {float(np.dot(c, c))!r})"
+        for i, c in enumerate(cents)
+    )
+    d2 = "(list_inner_product(%s, %s) - 2 * list_inner_product(%s, cents.cv) + cents.cc)"
+    d2_corpus = d2 % ("c.v", "c.v", "c.v")
+    d2_query = d2 % ("q.v", "q.v", "q.v")
+    return f"""
+WITH c AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}),
+cents AS (SELECT * FROM (VALUES
+    {vals}) t(cell, cv, cc)),
+assigned AS (
+  SELECT {id_col}, v, cell FROM (
+    SELECT c.{id_col}, c.v, cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY c.{id_col}
+             ORDER BY {d2_corpus} ASC, cents.cell ASC) AS rn
+    FROM c CROSS JOIN cents
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.{id_col} AS query_id, q.v AS qv, cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.{id_col}
+             ORDER BY {d2_query} ASC, cents.cell ASC) AS rn
+    FROM c q CROSS JOIN cents WHERE q.{id_col} IN ({ids})
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.{id_col}, list_cosine_similarity(a.v, p.qv) AS cosine
+  FROM assigned a JOIN probes p USING (cell)
+  WHERE p.query_id <> a.{id_col}
+),
+ranked AS (
+  SELECT query_id, {id_col}, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, {id_col} ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, {id_col}, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def embedding_neardup_pairs(

@@ -30,8 +30,8 @@ def inventory():
 def test_oracle_keys_subset(inventory):
     q, o = inventory
     assert set(o).issubset(set(q))
-    # queries without oracle = intentionally rows-only
-    assert set(q) - set(o) == {"similarity_ivf_topk", "multimodal_decode_features"}
+    # queries without oracle = intentionally rows-only (codec-bound stub only)
+    assert set(q) - set(o) == {"multimodal_decode_features"}
 
 
 def test_entry_smoke(spark):
@@ -68,6 +68,7 @@ def test_entry_smoke(spark):
         "dedup_ngram_jaccard",
         "similarity_cosine_topk",
         "similarity_hyperplane_lsh",
+        "similarity_ivf_topk",
         "dedup_embedding_neardup",
         "multimodal_metadata",
         "multimodal_frame_plan",
