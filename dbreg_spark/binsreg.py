@@ -88,6 +88,7 @@ def dbbinsreg(
     nbins: int = 20,
     binspos="qs",
     randcut: float | None = None,
+    sample_fit: bool | None = None,
     ci: bool = True,
     cb: bool = False,
     vcov=None,
@@ -101,6 +102,15 @@ def dbbinsreg(
 
     ``fml`` is ``y ~ x [+ controls] [| fe]`` — the first RHS variable is the
     running variable. ``points``/``line`` are (degree, smoothness) pairs.
+
+    ``sample_fit`` (reference: R/dbbinsreg.R:40-49, 517-535) controls whether
+    spline (s > 0) regressions reuse the same random sample drawn for the
+    bin breaks — the only way to bound the spline pass on huge data, since
+    the truncated-power design is incompressible. ``None`` auto-enables it
+    (with a message) whenever break sampling applies (n over the 1e6 auto
+    threshold, or an explicit ``randcut`` < 1); ``True`` enables silently;
+    ``False`` always fits on the full data. Ignored for s = 0 fits, which
+    the compress strategy already handles efficiently.
     """
     pts = _parse_ps(points, "points", default=None)
     lns = _parse_ps(line, "line", default=None)
@@ -135,20 +145,52 @@ def dbbinsreg(
     source = resolve_source(spark=spark, data=data, table=table, path=path)
     df = source.df
 
+    # ---- sample_fit: one sample reused for breaks AND spline fits --------
+    # (reference: R/dbbinsreg.R:517-535 materializes a sampled temp table of
+    # ALL regression columns when s > 0 and sampling applies)
+    any_spline = (points_on and pts[1] > 0) or (line_on and lns is not None and lns[1] > 0)
+    sample_df = None
+    if any_spline and sample_fit is not False and isinstance(binspos, str):
+        import warnings
+
+        cond = F.col(x).isNotNull() & F.col(y).isNotNull()
+        for c in controls + fe:
+            cond = cond & F.col(c).isNotNull()
+        n_rows = df.where(cond).count()
+        frac = randcut if randcut is not None else (0.01 if n_rows > 1_000_000 else 1.0)
+        if frac < 1.0:
+            if sample_fit is None:
+                warnings.warn(
+                    "Note: Using sampled data for spline regression (s > 0).\n"
+                    "  Silence this message by explicitly setting sample_fit=True.\n"
+                    "  Or, use the full dataset by setting sample_fit=False."
+                )
+            target = max(10_000, int(np.ceil(n_rows * frac)))
+            sample_df = (
+                df.where(cond)
+                .sample(fraction=min(1.0, 1.2 * target / max(n_rows, 1)), seed=seed)
+                .limit(target)
+                .cache()
+            )
+
     # ---- breaks ---------------------------------------------------------
     if isinstance(binspos, str):
         method = {"qs": "quantile", "es": "equal", "log": "log_equal"}.get(binspos)
         if method is None:
             raise ValueError("binspos must be 'qs', 'es', 'log', or a numeric vector")
         bi = compute_breaks(
-            df, x, nbins, method=method, randcut=randcut, seed=seed,
-            extra_notnull=[y],
+            # when a regression sample exists, breaks come from THE SAME
+            # sample (reference: x_sample read back from the sample table)
+            sample_df if sample_df is not None else df,
+            x, nbins, method=method,
+            randcut=None if sample_df is not None else randcut,
+            seed=seed, extra_notnull=[y],
         )
         breaks = bi.breaks
-        n_rows_orig = bi.n_rows
+        n_rows_orig = bi.n_rows if sample_df is None else None
         # full column already on the driver and no extra filter columns ->
         # geometry is computable in numpy (one less Spark job)
-        xs_full = bi.xs if not controls and not fe else None
+        xs_full = bi.xs if not controls and not fe and sample_df is None else None
     else:
         breaks = np.sort(np.asarray(binspos, dtype=float))
         if len(breaks) < 2:
@@ -158,14 +200,17 @@ def dbbinsreg(
     B = len(breaks) - 1
 
     common = dict(
-        df=df, y=y, x=x, controls=controls, fe=fe, breaks=breaks, vcov=vcov,
+        y=y, x=x, controls=controls, fe=fe, breaks=breaks, vcov=vcov,
         ci=ci, strategy=strategy, xs_full=xs_full, verbose=verbose,
     )
 
     def _fit(p, s):
         if s == 0:
-            return _unconstrained(degree=p, **common)
-        return _constrained(degree=p, smooth=s, **common)
+            return _unconstrained(df=df, degree=p, **common)
+        return _constrained(
+            df=sample_df if sample_df is not None else df,
+            degree=p, smooth=s, **common,
+        )
 
     opt = dict(
         points=pts,
@@ -180,21 +225,26 @@ def dbbinsreg(
         vcov=vcov,
         N=None,
         N_orig=n_rows_orig,
+        sample_fit=sample_df is not None,
     )
 
-    if points_on and line_on and pts != lns:
-        fit_p, geo_p, eval_p, se_p, knots_p = _fit(*pts)
-        fit_l, geo_l, eval_l, se_l, _ = _fit(*lns)
+    try:
+        if points_on and line_on and pts != lns:
+            fit_p, geo_p, eval_p, se_p, knots_p = _fit(*pts)
+            fit_l, geo_l, eval_l, se_l, _ = _fit(*lns)
+            return _build_output(
+                fit_p, geo_p, eval_p, se_p, knots_p, opt, alpha, linegrid, cb, nsims,
+                seed, points_on, line_on, line_eval=(geo_l, eval_l),
+            )
+        p, s = pts if points_on else lns
+        fit, geo, eval_fn, se_fn, knots = _fit(p, s)
         return _build_output(
-            fit_p, geo_p, eval_p, se_p, knots_p, opt, alpha, linegrid, cb, nsims,
-            seed, points_on, line_on, line_eval=(geo_l, eval_l),
+            fit, geo, eval_fn, se_fn, knots, opt, alpha, linegrid, cb, nsims, seed,
+            points_on, line_on,
         )
-    p, s = pts if points_on else lns
-    fit, geo, eval_fn, se_fn, knots = _fit(p, s)
-    return _build_output(
-        fit, geo, eval_fn, se_fn, knots, opt, alpha, linegrid, cb, nsims, seed,
-        points_on, line_on,
-    )
+    finally:
+        if sample_df is not None:
+            sample_df.unpersist()
 
 
 # --------------------------------------------------------------------------

@@ -172,6 +172,51 @@ def test_separate_points_line_models(bdata):
     assert len(r.line) == 5 * 20
 
 
+def test_sample_fit_spline_on_sample(spark):
+    """sample_fit=True (with randcut forcing sampling) runs the s>0 spline
+    dbreg on the sampled frame and matches the full fit within sampling
+    tolerance (reference: dbbinsreg.R:517-535)."""
+    rng = np.random.default_rng(5)
+    n = 40_000
+    x = rng.uniform(0, 10, n)
+    y = np.sin(x) + 0.05 * rng.normal(size=n)
+    df = spark.createDataFrame(pd.DataFrame({"x": x, "y": y}))
+
+    full = dbbinsreg(
+        "y ~ x", df, points=(2, 2), nbins=8, sample_fit=False, ci=False,
+        strategy="moments",
+    )
+    samp = dbbinsreg(
+        "y ~ x", df, points=(2, 2), nbins=8, randcut=0.3, sample_fit=True,
+        ci=False, strategy="moments",
+    )
+    assert samp.opt["sample_fit"] is True and full.opt["sample_fit"] is False
+    # spline fit really ran on the sample, not the 40k rows
+    assert samp.model.nobs_orig <= 15_000
+    assert full.model.nobs_orig == n
+    # fits agree within sampling noise (signal-to-noise is high)
+    a = full.points.sort_values("bin")["fit"].to_numpy()
+    b = samp.points.sort_values("bin")["fit"].to_numpy()
+    np.testing.assert_allclose(b, a, atol=0.05)
+
+
+def test_sample_fit_auto_message(spark):
+    """sample_fit=None auto-enables with a message when sampling applies."""
+    rng = np.random.default_rng(6)
+    pdf = pd.DataFrame({"x": rng.uniform(0, 10, 30_000)})
+    pdf["y"] = pdf["x"] + rng.normal(size=len(pdf))
+    df = spark.createDataFrame(pdf)
+    with pytest.warns(UserWarning, match="sampled data for spline"):
+        r = dbbinsreg(
+            "y ~ x", df, points=(1, 1), nbins=5, randcut=0.4, ci=False,
+            strategy="moments",
+        )
+    assert r.opt["sample_fit"] is True
+    # s=0 fits ignore sample_fit entirely
+    r0 = dbbinsreg("y ~ x", df, points=(0, 0), nbins=5, randcut=0.4, ci=False)
+    assert r0.opt["sample_fit"] is False
+
+
 def test_interaction_rejected(bdata):
     df, pdf = bdata
     with pytest.raises(ValueError, match="interaction"):
