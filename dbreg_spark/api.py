@@ -419,6 +419,22 @@ def _execute_demean(
         # carry the cluster keys through the demeaned projection
         frame = _reattach_cluster(base, frame, fe, cluster_var, broadcast_means)
 
+    try:
+        return _finish_demean(
+            frame, base, design, parsed, vcov_type, cluster_var, ssc, sql_only,
+            data_only, compression_ratio_est,
+        )
+    finally:
+        # the one-scan GROUPING SETS means table is cached for reuse across
+        # the moment and meat passes; release it once the fit is done
+        frame.cleanup()
+
+
+def _finish_demean(
+    frame, base, design, parsed, vcov_type, cluster_var, ssc, sql_only,
+    data_only, compression_ratio_est,
+):
+    fe = parsed.fe
     n_fe_exprs = [Var(f) for f in fe]
     spec = moment_spec(
         Var(frame.y_col),
@@ -540,7 +556,11 @@ def _reattach_cluster(base: Frame, frame: Frame, fe, cluster_vars, broadcast_mea
         # mirror: add cluster columns into the demeaned CTE projection
         prefix = "".join(f"b.{c}, " for c in ccols)
         sql_cte = sql_cte.replace("SELECT b.", f"SELECT {prefix}b.", 1)
-    return Frame(dm, base.y_col, base.x_cols, keys, sql_cte, frame.cte_name)
+    # carry ownership of any cached means table from the replaced frame
+    return Frame(
+        dm, base.y_col, base.x_cols, keys, sql_cte, frame.cte_name,
+        cached=frame.cached,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -576,6 +596,20 @@ def _execute_mundlak(
     )
     frame = build_mundlak_frame(base, fe, design.numeric_vars, broadcast_means)
 
+    try:
+        return _finish_mundlak(
+            frame, design, parsed, vcov_type, cluster_var, sql_only, data_only,
+            compression_ratio_est,
+        )
+    finally:
+        frame.cleanup()
+
+
+def _finish_mundlak(
+    frame, design, parsed, vcov_type, cluster_var, sql_only, data_only,
+    compression_ratio_est,
+):
+    fe = parsed.fe
     n_fe_exprs = [Var(f) for f in fe[:2]]
     spec = moment_spec(
         Var(frame.y_col),

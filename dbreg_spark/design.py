@@ -65,14 +65,34 @@ def classify_columns(df: DataFrame, vars_: list[str]) -> dict[str, str]:
     return out
 
 
-def factor_levels(df: DataFrame, vars_: list[str]) -> dict[str, list]:
+MAX_FACTOR_LEVELS = 10_000
+
+
+def factor_levels(
+    df: DataFrame, vars_: list[str], max_levels: int = MAX_FACTOR_LEVELS
+) -> dict[str, list]:
     """Distinct non-null levels, ascending — first level is the reference.
 
-    One small job per factor; level tables are tiny by assumption (the
-    reference caps its scan at 100k rows, R/sql_model_matrix.R:93-94 — we
-    scan fully for determinism; a low-cardinality distinct is cheap and
-    map-side-combined in Spark).
+    One small job per factor, guarded by a single approx-cardinality
+    pre-check: a string ID column mistaken for a factor would otherwise
+    collect millions of rows to the driver (the reference caps its scan at
+    100k rows, R/sql_model_matrix.R:93-94; here the distinct is exact for
+    determinism but refused above ``max_levels`` with a clear message).
     """
+    if not vars_:
+        return {}
+    probe = df.agg(
+        *[F.approx_count_distinct(v, rsd=0.02).alias(f"__c_{i}") for i, v in enumerate(vars_)]
+    ).collect()[0]
+    for i, v in enumerate(vars_):
+        est = probe[f"__c_{i}"]
+        if est > max_levels:
+            raise ValueError(
+                f"[dbreg] factor column {v!r} has ~{est:,} distinct levels "
+                f"(cap {max_levels:,}). This looks like an ID column, not a "
+                "factor — use it as a fixed effect (demean/mundlak absorb "
+                "high-cardinality FEs without level enumeration) or recode it."
+            )
     out = {}
     for v in vars_:
         rows = (

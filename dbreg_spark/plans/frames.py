@@ -35,6 +35,14 @@ class Frame:
     key_cols: list[str]  # FE (+cluster) columns carried through
     sql_cte: str | None  # "WITH ... <cte_name> AS (...)" prefix, or None
     cte_name: str
+    # cached helper table (one-scan GROUPING SETS means) owned by this frame;
+    # executors unpersist it after their last aggregation pass
+    cached: DataFrame | None = None
+
+    def cleanup(self) -> None:
+        if self.cached is not None:
+            self.cached.unpersist()
+            self.cached = None
 
 
 # Above this estimated input size, the multi-FE mean tables are computed in a
@@ -169,6 +177,7 @@ def build_demeaned_frame(
         return Frame(dm, base.y_col, base.x_cols, [fe1], sql_cte, "demeaned")
 
     fe1, fe2 = fe[0], fe[1]
+    gs = None
     if _use_one_scan_means(base.df, one_scan_means):
         # ONE scan computes unit means, time means AND the grand mean via
         # GROUPING SETS ((fe1),(fe2),()) — separate groupBys would re-read
@@ -233,7 +242,7 @@ def build_demeaned_frame(
             f"  JOIN time_means tm ON b.{fe2} = tm.{fe2}\n"
             f"  CROSS JOIN overall o\n)"
         )
-    return Frame(dm, base.y_col, base.x_cols, [fe1, fe2], sql_cte, "demeaned")
+    return Frame(dm, base.y_col, base.x_cols, [fe1, fe2], sql_cte, "demeaned", cached=gs)
 
 
 def build_mundlak_frame(
@@ -322,4 +331,5 @@ def build_mundlak_frame(
         key_cols=base.key_cols,
         sql_cte=sql_cte,
         cte_name="augmented",
+        cached=gs,
     )

@@ -1,0 +1,64 @@
+"""Cache lifecycle (VERDICT r01 #8): no cached RDDs may outlive a public
+operator call — caches are internal plan accelerators, not session state."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dbreg_spark import dbreg
+
+
+def _n_cached(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_minhash_lsh_releases_cache(spark, tables):
+    """The shingle-hash staging uses a shuffle barrier, not .cache() — no
+    persistent blocks at any point, before or after the action."""
+    from dbreg_spark.operators import dedup
+
+    before = _n_cached(spark)
+    pairs = dedup.minhash_lsh_pairs(
+        tables["documents"], n_hashes=16, band_rows=2, shingle_words=2,
+        jaccard_threshold=0.3,
+    )
+    assert pairs.count() >= 0
+    assert _n_cached(spark) == before
+
+
+def test_demean_one_scan_means_released(spark):
+    """Forced one-scan GROUPING SETS means: the cached means table must be
+    unpersisted by Frame.cleanup()."""
+    from dbreg_spark.design import build_design
+    from dbreg_spark.formula import parse_formula
+    from dbreg_spark.plans.common import resolve_source
+    from dbreg_spark.plans.frames import build_base_frame, build_demeaned_frame
+
+    from fixtures import panel_balanced
+
+    df = spark.createDataFrame(panel_balanced())
+    parsed = parse_formula("y ~ x1 + x2 | firm + year")
+    source = resolve_source(spark=spark, data=df)
+    design = build_design(source.df, parsed, expand="all", fe_vars=parsed.fe)
+    base = build_base_frame(source, parsed, design, want_sql=False)
+
+    before = _n_cached(spark)
+    frame = build_demeaned_frame(base, parsed.fe, one_scan_means=True)
+    frame.df.count()  # materializes the cached gs table
+    assert _n_cached(spark) == before + 1
+    frame.cleanup()
+    assert _n_cached(spark) == before
+
+
+def test_dbreg_strategies_leave_no_cache(spark, tables):
+    before = _n_cached(spark)
+    li = tables["lineitem"]
+    dbreg("l_extendedprice ~ l_quantity | l_returnflag + l_linestatus", li,
+          strategy="demean", vcov="hc1")
+    dbreg("l_extendedprice ~ l_quantity | l_returnflag + l_linestatus", li,
+          strategy="mundlak", vcov="hc1")
+    dbreg("l_tax ~ l_quantity | l_returnflag", li, strategy="compress")
+    # distributed-Gram fallback persists the cell table internally
+    dbreg("l_tax ~ l_quantity + l_discount | l_returnflag + l_linestatus", li,
+          strategy="compress", compress_nmax=100)
+    assert _n_cached(spark) == before

@@ -143,3 +143,19 @@ def test_collinearity_drop_did(spark):
     )
     beta, _ = ols_fit(X, pdf["y"].to_numpy(float))
     np.testing.assert_allclose(m.coef()["tp"], beta[2], rtol=1e-6)
+
+
+def test_factor_levels_cardinality_cap(spark):
+    """A high-cardinality string column mistaken for a factor must raise a
+    clear error, not collect every distinct value (VERDICT r01 #7)."""
+    from dbreg_spark.design import factor_levels
+
+    pdf = pd.DataFrame(
+        {"idlike": [f"user_{i}" for i in range(5000)], "y": np.arange(5000.0)}
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="distinct levels"):
+        factor_levels(df, ["idlike"], max_levels=100)
+    # under the cap: levels come back complete and sorted
+    lv = factor_levels(df.limit(50), ["idlike"], max_levels=100)
+    assert len(lv["idlike"]) == 50 and lv["idlike"] == sorted(lv["idlike"])
