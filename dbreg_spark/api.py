@@ -261,6 +261,18 @@ def _choose_strategy(source, parsed, strategy, compress_ratio, compress_nmax, ve
         chosen = "compress"
     if chosen == "mundlak" and len(fe) == 0:
         raise ValueError("mundlak strategy requires at least one fixed effect")
+    # user-selected demean with 2 FEs runs the balanced-panel double-demeaning
+    # identity; warn when the panel is unbalanced (reference: R/dbreg.R:685-692
+    # gates this on verbose; here it always runs — the probe is one cheap
+    # cell-count aggregation, and silently-wrong TWFE coefficients are worse)
+    if strategy != "auto" and chosen == "demean" and len(fe) == 2:
+        if not _is_balanced(source, parsed):
+            import warnings
+
+            warnings.warn(
+                "[dbreg] Panel appears unbalanced. Double demeaning may yield "
+                "different coefficients than exact TWFE."
+            )
     return chosen, cr_est
 
 

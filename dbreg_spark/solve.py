@@ -143,7 +143,16 @@ def gen_coeftable(betahat: np.ndarray, vcov: np.ndarray, df_residual: float, nam
     import pandas as pd
 
     b = np.asarray(betahat, dtype=float).reshape(-1)
-    se = np.sqrt(np.clip(np.diag(vcov), 0.0, None))
+    diag = np.diag(vcov)
+    if np.any(diag < -1e-12 * max(np.abs(diag).max(), 1.0)):
+        import warnings
+
+        warnings.warn(
+            "[dbreg] variance-covariance matrix has negative diagonal entries "
+            "(multiway-CGM vcov can be non-PSD); the affected std.errors are "
+            "reported as 0. Interpret those coefficients' inference with care."
+        )
+    se = np.sqrt(np.clip(diag, 0.0, None))
     with np.errstate(divide="ignore", invalid="ignore"):
         t = b / se
     p = 2.0 * np.asarray(t_sf(np.abs(t), df_residual))

@@ -379,3 +379,34 @@ def test_twoway_cluster_vs_numpy_cgm(panel):
     # demean path runs too and gives the same x1/x2 point estimates
     m2 = dbreg("y ~ x1 + x2 | firm", df, strategy="demean", vcov="~firm + year")
     assert (m2.se() > 0).all()
+
+
+def test_explicit_demean_unbalanced_warns(spark):
+    """User-forced demean on an unbalanced 2-FE panel warns that double
+    demeaning differs from exact TWFE (reference: dbreg.R:685-692)."""
+    from fixtures import panel_unbalanced
+
+    df = spark.createDataFrame(panel_unbalanced())
+    with pytest.warns(UserWarning, match="unbalanced"):
+        dbreg("y ~ x1 + x2 | firm + year", df, strategy="demean")
+    # balanced panel: no warning
+    import warnings as _w
+
+    from fixtures import panel_balanced
+
+    dfb = spark.createDataFrame(panel_balanced())
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        dbreg("y ~ x1 + x2 | firm + year", dfb, strategy="demean")
+
+
+def test_nonpsd_vcov_warns():
+    """Clipped negative vcov diagonals must be loud (ADVICE r01)."""
+    import numpy as np
+
+    from dbreg_spark.solve import gen_coeftable
+
+    V = np.array([[1.0, 0.0], [0.0, -0.5]])
+    with pytest.warns(UserWarning, match="negative diagonal"):
+        ct = gen_coeftable(np.array([1.0, 2.0]), V, 10.0, ["a", "b"])
+    assert ct.loc["b", "std.error"] == 0.0
