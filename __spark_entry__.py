@@ -79,6 +79,9 @@ def _tables(spark: SparkSession, sf_dir: str) -> dict:
 FML_NOFE = "l_extendedprice ~ l_quantity + l_discount"
 FML_1FE = "l_extendedprice ~ l_quantity + l_discount | l_returnflag"
 FML_2FE = "l_extendedprice ~ l_quantity + l_discount | l_returnflag + l_linestatus"
+FML_3FE = (
+    "l_extendedprice ~ l_quantity + l_discount | l_returnflag + l_linestatus + l_linenumber"
+)
 FML_COMPRESS = "l_tax ~ l_quantity + l_discount | l_returnflag + l_linestatus"
 MEAT_BETA = [50000.0, -20.0, 15000.0]  # fixed (intercept, quantity, discount)
 
@@ -141,6 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["moments_nofe"] = plan_query(FML_NOFE, "moments")
     Q["demean_moments_1fe"] = plan_query(FML_1FE, "demean")
     Q["demean_moments_2fe"] = plan_query(FML_2FE, "demean")
+    # k>2 FEs: fixed-sweep iterated demeaning (beyond the reference's 2-FE cap)
+    Q["demean_moments_3fe_iter"] = plan_query(FML_3FE, "demean")
     Q["mundlak_moments_2fe"] = plan_query(FML_2FE, "mundlak")
     Q["compress_cells"] = plan_query(FML_COMPRESS, "compress")
     Q["group_means_1fe"] = plan_query(FML_1FE, "group_means")
@@ -167,6 +172,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _round_doubles_df(df)
 
     Q["cluster_scores_fixed_beta"] = cluster_scores
+
+    # multiway CGM: the interaction-cluster score pass (beyond-reference
+    # feature, now oracle-pinned — the single-var passes are the gate above)
+    def cluster_scores_multiway(spark, sf_dir):
+        _tables(spark, sf_dir)
+        df, _ = build_meat_plan(
+            FML_NOFE,
+            spark=spark,
+            table="lineitem",
+            beta=MEAT_BETA,
+            kind="cluster",
+            cluster=["l_returnflag", "l_linestatus"],
+        )
+        return _round_doubles_df(df)
+
+    Q["cluster_scores_multiway"] = cluster_scores_multiway
 
     # ---- design matrix (SURVEY §2.7 F1-F2) ----
     def design_matrix(spark, sf_dir):
@@ -561,6 +582,7 @@ def oracle_sql() -> dict[str, str]:
         ("moments_nofe", FML_NOFE, "moments"),
         ("demean_moments_1fe", FML_1FE, "demean"),
         ("demean_moments_2fe", FML_2FE, "demean"),
+        ("demean_moments_3fe_iter", FML_3FE, "demean"),
         ("mundlak_moments_2fe", FML_2FE, "mundlak"),
         ("compress_cells", FML_COMPRESS, "compress"),
         ("group_means_1fe", FML_1FE, "group_means"),
@@ -598,6 +620,17 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(score_terms)
         + f" FROM ({base} AND l_returnflag IS NOT NULL) b GROUP BY l_returnflag",
         ["l_returnflag", "score_0", "score_1", "score_2"],
+        ["score_0", "score_1", "score_2"],
+    )
+
+    base_mw = base.replace(
+        "l_discount, l_returnflag FROM", "l_discount, l_returnflag, l_linestatus FROM"
+    )
+    O["cluster_scores_multiway"] = _round_doubles_sql(
+        "SELECT l_returnflag, l_linestatus, "
+        + ", ".join(score_terms)
+        + f" FROM ({base_mw}) b GROUP BY l_returnflag, l_linestatus",
+        ["l_returnflag", "l_linestatus", "score_0", "score_1", "score_2"],
         ["score_0", "score_1", "score_2"],
     )
 

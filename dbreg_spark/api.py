@@ -34,6 +34,7 @@ from .plans.frames import (
     Frame,
     build_base_frame,
     build_demeaned_frame,
+    build_demeaned_frame_iterative,
     build_mundlak_frame,
 )
 from .plans.meat import cluster_meat, count_nested_fe_levels, hc1_meat
@@ -244,7 +245,9 @@ def _choose_strategy(source, parsed, strategy, compress_ratio, compress_nmax, ve
             else:
                 chosen = "compress"
         else:
-            chosen = "compress"
+            # k>2 FEs: compress while cells fit; past the thresholds, the
+            # iterated-demeaning path absorbs the FEs exactly
+            chosen = "demean" if (fail_ratio or fail_nmax) else "compress"
         if verbose:
             print(f"[dbreg] auto decision: {chosen}")
 
@@ -254,10 +257,10 @@ def _choose_strategy(source, parsed, strategy, compress_ratio, compress_nmax, ve
 
         warnings.warn("[dbreg] FE present; moments (no-FE) not applicable. Using compress.")
         chosen = "compress"
-    if chosen == "demean" and len(fe) not in (1, 2):
+    if chosen == "demean" and len(fe) < 1:
         import warnings
 
-        warnings.warn("[dbreg] demean requires <= 2 FEs. Using compress.")
+        warnings.warn("[dbreg] demean requires at least one FE. Using compress.")
         chosen = "compress"
     if chosen == "mundlak" and len(fe) == 0:
         raise ValueError("mundlak strategy requires at least one fixed effect")
@@ -415,8 +418,8 @@ def _execute_demean(
     compress_nmax,
 ):
     fe = parsed.fe
-    if len(fe) not in (1, 2):
-        raise ValueError("demean requires 1 or 2 fixed effects")
+    if len(fe) < 1:
+        raise ValueError("demean requires at least one fixed effect")
     design = build_design(source.df, parsed, expand="all", fe_vars=fe)
     base = build_base_frame(
         source,
@@ -426,10 +429,15 @@ def _execute_demean(
         extra_cols=cluster_var if cluster_var else None,
         want_sql=source.sql_from is not None,
     )
-    frame = build_demeaned_frame(base, fe, broadcast_means)
-    if cluster_var and any(c not in frame.df.columns for c in cluster_var):
-        # carry the cluster keys through the demeaned projection
-        frame = _reattach_cluster(base, frame, fe, cluster_var, broadcast_means)
+    if len(fe) > 2:
+        # k>2: iterated demeaning (alternating projections) — exact at
+        # convergence for any balance; cluster keys ride in base.key_cols
+        frame = build_demeaned_frame_iterative(base, fe, broadcast_means)
+    else:
+        frame = build_demeaned_frame(base, fe, broadcast_means)
+        if cluster_var and any(c not in frame.df.columns for c in cluster_var):
+            # carry the cluster keys through the demeaned projection
+            frame = _reattach_cluster(base, frame, fe, cluster_var, broadcast_means)
 
     try:
         return _finish_demean(
@@ -467,8 +475,8 @@ def _finish_demean(
         return pd.DataFrame([row])
 
     n_total = float(row["n_total"])
-    n_fe1 = int(row.get("n_fe1", 1))
-    n_fe2 = int(row.get("n_fe2", 1))
+    n_fe = [int(row.get(f"n_fe{k + 1}", 1)) for k in range(max(len(fe), 2))]
+    n_fe1, n_fe2 = n_fe[0], n_fe[1]
     sum_y_sq = float(row["sum_y_sq"])
 
     names = [standardize_coef_names(n) for n in frame.x_cols]
@@ -477,7 +485,9 @@ def _finish_demean(
     sol = solve_with_fallback(collin.xtx, collin.xty)
     rss = rss_from_moments(sum_y_sq, sol.betahat, collin.xtx, collin.xty)
     p_kept = len(collin.keep_names)
-    df_fe = n_fe1 + n_fe2 - 1
+    # G1 + Σ_{k≥2}(G_k − 1): exact when the FE incidence graph is connected
+    # (the usual fixest convention; connected-component corrections omitted)
+    df_fe = n_fe[0] + sum(g - 1 for g in n_fe[1:])
     df_res = max(n_total - p_kept - df_fe, 1)
 
     meat = n_clusters = None
@@ -1069,7 +1079,11 @@ def build_plan(
         frame, intercept, n_fe = base, True, []
     elif strategy == "demean":
         frame, intercept, n_fe = (
-            build_demeaned_frame(base, parsed.fe, broadcast_means),
+            # k>2: fixed-sweep iterated demeaning so the plan (and its SQL
+            # mirror) is deterministic — the gate pins the transform shape
+            build_demeaned_frame_iterative(base, parsed.fe, broadcast_means, sweeps=2)
+            if len(parsed.fe) > 2
+            else build_demeaned_frame(base, parsed.fe, broadcast_means),
             False,
             [Var(f) for f in parsed.fe],
         )
@@ -1120,11 +1134,12 @@ def build_meat_plan(
     table: str,
     beta: list[float],
     kind: str = "hc1",
-    cluster: str | None = None,
+    cluster: str | list[str] | None = None,
     drop_missings: bool = True,
 ):
     """Lazy second-pass plan with a FIXED beta vector (deterministic across
-    scale factors — exercises the meat/score aggregation shape)."""
+    scale factors — exercises the meat/score aggregation shape). ``cluster``
+    may be a list for the multiway-CGM interaction score pass."""
     import numpy as np
 
     from .plans.meat import cluster_scores_plan, hc1_meat_plan
@@ -1132,12 +1147,13 @@ def build_meat_plan(
     parsed = parse_formula(fml)
     source = resolve_source(spark=spark, table=table)
     design = build_design(source.df, parsed, expand="all", fe_vars=parsed.fe)
+    ccols = [cluster] if isinstance(cluster, str) else cluster
     base = build_base_frame(
         source,
         parsed,
         design,
         drop_missings,
-        extra_cols=[cluster] if cluster else None,
+        extra_cols=ccols,
         want_sql=True,
     )
     b = np.asarray(beta, dtype=float)

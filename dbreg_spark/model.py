@@ -331,6 +331,12 @@ class DbregModel:
 
         beta = self.coeftable["estimate"]
         fe = self.fe
+        if len(fe) > 2:
+            raise NotImplementedError(
+                "predict() for demean models with more than 2 FEs would need "
+                "the full alternating-projection transform of newdata; "
+                "re-estimate with strategy='compress' to predict."
+            )
         has_y = self.yvar in newdata.columns
         if not has_y:
             warnings.warn(

@@ -38,11 +38,17 @@ class Frame:
     # cached helper table (one-scan GROUPING SETS means) owned by this frame;
     # executors unpersist it after their last aggregation pass
     cached: DataFrame | None = None
+    # extra storage-release hook (e.g. checkpoint blocks of the iterative
+    # demeaning loop, which DataFrame.unpersist cannot reach)
+    cleanup_fn: object = None
 
     def cleanup(self) -> None:
         if self.cached is not None:
             self.cached.unpersist()
             self.cached = None
+        if self.cleanup_fn is not None:
+            self.cleanup_fn()
+            self.cleanup_fn = None
 
 
 # Above this estimated input size, the multi-FE mean tables are computed in a
@@ -243,6 +249,115 @@ def build_demeaned_frame(
             f"  CROSS JOIN overall o\n)"
         )
     return Frame(dm, base.y_col, base.x_cols, [fe1, fe2], sql_cte, "demeaned", cached=gs)
+
+
+def build_demeaned_frame_iterative(
+    base: Frame,
+    fe: list[str],
+    broadcast_means: bool = True,
+    sweeps: int | None = None,
+    tol: float = 1e-9,
+    max_sweeps: int = 60,
+) -> Frame:
+    """k-FE demeaning by alternating projections — Gauss-Seidel sweeps over
+    the per-FE group-mean operators (the same fixed point fixest's demeaning
+    loop converges to; beyond the reference, which caps at 2 FEs).
+
+    Each sweep subtracts per-FE means (tiny groupBy tables, broadcast back;
+    the big table is never shuffled). ``sweeps=N`` runs exactly N sweeps
+    with no convergence actions and emits the SQL mirror — deterministic,
+    used by the correctness gate. ``sweeps=None`` iterates adaptively: each
+    sweep ends with ONE GROUPING-SETS aggregation that simultaneously
+    materializes the sweep into cache and measures the residual group-mean
+    magnitude; the loop stops when that drops below ``tol`` relative to the
+    first sweep. The previous sweep's cache is released as soon as the next
+    materializes; the final cache is owned by the returned Frame
+    (``Frame.cleanup``)."""
+    vals = [base.y_col] + base.x_cols
+    keys = list(base.key_cols)
+    bc = F.broadcast if broadcast_means else (lambda d: d)
+
+    def one_sweep(df: DataFrame) -> DataFrame:
+        for f in fe:
+            means = df.groupBy(f).agg(*[F.avg(c).alias(f"{c}__m") for c in vals])
+            df = df.join(bc(means), on=f).select(
+                *keys, *[(F.col(c) - F.col(f"{c}__m")).alias(c) for c in vals]
+            )
+        return df
+
+    if sweeps is not None:
+        cur = base.df
+        for _ in range(sweeps):
+            cur = one_sweep(cur)
+        sql_cte = None
+        if base.sql_cte:
+            parts = []
+            prev = base.cte_name
+            step = 0
+            key_sql = ", ".join(f"b.{k}" for k in keys)
+            for s in range(sweeps):
+                for f in fe:
+                    mname, dname = f"gm_{step}", f"dm_{step}"
+                    step += 1
+                    mean_cols = ", ".join(f"AVG({c}) AS {c}__m" for c in vals)
+                    tilde = ", ".join(f"(b.{c} - m.{c}__m) AS {c}" for c in vals)
+                    parts.append(
+                        f"{mname} AS (SELECT {f}, {mean_cols} FROM {prev} GROUP BY {f})"
+                    )
+                    parts.append(
+                        f"{dname} AS (SELECT {key_sql}, {tilde} FROM {prev} b "
+                        f"JOIN {mname} m ON b.{f} = m.{f})"
+                    )
+                    prev = dname
+            sql_cte = f"{base.sql_cte},\n" + ",\n".join(parts)
+            return Frame(cur, base.y_col, base.x_cols, keys, sql_cte, prev)
+        return Frame(cur, base.y_col, base.x_cols, keys, None, "demeaned_iter")
+
+    # Adaptive loop. Each sweep is localCheckpoint-ed: persist alone keeps
+    # the full logical plan, and Catalyst re-analysis of k·sweeps nested
+    # joins grows superlinearly (measured: sweep time doubling by sweep 3).
+    # Checkpointing truncates the plan to a constant-size LogicalRDD; the
+    # previous sweep's blocks are freed deterministically through the JVM
+    # persistent-RDD map (DataFrame.unpersist cannot reach checkpoint
+    # storage), so at most two sweeps' blocks are ever alive.
+    sc = base.df.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids: set) -> None:
+        m = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            if m.containsKey(rid):
+                m.get(rid).unpersist(False)
+
+    cur = base.df
+    prev_ids: set = set()
+    scale = None
+    absm = [F.abs(F.col(f"__m_{i}")) for i in range(len(vals))]
+    chk = absm[0] if len(absm) == 1 else F.greatest(*absm)
+    for _ in range(max_sweeps):
+        ids0 = _persistent_ids()
+        cur = one_sweep(cur).localCheckpoint(eager=True)
+        my_ids = _persistent_ids() - ids0
+        delta_row = (
+            cur.groupingSets([[f] for f in fe], *fe)
+            .agg(*[F.avg(c).alias(f"__m_{i}") for i, c in enumerate(vals)])
+            .agg(F.max(chk).alias("d"))
+            .collect()[0]
+        )
+        delta = float(delta_row["d"] or 0.0)
+        _release(prev_ids)
+        prev_ids = my_ids
+        if scale is None:
+            scale = max(delta, 1.0)
+        if delta <= tol * scale:
+            break
+    final_ids = prev_ids
+    return Frame(
+        cur, base.y_col, base.x_cols, keys, None, "demeaned_iter",
+        cleanup_fn=lambda: _release(final_ids),
+    )
 
 
 def build_mundlak_frame(

@@ -61,4 +61,7 @@ def test_dbreg_strategies_leave_no_cache(spark, tables):
     # distributed-Gram fallback persists the cell table internally
     dbreg("l_tax ~ l_quantity + l_discount | l_returnflag + l_linestatus", li,
           strategy="compress", compress_nmax=100)
+    # iterated 3-FE demeaning checkpoints each sweep internally
+    dbreg("l_extendedprice ~ l_quantity | l_returnflag + l_linestatus + l_linenumber",
+          li, strategy="demean")
     assert _n_cached(spark) == before

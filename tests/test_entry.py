@@ -47,11 +47,13 @@ def test_entry_smoke(spark):
         "moments_nofe",
         "demean_moments_1fe",
         "demean_moments_2fe",
+        "demean_moments_3fe_iter",
         "mundlak_moments_2fe",
         "compress_cells",
         "group_means_1fe",
         "meat_hc1_fixed_beta",
         "cluster_scores_fixed_beta",
+        "cluster_scores_multiway",
         "design_matrix_interactions",
         "probe_compression",
         "probe_balance",

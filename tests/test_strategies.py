@@ -410,3 +410,70 @@ def test_nonpsd_vcov_warns():
     with pytest.warns(UserWarning, match="negative diagonal"):
         ct = gen_coeftable(np.array([1.0, 2.0]), V, 10.0, ["a", "b"])
     assert ct.loc["b", "std.error"] == 0.0
+
+
+def _panel_3fe(seed=9, n=800):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "firm": rng.integers(1, 31, n).astype("int64"),
+            "year": rng.integers(1, 9, n).astype("int64"),
+            "grp": rng.integers(1, 7, n).astype("int64"),
+            "x1": rng.normal(size=n),
+            "x2": rng.normal(size=n),
+        }
+    )
+    ffe = rng.normal(size=31)
+    yfe = rng.normal(size=9)
+    gfe = rng.normal(size=7)
+    pdf["y"] = (
+        1.5 * pdf["x1"]
+        - 0.7 * pdf["x2"]
+        + ffe[pdf["firm"] - 1]
+        + yfe[pdf["year"] - 1]
+        + gfe[pdf["grp"] - 1]
+        + rng.normal(0, 0.5, n)
+    )
+    return pdf
+
+
+def test_demean_3fe_iterative_vs_lsdv(spark):
+    """k=3 FEs via iterated demeaning (beyond the reference's 2-FE cap):
+    coefficients AND iid SEs must match the LSDV oracle on an unbalanced
+    random design."""
+    pdf = _panel_3fe()
+    df = spark.createDataFrame(pdf)
+    m = dbreg("y ~ x1 + x2 | firm + year + grp", df, strategy="demean")
+    X, names, y = lsdv_matrix(pdf, "y", ["x1", "x2"], ["firm", "year", "grp"])
+    beta, resid = ols_fit(X, y)
+    se = iid_se(X, resid)
+    np.testing.assert_allclose(m.coef()[["x1", "x2"]], beta[1:3], rtol=1e-6)
+    np.testing.assert_allclose(m.se()[["x1", "x2"]], se[1:3], rtol=1e-6)
+    assert m.strategy == "demean"
+
+
+def test_auto_picks_demean_for_3fe_continuous(spark):
+    """Continuous regressors + 3 FEs: compression fails → auto routes to
+    iterated demeaning instead of raising or collecting cells."""
+    pdf = _panel_3fe()
+    df = spark.createDataFrame(pdf)
+    m = dbreg("y ~ x1 + x2 | firm + year + grp", df, strategy="auto")
+    assert m.strategy == "demean"
+    X, _, y = lsdv_matrix(pdf, "y", ["x1", "x2"], ["firm", "year", "grp"])
+    beta, _ = ols_fit(X, y)
+    np.testing.assert_allclose(m.coef()[["x1", "x2"]], beta[1:3], rtol=1e-6)
+
+
+def test_demean_3fe_cluster_se(spark):
+    """Clustered SEs on the iterated-demeaned frame vs dense numpy CR1."""
+    pdf = _panel_3fe()
+    df = spark.createDataFrame(pdf)
+    m = dbreg(
+        "y ~ x1 + x2 | firm + year + grp", df, strategy="demean",
+        vcov="~firm",
+    )
+    X, names, y = lsdv_matrix(pdf, "y", ["x1", "x2"], ["firm", "year", "grp"])
+    beta, resid = ols_fit(X, y)
+    se = cr1_se(X, resid, pdf["firm"].to_numpy(), n_params=X.shape[1])
+    np.testing.assert_allclose(m.coef()[["x1", "x2"]], beta[1:3], rtol=1e-6)
+    np.testing.assert_allclose(m.se()[["x1", "x2"]], se[1:3], rtol=1e-5)
