@@ -83,7 +83,10 @@ def dbreg(
 
     if ssc not in ("full", "nested"):
         raise ValueError("ssc must be 'full' or 'nested'")
-    valid = ("auto", "compress", "moments", "demean", "within", "mundlak")
+    valid = (
+        "auto", "compress", "moments", "demean", "demean_iter", "within",
+        "mundlak",
+    )
     if strategy not in valid:
         raise ValueError(f"strategy must be one of {valid}")
     if strategy == "within":
@@ -114,8 +117,8 @@ def dbreg(
     )
     if chosen == "moments":
         return _execute_moments(**kwargs)
-    if chosen == "demean":
-        return _execute_demean(**kwargs)
+    if chosen in ("demean", "demean_iter"):
+        return _execute_demean(force_iter=(chosen == "demean_iter"), **kwargs)
     if chosen == "mundlak":
         return _execute_mundlak(**kwargs)
     return _execute_compress(**kwargs)
@@ -230,16 +233,11 @@ def _choose_strategy(source, parsed, strategy, compress_ratio, compress_nmax, ve
             chosen = "moments" if (any_continuous or fail_ratio or fail_nmax) else "compress"
         elif len(fe) in (1, 2):
             if fail_ratio or fail_nmax:
-                if len(fe) == 2:
-                    if _is_balanced(source, parsed):
-                        chosen = "demean"
-                    else:
-                        raise ValueError(
-                            "[dbreg] Exact TWFE infeasible for unbalanced panel under "
-                            "current transfer limits. Options: strategy='compress' with "
-                            "relaxed thresholds (exact TWFE), or strategy='mundlak' "
-                            "(CRE estimator; requires explicit opt-in)."
-                        )
+                if len(fe) == 2 and not _is_balanced(source, parsed):
+                    # unbalanced TWFE past the transfer limits: iterated
+                    # demeaning is exact for any balance (the reference
+                    # refuses here, R/dbreg.R:641-648 — upgrade)
+                    chosen = "demean_iter"
                 else:
                     chosen = "demean"
             else:
@@ -257,7 +255,7 @@ def _choose_strategy(source, parsed, strategy, compress_ratio, compress_nmax, ve
 
         warnings.warn("[dbreg] FE present; moments (no-FE) not applicable. Using compress.")
         chosen = "compress"
-    if chosen == "demean" and len(fe) < 1:
+    if chosen in ("demean", "demean_iter") and len(fe) < 1:
         import warnings
 
         warnings.warn("[dbreg] demean requires at least one FE. Using compress.")
@@ -274,7 +272,8 @@ def _choose_strategy(source, parsed, strategy, compress_ratio, compress_nmax, ve
 
             warnings.warn(
                 "[dbreg] Panel appears unbalanced. Double demeaning may yield "
-                "different coefficients than exact TWFE."
+                "different coefficients than exact TWFE; use "
+                "strategy='demean_iter' for exact TWFE on unbalanced panels."
             )
     return chosen, cr_est
 
@@ -416,6 +415,7 @@ def _execute_demean(
     broadcast_means,
     compression_ratio_est,
     compress_nmax,
+    force_iter=False,
 ):
     fe = parsed.fe
     if len(fe) < 1:
@@ -429,8 +429,8 @@ def _execute_demean(
         extra_cols=cluster_var if cluster_var else None,
         want_sql=source.sql_from is not None,
     )
-    if len(fe) > 2:
-        # k>2: iterated demeaning (alternating projections) — exact at
+    if len(fe) > 2 or force_iter:
+        # iterated demeaning (alternating projections) — exact at
         # convergence for any balance; cluster keys ride in base.key_cols
         frame = build_demeaned_frame_iterative(base, fe, broadcast_means)
     else:

@@ -187,10 +187,26 @@ def test_auto_selects_demean_balanced(panel):
     assert m.strategy == "demean"
 
 
-def test_auto_unbalanced_twfe_errors(panel_unbal):
+def test_auto_unbalanced_twfe_iterative_exact(panel_unbal):
+    """Unbalanced TWFE past the transfer limits: auto now routes to iterated
+    demeaning and matches the exact LSDV fit (the reference refuses here,
+    dbreg.R:641-648)."""
     df, pdf = panel_unbal
-    with pytest.raises(ValueError, match="unbalanced"):
-        dbreg("y ~ x1 + x2 | firm + year", df, strategy="auto")
+    m = dbreg("y ~ x1 + x2 | firm + year", df, strategy="auto")
+    X, _, y = lsdv_matrix(pdf, "y", ["x1", "x2"], ["firm", "year"])
+    beta, resid = ols_fit(X, y)
+    se = iid_se(X, resid)
+    np.testing.assert_allclose(m.coef()[["x1", "x2"]], beta[1:3], rtol=1e-6)
+    np.testing.assert_allclose(m.se()[["x1", "x2"]], se[1:3], rtol=1e-6)
+
+
+def test_demean_iter_explicit_unbalanced(panel_unbal):
+    """strategy='demean_iter' is the explicit exact-TWFE opt-in."""
+    df, pdf = panel_unbal
+    m = dbreg("y ~ x1 + x2 | firm + year", df, strategy="demean_iter", vcov="hc1")
+    X, _, y = lsdv_matrix(pdf, "y", ["x1", "x2"], ["firm", "year"])
+    beta, resid = ols_fit(X, y)
+    np.testing.assert_allclose(m.coef()[["x1", "x2"]], beta[1:3], rtol=1e-6)
 
 
 def test_auto_compressible_picks_compress(trade):
