@@ -118,7 +118,14 @@ def dbreg(
     if chosen == "moments":
         return _execute_moments(**kwargs)
     if chosen in ("demean", "demean_iter"):
-        return _execute_demean(force_iter=(chosen == "demean_iter"), **kwargs)
+        return _execute_demean(
+            force_iter=(chosen == "demean_iter"),
+            # user-selected 2-FE demean runs the balanced-panel identity;
+            # the balance diagnostic rides the moment aggregation for free
+            # and warns post-fit (reference: R/dbreg.R:685-692)
+            warn_unbalanced=(strategy == "demean" and len(parsed.fe) == 2),
+            **kwargs,
+        )
     if chosen == "mundlak":
         return _execute_mundlak(**kwargs)
     return _execute_compress(**kwargs)
@@ -262,19 +269,6 @@ def _choose_strategy(source, parsed, strategy, compress_ratio, compress_nmax, ve
         chosen = "compress"
     if chosen == "mundlak" and len(fe) == 0:
         raise ValueError("mundlak strategy requires at least one fixed effect")
-    # user-selected demean with 2 FEs runs the balanced-panel double-demeaning
-    # identity; warn when the panel is unbalanced (reference: R/dbreg.R:685-692
-    # gates this on verbose; here it always runs — the probe is one cheap
-    # cell-count aggregation, and silently-wrong TWFE coefficients are worse)
-    if strategy != "auto" and chosen == "demean" and len(fe) == 2:
-        if not _is_balanced(source, parsed):
-            import warnings
-
-            warnings.warn(
-                "[dbreg] Panel appears unbalanced. Double demeaning may yield "
-                "different coefficients than exact TWFE; use "
-                "strategy='demean_iter' for exact TWFE on unbalanced panels."
-            )
     return chosen, cr_est
 
 
@@ -416,6 +410,7 @@ def _execute_demean(
     compression_ratio_est,
     compress_nmax,
     force_iter=False,
+    warn_unbalanced=False,
 ):
     fe = parsed.fe
     if len(fe) < 1:
@@ -442,7 +437,7 @@ def _execute_demean(
     try:
         return _finish_demean(
             frame, base, design, parsed, vcov_type, cluster_var, ssc, sql_only,
-            data_only, compression_ratio_est,
+            data_only, compression_ratio_est, warn_unbalanced,
         )
     finally:
         # the one-scan GROUPING SETS means table is cached for reuse across
@@ -452,7 +447,7 @@ def _execute_demean(
 
 def _finish_demean(
     frame, base, design, parsed, vcov_type, cluster_var, ssc, sql_only,
-    data_only, compression_ratio_est,
+    data_only, compression_ratio_est, warn_unbalanced=False,
 ):
     fe = parsed.fe
     n_fe_exprs = [Var(f) for f in fe]
@@ -478,6 +473,19 @@ def _finish_demean(
     n_fe = [int(row.get(f"n_fe{k + 1}", 1)) for k in range(max(len(fe), 2))]
     n_fe1, n_fe2 = n_fe[0], n_fe[1]
     sum_y_sq = float(row["sum_y_sq"])
+
+    if warn_unbalanced and row.get("__n_cells") is not None:
+        balanced = row["__cell_min"] == row["__cell_max"] and int(
+            row["__n_cells"]
+        ) == n_fe1 * n_fe2
+        if not balanced:
+            import warnings
+
+            warnings.warn(
+                "[dbreg] Panel appears unbalanced. Double demeaning may yield "
+                "different coefficients than exact TWFE; use "
+                "strategy='demean_iter' for exact TWFE on unbalanced panels."
+            )
 
     names = [standardize_coef_names(n) for n in frame.x_cols]
     xtx, xty, *_ = assemble_normal_eqs(row, len(frame.x_cols), intercept=False)
@@ -782,12 +790,17 @@ def _execute_compress(
         return sql
     if data_only:
         return comp.toPandas()
-    # guarded collect: at most compress_nmax+1 rows ever cross to the driver
-    # (the pre-guard toPandas() could OOM the driver on a low-compression key
-    # at scale); past the cap, fall back to the distributed-Gram solve
-    # instead of refusing (reference refuses: R/dbreg.R:1575-1580)
-    pdf = comp.limit(compress_nmax + 1).toPandas()
-    if len(pdf) > compress_nmax:
+    # guarded collect (an unguarded toPandas() could OOM the driver on a
+    # low-compression key at scale): the fast path is a plain Arrow collect
+    # with Spark's own spark.driver.maxResultSize as the hard memory guard —
+    # a too-large result aborts cleanly and falls through to the
+    # distributed-Gram solve, as does a row count past compress_nmax. A
+    # LIMIT-based guard would bound rows more tightly but costs a constant
+    # ~0.3s of CollectLimit overhead on every fit (measured), so it is used
+    # only when maxResultSize is disabled. (Reference refuses outright here:
+    # R/dbreg.R:1575-1580.)
+    pdf = _collect_cells_guarded(comp, compress_nmax)
+    if pdf is None or len(pdf) > compress_nmax:
         if verbose:
             print(
                 f"[dbreg] compressed size exceeds compress_nmax "
@@ -891,6 +904,26 @@ def _execute_compress(
         cat_levels=cat_levels,
         fe_coef_names=fe_coef_names,
     )
+
+
+def _collect_cells_guarded(comp, compress_nmax):
+    """Collect the cell table, bounded: returns the pandas frame, or None
+    when the result exceeds spark.driver.maxResultSize (caller falls back to
+    the distributed-Gram path)."""
+    spark = comp.sparkSession
+    try:
+        mrs = str(spark.conf.get("spark.driver.maxResultSize", "1g")).lower()
+    except Exception:
+        mrs = "1g"
+    if mrs in ("0", "0b"):
+        # no driver-side result guard configured: bound rows explicitly
+        return comp.limit(compress_nmax + 1).toPandas()
+    try:
+        return comp.toPandas()
+    except Exception as exc:  # Py4J/SparkException: result too large
+        if "maxResultSize" in str(exc):
+            return None
+        raise
 
 
 def _execute_compress_distributed(

@@ -159,24 +159,27 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs via LSH banding, verified by exact
     shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    The md5-per-shingle hash array is staged behind a hash-repartition
-    shuffle barrier rather than ``.cache()``: the barrier stops projection
-    collapse from re-inlining the text-hashing expression into every
-    consumer (16 minhash folds, both self-join sides, verification), Spark's
-    exchange reuse computes it once per query (guaranteed with AQE off; AQE
-    may recompute per consumer subtree — CPU-parallel and preferable to a
-    session-lifetime cache, which would thrash executor storage at corpus
-    scale and leak until session end: a measured 2× win at sf0.1), and no
-    cached blocks ever outlive the call. Partitioning by ``id_col`` also
-    pre-aligns the verification joins."""
+    Single-scan plan: the shingle-hash arrays ride INTO the band shuffle
+    ((band, bucket, id, hashes) rows), buckets are assembled with
+    collect_list, candidate pairs are generated by in-bucket explosion and
+    verified inline with exact Jaccard on the integer shingle-hash sets —
+    identical on both engines by construction, and several times cheaper
+    than string intersects at verification volume. Compared to the
+    self-join formulation this reads the corpus ONCE (no re-hashing per
+    join side, no cache to leak), at the cost of shuffling the hash arrays
+    n_bands times — linear in corpus size, versus multiple full text scans.
+    Hot buckets blow up as m² candidate rows in any LSH banding; here they
+    additionally bound collect_list row size, which the fine-grained
+    (hash-of-r-signatures) buckets keep small."""
     x = X(SPARK)
     params = minhash_params(n_hashes, seed)
     staged = df.select(
         F.col(id_col),
         F.expr(x.shingle_hashes(col, shingle_words, MH_MODB)).alias("__hs"),
-    ).repartition(F.col(id_col))
+    )
     sigs = staged.select(
         F.col(id_col),
+        "__hs",
         *[
             F.expr(x.minhash_from_hashes("__hs", a_, b_, MH_PRIME)).alias(f"sig_{i}")
             for i, (a_, b_) in enumerate(params)
@@ -186,43 +189,34 @@ def minhash_lsh_pairs(
     # a unionAll-per-band shape would rehash all shingle text once per band
     bands = sigs.select(
         F.col(id_col),
+        "__hs",
         F.posexplode(
             F.array(*[F.expr(be) for be in _band_exprs(x, n_hashes, band_rows)])
         ).alias("band", "bucket"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__hs").alias("hs"))).alias("members"))
+        .where(F.size("members") >= 2)
     )
-    # Jaccard over the integer shingle-hash sets (not the raw strings):
-    # identical on both engines by construction, and integer array intersects
-    # are several times cheaper than string ones at verification volume
-    sa = staged.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("hs_a"))
-    sb = staged.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("hs_b"))
-    inter = F.expr("size(array_intersect(hs_a, hs_b))")
+    cand = (
+        buckets.select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
+    )
+    inter = F.expr("size(array_intersect(a.hs, b.hs))")
     pairs = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
+        cand.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
             (
                 inter.cast("double")
-                / (F.expr("size(hs_a)") + F.expr("size(hs_b)") - inter)
+                / (F.expr("size(a.hs)") + F.expr("size(b.hs)") - inter)
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .distinct()
     )
     return pairs
 

@@ -195,6 +195,15 @@ def run_agg(
             pc = f"__p{i}"
             partial_cols.append(agg_to_spark(a).alias(pc))
             final_cols.append(F.sum(pc).alias(name))
+    # free riders on the cell pass: per-cell row counts and the cell count
+    # give the panel-balance diagnostic (equal counts + complete grid) with
+    # zero extra scans — callers read __cell_min/__cell_max/__n_cells
+    partial_cols.append(F.count(F.lit(1)).alias("__cell_n"))
+    final_cols += [
+        F.min("__cell_n").alias("__cell_min"),
+        F.max("__cell_n").alias("__cell_max"),
+        F.count(F.lit(1)).alias("__n_cells"),
+    ]
     cells = df.groupBy(*fe_cols).agg(*partial_cols)
     row = cells.agg(*final_cols).collect()[0]
     return row.asDict()
