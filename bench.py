@@ -100,6 +100,16 @@ def main() -> None:
         ),
     )
     bench(
+        "reg_demean_3fe_iter",
+        lambda: dbreg(
+            "l_extendedprice ~ l_quantity + l_discount | "
+            "l_returnflag + l_linestatus + l_linenumber",
+            li,
+            strategy="demean",
+            vcov="hc1",
+        ),
+    )
+    bench(
         "reg_mundlak_cluster",
         lambda: dbreg(
             "l_extendedprice ~ l_quantity + l_discount | l_returnflag + l_linestatus",
