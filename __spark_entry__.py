@@ -490,6 +490,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["events_sessionize_batch"] = q_sessionize
 
+    # batch mirror of streaming_moments(window="1 day"): the same per-window
+    # sufficient-statistics aggregation the streaming operator emits
+    def q_events_moments(spark, sf_dir):
+        from dbreg_spark.plans.common import moment_spec
+        from dbreg_spark.plans.exprs import Var, agg_to_spark
+
+        t = _tables(spark, sf_dir)
+        spec = moment_spec(Var("value"), [Var("user_id")], intercept=True)
+        df = (
+            t["events"]
+            .where("value IS NOT NULL AND user_id IS NOT NULL")
+            .groupBy(
+                F.date_trunc("day", "ts").cast("date").cast("string").alias("day")
+            )
+            .agg(*[agg_to_spark(a).alias(n) for n, a in spec])
+        )
+        return _round_doubles_df(df)
+
+    Q["events_moments_daily"] = q_events_moments
+
     return Q
 
 
@@ -867,5 +887,19 @@ FROM events GROUP BY 1, 2
 """
 
     O["events_sessionize_batch"] = _sessionize_sql("duck")
+
+    from dbreg_spark.plans.common import agg_select_sql, moment_spec
+    from dbreg_spark.plans.exprs import Var as _Var
+
+    _mspec = moment_spec(_Var("value"), [_Var("user_id")], intercept=True)
+    _mcols = ["day"] + [n for n, _ in _mspec]
+    _mdbl = [n for n in _mcols if n not in ("day", "n_total")]
+    O["events_moments_daily"] = _round_doubles_sql(
+        f"SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,\n  "
+        + agg_select_sql(_mspec)
+        + "\nFROM events WHERE value IS NOT NULL AND user_id IS NOT NULL GROUP BY 1",
+        _mcols,
+        _mdbl,
+    )
 
     return O

@@ -198,6 +198,67 @@ def sessionize(
     )
 
 
+def streaming_moments(
+    df: DataFrame,
+    fml: str,
+    window: str | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Online OLS: the same sufficient-statistics aggregation the batch
+    moments strategy runs (plans/common.py:moment_spec), as a streaming
+    aggregation — the stream carries only the O(p²) moment row, never data.
+
+    ``window=None`` emits the running global moment row (use output mode
+    ``complete``/``update``); with ``window`` set, one moment row per
+    event-time window, watermarked and append-able. Feed any emitted row to
+    :func:`coef_from_moments` for the fitted coefficients — a continuously
+    updating regression at stream speed. FE formulas are refused (absorbing
+    FEs needs stateful group means; use the batch strategies)."""
+    from ..formula import parse_formula
+    from ..plans.common import filter_missing, moment_spec
+    from ..plans.exprs import Var, agg_to_spark
+
+    parsed = parse_formula(fml)
+    if parsed.fe:
+        raise ValueError(
+            "streaming_moments supports no-FE formulas only (fixed effects "
+            "need stateful group means; use the batch strategies)"
+        )
+    spec = moment_spec(
+        Var(parsed.yvar), [Var(v) for v in parsed.xvars], intercept=True
+    )
+    aggs = [agg_to_spark(a).alias(n) for n, a in spec]
+    base = filter_missing(df, [parsed.yvar] + parsed.xvars)
+    if window is None:
+        return base.agg(*aggs)
+    return (
+        base.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window))
+        .agg(*aggs)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *[F.col(n) for n, _ in spec],
+        )
+    )
+
+
+def coef_from_moments(row, xvars: list[str]):
+    """Solve the normal equations from one emitted moments row (dict-like)
+    → pandas Series indexed (Intercept), x₁, … — the driver-side twin of the
+    batch moments solve."""
+    from ..plans.common import assemble_normal_eqs
+    from ..solve import detect_collinearity, solve_with_fallback
+
+    row = dict(row)
+    names = ["(Intercept)"] + list(xvars)
+    xtx, xty, *_ = assemble_normal_eqs(row, len(xvars), intercept=True)
+    collin = detect_collinearity(xtx, xty, names)
+    sol = solve_with_fallback(collin.xtx, collin.xty)
+    return pd.Series(sol.betahat, index=collin.keep_names)
+
+
 def _parse_duration_seconds(s: str) -> float:
     n, unit = s.split()
     n = float(n)

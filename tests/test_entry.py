@@ -80,6 +80,7 @@ def test_entry_smoke(spark):
         "predict_compress_fe",
         "events_window_daily",
         "events_sessionize_batch",
+        "events_moments_daily",
     ],
 )
 def test_query_matches_oracle(name, spark, duck, sf_dir, inventory):

@@ -168,3 +168,65 @@ def test_csv_json_path_sources(spark, tmp_path):
     pdf.to_json(js, orient="records", lines=True)
     m2 = dbreg("y ~ x", spark=spark, path=js, strategy="moments")
     assert abs(float(m2.coef()["x"]) - float(m.coef()["x"])) < 1e-12
+
+
+def test_streaming_moments_global(spark, tables, event_stream_dir):
+    """Global streaming moments (complete mode) must equal the batch moment
+    row, and its solved coefficients the batch dbreg moments fit."""
+    import numpy as np
+
+    from dbreg_spark import dbreg
+    from dbreg_spark.streaming.ops import coef_from_moments, streaming_moments
+
+    schema = tables["events"].schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    out = streaming_moments(stream, "value ~ user_id")
+    name = f"mom_{uuid.uuid4().hex[:8]}"
+    _run_stream(out, name, mode="complete")
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    assert len(got) == 1
+    beta = coef_from_moments(got.iloc[0], ["user_id"])
+    m = dbreg("value ~ user_id", tables["events"], strategy="moments")
+    np.testing.assert_allclose(
+        beta[["(Intercept)", "user_id"]].to_numpy(),
+        m.coef()[["(Intercept)", "user_id"]].to_numpy(),
+        rtol=1e-9,
+    )
+
+
+def test_streaming_moments_windowed(spark, tables, event_stream_dir):
+    """Per-window moment rows: each emitted window solves to the same
+    coefficients as a batch OLS on that window's rows."""
+    import numpy as np
+
+    from dbreg_spark.streaming.ops import coef_from_moments, streaming_moments
+    from fixtures import ols_fit
+
+    schema = tables["events"].schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    out = streaming_moments(stream, "value ~ user_id", window="1 day", watermark="2 days")
+    name = f"momw_{uuid.uuid4().hex[:8]}"
+    _run_stream(out, name)
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    assert len(got) >= 3
+    pdf = tables["events"].select("ts", "user_id", "value").toPandas()
+    row = got.sort_values("window_start").iloc[1]
+    lo, hi = row["window_start"], row["window_end"]
+    sub = pdf[(pdf["ts"] >= lo) & (pdf["ts"] < hi)]
+    X = np.column_stack([np.ones(len(sub)), sub["user_id"].to_numpy(float)])
+    beta, _ = ols_fit(X, sub["value"].to_numpy(float))
+    got_beta = coef_from_moments(row, ["user_id"])
+    np.testing.assert_allclose(
+        got_beta[["(Intercept)", "user_id"]].to_numpy(), beta, rtol=1e-8
+    )
+
+
+def test_streaming_moments_fe_refused(spark, tables, event_stream_dir):
+    import pytest as _pt
+
+    from dbreg_spark.streaming.ops import streaming_moments
+
+    schema = tables["events"].schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    with _pt.raises(ValueError, match="no-FE"):
+        streaming_moments(stream, "value ~ user_id | event_type")
