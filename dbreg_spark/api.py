@@ -272,6 +272,33 @@ def _choose_strategy(source, parsed, strategy, compress_ratio, compress_nmax, ve
     return chosen, cr_est
 
 
+def _count_fe_components(df, fe1: str, fe2: str, cap: int = 1_000_000):
+    """Connected components of the bipartite (fe1, fe2) incidence graph via
+    union-find over the DISTINCT level-pair table (the cells, already tiny
+    relative to the data; collection is capped). The exact rank of the
+    two-FE dummy space is G1 + G2 − C (fixest applies the same correction);
+    returns None past the cap (caller keeps the connected-panel −1)."""
+    rows = df.select(fe1, fe2).distinct().limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    parent: dict = {}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for r in rows:
+        u, v = ("u", r[0]), ("v", r[1])
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    return sum(1 for k in parent if find(k) == k)
+
+
 def _is_balanced(source: Source, parsed: ParsedFormula) -> bool:
     """Balanced-panel probe: all FE cells have equal counts AND the
     fe1×fe2 grid is complete (reference probes only the first condition,
@@ -493,9 +520,17 @@ def _finish_demean(
     sol = solve_with_fallback(collin.xtx, collin.xty)
     rss = rss_from_moments(sum_y_sq, sol.betahat, collin.xtx, collin.xty)
     p_kept = len(collin.keep_names)
-    # G1 + Σ_{k≥2}(G_k − 1): exact when the FE incidence graph is connected
-    # (the usual fixest convention; connected-component corrections omitted)
+    # G1 + Σ_{k≥2}(G_k − 1): exact when the FE incidence graph is connected.
+    # The iterative 2-FE path serves arbitrary (possibly disconnected)
+    # panels, so there the exact rank G1 + G2 − C is used (one tiny distinct
+    # over the level pairs); k>2 keeps the heuristic, as fixest does.
     df_fe = n_fe[0] + sum(g - 1 for g in n_fe[1:])
+    if len(fe) == 2 and frame.cte_name == "demeaned_iter":
+        n_cells = row.get("__n_cells")
+        if n_cells is None or int(n_cells) <= 1_000_000:
+            comps = _count_fe_components(base.df, fe[0], fe[1])
+            if comps is not None and comps > 1:
+                df_fe = n_fe1 + n_fe2 - comps
     df_res = max(n_total - p_kept - df_fe, 1)
 
     meat = n_clusters = None

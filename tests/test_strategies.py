@@ -493,3 +493,35 @@ def test_demean_3fe_cluster_se(spark):
     se = cr1_se(X, resid, pdf["firm"].to_numpy(), n_params=X.shape[1])
     np.testing.assert_allclose(m.coef()[["x1", "x2"]], beta[1:3], rtol=1e-6)
     np.testing.assert_allclose(m.se()[["x1", "x2"]], se[1:3], rtol=1e-5)
+
+
+def test_demean_iter_disconnected_dof(spark):
+    """Disconnected 2-FE incidence graph: demean_iter uses the exact dummy
+    rank G1 + G2 − C (fixest's correction), and coefficients still match
+    LSDV."""
+    rng = np.random.default_rng(21)
+    rows = []
+    for firm in range(1, 11):       # component 1: firms 1-10, years 1-5
+        for year in range(1, 6):
+            rows.append((firm, year))
+    for firm in range(11, 21):      # component 2: firms 11-20, years 6-10
+        for year in range(6, 11):
+            rows.append((firm, year))
+    pdf = pd.DataFrame(rows, columns=["firm", "year"]).astype("int64")
+    # drop some rows so the panel is also unbalanced
+    pdf = pdf[rng.random(len(pdf)) > 0.1].reset_index(drop=True)
+    pdf["x1"] = rng.normal(size=len(pdf))
+    pdf["y"] = (
+        2.0 * pdf["x1"]
+        + 0.3 * pdf["firm"]
+        + 0.2 * pdf["year"]
+        + rng.normal(0, 0.3, len(pdf))
+    )
+    df = spark.createDataFrame(pdf)
+    m = dbreg("y ~ x1 | firm + year", df, strategy="demean_iter")
+    g1, g2 = pdf["firm"].nunique(), pdf["year"].nunique()
+    # exact dummy rank: G1 + G2 − 2 components
+    assert m.df_residual == len(pdf) - 1 - (g1 + g2 - 2)
+    X, _, y = lsdv_matrix(pdf, "y", ["x1"], ["firm", "year"])
+    beta, _ = ols_fit(X, y)
+    np.testing.assert_allclose(float(m.coef()["x1"]), beta[1], rtol=1e-6)
