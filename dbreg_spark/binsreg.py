@@ -297,9 +297,16 @@ def _unconstrained(df, y, x, controls, fe, breaks, degree, vcov, ci, strategy, x
     fml = f"{y} ~ {' + '.join(rhs_terms)}"
     if fe:
         fml += " | " + " + ".join(fe)
-    # "auto" picks compress for the degree-0 bin-dummy design (B cells, driver
-    # WLS) and falls back to moments/demean when polynomial u-columns make the
-    # design incompressible (reference recurses into dbreg too, R/dbbinsreg.R:1069)
+    # the design is known by construction, so skip the auto-chooser's probe
+    # pass: a degree-0 bin-dummy design (no continuous controls) compresses
+    # to ≤ B·ΠG cells; polynomial u-columns / controls are incompressible →
+    # moments (no FE). Anything else genuinely needs the probe.
+    # (The reference recurses into dbreg the same way, R/dbbinsreg.R:1069.)
+    if strategy == "auto":
+        if degree == 0 and not controls:
+            strategy = "compress"
+        elif not controls and not fe:
+            strategy = "moments"
     fit = dbreg(fml, frame, strategy=strategy, vcov=vcov if ci else "iid", verbose=verbose)
 
     coefs = fit.coef()
@@ -379,9 +386,10 @@ def _constrained(df, y, x, controls, fe, breaks, degree, smooth, vcov, ci, strat
     fml = f"{y} ~ {' + '.join(rhs_terms)}"
     if fe:
         fml += " | " + " + ".join(fe)
-    # "auto" picks compress for the degree-0 bin-dummy design (B cells, driver
-    # WLS) and falls back to moments/demean when polynomial u-columns make the
-    # design incompressible (reference recurses into dbreg too, R/dbbinsreg.R:1069)
+    # spline bases are continuous by construction: no probe needed when the
+    # strategy is determined (moments for the no-FE case)
+    if strategy == "auto" and not fe:
+        strategy = "moments"
     fit = dbreg(fml, frame, strategy=strategy, vcov=vcov if ci else "iid", verbose=verbose)
 
     coefs = fit.coef()

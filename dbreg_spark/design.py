@@ -180,6 +180,15 @@ def build_design(
     vars_ = parsed.xvars
     types = classify_columns(df, vars_)
     fvars = [v for v in vars_ if types[v] == "factor"]
+    if expand != "all":
+        # interactions-only expansion leaves factor MAIN effects as raw
+        # grouping columns (compress path) — only factors inside interaction
+        # terms need their level tables; skipping the rest saves the
+        # distinct+orderBy scan (and its cardinality guard) per factor
+        in_interaction = {
+            v for t in parsed.terms if len(t.vars) > 1 for v in t.vars
+        }
+        fvars = [v for v in fvars if v in in_interaction]
     levels = factor_levels(df, fvars) if fvars else {}
 
     all_term_keys = {t.sorted_key for t in parsed.terms}
