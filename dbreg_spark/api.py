@@ -72,6 +72,16 @@ def dbreg(
     Parameters mirror the reference (R/dbreg.R:302-380). ``data`` may be a
     Spark DataFrame or a pandas DataFrame; ``table`` a catalog/temp-view
     name; ``path`` a parquet path/glob.
+
+    ``strategy``: "auto" (probe-driven chooser), "compress" (group-by cells
+    + driver WLS, distributed-Gram fallback past ``compress_nmax``),
+    "moments" (one-pass sufficient statistics, no FE), "demean"/"within"
+    (1-2 FEs absorbed by group-mean subtraction; single-pass double
+    demeaning assumes a balanced panel for 2 FEs and warns otherwise),
+    "demean_iter" (iterated demeaning — exact TWFE-k for ANY number of FEs
+    and any balance; auto routes here for unbalanced 2-FE panels past the
+    compression limits and for k>2), or "mundlak" (CRE with group-mean
+    regressors).
     """
     vcov_type, cluster_var = parse_vcov(vcov, cluster)
     parsed = parse_formula(fml)
