@@ -90,6 +90,9 @@ def dbreg(
     if spark is None and isinstance(data, DataFrame):
         spark = data.sparkSession
     source = resolve_source(spark=spark, data=data, table=table, path=path)
+    _require_columns(
+        source.df, [parsed.yvar] + parsed.xvars + parsed.fe + (cluster_var or [])
+    )
 
     if ssc not in ("full", "nested"):
         raise ValueError("ssc must be 'full' or 'nested'")
@@ -139,6 +142,19 @@ def dbreg(
     if chosen == "mundlak":
         return _execute_mundlak(**kwargs)
     return _execute_compress(**kwargs)
+
+
+def _require_columns(df: DataFrame, cols: list[str]) -> None:
+    """Clean ValueError for unknown model variables (instead of a raw
+    AnalysisException out of the first aggregation; reference validates the
+    same way, R/utils.R)."""
+    have = set(df.columns)
+    missing = [c for c in cols if c not in have]
+    if missing:
+        raise ValueError(
+            f"column(s) not found in input: {missing}; available: "
+            f"{sorted(have)}"
+        )
 
 
 # --------------------------------------------------------------------------

@@ -144,6 +144,9 @@ def dbbinsreg(
         spark = data.sparkSession
     source = resolve_source(spark=spark, data=data, table=table, path=path)
     df = source.df
+    from .api import _require_columns
+
+    _require_columns(df, [y, x] + controls + fe)
 
     # ---- sample_fit: one sample reused for breaks AND spline fits --------
     # (reference: R/dbbinsreg.R:517-535 materializes a sampled temp table of

@@ -1,3 +1,5 @@
+import pytest
+
 from dbreg_spark.formula import parse_formula, parse_vcov
 
 
@@ -58,3 +60,16 @@ def test_errors():
         parse_formula("y + z ~ x")
     with pytest.raises(ValueError):
         parse_formula("y ~ ")
+
+
+def test_unknown_column_clean_error(spark, tables):
+    from dbreg_spark import dbbinsreg, dbreg
+
+    with pytest.raises(ValueError, match="not found in input"):
+        dbreg("l_tax ~ nope_col", tables["lineitem"])
+    with pytest.raises(ValueError, match="not found in input"):
+        dbreg("l_tax ~ l_quantity | bad_fe", tables["lineitem"])
+    with pytest.raises(ValueError, match="not found in input"):
+        dbreg("l_tax ~ l_quantity", tables["lineitem"], vcov="~bad_cluster")
+    with pytest.raises(ValueError, match="not found in input"):
+        dbbinsreg("l_tax ~ nope_col", tables["lineitem"])
