@@ -88,3 +88,46 @@ def test_fallback_predict_matches_driver(tables):
     # no retained cells past the cap → newdata required
     with pytest.raises(ValueError, match="newdata"):
         m_dist.predict()
+
+
+def test_fallback_property_random_designs(spark):
+    """Property check over random small designs (numeric + categorical
+    regressors, numeric FE): the distributed Gram must equal the driver WLS
+    path bit-for-bit-ish on every draw."""
+    import pandas as pd
+
+    rng = np.random.default_rng(77)
+    for trial in range(5):
+        n = int(rng.integers(40, 120))
+        pdf = pd.DataFrame(
+            {
+                "x1": rng.normal(size=n).round(3),
+                "x2": rng.integers(0, 4, n).astype(float),
+                "c": rng.choice(["a", "b", "c"], n),
+                "g": rng.integers(1, 5, n).astype("int64"),
+            }
+        )
+        pdf["y"] = (
+            1.0
+            + 2.0 * pdf["x1"]
+            - 0.5 * pdf["x2"]
+            + (pdf["c"] == "b") * 0.7
+            + 0.2 * pdf["g"]
+            + rng.normal(0, 0.1, n)
+        ).round(6)
+        df = spark.createDataFrame(pdf)
+        fml = "y ~ x1 + x2 + c | g"
+        m1 = dbreg(fml, df, strategy="compress", vcov="hc1")
+        m2 = dbreg(fml, df, strategy="compress", vcov="hc1", compress_nmax=5)
+        b1 = m1.coef().sort_index()
+        b2 = m2.coef().sort_index()
+        assert list(b1.index) == list(b2.index), f"trial {trial}"
+        np.testing.assert_allclose(
+            b2.to_numpy(), b1.to_numpy(), rtol=1e-10, err_msg=f"trial {trial}"
+        )
+        np.testing.assert_allclose(
+            m2.se().sort_index().to_numpy(),
+            m1.se().sort_index().to_numpy(),
+            rtol=1e-8,
+            err_msg=f"trial {trial}",
+        )

@@ -236,3 +236,17 @@ def test_hive_partitioned_path_source(spark, tables, tmp_path):
     assert m.nobs_orig > 0
     # the partition column is usable as an FE after discovery
     assert m.n_fe1 >= 2
+
+
+def test_predict_compress_unseen_level(panel, spark):
+    """A level absent at training time scores as the reference level
+    (coefficient 0 via the left-joined lookup), not an error."""
+    import pandas as pd
+
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm", df, strategy="compress")
+    new = pd.DataFrame({"firm": [9999], "x1": [0.5], "x2": [-0.2]})
+    out = m.predict(spark.createDataFrame(new)).toPandas()
+    b = m.coef()
+    want = float(b["(Intercept)"] + 0.5 * b["x1"] - 0.2 * b["x2"])
+    np.testing.assert_allclose(out["fit"].iloc[0], want, rtol=1e-10)
