@@ -393,6 +393,60 @@ class DbregModel:
             fit = fit + F.lit(float(beta[cname])) * demeaned[a]
         return j.withColumn("fit", fit).select(*orig_cols, "fit")
 
+    # -- fixed-effect recovery (beyond the reference; fixest's fixef()) ----
+    def fixef(self, data=None):
+        """Recover fixed-effect level estimates.
+
+        - ``compress``: from the fitted FE-dummy coefficients (reference
+          level = 0.0); returns ``{fe_var: pandas.Series}``, no data needed.
+        - ``demean`` with one FE: ``α̂_g = ȳ_g − x̄_g'β`` computed
+          *distributed* from ``data`` (dbreg retains no data, matching the
+          reference); returns a Spark DataFrame ``(fe, fixef)`` — levels can
+          be numerous, the caller decides whether to collect.
+        - other strategies: not identified / not implemented.
+        """
+        import pandas as pd_
+        import pyspark.sql.functions as F
+
+        if self.strategy == "compress":
+            out = {}
+            beta = self.coeftable["estimate"]
+            for v, lvls in (self.cat_levels or {}).items():
+                if v not in (self.fe or []):
+                    continue
+                # reference level carries no dummy column → 0.0 by coding
+                vals = {}
+                for lvl in lvls:
+                    name = f"{v}{lvl}"
+                    vals[lvl] = float(beta.get(name, 0.0))
+                out[v] = pd_.Series(vals, name=v)
+            return out
+        if self.strategy == "demean" and len(self.fe) == 1:
+            if data is None:
+                raise ValueError(
+                    "fixef() for demean models needs the data back "
+                    "(dbreg retains none); pass the training DataFrame."
+                )
+            fe1 = self.fe[0]
+            beta = self.coeftable["estimate"]
+            terms = [F.avg(F.col(self.yvar).cast("double"))]
+            for raw in self.design_info.names:
+                cname = standardize_coef_names(raw)
+                if cname in beta.index:
+                    terms.append(
+                        -F.lit(float(beta[cname])) * F.avg(self._design_expr(raw, data))
+                    )
+            fix = terms[0]
+            for t in terms[1:]:
+                fix = fix + t
+            return data.groupBy(fe1).agg(fix.alias("fixef"))
+        raise NotImplementedError(
+            "fixef() is available for compress models (dummy coefficients) "
+            "and 1-FE demean models; for 2+ absorbed FEs the levels are "
+            "only identified up to cross-FE constants — re-estimate with "
+            "strategy='compress' to obtain dummy coefficients."
+        )
+
     # -- display -----------------------------------------------------------
     def __repr__(self) -> str:
         lines = [

@@ -250,3 +250,37 @@ def test_predict_compress_unseen_level(panel, spark):
     b = m.coef()
     want = float(b["(Intercept)"] + 0.5 * b["x1"] - 0.2 * b["x2"])
     np.testing.assert_allclose(out["fit"].iloc[0], want, rtol=1e-10)
+
+
+def test_fixef_demean_1fe_vs_lsdv(panel):
+    """fixef for 1-FE demean: α̂_g − α̂_ref must equal the LSDV dummy
+    coefficient for level g."""
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm", df, strategy="demean")
+    fx = m.fixef(df).toPandas().set_index("firm")["fixef"]
+    X, names, y = lsdv_matrix(pdf, "y", ["x1", "x2"], ["firm"])
+    beta, _ = ols_fit(X, y)
+    dummies = dict(zip(names[3:], beta[3:]))  # firm2.., ref = firm1
+    for lvl, b in list(dummies.items())[:10]:
+        g = int(lvl.replace("firm", ""))
+        np.testing.assert_allclose(fx[g] - fx[1], b, rtol=1e-7)
+
+
+def test_fixef_compress(panel):
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm", df, strategy="compress")
+    fx = m.fixef()["firm"]
+    fe_coefs = m.coef(fe=True)
+    # dummy levels match the coefficients; reference level absent from index
+    for lvl, v in fx.items():
+        np.testing.assert_allclose(v, float(fe_coefs[f"firm{lvl}"]), rtol=1e-12)
+
+
+def test_fixef_refusals(panel):
+    df, pdf = panel
+    m2 = dbreg("y ~ x1 + x2 | firm + year", df, strategy="demean")
+    with pytest.raises(NotImplementedError, match="compress"):
+        m2.fixef(df)
+    m1 = dbreg("y ~ x1 + x2 | firm", df, strategy="demean")
+    with pytest.raises(ValueError, match="data back"):
+        m1.fixef()
