@@ -868,8 +868,8 @@ def _execute_compress(
                 f"({compress_nmax:,}); using the distributed-Gram fallback"
             )
         return _execute_compress_distributed(
-            comp, parsed, design, vcov_type, cluster_var,
-            compression_ratio_est, sql, verbose,
+            comp, source, parsed, design, vcov_type, cluster_var, ssc,
+            drop_missings, compression_ratio_est, sql, verbose,
         )
     nobs_orig = int(pdf["n"].sum())
     nobs_comp = len(pdf)
@@ -988,24 +988,23 @@ def _collect_cells_guarded(comp, compress_nmax):
 
 
 def _execute_compress_distributed(
-    comp, parsed, design, vcov_type, cluster_var, compression_ratio_est, sql,
-    verbose,
+    comp, source, parsed, design, vcov_type, cluster_var, ssc, drop_missings,
+    compression_ratio_est, sql, verbose,
 ):
     """Compress WLS past the driver-transfer cap: X'WX / X'Wy assembled from
     blocked groupBy aggregates over the (persisted) cell table — the cells
     never reach the driver. See :mod:`dbreg_spark.gram` for the plan shape.
-    β / iid / HC1 match the driver-WLS path exactly (same blocks, same
-    estimator); cluster vcov would need per-(cluster, cell) scores at a
-    scale where the cell table itself is too big to collect — refused with
-    guidance."""
-    from .gram import blocked_gram, build_blocks, yhat_frame
+    β / iid / HC1 / single-way CR1 match the driver-WLS path exactly (same
+    blocks, same estimator); CR1 scores come from a (cluster × cell)
+    re-aggregation of the source and blocked per-cluster score tables, so
+    nothing proportional to the cell or cluster count reaches the driver.
+    Multiway clustering is refused (as on the driver compress path)."""
+    from .gram import blocked_cluster_meat, blocked_gram, build_blocks, yhat_frame
 
-    if vcov_type == "cluster":
+    if vcov_type == "cluster" and len(cluster_var) > 1:
         raise ValueError(
-            "[dbreg] cluster vcov is not supported by the distributed-Gram "
-            "compress fallback (cell table exceeds compress_nmax); use "
-            "strategy='demean'/'mundlak' for clustered SEs at this scale, "
-            "or raise compress_nmax."
+            "multiway clustering is not supported by the compress strategy; "
+            "use strategy='moments'/'demean'/'mundlak'"
         )
     comp = comp.persist()
     try:
@@ -1037,17 +1036,56 @@ def _execute_compress_distributed(
             - 2.0 * yhat * F.col("sum_y").cast("double")
             + F.col("n").cast("double") * yhat * yhat,
         )
-        meat = None
+        meat = n_clusters = None
+        n_params_cluster = p
         if vcov_type == "hc1":
             g = blocked_gram(scored, blocks, "__rss_g")["xtx"]
             rss_total = float(g[0, 0])
             meat = g[np.ix_(collin.keep_idx, collin.keep_idx)]
         else:
             rss_total = float(scored.agg(F.sum("__rss_g")).collect()[0][0])
+        if vcov_type == "cluster":
+            from .plans.common import filter_missing
+            from .plans.exprs import to_spark
+
+            # (cluster × cell) re-aggregation of the source; u = Σy − n·ŷ
+            sdf = source.df
+            needed = [parsed.yvar] + parsed.xvars + parsed.fe
+            if drop_missings:
+                sdf = filter_missing(sdf, needed)
+            proj = sdf.select(
+                F.col(cluster_var[0]).alias("__cluster__"),
+                *[
+                    to_spark(e).alias(n)
+                    for n, e in zip(design.names, design.exprs)
+                ],
+                *[F.col(f) for f in parsed.fe if f not in design.names],
+                F.col(parsed.yvar),
+            )
+            cc = proj.groupBy(
+                "__cluster__", *[c for c in comp.columns if c not in ("n", "sum_y", "sum_y_sq", "mean_y", "wts")]
+            ).agg(
+                F.count(F.lit(1)).cast("double").alias("__n_gc"),
+                F.sum(F.col(parsed.yvar).cast("double")).alias("__sy_gc"),
+            )
+            scored_cc, yhat_cc = yhat_frame(cc, blocks, beta_full)
+            scored_cc = scored_cc.withColumn(
+                "__u", F.col("__sy_gc") - F.col("__n_gc") * yhat_cc
+            )
+            meat_full, n_clusters = blocked_cluster_meat(
+                scored_cc, blocks, "__cluster__"
+            )
+            meat = meat_full[np.ix_(collin.keep_idx, collin.keep_idx)]
+            if ssc == "nested":
+                nested = count_nested_fe_levels(sdf, parsed.fe, cluster_var[0])
+                n_params_cluster = p - nested
 
         df_res = max(n_tot - p, 1)
         tss = tss_from_moments(syy, sum_y, n_tot)
-        V = compute_vcov(vcov_type, sol.xtx_inv, rss_total, df_res, n_tot, p, meat, None)
+        V = compute_vcov(
+            vcov_type, sol.xtx_inv, rss_total, df_res, n_tot, n_params_cluster,
+            meat, n_clusters,
+        )
         ct = gen_coeftable(sol.betahat, V, df_res, collin.keep_names)
         cat_levels = {v: lv[1:] for v, lv in levels.items()}
         return DbregModel(
@@ -1065,7 +1103,7 @@ def _execute_compress_distributed(
             df_residual=df_res,
             rss=rss_total,
             tss=tss,
-            n_clusters=None,
+            n_clusters=n_clusters,
             collin_vars=collin.drop_names,
             compression_ratio=compression_ratio,
             compression_ratio_est=compression_ratio_est,

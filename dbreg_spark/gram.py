@@ -208,6 +208,119 @@ def blocked_gram(
     return out
 
 
+def blocked_cluster_meat(
+    scored_cc: DataFrame,
+    blocks: list[GramBlock],
+    cluster_col: str,
+    ucol: str = "__u",
+) -> tuple[np.ndarray, int]:
+    """CR1 meat Σ_g s_g s_gᵀ assembled distributively from per-cluster score
+    blocks, never collecting per-cluster vectors:
+
+    - dense scores (intercept + numerics): ``T1 = groupBy(cluster)`` —
+      G rows × (1+#num) columns; their products come from ONE single-row agg;
+    - categorical scores: ``Tv = groupBy(cluster, v)`` per block (sparse —
+      one row per (cluster, present level));
+    - cross blocks: T1⋈Tv / Tv⋈Tw equi-joins on the cluster key, then a
+      groupBy on the level pair — results are at most G_v·G_w rows.
+
+    Everything is JVM-side groupBy/join; the driver only receives p×p
+    pieces. ``scored_cc`` is the (cluster × cell) table with the residual
+    sum ``ucol`` already attached."""
+    p = sum(b.ncols for b in blocks)
+    nums = _num_vars(blocks)
+    cats = _cat_blocks(blocks)
+    u = F.col(ucol)
+
+    dense_cols = [F.sum(u).alias("s_0")] + [
+        F.sum(u * F.col(b.var).cast("double")).alias(f"s_{i + 1}")
+        for i, b in enumerate(nums)
+    ]
+    t1 = scored_cc.groupBy(cluster_col).agg(*dense_cols)
+    t1 = t1.persist()
+    try:
+        n_clusters = t1.count()
+        meat = np.zeros((p, p))
+        dense_off = [0] + [b.offset for b in nums]
+        nd = len(dense_off)
+
+        # dense × dense: one single-row aggregation over the score table
+        aggs = [
+            F.sum(F.col(f"s_{i}") * F.col(f"s_{j}")).alias(f"m_{i}_{j}")
+            for i in range(nd)
+            for j in range(i, nd)
+        ]
+        row = t1.agg(*aggs).collect()[0]
+        for i in range(nd):
+            for j in range(i, nd):
+                oi, oj = dense_off[i], dense_off[j]
+                meat[min(oi, oj), max(oi, oj)] = row[f"m_{i}_{j}"] or 0.0
+
+        cat_tables = {}
+        for b in cats:
+            tv = (
+                scored_cc.groupBy(cluster_col, b.var)
+                .agg(F.sum(u).alias("sv"))
+                .persist()
+            )
+            cat_tables[b.var] = tv
+
+        # dense × categorical
+        for b in cats:
+            tv = cat_tables[b.var]
+            joined = tv.join(t1, cluster_col)
+            rows = (
+                joined.groupBy(b.var)
+                .agg(
+                    *[
+                        F.sum(F.col("sv") * F.col(f"s_{i}")).alias(f"c_{i}")
+                        for i in range(nd)
+                    ]
+                )
+                .collect()
+            )
+            colof = {lvl: b.offset + k for k, lvl in enumerate(b.levels)}
+            for r in rows:
+                c = colof.get(r[b.var])
+                if c is None:
+                    continue
+                for i in range(nd):
+                    oi = dense_off[i]
+                    meat[min(oi, c), max(oi, c)] = r[f"c_{i}"] or 0.0
+
+        # categorical × categorical (incl. same-var pairs)
+        for a_i in range(len(cats)):
+            for b_i in range(a_i, len(cats)):
+                ba, bb = cats[a_i], cats[b_i]
+                ta = cat_tables[ba.var].select(
+                    cluster_col, F.col(ba.var).alias("__la"), F.col("sv").alias("__sa")
+                )
+                tb = cat_tables[bb.var].select(
+                    cluster_col, F.col(bb.var).alias("__lb"), F.col("sv").alias("__sb")
+                )
+                rows = (
+                    ta.join(tb, cluster_col)
+                    .groupBy("__la", "__lb")
+                    .agg(F.sum(F.col("__sa") * F.col("__sb")).alias("m"))
+                    .collect()
+                )
+                ca = {lvl: ba.offset + k for k, lvl in enumerate(ba.levels)}
+                cb = {lvl: bb.offset + k for k, lvl in enumerate(bb.levels)}
+                for r in rows:
+                    ia, ib = ca.get(r["__la"]), cb.get(r["__lb"])
+                    if ia is None or ib is None:
+                        continue
+                    meat[min(ia, ib), max(ia, ib)] = r["m"] or 0.0
+
+        for tv in cat_tables.values():
+            tv.unpersist()
+        iu = np.triu_indices(p, k=1)
+        meat[(iu[1], iu[0])] = meat[iu]
+        return meat, n_clusters
+    finally:
+        t1.unpersist()
+
+
 def yhat_frame(
     comp: DataFrame, blocks: list[GramBlock], beta_full: np.ndarray
 ) -> tuple[DataFrame, "F.Column"]:

@@ -59,8 +59,9 @@ def test_dbreg_strategies_leave_no_cache(spark, tables):
           strategy="mundlak", vcov="hc1")
     dbreg("l_tax ~ l_quantity | l_returnflag", li, strategy="compress")
     # distributed-Gram fallback persists the cell table internally
+    # (cluster variant also persists per-cluster score tables)
     dbreg("l_tax ~ l_quantity + l_discount | l_returnflag + l_linestatus", li,
-          strategy="compress", compress_nmax=100)
+          strategy="compress", compress_nmax=100, vcov="~l_returnflag")
     # iterated 3-FE demeaning checkpoints each sweep internally
     dbreg("l_extendedprice ~ l_quantity | l_returnflag + l_linestatus + l_linenumber",
           li, strategy="demean")

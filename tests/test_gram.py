@@ -51,13 +51,25 @@ def test_fallback_factor_regressor(tables):
     _assert_models_match(m_drv, m_dist)
 
 
-def test_fallback_cluster_refused(tables):
-    with pytest.raises(ValueError, match="distributed-Gram"):
+def test_fallback_cluster_matches_driver(tables):
+    """Single-way CR1 in the fallback: blocked per-cluster score tables must
+    reproduce the driver-path cluster meat exactly."""
+    li = tables["lineitem"]
+    m_drv = dbreg(FML, li, strategy="compress", vcov="~l_returnflag")
+    m_dist = dbreg(
+        FML, li, strategy="compress", vcov="~l_returnflag", compress_nmax=100
+    )
+    _assert_models_match(m_drv, m_dist)
+    assert m_dist.n_clusters == m_drv.n_clusters
+
+
+def test_fallback_multiway_cluster_refused(tables):
+    with pytest.raises(ValueError, match="multiway"):
         dbreg(
             FML,
             tables["lineitem"],
             strategy="compress",
-            vcov="~l_returnflag",
+            vcov="~l_returnflag + l_linestatus",
             compress_nmax=100,
         )
 
