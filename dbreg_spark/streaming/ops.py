@@ -28,6 +28,18 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..functions.xdialect import SPARK, X
 
 
+def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (with local timezone); parquet event
+    columns written without a zone are inferred as TIMESTAMP_NTZ, which
+    ``withWatermark`` rejects. Cast NTZ → LTZ in place (the wall-clock
+    instant is preserved under the session timezone, so window boundaries
+    are unchanged)."""
+    field = df.schema[ts_col]
+    if isinstance(field.dataType, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
@@ -37,6 +49,7 @@ def windowed_event_counts(
     """Tumbling/sliding window counts + value sums per event_type, tolerating
     late data up to the watermark."""
     w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    events = _ensure_event_time(events, "ts")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(w, "event_type")
@@ -65,7 +78,7 @@ def streaming_dedup(
     the horizon, not the text)."""
     x = X(SPARK)
     norm = f"lower({x.regexp_replace_all(f'trim({text_col})', chr(92) + 's+', ' ')})"
-    hashed = docs.withColumn("__fp", F.expr(f"md5({norm})"))
+    hashed = _ensure_event_time(docs, ts_col).withColumn("__fp", F.expr(f"md5({norm})"))
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["__fp"])
 
 
@@ -80,6 +93,7 @@ def sessionize_builtin(
     applyInPandasWithState formulation for when per-session logic goes
     beyond what session_window expresses (mid-session emission, custom
     close rules)."""
+    events = _ensure_event_time(events, "ts")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap), "user_id")
@@ -186,7 +200,8 @@ def sessionize(
             )
 
     return (
-        events.withWatermark("ts", watermark)
+        _ensure_event_time(events, "ts")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
@@ -232,6 +247,7 @@ def streaming_moments(
     base = filter_missing(df, [parsed.yvar] + parsed.xvars)
     if window is None:
         return base.agg(*aggs)
+    base = _ensure_event_time(base, ts_col)
     return (
         base.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window))
