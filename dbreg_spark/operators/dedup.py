@@ -321,20 +321,22 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_words: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicates: candidates share ≥1 shingle
     (explode → equi-join on shingle hash), then exact Jaccard from the full
     shingle-hash sets. Returns (id_a, id_b, jaccard ≥ threshold).
 
-    ``max_df`` is the scale guard: shingles appearing in more than ``max_df``
-    documents are excluded from *candidate generation* (one groupBy pre-pass
-    + a broadcast anti-join). Without it, a shingle with document frequency
-    d contributes d² join rows — a common trigram at corpus scale is a
-    cartesian-class explosion. Jaccard itself is always computed on the
-    complete shingle sets, so the cap only affects which pairs are
-    *surfaced*: a pair sharing nothing but ubiquitous shingles is skipped
-    (by construction such pairs sit at low Jaccard for any sensible cap).
+    ``max_df`` is the scale guard, ON BY DEFAULT: shingles appearing in more
+    than ``max_df`` documents are excluded from *candidate generation* (one
+    groupBy pre-pass + a broadcast anti-join). A shingle with document
+    frequency d contributes d² join rows — a common trigram at corpus scale
+    is a cartesian-class explosion, so ``max_df=None`` (no cap) is the
+    explicit opt-out for small corpora, not the default. Jaccard itself is
+    always computed on the complete shingle sets, so the cap only affects
+    which pairs are *surfaced*: a pair sharing nothing but ubiquitous
+    shingles is skipped (by construction such pairs sit at low Jaccard for
+    any sensible cap).
     """
     x = X(SPARK)
     staged = df.select(
@@ -390,7 +392,7 @@ def ngram_jaccard_pairs_sql(
     id_col: str = "doc_id",
     shingle_words: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> str:
     x = X(DUCK)
     hs = x.array_distinct(

@@ -132,7 +132,7 @@ def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int | None = 8,
+    n_planes: int | None = None,
     n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -449,7 +449,7 @@ FROM ranked WHERE rank <= {k}
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_planes: int | None = 8,
+    n_planes: int | None = None,
     n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
