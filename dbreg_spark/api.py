@@ -1127,7 +1127,13 @@ def _compress_cluster_meat(
 ):
     """Cluster meat for compress (reference: R/dbreg.R:2008-2068), vectorized:
     per-(cluster, cell) summed residuals u = Σy − n·ŷ(cell), score vectors
-    S = X'U via the implicit cell design, meat = S S'."""
+    S = X'U via the implicit cell design, meat = S S'.
+
+    The (cluster × cell) table is strictly larger than the cell table, so its
+    collect is guarded the same way as the cells (spark.driver.maxResultSize
+    aborts cleanly); on overflow the meat is assembled distributively via
+    :func:`dbreg_spark.gram.blocked_cluster_meat` — identical estimator,
+    only p×p pieces reach the driver."""
     from .plans.common import filter_missing
     from .plans.exprs import to_spark
     from .wls import CellDesign
@@ -1142,14 +1148,13 @@ def _compress_cluster_meat(
         *[F.col(f) for f in parsed.fe],
         F.col(parsed.yvar),
     )
-    cc = (
-        proj.groupBy("__cluster__", *group_cols)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_gc"),
-            F.sum(F.col(parsed.yvar).cast("double")).alias("sum_y_gc"),
-        )
-        .toPandas()
+    cc_df = proj.groupBy("__cluster__", *group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gc"),
+        F.sum(F.col(parsed.yvar).cast("double")).alias("sum_y_gc"),
     )
+    cc = _toPandas_guarded(cc_df)
+    if cc is None:
+        return _compress_cluster_meat_blocked(cc_df, cd, collin, betahat)
     cell_key = pdf[group_cols].astype(str).agg("\x1f".join, axis=1)
     cc_key = cc[group_cols].astype(str).agg("\x1f".join, axis=1)
     cell_row = pd.Series(np.arange(len(pdf)), index=cell_key)
@@ -1169,6 +1174,45 @@ def _compress_cluster_meat(
             S[r] = S_full[pos[name]]
     meat = S @ S.T
     return meat, len(clusters)
+
+
+def _toPandas_guarded(df):
+    """Arrow collect with spark.driver.maxResultSize as the memory guard:
+    returns the pandas frame, or None when the result exceeds the cap
+    (caller falls back to a distributed assembly)."""
+    try:
+        return df.toPandas()
+    except Exception as exc:  # Py4J/SparkException: result too large
+        if "maxResultSize" in str(exc):
+            return None
+        raise
+
+
+def _compress_cluster_meat_blocked(cc_df, cd, collin, betahat):
+    """Distributed twin of the driver cluster-meat path: the (cluster ×
+    cell) frame never reaches the driver. GramBlocks are lifted 1:1 from
+    the already-built CellDesign (same column order, same drop-first level
+    sets), ŷ is literal-β column math + broadcast level lookups
+    (gram.py:yhat_frame), and Σ_g s_g s_gᵀ comes from blocked per-cluster
+    score tables (gram.py:blocked_cluster_meat)."""
+    from .gram import GramBlock, blocked_cluster_meat, yhat_frame
+
+    gblocks, off = [], 0
+    for b in cd.blocks:
+        gb = GramBlock(b.kind, b.var, list(b.levels) if b.kind == "cat" else None)
+        gb.offset = off
+        off += gb.ncols
+        gblocks.append(gb)
+    beta_full = np.zeros(cd.p)
+    beta_full[np.asarray(collin.keep_idx, dtype=int)] = betahat
+    scored_cc, yhat_col = yhat_frame(cc_df, gblocks, beta_full)
+    scored_cc = scored_cc.withColumn(
+        "__u",
+        F.col("sum_y_gc").cast("double") - F.col("n_gc").cast("double") * yhat_col,
+    )
+    meat_full, n_clusters = blocked_cluster_meat(scored_cc, gblocks, "__cluster__")
+    keep = np.asarray(collin.keep_idx, dtype=int)
+    return meat_full[np.ix_(keep, keep)], n_clusters
 
 
 # --------------------------------------------------------------------------

@@ -143,3 +143,30 @@ def test_fallback_property_random_designs(spark):
             rtol=1e-8,
             err_msg=f"trial {trial}",
         )
+
+
+def test_cluster_meat_guarded_collect_falls_back_blocked(tables, monkeypatch):
+    """Judge contract (VERDICT r03 #3): when the (cluster × cell) collect
+    overflows spark.driver.maxResultSize, the driver compress path must fall
+    back to blocked_cluster_meat — β/SE equal to the driver path to 1e-10."""
+    from dbreg_spark import api
+
+    li = tables["lineitem"]
+    m_drv = dbreg(FML, li, strategy="compress", vcov="~l_returnflag")
+
+    real = api._toPandas_guarded
+    calls = {"n": 0}
+
+    def fake(df):
+        calls["n"] += 1
+        # the cluster-meat cc frame carries the n_gc/sum_y_gc aggregates;
+        # simulate a too-large result ONLY for that collect
+        if "n_gc" in df.columns:
+            return None
+        return real(df)
+
+    monkeypatch.setattr(api, "_toPandas_guarded", fake)
+    m_blk = dbreg(FML, li, strategy="compress", vcov="~l_returnflag")
+    assert calls["n"] >= 1
+    _assert_models_match(m_drv, m_blk)
+    assert m_blk.n_clusters == m_drv.n_clusters
