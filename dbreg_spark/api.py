@@ -602,6 +602,7 @@ def _finish_demean(
         design_info=design,
         parsed=parsed,
         intercept=False,
+        demean_iterated=(frame.cte_name == "demeaned_iter"),
     )
 
 

@@ -67,6 +67,10 @@ class DbregModel:
     # exact FE-dummy coefficient names (so a regressor sharing an FE's name
     # prefix is never misclassified)
     fe_coef_names: frozenset = frozenset()
+    # demean only: True when the estimator used iterated (alternating-
+    # projection) demeaning — predict() must then apply the same transform
+    # to newdata, NOT the balanced double-demean identity
+    demean_iterated: bool = False
 
     # -- inference ---------------------------------------------------------
     def _is_fe_coef(self, name: str) -> bool:
@@ -331,12 +335,6 @@ class DbregModel:
 
         beta = self.coeftable["estimate"]
         fe = self.fe
-        if len(fe) > 2:
-            raise NotImplementedError(
-                "predict() for demean models with more than 2 FEs would need "
-                "the full alternating-projection transform of newdata; "
-                "re-estimate with strategy='compress' to predict."
-            )
         has_y = self.yvar in newdata.columns
         if not has_y:
             warnings.warn(
@@ -356,6 +354,11 @@ class DbregModel:
             a = f"__px_{i}"
             proj = proj.withColumn(a, self._design_expr(raw, newdata))
             tmp_cols.append(a)
+
+        if self.demean_iterated or len(fe) > 2:
+            return self._predict_demean_iterated(
+                proj, beta, used, tmp_cols, has_y, orig_cols
+            )
 
         def mean_table(group_by: list[str], suffix: str):
             aggs = [F.avg(F.col(a)).alias(f"{a}{suffix}") for a in tmp_cols]
@@ -392,6 +395,39 @@ class DbregModel:
         for a, (_, cname) in zip(tmp_cols, used):
             fit = fit + F.lit(float(beta[cname])) * demeaned[a]
         return j.withColumn("fit", fit).select(*orig_cols, "fit")
+
+    def _predict_demean_iterated(self, proj, beta, used, tmp_cols, has_y, orig_cols):
+        """Predict for iterated-demean (alternating-projection) models —
+        exact on unbalanced panels and for any FE count, mirroring the
+        estimator's transform on *newdata* (reference semantics compute the
+        group means from newdata, stats-methods.R:128-201).
+
+        With M = I − P_FE the converged within-projection, fit = y − M y +
+        (M X)β  ==  P_FE y + M X β, which equals the LSDV fitted values
+        (FWL); without the outcome only the within part M X β is returned
+        (with the standard warning, emitted by the caller). The transform
+        runs the same adaptive sweep loop as estimation
+        (plans/frames.py:build_demeaned_frame_iterative); its checkpoint
+        blocks back the returned frame and are released by Spark's context
+        cleaner once the caller drops it."""
+        import pyspark.sql.functions as F
+
+        from .plans.frames import Frame, build_demeaned_frame_iterative
+
+        proj = proj.withColumn(
+            "__py",
+            F.col(self.yvar).cast("double") if has_y else F.lit(0.0),
+        )
+        base = Frame(proj, "__py", list(tmp_cols), orig_cols, None, "predict_base")
+        frame = build_demeaned_frame_iterative(base, list(self.fe))
+        fit = (
+            F.col(self.yvar).cast("double") - F.col("__py")
+            if has_y
+            else F.lit(0.0)
+        )
+        for a, (_, cname) in zip(tmp_cols, used):
+            fit = fit + F.lit(float(beta[cname])) * F.col(a)
+        return frame.df.withColumn("fit", fit).select(*orig_cols, "fit")
 
     # -- fixed-effect recovery (beyond the reference; fixest's fixef()) ----
     def fixef(self, data=None):
