@@ -915,14 +915,9 @@ def _execute_compress(
         # meat = X' diag(rss_g) X on kept columns (reference: R/dbreg.R:1771)
         meat = cd.gram(rss_g)[np.ix_(collin.keep_idx, collin.keep_idx)]
     elif vcov_type == "cluster":
-        if len(cluster_var) > 1:
-            raise ValueError(
-                "multiway clustering is not supported by the compress strategy; "
-                "use strategy='moments'/'demean'/'mundlak'"
-            )
         meat, n_clusters = _compress_cluster_meat(
-            source, parsed, design, group_cols, cluster_var[0], pdf, cd, collin,
-            sol.betahat, yhat, drop_missings
+            source, parsed, design, group_cols, cluster_var, pdf, cd, collin,
+            sol.betahat, yhat, drop_missings, nobs_orig, p
         )
         if ssc == "nested":
             from .plans.common import filter_missing
@@ -995,18 +990,14 @@ def _execute_compress_distributed(
     """Compress WLS past the driver-transfer cap: X'WX / X'Wy assembled from
     blocked groupBy aggregates over the (persisted) cell table — the cells
     never reach the driver. See :mod:`dbreg_spark.gram` for the plan shape.
-    β / iid / HC1 / single-way CR1 match the driver-WLS path exactly (same
-    blocks, same estimator); CR1 scores come from a (cluster × cell)
-    re-aggregation of the source and blocked per-cluster score tables, so
-    nothing proportional to the cell or cluster count reaches the driver.
-    Multiway clustering is refused (as on the driver compress path)."""
+    β / iid / HC1 / CR1 match the driver-WLS path exactly (same blocks, same
+    estimator); CR1 scores come from a (cluster × cell) re-aggregation of
+    the source and blocked per-cluster score tables, so nothing proportional
+    to the cell or cluster count reaches the driver. Multiway CGM runs its
+    2^k − 1 subset components as re-aggregations of the ONE persisted finest
+    (all cluster vars × cell) table — a single source scan total."""
     from .gram import blocked_cluster_meat, blocked_gram, build_blocks, yhat_frame
 
-    if vcov_type == "cluster" and len(cluster_var) > 1:
-        raise ValueError(
-            "multiway clustering is not supported by the compress strategy; "
-            "use strategy='moments'/'demean'/'mundlak'"
-        )
     comp = comp.persist()
     try:
         blocks, col_names, levels = build_blocks(comp, design.names, parsed.fe)
@@ -1046,16 +1037,21 @@ def _execute_compress_distributed(
         else:
             rss_total = float(scored.agg(F.sum("__rss_g")).collect()[0][0])
         if vcov_type == "cluster":
+            from itertools import combinations
+
             from .plans.common import filter_missing
             from .plans.exprs import to_spark
 
-            # (cluster × cell) re-aggregation of the source; u = Σy − n·ŷ
+            # finest (all cluster vars × cell) re-aggregation of the source;
+            # u = Σy − n·ŷ. Every CGM subset component re-aggregates this
+            # table (n/Σy are additive) — one source scan total.
             sdf = source.df
             needed = [parsed.yvar] + parsed.xvars + parsed.fe
             if drop_missings:
                 sdf = filter_missing(sdf, needed)
+            aliases = [f"__cl_{i}" for i in range(len(cluster_var))]
             proj = sdf.select(
-                F.col(cluster_var[0]).alias("__cluster__"),
+                *[F.col(c).alias(a) for c, a in zip(cluster_var, aliases)],
                 *[
                     to_spark(e).alias(n)
                     for n, e in zip(design.names, design.exprs)
@@ -1063,21 +1059,61 @@ def _execute_compress_distributed(
                 *[F.col(f) for f in parsed.fe if f not in design.names],
                 F.col(parsed.yvar),
             )
-            cc = proj.groupBy(
-                "__cluster__", *[c for c in comp.columns if c not in ("n", "sum_y", "sum_y_sq", "mean_y", "wts")]
-            ).agg(
+            cell_cols = [
+                c for c in comp.columns
+                if c not in ("n", "sum_y", "sum_y_sq", "mean_y", "wts")
+            ]
+            cc = proj.groupBy(*aliases, *cell_cols).agg(
                 F.count(F.lit(1)).cast("double").alias("__n_gc"),
                 F.sum(F.col(parsed.yvar).cast("double")).alias("__sy_gc"),
             )
-            scored_cc, yhat_cc = yhat_frame(cc, blocks, beta_full)
-            scored_cc = scored_cc.withColumn(
-                "__u", F.col("__sy_gc") - F.col("__n_gc") * yhat_cc
-            )
-            meat_full, n_clusters = blocked_cluster_meat(
-                scored_cc, blocks, "__cluster__"
-            )
+            if len(cluster_var) > 1:
+                cc = cc.persist()
+
+            def comp_meat(sub_aliases):
+                cc_S = (
+                    cc
+                    if len(sub_aliases) == len(aliases)
+                    else cc.groupBy(*sub_aliases, *cell_cols).agg(
+                        F.sum("__n_gc").alias("__n_gc"),
+                        F.sum("__sy_gc").alias("__sy_gc"),
+                    )
+                )
+                scored_cc, yhat_cc = yhat_frame(cc_S, blocks, beta_full)
+                scored_cc = scored_cc.withColumn(
+                    "__u", F.col("__sy_gc") - F.col("__n_gc") * yhat_cc
+                )
+                return blocked_cluster_meat(scored_cc, blocks, sub_aliases)
+
+            try:
+                if len(cluster_var) == 1:
+                    meat_full, n_clusters = comp_meat(aliases)
+                else:
+                    comps, g_single = [], {}
+                    for r in range(1, len(aliases) + 1):
+                        for S in combinations(range(len(aliases)), r):
+                            m_S, g_S = comp_meat([aliases[i] for i in S])
+                            comps.append((r, m_S, g_S))
+                            if r == 1:
+                                g_single[S[0]] = g_S
+                    g_min = min(g_single.values())
+                    scale_ref = (g_min / (g_min - 1)) * (n_tot / (n_tot - p))
+                    meat_full = None
+                    for r, m_S, g_S in comps:
+                        sign = 1.0 if r % 2 == 1 else -1.0
+                        scale_S = (g_S / (g_S - 1)) * (n_tot / (n_tot - p))
+                        term = sign * (scale_S / scale_ref) * m_S
+                        meat_full = term if meat_full is None else meat_full + term
+                    n_clusters = g_min
+            finally:
+                if len(cluster_var) > 1:
+                    cc.unpersist()
             meat = meat_full[np.ix_(collin.keep_idx, collin.keep_idx)]
             if ssc == "nested":
+                if len(cluster_var) > 1:
+                    raise ValueError(
+                        "ssc='nested' is not defined for multiway clustering"
+                    )
                 nested = count_nested_fe_levels(sdf, parsed.fe, cluster_var[0])
                 n_params_cluster = p - nested
 
@@ -1123,39 +1159,101 @@ def _execute_compress_distributed(
 
 
 def _compress_cluster_meat(
-    source, parsed, design, group_cols, cluster_var, pdf, cd, collin, betahat, yhat,
-    drop_missings
+    source, parsed, design, group_cols, cluster_vars, pdf, cd, collin, betahat, yhat,
+    drop_missings, n_total, n_params
 ):
     """Cluster meat for compress (reference: R/dbreg.R:2008-2068), vectorized:
     per-(cluster, cell) summed residuals u = Σy − n·ŷ(cell), score vectors
     S = X'U via the implicit cell design, meat = S S'.
+
+    Multiway (CGM, beyond the reference's 1-cluster cap, utils.R:284-287):
+    the FINEST (all cluster vars × cell) table is aggregated in ONE source
+    scan; every subset component's score table is a re-aggregation of it
+    (n/Σy are additive), so 2^k − 1 components cost one scan + k−1 tiny
+    group-bys. Components combine with CGM signs, rescaled so compute_vcov's
+    single CR1 formula (G = min single-variable G) reproduces the sum —
+    identical to the moments-path convention (:func:`_cluster_meat_any`).
 
     The (cluster × cell) table is strictly larger than the cell table, so its
     collect is guarded the same way as the cells (spark.driver.maxResultSize
     aborts cleanly); on overflow the meat is assembled distributively via
     :func:`dbreg_spark.gram.blocked_cluster_meat` — identical estimator,
     only p×p pieces reach the driver."""
+    from itertools import combinations
+
     from .plans.common import filter_missing
     from .plans.exprs import to_spark
-    from .wls import CellDesign
 
     df = source.df
     needed = [parsed.yvar] + parsed.xvars + parsed.fe
     if drop_missings:
         df = filter_missing(df, needed)
+    aliases = [f"__cl_{i}" for i in range(len(cluster_vars))]
     proj = df.select(
-        F.col(cluster_var).alias("__cluster__"),
+        *[F.col(c).alias(a) for c, a in zip(cluster_vars, aliases)],
         *[to_spark(e).alias(n) for n, e in zip(design.names, design.exprs)],
         *[F.col(f) for f in parsed.fe],
         F.col(parsed.yvar),
     )
-    cc_df = proj.groupBy("__cluster__", *group_cols).agg(
+    cc_df = proj.groupBy(*aliases, *group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_gc"),
         F.sum(F.col(parsed.yvar).cast("double")).alias("sum_y_gc"),
     )
     cc = _toPandas_guarded(cc_df)
+
+    def component(sub_aliases, cc_sub_df=None):
+        if cc is not None:
+            if len(sub_aliases) == len(aliases):
+                cc_S = cc
+            else:
+                cc_S = cc.groupby(
+                    sub_aliases + group_cols, as_index=False, sort=False
+                )[["n_gc", "sum_y_gc"]].sum()
+            return _cc_meat_pandas(
+                cc_S, sub_aliases, group_cols, pdf, cd, collin, yhat, design, parsed
+            )
+        return _compress_cluster_meat_blocked(
+            cc_sub_df, cd, collin, betahat, sub_aliases
+        )
+
     if cc is None:
-        return _compress_cluster_meat_blocked(cc_df, cd, collin, betahat)
+        # distributed components share the persisted finest table: one scan
+        cc_df = cc_df.persist()
+    try:
+        if len(cluster_vars) == 1:
+            return component(aliases, cc_df)
+        comps, g_single = [], {}
+        for r in range(1, len(aliases) + 1):
+            for S in combinations(range(len(aliases)), r):
+                sub = [aliases[i] for i in S]
+                sub_df = None
+                if cc is None:
+                    sub_df = cc_df.groupBy(*sub, *group_cols).agg(
+                        F.sum("n_gc").alias("n_gc"),
+                        F.sum("sum_y_gc").alias("sum_y_gc"),
+                    )
+                meat_S, g_S = component(sub, sub_df)
+                comps.append((r, meat_S, g_S))
+                if r == 1:
+                    g_single[S[0]] = g_S
+        g_min = min(g_single.values())
+        scale_ref = (g_min / (g_min - 1)) * (n_total / (n_total - n_params))
+        meat_eff = None
+        for r, meat_S, g_S in comps:
+            sign = 1.0 if r % 2 == 1 else -1.0
+            scale_S = (g_S / (g_S - 1)) * (n_total / (n_total - n_params))
+            term = sign * (scale_S / scale_ref) * meat_S
+            meat_eff = term if meat_eff is None else meat_eff + term
+        return meat_eff, g_min
+    finally:
+        if cc is None:
+            cc_df.unpersist()
+
+
+def _cc_meat_pandas(cc, cl_aliases, group_cols, pdf, cd, collin, yhat, design, parsed):
+    """Driver-side CR1 meat from a collected (cluster × cell) frame."""
+    from .wls import CellDesign
+
     cell_key = pdf[group_cols].astype(str).agg("\x1f".join, axis=1)
     cc_key = cc[group_cols].astype(str).agg("\x1f".join, axis=1)
     cell_row = pd.Series(np.arange(len(pdf)), index=cell_key)
@@ -1163,7 +1261,12 @@ def _compress_cluster_meat(
     yhat_cc = yhat[rows]
     u_sum = cc["sum_y_gc"].to_numpy(dtype=float) - cc["n_gc"].to_numpy(dtype=float) * yhat_cc
 
-    clusters, cidx = np.unique(cc["__cluster__"].to_numpy(), return_inverse=True)
+    if len(cl_aliases) == 1:
+        cidx, clusters = pd.factorize(cc[cl_aliases[0]])
+    else:
+        cidx, clusters = pd.factorize(
+            pd.Series(list(zip(*[cc[a] for a in cl_aliases])))
+        )
     # evaluate the design on the cluster-cell rows and form S = X'U directly
     cd_cc = CellDesign(cc, design.names, parsed.fe)
     S_full = cd_cc.cross_gram_cat(u_sum, cidx, len(clusters))
@@ -1189,7 +1292,7 @@ def _toPandas_guarded(df):
         raise
 
 
-def _compress_cluster_meat_blocked(cc_df, cd, collin, betahat):
+def _compress_cluster_meat_blocked(cc_df, cd, collin, betahat, cluster_cols):
     """Distributed twin of the driver cluster-meat path: the (cluster ×
     cell) frame never reaches the driver. GramBlocks are lifted 1:1 from
     the already-built CellDesign (same column order, same drop-first level
@@ -1211,7 +1314,7 @@ def _compress_cluster_meat_blocked(cc_df, cd, collin, betahat):
         "__u",
         F.col("sum_y_gc").cast("double") - F.col("n_gc").cast("double") * yhat_col,
     )
-    meat_full, n_clusters = blocked_cluster_meat(scored_cc, gblocks, "__cluster__")
+    meat_full, n_clusters = blocked_cluster_meat(scored_cc, gblocks, cluster_cols)
     keep = np.asarray(collin.keep_idx, dtype=int)
     return meat_full[np.ix_(keep, keep)], n_clusters
 

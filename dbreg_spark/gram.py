@@ -211,7 +211,7 @@ def blocked_gram(
 def blocked_cluster_meat(
     scored_cc: DataFrame,
     blocks: list[GramBlock],
-    cluster_col: str,
+    cluster_col: str | list[str],
     ucol: str = "__u",
 ) -> tuple[np.ndarray, int]:
     """CR1 meat Σ_g s_g s_gᵀ assembled distributively from per-cluster score
@@ -226,7 +226,10 @@ def blocked_cluster_meat(
 
     Everything is JVM-side groupBy/join; the driver only receives p×p
     pieces. ``scored_cc`` is the (cluster × cell) table with the residual
-    sum ``ucol`` already attached."""
+    sum ``ucol`` already attached. ``cluster_col`` may be a list — the
+    cluster key is then the interaction of those columns (CGM subset
+    components cluster this way)."""
+    ccols = [cluster_col] if isinstance(cluster_col, str) else list(cluster_col)
     p = sum(b.ncols for b in blocks)
     nums = _num_vars(blocks)
     cats = _cat_blocks(blocks)
@@ -236,7 +239,7 @@ def blocked_cluster_meat(
         F.sum(u * F.col(b.var).cast("double")).alias(f"s_{i + 1}")
         for i, b in enumerate(nums)
     ]
-    t1 = scored_cc.groupBy(cluster_col).agg(*dense_cols)
+    t1 = scored_cc.groupBy(*ccols).agg(*dense_cols)
     t1 = t1.persist()
     try:
         n_clusters = t1.count()
@@ -259,7 +262,7 @@ def blocked_cluster_meat(
         cat_tables = {}
         for b in cats:
             tv = (
-                scored_cc.groupBy(cluster_col, b.var)
+                scored_cc.groupBy(*ccols, b.var)
                 .agg(F.sum(u).alias("sv"))
                 .persist()
             )
@@ -268,7 +271,7 @@ def blocked_cluster_meat(
         # dense × categorical
         for b in cats:
             tv = cat_tables[b.var]
-            joined = tv.join(t1, cluster_col)
+            joined = tv.join(t1, ccols)
             rows = (
                 joined.groupBy(b.var)
                 .agg(
@@ -293,13 +296,13 @@ def blocked_cluster_meat(
             for b_i in range(a_i, len(cats)):
                 ba, bb = cats[a_i], cats[b_i]
                 ta = cat_tables[ba.var].select(
-                    cluster_col, F.col(ba.var).alias("__la"), F.col("sv").alias("__sa")
+                    *ccols, F.col(ba.var).alias("__la"), F.col("sv").alias("__sa")
                 )
                 tb = cat_tables[bb.var].select(
-                    cluster_col, F.col(bb.var).alias("__lb"), F.col("sv").alias("__sb")
+                    *ccols, F.col(bb.var).alias("__lb"), F.col("sv").alias("__sb")
                 )
                 rows = (
-                    ta.join(tb, cluster_col)
+                    ta.join(tb, ccols)
                     .groupBy("__la", "__lb")
                     .agg(F.sum(F.col("__sa") * F.col("__sb")).alias("m"))
                     .collect()

