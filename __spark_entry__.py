@@ -400,17 +400,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["multimodal_frame_plan"] = q_mm_frames
 
-    # decode runs through mapInPandas (Arrow-batched stub decoder) — the
-    # Python stage is deterministic but not SQL-expressible → rows-only
+    # decode runs through mapInPandas (Arrow-batched stub decoder); the stub
+    # is an md5-integer PRNG with exact SQL semantics, so the full feature
+    # vectors hash-match the DuckDB twin (multimodal.decode_features_sql)
     def q_mm_decode(spark, sf_dir):
         from dbreg_spark.operators import multimodal as mm
 
         t = _tables(spark, sf_dir)
         media = mm.synthesize_media(t["documents"])
-        feats = mm.decode_features(media, dim=8)
-        return feats.select(
-            "media_id", "kind", "n_bytes", F.size("features").alias("feat_dim")
-        )
+        return mm.decode_features(media, dim=8)
 
     Q["multimodal_decode_features"] = q_mm_decode
 
@@ -807,6 +805,10 @@ FROM (SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) * 10 AS duration_m
       FROM documents WHERE doc_id % 3 = 2) v,
      unnest(generate_series(0, greatest(CAST(FLOOR(duration_ms / 1000.0) AS INT) - 1, 0))) AS u(i)
 """
+
+    from dbreg_spark.operators import multimodal as _mm
+
+    O["multimodal_decode_features"] = _mm.decode_features_sql("documents", dim=8)
 
     # independent-estimator parity: DuckDB's regr_* aggregates play the
     # lm/feols oracle role for the full fit (estimate AND std error)

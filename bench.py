@@ -42,16 +42,17 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def bench(name, fn, repeats=3):
-        # best-of-N: per-query wall time in a shared JVM is noisy (+-25%
-        # observed run-to-run from GC/JIT state); the minimum is the stable
-        # estimator of achievable time and what BASELINE.md's numbers mean
-        best = None
+        # median-of-N (VERDICT r02/r03 bench hygiene): per-query wall time in
+        # a shared JVM is noisy (±25-75% observed run-to-run from GC/JIT
+        # state); the median both resists outliers AND surfaces regressions
+        # that a min-of-N would hide
+        times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        timings[name] = round(times[len(times) // 2], 4)
 
     # ---- the BASELINE.md headline analog: compress + HC1 on 2 FE ----
     bench(

@@ -53,10 +53,17 @@ def synthesize_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def _make_fake_decoder():
-    """Deterministic stand-in for a real decoder: hash-seeded pseudo-features.
+    """Deterministic stand-in for a real decoder: md5-integer PRNG features.
+
+    Feature j is ``(md5int(content || '|' || j) % 2000001 − 10⁶) / 10⁶`` —
+    pure integer arithmetic on the first 15 hex chars of md5 (the same
+    60-bit hash convention as functions/xdialect.md5int), so the exact
+    values are reproducible in ANSI SQL on any engine with md5
+    (:func:`decode_features_sql` is the DuckDB twin, making the correctness
+    gate hash-matched instead of rows-only).
 
     A real deployment replaces this with e.g. PIL/torchvision decode — the
-    Spark-side contract (bytes in, fixed-dim float32 out) is identical.
+    Spark-side contract (bytes in, fixed-dim float vector out) is identical.
     Defined as a *nested* function so cloudpickle serializes it by value:
     executors then don't need dbreg_spark importable on their PYTHONPATH.
     """
@@ -67,10 +74,18 @@ def _make_fake_decoder():
         import numpy as _np
 
         if content is None:
-            return _np.zeros(dim, dtype=_np.float32)
-        seed = int.from_bytes(_h.md5(bytes(content)).digest()[:8], "big")
-        rng = _np.random.default_rng(seed)
-        return rng.standard_normal(dim).astype(_np.float32)
+            return _np.zeros(dim, dtype=_np.float64)
+        base = bytes(content) + b"|"
+        vals = [
+            (
+                int(_h.md5(base + str(j).encode()).hexdigest()[:15], 16)
+                % 2000001
+                - 1000000
+            )
+            / 1000000.0
+            for j in range(dim)
+        ]
+        return _np.asarray(vals, dtype=_np.float64)
 
     return fake_decode
 
@@ -93,7 +108,7 @@ def decode_features(
         [
             T.StructField("media_id", T.LongType(), False),
             T.StructField("kind", T.StringType(), False),
-            T.StructField("features", T.ArrayType(T.FloatType()), False),
+            T.StructField("features", T.ArrayType(T.DoubleType()), False),
             T.StructField("n_bytes", T.LongType(), False),
         ]
     )
@@ -113,6 +128,28 @@ def decode_features(
             )
 
     return df.select("media_id", "kind", "content").mapInPandas(batches, out_schema)
+
+
+def decode_features_sql(
+    table: str, dim: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`synthesize_media` → :func:`decode_features`
+    with the default stub decoder: the md5-integer PRNG features are exact
+    integer arithmetic, so Spark (Python stub) and DuckDB agree bit-for-bit
+    (both compute k/10⁶ for the same integer k)."""
+    feats = ", ".join(
+        f"((('0x' || substr(md5({text_col} || '|{j}'), 1, 15))::BIGINT "
+        f"% 2000001) - 1000000) / 1000000.0"
+        for j in range(dim)
+    )
+    return f"""
+SELECT {id_col} AS media_id,
+  CASE WHEN {id_col} % 3 = 0 THEN 'image'
+       WHEN {id_col} % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+  [{feats}] AS features,
+  CAST(octet_length(encode({text_col})) AS BIGINT) AS n_bytes
+FROM {table}
+"""
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:

@@ -30,8 +30,9 @@ def inventory():
 def test_oracle_keys_subset(inventory):
     q, o = inventory
     assert set(o).issubset(set(q))
-    # queries without oracle = intentionally rows-only (codec-bound stub only)
-    assert set(q) - set(o) == {"multimodal_decode_features"}
+    # every query now carries an oracle twin (the decode stub's md5-integer
+    # PRNG made the last rows-only gate hash-matched, VERDICT r03 #7)
+    assert set(q) - set(o) == set()
 
 
 def test_entry_smoke(spark):
