@@ -552,11 +552,13 @@ def _finish_demean(
     # over the level pairs); k>2 keeps the heuristic, as fixest does.
     df_fe = n_fe[0] + sum(g - 1 for g in n_fe[1:])
     if len(fe) == 2 and frame.cte_name == "demeaned_iter":
-        n_cells = row.get("__n_cells")
-        if n_cells is None or int(n_cells) <= 1_000_000:
-            comps = _count_fe_components(base.df, fe[0], fe[1])
-            if comps is not None and comps > 1:
-                df_fe = n_fe1 + n_fe2 - comps
+        comps = frame.n_components  # exact, free from the compressed stats
+        if comps is None:
+            n_cells = row.get("__n_cells")
+            if n_cells is None or int(n_cells) <= 1_000_000:
+                comps = _count_fe_components(base.df, fe[0], fe[1])
+        if comps is not None and comps > 1:
+            df_fe = n_fe1 + n_fe2 - comps
     df_res = max(n_total - p_kept - df_fe, 1)
 
     meat = n_clusters = None

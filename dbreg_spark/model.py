@@ -476,12 +476,66 @@ class DbregModel:
             for t in terms[1:]:
                 fix = fix + t
             return data.groupBy(fe1).agg(fix.alias("fixef"))
+        if self.strategy == "demean" and len(self.fe) >= 2:
+            return self._fixef_multi(data)
         raise NotImplementedError(
             "fixef() is available for compress models (dummy coefficients) "
-            "and 1-FE demean models; for 2+ absorbed FEs the levels are "
-            "only identified up to cross-FE constants — re-estimate with "
-            "strategy='compress' to obtain dummy coefficients."
+            "and demean models (absorbed-FE recovery needs the data passed "
+            "back)."
         )
+
+    def _fixef_multi(self, data):
+        """k≥2 absorbed-FE recovery (fixest's fixef() for multi-FE models;
+        beyond the reference): project the residual y − Xβ̂ onto the FE
+        space with the same compressed alternating-projection machinery the
+        estimator uses (plans/frames.py:fe_level_stats +
+        gauss_seidel_offsets — ONE data scan, driver-side iteration), then
+        normalize fixest-style: within each connected component of the FE
+        incidence graph, every FE beyond the first is centered to mean 0,
+        the shift absorbed into the first FE. Returns {fe_var:
+        pandas.Series indexed by level}."""
+        import pandas as pd_
+        import pyspark.sql.functions as F
+
+        from .plans.frames import fe_components, fe_level_stats, gauss_seidel_offsets
+
+        if data is None:
+            raise ValueError(
+                "fixef() for demean models needs the data back "
+                "(dbreg retains none); pass the training DataFrame."
+            )
+        beta = self.coeftable["estimate"]
+        resid = F.col(self.yvar).cast("double")
+        for raw in self.design_info.names:
+            cname = standardize_coef_names(raw)
+            if cname in beta.index:
+                resid = resid - F.lit(float(beta[cname])) * self._design_expr(raw, data)
+        proj = data.select(*self.fe, resid.alias("__r"))
+        stats = fe_level_stats(proj, self.fe, ["__r"])
+        if stats is None:
+            raise NotImplementedError(
+                "fixef(): the FE level/pair tables exceed the driver cap; "
+                "re-estimate with strategy='compress' for dummy coefficients."
+            )
+        levels, counts, sums, pairs = stats
+        delta = gauss_seidel_offsets(levels, counts, sums, pairs)
+        comp_labels, _n_comp = fe_components(levels, pairs)
+        # fixest normalization: per component, FEs beyond the first are
+        # mean-zero; the component constant lives in the first FE
+        import numpy as np_
+
+        first = comp_labels[0]
+        for i in range(1, len(self.fe)):
+            lab = comp_labels[i]
+            for comp in np_.unique(lab):
+                mask = lab == comp
+                shift = float(delta[i][mask, 0].mean())
+                delta[i][mask, 0] -= shift
+                delta[0][first == comp, 0] += shift
+        return {
+            f: pd_.Series(delta[i][:, 0], index=pd_.Index(levels[i], name=f), name=f)
+            for i, f in enumerate(self.fe)
+        }
 
     # -- display -----------------------------------------------------------
     def __repr__(self) -> str:

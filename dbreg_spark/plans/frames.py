@@ -41,6 +41,10 @@ class Frame:
     # extra storage-release hook (e.g. checkpoint blocks of the iterative
     # demeaning loop, which DataFrame.unpersist cannot reach)
     cleanup_fn: object = None
+    # exact connected-component count of the FE incidence graph when the
+    # compressed iteration computed it (free from the collected pair
+    # tables); _finish_demean's exact 2-FE dof uses it without re-scanning
+    n_components: int | None = None
 
     def cleanup(self) -> None:
         if self.cached is not None:
@@ -266,13 +270,17 @@ def build_demeaned_frame_iterative(
     Each sweep subtracts per-FE means (tiny groupBy tables, broadcast back;
     the big table is never shuffled). ``sweeps=N`` runs exactly N sweeps
     with no convergence actions and emits the SQL mirror — deterministic,
-    used by the correctness gate. ``sweeps=None`` iterates adaptively: each
-    sweep ends with ONE GROUPING-SETS aggregation that simultaneously
-    materializes the sweep into cache and measures the residual group-mean
-    magnitude; the loop stops when that drops below ``tol`` relative to the
-    first sweep. The previous sweep's cache is released as soon as the next
-    materializes; the final cache is owned by the returned Frame
-    (``Frame.cleanup``)."""
+    used by the correctness gate. ``sweeps=None`` iterates adaptively: the
+    subtracted mean columns are carried through the sweep plan and their
+    max magnitude is collected as an ``Observation`` metric DURING the
+    checkpoint job — convergence costs zero extra passes over the data
+    (k broadcast builds + 1 checkpoint job per sweep; VERDICT r03 #6 cut
+    the former separate GROUPING-SETS delta scan). The loop stops when the
+    largest mean subtracted in a sweep drops below ``tol`` relative to the
+    first sweep's (the applied update bounds the post-sweep residual, so
+    this is the standard alternating-projections stop). The previous
+    sweep's cache is released as soon as the next materializes; the final
+    cache is owned by the returned Frame (``Frame.cleanup``)."""
     vals = [base.y_col] + base.x_cols
     keys = list(base.key_cols)
     bc = F.broadcast if broadcast_means else (lambda d: d)
@@ -313,13 +321,27 @@ def build_demeaned_frame_iterative(
             return Frame(cur, base.y_col, base.x_cols, keys, sql_cte, prev)
         return Frame(cur, base.y_col, base.x_cols, keys, None, "demeaned_iter")
 
-    # Adaptive loop. Each sweep is localCheckpoint-ed: persist alone keeps
-    # the full logical plan, and Catalyst re-analysis of k·sweeps nested
-    # joins grows superlinearly (measured: sweep time doubling by sweep 3).
-    # Checkpointing truncates the plan to a constant-size LogicalRDD; the
-    # previous sweep's blocks are freed deterministically through the JVM
-    # persistent-RDD map (DataFrame.unpersist cannot reach checkpoint
-    # storage), so at most two sweeps' blocks are ever alive.
+    # Primary adaptive path: the projections only need per-FE sums/counts
+    # and pairwise co-occurrence counts — ONE grouping-sets scan collects
+    # them, the Gauss-Seidel iteration runs driver-side in numpy (zero
+    # Spark jobs per sweep), and one transform pass applies the accumulated
+    # per-level offsets. Falls back to data-resident sweeps when the
+    # level/pair tables are too large to collect (or nulls demand Spark's
+    # avg semantics).
+    compressed = _demeaned_iterative_compressed(base, fe, vals, keys, bc, tol)
+    if compressed is not None:
+        return compressed
+
+    # Fallback adaptive loop. Each sweep is localCheckpoint-ed: persist
+    # alone keeps the full logical plan, and Catalyst re-analysis of
+    # k·sweeps nested joins grows superlinearly (measured: sweep time
+    # doubling by sweep 3). Checkpointing truncates the plan to a
+    # constant-size LogicalRDD; the previous sweep's blocks are freed
+    # deterministically through the JVM persistent-RDD map
+    # (DataFrame.unpersist cannot reach checkpoint storage), so at most two
+    # sweeps' blocks are ever alive.
+    from pyspark.sql import Observation
+
     sc = base.df.sparkSession.sparkContext
 
     def _persistent_ids() -> set:
@@ -331,38 +353,287 @@ def build_demeaned_frame_iterative(
             if m.containsKey(rid):
                 m.get(rid).unpersist(False)
 
+    def one_sweep_observed(df: DataFrame) -> tuple[DataFrame, Observation]:
+        """Gauss-Seidel sweep with the subtracted mean columns kept in the
+        row (distinct names per FE), so max|mean| rides the checkpoint job
+        as an Observation metric instead of its own full-data pass."""
+        out = df
+        mean_names: list[str] = []
+        for fi, f in enumerate(fe):
+            mcols = [f"{c}__m{fi}" for c in vals]
+            means = out.groupBy(f).agg(
+                *[F.avg(c).alias(m) for c, m in zip(vals, mcols)]
+            )
+            out = out.join(bc(means), on=f).withColumns(
+                {c: F.col(c) - F.col(m) for c, m in zip(vals, mcols)}
+            )
+            mean_names.extend(mcols)
+        absm = [F.abs(F.col(m)) for m in mean_names]
+        chk = absm[0] if len(absm) == 1 else F.greatest(*absm)
+        obs = Observation()
+        staged = out.observe(obs, F.max(chk).alias("d"))
+        return staged.select(*keys, *vals), obs
+
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("SPARK_GRAFT_DEBUG") == "1"
     cur = base.df
     prev_ids: set = set()
     scale = None
-    absm = [F.abs(F.col(f"__m_{i}")) for i in range(len(vals))]
-    chk = absm[0] if len(absm) == 1 else F.greatest(*absm)
-    for _ in range(max_sweeps):
+    prev_delta = None
+    for _sweep_i in range(max_sweeps):
+        _t0 = _time.perf_counter()
         ids0 = _persistent_ids()
-        cur = one_sweep(cur).localCheckpoint(eager=True)
+        staged, obs = one_sweep_observed(cur)
+        cur = staged.localCheckpoint(eager=True)
         my_ids = _persistent_ids() - ids0
-        delta_row = (
-            cur.groupingSets([[f] for f in fe], *fe)
-            .agg(*[F.avg(c).alias(f"__m_{i}") for i, c in enumerate(vals)])
-            .agg(F.max(chk).alias("d"))
-            .collect()[0]
-        )
-        delta = float(delta_row["d"] or 0.0)
+        delta = float(obs.get["d"] or 0.0)
+        if _dbg:
+            print(
+                f"[demean_iter] sweep {_sweep_i}: {_time.perf_counter() - _t0:.3f}s "
+                f"delta={delta:.3e}"
+            )
         _release(prev_ids)
         prev_ids = my_ids
         if scale is None:
-            # the first sweep's residual imbalance is the natural scale
-            # (proportional to the data's FE-interaction magnitude); the
+            # the first sweep's update magnitude is the natural scale
+            # (proportional to the data's raw FE-mean magnitude); the
             # contraction factor per sweep is typically 1e-3..1e-4, so a
-            # relative tol of 1e-6 costs 2-4 sweeps and leaves coefficient
+            # relative tol of 1e-6 costs 2-3 sweeps and leaves coefficient
             # error orders below the 1e-6 test tolerance
             scale = max(delta, 1e-300)
-        if delta <= tol * scale:
+        # the update applied in sweep s bounds the post-sweep residual by
+        # delta·r with r the per-sweep contraction; stopping on the
+        # PREDICTED residual (observed ratio, conservative 1e-3 floor)
+        # saves the would-be confirmation sweep on fast-contracting panels
+        r_hat = 1.0 if prev_delta is None else max(min(delta / prev_delta, 1.0), 1e-3)
+        if delta <= tol * scale or (prev_delta is not None and delta * r_hat <= tol * scale):
             break
+        prev_delta = delta
     final_ids = prev_ids
     return Frame(
         cur, base.y_col, base.x_cols, keys, None, "demeaned_iter",
         cleanup_fn=lambda: _release(final_ids),
     )
+
+
+# driver-side iteration guard: collect the level/pair stats only while they
+# fit comfortably (rows ≈ Σ G_f + Σ |pairs(f,f')|); past this the
+# data-resident sweep loop takes over
+COMPRESSED_ITER_NMAX = 5_000_000
+
+
+def _demeaned_iterative_compressed(
+    base: Frame, fe: list[str], vals: list[str], keys: list[str], bc, tol: float
+) -> Frame | None:
+    """k-FE alternating projections on COMPRESSED statistics (VERDICT r03
+    #6; the in-memory formulation fixest's demeaning loop uses, re-shaped
+    for Spark).
+
+    Every sweep only reads per-FE-level means of the current residuals, and
+    the residual after any number of sweeps is x − Σ_f δ_f[level] for
+    accumulated per-level offsets δ. The level means of the residual are
+    therefore S_f/n_f − δ_f − Σ_{f'≠f} C_ff' δ_f' / n_f with S/n the raw
+    per-level sums/counts and C_ff' the pairwise co-occurrence counts — so
+    the WHOLE Gauss-Seidel loop runs on tables of Σ G_f + Σ |pairs| rows:
+
+    - ONE grouping-sets scan of the data collects S, n, C (and a global
+      null probe);
+    - the iteration runs driver-side in numpy (a sweep is k·m bincounts
+      over the pair triplets — microseconds, no Spark jobs), iterated to
+      1e-12 relative, far past the sweep loop's tol;
+    - one transform pass applies the offsets via broadcast level→δ lookup
+      joins and localCheckpoints the result.
+
+    Total full-data passes: 2, independent of sweep count (the fallback
+    loop pays ~2 scans per sweep). Returns None — falling back to the
+    data-resident loop — when the stats exceed COMPRESSED_ITER_NMAX rows /
+    the driver cap, or when null FE levels or null values require Spark's
+    null-ignoring avg semantics row-by-row."""
+    import pandas as pd
+
+    df = base.df
+    k = len(fe)
+    stats = fe_level_stats(df, fe, vals)
+    if stats is None:
+        return None
+    levels, counts, sums, pairs = stats
+    delta = gauss_seidel_offsets(levels, counts, sums, pairs)
+    n_comp = fe_components(levels, pairs)[1] if k >= 2 else 1
+
+    # apply: broadcast level→δ lookups, one projection, checkpointed
+    spark = df.sparkSession
+    out = df
+    for i, f in enumerate(fe):
+        lut = pd.DataFrame({f: pd.Series(levels[i])})
+        for col, c in enumerate(vals):
+            lut[f"__d{i}_{col}"] = delta[i][:, col]
+        out = out.join(bc(spark.createDataFrame(lut)), on=f, how="left")
+    new_vals = [
+        (
+            F.col(c).cast("double")
+            - sum(F.col(f"__d{i}_{col}") for i in range(k))
+        ).alias(c)
+        for col, c in enumerate(vals)
+    ]
+    final = out.select(*keys, *new_vals)
+
+    sc = spark.sparkContext
+
+    def _persistent_ids() -> set:
+        return {int(kk) for kk in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    ids0 = _persistent_ids()
+    cur = final.localCheckpoint(eager=True)
+    my_ids = _persistent_ids() - ids0
+
+    def _release() -> None:
+        mmap = sc._jsc.getPersistentRDDs()
+        for rid in my_ids:
+            if mmap.containsKey(rid):
+                mmap.get(rid).unpersist(False)
+
+    return Frame(
+        cur, base.y_col, base.x_cols, keys, None, "demeaned_iter",
+        cleanup_fn=_release, n_components=n_comp,
+    )
+
+
+def fe_level_stats(df: DataFrame, fe: list[str], vals: list[str]):
+    """ONE grouping-sets scan collecting everything the alternating-
+    projection algebra needs: per-FE-level counts and value sums, pairwise
+    co-occurrence counts, and a global null probe.
+
+    Returns ``(levels, counts, sums, pairs)`` with ``levels[i]`` the level
+    array of ``fe[i]``, ``counts[i]`` its row counts, ``sums[i]`` a
+    (G_i × len(vals)) sum matrix, and ``pairs[(a, b)] = (codes_a, codes_b,
+    n)`` co-occurrence triplets — or None when the stats exceed
+    COMPRESSED_ITER_NMAX / the driver cap or nulls require row-level
+    semantics (callers fall back to data-resident sweeps)."""
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+
+    k = len(fe)
+    m = len(vals)
+    sets = [[f] for f in fe] + [list(p) for p in combinations(fe, 2)] + [[]]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(vals):
+        aggs.append(F.sum(F.col(c).cast("double")).alias(f"__s_{i}"))
+        aggs.append(F.count(F.col(c)).alias(f"__c_{i}"))
+    try:
+        gs = (
+            df.groupingSets(sets, *fe)
+            .agg(F.grouping_id(*fe).alias("__gid"), *aggs)
+        )
+        stats = gs.toPandas()
+    except Exception as exc:
+        if "maxResultSize" in str(exc):
+            return None
+        raise
+    if len(stats) > COMPRESSED_ITER_NMAX:
+        return None
+
+    all_mask = (1 << k) - 1
+    glob = stats[stats["__gid"] == all_mask]
+    if len(glob) != 1:
+        return None
+    grow = glob.iloc[0]
+    n_total = float(grow["__n"])
+    for i in range(m):
+        if float(grow[f"__c_{i}"]) != n_total:
+            return None  # null values: Spark avg semantics needed row-wise
+
+    # singleton tables: gid with only bit (k-1-i) cleared
+    levels, counts, sums = [], [], []
+    for i, f in enumerate(fe):
+        gid = all_mask ^ (1 << (k - 1 - i))
+        sub = stats[stats["__gid"] == gid]
+        if sub[f].isna().any():
+            return None  # null FE level: groupBy-null semantics in fallback
+        levels.append(sub[f].to_numpy())
+        counts.append(sub["__n"].to_numpy(dtype=float))
+        sums.append(
+            np.column_stack([sub[f"__s_{i2}"].to_numpy(dtype=float) for i2 in range(m)])
+        )
+    index = [pd.Index(lv) for lv in levels]
+
+    # pair triplets (codes into each side's level vector, co-occurrence n)
+    pairs = {}
+    for a, b in combinations(range(k), 2):
+        gid = all_mask ^ (1 << (k - 1 - a)) ^ (1 << (k - 1 - b))
+        sub = stats[stats["__gid"] == gid]
+        ca = index[a].get_indexer(sub[fe[a]])
+        cb = index[b].get_indexer(sub[fe[b]])
+        pairs[(a, b)] = (ca, cb, sub["__n"].to_numpy(dtype=float))
+    return levels, counts, sums, pairs
+
+
+def gauss_seidel_offsets(levels, counts, sums, pairs, tol: float = 1e-12):
+    """Driver-side Gauss-Seidel on the compressed FE statistics: returns
+    per-FE offset matrices δ_i (G_i × m) whose per-level sums reproduce the
+    converged alternating-projection transform (a sweep is k·m bincounts
+    over the pair triplets — microseconds, no Spark jobs)."""
+    import numpy as np
+
+    k = len(levels)
+    m = sums[0].shape[1]
+    delta = [np.zeros((len(levels[i]), m)) for i in range(k)]
+    scale = None
+    for _ in range(2000):
+        upd = 0.0
+        for i in range(k):
+            acc = sums[i].copy()
+            for j in range(k):
+                if j == i:
+                    continue
+                ca, cb, cnt = pairs[(min(i, j), max(i, j))]
+                ci, cj = (ca, cb) if i < j else (cb, ca)
+                for col in range(m):
+                    acc[:, col] -= np.bincount(
+                        ci, weights=cnt * delta[j][cj, col], minlength=len(levels[i])
+                    )
+            upd_i = acc / counts[i][:, None] - delta[i]
+            delta[i] += upd_i
+            upd = max(upd, float(np.abs(upd_i).max(initial=0.0)))
+        if scale is None:
+            scale = max(upd, 1e-300)
+        if upd <= tol * scale:
+            break
+    return delta
+
+
+def fe_components(levels, pairs):
+    """Connected components of the k-partite FE incidence graph from the
+    collected pair triplets: returns per-FE arrays of component labels
+    (and the component count) via union-find — the exact rank of the FE
+    dummy space is Σ G_f − (k−1)·C on each connected piece, i.e.
+    G_1 + Σ_{f≥2}(G_f − 1) only when C = 1."""
+    import numpy as np
+
+    k = len(levels)
+    offs = np.cumsum([0] + [len(lv) for lv in levels])
+    parent = np.arange(offs[-1])
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for (a, b), (ca, cb, _cnt) in pairs.items():
+        for u, v in zip(ca + offs[a], cb + offs[b]):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+    roots = np.array([find(x) for x in range(offs[-1])])
+    uniq, labels = np.unique(roots, return_inverse=True)
+    per_fe = [labels[offs[i]: offs[i + 1]] for i in range(k)]
+    return per_fe, len(uniq)
 
 
 def build_mundlak_frame(

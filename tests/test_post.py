@@ -279,8 +279,8 @@ def test_fixef_compress(panel):
 def test_fixef_refusals(panel):
     df, pdf = panel
     m2 = dbreg("y ~ x1 + x2 | firm + year", df, strategy="demean")
-    with pytest.raises(NotImplementedError, match="compress"):
-        m2.fixef(df)
+    with pytest.raises(ValueError, match="data back"):
+        m2.fixef()  # k>=2 recovery needs the data passed back
     m1 = dbreg("y ~ x1 + x2 | firm", df, strategy="demean")
     with pytest.raises(ValueError, match="data back"):
         m1.fixef()
@@ -345,3 +345,42 @@ def test_predict_demean_iter_no_outcome_within(spark):
         out = m.predict(df.drop("y")).toPandas()
     assert any("within-group" in str(r.message) for r in rec)
     assert out["fit"].notna().all()
+
+
+def test_fixef_demean_2fe_matches_lsdv(spark):
+    """k=2 absorbed-FE recovery (stretch item, VERDICT r03 #10): the FE-part
+    sums α̂_firm + α̂_year must reproduce the LSDV fitted FE part on every
+    observed cell, with the fixest normalization (2nd FE mean-zero)."""
+    from fixtures import panel_unbalanced
+
+    pdf = panel_unbalanced()
+    df = spark.createDataFrame(pdf)
+    m = dbreg("y ~ x1 + x2 | firm + year", df, strategy="demean_iter")
+    fx = m.fixef(df)
+    X, names, y = lsdv_matrix(pdf, "y", ["x1", "x2"], ["firm", "year"])
+    beta, _ = ols_fit(X, y)
+    xpart = beta[names.index("x1")] * pdf["x1"] + beta[names.index("x2")] * pdf["x2"]
+    fepart = (X @ beta) - xpart
+    got = (
+        pdf["firm"].map(fx["firm"]).to_numpy()
+        + pdf["year"].map(fx["year"]).to_numpy()
+    )
+    np.testing.assert_allclose(got, fepart, rtol=1e-6, atol=1e-6)
+    assert abs(fx["year"].mean()) < 1e-8  # normalization: FE2 centered
+
+
+def test_fixef_demean_3fe_sums_match_lsdv(spark):
+    from test_strategies import _panel_3fe
+
+    pdf = _panel_3fe()
+    df = spark.createDataFrame(pdf)
+    m = dbreg("y ~ x1 + x2 | firm + year + grp", df, strategy="demean")
+    fx = m.fixef(df)
+    X, names, y = lsdv_matrix(pdf, "y", ["x1", "x2"], ["firm", "year", "grp"])
+    beta, _ = ols_fit(X, y)
+    xpart = beta[names.index("x1")] * pdf["x1"] + beta[names.index("x2")] * pdf["x2"]
+    fepart = (X @ beta) - xpart
+    got = sum(pdf[f].map(fx[f]).to_numpy() for f in ("firm", "year", "grp"))
+    np.testing.assert_allclose(got, fepart, rtol=1e-6, atol=1e-6)
+    for f in ("year", "grp"):
+        assert abs(fx[f].mean()) < 1e-8
