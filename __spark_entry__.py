@@ -324,6 +324,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["dedup_minhash_lsh_pairs"] = q_lsh
 
+    # pairs → duplicate groups → canonical keep-list (distributed
+    # connected components; DuckDB twin replays via a recursive CTE)
+    def q_dedup_components(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        pairs = dedup.minhash_lsh_pairs(
+            t["documents"], n_hashes=16, band_rows=2, shingle_words=2,
+            jaccard_threshold=0.3,
+        )
+        return dedup.dedup_components(t["documents"], pairs)
+
+    Q["dedup_components"] = q_dedup_components
+
     def q_simhash(spark, sf_dir):
         t = _tables(spark, sf_dir)
         return dedup.simhash(t["documents"])
@@ -408,7 +420,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         t = _tables(spark, sf_dir)
         media = mm.synthesize_media(t["documents"])
-        return mm.decode_features(media, dim=8)
+        feats = mm.decode_features(media, dim=8)
+        return feats.select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.posexplode("features").alias("feat_idx", "feat_val"),
+        )
 
     Q["multimodal_decode_features"] = q_mm_decode
 
@@ -765,6 +783,13 @@ FROM g CROSS JOIN tot
     O["dedup_minhash_lsh_pairs"] = dedup.minhash_lsh_pairs_sql(
         "documents", n_hashes=16, band_rows=2, shingle_words=2, jaccard_threshold=0.3
     )
+    O["dedup_components"] = dedup.dedup_components_sql(
+        "documents",
+        dedup.minhash_lsh_pairs_sql(
+            "documents", n_hashes=16, band_rows=2, shingle_words=2,
+            jaccard_threshold=0.3,
+        ),
+    )
     O["dedup_simhash"] = dedup.simhash_sql("documents")
     O["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(
         "documents", shingle_words=2, threshold=0.2
@@ -808,7 +833,9 @@ FROM (SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) * 10 AS duration_m
 
     from dbreg_spark.operators import multimodal as _mm
 
-    O["multimodal_decode_features"] = _mm.decode_features_sql("documents", dim=8)
+    O["multimodal_decode_features"] = _mm.decode_features_exploded_sql(
+        "documents", dim=8
+    )
 
     # independent-estimator parity: DuckDB's regr_* aggregates play the
     # lm/feols oracle role for the full fit (estimate AND std error)

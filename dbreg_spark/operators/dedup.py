@@ -428,3 +428,122 @@ JOIN staged sa ON sa.{id_col} = cand.id_a
 JOIN staged sb ON sb.{id_col} = cand.id_b
 WHERE {jac} >= {threshold}
 """
+
+
+# --------------------------------------------------------------------------
+# duplicate-group resolution: connected components + canonical selection
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Distributed connected components over an undirected edge list via
+    min-label propagation: every node repeatedly adopts the smallest label
+    among itself and its neighbors until a fixpoint (the component id is the
+    minimum node id in the component). Returns ``(id, component)``.
+
+    Scale shape: the iteration state is one row per NODE (not per edge);
+    each round is two edge⋈label joins + a groupBy-min, localCheckpoint-ed
+    so the plan stays constant-size, with convergence checked by a count of
+    changed labels. Rounds needed = graph diameter — near-dup graphs are
+    unions of small cliques (diameter ≤ a few), so this terminates in 2-4
+    rounds at any corpus size; a chain-shaped adversarial graph is bounded
+    by ``max_iter``. Pairs tables are tiny relative to the corpus, so the
+    per-round shuffles carry (id, label) longs only."""
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).where(F.col(src) != F.col(dst)).distinct()
+    e = e.localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("__s").alias("id"))
+        .union(e.select(F.col("__d").alias("id")))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = (
+            e.join(labels, e["__s"] == labels["id"])
+            .select(F.col("__d").alias("id"), "component")
+            .union(
+                e.join(labels, e["__d"] == labels["id"]).select(
+                    F.col("__s").alias("id"), "component"
+                )
+            )
+            .union(labels.select("id", "component"))
+        )
+        new_labels = msgs.groupBy("id").agg(
+            F.min("component").alias("component")
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", "component")
+
+
+def dedup_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate GROUPS over the full
+    corpus: every document gets a ``component`` (min doc id of its
+    duplicate cluster; singletons map to themselves) and ``is_canonical``
+    (the one row per component to keep). This is the step a training-data
+    pipeline actually ships: pairs → clusters → keep-list."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    out = df.select(F.col(id_col)).join(
+        comp.withColumnRenamed("id", id_col), on=id_col, how="left"
+    )
+    return out.select(
+        id_col,
+        F.coalesce("component", F.col(id_col)).alias("component"),
+    ).withColumn(
+        "is_canonical", (F.col(id_col) == F.col("component")).cast("boolean")
+    )
+
+
+def dedup_components_sql(
+    table: str,
+    pairs_sql: str,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`dedup_components`: transitive closure of the
+    (undirected) pair edges by a recursive CTE, component = min reachable
+    id. ``pairs_sql`` is any query yielding (id_a, id_b) — e.g. the
+    minhash-LSH pair query — so the full pairs→groups pipeline replays in
+    ANSI SQL."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+walk(id, reach) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT w.id, e.d FROM walk w JOIN edges e ON e.s = w.reach
+),
+comp AS (
+  SELECT id, MIN(reach) AS component FROM walk GROUP BY id
+)
+SELECT t.{id_col},
+       COALESCE(comp.component, t.{id_col}) AS component,
+       (COALESCE(comp.component, t.{id_col}) = t.{id_col}) AS is_canonical
+FROM {table} t
+LEFT JOIN comp ON comp.id = t.{id_col}
+"""

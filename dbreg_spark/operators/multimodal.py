@@ -152,6 +152,29 @@ FROM {table}
 """
 
 
+def decode_features_exploded_sql(
+    table: str, dim: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """Row-per-feature twin of :func:`decode_features_sql` (the correctness
+    gate uses this shape: scalar columns compare engine-to-engine without
+    array-encoding ambiguity)."""
+    vals = ", ".join(f"({j})" for j in range(dim))
+    feat = (
+        f"((('0x' || substr(md5(d.{text_col} || '|' || "
+        f"CAST(j.feat_idx AS VARCHAR)), 1, 15))::BIGINT % 2000001) - 1000000) "
+        f"/ 1000000.0"
+    )
+    return f"""
+SELECT d.{id_col} AS media_id,
+  CASE WHEN d.{id_col} % 3 = 0 THEN 'image'
+       WHEN d.{id_col} % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(octet_length(encode(d.{text_col})) AS BIGINT) AS n_bytes,
+  j.feat_idx,
+  {feat} AS feat_val
+FROM {table} d, (VALUES {vals}) j(feat_idx)
+"""
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize: real pixel work requires a codec — NOT available in
     this environment. The plumbing (schema pass-through with updated

@@ -67,8 +67,10 @@ def test_entry_smoke(spark):
         "dedup_exact",
         "dedup_minhash_signatures",
         "dedup_minhash_lsh_pairs",
+        "dedup_components",
         "dedup_simhash",
         "dedup_ngram_jaccard",
+        "multimodal_decode_features",
         "similarity_cosine_topk",
         "similarity_hyperplane_lsh",
         "similarity_ivf_topk",

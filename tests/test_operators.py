@@ -435,3 +435,56 @@ def test_word_ngrams_edge_docs_cross_engine(spark, duck):
         }
         for k in want:
             assert sorted(got[k]) == sorted(want[k]), (n, k, got[k], want[k])
+
+
+def test_connected_components_vs_union_find(spark):
+    """Distributed min-label propagation must agree with a driver union-find
+    on a random graph (multiple components, chains, singleton exclusion)."""
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, size=(80, 2)) if a != b]
+    edges += [(100, 101), (101, 102), (102, 103)]  # a chain component
+    epdf = pd.DataFrame(edges, columns=["id_a", "id_b"])
+    got = (
+        dedup.connected_components(spark.createDataFrame(epdf))
+        .toPandas()
+        .set_index("id")["component"]
+        .sort_index()
+    )
+
+    parent = {}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = pd.Series({n: comp_min[find(n)] for n in parent}).sort_index()
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_dedup_components_pipeline_vs_duckdb(docs, duck):
+    """pairs → groups → canonical keep-list, Spark vs the recursive-CTE
+    DuckDB twin over the same LSH pairs."""
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n_hashes=16, band_rows=2, shingle_words=2, jaccard_threshold=0.3
+    )
+    got = dedup.dedup_components(docs, pairs).toPandas()
+    psql = dedup.minhash_lsh_pairs_sql(
+        "documents", n_hashes=16, band_rows=2, shingle_words=2, jaccard_threshold=0.3
+    )
+    want = duck.execute(dedup.dedup_components_sql("documents", psql)).fetchdf()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert (got["component"].to_numpy() == want["component"].to_numpy()).all()
+    assert (got["is_canonical"].to_numpy() == want["is_canonical"].to_numpy()).all()
+    # at least one multi-doc duplicate group exists in the fixture
+    assert (~got["is_canonical"]).sum() > 0
