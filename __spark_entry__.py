@@ -336,6 +336,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["dedup_components"] = q_dedup_components
 
+    # deterministic hash-keyed carve-outs / source mixing (pipeline ops)
+    def q_hash_split(spark, sf_dir):
+        from dbreg_spark.operators import sampling
+
+        t = _tables(spark, sf_dir)
+        return sampling.hash_split(
+            t["documents"], {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).select("doc_id", "split")
+
+    Q["sampling_hash_split"] = q_hash_split
+
+    def q_stratified(spark, sf_dir):
+        from dbreg_spark.operators import sampling
+
+        t = _tables(spark, sf_dir)
+        return sampling.stratified_sample(
+            t["documents"], {"src0": 1.0, "src1": 0.4, "src2": 0.0}
+        ).select("doc_id", "source")
+
+    Q["sampling_stratified"] = q_stratified
+
     def q_simhash(spark, sf_dir):
         t = _tables(spark, sf_dir)
         return dedup.simhash(t["documents"])
@@ -791,6 +812,19 @@ FROM g CROSS JOIN tot
         ),
     )
     O["dedup_simhash"] = dedup.simhash_sql("documents")
+
+    from dbreg_spark.operators import sampling as _samp
+
+    O["sampling_hash_split"] = (
+        "SELECT doc_id, split FROM ("
+        + _samp.hash_split_sql("documents", {"train": 0.8, "val": 0.1, "test": 0.1})
+        + ")"
+    )
+    O["sampling_stratified"] = (
+        "SELECT doc_id, source FROM ("
+        + _samp.stratified_sample_sql("documents", {"src0": 1.0, "src1": 0.4, "src2": 0.0})
+        + ")"
+    )
     O["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(
         "documents", shingle_words=2, threshold=0.2
     )

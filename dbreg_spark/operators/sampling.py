@@ -1,0 +1,108 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+``F.rand()`` sampling is irreproducible across retries, partitionings and
+engines — a 100 TB pipeline that re-runs a failed stage must land every row
+in the same split. These operators key every decision on a 60-bit md5
+integer of (id, seed) — the same ``md5int`` convention the dedup/LSH
+operators use (functions/xdialect.py) — so assignment is a pure column
+expression, identical on Spark and DuckDB, stable under repartitioning,
+and joins/filters push down normally.
+
+No counterpart in the reference (an estimation library); these are the
+pipeline-side additions a training corpus needs (train/val/test carve-outs,
+per-stratum downsampling for source mixing).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.xdialect import DUCK, SPARK, X
+
+_MOD = 1_000_000  # ppm resolution for fractions
+
+
+def _bucket_expr(x: X, id_col: str, seed: int) -> str:
+    return f"{x.md5int(f'({x.str_cast(id_col)} || {chr(39)}|{seed}{chr(39)})')} % {_MOD}"
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Assign every row to a named split by hash bucket: ``fractions`` maps
+    split name → fraction (must sum to ≤ 1; the remainder gets the last
+    listed split's complement name ``rest`` if uncovered). Appends a
+    ``split`` column; deterministic in (id, seed) only."""
+    if any(f < 0 for f in fractions.values()) or sum(fractions.values()) > 1 + 1e-9:
+        raise ValueError("fractions must be non-negative and sum to <= 1")
+    x = X(SPARK)
+    bucket = F.expr(_bucket_expr(x, id_col, seed))
+    expr = None
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * _MOD))
+        cond = (bucket >= F.lit(lo)) & (bucket < F.lit(hi))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    expr = expr.otherwise(F.lit("rest")) if expr is not None else F.lit("rest")
+    return df.withColumn("split", expr)
+
+
+def hash_split_sql(
+    table: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> str:
+    x = X(DUCK)
+    bucket = _bucket_expr(x, id_col, seed)
+    cases = []
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * _MOD))
+        cases.append(f"WHEN {bucket} >= {lo} AND {bucket} < {hi} THEN '{name}'")
+        lo = hi
+    ladder = "CASE " + " ".join(cases) + " ELSE 'rest' END" if cases else "'rest'"
+    return f"SELECT *, {ladder} AS split FROM {table}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (source mixing): keep a row of
+    stratum s iff its hash bucket < fractions[s]·10⁶. Strata absent from
+    ``fractions`` are dropped (explicit mixing weights only). Pure column
+    expression — one scan, no shuffle, reproducible under retries."""
+    x = X(SPARK)
+    bucket = F.expr(_bucket_expr(x, id_col, seed))
+    expr = None
+    for s, frac in fractions.items():
+        cond = (F.col(strata_col) == F.lit(s)) & (
+            bucket < F.lit(int(round(frac * _MOD)))
+        )
+        expr = cond if expr is None else (expr | cond)
+    return df.where(expr if expr is not None else F.lit(False))
+
+
+def stratified_sample_sql(
+    table: str,
+    fractions: dict,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> str:
+    x = X(DUCK)
+    bucket = _bucket_expr(x, id_col, seed)
+    conds = [
+        f"({strata_col} = '{s}' AND {bucket} < {int(round(frac * _MOD))})"
+        for s, frac in fractions.items()
+    ] or ["FALSE"]
+    return f"SELECT * FROM {table} WHERE " + " OR ".join(conds)

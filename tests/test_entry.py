@@ -71,6 +71,8 @@ def test_entry_smoke(spark):
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "multimodal_decode_features",
+        "sampling_hash_split",
+        "sampling_stratified",
         "similarity_cosine_topk",
         "similarity_hyperplane_lsh",
         "similarity_ivf_topk",

@@ -488,3 +488,33 @@ def test_dedup_components_pipeline_vs_duckdb(docs, duck):
     assert (got["is_canonical"].to_numpy() == want["is_canonical"].to_numpy()).all()
     # at least one multi-doc duplicate group exists in the fixture
     assert (~got["is_canonical"]).sum() > 0
+
+
+# -------------------------------------------------------------- sampling ----
+
+
+def test_hash_split_vs_duckdb(docs, duck):
+    from dbreg_spark.operators import sampling
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = sampling.hash_split(docs, fr).toPandas()
+    want = duck.execute(sampling.hash_split_sql("documents", fr)).fetchdf()
+    _compare(got[["doc_id", "split"]], want[["doc_id", "split"]], ["doc_id"])
+    # deterministic: repeated run identical; roughly proportional
+    frac_train = (got["split"] == "train").mean()
+    assert 0.7 < frac_train < 0.9
+    again = sampling.hash_split(docs, fr).toPandas().sort_values("doc_id")
+    assert (again["split"].to_numpy() == got.sort_values("doc_id")["split"].to_numpy()).all()
+
+
+def test_stratified_sample_vs_duckdb(docs, duck):
+    from dbreg_spark.operators import sampling
+
+    fr = {"src0": 1.0, "src1": 0.4, "src2": 0.0}
+    got = sampling.stratified_sample(docs, fr).toPandas()
+    want = duck.execute(sampling.stratified_sample_sql("documents", fr)).fetchdf()
+    _compare(got[["doc_id"]], want[["doc_id"]], ["doc_id"])
+    bysrc = got.groupby("source").size()
+    assert bysrc.get("src0", 0) == 25  # full stratum kept
+    assert 0 < bysrc.get("src1", 0) < 25  # downsampled
+    assert "src2" not in bysrc.index and "src3" not in bysrc.index
