@@ -357,6 +357,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["sampling_stratified"] = q_stratified
 
+    # greedy sequence packing: shard-local stateful scan (applyInPandas),
+    # recursive-CTE oracle
+    def q_pack(spark, sf_dir):
+        from dbreg_spark.operators import text as _text
+
+        t = _tables(spark, sf_dir)
+        return _text.pack_greedy(t["documents"], budget=1000)
+
+    Q["text_pack_greedy"] = q_pack
+
     def q_simhash(spark, sf_dir):
         t = _tables(spark, sf_dir)
         return dedup.simhash(t["documents"])
@@ -825,6 +835,10 @@ FROM g CROSS JOIN tot
         + _samp.stratified_sample_sql("documents", {"src0": 1.0, "src1": 0.4, "src2": 0.0})
         + ")"
     )
+
+    from dbreg_spark.operators import text as _text
+
+    O["text_pack_greedy"] = _text.pack_greedy_sql("documents", budget=1000)
     O["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(
         "documents", shingle_words=2, threshold=0.2
     )

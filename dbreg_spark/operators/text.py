@@ -166,3 +166,103 @@ def fingerprints_sql(table: str, col: str = "text", id_col: str = "doc_id") -> s
     x = X(DUCK)
     cols = [id_col] + [f"{e} AS {a}" for a, e in fingerprint_exprs(x, col)]
     return "SELECT " + ",\n  ".join(cols) + f" FROM {table}"
+
+
+# --------------------------------------------------------------------------
+# greedy sequence packing (training-batch assembly)
+# --------------------------------------------------------------------------
+
+
+def pack_greedy(
+    df: DataFrame,
+    budget: int,
+    size_col: str = "n_chars",
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequential packing of documents into ≤ ``budget``-sized packs,
+    shard-local (the way sample packing actually runs at 100 TB: each shard
+    packs independently, so the operator parallelizes per ``shard_col``
+    group with zero cross-shard coordination). Documents are taken in
+    ``id_col`` order; a document that would overflow the running pack opens
+    the next one (an oversized document occupies a pack alone). Returns
+    (id, shard, pack_seq, pack_offset) — ``pack_seq`` numbers packs within
+    the shard, ``pack_offset`` is the document's start position in its pack.
+
+    Stateful sequential scan → grouped ``applyInPandas`` (Arrow-batched;
+    the sanctioned custom-operator escape hatch, like the sessionizer) with
+    a recursive-CTE SQL twin for the oracle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("shard", T.StringType()),
+            T.StructField("pack_seq", T.LongType()),
+            T.StructField("pack_offset", T.LongType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        seqs, offs = [], []
+        seq, acc = 0, 0
+        first = True
+        for n in pdf[size_col].astype("int64"):
+            if not first and acc + n > budget:
+                seq += 1
+                acc = 0
+            offs.append(acc)
+            seqs.append(seq)
+            acc += int(n)
+            first = False
+        return pd.DataFrame(
+            {
+                "doc_id": pdf[id_col].astype("int64"),
+                "shard": pdf[shard_col].astype(str),
+                "pack_seq": pd.Series(seqs, dtype="int64").values,
+                "pack_offset": pd.Series(offs, dtype="int64").values,
+            }
+        )
+
+    return (
+        df.select(id_col, shard_col, size_col)
+        .groupBy(shard_col)
+        .applyInPandas(pack, out_schema)
+    )
+
+
+def pack_greedy_sql(
+    table: str,
+    budget: int,
+    size_col: str = "n_chars",
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`pack_greedy`: the greedy accumulator as a
+    row-by-row recursive CTE per shard (oracle-scale only — recursion depth
+    = rows per shard)."""
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT {id_col}, {shard_col}, {size_col},
+         ROW_NUMBER() OVER (PARTITION BY {shard_col} ORDER BY {id_col}) AS rn
+  FROM {table}
+),
+walk(doc_id, shard, rn, pack_seq, pack_offset, acc) AS (
+  SELECT {id_col}, {shard_col}, rn,
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST({size_col} AS BIGINT)
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.{id_col}, o.{shard_col}, o.rn,
+         CASE WHEN w.acc + o.{size_col} > {budget}
+              THEN w.pack_seq + 1 ELSE w.pack_seq END,
+         CASE WHEN w.acc + o.{size_col} > {budget}
+              THEN CAST(0 AS BIGINT) ELSE w.acc END,
+         CASE WHEN w.acc + o.{size_col} > {budget}
+              THEN CAST(o.{size_col} AS BIGINT) ELSE w.acc + o.{size_col} END
+  FROM walk w JOIN ordered o
+    ON o.{shard_col} = w.shard AND o.rn = w.rn + 1
+)
+SELECT doc_id, shard, pack_seq, pack_offset FROM walk
+"""

@@ -73,6 +73,7 @@ def test_entry_smoke(spark):
         "multimodal_decode_features",
         "sampling_hash_split",
         "sampling_stratified",
+        "text_pack_greedy",
         "similarity_cosine_topk",
         "similarity_hyperplane_lsh",
         "similarity_ivf_topk",

@@ -518,3 +518,16 @@ def test_stratified_sample_vs_duckdb(docs, duck):
     assert bysrc.get("src0", 0) == 25  # full stratum kept
     assert 0 < bysrc.get("src1", 0) < 25  # downsampled
     assert "src2" not in bysrc.index and "src3" not in bysrc.index
+
+
+def test_pack_greedy_vs_duckdb(docs, duck):
+    got = text.pack_greedy(docs, budget=1000).toPandas()
+    want = duck.execute(text.pack_greedy_sql("documents", budget=1000)).fetchdf()
+    _compare(got, want, ["doc_id"])
+    # invariants: offsets within budget unless a doc alone exceeds it;
+    # pack_seq monotone within shard in doc order
+    n = docs.select("doc_id", "n_chars", "source").toPandas().set_index("doc_id")
+    j = got.set_index("doc_id").join(n)
+    assert ((j["pack_offset"] + j["n_chars"] <= 1000) | (j["pack_offset"] == 0)).all()
+    for _, g in j.reset_index().sort_values("doc_id").groupby("source"):
+        assert (g["pack_seq"].diff().dropna() >= 0).all()
