@@ -105,3 +105,55 @@ def load_tables(spark: SparkSession, sf_dir: str, register: bool = True) -> dict
                 df.createOrReplaceTempView(t)
             out[t] = df
     return out
+
+
+# --------------------------------------------------------------------------
+# sinks
+# --------------------------------------------------------------------------
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+    target_file_mb: int = 256,
+    sort_within_partitions: list[str] | None = None,
+) -> None:
+    """Parquet sink with scale-sane file sizing: estimates the output size
+    from the optimized plan's statistics and repartitions so each file
+    lands near ``target_file_mb`` (the small-file problem — thousands of
+    KB-sized parquet files — costs more at read time than the extra
+    shuffle costs at write time). ``partition_by`` writes hive-style
+    directory partitions (partition pruning for free on read);
+    ``sort_within_partitions`` orders rows inside each file so min/max
+    page statistics become selective (zone-map pruning for range
+    predicates)."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = None
+    if size is not None and size > 0:
+        n_files = max(1, min(100_000, round(size / (target_file_mb * (1 << 20)))))
+        if partition_by:
+            # spread within each output partition-dir; Spark splits by the
+            # partition columns at write, so repartition on them + files
+            df = df.repartition(n_files, *[F.col(c) for c in partition_by])
+        else:
+            df = df.repartition(n_files)
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "error", header: bool = True
+) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "error") -> None:
+    df.write.mode(mode).json(path)

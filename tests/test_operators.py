@@ -531,3 +531,25 @@ def test_pack_greedy_vs_duckdb(docs, duck):
     assert ((j["pack_offset"] + j["n_chars"] <= 1000) | (j["pack_offset"] == 0)).all()
     for _, g in j.reset_index().sort_values("doc_id").groupby("source"):
         assert (g["pack_seq"].diff().dropna() >= 0).all()
+
+
+# ----------------------------------------------------------------- sinks ----
+
+
+def test_write_parquet_roundtrip(docs, tmp_path):
+    from dbreg_spark.sources.io import write_parquet
+
+    out = str(tmp_path / "docs_out")
+    write_parquet(docs, out, partition_by=["source"], target_file_mb=1)
+    spark = docs.sparkSession
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+    # hive-style partition dirs exist → read-side partition pruning works
+    import glob as _g
+
+    assert _g.glob(out + "/source=src0")
+    plan = (
+        back.where("source = 'src0'")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "src0" in plan  # partition filter reached the scan
