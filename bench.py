@@ -140,6 +140,30 @@ def main() -> None:
         "dedup_simhash",
         lambda: dedup.simhash(t["documents"]).agg(F.count(F.lit(1))).collect(),
     )
+    bench(
+        "dedup_components",
+        lambda: dedup.dedup_components(
+            t["documents"],
+            dedup.minhash_lsh_pairs(
+                t["documents"], n_hashes=16, band_rows=2, shingle_words=2,
+                jaccard_threshold=0.3,
+            ),
+        ).count(),
+    )
+
+    from dbreg_spark.operators import sampling as _sampling
+    from dbreg_spark.operators import text as _textops
+
+    bench(
+        "sampling_hash_split",
+        lambda: _sampling.hash_split(
+            t["documents"], {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).groupBy("split").count().collect(),
+    )
+    bench(
+        "text_pack_greedy",
+        lambda: _textops.pack_greedy(t["documents"], budget=1000).count(),
+    )
 
     emb = t["embeddings"]
     qs = emb.where("vec_id < 5")
