@@ -1,0 +1,113 @@
+"""Plan-shape regression guards: the SCALE.md physical-plan claims, pinned
+mechanically. These tests read `.explain`-style plan strings and assert the
+shapes that make the engine survive a 100 TB scale-up — means broadcast
+(never a big-side shuffle), filters/pruning reaching the parquet scan, a
+single exchange on the aggregation paths, and no window functions on
+production binning. A refactor that silently degrades a plan (broadcast →
+sort-merge join, lost pushdown) fails here long before a benchmark would
+catch it."""
+
+import re
+
+import pytest
+
+from dbreg_spark.api import build_plan
+
+
+def _n_nodes(plan: str, name: str) -> int:
+    """Count physical nodes of a type in formatted explain output (the tree
+    and the detail section both mention each node; the detail header
+    "(k) Name" appears exactly once per node)."""
+    return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+
+def _formatted(df) -> str:
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.explainString(mode)
+
+
+FML = "l_tax ~ l_quantity + l_discount | l_returnflag + l_linestatus"
+
+
+def test_moments_plan_single_exchange_pushdown(tables):
+    df, _sql = build_plan(
+        "l_tax ~ l_quantity + l_discount", tables["lineitem"], strategy="moments"
+    )
+    plan = _formatted(df)
+    assert _n_nodes(plan, "Exchange") == 1  # one single-row aggregation shuffle
+    assert "PushedFilters: [IsNotNull" in plan  # missing-filter reached the scan
+    # column pruning: the scan reads only the model variables
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_tax" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_shipdate" not in read_schema
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_demean_plan_broadcasts_means(tables):
+    df, _sql = build_plan(FML, tables["lineitem"], strategy="demean")
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan  # mean tables broadcast to the scan side
+    assert "SortMergeJoin" not in plan  # the big table is never shuffled
+    assert "Window" not in plan
+
+
+def test_mundlak_plan_broadcasts_means(tables):
+    df, _sql = build_plan(FML, tables["lineitem"], strategy="mundlak")
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_compress_plan_single_exchange(tables):
+    df, _sql = build_plan(FML, tables["lineitem"], strategy="compress")
+    plan = _formatted(df)
+    # partial agg → one exchange on the cell keys → final agg
+    assert _n_nodes(plan, "Exchange") == 1
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_binscatter_assignment_no_window(tables):
+    """Production bin assignment is a literal CASE ladder — the NTILE window
+    exists only as a correctness oracle, never in the fitted plan."""
+    from dbreg_spark.operators.binning import assign_bins, compute_breaks
+
+    li = tables["lineitem"]
+    bi = compute_breaks(li, "l_extendedprice", nbins=10, method="quantile")
+    binned = assign_bins(li, "l_extendedprice", "l_tax", bi.breaks)
+    plan = _formatted(binned)
+    assert "Window" not in plan
+    assert _n_nodes(plan, "Exchange") == 0  # embarrassingly parallel projection
+
+
+def test_compress_predict_plan_broadcast_luts(tables):
+    from dbreg_spark import dbreg
+
+    li = tables["lineitem"]
+    m = dbreg(FML, li, strategy="compress")
+    out = m.predict(li)
+    plan = _formatted(out)
+    assert "BroadcastHashJoin" in plan  # level→β lookup tables broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_stats_scan_is_one_pass(tables):
+    """The compressed-iteration stats collection is ONE scan: grouping-sets
+    Expand feeding partial aggregation, a single exchange of tiny rows."""
+    import pyspark.sql.functions as F
+
+    from dbreg_spark.plans.frames import COMPRESSED_ITER_NMAX  # noqa: F401
+
+    li = tables["lineitem"]
+    fe = ["l_returnflag", "l_linestatus", "l_linenumber"]
+    sets = [[f] for f in fe] + [[]]
+    gs = li.groupingSets(sets, *fe).agg(
+        F.grouping_id(*fe).alias("g"), F.count(F.lit(1)).alias("n")
+    )
+    plan = _formatted(gs)
+    assert _n_nodes(plan, "Exchange") == 1
+    assert "Expand" in plan
+    assert _n_nodes(plan, "Scan parquet") <= 1
