@@ -465,6 +465,8 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         msgs = (
             e.join(labels, e["__s"] == labels["id"])
@@ -476,16 +478,24 @@ def connected_components(
             )
             .union(labels.select("id", "component"))
         )
-        new_labels = msgs.groupBy("id").agg(
-            F.min("component").alias("component")
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        # the old label rides the min-aggregation so convergence is an
+        # Observation metric of the SAME job — no separate compare pass
+        merged = msgs.groupBy("id").agg(F.min("component").alias("component"))
+        obs = Observation()
+        staged = (
+            merged.join(
+                labels.select("id", F.col("component").alias("__old")), "id"
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("__old")).cast("long")
+                ).alias("ch"),
+            )
+            .select("id", "component")
         )
+        new_labels = staged.localCheckpoint(eager=True)
+        changed = int(obs.get["ch"] or 0)
         labels = new_labels
         if changed == 0:
             break
