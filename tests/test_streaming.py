@@ -230,3 +230,44 @@ def test_streaming_moments_fe_refused(spark, tables, event_stream_dir):
     stream = spark.readStream.schema(schema).parquet(event_stream_dir)
     with _pt.raises(ValueError, match="no-FE"):
         streaming_moments(stream, "value ~ user_id | event_type")
+
+
+def test_streaming_text_pipeline_and_file_sink(spark, tables):
+    """The pipeline column operators (text stats, hash split) compose with
+    Structured Streaming unchanged — pure column expressions are
+    batch/stream agnostic — and land in a parquet FILE SINK with a
+    checkpoint (the production shape; memory sinks are test-only)."""
+    from dbreg_spark.operators import sampling, text
+
+    src = tempfile.mkdtemp(prefix="dbreg_docs_src_")
+    sink = tempfile.mkdtemp(prefix="dbreg_docs_sink_")
+    chk = tempfile.mkdtemp(prefix="dbreg_docs_chk_")
+    try:
+        docs = tables["documents"]
+        docs.repartition(2).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        enriched = sampling.hash_split(
+            text.text_stats(stream), {"train": 0.9, "val": 0.1}
+        )
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        back = spark.read.parquet(sink)
+        assert back.count() == docs.count()
+        want = sampling.hash_split(
+            text.text_stats(docs), {"train": 0.9, "val": 0.1}
+        ).toPandas().sort_values("doc_id").reset_index(drop=True)
+        got = back.toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert (got["split"].to_numpy() == want["split"].to_numpy()).all()
+        assert (
+            got["quality_score"].to_numpy() == want["quality_score"].to_numpy()
+        ).all()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
