@@ -367,6 +367,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["text_pack_greedy"] = q_pack
 
+    # point-in-time lookup: latest prior purchase per user, every event
+    # (union-tag + windowed carry-forward; DuckDB native ASOF JOIN oracle)
+    def q_asof(spark, sf_dir):
+        from dbreg_spark.operators.asof import asof_join
+
+        t = _tables(spark, sf_dir)
+        ev = t["events"]
+        left = ev.where("event_type <> 'purchase'").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        right = (
+            ev.where("event_type = 'purchase'")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("purchase_value"))
+        )
+        return asof_join(left, right, on="ts", by="user_id")
+
+    Q["events_asof_join"] = q_asof
+
     def q_simhash(spark, sf_dir):
         t = _tables(spark, sf_dir)
         return dedup.simhash(t["documents"])
@@ -839,6 +858,19 @@ FROM g CROSS JOIN tot
     from dbreg_spark.operators import text as _text
 
     O["text_pack_greedy"] = _text.pack_greedy_sql("documents", budget=1000)
+
+    from dbreg_spark.operators.asof import asof_join_sql as _asof_sql
+
+    O["events_asof_join"] = _asof_sql(
+        "SELECT event_id, ts, user_id, event_type FROM events "
+        "WHERE event_type <> 'purchase'",
+        "SELECT user_id, ts, MAX(value) AS purchase_value FROM events "
+        "WHERE event_type = 'purchase' GROUP BY 1, 2",
+        on="ts",
+        by="user_id",
+        value_cols=["purchase_value"],
+        left_cols=["event_id", "ts", "user_id", "event_type"],
+    )
     O["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(
         "documents", shingle_words=2, threshold=0.2
     )

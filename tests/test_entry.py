@@ -74,6 +74,7 @@ def test_entry_smoke(spark):
         "sampling_hash_split",
         "sampling_stratified",
         "text_pack_greedy",
+        "events_asof_join",
         "similarity_cosine_topk",
         "similarity_hyperplane_lsh",
         "similarity_ivf_topk",

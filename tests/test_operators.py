@@ -553,3 +553,65 @@ def test_write_parquet_roundtrip(docs, tmp_path):
         back.where("source = 'src0'")._jdf.queryExecution().executedPlan().toString()
     )
     assert "src0" in plan  # partition filter reached the scan
+
+
+# ------------------------------------------------------------- asof join ----
+
+
+def test_asof_join_vs_duckdb(tables, duck):
+    """Backward as-of join (latest prior purchase per user) vs DuckDB's
+    native ASOF LEFT JOIN — engine-vs-engine semantics."""
+    from dbreg_spark.operators.asof import asof_join, asof_join_sql
+
+    ev = tables["events"]
+    left = ev.where("event_type <> 'purchase'")
+    right = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(__import__("pyspark.sql.functions", fromlist=["max"]).max("value").alias("purchase_value"))
+    )
+    got = asof_join(
+        left.select("event_id", "ts", "user_id", "event_type"),
+        right, on="ts", by="user_id",
+    ).toPandas()
+    want = duck.execute(
+        asof_join_sql(
+            "SELECT event_id, ts, user_id, event_type FROM events WHERE event_type <> 'purchase'",
+            "SELECT user_id, ts, MAX(value) AS purchase_value FROM events WHERE event_type = 'purchase' GROUP BY 1, 2",
+            on="ts", by="user_id",
+            value_cols=["purchase_value"],
+            left_cols=["event_id", "ts", "user_id", "event_type"],
+        )
+    ).fetchdf()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    import numpy as _np
+
+    a = got["purchase_value_right"].to_numpy(float)
+    b = want["purchase_value_right"].to_numpy(float)
+    assert _np.array_equal(_np.isnan(a), _np.isnan(b))
+    _np.testing.assert_allclose(a[~_np.isnan(a)], b[~_np.isnan(b)], rtol=0)
+    assert (got["ts_right"].fillna(pd.Timestamp(0)) == want["ts_right"].fillna(pd.Timestamp(0))).all()
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from dbreg_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "t": [10.0, 20.0, 5.0], "x": ["a", "b", "c"]})
+    )
+    r = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "t": [9.0, 15.0, 50.0], "v": [100.0, 200.0, 300.0]})
+    )
+    back = asof_join(l, r, on="t", by="k").toPandas().set_index("x")
+    assert back.loc["a", "v_right"] == 100.0
+    assert back.loc["b", "v_right"] == 200.0
+    assert pd.isna(back.loc["c", "v_right"])  # no prior state
+    fwd = asof_join(l, r, on="t", by="k", direction="forward").toPandas().set_index("x")
+    assert fwd.loc["c", "v_right"] == 300.0  # next state at t=50
+    assert fwd.loc["a", "v_right"] == 200.0  # next state ≥ 10 is t=15
+    assert pd.isna(fwd.loc["b", "v_right"])  # nothing at or after t=20
+    tol = asof_join(l, r, on="t", by="k", tolerance_seconds=2.0).toPandas().set_index("x")
+    assert tol.loc["a", "v_right"] == 100.0  # gap 1 ≤ 2
+    assert pd.isna(tol.loc["b", "v_right"])  # gap 5 > 2
