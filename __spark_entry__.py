@@ -386,6 +386,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["events_asof_join"] = q_asof
 
+    # attribution window: events within the hour before each purchase
+    # (bucketed equi-join, never a nested-loop range join)
+    def q_interval(spark, sf_dir):
+        from dbreg_spark.operators.asof import interval_join
+
+        t = _tables(spark, sf_dir)
+        ev = t["events"]
+        points = ev.where("event_type <> 'purchase'").select(
+            "event_id", "user_id", "ts", "event_type"
+        )
+        intervals = ev.where("event_type = 'purchase'").select(
+            "user_id",
+            (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+            F.col("ts").alias("w_end"),
+        )
+        return interval_join(
+            points, intervals, on="ts", by="user_id", start="w_start", end="w_end"
+        ).select(
+            "event_id", "user_id", "ts", "event_type",
+            F.col("w_end").alias("purchase_ts"),
+        )
+
+    Q["events_interval_join"] = q_interval
+
     def q_simhash(spark, sf_dir):
         t = _tables(spark, sf_dir)
         return dedup.simhash(t["documents"])
@@ -870,6 +894,23 @@ FROM g CROSS JOIN tot
         by="user_id",
         value_cols=["purchase_value"],
         left_cols=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    from dbreg_spark.operators.asof import interval_join_sql as _ivl_sql
+
+    O["events_interval_join"] = _ivl_sql(
+        "SELECT event_id, user_id, ts, event_type FROM events "
+        "WHERE event_type <> 'purchase'",
+        "SELECT user_id, ts - INTERVAL 1 HOUR AS w_start, ts AS w_end "
+        "FROM events WHERE event_type = 'purchase'",
+        on="ts",
+        by="user_id",
+        start="w_start",
+        end="w_end",
+        select_cols=[
+            "p.event_id", "p.user_id", "p.ts", "p.event_type",
+            "i.w_end AS purchase_ts",
+        ],
     )
     O["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(
         "documents", shingle_words=2, threshold=0.2

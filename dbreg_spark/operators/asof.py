@@ -24,6 +24,17 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql import types as T
+
+
+def _seconds(df: DataFrame, colname: str):
+    """Numeric seconds for a time column: timestamps (with or without zone)
+    via epoch, numerics as-is (TIMESTAMP_NTZ cannot cast to numeric
+    directly)."""
+    dt = df.schema[colname].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return F.col(colname).cast("timestamp").cast("double")
+    return F.col(colname).cast("double")
 
 
 def asof_join(
@@ -80,9 +91,7 @@ def asof_join(
 
     out = u.where(F.col("__side") == 1)
     if tolerance_seconds is not None:
-        gap = F.abs(
-            F.col(on).cast("double") - F.col(f"__r_{on}").cast("double")
-        )
+        gap = F.abs(_seconds(out, on) - _seconds(out, f"__r_{on}"))
         within = gap <= F.lit(float(tolerance_seconds))
         for c in carried:
             out = out.withColumn(c, F.when(within, F.col(c)))
@@ -118,4 +127,68 @@ SELECT {', '.join(sel)}
 FROM ({left_sql}) l
 ASOF LEFT JOIN ({right_sql}) r
   ON {keys} AND l.{on} {cmp} r.{on}
+"""
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    by: list[str] | str,
+    start: str,
+    end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range/containment join — every (point, interval) pair with
+    ``start ≤ point.on ≤ end`` within the ``by`` keys — WITHOUT the
+    nested-loop plan Spark gives a raw BETWEEN join (BroadcastNestedLoop /
+    per-key cartesian, O(|P|·|I|) comparisons).
+
+    Buckets time into ``bucket_seconds`` cells: each interval explodes to
+    the buckets it covers, each point carries its single bucket, and the
+    join becomes an EQUI-join on (keys, bucket) + a residual containment
+    filter — exact (integer epoch math keeps coverage conservative) and
+    shuffle-friendly (whole-stage codegen, AQE). Each qualifying pair
+    matches in exactly one bucket (the point's), so no dedup pass is
+    needed. Pick ``bucket_seconds`` near the typical interval length:
+    explosion factor ≈ len/bucket + 1."""
+    if isinstance(by, str):
+        by = [by]
+    b = F.lit(int(bucket_seconds))
+    ib = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(_seconds(intervals, start) / b).cast("long"),
+                F.floor(_seconds(intervals, end) / b).cast("long"),
+            )
+        ),
+    )
+    pb = points.withColumn(
+        "__b", F.floor(_seconds(points, on) / b).cast("long")
+    )
+    joined = pb.join(ib, on=by + ["__b"]).where(
+        (F.col(on) >= F.col(start)) & (F.col(on) <= F.col(end))
+    )
+    return joined.drop("__b")
+
+
+def interval_join_sql(
+    points_sql: str,
+    intervals_sql: str,
+    on: str,
+    by: list[str] | str,
+    start: str,
+    end: str,
+    select_cols: list[str],
+) -> str:
+    """Oracle twin: the plain BETWEEN join (fine at oracle scale)."""
+    if isinstance(by, str):
+        by = [by]
+    keys = " AND ".join(f"p.{k} = i.{k}" for k in by)
+    return f"""
+SELECT {', '.join(select_cols)}
+FROM ({points_sql}) p
+JOIN ({intervals_sql}) i
+  ON {keys} AND p.{on} >= i.{start} AND p.{on} <= i.{end}
 """

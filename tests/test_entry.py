@@ -75,6 +75,7 @@ def test_entry_smoke(spark):
         "sampling_stratified",
         "text_pack_greedy",
         "events_asof_join",
+        "events_interval_join",
         "similarity_cosine_topk",
         "similarity_hyperplane_lsh",
         "similarity_ivf_topk",

@@ -615,3 +615,58 @@ def test_asof_join_forward_and_tolerance(spark):
     tol = asof_join(l, r, on="t", by="k", tolerance_seconds=2.0).toPandas().set_index("x")
     assert tol.loc["a", "v_right"] == 100.0  # gap 1 ≤ 2
     assert pd.isna(tol.loc["b", "v_right"])  # gap 5 > 2
+
+
+def test_interval_join_vs_duckdb(tables, duck):
+    """Bucketed containment join (events within the hour before a purchase)
+    vs DuckDB's plain BETWEEN join."""
+    import pyspark.sql.functions as F
+
+    from dbreg_spark.operators.asof import interval_join, interval_join_sql
+
+    ev = tables["events"]
+    points = ev.where("event_type <> 'purchase'").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    intervals = ev.where("event_type = 'purchase'").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    got = interval_join(
+        points, intervals, on="ts", by="user_id", start="w_start", end="w_end"
+    ).select("event_id", "user_id", "ts", "event_type", "w_end").toPandas()
+    want = duck.execute(
+        interval_join_sql(
+            "SELECT event_id, user_id, ts, event_type FROM events WHERE event_type <> 'purchase'",
+            "SELECT user_id, ts - INTERVAL 1 HOUR AS w_start, ts AS w_end FROM events WHERE event_type = 'purchase'",
+            on="ts", by="user_id", start="w_start", end="w_end",
+            select_cols=["p.event_id", "p.user_id", "p.ts", "p.event_type", "i.w_end"],
+        )
+    ).fetchdf()
+    keys = ["event_id", "w_end"]
+    got = got.sort_values(keys).reset_index(drop=True)
+    want = want.sort_values(keys).reset_index(drop=True)
+    assert len(got) == len(want) and len(got) > 0
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+    assert (got["w_end"].to_numpy() == want["w_end"].to_numpy()).all()
+
+
+def test_interval_join_no_nested_loop_plan(tables):
+    """The bucketed formulation must plan as an equi-join (hash/sort-merge),
+    never BroadcastNestedLoopJoin/CartesianProduct."""
+    import pyspark.sql.functions as F
+
+    from dbreg_spark.operators.asof import interval_join
+
+    ev = tables["events"]
+    points = ev.select("event_id", "user_id", "ts")
+    intervals = ev.where("event_type = 'purchase'").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    out = interval_join(points, intervals, on="ts", by="user_id",
+                        start="w_start", end="w_end")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
