@@ -410,6 +410,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["events_interval_join"] = q_interval
 
+    def q_vocab(spark, sf_dir):
+        from dbreg_spark.operators import text as _text
+
+        t = _tables(spark, sf_dir)
+        return _text.vocabulary(t["documents"], min_df=3, max_vocab=200)
+
+    Q["text_vocabulary"] = q_vocab
+
+    # embedding hygiene (unit-normalize + int8 quantize), exploded to
+    # scalar rows for the engine-to-engine value compare
+    def q_emb_quant(spark, sf_dir):
+        from dbreg_spark.operators import similarity as _sim
+
+        t = _tables(spark, sf_dir)
+        qz = _sim.quantize_int8(t["embeddings"])
+        return qz.select(
+            "vec_id", "scale", F.posexplode("codes").alias("i", "code")
+        )
+
+    Q["embedding_quantize_int8"] = q_emb_quant
+
     def q_simhash(spark, sf_dir):
         t = _tables(spark, sf_dir)
         return dedup.simhash(t["documents"])
@@ -882,6 +903,15 @@ FROM g CROSS JOIN tot
     from dbreg_spark.operators import text as _text
 
     O["text_pack_greedy"] = _text.pack_greedy_sql("documents", budget=1000)
+    O["text_vocabulary"] = _text.vocabulary_sql("documents", min_df=3, max_vocab=200)
+
+    from dbreg_spark.operators import similarity as _simq
+
+    O["embedding_quantize_int8"] = (
+        "SELECT vec_id, scale, CAST(u.i AS INT) AS i, z.codes[u.i + 1] AS code\n"
+        "FROM (" + _simq.quantize_int8_sql("embeddings") + ") z,\n"
+        "     unnest(generate_series(0, len(z.codes) - 1)) AS u(i)"
+    )
 
     from dbreg_spark.operators.asof import asof_join_sql as _asof_sql
 

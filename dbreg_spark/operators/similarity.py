@@ -507,3 +507,74 @@ def embedding_neardup_pairs(
         .distinct()
     )
     return pairs
+
+
+# --------------------------------------------------------------------------
+# embedding hygiene: L2 normalization + symmetric int8 quantization
+# --------------------------------------------------------------------------
+
+
+def l2_normalize(
+    corpus: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Unit-normalize embeddings as a pure column expression (fold for the
+    norm, transform for the scale) — no UDF, no shuffle. Zero vectors pass
+    through unchanged (NULLIF guard)."""
+    norm = (
+        f"sqrt(aggregate({vec_col}, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x))"
+    )
+    return corpus.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> ROUND(CAST(x AS DOUBLE) / "
+            f"NULLIF({norm}, 0D), 6))"
+        ).alias("unit"),
+    )
+
+
+def l2_normalize_sql(
+    table: str, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> str:
+    norm = (
+        f"sqrt(list_aggregate(list_transform({vec_col}, "
+        f"x -> CAST(x AS DOUBLE) * x), 'sum'))"
+    )
+    return f"""
+SELECT {id_col},
+       list_transform({vec_col}, x -> ROUND(CAST(x AS DOUBLE) / NULLIF({norm}, 0), 6)) AS unit
+FROM {table}
+"""
+
+
+def quantize_int8(
+    corpus: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127, codes =
+    round(x/scale) ∈ [−127, 127] — the 4× (vs float32) storage/bandwidth
+    cut ANN serving uses. Column expressions only; the (id, scale, codes)
+    triple is all a dequantizing reader needs."""
+    amax = f"aggregate({vec_col}, 0D, (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+    scale = f"NULLIF({amax} / 127.0D, 0D)"
+    return corpus.select(
+        F.col(id_col),
+        F.expr(f"ROUND({amax} / 127.0D, 9)").alias("scale"),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(ROUND(CAST(x AS DOUBLE) / {scale}, 0) AS INT))"
+        ).alias("codes"),
+    )
+
+
+def quantize_int8_sql(
+    table: str, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> str:
+    amax = (
+        f"list_aggregate(list_transform({vec_col}, "
+        f"x -> abs(CAST(x AS DOUBLE))), 'max')"
+    )
+    scale = f"NULLIF({amax} / 127.0, 0)"
+    return f"""
+SELECT {id_col},
+       ROUND({amax} / 127.0, 9) AS scale,
+       list_transform({vec_col}, x -> CAST(ROUND(CAST(x AS DOUBLE) / {scale}, 0) AS INT)) AS codes
+FROM {table}
+"""

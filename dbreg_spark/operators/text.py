@@ -266,3 +266,66 @@ walk(doc_id, shard, rn, pack_seq, pack_offset, acc) AS (
 )
 SELECT doc_id, shard, pack_seq, pack_offset FROM walk
 """
+
+
+# --------------------------------------------------------------------------
+# vocabulary induction (tokenizer prep)
+# --------------------------------------------------------------------------
+
+
+def vocabulary(
+    df: DataFrame,
+    col: str = "text",
+    min_df: int = 1,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary with document frequencies and smoothed IDF
+    (ln((N+1)/(df+1)) + 1): lowercase whitespace tokens, distinct per doc
+    (document frequency, not term frequency), one explode + one groupBy —
+    the shuffle carries (token, 1) pairs only. ``min_df`` prunes the long
+    tail before it reaches the driver-facing result; ``max_vocab`` keeps the
+    top tokens by df (ties broken by token for determinism)."""
+    x = X(SPARK)
+    n_docs = df.count()
+    toks = df.select(
+        F.explode(
+            F.array_distinct(F.expr(x.transform(x.split_ws(col), "w -> lower(w)")))
+        ).alias("token")
+    )
+    out = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .where(F.col("df") >= min_df)
+        .withColumn(
+            "idf",
+            F.round(F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6),
+        )
+    )
+    if max_vocab is not None:
+        out = out.orderBy(F.desc("df"), F.asc("token")).limit(max_vocab)
+    return out
+
+
+def vocabulary_sql(
+    table: str,
+    col: str = "text",
+    min_df: int = 1,
+    max_vocab: int | None = None,
+) -> str:
+    x = X(DUCK)
+    toks = x.array_distinct(x.transform(x.split_ws(col), "w -> lower(w)"))
+    limit = ""
+    if max_vocab is not None:
+        limit = f"\nORDER BY df DESC, token ASC\nLIMIT {max_vocab}"
+    return f"""
+WITH toks AS (
+  SELECT t.tok AS token FROM {table}, unnest({toks}) AS t(tok)
+),
+v AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY token
+)
+SELECT token, df,
+       ROUND(LN(((SELECT COUNT(*) FROM {table}) + 1.0) / (df + 1.0)) + 1.0, 6) AS idf
+FROM v
+WHERE df >= {min_df}{limit}
+"""

@@ -76,6 +76,8 @@ def test_entry_smoke(spark):
         "text_pack_greedy",
         "events_asof_join",
         "events_interval_join",
+        "text_vocabulary",
+        "embedding_quantize_int8",
         "similarity_cosine_topk",
         "similarity_hyperplane_lsh",
         "similarity_ivf_topk",

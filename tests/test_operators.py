@@ -670,3 +670,40 @@ def test_interval_join_no_nested_loop_plan(tables):
                         start="w_start", end="w_end")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_vocabulary_vs_duckdb(docs, duck):
+    got = text.vocabulary(docs, min_df=3, max_vocab=200).toPandas()
+    want = duck.execute(
+        text.vocabulary_sql("documents", min_df=3, max_vocab=200)
+    ).fetchdf()
+    _compare(got, want, ["token"], ["idf"], rtol=1e-6)
+    assert (got["df"] >= 3).all() and len(got) <= 200
+
+
+def test_l2_normalize_and_quantize_vs_duckdb(emb, duck):
+    from dbreg_spark.operators import similarity as sim
+
+    got = sim.l2_normalize(emb).toPandas()
+    want = duck.execute(sim.l2_normalize_sql("embeddings")).fetchdf()
+    a = np.array(got.sort_values("vec_id")["unit"].tolist())
+    b = np.array(want.sort_values("vec_id")["unit"].tolist())
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)  # ROUND(…,6) both sides
+    norms = np.linalg.norm(a, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+    gq = sim.quantize_int8(emb).toPandas().sort_values("vec_id")
+    wq = duck.execute(sim.quantize_int8_sql("embeddings")).fetchdf().sort_values("vec_id")
+    np.testing.assert_allclose(
+        gq["scale"].to_numpy(float), wq["scale"].to_numpy(float), rtol=0
+    )
+    ca = np.array(gq["codes"].tolist())
+    cb = np.array(wq["codes"].tolist())
+    assert np.array_equal(ca, cb)
+    assert ca.min() >= -127 and ca.max() <= 127
+    # dequantized reconstruction error bounded by scale/2 per component
+    orig = np.array(
+        emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")["embedding"].tolist()
+    )
+    recon = ca * gq["scale"].to_numpy()[:, None]
+    assert np.abs(recon - orig).max() <= gq["scale"].max() * 0.5 + 1e-9
