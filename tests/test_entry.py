@@ -42,57 +42,7 @@ def test_entry_smoke(spark):
     assert "estimate" in pdf.columns
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "moments_nofe",
-        "demean_moments_1fe",
-        "demean_moments_2fe",
-        "demean_moments_3fe_iter",
-        "mundlak_moments_2fe",
-        "compress_cells",
-        "group_means_1fe",
-        "meat_hc1_fixed_beta",
-        "cluster_scores_fixed_beta",
-        "cluster_scores_multiway",
-        "design_matrix_interactions",
-        "probe_compression",
-        "probe_balance",
-        "probe_nested_fe",
-        "bin_geometry_manual",
-        "ntile_bins",
-        "binscatter_deg0_manual",
-        "text_stats",
-        "text_fingerprints",
-        "dedup_exact",
-        "dedup_minhash_signatures",
-        "dedup_minhash_lsh_pairs",
-        "dedup_components",
-        "dedup_simhash",
-        "dedup_ngram_jaccard",
-        "multimodal_decode_features",
-        "sampling_hash_split",
-        "sampling_stratified",
-        "text_pack_greedy",
-        "events_asof_join",
-        "events_interval_join",
-        "text_vocabulary",
-        "embedding_quantize_int8",
-        "similarity_cosine_topk",
-        "similarity_hyperplane_lsh",
-        "similarity_ivf_topk",
-        "dedup_embedding_neardup",
-        "multimodal_metadata",
-        "multimodal_frame_plan",
-        "ols_coef_simple",
-        "ols_coef_demean_1fe",
-        "predict_demean_1fe",
-        "predict_compress_fe",
-        "events_window_daily",
-        "events_sessionize_batch",
-        "events_moments_daily",
-    ],
-)
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
 def test_query_matches_oracle(name, spark, duck, sf_dir, inventory):
     q, o = inventory
     got = _canon(q[name](spark, sf_dir).toPandas())
