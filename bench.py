@@ -175,6 +175,14 @@ def main() -> None:
         "events_sessionize",
         lambda: em.queries()["events_sessionize_batch"](spark, SF_DIR).count(),
     )
+    bench(
+        "events_asof_join",
+        lambda: em.queries()["events_asof_join"](spark, SF_DIR).count(),
+    )
+    bench(
+        "events_interval_join",
+        lambda: em.queries()["events_interval_join"](spark, SF_DIR).count(),
+    )
 
     sf = None
     for tok in SF_DIR.replace("/", " ").split():
