@@ -191,7 +191,13 @@ def pack_greedy(
 
     Stateful sequential scan → grouped ``applyInPandas`` (Arrow-batched;
     the sanctioned custom-operator escape hatch, like the sessionizer) with
-    a recursive-CTE SQL twin for the oracle."""
+    a recursive-CTE SQL twin for the oracle.
+
+    Scale note: ``applyInPandas`` materializes one GROUP per task, so the
+    shard column must bound group size (docs-per-shard × ~3 small columns
+    must fit a task). At 100 TB shard on a fine key (e.g. source × date or
+    a hash bucket of the id) — packing quality is shard-local anyway, and
+    finer shards only add pack boundaries, never overflow a pack."""
     import pandas as pd
     from pyspark.sql import types as T
 
