@@ -196,3 +196,24 @@ def test_cluster_meat_guarded_collect_falls_back_blocked(tables, monkeypatch):
     assert calls["n"] >= 1
     _assert_models_match(m_drv, m_blk)
     assert m_blk.n_clusters == m_drv.n_clusters
+
+
+def test_threeway_cgm_compress_matches_moments(tables):
+    """k=3 cluster variables: all 7 CGM subset components re-aggregate the
+    one finest (c1×c2×c3 × cell) table; SEs must match the moments path."""
+    li = tables["lineitem"]
+    fml = "l_tax ~ l_quantity + l_discount"
+    vc = "~l_returnflag + l_linestatus + l_linenumber"
+    m_mom = dbreg(fml, li, strategy="moments", vcov=vc)
+    m_cmp = dbreg(fml, li, strategy="compress", vcov=vc)
+    np.testing.assert_allclose(
+        m_cmp.coef().sort_index().to_numpy(),
+        m_mom.coef().sort_index().to_numpy(),
+        rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        m_cmp.se().sort_index().to_numpy(),
+        m_mom.se().sort_index().to_numpy(),
+        rtol=1e-6,
+    )
+    assert m_cmp.n_clusters == m_mom.n_clusters
