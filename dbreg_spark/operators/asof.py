@@ -8,13 +8,24 @@ event happened" without leaking the future.
 
 Scale shape: the union-tag + windowed carry-forward formulation — left and
 right are unioned, shuffled ONCE on the ``by`` keys, sorted within
-partitions by (time, side), and the right values are propagated with
-``last(..., ignorenulls=True)`` over an unbounded-preceding window. That is
-one shuffle of |L| + |R| rows and a per-key sort — same cost as a sort-merge
-join, with no range-explosion (a naive ``l.ts >= r.ts`` range join is
-O(|L|·|R|) within key). The window partitions by key, so parallelism is the
-key cardinality; one pathologically hot key serializes its own partition
-(the usual window caveat — pre-split such keys upstream if they exist).
+partitions by (time, side), and the matched right row is propagated as ONE
+struct with ``last(struct, ignorenulls=True)`` over an unbounded-preceding
+window. That is one shuffle of |L| + |R| rows and a per-key sort — same
+cost as a sort-merge join, with no range-explosion (a naive ``l.ts >= r.ts``
+range join is O(|L|·|R|) within key). Carrying a single struct (not one
+window per value column) guarantees every output field comes from the SAME
+right row — a NULL in a value column of the matched row stays NULL, exactly
+DuckDB's ASOF semantics, instead of being back-filled from an older row.
+
+Hot keys: the plain window partitions by key, so one pathologically hot key
+serializes its own partition. Pass ``bucket_seconds`` to sub-partition by a
+coarse time bucket: the carry-forward runs within (key, bucket) and each
+bucket is seeded with a boundary row — the last (first, for forward) right
+row from all earlier (later) buckets, computed on a tiny per-(key, bucket)
+summary table. Two windows total: one over the summary (rows = distinct
+(key, bucket) pairs) and one over the data partitioned by (key, bucket) —
+partition size is bounded by the bucket width, at the cost of one extra
+groupBy of the right side.
 
 DuckDB has native ``ASOF JOIN``; the oracle twin uses it, making the gate an
 engine-vs-engine semantic check rather than a self-referential one.
@@ -27,14 +38,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import types as T
 
 
-def _seconds(df: DataFrame, colname: str):
-    """Numeric seconds for a time column: timestamps (with or without zone)
-    via epoch, numerics as-is (TIMESTAMP_NTZ cannot cast to numeric
-    directly)."""
-    dt = df.schema[colname].dataType
+def _seconds_col(col, dt):
+    """Numeric seconds for a time Column of datatype ``dt``: timestamps
+    (with or without zone) via epoch, numerics as-is (TIMESTAMP_NTZ cannot
+    cast to numeric directly)."""
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-        return F.col(colname).cast("timestamp").cast("double")
-    return F.col(colname).cast("double")
+        return col.cast("timestamp").cast("double")
+    return col.cast("double")
+
+
+def _seconds(df: DataFrame, colname: str):
+    return _seconds_col(F.col(colname), df.schema[colname].dataType)
 
 
 def asof_join(
@@ -46,6 +60,7 @@ def asof_join(
     suffix: str = "_right",
     tolerance_seconds: float | None = None,
     direction: str = "backward",
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """As-of join ``left`` to ``right`` on time column ``on`` within ``by``
     keys. Right rows must be unique per (by, on) — pre-aggregate ties
@@ -53,52 +68,104 @@ def asof_join(
     equal timestamps is unspecified. Returns all left columns plus each
     value column as ``<name><suffix>`` and ``<on><suffix>`` (the matched
     right timestamp; null = no match). ``tolerance_seconds`` voids matches
-    further than the tolerance from the left timestamp."""
+    further than the tolerance from the left timestamp.
+
+    The matched right row is carried as a single struct, so all output
+    value columns (including the matched timestamp used by the tolerance
+    check) come from the same right row — NULLs in the matched row are
+    returned as-is, never back-filled from an older row.
+
+    ``bucket_seconds`` (optional) sub-partitions the carry-forward window
+    by a coarse time bucket so a single hot ``by`` key no longer
+    serializes one task: each (key, bucket) partition is seeded with a
+    boundary row propagated from earlier (later, for forward) buckets.
+    Results are identical; choose a width that keeps per-bucket row counts
+    in the ~1e6 range for the hottest key."""
     if isinstance(by, str):
         by = [by]
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     rcols = value_cols or [c for c in right.columns if c not in by + [on]]
+    on_dt = right.schema[on].dataType
+    backward = direction == "backward"
 
+    # the matched right row travels as ONE struct — field 0 is the right
+    # timestamp, then the value columns — so a single last(ignorenulls)
+    # carries them atomically
+    rstruct = F.struct(
+        F.col(on).alias("__on"), *[F.col(c).alias(c) for c in rcols]
+    )
     r = right.select(
-        *by,
-        F.col(on),
-        F.lit(0).alias("__side"),
-        F.col(on).alias(f"__r_{on}"),
-        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        *by, F.col(on), F.lit(0).alias("__side"), rstruct.alias("__r")
     )
     l = left.withColumn("__side", F.lit(1))
-    u = l.unionByName(r, allowMissingColumns=True)
+    u = l.unionByName(r, allowMissingColumns=True)  # left rows: __r = NULL
+
+    part_keys = list(by)
+    if bucket_seconds is not None:
+        b = F.lit(int(bucket_seconds))
+        bkt = F.floor(_seconds_col(F.col(on), on_dt) / b).cast("long")
+        u = u.withColumn("__bkt", bkt)
+        rb = r.withColumn("__bkt", bkt)
+        lb = l.select(*by, bkt.alias("__bkt"))
+        # tiny summary: the right row a later (earlier) bucket would carry
+        # in — one row per (key, bucket); window over THIS table is cheap
+        agg = F.max_by("__r", F.col(on)) if backward else F.min_by(
+            "__r", F.col(on)
+        )
+        summ = rb.groupBy(*by, "__bkt").agg(agg.alias("__r"))
+        allb = (
+            lb.unionByName(rb.select(*by, "__bkt")).distinct()
+        )
+        sb = allb.join(summ, on=by + ["__bkt"], how="left")
+        order = F.col("__bkt").asc() if backward else F.col("__bkt").desc()
+        ws = (
+            Window.partitionBy(*by)
+            .orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        boundary = (
+            sb.withColumn("__r", F.last("__r", ignorenulls=True).over(ws))
+            .where(F.col("__r").isNotNull())
+            .select(
+                *by,
+                F.lit(None).cast(on_dt).alias(on),
+                F.lit(0).alias("__side"),
+                "__r",
+                "__bkt",
+                F.lit(0).alias("__ord"),
+            )
+        )
+        u = u.withColumn("__ord", F.lit(1)).unionByName(
+            boundary, allowMissingColumns=True
+        )
+        part_keys = by + ["__bkt"]
+        lead = [F.col("__ord").asc()]
+    else:
+        lead = []
 
     # equal timestamps: the right row sorts before (backward) / after
     # (forward) the left row, so an exactly-coincident state is visible —
     # the inclusive semantics of SQL ASOF (l.ts >= r.ts / l.ts <= r.ts)
-    if direction == "backward":
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-    else:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(on).desc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-    carried = [f"__r_{on}"] + [f"__r_{c}" for c in rcols]
-    for c in carried:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    tsort = F.col(on).asc() if backward else F.col(on).desc()
+    w = (
+        Window.partitionBy(*part_keys)
+        .orderBy(*lead, tsort, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = u.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
 
     out = u.where(F.col("__side") == 1)
     if tolerance_seconds is not None:
-        gap = F.abs(_seconds(out, on) - _seconds(out, f"__r_{on}"))
+        gap = F.abs(
+            _seconds(out, on) - _seconds_col(F.col("__r.__on"), on_dt)
+        )
         within = gap <= F.lit(float(tolerance_seconds))
-        for c in carried:
-            out = out.withColumn(c, F.when(within, F.col(c)))
+        out = out.withColumn("__r", F.when(within, F.col("__r")))
     return out.select(
         *left.columns,
-        F.col(f"__r_{on}").alias(f"{on}{suffix}"),
-        *[F.col(f"__r_{c}").alias(f"{c}{suffix}") for c in rcols],
+        F.col("__r.__on").alias(f"{on}{suffix}"),
+        *[F.col(f"__r.{c}").alias(f"{c}{suffix}") for c in rcols],
     )
 
 

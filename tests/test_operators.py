@@ -617,6 +617,120 @@ def test_asof_join_forward_and_tolerance(spark):
     assert pd.isna(tol.loc["b", "v_right"])  # gap 5 > 2
 
 
+def test_asof_join_null_values_come_from_matched_row(spark):
+    """All carried fields must come from the SAME (nearest) right row:
+    a NULL value column in the matched row stays NULL — DuckDB ASOF
+    semantics — rather than being back-filled from an older right row."""
+    import numpy as np
+
+    from dbreg_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [10.0, 6.0], "x": ["late", "mid"]})
+    )
+    r = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1],
+                "t": [5.0, 9.0],
+                "v": [1.0, np.nan],  # nearest row (t=9) has NULL v
+                "w": [10.0, 90.0],
+            }
+        )
+    ).selectExpr("k", "t", "CASE WHEN isnan(v) THEN NULL ELSE v END AS v", "w")
+    out = asof_join(l, r, on="t", by="k").toPandas().set_index("x")
+    # t=10 matches t=9: v NULL (NOT back-filled 1.0 from t=5), w from t=9
+    assert pd.isna(out.loc["late", "v_right"])
+    assert out.loc["late", "w_right"] == 90.0
+    assert out.loc["late", "t_right"] == 9.0
+    # t=6 matches t=5 normally
+    assert out.loc["mid", "v_right"] == 1.0 and out.loc["mid", "w_right"] == 10.0
+    # tolerance is judged against the matched row's timestamp and voids
+    # ALL carried fields atomically
+    tol = (
+        asof_join(l, r, on="t", by="k", tolerance_seconds=0.5)
+        .toPandas()
+        .set_index("x")
+    )
+    assert pd.isna(tol.loc["late", "w_right"]) and pd.isna(tol.loc["late", "t_right"])
+
+
+def test_asof_join_bucketed_hot_key(tables):
+    """bucket_seconds sub-partitions the carry-forward: identical results
+    to the plain path, and the window/shuffle keys include the time bucket
+    so a single hot key is spread over many partitions."""
+    import pyspark.sql.functions as F
+
+    from dbreg_spark.operators.asof import asof_join
+
+    ev = tables["events"]
+    # make every row one hot key — worst case for the plain window
+    left = ev.where("event_type <> 'purchase'").select(
+        "event_id", "ts", F.lit(1).alias("user_id"), "event_type"
+    )
+    right = (
+        ev.where("event_type = 'purchase'")
+        .select("ts", F.lit(1).alias("user_id"), "value")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    plain = (
+        asof_join(left, right, on="ts", by="user_id")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    for bs in (3600, 86400):
+        bucketed = (
+            asof_join(left, right, on="ts", by="user_id", bucket_seconds=bs)
+            .toPandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(plain, bucketed, check_like=True)
+    # forward direction parity too
+    plain_f = (
+        asof_join(left, right, on="ts", by="user_id", direction="forward")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    bucket_f = (
+        asof_join(
+            left, right, on="ts", by="user_id", direction="forward",
+            bucket_seconds=3600,
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain_f, bucket_f, check_like=True)
+    # plan: the big window partitions by (user_id, __bkt), not user_id alone
+    out = asof_join(left, right, on="ts", by="user_id", bucket_seconds=3600)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" in plan
+
+
+def test_asof_join_bucketed_tolerance(spark):
+    """Tolerance interacts with the boundary carry-in: a match propagated
+    from a previous bucket is still voided when out of tolerance."""
+    from dbreg_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [100.0, 11.0], "x": ["far", "near"]})
+    )
+    r = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": [9.0], "v": [7.0]})
+    )
+    out = (
+        asof_join(l, r, on="t", by="k", tolerance_seconds=5.0, bucket_seconds=10)
+        .toPandas()
+        .set_index("x")
+    )
+    assert out.loc["near", "v_right"] == 7.0  # carried across bucket 0→1
+    assert pd.isna(out.loc["far", "v_right"])  # gap 91 > 5, voided
+
+
 def test_interval_join_vs_duckdb(tables, duck):
     """Bucketed containment join (events within the hour before a purchase)
     vs DuckDB's plain BETWEEN join."""
