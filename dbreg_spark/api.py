@@ -1208,8 +1208,11 @@ def _compress_cluster_meat(
             if len(sub_aliases) == len(aliases):
                 cc_S = cc
             else:
+                # dropna=False: a NULL cluster key is a real cluster — the
+                # Spark-side finest table and the moments path both keep it
                 cc_S = cc.groupby(
-                    sub_aliases + group_cols, as_index=False, sort=False
+                    sub_aliases + group_cols, as_index=False, sort=False,
+                    dropna=False,
                 )[["n_gc", "sum_y_gc"]].sum()
             return _cc_meat_pandas(
                 cc_S, sub_aliases, group_cols, pdf, cd, collin, yhat, design, parsed
@@ -1263,11 +1266,15 @@ def _cc_meat_pandas(cc, cl_aliases, group_cols, pdf, cd, collin, yhat, design, p
     yhat_cc = yhat[rows]
     u_sum = cc["sum_y_gc"].to_numpy(dtype=float) - cc["n_gc"].to_numpy(dtype=float) * yhat_cc
 
+    # use_na_sentinel=False: a NULL cluster key is a real cluster (code ≥ 0),
+    # matching Spark groupBy semantics — the default -1 sentinel would fold
+    # those rows into the wrong column of the bincount-backed score matrix
     if len(cl_aliases) == 1:
-        cidx, clusters = pd.factorize(cc[cl_aliases[0]])
+        cidx, clusters = pd.factorize(cc[cl_aliases[0]], use_na_sentinel=False)
     else:
         cidx, clusters = pd.factorize(
-            pd.Series(list(zip(*[cc[a] for a in cl_aliases])))
+            pd.Series(list(zip(*[cc[a] for a in cl_aliases]))),
+            use_na_sentinel=False,
         )
     # evaluate the design on the cluster-cell rows and form S = X'U directly
     cd_cc = CellDesign(cc, design.names, parsed.fe)

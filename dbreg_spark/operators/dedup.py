@@ -452,8 +452,11 @@ def connected_components(
     changed labels. Rounds needed = graph diameter — near-dup graphs are
     unions of small cliques (diameter ≤ a few), so this terminates in 2-4
     rounds at any corpus size; a chain-shaped adversarial graph is bounded
-    by ``max_iter``. Pairs tables are tiny relative to the corpus, so the
-    per-round shuffles carry (id, label) longs only."""
+    by ``max_iter`` — exhausting it without converging raises (partial
+    labels would silently yield a WRONG canonical keep-list downstream;
+    raise ``max_iter`` for long-diameter graphs). Pairs tables are tiny
+    relative to the corpus, so the per-round shuffles carry (id, label)
+    longs only."""
     e = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d")
     ).where(F.col(src) != F.col(dst)).distinct()
@@ -499,6 +502,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds ({changed} labels still changing); the "
+            "graph's diameter exceeds max_iter — raise max_iter (rounds "
+            "needed = graph diameter)."
+        )
     return labels.select("id", "component")
 
 

@@ -179,6 +179,7 @@ def pack_greedy(
     size_col: str = "n_chars",
     shard_col: str = "source",
     id_col: str = "doc_id",
+    max_rows_per_task: int | None = 2_000_000,
 ) -> DataFrame:
     """Greedy sequential packing of documents into ≤ ``budget``-sized packs,
     shard-local (the way sample packing actually runs at 100 TB: each shard
@@ -186,56 +187,123 @@ def pack_greedy(
     group with zero cross-shard coordination). Documents are taken in
     ``id_col`` order; a document that would overflow the running pack opens
     the next one (an oversized document occupies a pack alone). Returns
-    (id, shard, pack_seq, pack_offset) — ``pack_seq`` numbers packs within
-    the shard, ``pack_offset`` is the document's start position in its pack.
+    (``id_col``, ``shard_col``, pack_seq, pack_offset) — ``pack_seq``
+    numbers packs within the shard, ``pack_offset`` is the document's start
+    position in its pack.
 
     Stateful sequential scan → grouped ``applyInPandas`` (Arrow-batched;
     the sanctioned custom-operator escape hatch, like the sessionizer) with
     a recursive-CTE SQL twin for the oracle.
 
-    Scale note: ``applyInPandas`` materializes one GROUP per task, so the
-    shard column must bound group size (docs-per-shard × ~3 small columns
-    must fit a task). At 100 TB shard on a fine key (e.g. source × date or
-    a hash bucket of the id) — packing quality is shard-local anyway, and
-    finer shards only add pack boundaries, never overflow a pack."""
+    ``applyInPandas`` materializes one GROUP per task, so shards whose row
+    count exceeds ``max_rows_per_task`` (a groupBy-count probe of the
+    3-column projection; ~2M rows ≈ low hundreds of MB of pandas) are
+    AUTOMATICALLY sub-sharded by a hash bucket of ``id_col`` before packing
+    — packing quality is shard-local anyway, finer shards only add pack
+    boundaries, never overflow a pack. Sub-shard pack numbers are
+    renumbered to stay contiguous and unique within the original shard
+    (doc order holds within each sub-shard, not across them). Pass
+    ``max_rows_per_task=None`` to skip the probe and trust the shard key."""
     import pandas as pd
     from pyspark.sql import types as T
 
-    out_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("shard", T.StringType()),
-            T.StructField("pack_seq", T.LongType()),
-            T.StructField("pack_offset", T.LongType()),
-        ]
-    )
+    proj = df.select(id_col, shard_col, size_col)
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
-        seqs, offs = [], []
-        seq, acc = 0, 0
-        first = True
-        for n in pdf[size_col].astype("int64"):
-            if not first and acc + n > budget:
-                seq += 1
-                acc = 0
-            offs.append(acc)
-            seqs.append(seq)
-            acc += int(n)
-            first = False
-        return pd.DataFrame(
-            {
-                "doc_id": pdf[id_col].astype("int64"),
-                "shard": pdf[shard_col].astype(str),
+    def make_pack(extra_cols):
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col)
+            seqs, offs = [], []
+            seq, acc = 0, 0
+            first = True
+            for n in pdf[size_col].astype("int64"):
+                if not first and acc + n > budget:
+                    seq += 1
+                    acc = 0
+                offs.append(acc)
+                seqs.append(seq)
+                acc += int(n)
+                first = False
+            out = {
+                id_col: pdf[id_col].astype("int64"),
+                shard_col: pdf[shard_col].astype(str),
                 "pack_seq": pd.Series(seqs, dtype="int64").values,
                 "pack_offset": pd.Series(offs, dtype="int64").values,
             }
+            for c in extra_cols:
+                out[c] = pdf[c].astype("int64")
+            return pd.DataFrame(out)
+
+        return pack
+
+    base_fields = [
+        T.StructField(id_col, T.LongType()),
+        T.StructField(shard_col, T.StringType()),
+        T.StructField("pack_seq", T.LongType()),
+        T.StructField("pack_offset", T.LongType()),
+    ]
+
+    big = None
+    if max_rows_per_task is not None:
+        counts = proj.groupBy(shard_col).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        big = (
+            counts.where(F.col("__n") > max_rows_per_task)
+            .select(
+                shard_col,
+                F.ceil(F.col("__n") / F.lit(float(max_rows_per_task)))
+                .cast("int")
+                .alias("__nsub"),
+            )
+            .collect()
+        )
+    if not big:
+        return proj.groupBy(shard_col).applyInPandas(
+            make_pack([]), T.StructType(base_fields)
         )
 
+    # oversized shards: sub-shard by a hash bucket of the id, pack within
+    # (shard, sub), then renumber so pack_seq is contiguous per shard —
+    # the renumbering tables are one row per (shard, sub), tiny
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    nsub_map = F.broadcast(
+        spark.createDataFrame([(r[0], r[1]) for r in big], [shard_col, "__nsub"])
+    )
+    p2 = (
+        proj.join(nsub_map, on=shard_col, how="left")
+        .withColumn(
+            "__sub",
+            F.when(F.col("__nsub").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.hash(F.col(id_col)), F.col("__nsub"))
+            ),
+        )
+        .drop("__nsub")
+    )
+    sub_schema = T.StructType(
+        base_fields + [T.StructField("__sub", T.LongType())]
+    )
+    packed = p2.groupBy(shard_col, "__sub").applyInPandas(
+        make_pack(["__sub"]), sub_schema
+    )
+    per_sub = packed.groupBy(shard_col, "__sub").agg(
+        (F.max("pack_seq") + 1).alias("__np")
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy("__sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_sub.select(
+        shard_col,
+        "__sub",
+        F.coalesce(F.sum("__np").over(w), F.lit(0)).alias("__seq_off"),
+    )
     return (
-        df.select(id_col, shard_col, size_col)
-        .groupBy(shard_col)
-        .applyInPandas(pack, out_schema)
+        packed.join(F.broadcast(offsets), on=[shard_col, "__sub"])
+        .withColumn("pack_seq", F.col("pack_seq") + F.col("__seq_off"))
+        .select(id_col, shard_col, "pack_seq", "pack_offset")
     )
 
 
@@ -270,7 +338,8 @@ walk(doc_id, shard, rn, pack_seq, pack_offset, acc) AS (
   FROM walk w JOIN ordered o
     ON o.{shard_col} = w.shard AND o.rn = w.rn + 1
 )
-SELECT doc_id, shard, pack_seq, pack_offset FROM walk
+SELECT doc_id AS {id_col}, shard AS {shard_col}, pack_seq, pack_offset
+FROM walk
 """
 
 

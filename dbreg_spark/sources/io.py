@@ -128,7 +128,15 @@ def write_parquet(
     directory partitions (partition pruning for free on read);
     ``sort_within_partitions`` orders rows inside each file so min/max
     page statistics become selective (zone-map pruning for range
-    predicates)."""
+    predicates).
+
+    With ``partition_by`` the spread is skew-aware: a per-directory row
+    count (one extra aggregation scan of ``df`` — cache upstream if the
+    plan is expensive) sizes a salt per partition value, so a hot
+    partition value is split across ``ceil(its_rows / rows_per_file)``
+    tasks instead of landing as one oversized file written by one
+    straggler task, while small partition values keep a single file. The
+    salt is a content hash — deterministic under task retries."""
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
@@ -136,9 +144,34 @@ def write_parquet(
     if size is not None and size > 0:
         n_files = max(1, min(100_000, round(size / (target_file_mb * (1 << 20)))))
         if partition_by:
-            # spread within each output partition-dir; Spark splits by the
-            # partition columns at write, so repartition on them + files
-            df = df.repartition(n_files, *[F.col(c) for c in partition_by])
+            counts = df.groupBy(*partition_by).agg(
+                F.count(F.lit(1)).alias("__dir_rows")
+            )
+            total = counts.agg(F.sum("__dir_rows")).collect()[0][0] or 0
+            rows_per_file = max(1, total // n_files)
+            nf = F.greatest(
+                F.lit(1),
+                F.ceil(F.col("__dir_rows") / F.lit(float(rows_per_file))),
+            ).alias("__dir_files")
+            value_cols = [c for c in df.columns if c not in partition_by]
+            salt_src = (
+                F.hash(*[F.col(c) for c in value_cols])
+                if value_cols
+                else F.lit(0)
+            )
+            df = (
+                df.join(
+                    F.broadcast(counts.select(*partition_by, nf)),
+                    on=partition_by,
+                )
+                .withColumn("__salt", F.pmod(salt_src, F.col("__dir_files")))
+                .repartition(
+                    n_files,
+                    *[F.col(c) for c in partition_by],
+                    F.col("__salt"),
+                )
+                .drop("__dir_files", "__salt")
+            )
         else:
             df = df.repartition(n_files)
     if sort_within_partitions:

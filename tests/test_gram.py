@@ -100,6 +100,38 @@ def test_multiway_cgm_compress_fe_matches_mundlak(tables):
         np.testing.assert_allclose(m_cmp.se()[v], m_mun.se()[v], rtol=1e-6)
 
 
+def test_cluster_with_nulls_compress_matches_moments(tables):
+    """A NULL cluster key is a real cluster everywhere: the driver compress
+    path (pandas factorize/groupby) must not fold or drop null-keyed rows,
+    so compress — driver AND distributed — agrees with the moments path on
+    data where a cluster variable contains nulls."""
+    import pyspark.sql.functions as F
+
+    li = tables["lineitem"].withColumn(
+        "cl_null",
+        F.when(F.col("l_returnflag") == "A", F.lit(None)).otherwise(
+            F.col("l_returnflag")
+        ),
+    )
+    fml = "l_tax ~ l_quantity + l_discount"
+    for vc in ("~cl_null", "~cl_null + l_linestatus"):
+        m_mom = dbreg(fml, li, strategy="moments", vcov=vc)
+        m_cmp = dbreg(fml, li, strategy="compress", vcov=vc)
+        m_dst = dbreg(fml, li, strategy="compress", vcov=vc, compress_nmax=100)
+        for m in (m_cmp, m_dst):
+            np.testing.assert_allclose(
+                m.coef().sort_index().to_numpy(),
+                m_mom.coef().sort_index().to_numpy(),
+                rtol=1e-9,
+            )
+            np.testing.assert_allclose(
+                m.se().sort_index().to_numpy(),
+                m_mom.se().sort_index().to_numpy(),
+                rtol=1e-6,
+            )
+            assert m.n_clusters == m_mom.n_clusters
+
+
 def test_fallback_width_guard(tables):
     """Expanded width past p_max must raise with demean/mundlak guidance,
     not attempt a dense solve."""

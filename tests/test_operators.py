@@ -471,6 +471,22 @@ def test_connected_components_vs_union_find(spark):
     pd.testing.assert_series_equal(got, want, check_names=False)
 
 
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Exhausting max_iter on a long-diameter graph must raise, never
+    silently return partial (wrong) labels to the dedup keep-list."""
+    import pytest as _pytest
+
+    chain = pd.DataFrame(
+        {"id_a": list(range(0, 19)), "id_b": list(range(1, 20))}
+    )
+    e = spark.createDataFrame(chain)
+    with _pytest.raises(RuntimeError, match="did not converge.*max_iter"):
+        dedup.connected_components(e, max_iter=2)
+    # enough rounds: converges and labels the whole chain with its min id
+    ok = dedup.connected_components(e, max_iter=30).toPandas()
+    assert (ok["component"] == 0).all() and len(ok) == 20
+
+
 def test_dedup_components_pipeline_vs_duckdb(docs, duck):
     """pairs → groups → canonical keep-list, Spark vs the recursive-CTE
     DuckDB twin over the same LSH pairs."""
@@ -524,13 +540,58 @@ def test_pack_greedy_vs_duckdb(docs, duck):
     got = text.pack_greedy(docs, budget=1000).toPandas()
     want = duck.execute(text.pack_greedy_sql("documents", budget=1000)).fetchdf()
     _compare(got, want, ["doc_id"])
+    # output columns carry the caller's id/shard names (defaults here)
+    assert set(got.columns) == {"doc_id", "source", "pack_seq", "pack_offset"}
     # invariants: offsets within budget unless a doc alone exceeds it;
     # pack_seq monotone within shard in doc order
-    n = docs.select("doc_id", "n_chars", "source").toPandas().set_index("doc_id")
+    n = docs.select("doc_id", "n_chars").toPandas().set_index("doc_id")
     j = got.set_index("doc_id").join(n)
     assert ((j["pack_offset"] + j["n_chars"] <= 1000) | (j["pack_offset"] == 0)).all()
     for _, g in j.reset_index().sort_values("doc_id").groupby("source"):
         assert (g["pack_seq"].diff().dropna() >= 0).all()
+
+
+def test_pack_greedy_custom_column_names(docs):
+    """id/shard output columns are named from id_col/shard_col, and the SQL
+    twin aliases to the same names."""
+    renamed = docs.selectExpr(
+        "doc_id AS my_id", "source AS my_shard", "n_chars AS sz"
+    )
+    got = text.pack_greedy(
+        renamed, budget=1000, size_col="sz", shard_col="my_shard", id_col="my_id"
+    ).toPandas()
+    assert set(got.columns) == {"my_id", "my_shard", "pack_seq", "pack_offset"}
+    sql = text.pack_greedy_sql(
+        "t", budget=1000, size_col="sz", shard_col="my_shard", id_col="my_id"
+    )
+    assert "AS my_id" in sql and "AS my_shard" in sql
+
+
+def test_pack_greedy_auto_shards_giant_group(docs):
+    """A shard whose row count exceeds max_rows_per_task is sub-sharded by
+    an id hash bucket automatically: no single-task materialization of the
+    giant group, pack_seq stays contiguous per shard, and every pack
+    honors the budget."""
+    import pyspark.sql.functions as F
+
+    one = docs.withColumn("source", F.lit("all"))  # one giant shard
+    out = text.pack_greedy(one, budget=1000, max_rows_per_task=50)
+    pdf = out.toPandas()
+    assert len(pdf) == docs.count()
+    # plan proof: the applyInPandas grouping keys include the sub-bucket
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__sub" in plan
+    n = docs.select("doc_id", "n_chars").toPandas().set_index("doc_id")
+    j = pdf.set_index("doc_id").join(n)
+    assert ((j["pack_offset"] + j["n_chars"] <= 1000) | (j["pack_offset"] == 0)).all()
+    # contiguous, 0-based pack numbering within the shard
+    seqs = sorted(pdf["pack_seq"].unique())
+    assert seqs[0] == 0 and seqs == list(range(len(seqs)))
+    # per-pack total size ≤ budget unless the pack is a single oversized doc
+    per_pack = j.reset_index().groupby("pack_seq").agg(
+        tot=("n_chars", "sum"), cnt=("n_chars", "size")
+    )
+    assert ((per_pack["tot"] <= 1000) | (per_pack["cnt"] == 1)).all()
 
 
 # ----------------------------------------------------------------- sinks ----
@@ -553,6 +614,34 @@ def test_write_parquet_roundtrip(docs, tmp_path):
         back.where("source = 'src0'")._jdf.queryExecution().executedPlan().toString()
     )
     assert "src0" in plan  # partition filter reached the scan
+
+
+def test_write_parquet_hot_partition_spreads_files(spark, tmp_path):
+    """A hot partition value must be split across multiple files (multiple
+    write tasks), not one straggler file — the salt sizes per-dir spread
+    from per-dir row counts."""
+    import glob as _g
+
+    import pyspark.sql.functions as F
+
+    from dbreg_spark.sources.io import write_parquet
+
+    # 99% of rows in one partition value, payload wide enough to size >1 file
+    df = (
+        spark.range(60_000)
+        .withColumn("part", F.when(F.col("id") % 100 == 0, "cold").otherwise("hot"))
+        .withColumn("payload", F.sha2(F.col("id").cast("string"), 512))
+    )
+    for i in range(5):  # widen so plan-stat size estimate crosses 1 MB files
+        df = df.withColumn(f"p{i}", F.sha2(F.concat(F.col("payload"), F.lit(i)), 512))
+    out = str(tmp_path / "hot_out")
+    write_parquet(df, out, partition_by=["part"], target_file_mb=1)
+    hot_files = _g.glob(out + "/part=hot/*.parquet")
+    cold_files = _g.glob(out + "/part=cold/*.parquet")
+    assert len(hot_files) > 1  # hot dir spread over several tasks
+    assert len(cold_files) >= 1
+    back = spark.read.parquet(out)
+    assert back.count() == 60_000
 
 
 # ------------------------------------------------------------- asof join ----
