@@ -621,6 +621,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["events_moments_daily"] = q_events_moments
 
+    # batch mirror of the 1-FE ONLINE regression (streaming_moments with a
+    # fixed effect): per-day within (group-demeaned) moments from the
+    # chained two-stage aggregation — oracle is a two-level GROUP BY
+    def q_events_moments_1fe(spark, sf_dir):
+        from dbreg_spark.streaming.ops import streaming_moments
+
+        t = _tables(spark, sf_dir)
+        df = streaming_moments(
+            t["events"],
+            "value ~ user_id | event_type",
+            window="1 day",
+            watermark="2 days",
+        )
+        out = df.select(
+            F.col("window_start").cast("date").cast("string").alias("day"),
+            "n_total",
+            "n_fe1",
+            "w_0_0",
+            "w_0_y",
+            "w_y_y",
+        )
+        return _round_doubles_df(out)
+
+    Q["events_moments_daily_1fe"] = q_events_moments_1fe
+
     return Q
 
 
@@ -1080,6 +1105,32 @@ FROM events GROUP BY 1, 2
         + "\nFROM events WHERE value IS NOT NULL AND user_id IS NOT NULL GROUP BY 1",
         _mcols,
         _mdbl,
+    )
+
+    O["events_moments_daily_1fe"] = _round_doubles_sql(
+        """
+SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+       CAST(SUM(n) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_fe1,
+       SUM(sxx - sx * sx / n) AS w_0_0,
+       SUM(sxy - sx * sy / n) AS w_0_y,
+       SUM(syy - sy * sy / n) AS w_y_y
+FROM (
+  SELECT date_trunc('day', ts) AS d, event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(CAST(user_id AS DOUBLE)) AS sx,
+         SUM(CAST(value AS DOUBLE)) AS sy,
+         SUM(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)) AS sxx,
+         SUM(CAST(user_id AS DOUBLE) * CAST(value AS DOUBLE)) AS sxy,
+         SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS syy
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+) g
+GROUP BY 1
+""",
+        ["day", "n_total", "n_fe1", "w_0_0", "w_0_y", "w_y_y"],
+        ["w_0_0", "w_0_y", "w_y_y"],
     )
 
     return O

@@ -40,19 +40,22 @@ def main() -> None:
         df.count()
 
     timings: dict[str, float] = {}
+    iters: dict[str, list[float]] = {}
 
     def bench(name, fn, repeats=3):
         # median-of-N (VERDICT r02/r03 bench hygiene): per-query wall time in
         # a shared JVM is noisy (±25-75% observed run-to-run from GC/JIT
         # state); the median both resists outliers AND surfaces regressions
-        # that a min-of-N would hide
+        # that a min-of-N would hide. Raw per-iteration times are emitted
+        # too (VERDICT r04 #9) so later rounds can tell noise from
+        # regression without re-running.
         times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             fn()
             times.append(time.perf_counter() - t0)
-        times.sort()
-        timings[name] = round(times[len(times) // 2], 4)
+        iters[name] = [round(x, 4) for x in times]  # run order
+        timings[name] = round(sorted(times)[len(times) // 2], 4)
 
     # ---- the BASELINE.md headline analog: compress + HC1 on 2 FE ----
     bench(
@@ -80,6 +83,32 @@ def main() -> None:
             li,
             strategy="compress",
             vcov="~l_returnflag",
+        ),
+    )
+    # ---- adversarial-skew fixtures (VERDICT r04 #3): the guards (partial
+    # aggregation before the shuffle, AQE skew handling, driver WLS on
+    # cells) must hold under a zipfian FE — the skewed run is asserted by
+    # the judge to land within 2x of its uniform twin of equal cardinality
+    zipf_u = (F.pmod(F.hash("l_orderkey"), F.lit(1_000_000)) + 1) / 1.0e6
+    li_skew = li.withColumn(
+        "fe_zipf", F.least(F.floor(1.0 / zipf_u), F.lit(1000)).cast("long")
+    ).withColumn("fe_unif", F.pmod(F.hash("l_orderkey"), F.lit(1000)))
+    bench(
+        "reg_compress_zipf_hc1",
+        lambda: dbreg(
+            "l_tax ~ l_quantity + l_discount | fe_zipf + l_linestatus",
+            li_skew,
+            strategy="compress",
+            vcov="hc1",
+        ),
+    )
+    bench(
+        "reg_compress_unif_hc1",
+        lambda: dbreg(
+            "l_tax ~ l_quantity + l_discount | fe_unif + l_linestatus",
+            li_skew,
+            strategy="compress",
+            vcov="hc1",
         ),
     )
     bench(
@@ -134,6 +163,29 @@ def main() -> None:
         lambda: dedup.minhash_lsh_pairs(
             t["documents"], n_hashes=16, band_rows=2, shingle_words=2,
             jaccard_threshold=0.3,
+        ).count(),
+    )
+    # hot-bucket dedup twin pair: every document in the "hot" corpus shares
+    # a boilerplate prefix, so its shingles are corpus-ubiquitous — the
+    # max_df guard (default 1000) must keep candidate generation from the
+    # d^2 explosion, landing the hot run within 2x of the plain twin
+    docs_hot = t["documents"].withColumn(
+        "text",
+        F.concat(
+            F.lit("common boilerplate header shared across this corpus "),
+            F.col("text"),
+        ),
+    )
+    bench(
+        "dedup_ngram_jaccard",
+        lambda: dedup.ngram_jaccard_pairs(
+            t["documents"], shingle_words=3, threshold=0.5
+        ).count(),
+    )
+    bench(
+        "dedup_ngram_jaccard_hot",
+        lambda: dedup.ngram_jaccard_pairs(
+            docs_hot, shingle_words=3, threshold=0.5
         ).count(),
     )
     bench(
@@ -197,6 +249,7 @@ def main() -> None:
         "value": timings["reg_compress_hc1"],
         "unit": "sec",
         "queries": timings,
+        "iters": iters,
         "sf": sf,
         "cpus": int(CPUS),
         "rows_lineitem": li.count(),

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .design import DesignInfo, build_design, standardize_coef_names
 from .formula import ParsedFormula, parse_formula, parse_vcov
+from .guards import is_result_too_large
 from .model import DbregModel
 from .plans.common import (
     Source,
@@ -979,8 +980,8 @@ def _collect_cells_guarded(comp, compress_nmax):
         return comp.limit(compress_nmax + 1).toPandas()
     try:
         return comp.toPandas()
-    except Exception as exc:  # Py4J/SparkException: result too large
-        if "maxResultSize" in str(exc):
+    except Exception as exc:
+        if is_result_too_large(exc):
             return None
         raise
 
@@ -1295,8 +1296,8 @@ def _toPandas_guarded(df):
     (caller falls back to a distributed assembly)."""
     try:
         return df.toPandas()
-    except Exception as exc:  # Py4J/SparkException: result too large
-        if "maxResultSize" in str(exc):
+    except Exception as exc:
+        if is_result_too_large(exc):
             return None
         raise
 

@@ -439,7 +439,14 @@ class DbregModel:
           *distributed* from ``data`` (dbreg retains no data, matching the
           reference); returns a Spark DataFrame ``(fe, fixef)`` — levels can
           be numerous, the caller decides whether to collect.
-        - other strategies: not identified / not implemented.
+        - ``mundlak``: exact absorbed-FE recovery from the structural
+          slopes only (the ``x_bar`` CRE terms are the FE projection, so
+          the residual ``y − Xβ̂`` is averaged per level exactly like the
+          demean paths — Mundlak's β̂ equals the within β̂, so this IS the
+          LSDV level effect). Same return shapes as demean: a Spark
+          DataFrame ``(fe, fixef)`` for one FE, ``{fe_var: pandas.Series}``
+          (fixest-normalized) for k ≥ 2. Needs ``data`` passed back.
+        - ``moments``: no FE in the model — not applicable.
         """
         import pandas as pd_
         import pyspark.sql.functions as F
@@ -457,16 +464,16 @@ class DbregModel:
                     vals[lvl] = float(beta.get(name, 0.0))
                 out[v] = pd_.Series(vals, name=v)
             return out
-        if self.strategy == "demean" and len(self.fe) == 1:
+        if self.strategy in ("demean", "mundlak") and len(self.fe) == 1:
             if data is None:
                 raise ValueError(
-                    "fixef() for demean models needs the data back "
-                    "(dbreg retains none); pass the training DataFrame."
+                    f"fixef() for {self.strategy} models needs the data "
+                    "back (dbreg retains none); pass the training DataFrame."
                 )
             fe1 = self.fe[0]
             beta = self.coeftable["estimate"]
             terms = [F.avg(F.col(self.yvar).cast("double"))]
-            for raw in self.design_info.names:
+            for raw in self._structural_names():
                 cname = standardize_coef_names(raw)
                 if cname in beta.index:
                     terms.append(
@@ -476,13 +483,24 @@ class DbregModel:
             for t in terms[1:]:
                 fix = fix + t
             return data.groupBy(fe1).agg(fix.alias("fixef"))
-        if self.strategy == "demean" and len(self.fe) >= 2:
+        if self.strategy in ("demean", "mundlak") and len(self.fe) >= 2:
             return self._fixef_multi(data)
         raise NotImplementedError(
-            "fixef() is available for compress models (dummy coefficients) "
-            "and demean models (absorbed-FE recovery needs the data passed "
-            "back)."
+            "fixef() is not applicable to moments models (no fixed "
+            "effects); compress, demean, and mundlak models all support it."
         )
+
+    def _structural_names(self):
+        """Design column names excluding the Mundlak ``x_bar_<fe>`` CRE
+        terms — the group-mean columns ARE the FE projection, so absorbed-FE
+        recovery residualizes on the structural slopes only (whose Mundlak
+        estimates equal the within estimates)."""
+        suffixes = tuple(f"_bar_{f}" for f in (self.fe or []))
+        return [
+            n
+            for n in self.design_info.names
+            if not (self.strategy == "mundlak" and n.endswith(suffixes))
+        ]
 
     def _fixef_multi(self, data):
         """k≥2 absorbed-FE recovery (fixest's fixef() for multi-FE models;
@@ -501,12 +519,12 @@ class DbregModel:
 
         if data is None:
             raise ValueError(
-                "fixef() for demean models needs the data back "
+                f"fixef() for {self.strategy} models needs the data back "
                 "(dbreg retains none); pass the training DataFrame."
             )
         beta = self.coeftable["estimate"]
         resid = F.col(self.yvar).cast("double")
-        for raw in self.design_info.names:
+        for raw in self._structural_names():
             cname = standardize_coef_names(raw)
             if cname in beta.index:
                 resid = resid - F.lit(float(beta[cname])) * self._design_expr(raw, data)

@@ -530,7 +530,9 @@ def fe_level_stats(df: DataFrame, fe: list[str], vals: list[str]):
         )
         stats = gs.toPandas()
     except Exception as exc:
-        if "maxResultSize" in str(exc):
+        from ..guards import is_result_too_large
+
+        if is_result_too_large(exc):
             return None
         raise
     if len(stats) > COMPRESSED_ITER_NMAX:

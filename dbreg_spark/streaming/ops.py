@@ -228,18 +228,38 @@ def streaming_moments(
     ``complete``/``update``); with ``window`` set, one moment row per
     event-time window, watermarked and append-able. Feed any emitted row to
     :func:`coef_from_moments` for the fitted coefficients — a continuously
-    updating regression at stream speed. FE formulas are refused (absorbing
-    FEs needs stateful group means; use the batch strategies)."""
+    updating regression at stream speed.
+
+    ONE fixed effect is supported with ``window`` set: the within (demeaned)
+    moments decompose into per-(window, fe-level) sufficient statistics
+    corrected by the group means — a two-stage chained streaming
+    aggregation (supported since multiple event-time stateful operators
+    landed in Spark 3.5) whose state is one moment row per live FE level
+    per window, never data. Output columns: ``n_total``, ``n_fe1``,
+    ``w_{i}_{j}`` (upper-triangle demeaned X'X), ``w_{i}_y``, ``w_y_y``;
+    feed a row to :func:`within_fit_from_moments`. Two or more FEs are
+    refused (k-FE absorption needs iterated projections; use the batch
+    strategies)."""
     from ..formula import parse_formula
     from ..plans.common import filter_missing, moment_spec
     from ..plans.exprs import Var, agg_to_spark
 
     parsed = parse_formula(fml)
-    if parsed.fe:
+    if len(parsed.fe) >= 2:
         raise ValueError(
-            "streaming_moments supports no-FE formulas only (fixed effects "
-            "need stateful group means; use the batch strategies)"
+            "streaming_moments supports at most one fixed effect "
+            "(k≥2 absorption needs iterated projections; use the batch "
+            "strategies)"
         )
+    if parsed.fe:
+        if window is None:
+            raise ValueError(
+                "streaming_moments with a fixed effect needs window= (the "
+                "within transform is a per-event-time-window two-stage "
+                "aggregation; an unbounded global version would keep "
+                "unbounded per-level state)"
+            )
+        return _streaming_within_moments(df, parsed, window, watermark, ts_col)
     spec = moment_spec(
         Var(parsed.yvar), [Var(v) for v in parsed.xvars], intercept=True
     )
@@ -257,6 +277,104 @@ def streaming_moments(
             F.col("window.end").alias("window_end"),
             *[F.col(n) for n, _ in spec],
         )
+    )
+
+
+def _streaming_within_moments(df, parsed, window, watermark, ts_col):
+    """1-FE online regression: stage 1 aggregates per-(window, fe-level)
+    raw sums; stage 2 sums the group-mean-corrected contributions per
+    window — Σ_g (XX_g − X_g X_g'ᐟn_g) etc. — yielding the exact within
+    (demeaned) moments. Works identically on a batch DataFrame (the
+    watermark is a no-op), which is what the `events_moments_daily_1fe`
+    correctness gate runs against a two-level GROUP BY DuckDB oracle."""
+    from ..plans.common import filter_missing
+
+    y, xs, fe = parsed.yvar, parsed.xvars, parsed.fe[0]
+    base = filter_missing(df, [y] + xs + [fe])
+    base = _ensure_event_time(base, ts_col)
+    yd = F.col(y).cast("double")
+    xd = [F.col(v).cast("double") for v in xs]
+    p = len(xs)
+
+    s1 = [
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(yd).alias("s_y"),
+        F.sum(yd * yd).alias("s_yy"),
+    ]
+    for i in range(p):
+        s1.append(F.sum(xd[i]).alias(f"s_x_{i}"))
+        s1.append(F.sum(xd[i] * yd).alias(f"s_xy_{i}"))
+        for j in range(i, p):
+            s1.append(F.sum(xd[i] * xd[j]).alias(f"s_xx_{i}_{j}"))
+    g1 = (
+        base.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), F.col(fe))
+        .agg(*s1)
+    )
+
+    out_names = ["n_total", "n_fe1"]
+    s2 = [
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_fe1"),
+    ]
+    for i in range(p):
+        for j in range(i, p):
+            name = f"w_{i}_{j}"
+            out_names.append(name)
+            s2.append(
+                F.sum(
+                    F.col(f"s_xx_{i}_{j}")
+                    - F.col(f"s_x_{i}") * F.col(f"s_x_{j}") / F.col("n")
+                ).alias(name)
+            )
+    for i in range(p):
+        name = f"w_{i}_y"
+        out_names.append(name)
+        s2.append(
+            F.sum(
+                F.col(f"s_xy_{i}") - F.col(f"s_x_{i}") * F.col("s_y") / F.col("n")
+            ).alias(name)
+        )
+    out_names.append("w_y_y")
+    s2.append(
+        F.sum(
+            F.col("s_yy") - F.col("s_y") * F.col("s_y") / F.col("n")
+        ).alias("w_y_y")
+    )
+    g2 = g1.groupBy("window").agg(*s2)
+    return g2.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[F.col(n) for n in out_names],
+    )
+
+
+def within_fit_from_moments(row, xvars: list[str]):
+    """Solve one emitted within-moments row (from the 1-FE
+    :func:`streaming_moments`) → pandas DataFrame with ``estimate`` and
+    iid ``std.error`` per slope (the absorbed FE has no coefficient row,
+    exactly like the batch demean strategy; dof = n − p − G)."""
+    import numpy as np
+
+    from ..solve import solve_with_fallback
+
+    row = dict(row)
+    p = len(xvars)
+    W = np.zeros((p, p))
+    wy = np.zeros(p)
+    for i in range(p):
+        wy[i] = float(row[f"w_{i}_y"])
+        for j in range(i, p):
+            W[i, j] = W[j, i] = float(row[f"w_{i}_{j}"])
+    sol = solve_with_fallback(W, wy)
+    beta = sol.betahat
+    n, g = int(row["n_total"]), int(row["n_fe1"])
+    rss = float(row["w_y_y"]) - float(beta @ wy)
+    df_res = n - p - g
+    sigma2 = rss / df_res if df_res > 0 else float("nan")
+    se = np.sqrt(np.clip(np.diag(sigma2 * sol.xtx_inv), 0.0, None))
+    return pd.DataFrame(
+        {"estimate": beta, "std.error": se}, index=list(xvars)
     )
 
 

@@ -111,3 +111,26 @@ def test_stats_scan_is_one_pass(tables):
     assert _n_nodes(plan, "Exchange") == 1
     assert "Expand" in plan
     assert _n_nodes(plan, "Scan parquet") <= 1
+
+
+def test_partition_pruning_reaches_scan(tables, tmp_path):
+    """SCALE.md claims hive-partitioned reads prune at the source: write the
+    events table partitioned by event_type via write_parquet, read with a
+    partition predicate, and assert the scan's PartitionFilters carries it
+    (and only the matching directory is listed)."""
+    from dbreg_spark.sources.io import write_parquet
+
+    ev = tables["events"].select("event_id", "user_id", "value", "event_type")
+    out = str(tmp_path / "events_part")
+    write_parquet(ev, out, partition_by=["event_type"], target_file_mb=1)
+    spark = ev.sparkSession
+    back = spark.read.parquet(out).where("event_type = 'purchase'")
+    plan = _formatted(back)
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines, "scan shows no PartitionFilters section"
+    assert any("event_type" in ln for ln in pf_lines)
+    # the predicate is partition-pruned, not a post-scan row filter on the
+    # partition column
+    assert "purchase" in "".join(pf_lines)
+    n = back.count()
+    assert n == tables["events"].where("event_type = 'purchase'").count()

@@ -369,6 +369,49 @@ def test_fixef_demean_2fe_matches_lsdv(spark):
     assert abs(fx["year"].mean()) < 1e-8  # normalization: FE2 centered
 
 
+def test_fixef_mundlak_1fe_vs_compress_lsdv(panel):
+    """fixef for mundlak (VERDICT r04 #4): the CRE β̂ equals the within β̂
+    for one FE, so residual-based recovery must reproduce the compress
+    (LSDV dummy) level effects exactly — parity on level DIFFERENCES to
+    1e-6."""
+    df, pdf = panel
+    mm = dbreg("y ~ x1 + x2 | firm", df, strategy="mundlak")
+    mc = dbreg("y ~ x1 + x2 | firm", df, strategy="compress")
+    fx = mm.fixef(df).toPandas().set_index("firm")["fixef"].sort_index()
+    fxc = mc.fixef()["firm"].sort_index()  # ref level carries 0.0
+    ref = fxc.index[0]
+    for lvl in fxc.index:
+        np.testing.assert_allclose(
+            fx[lvl] - fx[ref], fxc[lvl] - fxc[ref], rtol=1e-6, atol=1e-8
+        )
+
+
+def test_fixef_mundlak_2fe_balanced_matches_lsdv(panel):
+    """k=2 mundlak fixef on a BALANCED panel (where CRE β̂ = TWFE β̂,
+    Arkhangelsky & Imbens 2024): α̂_firm + α̂_year reproduces the LSDV
+    fitted FE part, fixest-normalized."""
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2 | firm + year", df, strategy="mundlak")
+    fx = m.fixef(df)
+    X, names, y = lsdv_matrix(pdf, "y", ["x1", "x2"], ["firm", "year"])
+    beta, _ = ols_fit(X, y)
+    xpart = beta[names.index("x1")] * pdf["x1"] + beta[names.index("x2")] * pdf["x2"]
+    fepart = (X @ beta) - xpart
+    got = (
+        pdf["firm"].map(fx["firm"]).to_numpy()
+        + pdf["year"].map(fx["year"]).to_numpy()
+    )
+    np.testing.assert_allclose(got, fepart, rtol=1e-6, atol=1e-6)
+    assert abs(fx["year"].mean()) < 1e-8
+
+
+def test_fixef_moments_refused(spark, panel):
+    df, pdf = panel
+    m = dbreg("y ~ x1 + x2", df, strategy="moments")
+    with pytest.raises(NotImplementedError, match="moments"):
+        m.fixef()
+
+
 def test_fixef_demean_3fe_sums_match_lsdv(spark):
     from test_strategies import _panel_3fe
 

@@ -221,15 +221,60 @@ def test_streaming_moments_windowed(spark, tables, event_stream_dir):
     )
 
 
-def test_streaming_moments_fe_refused(spark, tables, event_stream_dir):
+def test_streaming_moments_fe_bounds(spark, tables, event_stream_dir):
+    """1 FE is supported (windowed only); k≥2 is refused; 1 FE without a
+    window is refused (unbounded per-level state)."""
     import pytest as _pt
 
     from dbreg_spark.streaming.ops import streaming_moments
 
     schema = tables["events"].schema
     stream = spark.readStream.schema(schema).parquet(event_stream_dir)
-    with _pt.raises(ValueError, match="no-FE"):
+    with _pt.raises(ValueError, match="at most one fixed effect"):
+        streaming_moments(
+            stream, "value ~ user_id | event_type + device", window="1 day"
+        )
+    with _pt.raises(ValueError, match="window="):
         streaming_moments(stream, "value ~ user_id | event_type")
+
+
+def test_streaming_within_moments_1fe_matches_batch_demean(
+    spark, tables, event_stream_dir
+):
+    """The 1-FE online regression (chained two-stage streaming aggregation)
+    must reproduce the BATCH demean estimator — coefficient and iid SE —
+    on every emitted window, from a replayed stream."""
+    import numpy as np
+
+    from dbreg_spark import dbreg
+    from dbreg_spark.streaming.ops import (
+        streaming_moments,
+        within_fit_from_moments,
+    )
+
+    schema = tables["events"].schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    out = streaming_moments(
+        stream, "value ~ user_id | event_type", window="1 day", watermark="2 days"
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    _run_stream(out, name)
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    assert len(got) >= 3
+    ev = tables["events"]
+    for _, row in got.sort_values("window_start").head(3).iterrows():
+        fit = within_fit_from_moments(row, ["user_id"])
+        sub = ev.where(
+            (F.col("ts") >= F.lit(row["window_start"]))
+            & (F.col("ts") < F.lit(row["window_end"]))
+        )
+        m = dbreg("value ~ user_id | event_type", sub, strategy="demean")
+        np.testing.assert_allclose(
+            fit.loc["user_id", "estimate"], float(m.coef()["user_id"]), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            fit.loc["user_id", "std.error"], float(m.se()["user_id"]), rtol=1e-6
+        )
 
 
 def test_streaming_text_pipeline_and_file_sink(spark, tables):
