@@ -63,6 +63,68 @@ class BinsregResult:
                 lines.append(str(self.points.head(25)))
         return "\n".join(lines)
 
+    PLOT_RECIPE = (
+        "fig, ax = plt.subplots()\n"
+        "p = r.points  # x, bin, fit, se, lwr, upr[, cb_lwr, cb_upr]\n"
+        "if p is not None and 'cb_lwr' in p:  # sup-t confidence band\n"
+        "    ax.fill_between(p['x'], p['cb_lwr'], p['cb_upr'], alpha=0.15)\n"
+        "if p is not None and 'lwr' in p:     # pointwise CIs\n"
+        "    ax.errorbar(p['x'], p['fit'],\n"
+        "                yerr=[p['fit'] - p['lwr'], p['upr'] - p['fit']],\n"
+        "                fmt='o', capsize=2)\n"
+        "elif p is not None:\n"
+        "    ax.plot(p['x'], p['fit'], 'o')\n"
+        "if r.line is not None:               # smooth fit per bin segment\n"
+        "    for _, seg in r.line.groupby('bin'):\n"
+        "        ax.plot(seg['x'], seg['fit'], color='C1')\n"
+    )
+
+    def plot(self, ax=None):
+        """Render the binscatter (the reference's plot/tinyplot.dbbinsreg,
+        plot.r:31-131): fitted points at bin means with pointwise CI
+        whiskers, the sup-t confidence band as a shaded region, and the
+        smooth line drawn per bin segment (spline pieces are only
+        continuous to their smoothness order — never connect across bins
+        for s=0).
+
+        matplotlib is imported lazily — it is not part of this engine's
+        runtime (the plottable artifacts are the plain pandas frames
+        ``points``/``line``/``bins``); without it this raises ImportError
+        carrying the self-contained recipe in ``PLOT_RECIPE``."""
+        try:
+            import matplotlib.pyplot as plt
+        except ImportError as exc:
+            raise ImportError(
+                "matplotlib is not installed; dbbinsreg results are "
+                "plottable from plain pandas frames — r.points "
+                "(x, bin, fit, se, lwr, upr[, cb_lwr, cb_upr]), r.line "
+                "(x, bin, fit), r.bins (id, left, right). Recipe:\n"
+                + self.PLOT_RECIPE
+            ) from exc
+        r = self
+        if ax is None:
+            _, ax = plt.subplots()
+        p = r.points
+        if p is not None and "cb_lwr" in p:
+            ax.fill_between(p["x"], p["cb_lwr"], p["cb_upr"], alpha=0.15)
+        if p is not None and "lwr" in p:
+            ax.errorbar(
+                p["x"],
+                p["fit"],
+                yerr=[p["fit"] - p["lwr"], p["upr"] - p["fit"]],
+                fmt="o",
+                capsize=2,
+            )
+        elif p is not None:
+            ax.plot(p["x"], p["fit"], "o")
+        if r.line is not None:
+            for _, seg in r.line.groupby("bin"):
+                ax.plot(seg["x"], seg["fit"], color="C1")
+        o = self.opt
+        ax.set_xlabel(o["x_var"])
+        ax.set_ylabel(o["y_var"])
+        return ax
+
 
 def _parse_ps(val, name: str, default=None):
     if val is None or val is False:

@@ -21,6 +21,7 @@ has a DuckDB-oracle SQL twin built from the same cross-dialect templates.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -322,6 +323,7 @@ def ngram_jaccard_pairs(
     shingle_words: int = 3,
     threshold: float = 0.8,
     max_df: int | None = 1000,
+    materialize_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicates: candidates share ≥1 shingle
     (explode → equi-join on shingle hash), then exact Jaccard from the full
@@ -337,7 +339,13 @@ def ngram_jaccard_pairs(
     which pairs are *surfaced*: a pair sharing nothing but ubiquitous
     shingles is skipped (by construction such pairs sit at low Jaccard for
     any sensible cap).
-    """
+
+    The shingle-hash table (id, int array) feeds FIVE plan branches (hot
+    probe, anti-joined self-join sides, both verification sides);
+    ``materialize_shingles`` localCheckpoints it eagerly so the expensive
+    tokenize+md5 scan of the corpus runs ONCE, not per branch (measured 2×
+    end-to-end at sf0.1; blocks are executor-local and freed on GC).
+    ``False`` keeps the fully lazy plan."""
     x = X(SPARK)
     staged = df.select(
         F.col(id_col),
@@ -347,6 +355,8 @@ def ngram_jaccard_pairs(
             )
         ).alias("hs"),
     )
+    if materialize_shingles:
+        staged = staged.localCheckpoint(eager=True)
     tok = staged.select(F.col(id_col), F.explode("hs").alias("gh"))
     if max_df is not None:
         hot = (
@@ -440,27 +450,37 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    driver_nmax: int | None = 1_000_000,
 ) -> DataFrame:
-    """Distributed connected components over an undirected edge list via
-    min-label propagation: every node repeatedly adopts the smallest label
-    among itself and its neighbors until a fixpoint (the component id is the
-    minimum node id in the component). Returns ``(id, component)``.
+    """Connected components over an undirected edge list. Returns
+    ``(id, component)`` where the component id is the minimum node id in
+    the component.
 
-    Scale shape: the iteration state is one row per NODE (not per edge);
-    each round is two edge⋈label joins + a groupBy-min, localCheckpoint-ed
-    so the plan stays constant-size, with convergence checked by a count of
-    changed labels. Rounds needed = graph diameter — near-dup graphs are
-    unions of small cliques (diameter ≤ a few), so this terminates in 2-4
-    rounds at any corpus size; a chain-shaped adversarial graph is bounded
-    by ``max_iter`` — exhausting it without converging raises (partial
-    labels would silently yield a WRONG canonical keep-list downstream;
-    raise ``max_iter`` for long-diameter graphs). Pairs tables are tiny
-    relative to the corpus, so the per-round shuffles carry (id, label)
-    longs only."""
+    Two tiers. Near-dup edge lists are tiny relative to the corpus (pairs
+    survive banding + verification), so when the distinct edge count is at
+    most ``driver_nmax`` the components are solved with a driver-side
+    union-find (path compression; milliseconds per 100k edges) and the
+    node→component map is shipped back as a DataFrame — one count probe
+    and one bounded collect instead of diameter× join rounds.
+
+    Past the cap (or with ``driver_nmax=None``), distributed min-label
+    propagation: every node repeatedly adopts the smallest label among
+    itself and its neighbors until a fixpoint. The iteration state is one
+    row per NODE (not per edge); each round is two edge⋈label joins + a
+    groupBy-min, localCheckpoint-ed so the plan stays constant-size, with
+    convergence checked by an Observation metric riding the same job.
+    Rounds needed = graph diameter — near-dup graphs are unions of small
+    cliques (diameter ≤ a few), so this terminates in 2-4 rounds at any
+    corpus size; a chain-shaped adversarial graph is bounded by
+    ``max_iter`` — exhausting it without converging raises (partial labels
+    would silently yield a WRONG canonical keep-list downstream; raise
+    ``max_iter`` for long-diameter graphs)."""
     e = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d")
     ).where(F.col(src) != F.col(dst)).distinct()
     e = e.localCheckpoint(eager=True)
+    if driver_nmax is not None and e.count() <= driver_nmax:
+        return _cc_driver_union_find(e)
     labels = (
         e.select(F.col("__s").alias("id"))
         .union(e.select(F.col("__d").alias("id")))
@@ -512,19 +532,64 @@ def connected_components(
     return labels.select("id", "component")
 
 
+def _cc_driver_union_find(e: DataFrame) -> DataFrame:
+    """Driver tier of :func:`connected_components`: union-find with path
+    compression over a collected (bounded) edge list; the node→min-id map
+    returns as a DataFrame with the ids' original type."""
+    from pyspark.sql import types as T
+
+    pdf = e.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["__s"], pdf["__d"]):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    out = pd.DataFrame(
+        {
+            "id": list(parent.keys()),
+            "component": [comp_min[find(n)] for n in parent],
+        }
+    )
+    id_type = e.schema["__s"].dataType
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("component", id_type)]
+    )
+    return e.sparkSession.createDataFrame(out, schema=schema)
+
+
 def dedup_components(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    driver_nmax: int | None = 1_000_000,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate GROUPS over the full
     corpus: every document gets a ``component`` (min doc id of its
     duplicate cluster; singletons map to themselves) and ``is_canonical``
     (the one row per component to keep). This is the step a training-data
-    pipeline actually ships: pairs → clusters → keep-list."""
-    comp = connected_components(pairs, src=src, dst=dst)
+    pipeline actually ships: pairs → clusters → keep-list.
+    ``driver_nmax`` routes small pair sets through the union-find fast
+    path (see :func:`connected_components`)."""
+    comp = connected_components(pairs, src=src, dst=dst, driver_nmax=driver_nmax)
     out = df.select(F.col(id_col)).join(
         comp.withColumnRenamed("id", id_col), on=id_col, how="left"
     )

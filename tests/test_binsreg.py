@@ -244,3 +244,24 @@ def test_bin_geometry_np_matches_spark(spark, tables):
     assert list(g_spark["n"]) == list(g_np["n"])
     for c in ["x_left", "x_right", "x_mid", "x_mean"]:
         np.testing.assert_allclose(g_spark[c], g_np[c], rtol=1e-12, err_msg=c)
+
+
+def test_plot_raises_with_recipe_without_matplotlib(tables):
+    """No plotting dependency in the engine: plot() must raise an
+    ImportError carrying the self-contained matplotlib recipe (the frames
+    themselves are the plottable artifact)."""
+    import importlib.util
+
+    import pytest as _pt
+
+    from dbreg_spark import dbbinsreg
+
+    r = dbbinsreg(
+        "l_tax ~ l_extendedprice", tables["lineitem"], points=(0, 0), nbins=5
+    )
+    if importlib.util.find_spec("matplotlib") is None:
+        with _pt.raises(ImportError, match="errorbar"):
+            r.plot()
+    else:  # pragma: no cover - env-dependent
+        assert r.plot() is not None
+    assert "fill_between" in type(r).PLOT_RECIPE

@@ -438,18 +438,28 @@ def test_word_ngrams_edge_docs_cross_engine(spark, duck):
 
 
 def test_connected_components_vs_union_find(spark):
-    """Distributed min-label propagation must agree with a driver union-find
-    on a random graph (multiple components, chains, singleton exclusion)."""
+    """Both tiers — the driver union-find fast path (default for bounded
+    pair sets) and the distributed min-label propagation
+    (driver_nmax=None) — must agree with a reference union-find on a
+    random graph (multiple components, chains, singleton exclusion)."""
     rng = np.random.default_rng(7)
     edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, size=(80, 2)) if a != b]
     edges += [(100, 101), (101, 102), (102, 103)]  # a chain component
     epdf = pd.DataFrame(edges, columns=["id_a", "id_b"])
+    e = spark.createDataFrame(epdf)
     got = (
-        dedup.connected_components(spark.createDataFrame(epdf))
+        dedup.connected_components(e)  # driver tier
         .toPandas()
         .set_index("id")["component"]
         .sort_index()
     )
+    got_dist = (
+        dedup.connected_components(e, driver_nmax=None)  # distributed tier
+        .toPandas()
+        .set_index("id")["component"]
+        .sort_index()
+    )
+    pd.testing.assert_series_equal(got, got_dist, check_names=False)
 
     parent = {}
     def find(x):
@@ -481,10 +491,13 @@ def test_connected_components_raises_on_nonconvergence(spark):
     )
     e = spark.createDataFrame(chain)
     with _pytest.raises(RuntimeError, match="did not converge.*max_iter"):
-        dedup.connected_components(e, max_iter=2)
+        dedup.connected_components(e, max_iter=2, driver_nmax=None)
     # enough rounds: converges and labels the whole chain with its min id
-    ok = dedup.connected_components(e, max_iter=30).toPandas()
+    ok = dedup.connected_components(e, max_iter=30, driver_nmax=None).toPandas()
     assert (ok["component"] == 0).all() and len(ok) == 20
+    # the driver tier has no iteration bound — same chain is fine by default
+    ok2 = dedup.connected_components(e, max_iter=2).toPandas()
+    assert (ok2["component"] == 0).all() and len(ok2) == 20
 
 
 def test_dedup_components_pipeline_vs_duckdb(docs, duck):
