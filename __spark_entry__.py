@@ -418,6 +418,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["text_vocabulary"] = q_vocab
 
+    # train/eval decontamination: corpus docs sharing 5-grams with the
+    # src0 "benchmark" subset (broadcast ref hashes, one corpus scan)
+    def q_decontaminate(spark, sf_dir):
+        from dbreg_spark.operators import text as _text
+
+        t = _tables(spark, sf_dir)
+        d = t["documents"]
+        return _text.decontaminate(d, d.where("source = 'src0'"), ngram_words=5)
+
+    Q["text_decontaminate"] = q_decontaminate
+
     # embedding hygiene (unit-normalize + int8 quantize), exploded to
     # scalar rows for the engine-to-engine value compare
     def q_emb_quant(spark, sf_dir):
@@ -929,6 +940,12 @@ FROM g CROSS JOIN tot
 
     O["text_pack_greedy"] = _text.pack_greedy_sql("documents", budget=1000)
     O["text_vocabulary"] = _text.vocabulary_sql("documents", min_df=3, max_vocab=200)
+
+    O["text_decontaminate"] = _text.decontaminate_sql(
+        "documents",
+        "SELECT * FROM documents WHERE source = 'src0'",
+        ngram_words=5,
+    )
 
     from dbreg_spark.operators import similarity as _simq
 

@@ -344,6 +344,104 @@ FROM walk
 
 
 # --------------------------------------------------------------------------
+# train/eval decontamination
+# --------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    reference: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    ngram_words: int = 8,
+    min_hits: int = 1,
+    broadcast_reference: bool = True,
+) -> DataFrame:
+    """Train/eval decontamination: flag corpus documents sharing word
+    n-grams with a reference (benchmark/eval) set — the standard n-gram
+    overlap check run before training so test data never leaks into the
+    training corpus. Returns one row per corpus document:
+    (``id_col``, ``n_hits`` = distinct contaminated n-grams,
+    ``is_contaminated`` = 1 when ``n_hits ≥ min_hits``). Filter with
+    ``.where("is_contaminated = 0")`` to produce the clean corpus.
+
+    Scale shape: the reference's distinct n-gram hashes are broadcast
+    (eval sets are small by construction — benchmarks are KBs against a
+    100 TB corpus), the corpus is scanned ONCE (explode of per-doc
+    distinct n-gram hashes → broadcast inner join → groupBy count), and
+    the only shuffle carries (id, count) pairs. Set
+    ``broadcast_reference=False`` for a pathologically large reference
+    (falls back to a shuffle join on the n-gram hash).
+
+    ``ngram_words`` defaults to 8 — long enough that a match is evidence
+    of copying rather than phrase reuse (the 8-to-13-gram range is the
+    published convention for benchmark decontamination)."""
+    x = X(SPARK)
+
+    def ng(c: str) -> str:
+        return x.array_distinct(
+            x.transform(x.word_ngrams(c, ngram_words), f"g -> {x.md5int('g')}")
+        )
+
+    ref = reference.select(F.explode(F.expr(ng(col))).alias("gh")).distinct()
+    if broadcast_reference:
+        ref = F.broadcast(ref)
+    tok = corpus.select(F.col(id_col), F.explode(F.expr(ng(col))).alias("gh"))
+    hits = (
+        tok.join(ref, "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits)
+            .cast("int")
+            .alias("is_contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(
+    table: str,
+    reference_sql: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    ngram_words: int = 8,
+    min_hits: int = 1,
+) -> str:
+    """DuckDB twin of :func:`decontaminate`; ``reference_sql`` is any query
+    with the same text column (e.g. a filtered subset of ``table``)."""
+    x = X(DUCK)
+
+    def ng(c: str) -> str:
+        return x.array_distinct(
+            x.transform(x.word_ngrams(c, ngram_words), f"g -> {x.md5int('g')}")
+        )
+
+    return f"""
+WITH ref AS (
+  SELECT DISTINCT t.gh FROM ({reference_sql}) r, unnest({ng(col)}) AS t(gh)
+),
+tok AS (
+  SELECT {id_col}, t.gh FROM {table}, unnest({ng(col)}) AS t(gh)
+),
+hits AS (
+  SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM tok JOIN ref USING (gh)
+  GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) >= {min_hits} AS INT) AS is_contaminated
+FROM {table} d LEFT JOIN hits h USING ({id_col})
+"""
+
+
+# --------------------------------------------------------------------------
 # vocabulary induction (tokenizer prep)
 # --------------------------------------------------------------------------
 

@@ -813,6 +813,64 @@ def test_asof_join_bucketed_hot_key(tables):
     assert "__bkt" in plan
 
 
+def test_asof_join_randomized_vs_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas.merge_asof (an independent
+    implementation): both directions × tolerance × plain/bucketed must
+    match exactly on every left row."""
+    from dbreg_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(11)
+    for _ in range(2):
+        nl, nr = 300, 120
+        l = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, nl),
+                "t": rng.uniform(0, 1000, nl).round(3),
+                "row": np.arange(nl),
+            }
+        )
+        r = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, nr),
+                "t": rng.uniform(0, 1000, nr).round(3),
+                "v": np.arange(nr).astype(float),  # unique → match identity
+            }
+        ).drop_duplicates(["k", "t"])
+        ls, rs = spark.createDataFrame(l), spark.createDataFrame(r)
+        for direction in ("backward", "forward"):
+            for tol in (None, 50.0):
+                want = pd.merge_asof(
+                    l.sort_values("t"),
+                    r.sort_values("t"),
+                    on="t",
+                    by="k",
+                    direction=direction,
+                    tolerance=tol,
+                ).sort_values("row")
+                for bs in (None, 100):
+                    got = (
+                        asof_join(
+                            ls,
+                            rs,
+                            on="t",
+                            by="k",
+                            direction=direction,
+                            tolerance_seconds=tol,
+                            bucket_seconds=bs,
+                        )
+                        .toPandas()
+                        .sort_values("row")
+                    )
+                    a = got["v_right"].to_numpy(float)
+                    b = want["v"].to_numpy(float)
+                    assert np.array_equal(
+                        np.isnan(a), np.isnan(b)
+                    ), (direction, tol, bs)
+                    assert np.array_equal(
+                        a[~np.isnan(a)], b[~np.isnan(b)]
+                    ), (direction, tol, bs)
+
+
 def test_asof_join_bucketed_tolerance(spark):
     """Tolerance interacts with the boundary carry-in: a match propagated
     from a previous bucket is still voided when out of tolerance."""
@@ -886,6 +944,47 @@ def test_interval_join_no_nested_loop_plan(tables):
                         start="w_start", end="w_end")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_decontaminate_vs_duckdb(docs, duck):
+    """Decontamination vs the DuckDB twin, plus semantic invariants: every
+    reference doc self-hits (it IS in the corpus), and an n-gram-disjoint
+    doc is clean."""
+    ref_sql = "SELECT * FROM documents WHERE source = 'src0'"
+    got = text.decontaminate(
+        docs, docs.where("source = 'src0'"), ngram_words=5
+    ).toPandas()
+    want = duck.execute(
+        text.decontaminate_sql("documents", ref_sql, ngram_words=5)
+    ).fetchdf()
+    _compare(got, want, ["doc_id"])
+    srcs = docs.select("doc_id", "source").toPandas().set_index("doc_id")
+    j = got.set_index("doc_id").join(srcs)
+    # reference docs are contained in the corpus → all flagged
+    assert (j.loc[j["source"] == "src0", "is_contaminated"] == 1).all()
+    # and not everything is flagged (other sources have distinct text)
+    assert (j["is_contaminated"] == 0).any()
+    # n_hits counts distinct contaminated n-grams, never negative
+    assert (got["n_hits"] >= 0).all()
+    assert ((got["n_hits"] >= 1) == (got["is_contaminated"] == 1)).all()
+
+
+def test_decontaminate_no_broadcast_parity(docs):
+    a = (
+        text.decontaminate(docs, docs.limit(20), ngram_words=5)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        text.decontaminate(
+            docs, docs.limit(20), ngram_words=5, broadcast_reference=False
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_vocabulary_vs_duckdb(docs, duck):
