@@ -429,6 +429,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["text_decontaminate"] = q_decontaminate
 
+    # context-window chunking with overlap (pure column exprs, no shuffle)
+    def q_chunk(spark, sf_dir):
+        from dbreg_spark.operators import text as _text
+
+        t = _tables(spark, sf_dir)
+        return _text.chunk_text(t["documents"], max_chars=150, overlap=30)
+
+    Q["text_chunks"] = q_chunk
+
     # embedding hygiene (unit-normalize + int8 quantize), exploded to
     # scalar rows for the engine-to-engine value compare
     def q_emb_quant(spark, sf_dir):
@@ -946,6 +955,8 @@ FROM g CROSS JOIN tot
         "SELECT * FROM documents WHERE source = 'src0'",
         ngram_words=5,
     )
+
+    O["text_chunks"] = _text.chunk_text_sql("documents", max_chars=150, overlap=30)
 
     from dbreg_spark.operators import similarity as _simq
 

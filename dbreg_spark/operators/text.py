@@ -344,6 +344,74 @@ FROM walk
 
 
 # --------------------------------------------------------------------------
+# context-window chunking
+# --------------------------------------------------------------------------
+
+
+def chunk_text(
+    df: DataFrame,
+    max_chars: int = 1000,
+    overlap: int = 0,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into ≤ ``max_chars`` chunks with ``overlap``
+    characters of left context carried into each subsequent chunk — the
+    context-window splitting step of a training pipeline. Returns
+    (``id_col``, chunk_id, chunk_start, chunk) where ``chunk_start`` is the
+    1-based character offset; documents at or under ``max_chars``
+    (including empty ones) yield exactly one chunk.
+
+    Pure column expressions: chunk count = ceil((len − overlap) / stride)
+    with stride = max_chars − overlap, ``posexplode(sequence(...))`` per
+    doc, one ``substring`` per chunk — embarrassingly parallel, zero
+    shuffles, whole-stage codegen. Output size ≈ input × (1 +
+    overlap/stride); no driver involvement at any corpus size."""
+    if overlap >= max_chars:
+        raise ValueError("overlap must be smaller than max_chars")
+    stride = max_chars - overlap
+    ln = F.length(F.col(col))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((ln - F.lit(overlap)) / F.lit(float(stride)))
+    ).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "__i"),
+        F.col(col),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id").cast("long") * stride + 1).alias("chunk_start"),
+        F.substring(
+            F.col(col), F.col("chunk_id") * stride + 1, max_chars
+        ).alias("chunk"),
+    )
+
+
+def chunk_text_sql(
+    table: str,
+    max_chars: int = 1000,
+    overlap: int = 0,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`chunk_text`."""
+    if overlap >= max_chars:
+        raise ValueError("overlap must be smaller than max_chars")
+    stride = max_chars - overlap
+    return f"""
+SELECT {id_col},
+       CAST(g.i AS BIGINT) AS chunk_id,
+       CAST(g.i * {stride} + 1 AS BIGINT) AS chunk_start,
+       substr({col}, (g.i * {stride} + 1)::INTEGER, {max_chars}) AS chunk
+FROM {table},
+     unnest(generate_series(0,
+        GREATEST(1, CAST(CEIL((LENGTH({col}) - {overlap}) / {float(stride)}) AS BIGINT)) - 1
+     )) AS g(i)
+"""
+
+
+# --------------------------------------------------------------------------
 # train/eval decontamination
 # --------------------------------------------------------------------------
 

@@ -946,6 +946,33 @@ def test_interval_join_no_nested_loop_plan(tables):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
+def test_chunk_text_vs_duckdb(docs, duck):
+    for max_chars, overlap in ((200, 0), (150, 30)):
+        got = text.chunk_text(docs, max_chars=max_chars, overlap=overlap).toPandas()
+        want = duck.execute(
+            text.chunk_text_sql("documents", max_chars=max_chars, overlap=overlap)
+        ).fetchdf()
+        _compare(got, want, ["doc_id", "chunk_id"])
+        # reconstruction: stripping the overlap from chunk k>0 and
+        # concatenating reproduces the original text exactly
+        n = docs.select("doc_id", "text").toPandas().set_index("doc_id")
+        g = got.sort_values(["doc_id", "chunk_id"])
+        rebuilt = g.assign(
+            part=g["chunk"].where(g["chunk_id"] == 0, g["chunk"].str[overlap:])
+        ).groupby("doc_id")["part"].agg("".join)
+        assert (rebuilt == n["text"]).all()
+        assert (got["chunk"].str.len() <= max_chars).all()
+    # empty/short docs yield exactly one chunk
+    one = text.chunk_text(docs.limit(3), max_chars=10**9).toPandas()
+    assert (one.groupby("doc_id").size() == 1).all()
+
+
+def test_chunk_text_no_shuffle_plan(docs):
+    out = text.chunk_text(docs, max_chars=200, overlap=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" in plan  # explode, no shuffle
+
+
 def test_decontaminate_vs_duckdb(docs, duck):
     """Decontamination vs the DuckDB twin, plus semantic invariants: every
     reference doc self-hits (it IS in the corpus), and an n-gram-disjoint
