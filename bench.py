@@ -216,6 +216,20 @@ def main() -> None:
         "text_pack_greedy",
         lambda: _textops.pack_greedy(t["documents"], budget=1000).count(),
     )
+    bench(
+        "text_chunks",
+        lambda: _textops.chunk_text(
+            t["documents"], max_chars=150, overlap=30
+        ).count(),
+    )
+    bench(
+        "text_decontaminate",
+        lambda: _textops.decontaminate(
+            t["documents"],
+            t["documents"].where("source = 'src0'"),
+            ngram_words=5,
+        ).where("is_contaminated = 1").count(),
+    )
 
     emb = t["embeddings"]
     qs = emb.where("vec_id < 5")

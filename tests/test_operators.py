@@ -605,6 +605,16 @@ def test_pack_greedy_auto_shards_giant_group(docs):
         tot=("n_chars", "sum"), cnt=("n_chars", "size")
     )
     assert ((per_pack["tot"] <= 1000) | (per_pack["cnt"] == 1)).all()
+    # custom column names survive the auto-shard path too
+    renamed = one.selectExpr(
+        "doc_id AS my_id", "source AS my_shard", "n_chars AS sz"
+    )
+    out2 = text.pack_greedy(
+        renamed, budget=1000, size_col="sz", shard_col="my_shard",
+        id_col="my_id", max_rows_per_task=50,
+    ).toPandas()
+    assert set(out2.columns) == {"my_id", "my_shard", "pack_seq", "pack_offset"}
+    assert len(out2) == len(pdf)
 
 
 # ----------------------------------------------------------------- sinks ----
