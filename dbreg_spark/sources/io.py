@@ -34,10 +34,19 @@ def get_session(
     app_name: str = "dbreg_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's default tuning:
     AQE on (runtime re-planning, skew-join handling), nanos-parquet
-    compatibility, and Arrow-accelerated pandas interchange."""
+    compatibility, and Arrow-accelerated pandas interchange.
+
+    Local mode runs everything in the driver JVM, whose 1g default heap
+    starves N concurrent hash-aggregation tasks of execution memory
+    (observed: UNABLE_TO_ACQUIRE_MEMORY on a 10M-row groupBy under
+    local[32]); when this call CREATES the session, driver memory
+    defaults to 512m × parallelism clamped to [2g, 32g] (override with
+    ``driver_memory`` or ``$SPARK_GRAFT_DRIVER_MEM``). On a real cluster
+    executor memory comes from the deployment, not from here."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     b = (
         SparkSession.builder.appName(app_name)
@@ -50,6 +59,14 @@ def get_session(
         b = b.master(master)
     elif not SparkSession.getActiveSession():
         b = b.master(f"local[{cpus}]")
+    if not SparkSession.getActiveSession():
+        mem = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+        if mem is None:
+            m = master or f"local[{cpus}]"
+            digits = "".join(c for c in m.split("[")[-1] if c.isdigit())
+            par = int(digits) if digits else (os.cpu_count() or 4)
+            mem = f"{min(max(par // 2, 2), 32)}g"
+        b = b.config("spark.driver.memory", mem)
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return b.getOrCreate()
