@@ -85,6 +85,13 @@ def asof_join(
         by = [by]
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    reserved = {"__side", "__r", "__bkt", "__ord"}
+    bad = reserved & (set(left.columns) | set(right.columns))
+    if bad:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(bad)} for its "
+            "internal carry-forward state; rename those input columns"
+        )
     rcols = value_cols or [c for c in right.columns if c not in by + [on]]
     on_dt = right.schema[on].dataType
     backward = direction == "backward"

@@ -366,7 +366,12 @@ def chunk_text(
     with stride = max_chars − overlap, ``posexplode(sequence(...))`` per
     doc, one ``substring`` per chunk — embarrassingly parallel, zero
     shuffles, whole-stage codegen. Output size ≈ input × (1 +
-    overlap/stride); no driver involvement at any corpus size."""
+    overlap/stride); no driver involvement at any corpus size.
+
+    Documents with a NULL text column keep exactly one output row with a
+    NULL chunk (both engines' GREATEST ignores the NULL length, so the
+    chunk count is 1) — no document silently disappears; filter
+    ``chunk IS NOT NULL`` downstream if NULL docs should be dropped."""
     if overlap >= max_chars:
         raise ValueError("overlap must be smaller than max_chars")
     stride = max_chars - overlap

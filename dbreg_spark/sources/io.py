@@ -176,18 +176,33 @@ def write_parquet(
                 if value_cols
                 else F.lit(0)
             )
+            # null-safe join: a NULL partition value is a real directory
+            # (__HIVE_DEFAULT_PARTITION__) — a plain inner equi-join would
+            # silently DROP those rows (null keys never match)
+            nf_tbl = counts.select(
+                *[
+                    F.col(c).alias(f"__p_{i}")
+                    for i, c in enumerate(partition_by)
+                ],
+                nf,
+            )
+            cond = None
+            for i, c in enumerate(partition_by):
+                eq = df[c].eqNullSafe(nf_tbl[f"__p_{i}"])
+                cond = eq if cond is None else cond & eq
             df = (
-                df.join(
-                    F.broadcast(counts.select(*partition_by, nf)),
-                    on=partition_by,
-                )
+                df.join(F.broadcast(nf_tbl), cond)
                 .withColumn("__salt", F.pmod(salt_src, F.col("__dir_files")))
                 .repartition(
                     n_files,
                     *[F.col(c) for c in partition_by],
                     F.col("__salt"),
                 )
-                .drop("__dir_files", "__salt")
+                .drop(
+                    "__dir_files",
+                    "__salt",
+                    *[f"__p_{i}" for i in range(len(partition_by))],
+                )
             )
         else:
             df = df.repartition(n_files)

@@ -667,6 +667,33 @@ def test_write_parquet_hot_partition_spreads_files(spark, tmp_path):
     assert back.count() == 60_000
 
 
+def test_write_parquet_null_partition_value_kept(spark, tmp_path):
+    """Rows whose partition column is NULL must survive the skew-aware
+    salt join (null-safe equality) and land in the hive default
+    partition directory."""
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.range(30_000)
+        .withColumn(
+            "part",
+            F.when(F.col("id") % 3 == 0, F.lit(None)).otherwise(
+                F.concat(F.lit("p"), (F.col("id") % 2).cast("string"))
+            ),
+        )
+        .withColumn("payload", F.sha2(F.col("id").cast("string"), 512))
+    )
+    for i in range(5):
+        df = df.withColumn(f"p{i}", F.sha2(F.concat(F.col("payload"), F.lit(i)), 512))
+    from dbreg_spark.sources.io import write_parquet
+
+    out = str(tmp_path / "nullpart_out")
+    write_parquet(df, out, partition_by=["part"], target_file_mb=1)
+    back = spark.read.parquet(out)
+    assert back.count() == 30_000  # nothing dropped
+    assert back.where(F.col("part").isNull()).count() == 10_000
+
+
 # ------------------------------------------------------------- asof join ----
 
 
@@ -1059,3 +1086,30 @@ def test_l2_normalize_and_quantize_vs_duckdb(emb, duck):
     )
     recon = ca * gq["scale"].to_numpy()[:, None]
     assert np.abs(recon - orig).max() <= gq["scale"].max() * 0.5 + 1e-9
+
+
+def test_asof_join_reserved_names_guard(spark):
+    from dbreg_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [1.0], "__side": [9]}))
+    r = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [0.5], "v": [2.0]}))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="__side"):
+        asof_join(l, r, on="t", by="k")
+
+
+def test_chunk_text_null_text_consistent(spark, duck):
+    """NULL-text docs keep exactly one NULL-chunk row, identically on both
+    engines — no document silently disappears."""
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["hello world", None]})
+    got = text.chunk_text(spark.createDataFrame(pdf), max_chars=5).toPandas()
+    duck.execute(
+        "CREATE OR REPLACE TEMP VIEW nulldocs AS "
+        "SELECT 1 AS doc_id, 'hello world' AS text UNION ALL SELECT 2, NULL"
+    )
+    want = duck.execute(text.chunk_text_sql("nulldocs", max_chars=5)).fetchdf()
+    assert set(got["doc_id"]) == set(want["doc_id"]) == {1, 2}
+    assert len(got) == len(want) == 4  # 3 chunks for doc 1 + 1 NULL chunk
+    assert got[got["doc_id"] == 2]["chunk"].isna().all()
+    assert want[want["doc_id"] == 2]["chunk"].isna().all()
