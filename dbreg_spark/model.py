@@ -473,7 +473,11 @@ class DbregModel:
             fe1 = self.fe[0]
             beta = self.coeftable["estimate"]
             terms = [F.avg(F.col(self.yvar).cast("double"))]
-            for raw in self._structural_names():
+            # design_info.names holds the STRUCTURAL terms only — the
+            # Mundlak x_bar_<fe> CRE columns are appended to the frame
+            # after the design is built, so residualizing on these names
+            # uses exactly the within slopes (which Mundlak reproduces)
+            for raw in self.design_info.names:
                 cname = standardize_coef_names(raw)
                 if cname in beta.index:
                     terms.append(
@@ -489,18 +493,6 @@ class DbregModel:
             "fixef() is not applicable to moments models (no fixed "
             "effects); compress, demean, and mundlak models all support it."
         )
-
-    def _structural_names(self):
-        """Design column names excluding the Mundlak ``x_bar_<fe>`` CRE
-        terms — the group-mean columns ARE the FE projection, so absorbed-FE
-        recovery residualizes on the structural slopes only (whose Mundlak
-        estimates equal the within estimates)."""
-        suffixes = tuple(f"_bar_{f}" for f in (self.fe or []))
-        return [
-            n
-            for n in self.design_info.names
-            if not (self.strategy == "mundlak" and n.endswith(suffixes))
-        ]
 
     def _fixef_multi(self, data):
         """k≥2 absorbed-FE recovery (fixest's fixef() for multi-FE models;
@@ -524,7 +516,8 @@ class DbregModel:
             )
         beta = self.coeftable["estimate"]
         resid = F.col(self.yvar).cast("double")
-        for raw in self._structural_names():
+        # design_info.names = structural terms only (see fixef, 1-FE case)
+        for raw in self.design_info.names:
             cname = standardize_coef_names(raw)
             if cname in beta.index:
                 resid = resid - F.lit(float(beta[cname])) * self._design_expr(raw, data)

@@ -85,7 +85,7 @@ def asof_join(
         by = [by]
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
-    reserved = {"__side", "__r", "__bkt", "__ord"}
+    reserved = {"__side", "__r", "__bkt", "__ord", "__on"}
     bad = reserved & (set(left.columns) | set(right.columns))
     if bad:
         raise ValueError(

@@ -268,11 +268,25 @@ def pack_greedy(
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    nsub_map = F.broadcast(
-        spark.createDataFrame([(r[0], r[1]) for r in big], [shard_col, "__nsub"])
+    nsub_schema = T.StructType(
+        [
+            T.StructField("__shard_key", proj.schema[shard_col].dataType),
+            T.StructField("__nsub", T.IntegerType()),
+        ]
     )
+    nsub_tbl = spark.createDataFrame(
+        [(r[0], r[1]) for r in big], schema=nsub_schema
+    )
+    # null-safe join: a NULL shard value is a real (and possibly
+    # oversized) group — a plain left join would never match it and
+    # silently bypass the max_rows_per_task guard
     p2 = (
-        proj.join(nsub_map, on=shard_col, how="left")
+        proj.join(
+            F.broadcast(nsub_tbl),
+            proj[shard_col].eqNullSafe(nsub_tbl["__shard_key"]),
+            how="left",
+        )
+        .drop("__shard_key")
         .withColumn(
             "__sub",
             F.when(F.col("__nsub").isNull(), F.lit(0)).otherwise(
@@ -381,7 +395,7 @@ def chunk_text(
     ).cast("int")
     return df.select(
         F.col(id_col),
-        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "__i"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
         F.col(col),
     ).select(
         id_col,

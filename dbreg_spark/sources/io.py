@@ -60,16 +60,31 @@ def get_session(
     elif not SparkSession.getActiveSession():
         b = b.master(f"local[{cpus}]")
     if not SparkSession.getActiveSession():
-        mem = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM")
-        if mem is None:
-            m = master or f"local[{cpus}]"
-            digits = "".join(c for c in m.split("[")[-1] if c.isdigit())
-            par = int(digits) if digits else (os.cpu_count() or 4)
-            mem = f"{min(max(par // 2, 2), 32)}g"
-        b = b.config("spark.driver.memory", mem)
+        mem = (
+            driver_memory
+            or os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+            or _default_local_driver_mem(master or f"local[{cpus}]")
+        )
+        if mem is not None:
+            b = b.config("spark.driver.memory", mem)
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return b.getOrCreate()
+
+
+def _default_local_driver_mem(master: str) -> str | None:
+    """Driver-memory default for LOCAL masters only: 512m × parallelism
+    clamped to [2g, 32g]. ``local[N]`` / ``local[N,F]`` parse N;
+    ``local`` / ``local[*]`` use the machine's cores. Any non-local
+    master returns None — a cluster's driver/executor memory belongs to
+    the deployment, and digit-scraping a ``spark://host:7077`` URL here
+    would derive nonsense from the port number."""
+    if not master.startswith("local"):
+        return None
+    inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+    n_str = inner.split(",")[0].strip()
+    par = int(n_str) if n_str.isdigit() else (os.cpu_count() or 4)
+    return f"{min(max(par // 2, 2), 32)}g"
 
 
 def _nano_timestamp_cols(path: str) -> list[str]:
@@ -161,16 +176,51 @@ def write_parquet(
     if size is not None and size > 0:
         n_files = max(1, min(100_000, round(size / (target_file_mb * (1 << 20)))))
         if partition_by:
-            counts = df.groupBy(*partition_by).agg(
-                F.count(F.lit(1)).alias("__dir_rows")
+            # collect the per-directory counts ONCE (broadcast-small by
+            # construction: one row per partition dir); total and the
+            # per-dir file counts derive locally, so the input plan runs
+            # exactly twice (probe + write), never three times
+            count_rows = (
+                df.groupBy(*partition_by)
+                .agg(F.count(F.lit(1)).alias("__dir_rows"))
+                .collect()
             )
-            total = counts.agg(F.sum("__dir_rows")).collect()[0][0] or 0
+            total = sum(r["__dir_rows"] for r in count_rows)
             rows_per_file = max(1, total // n_files)
-            nf = F.greatest(
-                F.lit(1),
-                F.ceil(F.col("__dir_rows") / F.lit(float(rows_per_file))),
-            ).alias("__dir_files")
-            value_cols = [c for c in df.columns if c not in partition_by]
+            spark = df.sparkSession
+            from pyspark.sql import types as _T
+
+            nf_schema = _T.StructType(
+                [
+                    _T.StructField(f"__p_{i}", df.schema[c].dataType)
+                    for i, c in enumerate(partition_by)
+                ]
+                + [_T.StructField("__dir_files", _T.IntegerType())]
+            )
+            nf_tbl = spark.createDataFrame(
+                [
+                    tuple(r[c] for c in partition_by)
+                    + (max(1, -(-r["__dir_rows"] // rows_per_file)),)
+                    for r in count_rows
+                ],
+                schema=nf_schema,
+            )
+            # salt from the hashable non-partition columns only (F.hash
+            # rejects map types); falls back to a constant when none exist
+            def _hashable(dt) -> bool:
+                if isinstance(dt, _T.MapType):
+                    return False
+                if isinstance(dt, _T.ArrayType):
+                    return _hashable(dt.elementType)
+                if isinstance(dt, _T.StructType):
+                    return all(_hashable(f.dataType) for f in dt.fields)
+                return True
+
+            value_cols = [
+                f.name
+                for f in df.schema.fields
+                if f.name not in partition_by and _hashable(f.dataType)
+            ]
             salt_src = (
                 F.hash(*[F.col(c) for c in value_cols])
                 if value_cols
@@ -179,13 +229,6 @@ def write_parquet(
             # null-safe join: a NULL partition value is a real directory
             # (__HIVE_DEFAULT_PARTITION__) — a plain inner equi-join would
             # silently DROP those rows (null keys never match)
-            nf_tbl = counts.select(
-                *[
-                    F.col(c).alias(f"__p_{i}")
-                    for i, c in enumerate(partition_by)
-                ],
-                nf,
-            )
             cond = None
             for i, c in enumerate(partition_by):
                 eq = df[c].eqNullSafe(nf_tbl[f"__p_{i}"])

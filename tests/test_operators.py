@@ -1113,3 +1113,62 @@ def test_chunk_text_null_text_consistent(spark, duck):
     assert len(got) == len(want) == 4  # 3 chunks for doc 1 + 1 NULL chunk
     assert got[got["doc_id"] == 2]["chunk"].isna().all()
     assert want[want["doc_id"] == 2]["chunk"].isna().all()
+
+
+def test_driver_mem_heuristic_local_only():
+    """Local masters size driver memory from parallelism; cluster masters
+    must return None (the port/IP digits are NOT a core count)."""
+    from dbreg_spark.sources.io import _default_local_driver_mem as f
+
+    assert f("local[4]") == "2g"
+    assert f("local[32]") == "16g"
+    assert f("local[64]") == "32g"       # clamp high
+    assert f("local[1]") == "2g"         # clamp low
+    assert f("local[16,2]") == "8g"      # N,F form parses N only
+    import os as _os
+
+    assert f("local[*]") == f(f"local[{_os.cpu_count() or 4}]")
+    assert f("spark://host:7077") is None
+    assert f("yarn") is None
+    assert f("k8s://https://1.2.3.4:6443") is None
+
+
+def test_write_parquet_map_column_ok(spark, tmp_path):
+    """A map-typed column must not break the salt (F.hash rejects maps);
+    it is simply excluded from the salt source."""
+    import pyspark.sql.functions as F
+
+    from dbreg_spark.sources.io import write_parquet
+
+    df = (
+        spark.range(50_000)
+        .withColumn("part", F.when(F.col("id") % 50 == 0, "cold").otherwise("hot"))
+        .withColumn("payload", F.sha2(F.col("id").cast("string"), 512))
+        .withColumn(
+            "meta", F.create_map(F.lit("k"), F.col("id").cast("string"))
+        )
+    )
+    for i in range(4):
+        df = df.withColumn(f"p{i}", F.sha2(F.concat(F.col("payload"), F.lit(i)), 512))
+    out = str(tmp_path / "map_out")
+    write_parquet(df, out, partition_by=["part"], target_file_mb=1)
+    back = spark.read.parquet(out)
+    assert back.count() == 50_000
+    assert "meta" in back.columns
+
+
+def test_pack_greedy_null_shard_still_guarded(spark, docs):
+    """A NULL shard value over max_rows_per_task must be sub-sharded too —
+    the oversized-shard join is null-safe, so the per-task memory guard
+    cannot be bypassed by a NULL key."""
+    import pyspark.sql.functions as F
+
+    nulled = docs.withColumn("source", F.lit(None).cast("string"))
+    bounded = text.pack_greedy(nulled, budget=1000, max_rows_per_task=50)
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    assert "__sub" in plan  # the sub-shard path engaged for the NULL group
+    got = bounded.toPandas()
+    assert len(got) == docs.count()
+    # sub-sharding adds pack boundaries vs the unbounded single group
+    single = text.pack_greedy(nulled, budget=1000, max_rows_per_task=None).toPandas()
+    assert got["pack_seq"].nunique() > single["pack_seq"].nunique()
