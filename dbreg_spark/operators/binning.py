@@ -74,13 +74,17 @@ def compute_breaks(
         )
 
     sdf = base.select(x)
+    # Bernoulli sample at the EXACT target fraction, no limit(): limit()
+    # takes rows in partition order, so oversample-then-limit would trim
+    # the trailing partitions entirely — on sorted data (time-ordered
+    # parquet) that systematically excludes the largest x and biases the
+    # top breaks low. A pure fraction is order-free; the collected size
+    # concentrates within ±3·sqrt(target) of target.
     if sampled:
-        target = max(10_000, int(np.ceil(n_rows * frac)))
-        sdf = sdf.sample(fraction=min(1.0, 1.2 * target / max(n_rows, 1)), seed=seed).limit(
-            min(target, sample_cap)
-        )
+        target = min(max(10_000, int(np.ceil(n_rows * frac))), sample_cap)
+        sdf = sdf.sample(fraction=min(1.0, target / max(n_rows, 1)), seed=seed)
     elif n_rows > sample_cap:
-        sdf = sdf.sample(fraction=1.2 * sample_cap / n_rows, seed=seed).limit(sample_cap)
+        sdf = sdf.sample(fraction=sample_cap / n_rows, seed=seed)
         sampled = True
     xs = sdf.toPandas()[x].to_numpy(dtype=float)
 

@@ -100,7 +100,9 @@ def _bucket_expr(vec_col: str, planes: np.ndarray) -> str:
     """Sign-bit bucket id: Σ 2^j · 1[v·h_j > 0], with h_j as literal arrays."""
     bits = []
     for j, h in enumerate(planes):
-        arr = "array(" + ", ".join(f"{v!r}D" for v in h) + ")"
+        # repr(float(v)): numpy 2.x scalar repr is "np.float64(0.5)" —
+        # unparseable SQL — so always go through the Python float
+        arr = "array(" + ", ".join(f"{repr(float(v))}D" for v in h) + ")"
         bits.append(
             f"CASE WHEN {_dot(vec_col, arr)} > 0D THEN {1 << j} ELSE 0 END"
         )
@@ -187,7 +189,7 @@ def hyperplane_lsh_topk(
 
 
 def _duck_plane_lit(h: np.ndarray) -> str:
-    return "[" + ", ".join(f"{v!r}" for v in h) + "]::DOUBLE[]"
+    return "[" + ", ".join(repr(float(v)) for v in h) + "]::DOUBLE[]"
 
 
 def _bucket_expr_duck(vec_col: str, planes: np.ndarray) -> str:
@@ -301,14 +303,16 @@ def kmeans_centroids(
     """Driver-side Lloyd's k-means on a sampled corpus (numpy only)."""
     n = corpus.count()
     frac = min(1.0, sample_cap / max(n, 1))
-    pdf = (
-        corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_cap).toPandas()
-    )
+    # pure fraction, no limit(): limit takes rows in partition order and
+    # would bias the k-means sample toward leading partitions (see
+    # binning.compute_breaks); expected size is sample_cap ± 3·sqrt(cap)
+    pdf = corpus.select(vec_col).sample(fraction=frac, seed=seed).toPandas()
     Xm = np.array(pdf[vec_col].tolist(), dtype=float)
     rng = np.random.default_rng(seed)
     cents = Xm[rng.choice(len(Xm), size=min(n_centroids, len(Xm)), replace=False)]
-    for _ in range(iters):
-        d2 = ((Xm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    xx = (Xm * Xm).sum(axis=1)  # quadratic form: O(n·k) memory, never the
+    for _ in range(iters):      # (n, k, dim) broadcast tensor (~GBs at cap)
+        d2 = xx[:, None] - 2.0 * Xm @ cents.T + (cents * cents).sum(axis=1)[None, :]
         assign = d2.argmin(axis=1)
         for c in range(len(cents)):
             mask = assign == c
@@ -329,7 +333,7 @@ def _d2_quadratic_spark(vec: str, c: np.ndarray) -> str:
     """‖v−c‖² = v·v − 2 v·c + c·c, with the dot products as sequential folds
     — the exact arithmetic the DuckDB twin runs (list_inner_product is a
     sequential loop), so cell argmins agree across engines."""
-    arr = "array(" + ", ".join(f"{v!r}D" for v in c) + ")"
+    arr = "array(" + ", ".join(f"{repr(float(v))}D" for v in c) + ")"
     cc = float(np.dot(c, c))
     return f"(__vv - 2D * {_dot(vec, arr)} + {cc!r}D)"
 
@@ -517,17 +521,21 @@ def embedding_neardup_pairs(
 def l2_normalize(
     corpus: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """Unit-normalize embeddings as a pure column expression (fold for the
-    norm, transform for the scale) — no UDF, no shuffle. Zero vectors pass
-    through unchanged (NULLIF guard)."""
+    """Unit-normalize embeddings as a pure column expression — no UDF, no
+    shuffle. The norm fold is computed ONCE into its own column before the
+    per-element transform (inlining the O(d) fold inside the transform
+    lambda would re-run it per element — O(d²) per row). Zero vectors pass
+    through unchanged."""
     norm = (
         f"sqrt(aggregate({vec_col}, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x))"
     )
     return corpus.select(
+        F.col(id_col), F.col(vec_col), F.expr(norm).alias("__norm")
+    ).select(
         F.col(id_col),
         F.expr(
             f"transform({vec_col}, x -> ROUND(CAST(x AS DOUBLE) / "
-            f"NULLIF({norm}, 0D), 6))"
+            f"CASE WHEN __norm = 0D THEN 1D ELSE __norm END, 6))"
         ).alias("unit"),
     )
 
@@ -541,8 +549,9 @@ def l2_normalize_sql(
     )
     return f"""
 SELECT {id_col},
-       list_transform({vec_col}, x -> ROUND(CAST(x AS DOUBLE) / NULLIF({norm}, 0), 6)) AS unit
-FROM {table}
+       list_transform({vec_col}, x -> ROUND(CAST(x AS DOUBLE) /
+           CASE WHEN __norm = 0 THEN 1 ELSE __norm END, 6)) AS unit
+FROM (SELECT {id_col}, {vec_col}, {norm} AS __norm FROM {table}) __n
 """
 
 
@@ -552,14 +561,18 @@ def quantize_int8(
     """Symmetric per-vector int8 quantization: scale = max|x|/127, codes =
     round(x/scale) ∈ [−127, 127] — the 4× (vs float32) storage/bandwidth
     cut ANN serving uses. Column expressions only; the (id, scale, codes)
-    triple is all a dequantizing reader needs."""
+    triple is all a dequantizing reader needs. The max|x| fold is computed
+    once per row (see :func:`l2_normalize`); an all-zero vector gets
+    scale 0 and all-zero codes."""
     amax = f"aggregate({vec_col}, 0D, (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
-    scale = f"NULLIF({amax} / 127.0D, 0D)"
     return corpus.select(
+        F.col(id_col), F.col(vec_col), F.expr(amax).alias("__amax")
+    ).select(
         F.col(id_col),
-        F.expr(f"ROUND({amax} / 127.0D, 9)").alias("scale"),
+        F.expr("ROUND(__amax / 127.0D, 9)").alias("scale"),
         F.expr(
-            f"transform({vec_col}, x -> CAST(ROUND(CAST(x AS DOUBLE) / {scale}, 0) AS INT))"
+            f"transform({vec_col}, x -> CAST(ROUND(CAST(x AS DOUBLE) / "
+            f"CASE WHEN __amax = 0D THEN 1D ELSE __amax / 127.0D END, 0) AS INT))"
         ).alias("codes"),
     )
 
@@ -571,10 +584,10 @@ def quantize_int8_sql(
         f"list_aggregate(list_transform({vec_col}, "
         f"x -> abs(CAST(x AS DOUBLE))), 'max')"
     )
-    scale = f"NULLIF({amax} / 127.0, 0)"
     return f"""
 SELECT {id_col},
-       ROUND({amax} / 127.0, 9) AS scale,
-       list_transform({vec_col}, x -> CAST(ROUND(CAST(x AS DOUBLE) / {scale}, 0) AS INT)) AS codes
-FROM {table}
+       ROUND(__amax / 127.0, 9) AS scale,
+       list_transform({vec_col}, x -> CAST(ROUND(CAST(x AS DOUBLE) /
+           CASE WHEN __amax = 0 THEN 1 ELSE __amax / 127.0 END, 0) AS INT)) AS codes
+FROM (SELECT {id_col}, {vec_col}, {amax} AS __amax FROM {table}) __n
 """

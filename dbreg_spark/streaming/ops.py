@@ -79,7 +79,11 @@ def streaming_dedup(
     x = X(SPARK)
     norm = f"lower({x.regexp_replace_all(f'trim({text_col})', chr(92) + 's+', ' ')})"
     hashed = _ensure_event_time(docs, ts_col).withColumn("__fp", F.expr(f"md5({norm})"))
-    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["__fp"])
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")  # internal key — output schema matches the input
+    )
 
 
 def sessionize_builtin(
@@ -138,7 +142,22 @@ def sessionize(
 ) -> DataFrame:
     """Custom stateful operator: per-user session aggregation with an
     inactivity-gap close, via applyInPandasWithState (state = 4 scalars per
-    active user)."""
+    active user).
+
+    Semantics match the built-in ``session_window``: an event at exactly
+    ``last + gap`` MERGES into the session (verified empirically — Spark
+    treats the [t, t+gap] horizon as inclusive when merging windows); only
+    a strictly larger gap separates sessions. The open session closes on
+    EVENT-time timeout — the watermark passing ``last + gap`` — never on
+    wall-clock, so replays are deterministic and a stalled source cannot
+    split a session.
+
+    Out-of-order arrivals within the watermark: a late run overlapping or
+    adjacent to the open session merges into it (extending ``start``
+    backward if needed); a late run strictly earlier than
+    ``start − gap`` is emitted immediately as its own closed session (no
+    still-later event can attach to it from the left once it is behind
+    the open session)."""
     gap_s = _parse_duration_seconds(gap)
 
     def fn(
@@ -168,7 +187,8 @@ def sessionize(
             (start, last, n, total) = state.get
         else:
             start, last, n, total = ts[0], ts[0], 0, 0.0
-        # fold the batch event-by-run into sessions, closing on gap breaks
+        # fold the batch event-by-run into sessions; a gap of exactly
+        # gap_s still merges (inclusive horizon, like session_window)
         import numpy as _np
 
         breaks = _np.nonzero(_np.diff(ts) > gap_s)[0]
@@ -180,15 +200,25 @@ def sessionize(
             if n == 0:
                 start, last, n, total = lo, hi, n_run, v_run
             elif lo - last > gap_s:
+                # run starts after the open session's horizon: close it
                 closed.append((start, last, n, total))
                 start, last, n, total = lo, hi, n_run, v_run
+            elif hi < start - gap_s:
+                # LATE run, disjoint strictly before the open session:
+                # its own session, emitted directly
+                closed.append((lo, hi, n_run, v_run))
             else:
+                # overlap/adjacency on either side: merge, extending
+                # start backward for late events
+                start = min(start, lo)
                 last = max(last, hi)
                 n += n_run
                 total += v_run
         state.update((start, last, n, total))
-        state.setTimeoutDuration(int(gap_s * 1000))
+        # event-time close: fires when the WATERMARK passes last + gap
+        state.setTimeoutTimestamp(int((last + gap_s) * 1000))
         if closed:
+            closed.sort(key=lambda c: c[0])
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(closed),
@@ -208,7 +238,7 @@ def sessionize(
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -394,7 +424,20 @@ def coef_from_moments(row, xvars: list[str]):
 
 
 def _parse_duration_seconds(s: str) -> float:
+    """Same duration grammar Spark's own interval strings accept for the
+    units a session gap sensibly uses."""
     n, unit = s.split()
-    n = float(n)
-    return n * {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-                "hour": 3600, "hours": 3600}[unit]
+    scale = {
+        "millisecond": 1e-3, "milliseconds": 1e-3,
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+        "week": 604800, "weeks": 604800,
+    }
+    if unit not in scale:
+        raise ValueError(
+            f"unsupported duration unit {unit!r} (use "
+            "milliseconds/seconds/minutes/hours/days/weeks)"
+        )
+    return float(n) * scale[unit]

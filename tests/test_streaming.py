@@ -87,7 +87,8 @@ def test_streaming_dedup(spark, event_stream_dir, tables):
         _run_stream(out, name)
         got = spark.sql(f"SELECT * FROM {name}").toPandas()
         assert len(got) == 50  # 60 in, 10 dups dropped
-        assert got["__fp"].is_unique
+        assert got["doc_id"].is_unique
+        assert "__fp" not in got.columns  # internal key never leaks
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -119,6 +120,110 @@ def test_sessionize(spark, tables):
         assert set(got["user_id"]) == {1, 2}
         assert (got["n_events"] == 5).all()
         assert (got["total_value"] == 5.0).all()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sessionize_exact_gap_matches_builtin(spark):
+    """Exact-gap boundary parity: Spark's session_window MERGES an event at
+    exactly last + gap (inclusive horizon — pinned here empirically), and
+    the custom sessionize must agree; an event 1s past the gap splits."""
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                [
+                    "2026-01-01 12:00:00",
+                    "2026-01-01 12:30:00",  # exactly gap later → merges
+                    "2026-01-01 12:00:00",
+                    "2026-01-01 12:30:01",  # 1s past the gap → splits
+                ]
+            ),
+            "value": [1.0, 1.0, 1.0, 1.0],
+        }
+    )
+    d = tempfile.mkdtemp(prefix="dbreg_gap_stream_")
+    try:
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("overwrite").parquet(d)
+        from dbreg_spark.streaming.ops import sessionize, sessionize_builtin
+
+        stream1 = spark.readStream.schema(sdf.schema).parquet(d)
+        nameb = f"gapb_{uuid.uuid4().hex[:8]}"
+        _run_stream(
+            sessionize_builtin(stream1, gap="30 minutes", watermark="4 hours"),
+            nameb, mode="complete",
+        )
+        builtin = spark.sql(f"SELECT * FROM {nameb}").toPandas()
+        assert len(builtin[builtin["user_id"] == 1]) == 1  # merged
+        assert len(builtin[builtin["user_id"] == 2]) == 2  # split
+        stream2 = spark.readStream.schema(sdf.schema).parquet(d)
+        namec = f"gapc_{uuid.uuid4().hex[:8]}"
+        _run_stream(sessionize(stream2, gap="30 minutes", watermark="4 hours"), namec)
+        custom = spark.sql(f"SELECT * FROM {namec}").toPandas()
+        # append mode: only user 2's CLOSED first session is emitted —
+        # user 1's exact-gap event merged, leaving nothing closed
+        assert set(custom["user_id"]) == {2}
+        assert len(custom) == 1 and custom.iloc[0]["n_events"] == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sessionize_late_events_and_event_time_close(spark):
+    """Cross-batch out-of-order events: a late run strictly before the open
+    session becomes its own emitted session (never silently folded into a
+    later session), and the open session closes on the WATERMARK passing
+    last + gap (event time), not wall clock."""
+    from dbreg_spark.streaming.ops import sessionize
+
+    d = tempfile.mkdtemp(prefix="dbreg_late_stream_")
+    try:
+        schema = None
+        batches = [
+            # batch 1: the open session 12:00-12:05
+            pd.DataFrame({"user_id": [1, 1],
+                          "ts": pd.to_datetime(["2026-01-01 12:00:00", "2026-01-01 12:05:00"]),
+                          "value": [1.0, 1.0]}),
+            # batch 2: a LATE event at 10:30 (inside the 4h watermark),
+            # disjoint from [12:00-gap, ...] → its own session
+            pd.DataFrame({"user_id": [1],
+                          "ts": pd.to_datetime(["2026-01-01 10:30:00"]),
+                          "value": [5.0]}),
+            # batch 3: another user far later → watermark passes 12:35,
+            # closing user 1's open session by event-time timeout
+            pd.DataFrame({"user_id": [2],
+                          "ts": pd.to_datetime(["2026-01-01 20:00:00"]),
+                          "value": [9.0]}),
+        ]
+        for i, b in enumerate(batches):
+            sdf = spark.createDataFrame(b)
+            schema = sdf.schema
+            sdf.coalesce(1).write.mode("append").parquet(d)
+            # distinct mtimes so maxFilesPerTrigger=1 replays in order
+            import time as _time
+
+            _time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        name = f"late_{uuid.uuid4().hex[:8]}"
+        _run_stream(sessionize(stream, gap="30 minutes", watermark="4 hours"), name)
+        got = (
+            spark.sql(f"SELECT * FROM {name}")
+            .toPandas()
+            .sort_values("session_start")
+            .reset_index(drop=True)
+        )
+        u1 = got[got["user_id"] == 1].reset_index(drop=True)
+        assert len(u1) == 2
+        assert u1.iloc[0]["session_start"] == pd.Timestamp("2026-01-01 10:30:00")
+        assert u1.iloc[0]["n_events"] == 1 and u1.iloc[0]["total_value"] == 5.0
+        # the 12:00 session closed by event-time timeout with correct stats
+        assert u1.iloc[1]["session_start"] == pd.Timestamp("2026-01-01 12:00:00")
+        assert u1.iloc[1]["session_end"] == pd.Timestamp("2026-01-01 12:05:00")
+        assert u1.iloc[1]["n_events"] == 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
