@@ -1032,7 +1032,7 @@ FROM documents
 SELECT media_id, CAST(i * 1000 AS BIGINT) AS ts_ms
 FROM (SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) * 10 AS duration_ms
       FROM documents WHERE doc_id % 3 = 2) v,
-     unnest(generate_series(0, greatest(CAST(FLOOR(duration_ms / 1000.0) AS INT) - 1, 0))) AS u(i)
+     unnest(generate_series(0, greatest(CAST((duration_ms - 1) // 1000 AS INT), 0))) AS u(i)
 """
 
     from dbreg_spark.operators import multimodal as _mm

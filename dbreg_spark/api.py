@@ -799,10 +799,17 @@ def compress_plan(source: Source, parsed: ParsedFormula, design: DesignInfo, dro
     if drop_missings:
         df = filter_missing(df, needed)
     key_exprs = list(zip(design.names, design.exprs))
-    group_cols = design.names + parsed.fe
+    # dedupe: a variable serving BOTH as a regressor and an FE appears once
+    # in the cell key (one column feeds the numeric block and the forced
+    # dummy block downstream); duplicate projection names would make every
+    # later reference ambiguous
+    group_cols = list(
+        dict.fromkeys(design.names + parsed.fe)
+    )
+    fe_extra = [f for f in parsed.fe if f not in design.names]
     proj = df.select(
         *[to_spark(e).alias(n) for n, e in key_exprs],
-        *[F.col(f) for f in parsed.fe],
+        *[F.col(f) for f in fe_extra],
         F.col(parsed.yvar),
     )
     comp = (
@@ -821,7 +828,7 @@ def compress_plan(source: Source, parsed: ParsedFormula, design: DesignInfo, dro
             (n if isinstance(e, Var) and e.name == n else f"{to_sql(e)} AS {n}")
             for n, e in key_exprs
         )
-        fe_sql = "".join(f",\n    {f}" for f in parsed.fe)
+        fe_sql = "".join(f",\n    {f}" for f in fe_extra)
         where = f"\n  WHERE {not_null_filter_sql(needed)}" if drop_missings else ""
         sql = (
             f"WITH cte AS (\n  SELECT\n    {key_sql}{fe_sql},\n"

@@ -58,20 +58,40 @@ def build_blocks(
     categorical), then FE vars (always categorical)."""
     schema = {f.name: f.dataType for f in comp.schema.fields}
 
-    def _is_cat(v: str, force: bool) -> bool:
-        return force or isinstance(schema[v], (T.StringType, T.BooleanType))
+    def _is_cat(v: str) -> bool:
+        return isinstance(schema[v], (T.StringType, T.BooleanType))
 
-    cat_vars = [v for v in design_names if _is_cat(v, False)] + [
-        v for v in fe if v not in design_names
-    ]
-    n_num = sum(1 for v in design_names if not _is_cat(v, False))
+    # mirror CellDesign exactly (wls.py): design vars categorical by DTYPE,
+    # every fe var forced categorical — even when it also appears as a
+    # numeric regressor (then it gets BOTH a numeric and a dummy block)
+    design_cat = [v for v in design_names if _is_cat(v)]
+    cat_occurrences = design_cat + list(fe)
+    cat_unique = list(dict.fromkeys(cat_occurrences))
+    n_num = len(design_names) - len(design_cat)
 
-    if cat_vars:
-        # one-pass approximate width guard before any level collect
+    if cat_unique:
+        # one pass: approximate width guard + null-level detection
         row = comp.agg(
-            *[F.approx_count_distinct(v, rsd=0.02).alias(f"__c_{i}") for i, v in enumerate(cat_vars)]
+            *[
+                F.approx_count_distinct(v, rsd=0.02).alias(f"__c_{i}")
+                for i, v in enumerate(cat_unique)
+            ],
+            *[
+                F.sum(F.col(v).isNull().cast("long")).alias(f"__n_{i}")
+                for i, v in enumerate(cat_unique)
+            ],
         ).collect()[0]
-        p_est = 1 + n_num + sum(max(row[f"__c_{i}"] - 1, 0) for i in range(len(cat_vars)))
+        approx = {v: row[f"__c_{i}"] for i, v in enumerate(cat_unique)}
+        nullv = [v for i, v in enumerate(cat_unique) if (row[f"__n_{i}"] or 0) > 0]
+        if nullv:
+            raise ValueError(
+                f"[dbreg] categorical/FE column(s) {nullv} contain NULLs; "
+                "use drop_missings=True (the default) or fill them — a "
+                "NULL has no dummy level."
+            )
+        p_est = 1 + n_num + sum(
+            max(approx[v] - 1, 0) for v in cat_occurrences
+        )
         if p_est > p_max:
             raise ValueError(
                 f"[dbreg] distributed-Gram fallback: expanded design width "
@@ -81,7 +101,7 @@ def build_blocks(
             )
 
     levels: dict = {}
-    for v in cat_vars:
+    for v in cat_unique:
         lv = [
             r[0]
             for r in comp.select(v).where(F.col(v).isNotNull()).distinct().orderBy(v).collect()
@@ -90,13 +110,12 @@ def build_blocks(
 
     blocks = [GramBlock("const", None, None)]
     for v in design_names:
-        if v in levels:
+        if v in design_cat:
             blocks.append(GramBlock("cat", v, levels[v][1:]))
         else:
             blocks.append(GramBlock("num", v, None))
     for v in fe:
-        if v not in design_names:
-            blocks.append(GramBlock("cat", v, levels[v][1:]))
+        blocks.append(GramBlock("cat", v, levels[v][1:]))
 
     off = 0
     col_names: list[str] = []
@@ -229,11 +248,19 @@ def blocked_cluster_meat(
     sum ``ucol`` already attached. ``cluster_col`` may be a list — the
     cluster key is then the interaction of those columns (CGM subset
     components cluster this way)."""
-    ccols = [cluster_col] if isinstance(cluster_col, str) else list(cluster_col)
+    ccols0 = [cluster_col] if isinstance(cluster_col, str) else list(cluster_col)
     p = sum(b.ncols for b in blocks)
     nums = _num_vars(blocks)
     cats = _cat_blocks(blocks)
     u = F.col(ucol)
+
+    # wrap the cluster key in ONE struct column: struct equality is
+    # null-safe, so a NULL cluster key is the same real cluster in every
+    # groupBy AND every cross-block join below (plain equi-joins would
+    # drop it from the cross blocks while the dense block counted it —
+    # an inconsistent meat matrix)
+    scored_cc = scored_cc.withColumn("__ck", F.struct(*ccols0))
+    ccols = ["__ck"]
 
     dense_cols = [F.sum(u).alias("s_0")] + [
         F.sum(u * F.col(b.var).cast("double")).alias(f"s_{i + 1}")
@@ -241,6 +268,7 @@ def blocked_cluster_meat(
     ]
     t1 = scored_cc.groupBy(*ccols).agg(*dense_cols)
     t1 = t1.persist()
+    cat_tables: dict = {}
     try:
         n_clusters = t1.count()
         meat = np.zeros((p, p))
@@ -259,7 +287,6 @@ def blocked_cluster_meat(
                 oi, oj = dense_off[i], dense_off[j]
                 meat[min(oi, oj), max(oi, oj)] = row[f"m_{i}_{j}"] or 0.0
 
-        cat_tables = {}
         for b in cats:
             tv = (
                 scored_cc.groupBy(*ccols, b.var)
@@ -315,13 +342,15 @@ def blocked_cluster_meat(
                         continue
                     meat[min(ia, ib), max(ia, ib)] = r["m"] or 0.0
 
-        for tv in cat_tables.values():
-            tv.unpersist()
         iu = np.triu_indices(p, k=1)
         meat[(iu[1], iu[0])] = meat[iu]
         return meat, n_clusters
     finally:
+        # release caches on ALL exits — a failed collect in the cat passes
+        # must not leak the persisted per-variable score tables
         t1.unpersist()
+        for tv in cat_tables.values():
+            tv.unpersist()
 
 
 def yhat_frame(

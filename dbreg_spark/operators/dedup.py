@@ -50,10 +50,16 @@ def _norm_expr(x: X, col: str) -> str:
 def exact_duplicates(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group rows by normalized-text md5; keep groups, mark canonicals.
 
-    Returns (id, dup_group, group_size, is_canonical) for every row. The
-    shuffle carries only (hash, id)."""
+    Returns (id, dup_group, group_size, is_canonical) for every row —
+    including NULL-text rows, which share the sentinel group '' (md5 of a
+    NULL is NULL, and a null-keyed join would silently drop those rows;
+    the empty string is not a valid md5, so no collision with real
+    groups). The shuffle carries only (hash, id)."""
     x = X(SPARK)
-    h = df.select(F.col(id_col), F.expr(f"md5({_norm_expr(x, col)})").alias("dup_group"))
+    h = df.select(
+        F.col(id_col),
+        F.expr(f"COALESCE(md5({_norm_expr(x, col)}), '')").alias("dup_group"),
+    )
     w = h.groupBy("dup_group").agg(
         F.count(F.lit(1)).cast("long").alias("group_size"),
         F.min(id_col).alias("__canon"),
@@ -73,7 +79,8 @@ def exact_duplicates_sql(table: str, col: str = "text", id_col: str = "doc_id") 
     x = X(DUCK)
     return f"""
 WITH h AS (
-  SELECT {id_col}, md5({_norm_expr(x, col)}) AS dup_group FROM {table}
+  SELECT {id_col}, COALESCE(md5({_norm_expr(x, col)}), '') AS dup_group
+  FROM {table}
 ),
 g AS (
   SELECT dup_group, CAST(COUNT(*) AS BIGINT) AS group_size, MIN({id_col}) AS canon
@@ -138,6 +145,13 @@ def minhash_signatures_sql(
 
 
 def _band_exprs(x: X, n_hashes: int, band_rows: int) -> list[str]:
+    if n_hashes % band_rows != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by band_rows "
+            f"({band_rows}) — trailing signatures would be computed and "
+            "shuffled but silently excluded from banding, giving a "
+            "different (b, r) recall curve than requested"
+        )
     n_bands = n_hashes // band_rows
     out = []
     for bnd in range(n_bands):
@@ -585,19 +599,40 @@ def dedup_components(
     """Resolve near-duplicate PAIRS into duplicate GROUPS over the full
     corpus: every document gets a ``component`` (min doc id of its
     duplicate cluster; singletons map to themselves) and ``is_canonical``
-    (the one row per component to keep). This is the step a training-data
-    pipeline actually ships: pairs → clusters → keep-list.
+    (the one row per component to keep). The canonical is the minimum id
+    PRESENT in ``df`` for that component — so when ``df`` is a filtered
+    corpus that no longer contains a component's global min id, the group
+    still keeps exactly one canonical row instead of silently losing the
+    whole group to a keep-canonicals filter. This is the step a
+    training-data pipeline actually ships: pairs → clusters → keep-list.
     ``driver_nmax`` routes small pair sets through the union-find fast
     path (see :func:`connected_components`)."""
     comp = connected_components(pairs, src=src, dst=dst, driver_nmax=driver_nmax)
-    out = df.select(F.col(id_col)).join(
-        comp.withColumnRenamed("id", id_col), on=id_col, how="left"
+    labeled = (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+            F.col("component").isNotNull().alias("__in_graph"),
+        )
     )
-    return out.select(
-        id_col,
-        F.coalesce("component", F.col(id_col)).alias("component"),
-    ).withColumn(
-        "is_canonical", (F.col(id_col) == F.col("component")).cast("boolean")
+    # per-component min of the PRESENT ids — one row per pairs-graph
+    # component (small by construction), broadcast back
+    pmin = (
+        labeled.where("__in_graph")
+        .groupBy("component")
+        .agg(F.min(id_col).alias("__pmin"))
+    )
+    return (
+        labeled.join(F.broadcast(pmin), on="component", how="left")
+        .select(
+            id_col,
+            "component",
+            (
+                F.col(id_col) == F.coalesce("__pmin", F.col(id_col))
+            ).cast("boolean").alias("is_canonical"),
+        )
     )
 
 
@@ -625,10 +660,19 @@ walk(id, reach) AS (
 ),
 comp AS (
   SELECT id, MIN(reach) AS component FROM walk GROUP BY id
+),
+joined AS (
+  SELECT t.{id_col},
+         COALESCE(comp.component, t.{id_col}) AS component,
+         comp.component IS NOT NULL AS in_graph
+  FROM {table} t
+  LEFT JOIN comp ON comp.id = t.{id_col}
+),
+pmin AS (
+  SELECT component, MIN({id_col}) AS pm FROM joined WHERE in_graph GROUP BY component
 )
-SELECT t.{id_col},
-       COALESCE(comp.component, t.{id_col}) AS component,
-       (COALESCE(comp.component, t.{id_col}) = t.{id_col}) AS is_canonical
-FROM {table} t
-LEFT JOIN comp ON comp.id = t.{id_col}
+SELECT j.{id_col}, j.component,
+       (j.{id_col} = COALESCE(p.pm, j.{id_col})) AS is_canonical
+FROM joined j
+LEFT JOIN pmin p USING (component)
 """

@@ -102,6 +102,12 @@ def decode_features(
     mapInPandas. Default is the deterministic stub; pass a real decoder in
     production (raising NotImplementedError here would be the honest stub,
     but a deterministic fake keeps the plumbing testable end-to-end).
+    ``batch_hint`` bounds how many items are decoded and held per yielded
+    frame: incoming Arrow batches (sized by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``, default 10k) are
+    re-chunked to at most this many rows, so peak executor memory per
+    task is ~batch_hint × decoded-item size regardless of the Arrow batch
+    or partition size.
     """
     dec = decoder or _make_fake_decoder()
     out_schema = T.StructType(
@@ -112,20 +118,23 @@ def decode_features(
             T.StructField("n_bytes", T.LongType(), False),
         ]
     )
+    hint = max(1, int(batch_hint))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [dec(c, dim).tolist() for c in pdf["content"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "kind": pdf["kind"],
-                    "features": feats,
-                    "n_bytes": pdf["content"].map(
-                        lambda b: len(b) if b is not None else 0
-                    ).astype("int64"),
-                }
-            )
+            for lo in range(0, len(pdf), hint):
+                chunk = pdf.iloc[lo : lo + hint]
+                feats = [dec(c, dim).tolist() for c in chunk["content"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].astype("int64"),
+                        "kind": chunk["kind"],
+                        "features": feats,
+                        "n_bytes": chunk["content"].map(
+                            lambda b: len(b) if b is not None else 0
+                        ).astype("int64"),
+                    }
+                )
 
     return df.select("media_id", "kind", "content").mapInPandas(batches, out_schema)
 
@@ -137,9 +146,12 @@ def decode_features_sql(
     with the default stub decoder: the md5-integer PRNG features are exact
     integer arithmetic, so Spark (Python stub) and DuckDB agree bit-for-bit
     (both compute k/10⁶ for the same integer k)."""
+    # NULL text → zero features / 0 bytes, matching the Python stub's
+    # explicit None branch (a bare md5(NULL) would propagate NULLs)
     feats = ", ".join(
+        f"CASE WHEN {text_col} IS NULL THEN 0.0 ELSE "
         f"((('0x' || substr(md5({text_col} || '|{j}'), 1, 15))::BIGINT "
-        f"% 2000001) - 1000000) / 1000000.0"
+        f"% 2000001) - 1000000) / 1000000.0 END"
         for j in range(dim)
     )
     return f"""
@@ -147,7 +159,7 @@ SELECT {id_col} AS media_id,
   CASE WHEN {id_col} % 3 = 0 THEN 'image'
        WHEN {id_col} % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
   [{feats}] AS features,
-  CAST(octet_length(encode({text_col})) AS BIGINT) AS n_bytes
+  CAST(COALESCE(octet_length(encode({text_col})), 0) AS BIGINT) AS n_bytes
 FROM {table}
 """
 
@@ -160,15 +172,16 @@ def decode_features_exploded_sql(
     array-encoding ambiguity)."""
     vals = ", ".join(f"({j})" for j in range(dim))
     feat = (
+        f"CASE WHEN d.{text_col} IS NULL THEN 0.0 ELSE "
         f"((('0x' || substr(md5(d.{text_col} || '|' || "
         f"CAST(j.feat_idx AS VARCHAR)), 1, 15))::BIGINT % 2000001) - 1000000) "
-        f"/ 1000000.0"
+        f"/ 1000000.0 END"
     )
     return f"""
 SELECT d.{id_col} AS media_id,
   CASE WHEN d.{id_col} % 3 = 0 THEN 'image'
        WHEN d.{id_col} % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-  CAST(octet_length(encode(d.{text_col})) AS BIGINT) AS n_bytes,
+  CAST(COALESCE(octet_length(encode(d.{text_col})), 0) AS BIGINT) AS n_bytes,
   j.feat_idx,
   {feat} AS feat_val
 FROM {table} d, (VALUES {vals}) j(feat_idx)
@@ -194,11 +207,15 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: computes per-item frame timestamps as an
     array column (pure column math — the decode of those frames is the
-    stubbed step)."""
+    stubbed step). Samples every timestamp strictly inside the duration:
+    0, every_ms, …, up to ceil(duration/every)−1 frames (a 1999 ms video
+    at 1000 ms sampling yields [0, 1000], not just [0])."""
+    last_idx = (
+        f"greatest(cast((duration_ms - 1) / {every_ms} as int), 0)"
+    )
     return df.where(F.col("kind") == "video").select(
         "media_id",
         F.expr(
-            f"transform(sequence(0, greatest(cast(duration_ms / {every_ms} as int) - 1, 0)), "
-            f"i -> i * {every_ms})"
+            f"transform(sequence(0, {last_idx}), i -> i * {every_ms})"
         ).alias("frame_ts_ms"),
     )

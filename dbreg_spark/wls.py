@@ -72,6 +72,14 @@ class CellDesign:
     def _add_var(self, pdf: pd.DataFrame, v: str, force_cat: bool):
         s = pdf[v]
         if _is_categorical(s, force_cat):
+            if s.isna().any():
+                # np.unique cannot sort None against str, and the
+                # distributed twin refuses too — fail identically
+                raise ValueError(
+                    f"[dbreg] categorical/FE column(s) ['{v}'] contain "
+                    "NULLs; use drop_missings=True (the default) or fill "
+                    "them — a NULL has no dummy level."
+                )
             arr = s.to_numpy()
             uniq, inv = np.unique(arr, return_inverse=True)
             # drop first (reference) level: code 0 → -1, level k → k-1

@@ -130,6 +130,25 @@ def test_cluster_with_nulls_compress_matches_moments(tables):
                 rtol=1e-6,
             )
             assert m.n_clusters == m_mom.n_clusters
+    # WITH an FE the blocked meat has categorical score blocks whose
+    # cross-block joins must keep the NULL cluster (struct-wrapped key) —
+    # a plain equi-join drops it there while the dense block counts it
+    fml_fe = "l_tax ~ l_quantity | l_linestatus"
+    m_drv = dbreg(fml_fe, li, strategy="compress", vcov="~cl_null")
+    m_dst = dbreg(
+        fml_fe, li, strategy="compress", vcov="~cl_null", compress_nmax=100
+    )
+    np.testing.assert_allclose(
+        m_dst.coef().sort_index().to_numpy(),
+        m_drv.coef().sort_index().to_numpy(),
+        rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        m_dst.se().sort_index().to_numpy(),
+        m_drv.se().sort_index().to_numpy(),
+        rtol=1e-8,
+    )
+    assert m_dst.n_clusters == m_drv.n_clusters
 
 
 def test_fallback_width_guard(tables):
@@ -249,3 +268,38 @@ def test_threeway_cgm_compress_matches_moments(tables):
         rtol=1e-6,
     )
     assert m_cmp.n_clusters == m_mom.n_clusters
+
+
+def test_fe_var_also_numeric_regressor_paths_agree(tables):
+    """A variable used BOTH as a numeric regressor and as an FE gets a
+    numeric slope block plus a forced dummy block in the driver CellDesign;
+    the distributed-Gram block builder must mirror that exactly."""
+    li = tables["lineitem"]
+    fml = "l_tax ~ l_quantity + l_linenumber | l_linenumber"
+    m_drv = dbreg(fml, li, strategy="compress")
+    m_dst = dbreg(fml, li, strategy="compress", compress_nmax=100)
+    a = m_drv.coef().sort_index()
+    b = m_dst.coef().sort_index()
+    assert list(a.index) == list(b.index)
+    np.testing.assert_allclose(b.to_numpy(), a.to_numpy(), rtol=1e-8)
+
+
+def test_null_fe_refused_identically_on_both_paths(tables):
+    """drop_missings=False with NULLs in a categorical/FE column must fail
+    with the same clear error on the driver and distributed paths, never
+    silently fold nulls into the reference level."""
+    import pyspark.sql.functions as F
+
+    li = tables["lineitem"].withColumn(
+        "fe_null",
+        F.when(F.col("l_linenumber") == 1, F.lit(None)).otherwise(
+            F.col("l_returnflag")
+        ),
+    )
+    fml = "l_tax ~ l_quantity | fe_null"
+    with pytest.raises(ValueError, match="NULL"):
+        dbreg(fml, li, strategy="compress", drop_missings=False)
+    with pytest.raises(ValueError, match="NULL"):
+        dbreg(
+            fml, li, strategy="compress", drop_missings=False, compress_nmax=100
+        )

@@ -1172,3 +1172,91 @@ def test_pack_greedy_null_shard_still_guarded(spark, docs):
     # sub-sharding adds pack boundaries vs the unbounded single group
     single = text.pack_greedy(nulled, budget=1000, max_rows_per_task=None).toPandas()
     assert got["pack_seq"].nunique() > single["pack_seq"].nunique()
+
+
+def test_exact_duplicates_null_text_rows_kept(spark, duck):
+    """NULL-text rows stay in the output (sentinel group ''), grouped
+    together — identically on both engines."""
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": ["same words", "same words", None, None]}
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("nulltext_docs")
+    duck.register("nulltext_docs", pdf)
+    got = dedup.exact_duplicates(spark.table("nulltext_docs")).toPandas()
+    want = duck.execute(dedup.exact_duplicates_sql("nulltext_docs")).fetchdf()
+    _compare(got, want, ["doc_id"])
+    assert len(got) == 4  # nothing dropped
+    g = got.set_index("doc_id")
+    assert g.loc[3, "dup_group"] == "" and g.loc[4, "dup_group"] == ""
+    assert g.loc[3, "group_size"] == 2
+    assert bool(g.loc[3, "is_canonical"]) and not bool(g.loc[4, "is_canonical"])
+
+
+def test_band_rows_divisibility_enforced(docs):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="divisible"):
+        dedup.minhash_lsh_pairs(docs, n_hashes=16, band_rows=3)
+
+
+def test_dedup_components_filtered_corpus_keeps_canonical(spark):
+    """When df is a filtered corpus missing a component's global-min id,
+    the min PRESENT id becomes canonical — the group is never left with
+    zero canonical rows."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [5, 6], "id_b": [6, 7]})
+    )
+    full = spark.createDataFrame(pd.DataFrame({"doc_id": [5, 6, 7, 9]}))
+    filtered = full.where("doc_id <> 5")  # drop the component min
+    out = (
+        dedup.dedup_components(filtered, pairs)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert set(out.index) == {6, 7, 9}
+    assert (out.loc[[6, 7], "component"] == 5).all()  # label unchanged
+    assert bool(out.loc[6, "is_canonical"])  # min PRESENT id
+    assert not bool(out.loc[7, "is_canonical"])
+    assert bool(out.loc[9, "is_canonical"])  # singleton
+
+
+def test_frame_sample_plan_includes_last_partial_frame(spark):
+    from dbreg_spark.operators import multimodal as mm
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2, 3],
+            "kind": ["video"] * 3,
+            "duration_ms": [1999, 2000, 500],
+        }
+    )
+    out = (
+        mm.frame_sample_plan(spark.createDataFrame(pdf), every_ms=1000)
+        .toPandas()
+        .set_index("media_id")["frame_ts_ms"]
+    )
+    assert list(out.loc[1]) == [0, 1000]  # 1999ms: frame at 1000 included
+    assert list(out.loc[2]) == [0, 1000]  # 2000ms: frame at 2000 is outside
+    assert list(out.loc[3]) == [0]
+
+
+def test_decode_features_batch_hint_chunks(spark, docs):
+    """batch_hint re-chunks Arrow batches: results identical, and a probe
+    decoder observes bounded chunk sizes."""
+    from dbreg_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media(docs.limit(20))
+    a = (
+        mm.decode_features(media, dim=4)
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        mm.decode_features(media, dim=4, batch_hint=3)
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
