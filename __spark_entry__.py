@@ -429,6 +429,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["text_decontaminate"] = q_decontaminate
 
+    # Gopher-style repetition quality metrics (single tagged-array explode,
+    # one (id, kind, token) shuffle with map-side combine)
+    def q_repetition(spark, sf_dir):
+        from dbreg_spark.operators import text as _text
+
+        t = _tables(spark, sf_dir)
+        return _round_doubles_df(_text.repetition_stats(t["documents"]))
+
+    Q["text_repetition"] = q_repetition
+
     # context-window chunking with overlap (pure column exprs, no shuffle)
     def q_chunk(spark, sf_dir):
         from dbreg_spark.operators import text as _text
@@ -957,6 +967,16 @@ FROM g CROSS JOIN tot
     )
 
     O["text_chunks"] = _text.chunk_text_sql("documents", max_chars=150, overlap=30)
+
+    rep_dbl = [
+        "dup_line_frac", "dup_line_char_frac", "top_ngram_char_frac",
+        "dup_ngram_char_frac",
+    ]
+    O["text_repetition"] = _round_doubles_sql(
+        _text.repetition_stats_sql("documents"),
+        ["doc_id", "n_lines"] + rep_dbl + ["is_repetitive"],
+        rep_dbl,
+    )
 
     from dbreg_spark.operators import similarity as _simq
 

@@ -58,6 +58,12 @@ class X:
             return f"slice({arr}, {i}, {n})"
         return f"list_slice({arr}, {i}, {i} + {n - 1})"
 
+    def empty_str_array(self) -> str:
+        """A typed empty ARRAY<STRING> literal."""
+        if self.e == SPARK:
+            return "array_remove(array(''), '')"
+        return "CAST([] AS VARCHAR[])"
+
     def array_min(self, arr: str) -> str:
         return f"array_min({arr})" if self.e == SPARK else f"list_min({arr})"
 
@@ -81,6 +87,12 @@ class X:
         if self.e == SPARK:
             return f"split(trim({s}), {self.rx(chr(92) + 's+')})"
         return f"string_split_regex(trim({s}), {self.rx(chr(92) + 's+')})"
+
+    def split_re(self, s: str, pattern: str) -> str:
+        """Split on a regex (no trim — caller decides)."""
+        if self.e == SPARK:
+            return f"split({s}, {self.rx(pattern)})"
+        return f"string_split_regex({s}, {self.rx(pattern)})"
 
     def regexp_count(self, s: str, pattern: str) -> str:
         if self.e == SPARK:

@@ -529,6 +529,187 @@ FROM {table} d LEFT JOIN hits h USING ({id_col})
 
 
 # --------------------------------------------------------------------------
+# repetition statistics (Gopher-style quality filters)
+# --------------------------------------------------------------------------
+
+# Gopher-inspired repetition thresholds (Rae et al. 2021, table A1 family):
+# a document breaching ANY of them is flagged repetitive.
+REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_ngram_char_frac": 0.20,
+    "dup_ngram_char_frac": 0.15,
+}
+
+
+def _repetition_token_arrays(
+    x: X, col: str, top_ngram: int, dup_ngram: int
+) -> dict[str, str]:
+    """The three token arrays the repetition metrics count over: non-blank
+    lines, ``top_ngram``-grams, ``dup_ngram``-grams. Documents with fewer
+    than n words contribute NO n-grams (the metric is 0, not the whole-doc
+    shingle the minhash path uses)."""
+    lines = x.filter(
+        x.split_re(col, r"\n"), "l -> length(trim(l)) > 0"
+    )
+    words = x.split_ws(col)
+    out = {"L": lines}
+    for kind, n in (("T", top_ngram), ("D", dup_ngram)):
+        out[kind] = (
+            f"CASE WHEN {x.size(words)} >= {n} "
+            f"THEN {x.word_ngrams(col, n)} "
+            f"ELSE {x.empty_str_array()} END"
+        )
+    return out
+
+
+def repetition_stats(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    top_ngram: int = 2,
+    dup_ngram: int = 5,
+    thresholds: dict[str, float] = REPETITION_THRESHOLDS,
+) -> DataFrame:
+    """Gopher-style repetition quality metrics per document — the standard
+    "remove boilerplate / machine-generated repetition" filter stage of an
+    LLM training-data pipeline (Rae et al. 2021; reproduced by RefinedWeb /
+    FineWeb / DataTrove). Returns one row per document:
+
+    - ``n_lines``: non-blank line count
+    - ``dup_line_frac``: fraction of lines whose exact text occurs more
+      than once (all occurrences counted)
+    - ``dup_line_char_frac``: characters of those duplicated lines over
+      total document characters
+    - ``top_ngram_char_frac``: characters covered by the single most
+      frequent word ``top_ngram``-gram (count × gram length) over total
+    - ``dup_ngram_char_frac``: characters of duplicate occurrences (beyond
+      the first) of word ``dup_ngram``-grams over total
+    - ``is_repetitive``: 1 when any metric breaches ``thresholds``
+
+    Since n-gram occurrences overlap, count × length upper-bounds true
+    character coverage; the char fractions are capped at 1.0 (same
+    convention both engines).
+
+    NULL/empty documents get all-zero metrics (no row is dropped).
+
+    Scale shape: the three token families (lines, short grams, long grams)
+    travel as ONE tagged array, so the corpus is scanned once; explode →
+    two-level groupBy means the only shuffle carries (id, kind, token)
+    rows with map-side partial counts — linear in corpus size, no per-doc
+    O(tokens²) array scans, no Python. The DuckDB twin unions three unnest
+    scans (same computation; the oracle table is small)."""
+    x = X(SPARK)
+    arrs = _repetition_token_arrays(x, col, top_ngram, dup_ngram)
+    tagged = "concat(%s)" % ", ".join(
+        f"{x.transform(a, f'v -> named_struct({chr(39)}kind{chr(39)}, {chr(39)}{k}{chr(39)}, {chr(39)}tok{chr(39)}, v)')}"
+        for k, a in arrs.items()
+    )
+    expl = df.select(
+        F.col(id_col), F.explode(F.expr(tagged)).alias("__t")
+    ).select(id_col, F.col("__t.kind").alias("kind"), F.col("__t.tok").alias("tok"))
+    counts = expl.groupBy(id_col, "kind", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tl = F.length(F.col("tok"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum(F.when(F.col("kind") == "L", F.col("c"))).alias("__nl"),
+        F.sum(
+            F.when((F.col("kind") == "L") & (F.col("c") > 1), F.col("c"))
+        ).alias("__ndl"),
+        F.sum(
+            F.when((F.col("kind") == "L") & (F.col("c") > 1), F.col("c") * tl)
+        ).alias("__dlc"),
+        F.max(F.when(F.col("kind") == "T", F.col("c") * tl)).alias("__top"),
+        F.sum(
+            F.when(
+                (F.col("kind") == "D") & (F.col("c") > 1),
+                (F.col("c") - 1) * tl,
+            )
+        ).alias("__dgc"),
+    )
+    nch = F.greatest(F.coalesce(F.length(F.col(col)), F.lit(0)), F.lit(1))
+    z = lambda c: F.coalesce(c, F.lit(0)).cast("double")  # noqa: E731
+    one = F.lit(1.0)
+    # n-gram occurrences overlap, so count × length is an UPPER BOUND on
+    # character coverage — cap at 1.0 to keep the metrics in [0, 1]
+    metrics = {
+        "dup_line_frac": z(F.col("__ndl"))
+        / F.greatest(F.coalesce(F.col("__nl"), F.lit(0)), F.lit(1)),
+        "dup_line_char_frac": F.least(z(F.col("__dlc")) / nch, one),
+        "top_ngram_char_frac": F.least(z(F.col("__top")) / nch, one),
+        "dup_ngram_char_frac": F.least(z(F.col("__dgc")) / nch, one),
+    }
+    flag = None
+    for k, thr in thresholds.items():
+        cond = metrics[k] > F.lit(float(thr))
+        flag = cond if flag is None else (flag | cond)
+    return (
+        df.select(id_col, col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__nl"), F.lit(0)).cast("long").alias("n_lines"),
+            *[v.alias(k) for k, v in metrics.items()],
+            flag.cast("int").alias("is_repetitive"),
+        )
+    )
+
+
+def repetition_stats_sql(
+    table: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    top_ngram: int = 2,
+    dup_ngram: int = 5,
+    thresholds: dict[str, float] = REPETITION_THRESHOLDS,
+) -> str:
+    """DuckDB twin of :func:`repetition_stats` (three unnest scans unioned
+    in place of Spark's single tagged-array explode — same counts)."""
+    x = X(DUCK)
+    arrs = _repetition_token_arrays(x, col, top_ngram, dup_ngram)
+    scans = "\n  UNION ALL\n".join(
+        f"  SELECT {id_col}, '{k}' AS kind, t.tok "
+        f"FROM {table}, unnest({a}) AS t(tok)"
+        for k, a in arrs.items()
+    )
+    flag = " OR ".join(
+        f"{k} > {float(thr)}" for k, thr in thresholds.items()
+    )
+    return f"""
+WITH toks AS (
+{scans}
+),
+counts AS (
+  SELECT {id_col}, kind, tok, COUNT(*) AS c
+  FROM toks GROUP BY {id_col}, kind, tok
+),
+per_doc AS (
+  SELECT {id_col},
+         SUM(CASE WHEN kind = 'L' THEN c END) AS nl,
+         SUM(CASE WHEN kind = 'L' AND c > 1 THEN c END) AS ndl,
+         SUM(CASE WHEN kind = 'L' AND c > 1 THEN c * LENGTH(tok) END) AS dlc,
+         MAX(CASE WHEN kind = 'T' THEN c * LENGTH(tok) END) AS top,
+         SUM(CASE WHEN kind = 'D' AND c > 1 THEN (c - 1) * LENGTH(tok) END) AS dgc
+  FROM counts GROUP BY {id_col}
+),
+m AS (
+  SELECT d.{id_col},
+         CAST(COALESCE(p.nl, 0) AS BIGINT) AS n_lines,
+         COALESCE(p.ndl, 0)::DOUBLE / GREATEST(COALESCE(p.nl, 0), 1) AS dup_line_frac,
+         LEAST(COALESCE(p.dlc, 0)::DOUBLE / GREATEST(COALESCE(LENGTH(d.{col}), 0), 1), 1.0) AS dup_line_char_frac,
+         LEAST(COALESCE(p.top, 0)::DOUBLE / GREATEST(COALESCE(LENGTH(d.{col}), 0), 1), 1.0) AS top_ngram_char_frac,
+         LEAST(COALESCE(p.dgc, 0)::DOUBLE / GREATEST(COALESCE(LENGTH(d.{col}), 0), 1), 1.0) AS dup_ngram_char_frac
+  FROM {table} d LEFT JOIN per_doc p USING ({id_col})
+)
+SELECT {id_col}, n_lines, dup_line_frac, dup_line_char_frac,
+       top_ngram_char_frac, dup_ngram_char_frac,
+       CAST(({flag}) AS INT) AS is_repetitive
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
 # vocabulary induction (tokenizer prep)
 # --------------------------------------------------------------------------
 

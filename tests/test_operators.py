@@ -1260,3 +1260,73 @@ def test_decode_features_batch_hint_chunks(spark, docs):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_repetition_stats_vs_duckdb(docs, duck):
+    got = text.repetition_stats(docs).toPandas()
+    want = duck.execute(text.repetition_stats_sql("documents")).fetchdf()
+    float_cols = [
+        "dup_line_frac", "dup_line_char_frac", "top_ngram_char_frac",
+        "dup_ngram_char_frac",
+    ]
+    _compare(got, want, ["doc_id"], float_cols)
+    # metrics are bounded and flags follow the thresholds
+    for c in float_cols:
+        assert (got[c] >= 0).all() and (got[c] <= 1).all(), c
+    thr = text.REPETITION_THRESHOLDS
+    expect = (
+        (got["dup_line_frac"] > thr["dup_line_frac"])
+        | (got["dup_line_char_frac"] > thr["dup_line_char_frac"])
+        | (got["top_ngram_char_frac"] > thr["top_ngram_char_frac"])
+        | (got["dup_ngram_char_frac"] > thr["dup_ngram_char_frac"])
+    ).astype(int)
+    assert (got["is_repetitive"] == expect).all()
+
+
+def test_repetition_stats_handcomputed(spark, duck):
+    """Crafted docs with known repetition structure, both engines."""
+    rows = [
+        (1, "aaa bbb\naaa bbb\nccc ddd"),  # 2/3 dup lines
+        (2, "x y x y x y x y x y"),        # one dominant 2-gram
+        (3, None),                          # null text -> zeros
+        (4, ""),                            # empty -> zeros
+        (5, "solo"),                        # <2 words -> no n-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        text.repetition_stats(df)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_lines"].tolist() == [3, 1, 0, 0, 1]
+    assert abs(got.loc[0, "dup_line_frac"] - 2 / 3) < 1e-12
+    # doc 1: 'aaa bbb' (7 chars) twice = 14 chars of 23
+    assert abs(got.loc[0, "dup_line_char_frac"] - 14 / 23) < 1e-12
+    # doc 2: 'x y' appears 5 times among the nine 2-grams -> 15/19 chars
+    assert abs(got.loc[1, "top_ngram_char_frac"] - 15 / 19) < 1e-12
+    assert got.loc[1, "is_repetitive"] == 1
+    # null/empty/short docs: all-zero metrics, never repetitive
+    z = got.loc[2:4, [
+        "dup_line_frac", "dup_line_char_frac", "top_ngram_char_frac",
+        "dup_ngram_char_frac",
+    ]]
+    assert (z.to_numpy() == 0).all()
+    assert (got.loc[2:4, "is_repetitive"] == 0).all()
+    # cap: pathological doc whose raw dup-ngram count exceeds its length
+    cap = spark.createDataFrame(
+        [(9, "a b c d e f a b c d e f a b c d e f")],
+        "doc_id long, text string",
+    )
+    capped = text.repetition_stats(cap).toPandas()
+    assert capped.loc[0, "dup_ngram_char_frac"] == 1.0
+
+
+def test_repetition_stats_single_scan_plan(docs):
+    """One corpus scan: the tagged-array design reads the parquet once
+    (the final left join re-reads for id+text, so <= 2 scans, never 3+),
+    and the only exchanges are the two-level groupBy + join."""
+    out = text.repetition_stats(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
