@@ -512,6 +512,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["dedup_embedding_neardup"] = q_emb_neardup
 
+    # SemDeDup-style semantic dedup with the deterministic centroid fixture
+    # (kmeans cells + within-cell smaller-id near-dup drop, all replayable)
+    def q_semantic_dedup(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        return similarity.semantic_dedup(
+            t["embeddings"], threshold=0.3,
+            centroids=similarity.fixed_ivf_centroids(8, 64),
+        )
+
+    Q["dedup_semantic"] = q_semantic_dedup
+
     # ---- multimodal plumbing (binary columns + typed metadata) ----
     def q_mm_metadata(spark, sf_dir):
         from dbreg_spark.operators import multimodal as mm
@@ -1033,6 +1044,9 @@ FROM g CROSS JOIN tot
     )
     O["dedup_embedding_neardup"] = _sim.embedding_neardup_pairs_sql(
         "embeddings", threshold=0.2, n_planes=4, dim=64
+    )
+    O["dedup_semantic"] = _sim.semantic_dedup_sql(
+        "embeddings", centroids=_sim.fixed_ivf_centroids(8, 64), threshold=0.3
     )
 
     # multimodal: the synthesized media table re-expressed over documents

@@ -514,6 +514,141 @@ def embedding_neardup_pairs(
 
 
 # --------------------------------------------------------------------------
+# semantic deduplication (SemDeDup-style)
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+    max_cell: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings with k-means, then inside each cluster drop every vector
+    that has a near-duplicate (cosine ≥ ``threshold``) with a SMALLER id.
+    Returns one row per corpus vector: (``id_col``, ``cell``, ``keep``) —
+    filter ``keep = 1`` for the retained corpus.
+
+    The drop rule is pairwise and deterministic ("any smaller-id neighbor
+    disqualifies"), a conservative superset of the paper's greedy
+    sequential scan: in a chain a~b, b~c (a≁c) it drops both b and c,
+    where the greedy scan would re-keep c. At the tight thresholds
+    semantic dedup runs at (≥0.95), near-dup groups are dense cliques and
+    the two rules coincide.
+
+    Scale shape: clustering is what makes 100 TB semantic dedup feasible —
+    the corpus is scanned once for cell assignment (centroid distances as
+    quadratic-form column expressions, no UDF), and the O(m²) pairwise
+    cosine runs only WITHIN a cell (m ≈ n/k). Size ``n_centroids`` so
+    cells stay ~1e4-1e5; cells over ``max_cell`` rows are excluded from
+    pairing (all their vectors kept) as a skew guard — raise k instead of
+    the guard when it triggers. ``centroids`` overrides the sampled-kmeans
+    fit (e.g. :func:`fixed_ivf_centroids` for the deterministic gate)."""
+    cents = (
+        np.asarray(centroids, dtype=float)
+        if centroids is not None
+        else kmeans_centroids(corpus, n_centroids, vec_col, seed=seed)
+    )
+
+    def argmin_expr(vec: str) -> str:
+        d = [_d2_quadratic_spark(vec, c) for c in cents]
+        arr = "array(" + ", ".join(d) + ")"
+        return f"array_position({arr}, array_min({arr}))"
+
+    c = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        .withColumn("__vv", F.expr(_dot("__v", "__v")))
+        .withColumn("cell", F.expr(argmin_expr("__v")))
+        .select(id_col, "__v", "cell")
+    )
+    pairable = c
+    if max_cell is not None:
+        hot = (
+            c.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .where(F.col("__m") > max_cell)
+            .select("cell")
+        )
+        pairable = c.join(F.broadcast(hot), ["cell"], "left_anti")
+    a, b = pairable.alias("a"), pairable.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(F.expr(_cos_spark("a.__v", "b.__v")) >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("__drop", F.lit(1))
+    )
+    return (
+        c.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            F.col("cell").cast("long").alias("cell"),
+            F.col("__drop").isNull().cast("int").alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_sql(
+    table: str,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` with fixed centroids (same
+    quadratic-form cell assignment as :func:`ivf_topk_sql`)."""
+    cents = np.asarray(centroids, dtype=float)
+    vals = ",\n    ".join(
+        f"({i + 1}, {_duck_plane_lit(c)}, {float(np.dot(c, c))!r})"
+        for i, c in enumerate(cents)
+    )
+    d2 = (
+        "(list_inner_product(c.v, c.v) - 2 * list_inner_product(c.v, cents.cv)"
+        " + cents.cc)"
+    )
+    return f"""
+WITH c AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}),
+cents AS (SELECT * FROM (VALUES
+    {vals}) t(cell, cv, cc)),
+assigned AS (
+  SELECT {id_col}, v, cell FROM (
+    SELECT c.{id_col}, c.v, cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY c.{id_col}
+             ORDER BY {d2} ASC, cents.cell ASC) AS rn
+    FROM c CROSS JOIN cents
+  ) WHERE rn = 1
+),
+hot AS (
+  SELECT cell FROM assigned GROUP BY cell HAVING COUNT(*) > {max_cell}
+),
+pairable AS (
+  SELECT * FROM assigned WHERE cell NOT IN (SELECT cell FROM hot)
+),
+dropped AS (
+  SELECT DISTINCT b.{id_col}
+  FROM pairable a JOIN pairable b
+    ON a.cell = b.cell AND a.{id_col} < b.{id_col}
+  WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+)
+SELECT s.{id_col}, CAST(s.cell AS BIGINT) AS cell,
+       CAST(d.{id_col} IS NULL AS INT) AS keep
+FROM assigned s LEFT JOIN dropped d USING ({id_col})
+"""
+
+
+# --------------------------------------------------------------------------
 # embedding hygiene: L2 normalization + symmetric int8 quantization
 # --------------------------------------------------------------------------
 

@@ -1330,3 +1330,49 @@ def test_repetition_stats_single_scan_plan(docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") <= 2
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_semantic_dedup_vs_duckdb(emb, duck):
+    cents = similarity.fixed_ivf_centroids(8, 64)
+    got = similarity.semantic_dedup(emb, threshold=0.3, centroids=cents).toPandas()
+    want = duck.execute(
+        similarity.semantic_dedup_sql("embeddings", centroids=cents, threshold=0.3)
+    ).fetchdf()
+    _compare(got, want, ["vec_id"])
+    # one row per corpus vector, both outcomes exercised
+    assert len(got) == emb.count()
+    assert set(got["keep"]) == {0, 1}
+    # the smallest id of every cell is always kept (nothing can precede it)
+    first = got.sort_values("vec_id").groupby("cell").first()
+    assert (first["keep"] == 1).all()
+
+
+def test_semantic_dedup_drop_rule(spark):
+    """Hand-built cell: near-identical vectors drop all but the min id;
+    an orthogonal vector in the same cell survives."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    ortho = rng.standard_normal(64)
+    ortho -= ortho @ base / (base @ base) * base  # cosine(base, ortho) = 0
+    rows = [
+        (1, base.tolist()),
+        (2, (base * 1.01).tolist()),     # near-dup of 1
+        (3, (base * 0.99).tolist()),     # near-dup of 1 and 2
+        (4, ortho.tolist()),             # same space, dissimilar
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.zeros((1, 64))  # single cell
+    out = (
+        similarity.semantic_dedup(df, threshold=0.95, centroids=cents)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert out["keep"].tolist() == [1, 0, 0, 1]
+    # max_cell guard: a cell over the bound is excluded from pairing
+    guarded = (
+        similarity.semantic_dedup(df, threshold=0.95, centroids=cents, max_cell=2)
+        .toPandas()
+    )
+    assert (guarded["keep"] == 1).all()
