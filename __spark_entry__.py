@@ -439,6 +439,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["text_repetition"] = q_repetition
 
+    # CCNet-style LM quality scoring: unigram perplexity vs the corpus's
+    # own vocabulary (capped -> OOV path exercised), broadcast count table
+    def q_lm_score(spark, sf_dir):
+        from dbreg_spark.operators import text as _text
+
+        t = _tables(spark, sf_dir)
+        return _round_doubles_df(
+            _text.lm_quality_score(t["documents"], max_vocab=1000)
+        )
+
+    Q["text_lm_score"] = q_lm_score
+
     # context-window chunking with overlap (pure column exprs, no shuffle)
     def q_chunk(spark, sf_dir):
         from dbreg_spark.operators import text as _text
@@ -987,6 +999,11 @@ FROM g CROSS JOIN tot
         _text.repetition_stats_sql("documents"),
         ["doc_id", "n_lines"] + rep_dbl + ["is_repetitive"],
         rep_dbl,
+    )
+    O["text_lm_score"] = _round_doubles_sql(
+        _text.lm_quality_score_sql("documents", max_vocab=1000),
+        ["doc_id", "n_tokens", "avg_logp", "perplexity"],
+        ["avg_logp", "perplexity"],
     )
 
     from dbreg_spark.operators import similarity as _simq

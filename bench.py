@@ -231,9 +231,28 @@ def main() -> None:
         ).where("is_contaminated = 1").count(),
     )
 
+    bench(
+        "text_repetition",
+        lambda: _textops.repetition_stats(t["documents"])
+        .agg(F.sum("is_repetitive"))
+        .collect(),
+    )
+    bench(
+        "text_lm_score",
+        lambda: _textops.lm_quality_score(t["documents"], max_vocab=1000)
+        .agg(F.avg("perplexity"))
+        .collect(),
+    )
+
     emb = t["embeddings"]
     qs = emb.where("vec_id < 5")
     bench("similarity_topk", lambda: similarity.cosine_topk(emb, qs, k=10).count())
+    bench(
+        "dedup_semantic",
+        lambda: similarity.semantic_dedup(
+            emb, threshold=0.3, centroids=similarity.fixed_ivf_centroids(8, 64)
+        ).agg(F.sum("keep")).collect(),
+    )
 
     import __spark_entry__ as em
 

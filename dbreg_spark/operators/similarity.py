@@ -36,6 +36,8 @@ def _cos_spark(a: str, b: str) -> str:
     return f"({_dot(a, b)} / nullif({_norm(a)} * {_norm(b)}, 0D))"
 
 
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -543,12 +545,19 @@ def semantic_dedup(
 
     Scale shape: clustering is what makes 100 TB semantic dedup feasible —
     the corpus is scanned once for cell assignment (centroid distances as
-    quadratic-form column expressions, no UDF), and the O(m²) pairwise
-    cosine runs only WITHIN a cell (m ≈ n/k). Size ``n_centroids`` so
-    cells stay ~1e4-1e5; cells over ``max_cell`` rows are excluded from
-    pairing (all their vectors kept) as a skew guard — raise k instead of
-    the guard when it triggers. ``centroids`` overrides the sampled-kmeans
-    fit (e.g. :func:`fixed_ivf_centroids` for the deterministic gate)."""
+    quadratic-form column expressions), and the O(m²) pairwise cosine runs
+    only WITHIN a cell (m ≈ n/k), as one blocked BLAS matmul per cell via
+    grouped ``applyInPandas`` (a task materializes one cell, bounded by
+    ``max_cell``). Size ``n_centroids`` so cells stay ~1e4-1e5; cells over
+    ``max_cell`` rows are excluded from pairing (all their vectors kept)
+    as a skew guard — raise k instead of the guard when it triggers.
+    ``centroids`` overrides the sampled-kmeans fit (e.g.
+    :func:`fixed_ivf_centroids` for the deterministic gate).
+
+    Oracle note: numpy's pairwise summation differs from DuckDB's
+    sequential ``list_cosine_similarity`` in the last ulp; the keep flags
+    agree unless a pair's cosine sits within float noise (~1e-13) of the
+    threshold — measure the margin when pinning a new fixture."""
     cents = (
         np.asarray(centroids, dtype=float)
         if centroids is not None
@@ -577,16 +586,45 @@ def semantic_dedup(
             .select("cell")
         )
         pairable = c.join(F.broadcast(hot), ["cell"], "left_anti")
-    a, b = pairable.alias("a"), pairable.alias("b")
+
+    # per-cell pairwise cosine via grouped applyInPandas (the sanctioned
+    # Arrow escape hatch, like sessionize/pack_greedy): a SQL pairwise
+    # self-join evaluates one interpreted 64-term expression per pair
+    # (higher-order-function folds are CodegenFallback, and flattened
+    # element sums blow past JIT method limits — both measured ~30-70k
+    # pairs/core-s), while one BLAS matmul per cell does ~1e8/core-s.
+    # Each task materializes ONE cell, bounded by max_cell: X is m×dim
+    # doubles (5 MB at m=1e4, dim=64) and the similarity matrix is
+    # computed in 1024-row blocks, never m×m at once.
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    thr = float(threshold)
+
+    def cell_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["__v"].notna()].sort_values(id_col)
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({id_col: pdf[id_col][:0]})
+        Xm = np.array(pdf["__v"].tolist(), dtype=float)
+        nrm = np.sqrt((Xm * Xm).sum(axis=1))
+        nrm[nrm == 0.0] = np.inf  # zero vectors: cosine undefined -> never similar
+        dropped_mask = np.zeros(m, dtype=bool)
+        for lo in range(0, m, 1024):
+            hi = min(lo + 1024, m)
+            sim = (Xm[lo:hi] @ Xm.T) / (nrm[lo:hi, None] * nrm[None, :])
+            # pair (i, j) with i < j drops j: row index i in [lo, hi),
+            # column j > i strictly
+            ge = sim >= thr
+            cols = np.arange(m)[None, :]
+            rows = np.arange(lo, hi)[:, None]
+            dropped_mask |= (ge & (cols > rows)).any(axis=0)
+        return pd.DataFrame({id_col: pdf[id_col].to_numpy()[dropped_mask]})
+
+    id_dt = c.schema[id_col].dataType
     dropped = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .where(F.expr(_cos_spark("a.__v", "b.__v")) >= threshold)
-        .select(F.col(f"b.{id_col}").alias(id_col))
-        .distinct()
+        pairable.groupBy("cell")
+        .applyInPandas(cell_dropped, T.StructType([T.StructField(id_col, id_dt)]))
         .withColumn("__drop", F.lit(1))
     )
     return (

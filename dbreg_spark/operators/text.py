@@ -710,6 +710,133 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# LM quality scoring (CCNet-style perplexity filter)
+# --------------------------------------------------------------------------
+
+
+def lm_quality_score(
+    corpus: DataFrame,
+    reference: DataFrame | None = None,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int | None = 50_000,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring: per-document perplexity
+    under an add-one-smoothed unigram model fit on ``reference`` (default:
+    the corpus itself) — the "does this read like the reference corpus"
+    filter stage (Wenzek et al. 2020 use a KenLM 5-gram; the unigram model
+    is its Spark-native, engine-replayable analog). Returns one row per
+    document: (``id_col``, ``n_tokens``, ``avg_logp``, ``perplexity``)
+    with perplexity = exp(−avg_logp). Lower perplexity = more reference-
+    like; rank or threshold downstream. Empty/NULL docs get n_tokens 0,
+    avg_logp 0, perplexity 1 (no row dropped).
+
+    Model: p(t) = (c_t + 1) / (T + V), where c_t is the token's reference
+    count (0 for out-of-vocabulary), T total reference tokens, V full
+    reference vocabulary size. ``max_vocab`` keeps only the top tokens by
+    count (deterministic ties by token) — rarer tokens score as OOV — so
+    the count table stays broadcastable; T and V are computed BEFORE the
+    cap, so the distribution is unchanged, only the tail is coarsened.
+
+    Scale shape: one groupBy over the reference builds the count table
+    (map-side combine, (token, 1) shuffle); the corpus is scanned once —
+    explode → broadcast join (``broadcast_vocab=False`` falls back to a
+    shuffle hash join for an uncapped vocabulary) → per-doc aggregate
+    carrying (id, sum, count) only. No Python in the hot path."""
+    x = X(SPARK)
+    ref = reference if reference is not None else corpus
+    tok_arr = x.filter(
+        x.transform(x.split_ws(col), "w -> lower(w)"), "w -> length(w) > 0"
+    )
+    ref_toks = ref.select(F.explode(F.expr(tok_arr)).alias("token"))
+    counts = ref_toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = counts.agg(
+        F.sum("c").alias("T"), F.count(F.lit(1)).alias("V")
+    ).collect()[0]
+    T, V = int(tot["T"] or 0), int(tot["V"] or 0)
+    if max_vocab is not None:
+        counts = counts.orderBy(F.desc("c"), F.asc("token")).limit(max_vocab)
+    if broadcast_vocab:
+        counts = F.broadcast(counts)
+    denom = float(T + V)
+    doc_toks = corpus.select(
+        F.col(id_col), F.explode(F.expr(tok_arr)).alias("token")
+    )
+    scored = doc_toks.join(counts, "token", "left").select(
+        id_col,
+        F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / F.lit(denom)).alias(
+            "__lp"
+        ),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.avg("__lp").alias("avg_logp"),
+    )
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("avg_logp"), F.lit(0.0)).alias("avg_logp"),
+            F.exp(-F.coalesce(F.col("avg_logp"), F.lit(0.0))).alias("perplexity"),
+        )
+    )
+
+
+def lm_quality_score_sql(
+    table: str,
+    reference_sql: str | None = None,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int | None = 50_000,
+) -> str:
+    """DuckDB twin of :func:`lm_quality_score` (T and V from the uncapped
+    count table, exactly as the Spark side computes them)."""
+    x = X(DUCK)
+    tok_arr = x.filter(
+        x.transform(x.split_ws(col), "w -> lower(w)"), "w -> length(w) > 0"
+    )
+    ref = reference_sql if reference_sql is not None else f"SELECT * FROM {table}"
+    cap = (
+        f",\nvocab AS (SELECT token, c FROM counts ORDER BY c DESC, token ASC LIMIT {max_vocab})"
+        if max_vocab is not None
+        else ",\nvocab AS (SELECT token, c FROM counts)"
+    )
+    return f"""
+WITH ref_toks AS (
+  SELECT t.tok AS token FROM ({ref}) r, unnest({tok_arr}) AS t(tok)
+),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM ref_toks GROUP BY token
+),
+tv AS (
+  SELECT COALESCE(SUM(c), 0) + COUNT(*) AS denom FROM counts
+){cap},
+doc_toks AS (
+  SELECT {id_col}, t.tok AS token FROM {table}, unnest({tok_arr}) AS t(tok)
+),
+scored AS (
+  SELECT d.{id_col},
+         LN((COALESCE(v.c, 0) + 1.0) / (SELECT denom FROM tv)) AS lp
+  FROM doc_toks d LEFT JOIN vocab v USING (token)
+),
+per_doc AS (
+  SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_tokens, AVG(lp) AS avg_logp
+  FROM scored GROUP BY {id_col}
+)
+SELECT b.{id_col},
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.avg_logp, 0.0) AS avg_logp,
+       EXP(-COALESCE(p.avg_logp, 0.0)) AS perplexity
+FROM {table} b LEFT JOIN per_doc p USING ({id_col})
+"""
+
+
+# --------------------------------------------------------------------------
 # vocabulary induction (tokenizer prep)
 # --------------------------------------------------------------------------
 

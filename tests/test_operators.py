@@ -1376,3 +1376,61 @@ def test_semantic_dedup_drop_rule(spark):
         .toPandas()
     )
     assert (guarded["keep"] == 1).all()
+
+
+def test_lm_quality_score_vs_duckdb(docs, duck):
+    got = text.lm_quality_score(docs, max_vocab=1000).toPandas()
+    want = duck.execute(
+        text.lm_quality_score_sql("documents", max_vocab=1000)
+    ).fetchdf()
+    _compare(got, want, ["doc_id"], ["avg_logp", "perplexity"])
+    # perplexity = exp(-avg_logp), positive, and avg_logp <= 0
+    assert (got["perplexity"] > 0).all()
+    assert (got["avg_logp"] <= 0).all()
+    np.testing.assert_allclose(
+        got["perplexity"], np.exp(-got["avg_logp"]), rtol=1e-12
+    )
+
+
+def test_lm_quality_score_reference_and_oov(spark):
+    """A doc made of reference tokens scores lower perplexity than one of
+    pure OOV tokens; empty docs score neutral (ppl 1)."""
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the cat sat"),          # all in-vocab
+            (2, "zyx wvu tsr"),          # all OOV
+            (3, ""),                      # empty
+            (4, None),                    # null
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        text.lm_quality_score(corpus, reference=ref)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "perplexity"] < out.loc[1, "perplexity"]
+    assert out["n_tokens"].tolist() == [3, 3, 0, 0]
+    assert (out.loc[2:, "perplexity"] == 1.0).all()
+    # OOV-only doc: every token scores ln(1/(T+V)) exactly
+    T, V = 30, 5
+    assert abs(out.loc[1, "avg_logp"] - np.log(1.0 / (T + V))) < 1e-12
+
+
+def test_lm_quality_score_max_vocab_oov(spark):
+    """Tokens outside the top-max_vocab count as OOV but T and V keep the
+    full-distribution values."""
+    ref = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame([(1, "cc")], "doc_id long, text string")
+    full = text.lm_quality_score(corpus, reference=ref, max_vocab=None).toPandas()
+    capped = text.lm_quality_score(corpus, reference=ref, max_vocab=1).toPandas()
+    T, V = 6, 3
+    assert abs(full.loc[0, "avg_logp"] - np.log(2.0 / (T + V))) < 1e-12
+    assert abs(capped.loc[0, "avg_logp"] - np.log(1.0 / (T + V))) < 1e-12
