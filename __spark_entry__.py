@@ -451,6 +451,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["text_lm_score"] = q_lm_score
 
+    # PII redaction over documents enriched with deterministic synthetic
+    # PII (the raw corpus has none) — pure regex column exprs, zero shuffle
+    def q_redact(spark, sf_dir):
+        from dbreg_spark.functions.xdialect import SPARK as _SP, X as _X
+        from dbreg_spark.operators import text as _text
+
+        t = _tables(spark, sf_dir)
+        x = _X(_SP)
+        enrich = (
+            "text || ' Contact user' || " + x.str_cast("doc_id")
+            + " || '@example.com or 10.0.' || " + x.str_cast("doc_id % 200")
+            + " || '.7 or call +1 (555) 123-4567.'"
+        )
+        d = t["documents"].withColumn("text", F.expr(enrich))
+        return _text.redact_pii(d).select(
+            "doc_id", "text", "n_email", "n_ip", "n_phone"
+        )
+
+    Q["text_pii_redact"] = q_redact
+
     # context-window chunking with overlap (pure column exprs, no shuffle)
     def q_chunk(spark, sf_dir):
         from dbreg_spark.operators import text as _text
@@ -1005,6 +1025,18 @@ FROM g CROSS JOIN tot
         ["doc_id", "n_tokens", "avg_logp", "perplexity"],
         ["avg_logp", "perplexity"],
     )
+
+    from dbreg_spark.functions.xdialect import DUCK as _DK, X as _XD
+
+    _xd = _XD(_DK)
+    _enrich_sql = (
+        "SELECT doc_id, text || ' Contact user' || "
+        + _xd.str_cast("doc_id")
+        + " || '@example.com or 10.0.' || "
+        + _xd.str_cast("doc_id % 200")
+        + " || '.7 or call +1 (555) 123-4567.' AS text FROM documents"
+    )
+    O["text_pii_redact"] = _text.redact_pii_sql(f"({_enrich_sql})")
 
     from dbreg_spark.operators import similarity as _simq
 

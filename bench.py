@@ -238,6 +238,12 @@ def main() -> None:
         .collect(),
     )
     bench(
+        "text_pii_redact",
+        lambda: _textops.redact_pii(t["documents"])
+        .agg(F.sum("n_email"))
+        .collect(),
+    )
+    bench(
         "text_lm_score",
         lambda: _textops.lm_quality_score(t["documents"], max_vocab=1000)
         .agg(F.avg("perplexity"))

@@ -710,6 +710,62 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Patterns stay inside the Java-regex ∩ RE2 common subset (no lookaround,
+# no backreferences) so both engines match identically. Order matters and
+# is fixed: emails first (an email contains dots like an IP), then IPs,
+# then phone numbers (the loosest pattern last so it cannot eat the
+# structured ones).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii_exprs(x: X, col: str) -> tuple[str, list[tuple[str, str]]]:
+    """(redacted-text expression, [(count alias, count expression)]).
+    Counts are measured on the ORIGINAL text; replacements are applied
+    sequentially in ``PII_PATTERNS`` order."""
+    red = col
+    counts = []
+    for name, pat, tok in PII_PATTERNS:
+        counts.append((f"n_{name}", x.regexp_count(col, pat)))
+        red = x.regexp_replace_all(red, pat, tok)
+    return red, counts
+
+
+def redact_pii(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub personally identifiable information — emails, IPv4 addresses,
+    phone numbers — replacing each with a typed placeholder token
+    (``<EMAIL>``/``<IP>``/``<PHONE>``), the anonymization pass an LLM
+    training pipeline runs before release (cf. FineWeb). Returns
+    (``id_col``, redacted ``col``, per-type match counts). Pure regex
+    column expressions (one scan, zero shuffles, no Python); the patterns
+    live in the Java∩RE2 regex subset so the DuckDB twin matches
+    byte-for-byte."""
+    x = X(SPARK)
+    red, counts = redact_pii_exprs(x, col)
+    keep = [c for c in df.columns if c != col]
+    return df.select(
+        *keep,
+        F.expr(red).alias(col),
+        *[F.expr(e).cast("long").alias(a) for a, e in counts],
+    )
+
+
+def redact_pii_sql(table: str, col: str = "text", id_col: str = "doc_id") -> str:
+    x = X(DUCK)
+    red, counts = redact_pii_exprs(x, col)
+    cols = [id_col, f"{red} AS {col}"] + [
+        f"CAST({e} AS BIGINT) AS {a}" for a, e in counts
+    ]
+    return "SELECT " + ",\n  ".join(cols) + f" FROM {table}"
+
+
+# --------------------------------------------------------------------------
 # LM quality scoring (CCNet-style perplexity filter)
 # --------------------------------------------------------------------------
 

@@ -1434,3 +1434,47 @@ def test_lm_quality_score_max_vocab_oov(spark):
     T, V = 6, 3
     assert abs(full.loc[0, "avg_logp"] - np.log(2.0 / (T + V))) < 1e-12
     assert abs(capped.loc[0, "avg_logp"] - np.log(1.0 / (T + V))) < 1e-12
+
+
+def test_redact_pii_handcomputed(spark, duck):
+    rows = [
+        (1, "Mail me at a.b+c@ex-ample.co.uk today"),
+        (2, "server at 192.168.001.250 port 80"),
+        (3, "call +1 (555) 123-4567 now"),
+        (4, "plain text, no pii at all"),
+        (5, None),
+        (6, "two mails x@y.io z@w.ai and ip 10.0.0.1"),
+    ]
+    import pandas as pd
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        text.redact_pii(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.loc[0, "text"] == "Mail me at <EMAIL> today"
+    assert got.loc[1, "text"] == "server at <IP> port 80"
+    assert got.loc[2, "text"] == "call <PHONE> now"
+    assert got.loc[3, "text"] == "plain text, no pii at all"
+    assert got.loc[4, "text"] is None
+    assert got.loc[5, "text"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+    # null text -> null counts (pandas renders as NaN)
+    assert got["n_email"].fillna(-1).tolist() == [1, 0, 0, 0, -1, 2]
+    assert got["n_ip"].fillna(-1).tolist() == [0, 1, 0, 0, -1, 1]
+    # the IP-like token also matches the loose phone pattern on the raw
+    # text (counts are per-pattern and may overlap; redaction is
+    # sequential so the rendered text is unambiguous)
+    assert got["n_phone"].fillna(-1).tolist() == [0, 1, 1, 0, -1, 0]
+    # engine parity on the same rows
+    duck.register("pii_in", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = duck.execute(text.redact_pii_sql("pii_in")).fetchdf()
+    # count columns via allclose (NaN-equal) — the null-text row is NaN
+    _compare(
+        got[["doc_id", "text", "n_email", "n_ip", "n_phone"]], want,
+        ["doc_id"], float_cols=["n_email", "n_ip", "n_phone"],
+    )
+
+
+def test_redact_pii_no_shuffle_plan(docs):
+    out = text.redact_pii(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
