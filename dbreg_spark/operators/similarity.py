@@ -452,6 +452,70 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _bucket_candidates(
+    grouped: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    threshold: float,
+    vec_alias: str = "__v",
+    slack: float = 1e-9,
+) -> DataFrame:
+    """Candidate (id_a, id_b, __va, __vb) pairs with BLAS cosine ≥
+    ``threshold − slack``, computed per group via applyInPandas (blocked
+    matmul, one group per task). The slack makes the prefilter a strict
+    superset of any sequential-fold ≥ threshold comparison, so an exact
+    recompute downstream is authoritative; vectors ride along so no
+    re-join against the corpus is needed."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    thr = float(threshold) - float(slack)
+
+    def cands(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf[vec_alias].notna()].sort_values(id_col)
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {"id_a": pdf[id_col][:0], "id_b": pdf[id_col][:0],
+             "__va": pdf[vec_alias][:0], "__vb": pdf[vec_alias][:0]}
+        )
+        if m < 2:
+            return empty
+        Xm = np.array(pdf[vec_alias].tolist(), dtype=float)
+        ids = pdf[id_col].to_numpy()
+        vecs = pdf[vec_alias].to_numpy()
+        nrm = np.sqrt((Xm * Xm).sum(axis=1))
+        nrm[nrm == 0.0] = np.inf
+        outs = []
+        cols = np.arange(m)[None, :]
+        for lo in range(0, m, 1024):
+            hi = min(lo + 1024, m)
+            sim = (Xm[lo:hi] @ Xm.T) / (nrm[lo:hi, None] * nrm[None, :])
+            ii, jj = np.nonzero(
+                (sim >= thr) & (cols > np.arange(lo, hi)[:, None])
+            )
+            if len(ii):
+                ii = ii + lo
+                outs.append(
+                    pd.DataFrame(
+                        {"id_a": ids[ii], "id_b": ids[jj],
+                         "__va": vecs[ii], "__vb": vecs[jj]}
+                    )
+                )
+        return pd.concat(outs) if outs else empty
+
+    id_dt = grouped.schema[id_col].dataType
+    vec_dt = T.ArrayType(T.DoubleType())
+    schema = T.StructType(
+        [
+            T.StructField("id_a", id_dt),
+            T.StructField("id_b", id_dt),
+            T.StructField("__va", vec_dt),
+            T.StructField("__vb", vec_dt),
+        ]
+    )
+    return grouped.groupBy(*group_cols).applyInPandas(cands, schema)
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -473,7 +537,16 @@ def embedding_neardup_pairs(
     ``max_bucket`` drops pathological hot buckets (skew guard) from
     candidate generation — pairs in them are still found via their other
     bands. Duplicate candidates across bands are removed by DISTINCT after
-    scoring (cosine is band-independent)."""
+    scoring (cosine is band-independent).
+
+    The in-bucket pairwise step runs as one blocked BLAS matmul per
+    (band, bucket) group via grouped ``applyInPandas`` (per-pair SQL
+    expressions evaluate interpreted — measured ~30k pairs/core-s vs
+    ~1e8 for BLAS). Cross-engine exactness is preserved: BLAS only
+    PREFILTERS with 1e-9 slack (|numpy − sequential fold| ≪ 1e-9), and
+    the authoritative cosine — the same sequential-fold expression the
+    DuckDB twin evaluates — is recomputed on the surviving candidates,
+    which the prefilter passes through with their vectors (no re-join)."""
     dim = len(corpus.select(vec_col).first()[0])
     if n_planes is None:
         n_planes = auto_planes(corpus.count())
@@ -495,18 +568,14 @@ def embedding_neardup_pairs(
             .select("band", "bucket")
         )
         c = c.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    a, b = c.alias("a"), c.alias("b")
+    cands = _bucket_candidates(
+        c, ["band", "bucket"], id_col, float(threshold)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.expr(_cos_spark("a.__v", "b.__v")).alias("cosine"),
+        cands.select(
+            "id_a",
+            "id_b",
+            F.expr(_cos_spark("__va", "__vb")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
