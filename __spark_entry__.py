@@ -471,6 +471,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["text_pii_redact"] = q_redact
 
+    # DSIR-style importance weights (target = the src0 "domain" slice) and
+    # the deterministic exponential-clock weighted sample drawn from them
+    def q_dsir_weights(spark, sf_dir):
+        from dbreg_spark.operators import text as _text
+
+        t = _tables(spark, sf_dir)
+        d = t["documents"]
+        return _round_doubles_df(
+            _text.importance_weights(d, d.where("source = 'src0'"), max_vocab=1000)
+        )
+
+    Q["text_dsir_weights"] = q_dsir_weights
+
+    def q_dsir_sample(spark, sf_dir):
+        from dbreg_spark.operators import text as _text
+
+        t = _tables(spark, sf_dir)
+        d = t["documents"]
+        w = _text.importance_weights(d, d.where("source = 'src0'"), max_vocab=1000)
+        return _text.importance_sample(w, k=50)
+
+    Q["text_dsir_sample"] = q_dsir_sample
+
     # context-window chunking with overlap (pure column exprs, no shuffle)
     def q_chunk(spark, sf_dir):
         from dbreg_spark.operators import text as _text
@@ -1037,6 +1060,16 @@ FROM g CROSS JOIN tot
         + " || '.7 or call +1 (555) 123-4567.' AS text FROM documents"
     )
     O["text_pii_redact"] = _text.redact_pii_sql(f"({_enrich_sql})")
+
+    _dsir_w = _text.importance_weights_sql(
+        "documents",
+        "SELECT * FROM documents WHERE source = 'src0'",
+        max_vocab=1000,
+    )
+    O["text_dsir_weights"] = _round_doubles_sql(
+        _dsir_w, ["doc_id", "n_tokens", "log_weight"], ["log_weight"]
+    )
+    O["text_dsir_sample"] = _text.importance_sample_sql(_dsir_w, k=50)
 
     from dbreg_spark.operators import similarity as _simq
 

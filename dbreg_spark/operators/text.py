@@ -893,6 +893,123 @@ FROM {table} b LEFT JOIN per_doc p USING ({id_col})
 
 
 # --------------------------------------------------------------------------
+# DSIR-style importance weighting / resampling
+# --------------------------------------------------------------------------
+
+
+def importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    source: DataFrame | None = None,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int | None = 50_000,
+) -> DataFrame:
+    """DSIR-style data-selection weights (Xie et al. 2023): per-document
+    log importance weight ln p_target(x) − ln p_source(x) under add-one-
+    smoothed unigram models fit on a small ``target`` (domain) set and on
+    ``source`` (default: the corpus itself). Positive = more target-like.
+    Returns (``id_col``, n_tokens, log_weight); feed to
+    :func:`importance_sample` to draw the reweighted subset, or threshold
+    directly. Weights stay in LOG space — exp(n·Δavg) overflows doubles
+    for long documents.
+
+    Scale shape: two :func:`lm_quality_score` passes (each one corpus
+    scan + a broadcast-capped vocabulary) and a per-id join of their
+    O(1)-per-doc outputs."""
+    lt = lm_quality_score(
+        corpus, reference=target, col=col, id_col=id_col, max_vocab=max_vocab
+    ).select(
+        id_col,
+        "n_tokens",
+        F.col("avg_logp").alias("__t"),
+    )
+    ls = lm_quality_score(
+        corpus,
+        reference=source if source is not None else corpus,
+        col=col,
+        id_col=id_col,
+        max_vocab=max_vocab,
+    ).select(id_col, F.col("avg_logp").alias("__s"))
+    return lt.join(ls, id_col).select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") * (F.col("__t") - F.col("__s"))).alias("log_weight"),
+    )
+
+
+def importance_weights_sql(
+    table: str,
+    target_sql: str,
+    source_sql: str | None = None,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int | None = 50_000,
+) -> str:
+    """DuckDB twin of :func:`importance_weights`."""
+    lt = lm_quality_score_sql(
+        table, reference_sql=target_sql, col=col, id_col=id_col, max_vocab=max_vocab
+    )
+    ls = lm_quality_score_sql(
+        table, reference_sql=source_sql, col=col, id_col=id_col, max_vocab=max_vocab
+    )
+    return f"""
+SELECT t.{id_col}, t.n_tokens,
+       t.n_tokens * (t.avg_logp - s.avg_logp) AS log_weight
+FROM ({lt}) t JOIN ({ls}) s USING ({id_col})
+"""
+
+
+def importance_sample(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    log_weight_col: str = "log_weight",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling without replacement from importance weights, the
+    DSIR selection step: k docs drawn with probability ∝ exp(log_weight)
+    via exponential clocks (Efraimidis-Spirakis), key = ln(−ln u) −
+    log_weight with u a DETERMINISTIC md5-hash uniform of (seed, id) — no
+    RNG, reproducible under retries/repartition, same draw on both
+    engines. Returns (``id_col``, sample_rank) for the k selected docs.
+
+    Distributed top-k (TakeOrdered): no global sort materializes."""
+    from pyspark.sql import Window
+
+    x = X(SPARK)
+    u = f"(({x.md5int(f'concat({chr(39)}{seed}:{chr(39)}, CAST({id_col} AS STRING))')} + 1) / 1152921504606846978.0)"
+    key = F.expr(f"ln(-ln({u}))") - F.col(log_weight_col)
+    ranked = (
+        weights.select(id_col, key.alias("__key"))
+        .orderBy(F.asc("__key"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.asc("__key"), F.asc(id_col))
+    return ranked.select(
+        id_col, F.row_number().over(w).cast("long").alias("sample_rank")
+    )
+
+
+def importance_sample_sql(
+    weights_sql: str,
+    k: int,
+    id_col: str = "doc_id",
+    log_weight_col: str = "log_weight",
+    seed: int = 42,
+) -> str:
+    x = X(DUCK)
+    u = f"(({x.md5int(f'concat({chr(39)}{seed}:{chr(39)}, CAST({id_col} AS VARCHAR))')} + 1) / 1152921504606846978.0)"
+    return f"""
+SELECT {id_col},
+       CAST(ROW_NUMBER() OVER (ORDER BY LN(-LN({u})) - {log_weight_col} ASC, {id_col} ASC) AS BIGINT) AS sample_rank
+FROM ({weights_sql})
+ORDER BY LN(-LN({u})) - {log_weight_col} ASC, {id_col} ASC
+LIMIT {k}
+"""
+
+
+# --------------------------------------------------------------------------
 # vocabulary induction (tokenizer prep)
 # --------------------------------------------------------------------------
 

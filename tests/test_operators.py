@@ -1478,3 +1478,42 @@ def test_redact_pii_no_shuffle_plan(docs):
     out = text.redact_pii(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_importance_weights_vs_duckdb(docs, duck):
+    got = text.importance_weights(
+        docs, docs.where("source = 'src0'"), max_vocab=1000
+    ).toPandas()
+    want = duck.execute(
+        text.importance_weights_sql(
+            "documents", "SELECT * FROM documents WHERE source = 'src0'",
+            max_vocab=1000,
+        )
+    ).fetchdf()
+    _compare(got, want, ["doc_id"], ["log_weight"], rtol=1e-6)
+    # target-slice docs read as more target-like on average
+    srcs = docs.select("doc_id", "source").toPandas().set_index("doc_id")
+    j = got.set_index("doc_id").join(srcs)
+    assert (
+        j.loc[j["source"] == "src0", "log_weight"].mean()
+        > j.loc[j["source"] != "src0", "log_weight"].mean()
+    )
+
+
+def test_importance_sample_weighted_and_deterministic(spark, docs, duck):
+    w = text.importance_weights(docs, docs.where("source = 'src0'"), max_vocab=1000)
+    a = text.importance_sample(w, k=50).toPandas().sort_values("sample_rank")
+    b = text.importance_sample(w, k=50).toPandas().sort_values("sample_rank")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()  # same seed, same draw
+    # a different seed draws a different set (overwhelmingly likely)
+    c = text.importance_sample(w, k=50, seed=7).toPandas()
+    assert set(c["doc_id"]) != set(a["doc_id"])
+    # an overwhelming weight is always drawn first
+    import pyspark.sql.functions as F
+
+    boosted = w.withColumn(
+        "log_weight",
+        F.when(F.col("doc_id") == 123, F.lit(1e6)).otherwise(F.col("log_weight")),
+    )
+    top = text.importance_sample(boosted, k=1).toPandas()
+    assert top["doc_id"].tolist() == [123]
