@@ -9,8 +9,9 @@
   on bucket, rank within bucket. The scale path: candidate set per query is
   the bucket, not the corpus.
 - :func:`ivf_topk` — IVF-style: k-means centroids fitted on a driver-side
-  sample (numpy), corpus assigned to nearest centroid (argmin as chained
-  CASE), queries probe the nearest ``nprobe`` centroids.
+  sample (numpy), corpus assigned to nearest centroid (Arrow-batched
+  X·Cᵀ argmin, see :func:`_assign_cells`), queries probe the nearest
+  ``nprobe`` centroids.
 - :func:`embedding_neardup_pairs` — cosine near-duplicate pairs via the
   same hyperplane bucketing.
 """
@@ -331,13 +332,59 @@ def fixed_ivf_centroids(n_centroids: int = 8, dim: int = 64, seed: int = 202) ->
     return rng.standard_normal((n_centroids, dim))
 
 
-def _d2_quadratic_spark(vec: str, c: np.ndarray) -> str:
-    """‖v−c‖² = v·v − 2 v·c + c·c, with the dot products as sequential folds
-    — the exact arithmetic the DuckDB twin runs (list_inner_product is a
-    sequential loop), so cell argmins agree across engines."""
-    arr = "array(" + ", ".join(f"{repr(float(v))}D" for v in c) + ")"
-    cc = float(np.dot(c, c))
-    return f"(__vv - 2D * {_dot(vec, arr)} + {cc!r}D)"
+def _assign_cells(
+    corpus: DataFrame,
+    cents: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, __v, cell) with cell = 1-based index of the nearest centroid,
+    via Arrow-batched X·Cᵀ argmin in ``mapInPandas`` — interpreted
+    quadratic-form expressions measured 90 s at 500k rows × 128 centroids
+    where BLAS takes ~1 s. numpy argmin takes the FIRST minimum, the same
+    tie-break as ``array_position(arr, array_min(arr))`` and the DuckDB
+    twin's ``ORDER BY d2, cell``; d² differs from the sequential-fold form
+    only in the last ulp, so assignments agree unless two centroids are
+    equidistant to ~1e-12 (measured margin on the gate fixture: ~1e-2).
+    Rows with a NULL vector keep a NULL cell."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    CC = np.ascontiguousarray(np.asarray(cents, dtype=float))
+    ccn = (CC * CC).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            ok = pdf["__v"].notna()
+            cell = np.full(len(pdf), np.nan)
+            if ok.any():
+                Xm = np.array(pdf.loc[ok, "__v"].tolist(), dtype=float)
+                d2 = (
+                    (Xm * Xm).sum(axis=1)[:, None]
+                    - 2.0 * Xm @ CC.T
+                    + ccn[None, :]
+                )
+                cell[ok.to_numpy()] = d2.argmin(axis=1) + 1.0  # 1-based
+            out = pdf[[id_col, "__v"]].copy()
+            out["cell"] = pd.array(
+                [None if np.isnan(v) else int(v) for v in cell],
+                dtype="Int64",
+            )
+            yield out
+
+    id_dt = corpus.schema[id_col].dataType
+    return corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).mapInPandas(
+        assign,
+        T.StructType(
+            [
+                T.StructField(id_col, id_dt),
+                T.StructField("__v", T.ArrayType(T.DoubleType())),
+                T.StructField("cell", T.LongType()),
+            ]
+        ),
+    )
 
 
 def ivf_topk(
@@ -361,17 +408,7 @@ def ivf_topk(
         else kmeans_centroids(corpus, n_centroids, vec_col, seed=seed)
     )
 
-    # nearest centroid as argmin (first index attaining the min)
-    def argmin_expr(vec: str) -> str:
-        d = [_d2_quadratic_spark(vec, c) for c in cents]
-        arr = "array(" + ", ".join(d) + ")"
-        return f"array_position({arr}, array_min({arr}))"
-
-    c = (
-        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
-        .withColumn("__vv", F.expr(_dot("__v", "__v")))
-        .withColumn("cell", F.expr(argmin_expr("__v")))
-    )
+    c = _assign_cells(corpus, cents, id_col, vec_col)
 
     # query → nprobe nearest cells (computed on the driver per query set,
     # same quadratic-form arithmetic as the corpus assignment)
@@ -633,52 +670,7 @@ def semantic_dedup(
         else kmeans_centroids(corpus, n_centroids, vec_col, seed=seed)
     )
 
-    # cell assignment via Arrow-batched mapInPandas: one X @ Cᵀ per batch
-    # (interpreted quadratic-form expressions measured ~90 s at 500k rows ×
-    # 128 centroids; BLAS does the same in ~1 s). numpy argmin takes the
-    # FIRST minimum — the same tie-break as the expression form
-    # (array_position of array_min) and the twin's ORDER BY d2, cell; the
-    # d² values differ from the sequential folds only in the last ulp, so
-    # assignments agree unless two centroids are equidistant to ~1e-12
-    # (measured margin on the gate fixture: ~1e-2).
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    CC = np.ascontiguousarray(cents)
-    ccn = (CC * CC).sum(axis=1)
-
-    def assign(batches):
-        for pdf in batches:
-            ok = pdf["__v"].notna()
-            cell = np.full(len(pdf), np.nan)
-            if ok.any():
-                Xm = np.array(pdf.loc[ok, "__v"].tolist(), dtype=float)
-                d2 = (
-                    (Xm * Xm).sum(axis=1)[:, None]
-                    - 2.0 * Xm @ CC.T
-                    + ccn[None, :]
-                )
-                cell[ok.to_numpy()] = d2.argmin(axis=1) + 1.0  # 1-based
-            out = pdf[[id_col, "__v"]].copy()
-            out["cell"] = pd.array(
-                [None if np.isnan(v) else int(v) for v in cell],
-                dtype="Int64",
-            )
-            yield out
-
-    id_dt = corpus.schema[id_col].dataType
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).mapInPandas(
-        assign,
-        T.StructType(
-            [
-                T.StructField(id_col, id_dt),
-                T.StructField("__v", T.ArrayType(T.DoubleType())),
-                T.StructField("cell", T.LongType()),
-            ]
-        ),
-    )
+    c = _assign_cells(corpus, cents, id_col, vec_col)
     pairable = c
     if max_cell is not None:
         hot = (
