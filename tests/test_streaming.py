@@ -421,3 +421,43 @@ def test_streaming_text_pipeline_and_file_sink(spark, tables):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(spark, tables):
+    d = tempfile.mkdtemp(prefix="dbreg_docstream_")
+    tables["documents"].repartition(4).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateless_text_operators_stream(spark, tables, docs_stream_dir):
+    """The per-document quality/scrub stages (text_stats, redact_pii) are
+    stateless column transforms, so the SAME operator code runs unchanged
+    on a streaming DataFrame — pin that property and that the streamed
+    result equals the batch result."""
+    from dbreg_spark.operators import text as tx
+
+    schema = tables["documents"].schema
+    stream = spark.readStream.schema(schema).parquet(docs_stream_dir)
+    out = tx.redact_pii(tx.text_stats(stream).select(
+        "doc_id",
+        F.concat(
+            F.lit("q"), F.col("quality_score").cast("string"),
+            F.lit(" mail x@y.io"),
+        ).alias("text"),
+    ))
+    name = f"txt_{uuid.uuid4().hex[:8]}"
+    _run_stream(out, name)
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    want = tx.redact_pii(tx.text_stats(tables["documents"]).select(
+        "doc_id",
+        F.concat(
+            F.lit("q"), F.col("quality_score").cast("string"),
+            F.lit(" mail x@y.io"),
+        ).alias("text"),
+    )).toPandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert (got["n_email"] == 1).all()
+    pd.testing.assert_frame_equal(got[want.columns], want)
