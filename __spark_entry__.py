@@ -494,6 +494,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["text_dsir_sample"] = q_dsir_sample
 
+    # BM25 keyword retrieval (corpus mining); query terms from the
+    # synthetic vocabulary so every term has nontrivial df
+    def q_bm25(spark, sf_dir):
+        from dbreg_spark.operators import text as _text
+
+        t = _tables(spark, sf_dir)
+        return _text.bm25_topk(t["documents"], "spark window join", k=25)
+
+    Q["text_bm25_topk"] = q_bm25
+
     # context-window chunking with overlap (pure column exprs, no shuffle)
     def q_chunk(spark, sf_dir):
         from dbreg_spark.operators import text as _text
@@ -1070,6 +1080,9 @@ FROM g CROSS JOIN tot
         _dsir_w, ["doc_id", "n_tokens", "log_weight"], ["log_weight"]
     )
     O["text_dsir_sample"] = _text.importance_sample_sql(_dsir_w, k=50)
+    O["text_bm25_topk"] = _text.bm25_topk_sql(
+        "documents", "spark window join", k=25
+    )
 
     from dbreg_spark.operators import similarity as _simq
 

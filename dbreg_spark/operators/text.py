@@ -813,6 +813,11 @@ def lm_quality_score(
         F.sum("c").alias("T"), F.count(F.lit(1)).alias("V")
     ).collect()[0]
     T, V = int(tot["T"] or 0), int(tot["V"] or 0)
+    if T + V == 0:
+        raise ValueError(
+            "lm_quality_score: the reference corpus has no tokens "
+            "(empty or all-NULL text) — the unigram model is undefined"
+        )
     if max_vocab is not None:
         counts = counts.orderBy(F.desc("c"), F.asc("token")).limit(max_vocab)
     if broadcast_vocab:
@@ -889,6 +894,137 @@ SELECT b.{id_col},
        COALESCE(p.avg_logp, 0.0) AS avg_logp,
        EXP(-COALESCE(p.avg_logp, 0.0)) AS perplexity
 FROM {table} b LEFT JOIN per_doc p USING ({id_col})
+"""
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword search
+# --------------------------------------------------------------------------
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    query: str,
+    k: int = 10,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked keyword search over the corpus — the retrieval step of
+    corpus mining ("find the docs most about X") and of quality-subset
+    selection. Lowercase whitespace tokens; the standard Robertson/
+    Sparck-Jones BM25 with smoothed IDF ln(1 + (N−df+0.5)/(df+0.5)).
+    Returns the top ``k`` (``id_col``, score) by score (ties broken by id,
+    deterministic). Documents matching no query term never appear.
+
+    Scale shape: per-term document frequencies come from one aggregation
+    over the CORPUS TOKENS RESTRICTED TO THE QUERY TERMS (the broadcast
+    query-term filter prunes before the shuffle, so the groupBy carries at
+    most |terms| × docs-containing-them rows, not the whole corpus
+    vocabulary); scoring is a second scan with the same filter, a
+    broadcast join of the tiny (term, df) table, a per-(doc, term) tf
+    count, and a per-doc sum — then a distributed TakeOrdered top-k. N
+    and avg doc length are one tiny aggregate."""
+    terms = sorted({w.lower() for w in query.split() if w})
+    if not terms:
+        raise ValueError("bm25_topk: query contains no terms")
+    x = X(SPARK)
+    tok_arr = x.filter(
+        x.transform(x.split_ws(col), "w -> lower(w)"), "w -> length(w) > 0"
+    )
+    ndoc = f"CASE WHEN length(trim({col})) = 0 THEN 0 ELSE {x.size(x.split_ws(col))} END"
+    base = corpus.select(
+        F.col(id_col),
+        F.expr(tok_arr).alias("__toks"),
+        F.expr(ndoc).cast("double").alias("__len"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("N"), F.avg("__len").alias("avgdl")
+    ).collect()[0]
+    N, avgdl = int(stats["N"]), float(stats["avgdl"] or 0.0)
+    if N == 0 or avgdl == 0.0:
+        raise ValueError("bm25_topk: corpus has no tokens")
+    term_lit = "array(" + ", ".join(f"'{t}'" for t in terms) + ")"
+    hits = base.select(
+        id_col,
+        "__len",
+        F.explode(
+            F.expr(f"filter(__toks, t -> array_contains({term_lit}, t))")
+        ).alias("term"),
+    )
+    tf = hits.groupBy(id_col, "__len", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(float(N)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("__len") / F.lit(avgdl))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(dfs), "term")
+        .select(id_col, contrib.alias("__s"))
+        .groupBy(id_col)
+        .agg(F.sum("__s").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("score", 6).alias("score"))
+    )
+
+
+def bm25_topk_sql(
+    table: str,
+    query: str,
+    k: int = 10,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk`."""
+    terms = sorted({w.lower() for w in query.split() if w})
+    x = X(DUCK)
+    tok_arr = x.filter(
+        x.transform(x.split_ws(col), "w -> lower(w)"), "w -> length(w) > 0"
+    )
+    ndoc = f"CASE WHEN length(trim({col})) = 0 THEN 0 ELSE {x.size(x.split_ws(col))} END"
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {tok_arr} AS toks,
+         CAST({ndoc} AS DOUBLE) AS len FROM {table}
+),
+stats AS (
+  SELECT COUNT(*) AS N, AVG(len) AS avgdl FROM base
+),
+hits AS (
+  SELECT {id_col}, len, t.term
+  FROM base, unnest(list_filter(toks, t -> t IN ({tlist}))) AS t(term)
+),
+tf AS (
+  SELECT {id_col}, len, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM hits GROUP BY {id_col}, len, term
+),
+dfs AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.{id_col},
+         SUM(
+           LN(1.0 + ((SELECT N FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * ({k1} + 1.0))
+           / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.len / (SELECT avgdl FROM stats)))
+         ) AS score
+  FROM tf JOIN dfs USING (term)
+  GROUP BY tf.{id_col}
+)
+SELECT {id_col}, ROUND(score, 6) AS score
+FROM scored
+ORDER BY score DESC, {id_col} ASC
+LIMIT {k}
 """
 
 

