@@ -504,6 +504,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["text_bm25_topk"] = q_bm25
 
+    # incremental dedup: the doc_id%7 "incoming batch" checked against the
+    # rest of the corpus (banded cross-join on shared MinHash buckets)
+    def q_dedup_against(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        d = t["documents"]
+        return dedup.dedup_against(
+            d.where("doc_id % 7 = 0"), d.where("doc_id % 7 <> 0"),
+            n_hashes=16, band_rows=2, shingle_words=2,
+            jaccard_threshold=0.3,
+        )
+
+    Q["dedup_against"] = q_dedup_against
+
     # context-window chunking with overlap (pure column exprs, no shuffle)
     def q_chunk(spark, sf_dir):
         from dbreg_spark.operators import text as _text
@@ -1082,6 +1095,12 @@ FROM g CROSS JOIN tot
     O["text_dsir_sample"] = _text.importance_sample_sql(_dsir_w, k=50)
     O["text_bm25_topk"] = _text.bm25_topk_sql(
         "documents", "spark window join", k=25
+    )
+    O["dedup_against"] = dedup.dedup_against_sql(
+        "SELECT * FROM documents WHERE doc_id % 7 = 0",
+        "SELECT * FROM documents WHERE doc_id % 7 <> 0",
+        n_hashes=16, band_rows=2, shingle_words=2,
+        jaccard_threshold=0.3,
     )
 
     from dbreg_spark.operators import similarity as _simq

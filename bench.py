@@ -250,6 +250,24 @@ def main() -> None:
         .collect(),
     )
 
+    bench(
+        "text_dsir_sample",
+        lambda: _textops.importance_sample(
+            _textops.importance_weights(
+                t["documents"],
+                t["documents"].where("source = 'src0'"),
+                max_vocab=1000,
+            ),
+            k=50,
+        ).count(),
+    )
+    bench(
+        "text_bm25_topk",
+        lambda: _textops.bm25_topk(
+            t["documents"], "spark window join", k=25
+        ).count(),
+    )
+
     emb = t["embeddings"]
     qs = emb.where("vec_id < 5")
     bench("similarity_topk", lambda: similarity.cosine_topk(emb, qs, k=10).count())

@@ -236,6 +236,164 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def dedup_against(
+    batch: DataFrame,
+    reference: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    band_rows: int = 2,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental / cross-corpus near-dedup: flag ``batch`` documents that
+    near-duplicate (shingle-set Jaccard ≥ threshold) ANY ``reference``
+    document — the production dedup mode, where each incoming crawl batch
+    is checked against the existing corpus instead of re-deduping
+    everything. Returns one row per batch document:
+    (``id_col``, n_matches = reference docs above threshold,
+    best_jaccard, is_duplicate). Filter ``is_duplicate = 0`` to admit.
+
+    Scale shape: both sides band with the SAME seeded MinHash params, so
+    the candidate join is an equi-join on (band, bucket) — candidates ≈
+    batch docs × bucket occupancy, never |batch|×|reference|; each side is
+    scanned once (shingle hashes ride into the band shuffle, as in
+    :func:`minhash_lsh_pairs`), duplicate candidates across bands collapse
+    in the per-(batch, ref) aggregation (Jaccard is band-independent), and
+    the final shuffle carries one row per verified pair. The reference's
+    band table is deterministic — at 100 TB, persist it once and reuse it
+    for every incoming batch."""
+    x = X(SPARK)
+    params = minhash_params(n_hashes, seed)
+
+    def band_table(df: DataFrame, out_id: str) -> DataFrame:
+        staged = df.select(
+            F.col(id_col).alias(out_id),
+            F.expr(x.shingle_hashes(col, shingle_words, MH_MODB)).alias(
+                f"__hs_{out_id}"
+            ),
+        )
+        sigs = staged.select(
+            out_id,
+            f"__hs_{out_id}",
+            *[
+                F.expr(
+                    x.minhash_from_hashes(f"__hs_{out_id}", a_, b_, MH_PRIME)
+                ).alias(f"sig_{i}")
+                for i, (a_, b_) in enumerate(params)
+            ],
+        )
+        return sigs.select(
+            out_id,
+            f"__hs_{out_id}",
+            F.posexplode(
+                F.array(
+                    *[F.expr(be) for be in _band_exprs(x, n_hashes, band_rows)]
+                )
+            ).alias("band", "bucket"),
+        )
+
+    bb = band_table(batch, "__bid")
+    rb = band_table(reference, "__rid")
+    inter = F.expr("size(array_intersect(__hs___bid, __hs___rid))")
+    jac = inter.cast("double") / (
+        F.expr("size(__hs___bid)") + F.expr("size(__hs___rid)") - inter
+    )
+    verified = (
+        bb.join(rb, ["band", "bucket"])
+        .select("__bid", "__rid", jac.alias("jaccard"))
+        .groupBy("__bid", "__rid")
+        .agg(F.max("jaccard").alias("jaccard"))  # identical across bands
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+    stats = verified.groupBy("__bid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(stats.withColumnRenamed("__bid", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
+            F.round(F.coalesce(F.col("best_jaccard"), F.lit(0.0)), 6).alias(
+                "best_jaccard"
+            ),
+            (F.coalesce(F.col("n_matches"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("is_duplicate"),
+        )
+    )
+
+
+def dedup_against_sql(
+    batch_sql: str,
+    reference_sql: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    band_rows: int = 2,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of :func:`dedup_against`."""
+    x = X(DUCK)
+    params = minhash_params(n_hashes, seed)
+    sig_cols = ",\n    ".join(
+        f"{x.minhash_from_hashes('hs', a_, b_, MH_PRIME)} AS sig_{i}"
+        for i, (a_, b_) in enumerate(params)
+    )
+    b_band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT bid, hs, {bi} AS band, {be} AS bucket FROM b_sigs"
+        for bi, be in enumerate(_band_exprs(x, n_hashes, band_rows))
+    )
+    r_band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT rid, hs, {bi} AS band, {be} AS bucket FROM r_sigs"
+        for bi, be in enumerate(_band_exprs(x, n_hashes, band_rows))
+    )
+    return f"""
+WITH b_staged AS (
+  SELECT {id_col} AS bid,
+         {x.shingle_hashes(col, shingle_words, MH_MODB)} AS hs
+  FROM ({batch_sql})
+),
+r_staged AS (
+  SELECT {id_col} AS rid,
+         {x.shingle_hashes(col, shingle_words, MH_MODB)} AS hs
+  FROM ({reference_sql})
+),
+b_sigs AS (SELECT bid, hs, {sig_cols} FROM b_staged),
+r_sigs AS (SELECT rid, hs, {sig_cols} FROM r_staged),
+b_bands AS (
+{b_band_selects}
+),
+r_bands AS (
+{r_band_selects}
+),
+verified AS (
+  SELECT bid, rid, MAX(
+           CAST(len(list_intersect(b.hs, r.hs)) AS DOUBLE)
+           / (len(b.hs) + len(r.hs) - len(list_intersect(b.hs, r.hs)))
+         ) AS jaccard
+  FROM b_bands b JOIN r_bands r USING (band, bucket)
+  GROUP BY bid, rid
+),
+hits AS (
+  SELECT bid, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         MAX(jaccard) AS best_jaccard
+  FROM verified WHERE jaccard >= {jaccard_threshold}
+  GROUP BY bid
+)
+SELECT s.bid AS {id_col},
+       COALESCE(h.n_matches, 0) AS n_matches,
+       ROUND(COALESCE(h.best_jaccard, 0.0), 6) AS best_jaccard,
+       CAST(COALESCE(h.n_matches, 0) > 0 AS INT) AS is_duplicate
+FROM b_staged s LEFT JOIN hits h ON s.bid = h.bid
+"""
+
+
 def minhash_lsh_pairs_sql(
     table: str,
     col: str = "text",

@@ -1552,3 +1552,41 @@ def test_bm25_semantics(spark):
 
     with _pt.raises(ValueError):
         text.bm25_topk(df, "   ")
+
+
+def test_dedup_against_vs_duckdb(docs, duck):
+    got = dedup.dedup_against(
+        docs.where("doc_id % 7 = 0"), docs.where("doc_id % 7 <> 0"),
+        n_hashes=16, band_rows=2, shingle_words=2, jaccard_threshold=0.3,
+    ).toPandas()
+    want = duck.execute(
+        dedup.dedup_against_sql(
+            "SELECT * FROM documents WHERE doc_id % 7 = 0",
+            "SELECT * FROM documents WHERE doc_id % 7 <> 0",
+            n_hashes=16, band_rows=2, shingle_words=2, jaccard_threshold=0.3,
+        )
+    ).fetchdf()
+    _compare(got, want, ["doc_id"], ["best_jaccard"])
+    assert ((got["n_matches"] > 0) == (got["is_duplicate"] == 1)).all()
+    assert (got["is_duplicate"] == 1).any() and (got["is_duplicate"] == 0).any()
+
+
+def test_dedup_against_self_and_disjoint(spark, docs):
+    """A batch checked against a reference containing its own text is
+    fully flagged (jaccard 1); a shingle-disjoint batch is fully clean."""
+    batch = docs.limit(20)
+    same_text = batch.selectExpr("doc_id + 90000 AS doc_id", "text")
+    flagged = dedup.dedup_against(
+        batch, same_text, shingle_words=2, jaccard_threshold=0.9
+    ).toPandas()
+    assert (flagged["is_duplicate"] == 1).all()
+    assert (flagged["best_jaccard"] == 1.0).all()
+    import pyspark.sql.functions as F
+
+    other = batch.select("doc_id", F.expr(
+        "concat_ws(' ', transform(sequence(1, 30), i -> concat('zq', doc_id * 100 + i)))"
+    ).alias("text"))
+    clean = dedup.dedup_against(
+        batch, other, shingle_words=2, jaccard_threshold=0.3
+    ).toPandas()
+    assert (clean["is_duplicate"] == 0).all()
