@@ -6,8 +6,15 @@ Python UDFs) built from the cross-dialect templates in
 that is the same computation by construction.
 
 Operators: token counting (whitespace + BPE-ish regex), quality scoring
-(length/punctuation/stopword/repetition signals), n-gram-heuristic language
-ID, and document fingerprinting (normalized md5 + rolling word hash).
+(length/punctuation/stopword signals), n-gram-heuristic language ID,
+document fingerprinting (normalized md5 + rolling word hash), greedy
+sequence packing, overlap-aware context-window chunking, train/eval
+decontamination, PII redaction, Gopher-style repetition filters,
+CCNet-style LM perplexity scoring, BM25 keyword retrieval, DSIR
+importance weighting + deterministic weighted resampling, and corpus
+vocabulary/IDF induction. The stateful scans (pack_greedy) use grouped
+``applyInPandas`` — the disclosed Arrow escape hatch; everything else is
+column expressions.
 """
 
 from __future__ import annotations
