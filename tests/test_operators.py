@@ -1590,3 +1590,17 @@ def test_dedup_against_self_and_disjoint(spark, docs):
         batch, other, shingle_words=2, jaccard_threshold=0.3
     ).toPandas()
     assert (clean["is_duplicate"] == 0).all()
+
+
+def test_lm_quality_score_no_broadcast_parity(docs):
+    """The shuffle-join escape hatch returns exactly the broadcast path's
+    numbers."""
+    a = (
+        text.lm_quality_score(docs, max_vocab=1000, broadcast_vocab=True)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        text.lm_quality_score(docs, max_vocab=1000, broadcast_vocab=False)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
