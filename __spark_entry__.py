@@ -517,6 +517,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["dedup_against"] = q_dedup_against
 
+    # per-source corpus statistics report (volume / length percentiles /
+    # quality / exact-dup rate) — one partial-aggregated groupBy
+    def q_corpus_report(spark, sf_dir):
+        from dbreg_spark.operators import report as _rep
+
+        t = _tables(spark, sf_dir)
+        return _round_doubles_df(_rep.corpus_report(t["documents"]))
+
+    Q["text_corpus_report"] = q_corpus_report
+
     # context-window chunking with overlap (pure column exprs, no shuffle)
     def q_chunk(spark, sf_dir):
         from dbreg_spark.operators import text as _text
@@ -1095,6 +1105,16 @@ FROM g CROSS JOIN tot
     O["text_dsir_sample"] = _text.importance_sample_sql(_dsir_w, k=50)
     O["text_bm25_topk"] = _text.bm25_topk_sql(
         "documents", "spark window join", k=25
+    )
+    from dbreg_spark.operators import report as _rep
+
+    O["text_corpus_report"] = _round_doubles_sql(
+        _rep.corpus_report_sql("documents"),
+        [
+            "source", "n_docs", "n_null", "total_tokens", "mean_tokens",
+            "p50_chars", "p95_chars", "mean_quality", "dup_rate",
+        ],
+        ["mean_tokens", "p50_chars", "p95_chars", "mean_quality", "dup_rate"],
     )
     O["dedup_against"] = dedup.dedup_against_sql(
         "SELECT * FROM documents WHERE doc_id % 7 = 0",

@@ -1604,3 +1604,38 @@ def test_lm_quality_score_no_broadcast_parity(docs):
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_corpus_report_vs_duckdb(docs, duck):
+    from dbreg_spark.operators import report as rep
+
+    got = rep.corpus_report(docs).toPandas()
+    want = duck.execute(rep.corpus_report_sql("documents")).fetchdf()
+    float_cols = ["mean_tokens", "p50_chars", "p95_chars", "mean_quality", "dup_rate"]
+    _compare(got, want, ["source"], float_cols)
+    assert (got["n_docs"] > 0).all()
+    assert (got["dup_rate"] >= 0).all() and (got["dup_rate"] < 1).all()
+
+
+def test_corpus_report_null_and_dup_semantics(spark):
+    from dbreg_spark.operators import report as rep
+
+    rows = [
+        (1, "s", "alpha beta gamma"),
+        (2, "s", "Alpha  beta   GAMMA"),   # same normalized content -> dup
+        (3, "s", None),                     # null text
+        (4, "s", "delta epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = rep.corpus_report(df).toPandas()
+    assert got.loc[0, "n_docs"] == 4
+    assert got.loc[0, "n_null"] == 1
+    assert got.loc[0, "total_tokens"] == 3 + 3 + 0 + 2
+    # 4 docs, 3 distinct hashes (null hashes to NULL and count_distinct
+    # skips it => distinct {norm1, norm4} + ... check actual rate
+    # hashes: doc1==doc2 normalized, doc4 distinct, doc3 NULL (skipped)
+    # distinct = 2, n = 4 -> dup_rate = 1 - 2/4 = 0.5
+    assert abs(got.loc[0, "dup_rate"] - 0.5) < 1e-9
+    # approx path returns the same group keys and plausible rates
+    approx = rep.corpus_report(df, exact_distinct=False).toPandas()
+    assert approx.loc[0, "n_docs"] == 4
