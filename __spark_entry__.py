@@ -527,6 +527,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["text_corpus_report"] = q_corpus_report
 
+    # ExactSubstr-style shared-span detection (positions for clipping)
+    def q_shared_spans(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        return dedup.shared_span_pairs(t["documents"], span_words=20)
+
+    Q["dedup_shared_spans"] = q_shared_spans
+
     # context-window chunking with overlap (pure column exprs, no shuffle)
     def q_chunk(spark, sf_dir):
         from dbreg_spark.operators import text as _text
@@ -1115,6 +1122,9 @@ FROM g CROSS JOIN tot
             "p50_chars", "p95_chars", "mean_quality", "dup_rate",
         ],
         ["mean_tokens", "p50_chars", "p95_chars", "mean_quality", "dup_rate"],
+    )
+    O["dedup_shared_spans"] = dedup.shared_span_pairs_sql(
+        "documents", span_words=20
     )
     O["dedup_against"] = dedup.dedup_against_sql(
         "SELECT * FROM documents WHERE doc_id % 7 = 0",

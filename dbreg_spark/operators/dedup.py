@@ -236,6 +236,146 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def shared_span_pairs(
+    df: DataFrame,
+    span_words: int = 20,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    pair of documents sharing an EXACT ``span_words``-token span, with the
+    1-based word positions of the span in both documents — the output a
+    clipping pass consumes (remove the repeated span from all but one
+    occurrence). Documents shorter than ``span_words`` produce no spans.
+    Returns (id_a, pos_a, id_b, pos_b, span_hash), id_a < id_b; a doc
+    pair sharing a longer run appears once per ``span_words`` window of
+    the run (consecutive positions), which is what span-merging downstream
+    expects.
+
+    Scale shape: ONE corpus scan emits (id, position, span-hash) via
+    posexplode of the n-gram hash array (hashes, not span text, travel);
+    the candidate join is an equi-join on the span hash. ``max_df``
+    (default on) drops spans occurring in more than ``max_df`` documents
+    from pairing — a boilerplate span shared by d docs contributes d²
+    pairs, the same cartesian-class blowup the n-gram Jaccard guard
+    kills; the reference implementation suffix-array dedups those
+    globally instead, which a clipping pass can emulate by removing ALL
+    occurrences of over-cap spans (they are surfaced separately by
+    :func:`hot_span_table`)."""
+    x = X(SPARK)
+    grams = x.word_ngrams(col, span_words)
+    hashed = x.transform(grams, f"g -> {x.md5int('g')}")
+    nwords = x.size(x.split_ws(col))
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN {nwords} >= {span_words} THEN {hashed} "
+                f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            )
+        ).alias("pos0", "h"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("h").cast("long").alias("h"),
+    )
+    if max_df is not None:
+        hot = (
+            spans.groupBy("h")
+            .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("h")
+        )
+        spans = spans.join(F.broadcast(hot), "h", "left_anti")
+    a, b = spans.alias("a"), spans.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col("a.pos").alias("pos_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("b.pos").alias("pos_b"),
+            F.col("a.h").alias("span_hash"),
+        )
+    )
+
+
+def shared_span_pairs_sql(
+    table: str,
+    span_words: int = 20,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 1000,
+) -> str:
+    """DuckDB twin of :func:`shared_span_pairs`."""
+    x = X(DUCK)
+    grams = x.word_ngrams(col, span_words)
+    hashed = x.transform(grams, f"g -> {x.md5int('g')}")
+    nwords = x.size(x.split_ws(col))
+    guard = ""
+    if max_df is not None:
+        guard = (
+            f"\n  WHERE h NOT IN (SELECT h FROM spans0 GROUP BY h "
+            f"HAVING COUNT(DISTINCT {id_col}) > {max_df})"
+        )
+    return f"""
+WITH arrs AS (
+  SELECT {id_col},
+         CASE WHEN {nwords} >= {span_words} THEN {hashed}
+              ELSE CAST([] AS BIGINT[]) END AS ha
+  FROM {table}
+),
+spans0 AS (
+  SELECT {id_col}, CAST(g.i AS BIGINT) AS pos, CAST(ha[g.i] AS BIGINT) AS h
+  FROM arrs, unnest(generate_series(1, len(ha))) AS g(i)
+),
+spans AS (
+  SELECT {id_col}, pos, h FROM spans0{guard}
+)
+SELECT a.{id_col} AS id_a, CAST(a.pos AS BIGINT) AS pos_a,
+       b.{id_col} AS id_b, CAST(b.pos AS BIGINT) AS pos_b,
+       a.h AS span_hash
+FROM spans a JOIN spans b
+  ON a.h = b.h AND a.{id_col} < b.{id_col}
+"""
+
+
+def hot_span_table(
+    df: DataFrame,
+    span_words: int = 20,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 1000,
+) -> DataFrame:
+    """The over-cap spans :func:`shared_span_pairs` excludes from pairing:
+    (span_hash, df) for spans in more than ``max_df`` documents — the
+    boilerplate list a clipping pass removes globally."""
+    x = X(SPARK)
+    grams = x.word_ngrams(col, span_words)
+    hashed = x.transform(grams, f"g -> {x.md5int('g')}")
+    nwords = x.size(x.split_ws(col))
+    spans = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN {nwords} >= {span_words} THEN {x.array_distinct(hashed)} "
+                f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            )
+        ).alias("h"),
+    )
+    return (
+        spans.groupBy(F.col("h").cast("long").alias("span_hash"))
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .where(F.col("df") > max_df)
+    )
+
+
 def dedup_against(
     batch: DataFrame,
     reference: DataFrame,

@@ -1639,3 +1639,44 @@ def test_corpus_report_null_and_dup_semantics(spark):
     # approx path returns the same group keys and plausible rates
     approx = rep.corpus_report(df, exact_distinct=False).toPandas()
     assert approx.loc[0, "n_docs"] == 4
+
+
+def test_shared_span_pairs_vs_duckdb(docs, duck):
+    got = dedup.shared_span_pairs(docs, span_words=20).toPandas()
+    want = duck.execute(
+        dedup.shared_span_pairs_sql("documents", span_words=20)
+    ).fetchdf()
+    _compare(got, want, ["id_a", "id_b", "pos_a", "pos_b"])
+    assert (got["id_a"] < got["id_b"]).all()
+
+
+def test_shared_span_semantics(spark):
+    """Hand-built docs: a copied 5-word run of length 6 yields two
+    consecutive shared 5-grams with the right positions; short docs and
+    over-cap boilerplate produce nothing."""
+    run = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, "intro words here " + run),            # run at words 4-9
+        (2, run + " trailing stuff"),              # run at words 1-6
+        (3, "tiny doc"),                           # < span_words
+        (4, "completely different content of sufficient length ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        dedup.shared_span_pairs(df, span_words=5)
+        .toPandas()
+        .sort_values(["id_a", "pos_a"])
+        .reset_index(drop=True)
+    )
+    assert got[["id_a", "id_b"]].drop_duplicates().values.tolist() == [[1, 2]]
+    # length-6 run, 5-gram windows -> 2 consecutive spans
+    assert got["pos_a"].tolist() == [4, 5]
+    assert got["pos_b"].tolist() == [1, 2]
+    # boilerplate guard: the same span in MANY docs is excluded at max_df
+    many = spark.createDataFrame(
+        [(i, run) for i in range(10)], "doc_id long, text string"
+    )
+    guarded = dedup.shared_span_pairs(many, span_words=5, max_df=5).toPandas()
+    assert len(guarded) == 0
+    hot = dedup.hot_span_table(many, span_words=5, max_df=5).toPandas()
+    assert len(hot) == 2 and (hot["df"] == 10).all()
