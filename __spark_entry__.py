@@ -534,6 +534,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["dedup_shared_spans"] = q_shared_spans
 
+    # tokenizer apply: vocab ids in doc order; sequences compared via an
+    # md5 digest of the joined ids (same digest expression both engines)
+    def q_encode(spark, sf_dir):
+        from dbreg_spark.operators import text as _text
+
+        t = _tables(spark, sf_dir)
+        d = t["documents"]
+        enc = _text.encode_tokens(d, _text.vocab_with_ids(d, max_vocab=500))
+        return enc.select(
+            "doc_id", "n_tokens", "n_oov",
+            F.expr(
+                "md5(array_join(transform(token_ids, t -> CAST(t AS STRING)), ','))"
+            ).alias("ids_md5"),
+        )
+
+    Q["text_encode_tokens"] = q_encode
+
     # context-window chunking with overlap (pure column exprs, no shuffle)
     def q_chunk(spark, sf_dir):
         from dbreg_spark.operators import text as _text
@@ -1125,6 +1142,14 @@ FROM g CROSS JOIN tot
     )
     O["dedup_shared_spans"] = dedup.shared_span_pairs_sql(
         "documents", span_words=20
+    )
+    O["text_encode_tokens"] = (
+        "SELECT doc_id, n_tokens, n_oov, "
+        "md5(array_to_string(token_ids, ',')) AS ids_md5 FROM ("
+        + _text.encode_tokens_sql(
+            "documents", _text.vocab_with_ids_sql("documents", max_vocab=500)
+        )
+        + ")"
     )
     O["dedup_against"] = dedup.dedup_against_sql(
         "SELECT * FROM documents WHERE doc_id % 7 = 0",

@@ -905,6 +905,137 @@ FROM {table} b LEFT JOIN per_doc p USING ({id_col})
 
 
 # --------------------------------------------------------------------------
+# token encoding (tokenizer apply)
+# --------------------------------------------------------------------------
+
+
+def vocab_with_ids(
+    df: DataFrame,
+    col: str = "text",
+    min_df: int = 1,
+    max_vocab: int | None = 30_000,
+) -> DataFrame:
+    """:func:`vocabulary` plus a dense integer id per token: id 1..V in
+    (df DESC, token ASC) order — frequent tokens get small ids, ties are
+    deterministic; id 0 is reserved for OOV. The ranking window runs over
+    the (capped) vocabulary table, not the corpus."""
+    from pyspark.sql import Window
+
+    v = vocabulary(df, col=col, min_df=min_df, max_vocab=max_vocab)
+    w = Window.orderBy(F.desc("df"), F.asc("token"))
+    return v.select(
+        "token", F.row_number().over(w).cast("long").alias("token_id"), "df"
+    )
+
+
+def encode_tokens(
+    corpus: DataFrame,
+    vocab: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Encode documents to token-id sequences under a ``vocab`` table
+    (token, token_id) — the tokenizer-apply step between vocabulary
+    induction and sequence packing. Lowercase whitespace tokens in
+    document order; out-of-vocabulary tokens encode as ``oov_id``.
+    Returns (``id_col``, token_ids array, n_tokens, n_oov); empty/NULL
+    docs get an empty array.
+
+    Scale shape: one corpus scan — positional explode, broadcast join of
+    the vocab (vocabularies are capped/broadcastable by construction;
+    a 30k-row map is KBs), and an order-restoring
+    ``sort_array(collect_list(struct(pos, id)))`` per document. The
+    shuffle carries (doc, pos, id) triples once."""
+    x = X(SPARK)
+    tok_arr = x.filter(
+        x.transform(x.split_ws(col), "w -> lower(w)"), "w -> length(w) > 0"
+    )
+    toks = corpus.select(
+        F.col(id_col), F.posexplode(F.expr(tok_arr)).alias("pos", "token")
+    )
+    enc = toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(int(oov_id))).alias("tid"),
+    )
+    agg = enc.groupBy(id_col).agg(
+        F.expr("transform(sort_array(collect_list(struct(pos, tid))), s -> s.tid)")
+        .alias("token_ids"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((F.col("tid") == int(oov_id)).cast("long")).alias("n_oov"),
+    )
+    empty = F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    return (
+        corpus.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("token_ids"), empty).alias("token_ids"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+        )
+    )
+
+
+def vocab_with_ids_sql(
+    table: str,
+    col: str = "text",
+    min_df: int = 1,
+    max_vocab: int | None = 30_000,
+) -> str:
+    inner = vocabulary_sql(table, col=col, min_df=min_df, max_vocab=max_vocab)
+    return f"""
+SELECT token,
+       CAST(ROW_NUMBER() OVER (ORDER BY df DESC, token ASC) AS BIGINT) AS token_id,
+       df
+FROM ({inner})
+"""
+
+
+def encode_tokens_sql(
+    table: str,
+    vocab_sql: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = 0,
+) -> str:
+    """DuckDB twin of :func:`encode_tokens` (list aggregation ordered by
+    position restores document order)."""
+    x = X(DUCK)
+    tok_arr = x.filter(
+        x.transform(x.split_ws(col), "w -> lower(w)"), "w -> length(w) > 0"
+    )
+    return f"""
+WITH arrs AS (
+  SELECT {id_col}, {tok_arr} AS toks FROM {table}
+),
+toks AS (
+  SELECT {id_col}, CAST(g.i AS BIGINT) AS pos, toks[g.i] AS token
+  FROM arrs, unnest(generate_series(1, len(toks))) AS g(i)
+),
+enc AS (
+  SELECT t.{id_col}, t.pos, COALESCE(v.token_id, {oov_id}) AS tid
+  FROM toks t LEFT JOIN ({vocab_sql}) v USING (token)
+),
+agg AS (
+  SELECT {id_col},
+         list(tid ORDER BY pos ASC) AS token_ids,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(tid = {oov_id} AS INT)) AS BIGINT) AS n_oov
+  FROM enc GROUP BY {id_col}
+)
+SELECT b.{id_col},
+       COALESCE(a.token_ids, CAST([] AS BIGINT[])) AS token_ids,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_oov, 0) AS n_oov
+FROM {table} b LEFT JOIN agg a USING ({id_col})
+"""
+
+
+# --------------------------------------------------------------------------
 # BM25 keyword search
 # --------------------------------------------------------------------------
 
@@ -1173,7 +1304,14 @@ def vocabulary(
     n_docs = df.count()
     toks = df.select(
         F.explode(
-            F.array_distinct(F.expr(x.transform(x.split_ws(col), "w -> lower(w)")))
+            F.array_distinct(
+                F.expr(
+                    x.filter(
+                        x.transform(x.split_ws(col), "w -> lower(w)"),
+                        "w -> length(w) > 0",
+                    )
+                )
+            )
         ).alias("token")
     )
     out = (
@@ -1197,7 +1335,9 @@ def vocabulary_sql(
     max_vocab: int | None = None,
 ) -> str:
     x = X(DUCK)
-    toks = x.array_distinct(x.transform(x.split_ws(col), "w -> lower(w)"))
+    toks = x.array_distinct(
+        x.filter(x.transform(x.split_ws(col), "w -> lower(w)"), "w -> length(w) > 0")
+    )
     limit = ""
     if max_vocab is not None:
         limit = f"\nORDER BY df DESC, token ASC\nLIMIT {max_vocab}"

@@ -1680,3 +1680,40 @@ def test_shared_span_semantics(spark):
     assert len(guarded) == 0
     hot = dedup.hot_span_table(many, span_words=5, max_df=5).toPandas()
     assert len(hot) == 2 and (hot["df"] == 10).all()
+
+
+def test_encode_tokens_vs_duckdb(docs, duck):
+    got = text.encode_tokens(
+        docs, text.vocab_with_ids(docs, max_vocab=500)
+    ).toPandas()
+    want = duck.execute(
+        text.encode_tokens_sql(
+            "documents", text.vocab_with_ids_sql("documents", max_vocab=500)
+        )
+    ).fetchdf()
+    got["token_ids"] = got["token_ids"].map(list)
+    want["token_ids"] = want["token_ids"].map(list)
+    _compare(got, want, ["doc_id"])
+
+
+def test_encode_tokens_roundtrip_and_oov(spark):
+    rows = [
+        (1, "red blue red green"),
+        (2, "BLUE unknownword red"),   # case-folded; one OOV
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = text.vocab_with_ids(df, max_vocab=3)  # red(2 docs) blue(2) green(1)
+    v = vocab.toPandas().set_index("token")["token_id"]
+    # df desc, token asc: blue(2), red(2) -> blue=1 red=2, green=3
+    assert v["blue"] == 1 and v["red"] == 2 and v["green"] == 3
+    enc = (
+        text.encode_tokens(df, vocab)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(enc.loc[0, "token_ids"]) == [2, 1, 2, 3]
+    assert list(enc.loc[1, "token_ids"]) == [1, 0, 2]
+    assert enc.loc[1, "n_oov"] == 1
+    assert list(enc.loc[2, "token_ids"]) == [] and enc.loc[2, "n_tokens"] == 0
+    assert list(enc.loc[3, "token_ids"]) == [] and enc.loc[3, "n_oov"] == 0
