@@ -134,3 +134,26 @@ def test_partition_pruning_reaches_scan(tables, tmp_path):
     assert "purchase" in "".join(pf_lines)
     n = back.count()
     assert n == tables["events"].where("event_type = 'purchase'").count()
+
+
+def test_topk_operators_use_take_ordered(tables):
+    """The ranked operators claim distributed top-k (TakeOrdered), not a
+    global sort: pin the plan shape for BM25, DSIR sampling, and capped
+    vocabulary."""
+    from dbreg_spark.operators import text as tx
+
+    docs = tables["documents"]
+    plans = {
+        "bm25": tx.bm25_topk(docs, "spark window join", k=25),
+        "dsir": tx.importance_sample(
+            tx.importance_weights(docs, docs.where("source = 'src0'"), max_vocab=100),
+            k=20,
+        ),
+        "vocab": tx.vocabulary(docs, min_df=2, max_vocab=50),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, f"{name}: no TakeOrdered\n{plan[:500]}"
+        assert "Sort [" not in plan.replace("TakeOrderedAndProject", ""), (
+            f"{name}: global sort in plan"
+        )
