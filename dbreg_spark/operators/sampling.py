@@ -106,3 +106,68 @@ def stratified_sample_sql(
         for s, frac in fractions.items()
     ] or ["FALSE"]
     return f"SELECT * FROM {table} WHERE " + " OR ".join(conds)
+
+
+def plan_mixture(
+    available_tokens: dict,
+    target_weights: dict,
+    token_budget: int | None = None,
+) -> dict:
+    """Plan per-source sampling fractions to hit a target mixture under a
+    token budget — the data-mixing step (fixed-weight mixtures à la The
+    Pile / Dolma source weighting). Pure driver-side arithmetic over
+    per-source token counts (get them from
+    :func:`~dbreg_spark.operators.report.corpus_report`'s
+    ``total_tokens``).
+
+    ``target_weights`` (source → weight, normalized internally) defines
+    the desired token SHARE of each source in the output. The feasible
+    output size is capped by the scarcest source — budget* = min over
+    sources of available_s / weight_s — and by ``token_budget`` when
+    given; sampling never upsamples (fractions ≤ 1). Returns
+    {source: fraction} for :func:`stratified_sample` — sources with zero
+    weight are omitted (dropped by the sampler). Raises when a weighted
+    source has no tokens."""
+    w_sum = sum(target_weights.values())
+    if w_sum <= 0:
+        raise ValueError("plan_mixture: target weights sum to zero")
+    weights = {s: w / w_sum for s, w in target_weights.items() if w > 0}
+    missing = [s for s in weights if available_tokens.get(s, 0) <= 0]
+    if missing:
+        raise ValueError(
+            f"plan_mixture: weighted sources with no available tokens: {missing}"
+        )
+    feasible = min(available_tokens[s] / w for s, w in weights.items())
+    if token_budget is not None:
+        feasible = min(feasible, float(token_budget))
+    return {
+        s: min(1.0, (w * feasible) / available_tokens[s])
+        for s, w in weights.items()
+    }
+
+
+def sample_mixture(
+    df: DataFrame,
+    target_weights: dict,
+    token_budget: int | None = None,
+    token_col: str = "n_chars",
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """One-call mixture sampling: aggregate per-source token counts (one
+    tiny groupBy), :func:`plan_mixture`, then the deterministic
+    :func:`stratified_sample`. The realized mixture converges to the
+    target as documents-per-source grows (hash sampling is exact in
+    expectation; per-doc token variance adds noise)."""
+    counts = {
+        r[0]: int(r[1])
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(token_col).alias("t"))
+        .collect()
+        if r[1] is not None
+    }
+    fractions = plan_mixture(counts, target_weights, token_budget)
+    return stratified_sample(
+        df, fractions, strata_col=strata_col, id_col=id_col, seed=seed
+    )

@@ -1717,3 +1717,34 @@ def test_encode_tokens_roundtrip_and_oov(spark):
     assert enc.loc[1, "n_oov"] == 1
     assert list(enc.loc[2, "token_ids"]) == [] and enc.loc[2, "n_tokens"] == 0
     assert list(enc.loc[3, "token_ids"]) == [] and enc.loc[3, "n_oov"] == 0
+
+
+def test_plan_and_sample_mixture(spark, docs):
+    import pyspark.sql.functions as F
+
+    from dbreg_spark.operators import sampling
+
+    # plan arithmetic: scarcest source caps the feasible size
+    fr = sampling.plan_mixture(
+        {"a": 1000, "b": 9000}, {"a": 0.5, "b": 0.5}
+    )
+    # feasible = min(1000/.5, 9000/.5) = 2000 -> a: 1000/1000=1.0, b: 1000/9000
+    assert fr["a"] == 1.0 and abs(fr["b"] - 1000 / 9000) < 1e-12
+    capped = sampling.plan_mixture(
+        {"a": 1000, "b": 9000}, {"a": 0.5, "b": 0.5}, token_budget=400
+    )
+    assert abs(capped["a"] - 200 / 1000) < 1e-12
+    assert abs(capped["b"] - 200 / 9000) < 1e-12
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sampling.plan_mixture({"a": 0}, {"a": 1.0})
+    # end-to-end: realized token shares approach the target
+    out = sampling.sample_mixture(
+        docs, {"src0": 0.7, "src1": 0.3}, token_col="n_chars"
+    )
+    pdf = out.groupBy("source").agg(F.sum("n_chars").alias("t")).toPandas()
+    t = pdf.set_index("source")["t"]
+    share0 = t.get("src0", 0) / t.sum()
+    assert 0.5 < share0 < 0.9  # 0.7 target, small-sample noise
+    assert set(t.index) <= {"src0", "src1"}
