@@ -647,10 +647,15 @@ def repetition_stats(
         "top_ngram_char_frac": F.least(z(F.col("__top")) / nch, one),
         "dup_ngram_char_frac": F.least(z(F.col("__dgc")) / nch, one),
     }
-    flag = None
+    unknown = set(thresholds) - set(metrics)
+    if unknown:
+        raise ValueError(
+            f"repetition_stats: unknown threshold keys {sorted(unknown)}; "
+            f"valid: {sorted(metrics)}"
+        )
+    flag = F.lit(False)
     for k, thr in thresholds.items():
-        cond = metrics[k] > F.lit(float(thr))
-        flag = cond if flag is None else (flag | cond)
+        flag = flag | (metrics[k] > F.lit(float(thr)))
     return (
         df.select(id_col, col)
         .join(per_doc, id_col, "left")
@@ -940,7 +945,9 @@ def encode_tokens(
     induction and sequence packing. Lowercase whitespace tokens in
     document order; out-of-vocabulary tokens encode as ``oov_id``.
     Returns (``id_col``, token_ids array, n_tokens, n_oov); empty/NULL
-    docs get an empty array.
+    docs get an empty array. ``vocab`` must be unique per token (as
+    :func:`vocab_with_ids` produces) — a duplicated token would multiply
+    the joined positions.
 
     Scale shape: one corpus scan — positional explode, broadcast join of
     the vocab (vocabularies are capped/broadcastable by construction;
