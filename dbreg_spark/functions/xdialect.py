@@ -15,6 +15,12 @@ from __future__ import annotations
 SPARK = "spark"
 DUCK = "duck"
 
+# Explicit whitespace class for tokenization. Java regex \s includes
+# vertical tab (\x0B); RE2 (DuckDB) does not — the explicit class makes
+# both engines tokenize EVERY string identically (verified divergence on
+# 'a\x0bb' with \s+: Spark 2 tokens, DuckDB 1).
+WS = "[ \\t\\n\\r\\f]"
+
 
 class X:
     """Expression factory for one dialect."""
@@ -85,8 +91,8 @@ class X:
     # -- strings ------------------------------------------------------------
     def split_ws(self, s: str) -> str:
         if self.e == SPARK:
-            return f"split(trim({s}), {self.rx(chr(92) + 's+')})"
-        return f"string_split_regex(trim({s}), {self.rx(chr(92) + 's+')})"
+            return f"split(trim({s}), {self.rx(WS + '+')})"
+        return f"string_split_regex(trim({s}), {self.rx(WS + '+')})"
 
     def split_re(self, s: str, pattern: str) -> str:
         """Split on a regex (no trim — caller decides)."""

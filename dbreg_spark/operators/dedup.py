@@ -25,7 +25,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..functions.xdialect import DUCK, SPARK, X
+from ..functions.xdialect import DUCK, SPARK, WS, X
 
 MH_PRIME = 2_147_483_647  # 2^31 - 1
 MH_MODB = 1 << 31
@@ -44,7 +44,7 @@ def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def _norm_expr(x: X, col: str) -> str:
-    return f"lower({x.regexp_replace_all(f'trim({col})', chr(92) + 's+', ' ')})"
+    return f"lower({x.regexp_replace_all(f'trim({col})', WS + '+', ' ')})"
 
 
 def exact_duplicates(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..functions.xdialect import DUCK, SPARK, X
+from ..functions.xdialect import DUCK, SPARK, WS, X
 from .text import quality_score_expr
 
 
@@ -34,7 +34,7 @@ def _report_row_exprs(x: X, col: str) -> dict[str, str]:
         f"CASE WHEN {col} IS NULL OR length(trim({col})) = 0 THEN 0 "
         f"ELSE {x.size(x.split_ws(col))} END"
     )
-    norm = f"lower({x.regexp_replace_all(f'trim({col})', chr(92) + 's+', ' ')})"
+    norm = f"lower({x.regexp_replace_all(f'trim({col})', WS + '+', ' ')})"
     return {
         "__ntok": f"CAST({n_tok} AS BIGINT)",
         "__len": f"CAST(length({col}) AS DOUBLE)",

@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..functions.xdialect import DUCK, SPARK, X
+from ..functions.xdialect import DUCK, SPARK, WS, X
 
 # BPE-ish tokenization: letter runs, single digits, punctuation marks
 BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
@@ -73,7 +73,7 @@ def text_stats_exprs(x: X, col: str) -> list[tuple[str, str]]:
         ),
         (
             "mean_token_len",
-            f"CAST(length({x.regexp_replace_all(col, chr(92) + 's', '')}) AS DOUBLE)"
+            f"CAST(length({x.regexp_replace_all(col, WS, '')}) AS DOUBLE)"
             f" / greatest({n_tok}, 1)",
         ),
     ]
@@ -119,7 +119,7 @@ def fingerprint_exprs(x: X, col: str) -> list[tuple[str, str]]:
     """Document fingerprints: md5 of whitespace-normalized lowercase text,
     plus a rolling 40-bit polynomial hash over word hashes (order-sensitive,
     overflow-free on both engines)."""
-    norm = f"lower({x.regexp_replace_all(f'trim({col})', chr(92) + 's+', ' ')})"
+    norm = f"lower({x.regexp_replace_all(f'trim({col})', WS + '+', ' ')})"
     words = x.split_ws(col)
     word_h = x.transform(words, f"w -> {x.md5int('lower(w)')} % 1099511627776")
     rolling = x.reduce_bigint(

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions.xdialect import SPARK, X
+from ..functions.xdialect import SPARK, WS, X
 
 
 def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
@@ -77,7 +77,7 @@ def streaming_dedup(
     keyed on the normalized-content hash (state size = one hash per doc in
     the horizon, not the text)."""
     x = X(SPARK)
-    norm = f"lower({x.regexp_replace_all(f'trim({text_col})', chr(92) + 's+', ' ')})"
+    norm = f"lower({x.regexp_replace_all(f'trim({text_col})', WS + '+', ' ')})"
     hashed = _ensure_event_time(docs, ts_col).withColumn("__fp", F.expr(f"md5({norm})"))
     return (
         hashed.withWatermark(ts_col, watermark)

@@ -116,3 +116,73 @@ def test_round_sig_cross_engine(_round_engines, vals):
         if v != 0 and not math.isnan(a) and a != 0:
             # 6 significant digits preserved
             assert abs(a - v) <= abs(v) * 1e-5 + 1e-300
+
+
+# -- cross-engine text-operator parity on arbitrary text ---------------------
+#
+# The tokenizer uses an explicit whitespace class (xdialect.WS) because
+# Java's \s and RE2's \s disagree on vertical tab — this property pins that
+# EVERY generated string (controls included) tokenizes identically on both
+# engines. One Spark job per example over a 60-doc batch keeps it fast.
+
+_text_chars = st.characters(
+    min_codepoint=0x09, max_codepoint=0x24F,
+    exclude_categories=("Cs",),
+).filter(lambda ch: ord(ch) >= 0x20 or ord(ch) in (9, 10, 11, 12, 13))
+
+
+@given(st.lists(st.text(_text_chars, max_size=120), min_size=40, max_size=60))
+@settings(max_examples=3, deadline=None)
+def test_text_stats_cross_engine_on_arbitrary_text(spark, texts):
+    import duckdb
+    import pandas as pd
+
+    from dbreg_spark.operators import text as tx
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        tx.text_stats(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t_in", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = (
+        con.execute(tx.text_stats_sql("t_in"))
+        .fetchdf().sort_values("doc_id").reset_index(drop=True)
+    )
+    for c in got.columns:
+        if got[c].dtype.kind == "f":
+            np.testing.assert_allclose(
+                got[c].astype(float), want[c].astype(float),
+                rtol=1e-9, err_msg=c, equal_nan=True,
+            )
+        else:
+            assert got[c].fillna("§").tolist() == want[c].fillna("§").tolist(), c
+
+
+@given(st.lists(st.text(_text_chars, max_size=120), min_size=40, max_size=60))
+@settings(max_examples=3, deadline=None)
+def test_repetition_cross_engine_on_arbitrary_text(spark, texts):
+    import duckdb
+    import pandas as pd
+
+    from dbreg_spark.operators import text as tx
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        tx.repetition_stats(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t_in", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = (
+        con.execute(tx.repetition_stats_sql("t_in"))
+        .fetchdf().sort_values("doc_id").reset_index(drop=True)
+    )
+    for c in got.columns:
+        if got[c].dtype.kind == "f":
+            np.testing.assert_allclose(
+                got[c].astype(float), want[c].astype(float), rtol=1e-9, err_msg=c
+            )
+        else:
+            assert got[c].tolist() == want[c].tolist(), c
