@@ -525,3 +525,59 @@ def test_demean_iter_disconnected_dof(spark):
     X, _, y = lsdv_matrix(pdf, "y", ["x1"], ["firm", "year"])
     beta, _ = ols_fit(X, y)
     np.testing.assert_allclose(float(m.coef()["x1"]), beta[1], rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_strategy_equivalence_fuzz(spark, seed):
+    """Randomized cross-strategy agreement: on a fresh random (hence
+    UNBALANCED) panel the iterated-demean and compress estimators must
+    reproduce the numpy LSDV within-coefficients and agree on HC1 SEs
+    (the compress HC1 meat is constructed to equal the row-level one).
+    One-shot 2-FE demeaning and 2-way Mundlak are exact only for balanced
+    panels, so they are out of scope here (auto routes around them).
+    Discrete regressors so compress genuinely compresses."""
+    rng = np.random.default_rng(seed)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "f": rng.integers(1, 13, n).astype("int64"),
+            "g": rng.integers(1, 5, n).astype("int64"),
+            "x1": rng.integers(0, 8, n).astype("float64"),
+            "x2": rng.integers(0, 4, n).astype("float64"),
+        }
+    )
+    fe_f = rng.normal(size=13)
+    fe_g = rng.normal(size=5)
+    pdf["y"] = (
+        1.5 * pdf["x1"]
+        - 0.7 * pdf["x2"]
+        + fe_f[pdf["f"]]
+        + fe_g[pdf["g"]]
+        + rng.normal(0, 1.0, n)
+    )
+    df = spark.createDataFrame(pdf)
+    fml = "y ~ x1 + x2 | f + g"
+    # numpy LSDV reference
+    X = np.column_stack(
+        [
+            pdf["x1"],
+            pdf["x2"],
+            *(np.eye(13)[pdf["f"]][:, 1:].T),
+            *(np.eye(5)[pdf["g"]][:, 1:].T),
+        ]
+    )
+    X = np.column_stack([np.ones(n), X])
+    beta = np.linalg.lstsq(X, pdf["y"].to_numpy(), rcond=None)[0]
+    want = beta[1:3]
+    fits = {
+        s: dbreg(fml, df, strategy=s, vcov="hc1")
+        for s in ("demean_iter", "compress")
+    }
+    for s, m in fits.items():
+        got = np.array([m.coef()["x1"], m.coef()["x2"]])
+        np.testing.assert_allclose(got, want, rtol=1e-6, err_msg=s)
+    np.testing.assert_allclose(
+        [fits["demean_iter"].se()["x1"], fits["demean_iter"].se()["x2"]],
+        [fits["compress"].se()["x1"], fits["compress"].se()["x2"]],
+        rtol=1e-5,
+    )
