@@ -410,6 +410,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["events_interval_join"] = q_interval
 
+    # conversion funnel: view -> click -> purchase per user, 7-day window
+    # (single sorted fold per user; recursive-CTE oracle)
+    def q_funnel(spark, sf_dir):
+        from dbreg_spark.operators.asof import funnel
+
+        t = _tables(spark, sf_dir)
+        return _round_doubles_df(
+            funnel(
+                t["events"], ["view", "click", "purchase"],
+                window_seconds=7 * 86400.0,
+            )
+        )
+
+    Q["events_funnel"] = q_funnel
+
     def q_vocab(spark, sf_dir):
         from dbreg_spark.operators import text as _text
 
@@ -1194,6 +1209,16 @@ FROM g CROSS JOIN tot
             "p.event_id", "p.user_id", "p.ts", "p.event_type",
             "i.w_end AS purchase_ts",
         ],
+    )
+    from dbreg_spark.operators.asof import funnel_sql as _funnel_sql
+
+    O["events_funnel"] = _round_doubles_sql(
+        _funnel_sql(
+            "events", ["view", "click", "purchase"],
+            window_seconds=7 * 86400.0,
+        ),
+        ["user_id", "steps_completed", "ts_first", "ts_last"],
+        ["ts_first", "ts_last"],
     )
     O["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(
         "documents", shingle_words=2, threshold=0.2

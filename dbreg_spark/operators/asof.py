@@ -266,3 +266,118 @@ FROM ({points_sql}) p
 JOIN ({intervals_sql}) i
   ON {keys} AND p.{on} >= i.{start} AND p.{on} <= i.{end}
 """
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    on: str = "ts",
+    by: str = "user_id",
+    type_col: str = "event_type",
+    window_seconds: float | None = None,
+) -> DataFrame:
+    """Funnel analysis: how far each ``by`` key progresses through the
+    ordered ``steps`` sequence — step i+1 counts only AFTER step i (same
+    timestamp allowed: ties process in (time, type) order), and, with
+    ``window_seconds``, only within that horizon of the step-1 event.
+    Returns one row per key: (``by``, steps_completed, ts_first, ts_last)
+    with the epoch seconds of the first and the latest counted step
+    (NULL when nothing matched). The standard conversion-funnel query
+    (signup → activate → purchase) a product-events pipeline runs.
+
+    Scale shape: one scan filtered to the step types, one groupBy
+    assembling each key's sorted (time, type) array — bounded by the
+    key's RELEVANT event count, not total activity — then a single fold
+    (``aggregate``) per key advances the state machine; no self-joins,
+    no per-step passes. The DuckDB twin replays the same walk as a
+    recursive CTE (oracle-scale only), the pack_greedy precedent."""
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    k = len(steps)
+    steps_arr = "array(" + ", ".join(f"'{s}'" for s in steps) + ")"
+    sec = _seconds(events, on)
+    ev = (
+        events.where(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(by),
+            F.struct(sec.alias("t"), F.col(type_col).alias("ty")).alias("__e"),
+        )
+        .groupBy(by)
+        .agg(F.expr("sort_array(collect_list(__e))").alias("__evs"))
+    )
+    win = (
+        f"AND (acc.idx = 0 OR e.t - acc.ts0 <= {float(window_seconds)!r}D)"
+        if window_seconds is not None
+        else ""
+    )
+    fold = f"""
+aggregate(
+  __evs,
+  named_struct('idx', 0L, 'ts0', CAST(NULL AS DOUBLE), 'tsl', CAST(NULL AS DOUBLE)),
+  (acc, e) -> IF(
+    acc.idx < {k} AND e.ty = element_at({steps_arr}, CAST(acc.idx + 1 AS INT)) {win},
+    named_struct('idx', acc.idx + 1L,
+                 'ts0', coalesce(acc.ts0, e.t),
+                 'tsl', e.t),
+    acc))
+"""
+    return (
+        ev.select(by, F.expr(fold).alias("__st"))  # fold evaluated once
+        .select(
+            by,
+            F.col("__st.idx").cast("long").alias("steps_completed"),
+            F.col("__st.ts0").alias("ts_first"),
+            F.col("__st.tsl").alias("ts_last"),
+        )
+    )
+
+
+def funnel_sql(
+    table: str,
+    steps: list[str],
+    on: str = "ts",
+    by: str = "user_id",
+    type_col: str = "event_type",
+    window_seconds: float | None = None,
+) -> str:
+    """DuckDB twin of :func:`funnel` — the fold replayed as a recursive
+    CTE over each key's time-ordered relevant events."""
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    k = len(steps)
+    steps_list = "[" + ", ".join(f"'{s}'" for s in steps) + "]"
+    win = (
+        f"AND (w.idx = 0 OR epoch(o.{on}) - w.ts0 <= {float(window_seconds)!r})"
+        if window_seconds is not None
+        else ""
+    )
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT {by}, epoch({on}) AS t, {type_col} AS ty,
+         ROW_NUMBER() OVER (PARTITION BY {by} ORDER BY epoch({on}), {type_col}) AS rn,
+         {on}
+  FROM {table}
+  WHERE {type_col} IN (SELECT unnest({steps_list}))
+),
+walk(key, rn, idx, ts0, tsl) AS (
+  SELECT {by}, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM ordered GROUP BY {by}
+  UNION ALL
+  SELECT w.key, w.rn + 1,
+         CASE WHEN w.idx < {k} AND o.ty = {steps_list}[w.idx + 1] {win}
+              THEN w.idx + 1 ELSE w.idx END,
+         CASE WHEN w.idx < {k} AND o.ty = {steps_list}[w.idx + 1] {win}
+              THEN COALESCE(w.ts0, epoch(o.{on})) ELSE w.ts0 END,
+         CASE WHEN w.idx < {k} AND o.ty = {steps_list}[w.idx + 1] {win}
+              THEN epoch(o.{on}) ELSE w.tsl END
+  FROM walk w JOIN ordered o ON o.{by} = w.key AND o.rn = w.rn + 1
+),
+final AS (
+  SELECT key, idx, ts0, tsl,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY rn DESC) AS last_rn
+  FROM walk
+)
+SELECT key AS {by}, idx AS steps_completed, ts0 AS ts_first, tsl AS ts_last
+FROM final WHERE last_rn = 1
+"""

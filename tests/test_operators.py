@@ -1748,3 +1748,46 @@ def test_plan_and_sample_mixture(spark, docs):
     share0 = t.get("src0", 0) / t.sum()
     assert 0.5 < share0 < 0.9  # 0.7 target, small-sample noise
     assert set(t.index) <= {"src0", "src1"}
+
+
+def test_funnel_vs_duckdb(tables, duck):
+    from dbreg_spark.operators.asof import funnel, funnel_sql
+
+    got = funnel(
+        tables["events"], ["view", "click", "purchase"],
+        window_seconds=7 * 86400.0,
+    ).toPandas()
+    want = duck.execute(
+        funnel_sql("events", ["view", "click", "purchase"],
+                   window_seconds=7 * 86400.0)
+    ).fetchdf()
+    _compare(got, want, ["user_id"], ["ts_first", "ts_last"])
+    assert got["steps_completed"].between(0, 3).all()
+
+
+def test_funnel_semantics(spark):
+    """Order matters, windows clip, ties process in (time, type) order."""
+    from datetime import datetime
+
+    from dbreg_spark.operators.asof import funnel
+
+    T0 = datetime(2025, 1, 1)
+    rows = [
+        # u1: full funnel in order
+        (1, T0, "A"), (1, datetime(2025, 1, 2), "B"), (1, datetime(2025, 1, 3), "C"),
+        # u2: B before A -> only A counts (B never re-fires)
+        (2, T0, "B"), (2, datetime(2025, 1, 2), "A"),
+        # u3: full funnel but C outside the 1-day window
+        (3, T0, "A"), (3, datetime(2025, 1, 1, 6), "B"), (3, datetime(2025, 1, 5), "C"),
+        # u4: A and B at the SAME instant -> type order counts both
+        (4, T0, "A"), (4, T0, "B"),
+        # u5: irrelevant types only -> filtered out entirely
+        (5, T0, "Z"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    # 3-day window from step 1: u1's C (+2d) fits, u3's C (+4d) clips
+    got = (
+        funnel(df, ["A", "B", "C"], window_seconds=3 * 86400.0)
+        .toPandas().set_index("user_id")["steps_completed"]
+    )
+    assert got.to_dict() == {1: 3, 2: 1, 3: 2, 4: 2}
