@@ -425,6 +425,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["events_funnel"] = q_funnel
 
+    # weekly cohort retention triangle (epoch-week buckets)
+    def q_retention(spark, sf_dir):
+        from dbreg_spark.operators.asof import retention_cohorts
+
+        t = _tables(spark, sf_dir)
+        return retention_cohorts(t["events"])
+
+    Q["events_retention"] = q_retention
+
     def q_vocab(spark, sf_dir):
         from dbreg_spark.operators import text as _text
 
@@ -1211,6 +1220,9 @@ FROM g CROSS JOIN tot
         ],
     )
     from dbreg_spark.operators.asof import funnel_sql as _funnel_sql
+    from dbreg_spark.operators.asof import retention_cohorts_sql as _ret_sql
+
+    O["events_retention"] = _ret_sql("events")
 
     O["events_funnel"] = _round_doubles_sql(
         _funnel_sql(

@@ -381,3 +381,64 @@ final AS (
 SELECT key AS {by}, idx AS steps_completed, ts0 AS ts_first, tsl AS ts_last
 FROM final WHERE last_rn = 1
 """
+
+
+def retention_cohorts(
+    events: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    bucket_seconds: int = 604_800,
+) -> DataFrame:
+    """Cohort retention: keys grouped into cohorts by their FIRST event's
+    time bucket (default weekly, as epoch-bucket index — calendar-free, so
+    both engines bucket identically), counting distinct keys active in
+    each later bucket. Returns (cohort, bucket_offset, n_active) with
+    offset 0 = the cohort's own bucket; the classic retention-triangle
+    input.
+
+    Scale shape: one groupBy finds each key's first event (min aggregate,
+    map-side combine), joined back on the key (the only wide join —
+    co-partitioned on ``by``), then distinct (key, offset) + a count per
+    (cohort, offset): shuffles carry key-sized rows only, never raw
+    events past the first join."""
+    sec = _seconds(events, on)
+    b = F.lit(int(bucket_seconds))
+    first = events.groupBy(by).agg(F.min(sec).alias("__t0"))
+    act = (
+        events.select(F.col(by), sec.alias("__t"))
+        .join(first, by)
+        .select(
+            by,
+            F.floor(F.col("__t0") / b).cast("long").alias("cohort"),
+            (F.floor(F.col("__t") / b) - F.floor(F.col("__t0") / b))
+            .cast("long")
+            .alias("bucket_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort", "bucket_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+
+
+def retention_cohorts_sql(
+    table: str,
+    on: str = "ts",
+    by: str = "user_id",
+    bucket_seconds: int = 604_800,
+) -> str:
+    """DuckDB twin of :func:`retention_cohorts`."""
+    return f"""
+WITH first AS (
+  SELECT {by}, MIN(epoch({on})) AS t0 FROM {table} GROUP BY {by}
+),
+act AS (
+  SELECT DISTINCT e.{by},
+         CAST(FLOOR(f.t0 / {bucket_seconds}) AS BIGINT) AS cohort,
+         CAST(FLOOR(epoch(e.{on}) / {bucket_seconds})
+              - FLOOR(f.t0 / {bucket_seconds}) AS BIGINT) AS bucket_offset
+  FROM {table} e JOIN first f USING ({by})
+)
+SELECT cohort, bucket_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+FROM act GROUP BY cohort, bucket_offset
+"""

@@ -1791,3 +1791,35 @@ def test_funnel_semantics(spark):
         .toPandas().set_index("user_id")["steps_completed"]
     )
     assert got.to_dict() == {1: 3, 2: 1, 3: 2, 4: 2}
+
+
+def test_retention_cohorts_vs_duckdb(tables, duck):
+    from dbreg_spark.operators.asof import retention_cohorts, retention_cohorts_sql
+
+    got = retention_cohorts(tables["events"]).toPandas()
+    want = duck.execute(retention_cohorts_sql("events")).fetchdf()
+    _compare(got, want, ["cohort", "bucket_offset"])
+    # offset 0 row exists per cohort and dominates (every member is active
+    # in their own first bucket)
+    base = got[got["bucket_offset"] == 0].set_index("cohort")["n_active"]
+    later = got[got["bucket_offset"] > 0]
+    for _, r in later.iterrows():
+        assert r["n_active"] <= base[r["cohort"]]
+    assert (got["bucket_offset"] >= 0).all()
+
+
+def test_retention_cohorts_handmade(spark):
+    from datetime import datetime, timedelta
+
+    from dbreg_spark.operators.asof import retention_cohorts
+
+    W = 7 * 86400
+    t0 = datetime(2025, 1, 6)  # arbitrary anchor
+    rows = []
+    # users 1,2 start week 0; user 1 returns week 1; user 3 starts week 1
+    rows += [(1, t0), (1, t0 + timedelta(days=8)), (2, t0), (3, t0 + timedelta(days=7))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = retention_cohorts(df, bucket_seconds=W).toPandas()
+    got["cohort"] = got["cohort"] - got["cohort"].min()
+    m = {(r["cohort"], r["bucket_offset"]): r["n_active"] for _, r in got.iterrows()}
+    assert m == {(0, 0): 2, (0, 1): 1, (1, 0): 1}
