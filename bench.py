@@ -292,6 +292,14 @@ def main() -> None:
         "events_interval_join",
         lambda: em.queries()["events_interval_join"](spark, SF_DIR).count(),
     )
+    bench(
+        "events_funnel",
+        lambda: em.queries()["events_funnel"](spark, SF_DIR).count(),
+    )
+    bench(
+        "events_retention",
+        lambda: em.queries()["events_retention"](spark, SF_DIR).count(),
+    )
 
     sf = None
     for tok in SF_DIR.replace("/", " ").split():
