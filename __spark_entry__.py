@@ -659,6 +659,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["dedup_semantic"] = q_semantic_dedup
 
+    # JL random projection 64 -> 8 dims, exploded to scalars for the
+    # value compare (numpy matmul vs sequential dot agree post-rounding)
+    def q_projection(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        p = similarity.random_projection(t["embeddings"], out_dim=8)
+        return _round_doubles_df(
+            p.select(
+                "vec_id", F.posexplode("projected").alias("i", "val")
+            ).select("vec_id", F.col("i").cast("long").alias("i"), "val")
+        )
+
+    Q["embedding_projection"] = q_projection
+
     # ---- multimodal plumbing (binary columns + typed metadata) ----
     def q_mm_metadata(spark, sf_dir):
         from dbreg_spark.operators import multimodal as mm
@@ -1253,6 +1266,13 @@ FROM g CROSS JOIN tot
     )
     O["dedup_semantic"] = _sim.semantic_dedup_sql(
         "embeddings", centroids=_sim.fixed_ivf_centroids(8, 64), threshold=0.3
+    )
+    O["embedding_projection"] = _round_doubles_sql(
+        "SELECT vec_id, CAST(u.i AS BIGINT) AS i, p.projected[u.i + 1] AS val\n"
+        "FROM (" + _sim.random_projection_sql("embeddings", out_dim=8) + ") p,\n"
+        "     unnest(generate_series(0, len(p.projected) - 1)) AS u(i)",
+        ["vec_id", "i", "val"],
+        ["val"],
     )
 
     # multimodal: the synthesized media table re-expressed over documents

@@ -858,3 +858,86 @@ SELECT {id_col},
            CASE WHEN __amax = 0 THEN 1 ELSE __amax / 127.0 END, 0) AS INT)) AS codes
 FROM (SELECT {id_col}, {vec_col}, {amax} AS __amax FROM {table}) __n
 """
+
+
+def random_projection(
+    corpus: DataFrame,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    normalize: bool = False,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` dimensions —
+    the standard dimensionality-reduction preprocessing before ANN
+    indexing or clustering (pairwise distances preserved to within
+    1 ± O(sqrt(log n / out_dim))). The seeded Gaussian matrix (scaled by
+    1/sqrt(out_dim)) is deterministic, so the projection is reproducible
+    and replayable by the DuckDB twin. ``normalize=True`` L2-normalizes
+    the projected vectors (for cosine-based downstream).
+
+    Scale shape: one Arrow-batched X·Rᵀ per batch in ``mapInPandas`` —
+    the same BLAS-not-expressions tradeoff as :func:`_assign_cells`
+    (measured there: interpreted per-element expressions are ~50×
+    slower); no shuffle, output is (id, out_dim floats) per row."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((int(out_dim), dim)) / np.sqrt(float(out_dim))
+
+    def project(batches):
+        for pdf in batches:
+            ok = pdf["__v"].notna()
+            out_vals = [None] * len(pdf)
+            if ok.any():
+                Xm = np.array(pdf.loc[ok, "__v"].tolist(), dtype=float)
+                P = Xm @ R.T
+                if normalize:
+                    nrm = np.sqrt((P * P).sum(axis=1, keepdims=True))
+                    nrm[nrm == 0.0] = 1.0
+                    P = P / nrm
+                it = iter(P.tolist())
+                for j, flag in enumerate(ok.to_numpy()):
+                    if flag:
+                        out_vals[j] = next(it)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "projected": out_vals}
+            )
+
+    id_dt = corpus.schema[id_col].dataType
+    return corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).mapInPandas(
+        project,
+        T.StructType(
+            [
+                T.StructField(id_col, id_dt),
+                T.StructField("projected", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+
+
+def random_projection_sql(
+    table: str,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`random_projection` (normalize=False): one
+    list_inner_product per output component against the same seeded
+    literal rows. numpy matmul vs sequential sums differ in the last
+    ulp — compare rounded (the gate rounds to 6 significant digits)."""
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((int(out_dim), dim)) / np.sqrt(float(out_dim))
+    comps = ", ".join(
+        f"list_inner_product(v, {_duck_plane_lit(r)})" for r in R
+    )
+    return f"""
+WITH c AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table})
+SELECT {id_col}, [{comps}] AS projected FROM c
+"""

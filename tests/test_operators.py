@@ -1823,3 +1823,41 @@ def test_retention_cohorts_handmade(spark):
     got["cohort"] = got["cohort"] - got["cohort"].min()
     m = {(r["cohort"], r["bucket_offset"]): r["n_active"] for _, r in got.iterrows()}
     assert m == {(0, 0): 2, (0, 1): 1, (1, 0): 1}
+
+
+def test_random_projection_vs_duckdb(emb, duck):
+    got = (
+        similarity.random_projection(emb, out_dim=8)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    want = (
+        duck.execute(similarity.random_projection_sql("embeddings", out_dim=8))
+        .fetchdf().sort_values("vec_id").reset_index(drop=True)
+    )
+    a = np.array(got["projected"].tolist(), dtype=float)
+    b = np.array(want["projected"].tolist(), dtype=float)
+    np.testing.assert_allclose(a, b, rtol=1e-9)
+    assert a.shape[1] == 8
+
+
+def test_random_projection_preserves_distances(emb):
+    """JL property on real data: projected pairwise distances concentrate
+    around the originals (loose bound — tiny out_dim)."""
+    pdf = emb.limit(200).toPandas()
+    Xm = np.array(pdf["embedding"].tolist(), dtype=float)
+    got = (
+        similarity.random_projection(emb.limit(200), out_dim=32)
+        .toPandas().sort_values("vec_id")
+    )
+    P = np.array(got["projected"].tolist(), dtype=float)
+    rng = np.random.default_rng(0)
+    idx = rng.choice(len(Xm), size=(100, 2))
+    d0 = np.linalg.norm(Xm[idx[:, 0]] - Xm[idx[:, 1]], axis=1)
+    d1 = np.linalg.norm(P[idx[:, 0]] - P[idx[:, 1]], axis=1)
+    ok = d0 > 0
+    ratio = d1[ok] / d0[ok]
+    assert 0.5 < np.median(ratio) < 1.5
+    # normalize option yields unit vectors
+    n = similarity.random_projection(emb.limit(20), out_dim=8, normalize=True).toPandas()
+    norms = np.linalg.norm(np.array(n["projected"].tolist()), axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-9)
