@@ -24,8 +24,10 @@ from pyspark.sql import DataFrame
 
 from ..functions.xdialect import DUCK, SPARK, WS, X
 
-# BPE-ish tokenization: letter runs, single digits, punctuation marks
-BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+# BPE-ish tokenization: letter runs, single digits, punctuation marks.
+# The negated class spells out whitespace (WS) instead of \s — Java and
+# RE2 disagree on whether \x0B is whitespace (see xdialect.WS).
+BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f]"
 PUNCT_RE = r"[!-/:-@\[-`{-~]"
 
 STOPWORDS_EN = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "that"]
