@@ -1,0 +1,99 @@
+"""One-stop namespace for the training-data pipeline operators.
+
+``from dbreg_spark import pipeline as P`` exposes the full corpus-pipeline
+surface — dedup (exact / fuzzy / semantic / incremental / span-level),
+similarity search, text quality and scrubbing, tokenization and batch
+assembly, deterministic sampling and mixing, temporal joins and event
+analytics, embedding hygiene, multimodal plumbing, and reporting —
+without memorizing which ``operators.*`` module each lives in. Every
+function here has a DuckDB oracle twin (``<name>_sql``) in its home
+module and a correctness gate in ``__spark_entry__``; import from the
+home module when you need the twin.
+"""
+
+from __future__ import annotations
+
+from .operators.asof import (
+    asof_join,
+    funnel,
+    interval_join,
+    retention_cohorts,
+)
+from .operators.dedup import (
+    connected_components,
+    dedup_against,
+    dedup_components,
+    exact_duplicates,
+    hot_span_table,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shared_span_pairs,
+    simhash,
+)
+from .operators.multimodal import (
+    decode_features,
+    frame_sample_plan,
+    resize_stub,
+    synthesize_media,
+)
+from .operators.report import corpus_report
+from .operators.sampling import (
+    hash_split,
+    plan_mixture,
+    sample_mixture,
+    stratified_sample,
+)
+from .operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    hyperplane_lsh_topk,
+    ivf_topk,
+    kmeans_centroids,
+    l2_normalize,
+    quantize_int8,
+    random_projection,
+    semantic_dedup,
+)
+from .operators.text import (
+    bm25_topk,
+    chunk_text,
+    decontaminate,
+    encode_tokens,
+    fingerprints,
+    importance_sample,
+    importance_weights,
+    lm_quality_score,
+    pack_greedy,
+    redact_pii,
+    repetition_stats,
+    text_stats,
+    vocab_with_ids,
+    vocabulary,
+)
+
+__all__ = [
+    # dedup
+    "exact_duplicates", "minhash_signatures", "minhash_lsh_pairs",
+    "ngram_jaccard_pairs", "simhash", "connected_components",
+    "dedup_components", "dedup_against", "shared_span_pairs",
+    "hot_span_table", "semantic_dedup",
+    # similarity / embeddings
+    "cosine_topk", "hyperplane_lsh_topk", "ivf_topk",
+    "embedding_neardup_pairs", "kmeans_centroids", "l2_normalize",
+    "quantize_int8", "random_projection",
+    # text
+    "text_stats", "fingerprints", "repetition_stats", "lm_quality_score",
+    "redact_pii", "decontaminate", "vocabulary", "vocab_with_ids",
+    "encode_tokens", "bm25_topk", "importance_weights",
+    "importance_sample", "chunk_text", "pack_greedy",
+    # sampling / mixing
+    "hash_split", "stratified_sample", "plan_mixture", "sample_mixture",
+    # temporal / events
+    "asof_join", "interval_join", "funnel", "retention_cohorts",
+    # multimodal
+    "synthesize_media", "decode_features", "resize_stub",
+    "frame_sample_plan",
+    # reporting
+    "corpus_report",
+]

@@ -66,3 +66,11 @@ def test_query_matches_oracle(name, spark, duck, sf_dir, inventory):
             n_exact += 1
     # record how hash-friendly the query is (exact equality across engines)
     print(f"{name}: {n_exact}/{len(got.columns)} columns exactly equal")
+
+
+def test_pipeline_facade_exports():
+    from dbreg_spark import pipeline as P
+
+    missing = [n for n in P.__all__ if not callable(getattr(P, n, None))]
+    assert not missing, missing
+    assert len(P.__all__) >= 40
