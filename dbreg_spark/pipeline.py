@@ -38,6 +38,7 @@ from .operators.multimodal import (
     synthesize_media,
 )
 from .operators.report import corpus_report
+from .streaming.ops import streaming_corpus_stats
 from .operators.sampling import (
     hash_split,
     plan_mixture,
@@ -94,6 +95,6 @@ __all__ = [
     # multimodal
     "synthesize_media", "decode_features", "resize_stub",
     "frame_sample_plan",
-    # reporting
-    "corpus_report",
+    # reporting / monitoring
+    "corpus_report", "streaming_corpus_stats",
 ]

@@ -441,3 +441,52 @@ def _parse_duration_seconds(s: str) -> float:
             "milliseconds/seconds/minutes/hours/days/weeks)"
         )
     return float(n) * scale[unit]
+
+
+def streaming_corpus_stats(
+    docs: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed corpus-quality monitoring over a document stream — the
+    drift detector a continuously-ingesting pipeline runs (did a source's
+    quality score or token volume shift this window?). Per (window,
+    source): doc/NULL counts, token volume, mean quality score — the
+    incremental subset of :func:`~dbreg_spark.operators.report.
+    corpus_report` (exact percentiles and exact-distinct dup rate are not
+    windowed-incremental; run the batch report for those). All metrics
+    are sums/counts/means of per-row column expressions, so state per
+    window-source cell is O(1) and the same code runs on a batch frame
+    (the test's mirror)."""
+    from ..functions.xdialect import SPARK, X
+    from ..operators.report import _report_row_exprs
+
+    x = X(SPARK)
+    rows = _report_row_exprs(x, text_col)
+    docs = _ensure_event_time(docs, ts_col)
+    base = docs.select(
+        F.col(ts_col),
+        F.col(source_col),
+        *[F.expr(e).alias(a) for a, e in rows.items() if a != "__h"],
+    )
+    return (
+        base.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__null").cast("long").alias("n_null"),
+            F.sum("__ntok").cast("long").alias("total_tokens"),
+            F.round(F.avg("__q"), 6).alias("mean_quality"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col(source_col),
+            "n_docs",
+            "n_null",
+            "total_tokens",
+            "mean_quality",
+        )
+    )

@@ -461,3 +461,43 @@ def test_stateless_text_operators_stream(spark, tables, docs_stream_dir):
     want = want.sort_values("doc_id").reset_index(drop=True)
     assert (got["n_email"] == 1).all()
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_streaming_corpus_stats(spark, tables):
+    """Windowed quality monitoring over a doc stream equals the same
+    operator applied to the batch frame (documents get synthetic event
+    times spread over 3 days)."""
+    from dbreg_spark.streaming.ops import streaming_corpus_stats
+
+    docs = tables["documents"].withColumn(
+        "ts",
+        F.expr(
+            "timestamp('2025-03-01 00:00:00') + make_interval(0, 0, 0, 0, 0, 0, doc_id * 2000)"
+        ),
+    )
+    d = tempfile.mkdtemp(prefix="dbreg_qstream_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        out = streaming_corpus_stats(stream, window="1 day", watermark="1 day")
+        name = f"q_{uuid.uuid4().hex[:8]}"
+        _run_stream(out, name)
+        got = (
+            spark.sql(f"SELECT * FROM {name}").toPandas()
+            .sort_values(["window_start", "source"]).reset_index(drop=True)
+        )
+        want = (
+            streaming_corpus_stats(docs, window="1 day", watermark="1 day")
+            .toPandas()
+            .sort_values(["window_start", "source"]).reset_index(drop=True)
+        )
+        # append-mode may withhold windows above the final watermark; all
+        # emitted rows must match the batch mirror exactly
+        merged = got.merge(
+            want, on=["window_start", "source"], suffixes=("", "_want")
+        )
+        assert len(merged) == len(got) and len(got) > 0
+        for c in ("n_docs", "n_null", "total_tokens", "mean_quality"):
+            assert (merged[c] == merged[f"{c}_want"]).all(), c
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
