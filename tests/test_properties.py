@@ -186,3 +186,45 @@ def test_repetition_cross_engine_on_arbitrary_text(spark, texts):
             )
         else:
             assert got[c].tolist() == want[c].tolist(), c
+
+
+@given(st.lists(st.text(_text_chars, max_size=100), min_size=30, max_size=40))
+@settings(max_examples=3, deadline=None)
+def test_hashing_paths_cross_engine_on_arbitrary_text(spark, texts):
+    """Fingerprints (md5 + rolling word hash) and MinHash signatures are
+    integer/hash-exact across engines for arbitrary text — any tokenizer
+    or hash divergence flips them outright, so exact equality is the
+    assertion."""
+    import duckdb
+    import pandas as pd
+
+    from dbreg_spark.operators import dedup, text as tx
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("t_in", pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    got_fp = (
+        tx.fingerprints(df).select("doc_id", "fp_md5", "fp_rolling")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want_fp = (
+        con.execute(tx.fingerprints_sql("t_in"))
+        .fetchdf().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got_fp["fp_md5"].tolist() == want_fp["fp_md5"].tolist()
+    assert got_fp["fp_rolling"].tolist() == want_fp["fp_rolling"].tolist()
+
+    got_mh = (
+        dedup.minhash_signatures(df, n_hashes=4, shingle_words=2)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want_mh = (
+        con.execute(
+            dedup.minhash_signatures_sql("t_in", n_hashes=4, shingle_words=2)
+        )
+        .fetchdf().sort_values("doc_id").reset_index(drop=True)
+    )
+    for c in ("sig_0", "sig_1", "sig_2", "sig_3"):
+        assert got_mh[c].fillna(-1).tolist() == want_mh[c].fillna(-1).tolist(), c
