@@ -1,0 +1,88 @@
+"""End-to-end corpus pipeline composition through the facade: the full
+quality-filter → dedup → decontaminate → split → encode → pack chain a
+training-data job runs, with row accounting asserted at every stage.
+Everything is lazy DataFrame composition — the point is that the operator
+outputs feed each other without materialization or schema glue."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dbreg_spark import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def docs(tables):
+    return tables["documents"]
+
+
+def test_end_to_end_corpus_pipeline(spark, docs):
+    n0 = docs.count()
+
+    # 1. quality: per-doc stats + repetition + LM perplexity, one keep flag
+    stats = P.text_stats(docs).select("doc_id", "quality_score", "n_tokens")
+    rep = P.repetition_stats(docs).select("doc_id", "is_repetitive")
+    lm = P.lm_quality_score(docs, max_vocab=1000).select("doc_id", "perplexity")
+    med_ppl = lm.approxQuantile("perplexity", [0.9], 0.001)[0]
+    quality = (
+        stats.join(rep, "doc_id").join(lm, "doc_id")
+        .withColumn(
+            "keep_quality",
+            (
+                (F.col("quality_score") > 0.2)
+                & (F.col("is_repetitive") == 0)
+                & (F.col("perplexity") <= med_ppl)
+            ).cast("int"),
+        )
+    )
+    assert quality.count() == n0  # no doc lost by the quality stage
+
+    # 2. dedup: exact canonicals ∩ semantic-independent survivors of the
+    #    near-dup graph (pairs -> components -> canonical keep list)
+    exact = P.exact_duplicates(docs)
+    pairs = P.minhash_lsh_pairs(
+        docs, n_hashes=16, band_rows=2, shingle_words=2, jaccard_threshold=0.3
+    )
+    comp = P.dedup_components(docs, pairs)
+    keep_ids = (
+        exact.where("is_canonical").select("doc_id")
+        .intersect(comp.where("is_canonical").select("doc_id"))
+    )
+    n_kept_dedup = keep_ids.count()
+    assert 0 < n_kept_dedup <= n0
+
+    # 3. decontaminate against the src0 "benchmark" slice
+    clean = P.decontaminate(docs, docs.where("source = 'src0'"), ngram_words=5)
+    survivors = (
+        quality.where("keep_quality = 1")
+        .join(keep_ids, "doc_id")
+        .join(clean.where("is_contaminated = 0"), "doc_id")
+        .select("doc_id", "n_tokens")
+    )
+    n_surv = survivors.count()
+    assert 0 < n_surv < n0  # every stage actually filtered something
+
+    # 4. deterministic split, then encode + pack the train split
+    final = docs.join(survivors.select("doc_id"), "doc_id")
+    split = P.hash_split(final, {"train": 0.9, "val": 0.1})
+    train = split.where("split = 'train'")
+    vocab = P.vocab_with_ids(train, max_vocab=2000)
+    enc = P.encode_tokens(train, vocab)
+    packed = P.pack_greedy(
+        enc.join(train.select("doc_id", "source"), "doc_id"),
+        budget=512,
+        size_col="n_tokens",
+    )
+    n_train = train.count()
+    assert packed.count() == n_train  # packing loses nothing
+    # pack accounting: token sums within each pack respect the budget
+    # (oversized docs alone in a pack are the only allowed overflow)
+    tok = enc.select("doc_id", "n_tokens")
+    psum = (
+        packed.join(tok, "doc_id")
+        .groupBy("source", "pack_seq")
+        .agg(F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("m"))
+    )
+    bad = psum.where("t > 512 AND m > 1").count()
+    assert bad == 0
+    # encode round trip: no split doc exceeds its own token count in OOV
+    assert enc.where("n_oov > n_tokens").count() == 0
