@@ -1362,3 +1362,39 @@ SELECT token, df,
 FROM v
 WHERE df >= {min_df}{limit}
 """
+
+
+def assemble_packs(
+    encoded: DataFrame,
+    packs: DataFrame,
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """Materialize :func:`pack_greedy` assignments into packed training
+    sequences: join the :func:`encode_tokens` output to the pack table and
+    concatenate each pack's documents in offset order. Returns one row per
+    pack: (``shard_col``, pack_seq, n_docs, n_tokens, token_ids).
+
+    Scale shape: one equi-join on the id, one groupBy per (shard, pack) —
+    collect_list is bounded by the pack budget by construction (a pack
+    holds at most ``budget`` tokens), so row size is capped no matter the
+    corpus size."""
+    joined = packs.join(encoded.select(id_col, ids_col), id_col)
+    return (
+        joined.groupBy(shard_col, "pack_seq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr(
+                f"flatten(transform(sort_array(collect_list("
+                f"struct(pack_offset, {ids_col}))), s -> s.{ids_col}))"
+            ).alias(ids_col),
+        )
+        .select(
+            shard_col,
+            "pack_seq",
+            "n_docs",
+            F.size(ids_col).cast("long").alias("n_tokens"),
+            ids_col,
+        )
+    )

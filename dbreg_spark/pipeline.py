@@ -57,6 +57,7 @@ from .operators.similarity import (
     semantic_dedup,
 )
 from .operators.text import (
+    assemble_packs,
     bm25_topk,
     chunk_text,
     decontaminate,
@@ -87,7 +88,7 @@ __all__ = [
     "text_stats", "fingerprints", "repetition_stats", "lm_quality_score",
     "redact_pii", "decontaminate", "vocabulary", "vocab_with_ids",
     "encode_tokens", "bm25_topk", "importance_weights",
-    "importance_sample", "chunk_text", "pack_greedy",
+    "importance_sample", "chunk_text", "pack_greedy", "assemble_packs",
     # sampling / mixing
     "hash_split", "stratified_sample", "plan_mixture", "sample_mixture",
     # temporal / events

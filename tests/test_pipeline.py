@@ -86,3 +86,35 @@ def test_end_to_end_corpus_pipeline(spark, docs):
     assert bad == 0
     # encode round trip: no split doc exceeds its own token count in OOV
     assert enc.where("n_oov > n_tokens").count() == 0
+
+
+def test_assemble_packs_reconstruction(spark, docs):
+    """Pack assembly preserves every token exactly once and respects the
+    budget (oversized docs alone excepted)."""
+    train = docs.limit(200)
+    vocab = P.vocab_with_ids(train, max_vocab=500)
+    enc = P.encode_tokens(train, vocab)
+    sized = enc.join(train.select("doc_id", "source"), "doc_id")
+    packs = P.pack_greedy(sized, budget=256, size_col="n_tokens")
+    from dbreg_spark.operators.text import assemble_packs
+
+    out = assemble_packs(enc, packs)
+    total_in = enc.agg(F.sum("n_tokens")).collect()[0][0]
+    total_out = out.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total_in == total_out
+    over = out.where("n_tokens > 256 AND n_docs > 1").count()
+    assert over == 0
+    # order within a pack follows offsets: spot-check one multi-doc pack
+    row = out.where("n_docs > 1").first()
+    if row is not None:
+        members = (
+            packs.where(
+                (F.col("source") == row["source"])
+                & (F.col("pack_seq") == row["pack_seq"])
+            )
+            .join(enc, "doc_id")
+            .orderBy("pack_offset")
+            .collect()
+        )
+        manual = [t for m in members for t in m["token_ids"]]
+        assert manual == list(row["token_ids"])
