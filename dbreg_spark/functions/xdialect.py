@@ -21,6 +21,15 @@ DUCK = "duck"
 # 'a\x0bb' with \s+: Spark 2 tokens, DuckDB 1).
 WS = "[ \\t\\n\\r\\f]"
 
+# Known cross-engine boundary (documented, not fixable at the SQL layer):
+# lower() uses each engine's Unicode case mapping — the JVM applies FULL
+# case mapping (U+0130 'İ' → 'i' + U+0307, two codepoints) while DuckDB's
+# utf8proc applies SIMPLE mapping ('İ' → 'i'). Operators that lowercase
+# (fingerprints, vocabulary, LM scoring, dedup normalization) are
+# byte-identical across engines except for such characters; U+0130 is the
+# only one below U+0250. Found by the hypothesis cross-engine property
+# tests, which exclude exactly that character.
+
 
 class X:
     """Expression factory for one dialect."""
