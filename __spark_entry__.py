@@ -475,6 +475,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["text_lm_score"] = q_lm_score
 
+    def q_lm_bigram(spark, sf_dir):
+        from dbreg_spark.operators import text as _text
+
+        t = _tables(spark, sf_dir)
+        return _round_doubles_df(
+            _text.lm_bigram_score(
+                t["documents"], max_vocab=1000, max_bigrams=5000
+            )
+        )
+
+    Q["text_lm_bigram"] = q_lm_bigram
+
     # PII redaction over documents enriched with deterministic synthetic
     # PII (the raw corpus has none) — pure regex column exprs, zero shuffle
     def q_redact(spark, sf_dir):
@@ -1139,6 +1151,11 @@ FROM g CROSS JOIN tot
     )
     O["text_lm_score"] = _round_doubles_sql(
         _text.lm_quality_score_sql("documents", max_vocab=1000),
+        ["doc_id", "n_tokens", "avg_logp", "perplexity"],
+        ["avg_logp", "perplexity"],
+    )
+    O["text_lm_bigram"] = _round_doubles_sql(
+        _text.lm_bigram_score_sql("documents", max_vocab=1000, max_bigrams=5000),
         ["doc_id", "n_tokens", "avg_logp", "perplexity"],
         ["avg_logp", "perplexity"],
     )

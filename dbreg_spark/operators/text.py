@@ -1044,6 +1044,205 @@ FROM {table} b LEFT JOIN agg a USING ({id_col})
 """
 
 
+def lm_bigram_score(
+    corpus: DataFrame,
+    reference: DataFrame | None = None,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int | None = 50_000,
+    max_bigrams: int | None = 200_000,
+) -> DataFrame:
+    """Bigram LM quality scoring — one fidelity step up from
+    :func:`lm_quality_score` toward CCNet's KenLM filter: each document's
+    first token scores under the add-one unigram model, every later token
+    under p(wᵢ | wᵢ₋₁) = (c₂(wᵢ₋₁, wᵢ) + 1) / (c₁(wᵢ₋₁) + V), all counts
+    from ``reference`` (default: the corpus itself). Returns
+    (``id_col``, n_tokens, avg_logp, perplexity); empty/NULL docs score
+    neutral (perplexity 1).
+
+    ``max_vocab`` / ``max_bigrams`` cap the two count tables to their
+    top-N by count (deterministic ties) so both broadcast; out-of-cap
+    tokens/bigrams score with count 0 while T, V, and the context counts
+    keep their uncapped values, so the distribution is only coarsened in
+    the tail.
+
+    Scale shape: two groupBys over the reference build the count tables
+    (map-side combine); the corpus is scanned once — each document's
+    (prev, cur, is_first) triples come from one positional zip (no
+    self-join), then two broadcast joins and a per-doc aggregate carrying
+    (id, sum, count)."""
+    x = X(SPARK)
+    ref = reference if reference is not None else corpus
+    tok_arr = x.filter(
+        x.transform(x.split_ws(col), "w -> lower(w)"), "w -> length(w) > 0"
+    )
+
+    def triples(df: DataFrame, with_id: bool) -> DataFrame:
+        # (prev, cur, is_first) per token: zip the token array with its
+        # shifted self — pure column exprs, one pass
+        # zip_with pads the shorter side with NULLs, so the zip of toks
+        # with (NULL ++ toks) has one trailing (cur=NULL) element — drop
+        # it (real tokens are never NULL: the tokenizer filters empties)
+        zipped = (
+            f"filter(zip_with({tok_arr}, concat(array(CAST(NULL AS STRING)), {tok_arr}),"
+            " (c, p) -> named_struct('cur', c, 'prev', p)), s -> s.cur IS NOT NULL)"
+        )
+        cols = [F.col(id_col)] if with_id else []
+        return df.select(
+            *cols, F.explode(F.expr(zipped)).alias("__t")
+        ).select(
+            *([id_col] if with_id else []),
+            F.col("__t.cur").alias("cur"),
+            F.col("__t.prev").alias("prev"),
+            F.col("__t.prev").isNull().cast("int").alias("is_first"),
+        )
+
+    ref_t = triples(ref, with_id=False)
+    c1 = ref_t.groupBy(F.col("cur").alias("token")).agg(
+        F.count(F.lit(1)).cast("long").alias("c1")
+    )
+    tot = c1.agg(F.sum("c1").alias("T"), F.count(F.lit(1)).alias("V")).collect()[0]
+    T, V = int(tot["T"] or 0), int(tot["V"] or 0)
+    if T + V == 0:
+        raise ValueError(
+            "lm_bigram_score: the reference corpus has no tokens "
+            "(empty or all-NULL text) — the model is undefined"
+        )
+    c2 = (
+        ref_t.where("is_first = 0")
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    if max_vocab is not None:
+        c1 = c1.orderBy(F.desc("c1"), F.asc("token")).limit(max_vocab)
+    if max_bigrams is not None:
+        c2 = c2.orderBy(F.desc("c2"), F.asc("prev"), F.asc("cur")).limit(max_bigrams)
+
+    doc_t = triples(corpus, with_id=True)
+    scored = (
+        doc_t.join(
+            F.broadcast(c1.select(F.col("token").alias("prev"), "c1")),
+            "prev",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                c1.select(F.col("token").alias("cur"), F.col("c1").alias("__cu"))
+            ),
+            "cur",
+            "left",
+        )
+        .join(F.broadcast(c2), ["prev", "cur"], "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("is_first") == 1,
+                F.log(
+                    (F.coalesce(F.col("__cu"), F.lit(0)) + 1.0)
+                    / F.lit(float(T + V))
+                ),
+            )
+            .otherwise(
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(V)))
+                )
+            )
+            .alias("__lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.avg("__lp").alias("avg_logp"),
+    )
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("avg_logp"), F.lit(0.0)).alias("avg_logp"),
+            F.exp(-F.coalesce(F.col("avg_logp"), F.lit(0.0))).alias("perplexity"),
+        )
+    )
+
+
+def lm_bigram_score_sql(
+    table: str,
+    reference_sql: str | None = None,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int | None = 50_000,
+    max_bigrams: int | None = 200_000,
+) -> str:
+    """DuckDB twin of :func:`lm_bigram_score`."""
+    x = X(DUCK)
+    tok_arr = x.filter(
+        x.transform(x.split_ws(col), "w -> lower(w)"), "w -> length(w) > 0"
+    )
+    ref = reference_sql if reference_sql is not None else f"SELECT * FROM {table}"
+    v_cap = f"ORDER BY c1 DESC, token ASC LIMIT {max_vocab}" if max_vocab is not None else ""
+    b_cap = (
+        f"ORDER BY c2 DESC, prev ASC, cur ASC LIMIT {max_bigrams}"
+        if max_bigrams is not None
+        else ""
+    )
+    return f"""
+WITH ref_arr AS (
+  SELECT {tok_arr} AS toks FROM ({ref})
+),
+ref_t AS (
+  SELECT toks[g.i] AS cur,
+         CASE WHEN g.i = 1 THEN NULL ELSE toks[g.i - 1] END AS prev,
+         CAST(g.i = 1 AS INT) AS is_first
+  FROM ref_arr, unnest(generate_series(1, len(toks))) AS g(i)
+),
+c1_all AS (
+  SELECT cur AS token, CAST(COUNT(*) AS BIGINT) AS c1 FROM ref_t GROUP BY cur
+),
+tv AS (
+  SELECT COALESCE(SUM(c1), 0) AS T, COUNT(*) AS V FROM c1_all
+),
+c1 AS (SELECT token, c1 FROM c1_all {v_cap}),
+c2_all AS (
+  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM ref_t WHERE is_first = 0 GROUP BY prev, cur
+),
+c2 AS (SELECT prev, cur, c2 FROM c2_all {b_cap}),
+doc_arr AS (
+  SELECT {id_col}, {tok_arr} AS toks FROM {table}
+),
+doc_t AS (
+  SELECT {id_col}, toks[g.i] AS cur,
+         CASE WHEN g.i = 1 THEN NULL ELSE toks[g.i - 1] END AS prev,
+         CAST(g.i = 1 AS INT) AS is_first
+  FROM doc_arr, unnest(generate_series(1, len(toks))) AS g(i)
+),
+scored AS (
+  SELECT d.{id_col},
+         CASE WHEN d.is_first = 1
+           THEN LN((COALESCE(cu.c1, 0) + 1.0)
+                   / ((SELECT T FROM tv) + (SELECT V FROM tv)))
+           ELSE LN((COALESCE(b.c2, 0) + 1.0)
+                   / (COALESCE(p.c1, 0) + (SELECT V FROM tv)))
+         END AS lp
+  FROM doc_t d
+  LEFT JOIN c1 p ON p.token = d.prev
+  LEFT JOIN c1 cu ON cu.token = d.cur
+  LEFT JOIN c2 b ON b.prev = d.prev AND b.cur = d.cur
+),
+per_doc AS (
+  SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_tokens, AVG(lp) AS avg_logp
+  FROM scored GROUP BY {id_col}
+)
+SELECT t.{id_col},
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.avg_logp, 0.0) AS avg_logp,
+       EXP(-COALESCE(p.avg_logp, 0.0)) AS perplexity
+FROM {table} t LEFT JOIN per_doc p USING ({id_col})
+"""
+
+
 # --------------------------------------------------------------------------
 # BM25 keyword search
 # --------------------------------------------------------------------------

@@ -65,6 +65,7 @@ from .operators.text import (
     fingerprints,
     importance_sample,
     importance_weights,
+    lm_bigram_score,
     lm_quality_score,
     pack_greedy,
     redact_pii,
@@ -85,7 +86,7 @@ __all__ = [
     "embedding_neardup_pairs", "kmeans_centroids", "l2_normalize",
     "quantize_int8", "random_projection",
     # text
-    "text_stats", "fingerprints", "repetition_stats", "lm_quality_score",
+    "text_stats", "fingerprints", "repetition_stats", "lm_quality_score", "lm_bigram_score",
     "redact_pii", "decontaminate", "vocabulary", "vocab_with_ids",
     "encode_tokens", "bm25_topk", "importance_weights",
     "importance_sample", "chunk_text", "pack_greedy", "assemble_packs",

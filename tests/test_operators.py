@@ -1861,3 +1861,39 @@ def test_random_projection_preserves_distances(emb):
     n = similarity.random_projection(emb.limit(20), out_dim=8, normalize=True).toPandas()
     norms = np.linalg.norm(np.array(n["projected"].tolist()), axis=1)
     np.testing.assert_allclose(norms, 1.0, rtol=1e-9)
+
+
+def test_lm_bigram_score_vs_duckdb(docs, duck):
+    got = text.lm_bigram_score(docs, max_vocab=1000, max_bigrams=5000).toPandas()
+    want = duck.execute(
+        text.lm_bigram_score_sql("documents", max_vocab=1000, max_bigrams=5000)
+    ).fetchdf()
+    _compare(got, want, ["doc_id"], ["avg_logp", "perplexity"], rtol=1e-6)
+    assert (got["perplexity"] > 0).all()
+
+
+def test_lm_bigram_order_sensitivity(spark):
+    """The bigram model penalizes scrambled word order where the unigram
+    model cannot — the reason to climb from order 1 to order 2."""
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    bi = (
+        text.lm_bigram_score(corpus, reference=ref)
+        .toPandas().set_index("doc_id")["perplexity"]
+    )
+    uni = (
+        text.lm_quality_score(corpus, reference=ref)
+        .toPandas().set_index("doc_id")["perplexity"]
+    )
+    assert bi[1] < bi[2]                      # bigram sees the scramble
+    assert abs(uni[1] - uni[2]) < 1e-9        # unigram cannot
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        text.lm_bigram_score(corpus, reference=ref.where("doc_id < 0"))
