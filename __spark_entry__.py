@@ -570,6 +570,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["dedup_shared_spans"] = q_shared_spans
 
+    # the boilerplate-span table (spans in > max_df docs, global removal)
+    def q_hot_spans(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        return dedup.hot_span_table(t["documents"], span_words=10, max_df=2)
+
+    Q["dedup_hot_spans"] = q_hot_spans
+
     # tokenizer apply: vocab ids in doc order; sequences compared via an
     # md5 digest of the joined ids (same digest expression both engines)
     def q_encode(spark, sf_dir):
@@ -1196,6 +1203,9 @@ FROM g CROSS JOIN tot
     )
     O["dedup_shared_spans"] = dedup.shared_span_pairs_sql(
         "documents", span_words=20
+    )
+    O["dedup_hot_spans"] = dedup.hot_span_table_sql(
+        "documents", span_words=10, max_df=2
     )
     O["text_encode_tokens"] = (
         "SELECT doc_id, n_tokens, n_oov, "

@@ -249,6 +249,14 @@ def main() -> None:
         .agg(F.avg("perplexity"))
         .collect(),
     )
+    bench(
+        "text_lm_bigram",
+        lambda: _textops.lm_bigram_score(
+            t["documents"], max_vocab=1000, max_bigrams=5000
+        )
+        .agg(F.avg("perplexity"))
+        .collect(),
+    )
 
     bench(
         "text_dsir_sample",

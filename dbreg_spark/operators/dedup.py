@@ -376,6 +376,34 @@ def hot_span_table(
     )
 
 
+def hot_span_table_sql(
+    table: str,
+    span_words: int = 20,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`hot_span_table`."""
+    x = X(DUCK)
+    grams = x.word_ngrams(col, span_words)
+    hashed = x.transform(grams, f"g -> {x.md5int('g')}")
+    nwords = x.size(x.split_ws(col))
+    return f"""
+WITH arrs AS (
+  SELECT {id_col},
+         CASE WHEN {nwords} >= {span_words} THEN {x.array_distinct(hashed)}
+              ELSE CAST([] AS BIGINT[]) END AS ha
+  FROM {table}
+),
+s AS (
+  SELECT {id_col}, CAST(u.h AS BIGINT) AS span_hash
+  FROM arrs, unnest(ha) AS u(h)
+)
+SELECT span_hash, CAST(COUNT(*) AS BIGINT) AS df
+FROM s GROUP BY span_hash HAVING COUNT(*) > {max_df}
+"""
+
+
 def dedup_against(
     batch: DataFrame,
     reference: DataFrame,
