@@ -275,6 +275,7 @@ def funnel(
     by: str = "user_id",
     type_col: str = "event_type",
     window_seconds: float | None = None,
+    max_events_per_key: int | None = 1_000_000,
 ) -> DataFrame:
     """Funnel analysis: how far each ``by`` key progresses through the
     ordered ``steps`` sequence — step i+1 counts only AFTER step i (same
@@ -290,14 +291,29 @@ def funnel(
     key's RELEVANT event count, not total activity — then a single fold
     (``aggregate``) per key advances the state machine; no self-joins,
     no per-step passes. The DuckDB twin replays the same walk as a
-    recursive CTE (oracle-scale only), the pack_greedy precedent."""
+    recursive CTE (oracle-scale only), the pack_greedy precedent.
+
+    Skew guard, ON BY DEFAULT: a key with more than ``max_events_per_key``
+    step-typed events (a bot/crawler) would materialize that many rows in
+    one task's collect_list — such keys are EXCLUDED from the result (one
+    pre-count groupBy + broadcast anti-join), matching the bot filtering
+    every funnel analysis applies anyway; pass ``None`` to keep them."""
     if not steps:
         raise ValueError("funnel: steps must be non-empty")
     k = len(steps)
     steps_arr = "array(" + ", ".join(f"'{s}'" for s in steps) + ")"
     sec = _seconds(events, on)
+    relevant = events.where(F.col(type_col).isin(list(steps)))
+    if max_events_per_key is not None:
+        hot = (
+            relevant.groupBy(by)
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .where(F.col("__m") > max_events_per_key)
+            .select(by)
+        )
+        relevant = relevant.join(F.broadcast(hot), by, "left_anti")
     ev = (
-        events.where(F.col(type_col).isin(list(steps)))
+        relevant
         .select(
             F.col(by),
             F.struct(sec.alias("t"), F.col(type_col).alias("ty")).alias("__e"),

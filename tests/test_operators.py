@@ -1897,3 +1897,20 @@ def test_lm_bigram_order_sensitivity(spark):
 
     with _pt.raises(ValueError):
         text.lm_bigram_score(corpus, reference=ref.where("doc_id < 0"))
+
+
+def test_funnel_bot_key_guard(spark):
+    """A key exceeding max_events_per_key is excluded (bot filtering);
+    None keeps it."""
+    from datetime import datetime, timedelta
+
+    from dbreg_spark.operators.asof import funnel
+
+    T0 = datetime(2025, 1, 1)
+    rows = [(1, T0 + timedelta(seconds=i), "A") for i in range(50)]
+    rows += [(2, T0, "A"), (2, T0 + timedelta(hours=1), "B")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    guarded = funnel(df, ["A", "B"], max_events_per_key=10).toPandas()
+    assert set(guarded["user_id"]) == {2}
+    full = funnel(df, ["A", "B"], max_events_per_key=None).toPandas()
+    assert set(full["user_id"]) == {1, 2}
