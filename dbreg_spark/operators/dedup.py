@@ -170,6 +170,7 @@ def minhash_lsh_pairs(
     shingle_words: int = 3,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding, verified by exact
     shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
@@ -183,9 +184,17 @@ def minhash_lsh_pairs(
     self-join formulation this reads the corpus ONCE (no re-hashing per
     join side, no cache to leak), at the cost of shuffling the hash arrays
     n_bands times — linear in corpus size, versus multiple full text scans.
-    Hot buckets blow up as m² candidate rows in any LSH banding; here they
-    additionally bound collect_list row size, which the fine-grained
-    (hash-of-r-signatures) buckets keep small."""
+
+    Hot-bucket guard, ON BY DEFAULT: a bucket of m members is m² candidate
+    pairs AND one m-element collect_list row — at web scale a single
+    million-copy boilerplate page is both a compute and a task-memory
+    cliff. Buckets over ``max_bucket`` switch to STAR verification: every
+    member is Jaccard-verified against the bucket's min-id member only
+    (m comparisons, no collect_list), so true duplicate groups stay fully
+    CONNECTED for :func:`dedup_components` — the surfaced edge set within
+    a huge bucket is the star, not the clique (pair completeness is
+    traded for boundedness exactly there, never below the cap). ``None``
+    restores unguarded clique generation."""
     x = X(SPARK)
     params = minhash_params(n_hashes, seed)
     staged = df.select(
@@ -209,8 +218,50 @@ def minhash_lsh_pairs(
             F.array(*[F.expr(be) for be in _band_exprs(x, n_hashes, band_rows)])
         ).alias("band", "bucket"),
     )
+
+    def verified(a_id, b_id, a_hs, b_hs):
+        inter = F.expr(f"size(array_intersect({a_hs}, {b_hs}))")
+        return (
+            F.col(a_id).alias("id_a"),
+            F.col(b_id).alias("id_b"),
+            (
+                inter.cast("double")
+                / (F.expr(f"size({a_hs})") + F.expr(f"size({b_hs})") - inter)
+            ).alias("jaccard"),
+        )
+
+    clique_bands = bands
+    star_pairs = None
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .where(F.col("__m") > max_bucket)
+            .select("band", "bucket")
+        )
+        clique_bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        hot_bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_semi")
+        # star: min-id representative per hot bucket (tiny table), each
+        # member verified against it — m rows, no collect_list
+        reps = hot_bands.groupBy("band", "bucket").agg(
+            F.min_by(
+                F.struct(F.col(id_col).alias("rid"), F.col("__hs").alias("rhs")),
+                F.col(id_col),
+            ).alias("__rep")
+        )
+        star = (
+            hot_bands.join(F.broadcast(reps), ["band", "bucket"])
+            .where(F.col(id_col) != F.col("__rep.rid"))
+            .select(
+                F.col("__rep.rid").alias("a_id"),
+                F.col(id_col).alias("b_id"),
+                F.col("__rep.rhs").alias("a_hs"),
+                F.col("__hs").alias("b_hs"),
+            )
+        )
+        star_pairs = star.select(*verified("a_id", "b_id", "a_hs", "b_hs"))
     buckets = (
-        bands.groupBy("band", "bucket")
+        clique_bands.groupBy("band", "bucket")
         .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__hs").alias("hs"))).alias("members"))
         .where(F.size("members") >= 2)
     )
@@ -219,21 +270,17 @@ def minhash_lsh_pairs(
         .select("a", F.explode("members").alias("b"))
         .where(F.col("a.id") < F.col("b.id"))
     )
-    inter = F.expr("size(array_intersect(a.hs, b.hs))")
-    pairs = (
-        cand.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (
-                inter.cast("double")
-                / (F.expr("size(a.hs)") + F.expr("size(b.hs)") - inter)
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= jaccard_threshold)
+    clique_pairs = cand.select(
+        *verified("a.id", "b.id", "a.hs", "b.hs")
+    )
+    pairs = clique_pairs
+    if star_pairs is not None:
+        pairs = pairs.unionByName(star_pairs)
+    return (
+        pairs.where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .distinct()
     )
-    return pairs
 
 
 def shared_span_pairs(

@@ -1914,3 +1914,41 @@ def test_funnel_bot_key_guard(spark):
     assert set(guarded["user_id"]) == {2}
     full = funnel(df, ["A", "B"], max_events_per_key=None).toPandas()
     assert set(full["user_id"]) == {1, 2}
+
+
+def test_minhash_lsh_star_verification_on_hot_bucket(spark, docs):
+    """A massive duplicate group under a low max_bucket surfaces as a
+    verified STAR (min-id hub), not a clique — and component resolution
+    still groups every copy together."""
+    base = docs.limit(1)
+    copies = spark.range(40).selectExpr("id + 500000 AS doc_id").crossJoin(
+        base.select("text")
+    )
+    corpus = docs.select("doc_id", "text").unionByName(copies)
+    star = dedup.minhash_lsh_pairs(
+        corpus, n_hashes=16, band_rows=2, shingle_words=2,
+        jaccard_threshold=0.9, max_bucket=10,
+    ).toPandas()
+    clique = dedup.minhash_lsh_pairs(
+        corpus, n_hashes=16, band_rows=2, shingle_words=2,
+        jaccard_threshold=0.9, max_bucket=None,
+    ).toPandas()
+    group = {0} | set(range(500000, 500040))  # doc 0 + its 40 copies
+    star_g = star[star["id_a"].isin(group) & star["id_b"].isin(group)]
+    clique_g = clique[clique["id_a"].isin(group) & clique["id_b"].isin(group)]
+    # star: every copy linked to the hub; far fewer edges than the clique
+    assert len(clique_g) == len(group) * (len(group) - 1) // 2
+    assert len(star_g) == len(group) - 1
+    assert set(star_g["id_a"]) == {0}
+    assert (star_g["jaccard"] == 1.0).all()
+    # connectivity for dedup purposes is identical
+    comp = dedup.dedup_components(
+        corpus,
+        dedup.minhash_lsh_pairs(
+            corpus, n_hashes=16, band_rows=2, shingle_words=2,
+            jaccard_threshold=0.9, max_bucket=10,
+        ),
+    ).toPandas()
+    g = comp[comp["doc_id"].isin(group)]
+    assert g["component"].nunique() == 1
+    assert g["is_canonical"].sum() == 1
