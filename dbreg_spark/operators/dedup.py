@@ -461,6 +461,7 @@ def dedup_against(
     shingle_words: int = 3,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Incremental / cross-corpus near-dedup: flag ``batch`` documents that
     near-duplicate (shingle-set Jaccard ≥ threshold) ANY ``reference``
@@ -511,6 +512,22 @@ def dedup_against(
 
     bb = band_table(batch, "__bid")
     rb = band_table(reference, "__rid")
+    if max_bucket is not None:
+        # hot-bucket guard (ON by default): a (band, bucket) shared by
+        # m_b batch and m_r reference docs joins as m_b x m_r rows — a
+        # boilerplate bucket at web scale is a cartesian cliff. Buckets
+        # whose REFERENCE-side occupancy exceeds max_bucket are dropped
+        # from candidate generation; a batch doc whose only shared
+        # buckets are that hot is (rarely) missed, the documented trade,
+        # and pairs remain reachable via their other bands.
+        hot = (
+            rb.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .where(F.col("__m") > max_bucket)
+            .select("band", "bucket")
+        )
+        rb = rb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        bb = bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     inter = F.expr("size(array_intersect(__hs___bid, __hs___rid))")
     jac = inter.cast("double") / (
         F.expr("size(__hs___bid)") + F.expr("size(__hs___rid)") - inter

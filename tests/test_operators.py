@@ -1952,3 +1952,20 @@ def test_minhash_lsh_star_verification_on_hot_bucket(spark, docs):
     g = comp[comp["doc_id"].isin(group)]
     assert g["component"].nunique() == 1
     assert g["is_canonical"].sum() == 1
+
+
+def test_dedup_against_hot_bucket_guard(spark, docs):
+    """With a tiny max_bucket every bucket of the boilerplate reference is
+    hot -> no candidates survive; None restores the matches."""
+    batch = docs.limit(10).select("doc_id", "text")
+    ref = spark.range(100).selectExpr("id + 700000 AS doc_id").crossJoin(
+        batch.limit(1).select("text")
+    )
+    guarded = dedup.dedup_against(
+        batch, ref, shingle_words=2, jaccard_threshold=0.9, max_bucket=5
+    ).toPandas()
+    assert (guarded["is_duplicate"] == 0).all()
+    full = dedup.dedup_against(
+        batch, ref, shingle_words=2, jaccard_threshold=0.9, max_bucket=None
+    ).toPandas()
+    assert full.set_index("doc_id").loc[batch.first()["doc_id"], "is_duplicate"] == 1
