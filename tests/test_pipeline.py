@@ -118,3 +118,35 @@ def test_assemble_packs_reconstruction(spark, docs):
         )
         manual = [t for m in members for t in m["token_ids"]]
         assert manual == list(row["token_ids"])
+
+
+def test_experiment_analysis_composition(spark):
+    """The two halves of the engine compose: deterministic hash-split
+    treatment assignment feeds dbreg, which recovers a known lift with a
+    covering confidence interval."""
+    import numpy as np
+
+    from dbreg_spark import dbreg
+    from dbreg_spark.operators.sampling import hash_split
+
+    n = 20_000
+    users = spark.range(n).selectExpr(
+        "id AS user_id", "pmod(hash(id * 31), 8) AS segment"
+    )
+    assigned = hash_split(users, {"treat": 0.5, "control": 0.5}, id_col="user_id")
+    rng_expr = (
+        "2.0 * CAST(split = 'treat' AS INT)"
+        " + segment * 0.5"
+        " + (pmod(hash(user_id * 77), 1000) / 1000.0 - 0.5) * 6.0"
+    )
+    data = assigned.selectExpr(
+        "user_id", "CAST(split = 'treat' AS DOUBLE) AS treated",
+        "CAST(segment AS BIGINT) AS segment", f"{rng_expr} AS y",
+    )
+    m = dbreg("y ~ treated | segment", data, strategy="compress", vcov="hc1")
+    est, se = m.coef()["treated"], m.se()["treated"]
+    assert abs(est - 2.0) < 4 * se  # CI covers the true lift
+    assert se < 0.1                  # and is tight at n=20k
+    # assignment is balanced within noise
+    counts = assigned.groupBy("split").count().toPandas().set_index("split")["count"]
+    assert abs(counts["treat"] - counts["control"]) < 4 * np.sqrt(n)
