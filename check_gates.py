@@ -20,10 +20,15 @@ TABLES = (
 ).split()
 
 
+def _none_safe_key(row):
+    return tuple((v is None, str(type(v)), v if v is not None else 0) for v in row)
+
+
 def value_hash(rows) -> str:
     # driver-style: sort columns by name, sort rows, hash rounded reprs
+    # (None-safe sort: None < any value, mixed types never compared raw)
     h = hashlib.sha256()
-    for row in sorted(rows):
+    for row in sorted(rows, key=_none_safe_key):
         h.update(repr(row).encode())
     return h.hexdigest()[:16]
 
@@ -88,7 +93,7 @@ def main() -> int:
                 if not sm:
                     print(f"  spark cols:  {scols}\n  oracle cols: {ocols}")
                 elif rm and len(srows) <= 10:
-                    for a, b in zip(sorted(srows), sorted(orows)):
+                    for a, b in zip(sorted(srows, key=_none_safe_key), sorted(orows, key=_none_safe_key)):
                         if a != b:
                             print(f"  spark:  {a}\n  oracle: {b}")
         except Exception as exc:  # noqa: BLE001

@@ -127,6 +127,15 @@ class X:
             return f"cast(conv(substring(md5({s}), 1, 15), 16, 10) as bigint)"
         return f"(('0x' || substr(md5({s}), 1, 15)))::BIGINT"
 
+    def lit_str(self, v: str) -> str:
+        """A Python string as a SQL string literal, escaped for the
+        dialect — use for any USER-PROVIDED value interpolated into an
+        expression (query terms, step names, split labels), or an
+        apostrophe crashes the parser."""
+        if self.e == SPARK:
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return "'" + v.replace("'", "''") + "'"
+
     def str_cast(self, a: str) -> str:
         t = "STRING" if self.e == SPARK else "VARCHAR"
         return f"CAST({a} AS {t})"

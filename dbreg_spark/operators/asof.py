@@ -301,7 +301,10 @@ def funnel(
     if not steps:
         raise ValueError("funnel: steps must be non-empty")
     k = len(steps)
-    steps_arr = "array(" + ", ".join(f"'{s}'" for s in steps) + ")"
+    from ..functions.xdialect import SPARK, X as _X
+
+    _xs = _X(SPARK)
+    steps_arr = "array(" + ", ".join(_xs.lit_str(s) for s in steps) + ")"
     sec = _seconds(events, on)
     relevant = events.where(F.col(type_col).isin(list(steps)))
     if max_events_per_key is not None:
@@ -361,7 +364,10 @@ def funnel_sql(
     if not steps:
         raise ValueError("funnel: steps must be non-empty")
     k = len(steps)
-    steps_list = "[" + ", ".join(f"'{s}'" for s in steps) + "]"
+    from ..functions.xdialect import DUCK, X as _X
+
+    _xd = _X(DUCK)
+    steps_list = "[" + ", ".join(_xd.lit_str(s) for s in steps) + "]"
     win = (
         f"AND (w.idx = 0 OR epoch(o.{on}) - w.ts0 <= {float(window_seconds)!r})"
         if window_seconds is not None

@@ -233,6 +233,12 @@ def minhash_lsh_pairs(
     clique_bands = bands
     star_pairs = None
     if max_bucket is not None:
+        # the guard branches bands 5 ways (hot probe, anti/semi joins,
+        # reps, star join) — materialize once or the shingle+minhash scan
+        # re-executes per branch (the ngram_jaccard localCheckpoint
+        # lesson; blocks are executor-local, freed on GC)
+        bands = bands.localCheckpoint(eager=True)
+        clique_bands = bands
         hot = (
             bands.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("__m"))

@@ -40,7 +40,10 @@ def _report_row_exprs(x: X, col: str) -> dict[str, str]:
         "__len": f"CAST(length({col}) AS DOUBLE)",
         "__null": f"CAST({col} IS NULL AS INT)",
         "__q": quality_score_expr(x, col),
-        "__h": f"md5({norm})",
+        # sentinel '' groups NULL-text docs together (matching
+        # exact_duplicates): md5(NULL) is NULL, which COUNT DISTINCT
+        # SKIPS — every NULL doc would otherwise count as a duplicate
+        "__h": f"COALESCE(md5({norm}), '')",
     }
 
 

@@ -64,7 +64,7 @@ def hash_split_sql(
     lo = 0
     for name, frac in fractions.items():
         hi = lo + int(round(frac * _MOD))
-        cases.append(f"WHEN {bucket} >= {lo} AND {bucket} < {hi} THEN '{name}'")
+        cases.append(f"WHEN {bucket} >= {lo} AND {bucket} < {hi} THEN {x.lit_str(name)}")
         lo = hi
     ladder = "CASE " + " ".join(cases) + " ELSE 'rest' END" if cases else "'rest'"
     return f"SELECT *, {ladder} AS split FROM {table}"
@@ -102,7 +102,7 @@ def stratified_sample_sql(
     x = X(DUCK)
     bucket = _bucket_expr(x, id_col, seed)
     conds = [
-        f"({strata_col} = '{s}' AND {bucket} < {int(round(frac * _MOD))})"
+        f"({strata_col} = {x.lit_str(s)} AND {bucket} < {int(round(frac * _MOD))})"
         for s, frac in fractions.items()
     ] or ["FALSE"]
     return f"SELECT * FROM {table} WHERE " + " OR ".join(conds)

@@ -234,7 +234,12 @@ def pack_greedy(
                 first = False
             out = {
                 id_col: pdf[id_col].astype("int64"),
-                shard_col: pdf[shard_col].astype(str),
+                # keep NULL shards NULL — astype(str) would stringify
+                # them to the literal "None", colliding with a real shard
+                # of that name and breaking joins back to the corpus
+                shard_col: pdf[shard_col].astype(object).where(
+                    pdf[shard_col].notna(), None
+                ),
                 "pack_seq": pd.Series(seqs, dtype="int64").values,
                 "pack_offset": pd.Series(offs, dtype="int64").values,
             }
@@ -310,6 +315,10 @@ def pack_greedy(
     packed = p2.groupBy(shard_col, "__sub").applyInPandas(
         make_pack(["__sub"]), sub_schema
     )
+    # both the renumbering probe and the final join consume `packed`;
+    # materialize it once or the applyInPandas packing of the whole
+    # corpus runs twice — at exactly the sizes the guard targets
+    packed = packed.localCheckpoint(eager=True)
     per_sub = packed.groupBy(shard_col, "__sub").agg(
         (F.max("pack_seq") + 1).alias("__np")
     )
@@ -323,8 +332,16 @@ def pack_greedy(
         "__sub",
         F.coalesce(F.sum("__np").over(w), F.lit(0)).alias("__seq_off"),
     )
+    # null-safe on the shard key: a NULL shard is a real group (the
+    # null-safe guard join above routed it here) and a plain equi-join
+    # would drop every row of it
+    off = offsets.withColumnRenamed(shard_col, "__off_shard")
     return (
-        packed.join(F.broadcast(offsets), on=[shard_col, "__sub"])
+        packed.join(
+            F.broadcast(off),
+            packed[shard_col].eqNullSafe(off["__off_shard"])
+            & (packed["__sub"] == off["__sub"]),
+        )
         .withColumn("pack_seq", F.col("pack_seq") + F.col("__seq_off"))
         .select(id_col, shard_col, "pack_seq", "pack_offset")
     )
@@ -741,12 +758,15 @@ PII_PATTERNS = [
 
 def redact_pii_exprs(x: X, col: str) -> tuple[str, list[tuple[str, str]]]:
     """(redacted-text expression, [(count alias, count expression)]).
-    Counts are measured on the ORIGINAL text; replacements are applied
-    sequentially in ``PII_PATTERNS`` order."""
+    Each count is measured on the PROGRESSIVELY-REDACTED text (after the
+    earlier patterns' replacements), exactly like the replacements
+    themselves — so n_<type> equals the number of <TYPE> placeholders in
+    the output and the counts reconcile: an IPv4 already rewritten to
+    <IP> is never double-counted by the looser phone pattern."""
     red = col
     counts = []
     for name, pat, tok in PII_PATTERNS:
-        counts.append((f"n_{name}", x.regexp_count(col, pat)))
+        counts.append((f"n_{name}", x.regexp_count(red, pat)))
         red = x.regexp_replace_all(red, pat, tok)
     return red, counts
 
@@ -1279,7 +1299,10 @@ def bm25_topk(
     tok_arr = x.filter(
         x.transform(x.split_ws(col), "w -> lower(w)"), "w -> length(w) > 0"
     )
-    ndoc = f"CASE WHEN length(trim({col})) = 0 THEN 0 ELSE {x.size(x.split_ws(col))} END"
+    ndoc = (
+        f"CASE WHEN {col} IS NULL OR length(trim({col})) = 0 THEN 0 "
+        f"ELSE {x.size(x.split_ws(col))} END"
+    )
     base = corpus.select(
         F.col(id_col),
         F.expr(tok_arr).alias("__toks"),
@@ -1291,7 +1314,7 @@ def bm25_topk(
     N, avgdl = int(stats["N"]), float(stats["avgdl"] or 0.0)
     if N == 0 or avgdl == 0.0:
         raise ValueError("bm25_topk: corpus has no tokens")
-    term_lit = "array(" + ", ".join(f"'{t}'" for t in terms) + ")"
+    term_lit = "array(" + ", ".join(x.lit_str(t) for t in terms) + ")"
     hits = base.select(
         id_col,
         "__len",
@@ -1336,8 +1359,11 @@ def bm25_topk_sql(
     tok_arr = x.filter(
         x.transform(x.split_ws(col), "w -> lower(w)"), "w -> length(w) > 0"
     )
-    ndoc = f"CASE WHEN length(trim({col})) = 0 THEN 0 ELSE {x.size(x.split_ws(col))} END"
-    tlist = ", ".join(f"'{t}'" for t in terms)
+    ndoc = (
+        f"CASE WHEN {col} IS NULL OR length(trim({col})) = 0 THEN 0 "
+        f"ELSE {x.size(x.split_ws(col))} END"
+    )
+    tlist = ", ".join(x.lit_str(t) for t in terms)
     return f"""
 WITH base AS (
   SELECT {id_col}, {tok_arr} AS toks,

@@ -155,9 +155,15 @@ def sessionize(
     Out-of-order arrivals within the watermark: a late run overlapping or
     adjacent to the open session merges into it (extending ``start``
     backward if needed); a late run strictly earlier than
-    ``start − gap`` is emitted immediately as its own closed session (no
-    still-later event can attach to it from the left once it is behind
-    the open session)."""
+    ``start − gap`` is emitted immediately as its own closed session.
+    Known divergence from the built-in ``session_window`` there: a
+    still-LATER late event arriving in a SUBSEQUENT micro-batch can no
+    longer merge with that already-emitted session (state holds only the
+    open session), so a late cluster split across micro-batches may emit
+    as several sessions where session_window would merge them into one —
+    within a single batch the runs merge correctly. The window shrinks
+    with the watermark; choose it no larger than the tolerated
+    fragmentation horizon."""
     gap_s = _parse_duration_seconds(gap)
 
     def fn(

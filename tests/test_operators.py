@@ -1460,10 +1460,15 @@ def test_redact_pii_handcomputed(spark, duck):
     # null text -> null counts (pandas renders as NaN)
     assert got["n_email"].fillna(-1).tolist() == [1, 0, 0, 0, -1, 2]
     assert got["n_ip"].fillna(-1).tolist() == [0, 1, 0, 0, -1, 1]
-    # the IP-like token also matches the loose phone pattern on the raw
-    # text (counts are per-pattern and may overlap; redaction is
-    # sequential so the rendered text is unambiguous)
-    assert got["n_phone"].fillna(-1).tolist() == [0, 1, 1, 0, -1, 0]
+    # counts reconcile with the inserted placeholders: the IP was already
+    # rewritten to <IP> before the phone pattern ran, so it is NOT
+    # double-counted as a phone
+    assert got["n_phone"].fillna(-1).tolist() == [0, 0, 1, 0, -1, 0]
+    # per-type count == placeholder occurrences in the rendered text
+    for _, r in got.dropna(subset=["text"]).iterrows():
+        assert r["text"].count("<EMAIL>") == r["n_email"]
+        assert r["text"].count("<IP>") == r["n_ip"]
+        assert r["text"].count("<PHONE>") == r["n_phone"]
     # engine parity on the same rows
     duck.register("pii_in", pd.DataFrame(rows, columns=["doc_id", "text"]))
     want = duck.execute(text.redact_pii_sql("pii_in")).fetchdf()
@@ -1631,11 +1636,10 @@ def test_corpus_report_null_and_dup_semantics(spark):
     assert got.loc[0, "n_docs"] == 4
     assert got.loc[0, "n_null"] == 1
     assert got.loc[0, "total_tokens"] == 3 + 3 + 0 + 2
-    # 4 docs, 3 distinct hashes (null hashes to NULL and count_distinct
-    # skips it => distinct {norm1, norm4} + ... check actual rate
-    # hashes: doc1==doc2 normalized, doc4 distinct, doc3 NULL (skipped)
-    # distinct = 2, n = 4 -> dup_rate = 1 - 2/4 = 0.5
-    assert abs(got.loc[0, "dup_rate"] - 0.5) < 1e-9
+    # hashes: doc1==doc2 normalized, doc4 distinct, doc3 NULL -> the ''
+    # sentinel (same convention as exact_duplicates); distinct = 3 of 4
+    # -> dup_rate = 0.25 (one true duplicate; a lone NULL doc is unique)
+    assert abs(got.loc[0, "dup_rate"] - 0.25) < 1e-9
     # approx path returns the same group keys and plausible rates
     approx = rep.corpus_report(df, exact_distinct=False).toPandas()
     assert approx.loc[0, "n_docs"] == 4
@@ -1969,3 +1973,44 @@ def test_dedup_against_hot_bucket_guard(spark, docs):
         batch, ref, shingle_words=2, jaccard_threshold=0.9, max_bucket=None
     ).toPandas()
     assert full.set_index("doc_id").loc[batch.first()["doc_id"], "is_duplicate"] == 1
+
+
+def test_user_string_escaping(spark, duck):
+    """User-provided strings with apostrophes (query terms, funnel steps,
+    split names) parse on both engines instead of crashing."""
+    import pandas as pd
+    from datetime import datetime
+
+    from dbreg_spark.operators.asof import funnel, funnel_sql
+    from dbreg_spark.operators import sampling
+
+    docs2 = spark.createDataFrame(
+        [(1, "o'brien wrote a book"), (2, "nothing relevant here")],
+        "doc_id long, text string",
+    )
+    got = text.bm25_topk(docs2, "o'brien", k=5).toPandas()
+    assert got["doc_id"].tolist() == [1]
+    duck.register("q_in", pd.DataFrame(
+        [(1, "o'brien wrote a book"), (2, "nothing relevant here")],
+        columns=["doc_id", "text"]))
+    want = duck.execute(text.bm25_topk_sql("q_in", "o'brien", k=5)).fetchdf()
+    assert want["doc_id"].tolist() == [1]
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2025, 1, 1), "user's-click"),
+         (1, datetime(2025, 1, 2), "buy")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    f = funnel(ev, ["user's-click", "buy"]).toPandas()
+    assert f.loc[0, "steps_completed"] == 2
+    duck.register("ev_in", ev.toPandas())
+    fs = duck.execute(funnel_sql("ev_in", ["user's-click", "buy"])).fetchdf()
+    assert fs.loc[0, "steps_completed"] == 2
+
+    sp = sampling.hash_split(docs2, {"it's-train": 1.0})
+    assert set(sp.toPandas()["split"]) == {"it's-train"}
+    duck.execute(
+        "SELECT split FROM ("
+        + sampling.hash_split_sql("q_in", {"it's-train": 1.0})
+        + ")"
+    )
