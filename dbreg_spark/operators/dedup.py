@@ -233,20 +233,54 @@ def minhash_lsh_pairs(
     clique_bands = bands
     star_pairs = None
     if max_bucket is not None:
-        # the guard branches bands 5 ways (hot probe, anti/semi joins,
-        # reps, star join) — materialize once or the shingle+minhash scan
-        # re-executes per branch (the ngram_jaccard localCheckpoint
-        # lesson; blocks are executor-local, freed on GC)
-        bands = bands.localCheckpoint(eager=True)
-        clique_bands = bands
-        hot = (
-            bands.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__m"))
-            .where(F.col("__m") > max_bucket)
-            .select("band", "bucket")
+        # Probabilistic skew probe: banding a ~1%% DOCUMENT sample finds
+        # any bucket of cliff size with near-certainty (a 1e6-member
+        # bucket has ~1e4 sampled members) at ~1%% of a corpus scan —
+        # a full-probe variant measured 2x end-to-end overhead on clean
+        # corpora, and materializing the bands subtree instead would
+        # violate the operator's cache-freedom contract (test_cache).
+        # The tiny sampled-hot aggregate is collected; when EMPTY (the
+        # common case) the plan below is exactly the unguarded one.
+        # Detection threshold: half the expected sampled count at the
+        # cap, so buckets from ~max_bucket/2 up may conservatively get
+        # star treatment (still correct), smaller ones never.
+        frac = min(1.0, 100.0 / float(max_bucket))
+        probe_docs = df.sample(fraction=frac, seed=seed) if frac < 1.0 else df
+        probe_staged = probe_docs.select(
+            F.col(id_col),
+            F.expr(x.shingle_hashes(col, shingle_words, MH_MODB)).alias("__hs"),
         )
-        clique_bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-        hot_bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_semi")
+        probe_sigs = probe_staged.select(
+            F.col(id_col),
+            *[
+                F.expr(x.minhash_from_hashes("__hs", a_, b_, MH_PRIME)).alias(f"sig_{i}")
+                for i, (a_, b_) in enumerate(params)
+            ],
+        )
+        probe_bands = probe_sigs.select(
+            F.posexplode(
+                F.array(*[F.expr(be) for be in _band_exprs(x, n_hashes, band_rows)])
+            ).alias("band", "bucket"),
+        )
+        hot_rows = (
+            probe_bands.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .where(F.col("__m") > max(1.0, max_bucket * frac / 2.0))
+            .select("band", "bucket")
+            .collect()
+        )
+        hot_keys = {(r["band"], r["bucket"]) for r in hot_rows}
+    else:
+        hot_keys = set()
+    if hot_keys:
+        spark = df.sparkSession
+        hot = F.broadcast(
+            spark.createDataFrame(
+                sorted(hot_keys), "band int, bucket bigint"
+            )
+        )
+        clique_bands = bands.join(hot, ["band", "bucket"], "left_anti")
+        hot_bands = bands.join(hot, ["band", "bucket"], "left_semi")
         # star: min-id representative per hot bucket (tiny table), each
         # member verified against it — m rows, no collect_list
         reps = hot_bands.groupBy("band", "bucket").agg(
@@ -525,15 +559,32 @@ def dedup_against(
         # whose REFERENCE-side occupancy exceeds max_bucket are dropped
         # from candidate generation; a batch doc whose only shared
         # buckets are that hot is (rarely) missed, the documented trade,
-        # and pairs remain reachable via their other bands.
-        hot = (
-            rb.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__m"))
-            .where(F.col("__m") > max_bucket)
-            .select("band", "bucket")
+        # and pairs remain reachable via their other bands. Detection
+        # runs on a ~1%% reference-DOC sample (cliff-sized buckets are
+        # found with near-certainty at ~1%% of a reference scan; see
+        # minhash_lsh_pairs) and is skipped entirely when clean.
+        frac = min(1.0, 100.0 / float(max_bucket))
+        probe_ref = (
+            reference.sample(fraction=frac, seed=seed) if frac < 1.0 else reference
         )
-        rb = rb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-        bb = bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        hot_rows = (
+            band_table(probe_ref, "__pid")
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .where(F.col("__m") > max(1.0, max_bucket * frac / 2.0))
+            .select("band", "bucket")
+            .collect()
+        )
+        if hot_rows:
+            spark = batch.sparkSession
+            hot = F.broadcast(
+                spark.createDataFrame(
+                    sorted((r["band"], r["bucket"]) for r in hot_rows),
+                    "band int, bucket bigint",
+                )
+            )
+            rb = rb.join(hot, ["band", "bucket"], "left_anti")
+            bb = bb.join(hot, ["band", "bucket"], "left_anti")
     inter = F.expr("size(array_intersect(__hs___bid, __hs___rid))")
     jac = inter.cast("double") / (
         F.expr("size(__hs___bid)") + F.expr("size(__hs___rid)") - inter
