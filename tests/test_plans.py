@@ -157,3 +157,29 @@ def test_topk_operators_use_take_ordered(tables):
         assert "Sort [" not in plan.replace("TakeOrderedAndProject", ""), (
             f"{name}: global sort in plan"
         )
+
+
+def test_minhash_guard_clean_corpus_plan_is_unguarded(tables):
+    """The sampled hot-bucket probe collects an EMPTY list on a clean
+    corpus, so the guarded default must build the exact unguarded plan —
+    no anti-join nodes, no second aggregation over the bands."""
+    from dbreg_spark.operators import dedup
+
+    docs = tables["documents"]
+    guarded = dedup.minhash_lsh_pairs(
+        docs, n_hashes=16, band_rows=2, shingle_words=2,
+        jaccard_threshold=0.3, max_bucket=10_000,
+    )
+    unguarded = dedup.minhash_lsh_pairs(
+        docs, n_hashes=16, band_rows=2, shingle_words=2,
+        jaccard_threshold=0.3, max_bucket=None,
+    )
+    gp = guarded._jdf.queryExecution().executedPlan().toString()
+    up = unguarded._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in gp and "LeftSemi" not in gp
+    # same operator skeleton (node names in order), ignoring expr ids
+    import re
+
+    skel = lambda p: [re.match(r"[+\-:\s|]*\*?\(?\d*\)?\s*(\w+)", ln).group(1)
+                      for ln in p.splitlines() if ln.strip()]
+    assert skel(gp) == skel(up)
