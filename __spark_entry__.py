@@ -810,6 +810,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["events_sessionize_batch"] = q_sessionize
 
+    # session-level statistics over the sessionizer output (volume, size,
+    # exact duration percentiles) — the session dashboard query
+    def q_session_stats(spark, sf_dir):
+        _tables(spark, sf_dir)
+        return _round_doubles_df(spark.sql(_session_stats_sql("spark")))
+
+    Q["events_session_stats"] = q_session_stats
+
     # batch mirror of streaming_moments(window="1 day"): the same per-window
     # sufficient-statistics aggregation the streaming operator emits
     def q_events_moments(spark, sf_dir):
@@ -908,6 +916,57 @@ def _sessionize_sql(engine: str) -> str:
 
 
 _SESSIONIZE_SQL_SPARK = _sessionize_sql("spark")
+
+_SESSION_STATS_TMPL = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev IS NULL OR {epoch_ts} - {epoch_prev} > 1800
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM lagged
+),
+numbered AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, sess_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX({epoch_ts}) - MIN({epoch_ts}) AS dur_s
+  FROM numbered GROUP BY user_id, sess_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       AVG(CAST(n_events AS DOUBLE)) AS mean_events,
+       {p50} AS p50_duration_s,
+       {p95} AS p95_duration_s,
+       AVG(CAST(dur_s AS DOUBLE)) AS mean_duration_s
+FROM sess
+"""
+
+
+def _session_stats_sql(engine: str) -> str:
+    """Session dashboard aggregate over the shared sessionizer CTEs; exact
+    interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont,
+    verified bit-equal on this box)."""
+    if engine == "spark":
+        # CAST(ts AS DOUBLE) keeps fractional seconds (unix_timestamp
+        # truncates, which shifts durations vs DuckDB's epoch())
+        epoch_ts = "CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)"
+        epoch_prev = "CAST(CAST(prev AS TIMESTAMP) AS DOUBLE)"
+        p50 = "percentile(CAST(dur_s AS DOUBLE), 0.5)"
+        p95 = "percentile(CAST(dur_s AS DOUBLE), 0.95)"
+    else:
+        epoch_ts, epoch_prev = "epoch(ts)", "epoch(prev)"
+        p50 = "quantile_cont(CAST(dur_s AS DOUBLE), 0.5)"
+        p95 = "quantile_cont(CAST(dur_s AS DOUBLE), 0.95)"
+    return _SESSION_STATS_TMPL.format(
+        epoch_ts=epoch_ts, epoch_prev=epoch_prev, p50=p50, p95=p95
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1407,6 +1466,14 @@ FROM events GROUP BY 1, 2
 """
 
     O["events_sessionize_batch"] = _sessionize_sql("duck")
+    O["events_session_stats"] = _round_doubles_sql(
+        _session_stats_sql("duck"),
+        [
+            "n_sessions", "n_users", "mean_events", "p50_duration_s",
+            "p95_duration_s", "mean_duration_s",
+        ],
+        ["mean_events", "p50_duration_s", "p95_duration_s", "mean_duration_s"],
+    )
 
     from dbreg_spark.plans.common import agg_select_sql, moment_spec
     from dbreg_spark.plans.exprs import Var as _Var
