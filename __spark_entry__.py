@@ -818,6 +818,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["events_session_stats"] = q_session_stats
 
+    # path mining: most common 3-step event-type sequences across users
+    # (ordered per-user aggregation + the shared word-ngram template)
+    def q_top_paths(spark, sf_dir):
+        _tables(spark, sf_dir)
+        return spark.sql(_top_paths_sql("spark"))
+
+    Q["events_top_paths"] = q_top_paths
+
     # batch mirror of streaming_moments(window="1 day"): the same per-window
     # sufficient-statistics aggregation the streaming operator emits
     def q_events_moments(spark, sf_dir):
@@ -916,6 +924,50 @@ def _sessionize_sql(engine: str) -> str:
 
 
 _SESSIONIZE_SQL_SPARK = _sessionize_sql("spark")
+
+def _top_paths_sql(engine: str, n: int = 3, k: int = 25) -> str:
+    """Most common ``n``-step event-type paths: one ordered per-user
+    aggregation into a space-joined sequence string, then the SAME
+    word-ngram template the dedup operators use, explode + count + top-k.
+    Users with fewer than ``n`` events contribute their whole path once
+    (the template's short-doc contract, identical on both engines)."""
+    from dbreg_spark.functions.xdialect import DUCK, SPARK, X
+
+    if engine == "spark":
+        x = X(SPARK)
+        seq = (
+            "concat_ws(' ', transform(sort_array(collect_list("
+            "struct(ts, event_id, event_type))), s -> s.event_type))"
+        )
+        grams = x.word_ngrams("s", n)
+        return f"""
+WITH seqs AS (
+  SELECT user_id, {seq} AS s FROM events GROUP BY user_id
+),
+paths AS (
+  SELECT explode({grams}) AS path FROM seqs
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users_paths
+FROM paths GROUP BY path
+ORDER BY n_users_paths DESC, path ASC
+LIMIT {k}
+"""
+    x = X(DUCK)
+    grams = x.word_ngrams("s", n)
+    return f"""
+WITH seqs AS (
+  SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+),
+paths AS (
+  SELECT t.path FROM seqs, unnest({grams}) AS t(path)
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users_paths
+FROM paths GROUP BY path
+ORDER BY n_users_paths DESC, path ASC
+LIMIT {k}
+"""
+
 
 _SESSION_STATS_TMPL = """
 WITH lagged AS (
@@ -1466,6 +1518,7 @@ FROM events GROUP BY 1, 2
 """
 
     O["events_sessionize_batch"] = _sessionize_sql("duck")
+    O["events_top_paths"] = _top_paths_sql("duck")
     O["events_session_stats"] = _round_doubles_sql(
         _session_stats_sql("duck"),
         [
