@@ -826,6 +826,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["events_top_paths"] = q_top_paths
 
+    # volume anomaly detection: rolling z-score of daily per-type counts
+    # (window over the tiny daily aggregate, never the raw events)
+    def q_event_anomalies(spark, sf_dir):
+        _tables(spark, sf_dir)
+        return _round_doubles_df(spark.sql(_event_anomaly_sql("spark")))
+
+    Q["events_anomaly"] = q_event_anomalies
+
     # batch mirror of streaming_moments(window="1 day"): the same per-window
     # sufficient-statistics aggregation the streaming operator emits
     def q_events_moments(spark, sf_dir):
@@ -924,6 +932,50 @@ def _sessionize_sql(engine: str) -> str:
 
 
 _SESSIONIZE_SQL_SPARK = _sessionize_sql("spark")
+
+_EVENT_ANOMALY_TMPL = """
+WITH daily AS (
+  SELECT {day} AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY {day}, event_type
+),
+scored AS (
+  SELECT day, event_type, n,
+         AVG(CAST(n AS DOUBLE)) OVER w AS mu,
+         STDDEV_SAMP(CAST(n AS DOUBLE)) OVER w AS sd,
+         COUNT(*) OVER w AS n_hist
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, event_type, n,
+       CASE WHEN n_hist >= 3 AND sd > 0
+            THEN (CAST(n AS DOUBLE) - mu) / sd END AS zscore,
+       CAST(n_hist >= 3 AND sd > 0
+            AND ABS(CAST(n AS DOUBLE) - mu) / sd > 3.0 AS INT) AS is_anomaly
+FROM scored
+"""
+
+
+def _event_anomaly_sql(engine: str) -> str:
+    """Rolling volume-anomaly z-scores: daily per-type counts against the
+    trailing 7-day window (excluding the current day); scores start once
+    3 history days exist. The window runs over the DAILY table (rows =
+    days x types), never the raw events — scale-free by construction."""
+    day = (
+        "CAST(date_trunc('day', ts) AS DATE)"
+        if engine == "spark"
+        else "CAST(date_trunc('day', ts) AS DATE)"
+    )
+    sql = _EVENT_ANOMALY_TMPL.format(day=day)
+    if engine == "spark":
+        # Spark string-compares DATE in the driver hash; normalize
+        sql = sql.replace("SELECT day, event_type, n,\n       CASE",
+                          "SELECT CAST(day AS STRING) AS day, event_type, n,\n       CASE")
+    else:
+        sql = sql.replace("SELECT day, event_type, n,\n       CASE",
+                          "SELECT STRFTIME(day, '%Y-%m-%d') AS day, event_type, n,\n       CASE")
+    return sql
+
 
 def _top_paths_sql(engine: str, n: int = 3, k: int = 25) -> str:
     """Most common ``n``-step event-type paths: one ordered per-user
@@ -1519,6 +1571,11 @@ FROM events GROUP BY 1, 2
 
     O["events_sessionize_batch"] = _sessionize_sql("duck")
     O["events_top_paths"] = _top_paths_sql("duck")
+    O["events_anomaly"] = _round_doubles_sql(
+        _event_anomaly_sql("duck"),
+        ["day", "event_type", "n", "zscore", "is_anomaly"],
+        ["zscore"],
+    )
     O["events_session_stats"] = _round_doubles_sql(
         _session_stats_sql("duck"),
         [
