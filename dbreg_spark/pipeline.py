@@ -38,7 +38,7 @@ from .operators.multimodal import (
     synthesize_media,
 )
 from .operators.report import corpus_report
-from .streaming.ops import streaming_corpus_stats
+from .streaming.ops import streaming_corpus_stats, streaming_volume_anomaly
 from .operators.sampling import (
     hash_split,
     plan_mixture,
@@ -98,5 +98,5 @@ __all__ = [
     "synthesize_media", "decode_features", "resize_stub",
     "frame_sample_plan",
     # reporting / monitoring
-    "corpus_report", "streaming_corpus_stats",
+    "corpus_report", "streaming_corpus_stats", "streaming_volume_anomaly",
 ]

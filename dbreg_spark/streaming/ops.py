@@ -496,3 +496,114 @@ def streaming_corpus_stats(
             "mean_quality",
         )
     )
+
+
+ANOMALY_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day_start", T.TimestampType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("zscore", T.DoubleType()),
+        T.StructField("is_anomaly", T.IntegerType()),
+    ]
+)
+
+_ANOMALY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("open_days", T.ArrayType(T.LongType())),
+        T.StructField("open_counts", T.ArrayType(T.LongType())),
+        T.StructField("hist_counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def streaming_volume_anomaly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    day_seconds: int = 86_400,
+    history: int = 7,
+    min_history: int = 3,
+    z_threshold: float = 3.0,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming twin of the ``events_anomaly`` batch gate: per-type daily
+    event counts scored against the trailing ``history`` OBSERVED days
+    (mean/std excluding the scored day; NULL z until ``min_history`` days
+    exist or while std is 0), emitted when the WATERMARK closes the day —
+    volume-drop/spike monitoring as a custom stateful operator.
+
+    State per event type: the open (not-yet-closed) day counts plus a
+    ≤``history``-element deque of closed-day counts — O(history) scalars,
+    bounded regardless of volume. Days close on event-time timeout, so
+    replays are deterministic; rows older than the watermark are dropped
+    by Spark BEFORE the operator, which is exactly what makes a closed
+    day immutable (an arriving row's day always ends after the current
+    watermark). The rows-based trailing window (last observed days, not
+    calendar days) matches the batch gate's ROWS BETWEEN frame."""
+    import numpy as np
+
+    day_s = int(day_seconds)
+
+    def score(n, hist):
+        if len(hist) >= min_history:
+            import numpy as _np
+
+            mu = float(_np.mean(hist))
+            sd = float(_np.std(hist, ddof=1))
+            if sd > 0:
+                z = (float(n) - mu) / sd
+                return z, int(abs(z) > z_threshold)
+        return None, 0
+
+    def fn(key, pdfs, state: GroupState):
+        (etype,) = key
+        if state.exists:
+            open_days, open_counts, hist = state.get
+            open_map = dict(zip(list(open_days), list(open_counts)))
+            hist = list(hist)
+        else:
+            open_map, hist = {}, []
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs))
+            days = (rows["ts"].astype("int64") // (int(1e9) * day_s)).to_numpy()
+            for d, c in zip(*np.unique(days, return_counts=True)):
+                open_map[int(d)] = open_map.get(int(d), 0) + int(c)
+        wm_s = state.getCurrentWatermarkMs() / 1000.0
+        out = []
+        for d in sorted(open_map):
+            if (d + 1) * day_s <= wm_s:
+                n = open_map.pop(d)
+                z, flag = score(n, hist)
+                hist.append(n)
+                if len(hist) > history:
+                    hist = hist[-history:]
+                out.append((d, n, z, flag))
+        state.update(
+            (sorted(open_map), [open_map[d] for d in sorted(open_map)], hist)
+        )
+        if open_map:
+            state.setTimeoutTimestamp(int((min(open_map) + 1) * day_s * 1000))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "event_type": [etype] * len(out),
+                    "day_start": [pd.Timestamp(d * day_s, unit="s") for d, *_ in out],
+                    "n": [n for _, n, *_ in out],
+                    "zscore": [z for *_, z, _f in out],
+                    "is_anomaly": [f for *_, f in out],
+                }
+            )
+
+    return (
+        _ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(type_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=ANOMALY_SCHEMA,
+            stateStructType=_ANOMALY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

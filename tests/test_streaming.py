@@ -501,3 +501,36 @@ def test_streaming_corpus_stats(spark, tables):
             assert (merged[c] == merged[f"{c}_want"]).all(), c
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_volume_anomaly_matches_batch_gate(spark, tables, event_stream_dir):
+    """The streaming anomaly scorer must agree EXACTLY with the batch
+    events_anomaly gate on every day it closes (same rows-based trailing
+    window, same min-history and zero-std rules)."""
+    import __spark_entry__ as em
+    from dbreg_spark.streaming.ops import streaming_volume_anomaly
+
+    schema = tables["events"].schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    out = streaming_volume_anomaly(stream, watermark="1 day")
+    name = f"anom_{uuid.uuid4().hex[:8]}"
+    _run_stream(out, name)
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    assert len(got) > 0
+    got["day"] = got["day_start"].dt.strftime("%Y-%m-%d")
+    want = spark.sql(em._event_anomaly_sql("spark")).toPandas()
+    merged = got.merge(
+        want, on=["day", "event_type"], suffixes=("", "_want")
+    )
+    assert len(merged) == len(got)  # every emitted day exists in batch
+    assert (merged["n"] == merged["n_want"]).all()
+    import numpy as np
+
+    np.testing.assert_allclose(
+        merged["zscore"].astype(float),
+        merged["zscore_want"].astype(float),
+        rtol=1e-9, equal_nan=True,
+    )
+    assert (merged["is_anomaly"] == merged["is_anomaly_want"]).all()
+    # anomaly days exist in the fixture (7 in the batch gate at sf0.01)
+    assert want["is_anomaly"].sum() > 0
