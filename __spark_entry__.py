@@ -961,12 +961,7 @@ def _event_anomaly_sql(engine: str) -> str:
     trailing 7-day window (excluding the current day); scores start once
     3 history days exist. The window runs over the DAILY table (rows =
     days x types), never the raw events — scale-free by construction."""
-    day = (
-        "CAST(date_trunc('day', ts) AS DATE)"
-        if engine == "spark"
-        else "CAST(date_trunc('day', ts) AS DATE)"
-    )
-    sql = _EVENT_ANOMALY_TMPL.format(day=day)
+    sql = _EVENT_ANOMALY_TMPL.format(day="CAST(date_trunc('day', ts) AS DATE)")
     if engine == "spark":
         # Spark string-compares DATE in the driver hash; normalize
         sql = sql.replace("SELECT day, event_type, n,\n       CASE",
@@ -1021,26 +1016,11 @@ LIMIT {k}
 """
 
 
-_SESSION_STATS_TMPL = """
-WITH lagged AS (
-  SELECT user_id, event_id, ts, value,
-         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM events
-),
-flagged AS (
-  SELECT *, CASE WHEN prev IS NULL OR {epoch_ts} - {epoch_prev} > 1800
-                 THEN 1 ELSE 0 END AS new_sess
-  FROM lagged
-),
-numbered AS (
-  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS UNBOUNDED PRECEDING) AS sess_id
-  FROM flagged
-),
+_SESSION_STATS_AGG = """
 sess AS (
   SELECT user_id, sess_id,
          CAST(COUNT(*) AS BIGINT) AS n_events,
-         MAX({epoch_ts}) - MIN({epoch_ts}) AS dur_s
+         MAX({fr_epoch}) - MIN({fr_epoch}) AS dur_s
   FROM numbered GROUP BY user_id, sess_id
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
@@ -1054,22 +1034,29 @@ FROM sess
 
 
 def _session_stats_sql(engine: str) -> str:
-    """Session dashboard aggregate over the shared sessionizer CTEs; exact
-    interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont,
-    verified bit-equal on this box)."""
+    """Session dashboard aggregate over the sessionizer's OWN CTEs (the
+    lagged/flagged/numbered prefix is reused verbatim from
+    ``_sessionize_sql``, so the gap rule — and hence every session
+    boundary — is identical to the ``events_sessionize_batch`` gate by
+    construction). Durations use fractional-second epochs on both
+    engines (Spark's unix_timestamp truncates, which shifted durations
+    vs DuckDB's epoch); exact interpolated percentiles (Spark
+    percentile ≡ DuckDB quantile_cont, verified bit-equal)."""
+    base = _sessionize_sql(engine)
+    prefix = base[: base.index("SELECT user_id, CAST(sess_id AS BIGINT)")]
+    # prefix ends with the flagged/numbered CTE close — continue the WITH list
     if engine == "spark":
-        # CAST(ts AS DOUBLE) keeps fractional seconds (unix_timestamp
-        # truncates, which shifts durations vs DuckDB's epoch())
-        epoch_ts = "CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)"
-        epoch_prev = "CAST(CAST(prev AS TIMESTAMP) AS DOUBLE)"
+        fr_epoch = "CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)"
         p50 = "percentile(CAST(dur_s AS DOUBLE), 0.5)"
         p95 = "percentile(CAST(dur_s AS DOUBLE), 0.95)"
     else:
-        epoch_ts, epoch_prev = "epoch(ts)", "epoch(prev)"
+        fr_epoch = "epoch(ts)"
         p50 = "quantile_cont(CAST(dur_s AS DOUBLE), 0.5)"
         p95 = "quantile_cont(CAST(dur_s AS DOUBLE), 0.95)"
-    return _SESSION_STATS_TMPL.format(
-        epoch_ts=epoch_ts, epoch_prev=epoch_prev, p50=p50, p95=p95
+    return (
+        prefix.rstrip().rstrip(")").rstrip()
+        + chr(10) + ")," + chr(10)
+        + _SESSION_STATS_AGG.format(fr_epoch=fr_epoch, p50=p50, p95=p95)
     )
 
 

@@ -192,9 +192,12 @@ def minhash_lsh_pairs(
     member is Jaccard-verified against the bucket's min-id member only
     (m comparisons, no collect_list), so true duplicate groups stay fully
     CONNECTED for :func:`dedup_components` — the surfaced edge set within
-    a huge bucket is the star, not the clique (pair completeness is
-    traded for boundedness exactly there, never below the cap). ``None``
-    restores unguarded clique generation."""
+    a huge bucket is the star, not the clique. Detection is SAMPLED (a
+    ~1%% doc probe), so the boundary is soft: buckets from ~max_bucket/2
+    up may get star treatment (harmless — star edges are still exact-
+    verified and keep groups connected), cliff-sized buckets always do,
+    and smaller buckets essentially never. ``None`` restores unguarded
+    clique generation."""
     x = X(SPARK)
     params = minhash_params(n_hashes, seed)
     staged = df.select(
@@ -273,6 +276,12 @@ def minhash_lsh_pairs(
     else:
         hot_keys = set()
     if hot_keys:
+        # hot present: the star rescue branches bands 3 ways — checkpoint
+        # once so the shingle+minhash scan doesn't re-execute per branch.
+        # Only on THIS path: the clean-corpus plan stays checkpoint-free
+        # (cache-freedom contract, test_cache) and exactly unguarded
+        # (test_plans::test_minhash_guard_clean_corpus_plan_is_unguarded).
+        bands = bands.localCheckpoint(eager=True)
         spark = df.sparkSession
         hot = F.broadcast(
             spark.createDataFrame(
@@ -562,7 +571,11 @@ def dedup_against(
         # and pairs remain reachable via their other bands. Detection
         # runs on a ~1%% reference-DOC sample (cliff-sized buckets are
         # found with near-certainty at ~1%% of a reference scan; see
-        # minhash_lsh_pairs) and is skipped entirely when clean.
+        # minhash_lsh_pairs). Unlike the star path there, a dropped
+        # bucket here LOSES candidates, so the detection threshold sits
+        # at ~2x the cap: buckets below max_bucket are essentially never
+        # dropped (the cap is soft — enforcement certain from ~4x up),
+        # and the guard is skipped entirely when the sample is clean.
         frac = min(1.0, 100.0 / float(max_bucket))
         probe_ref = (
             reference.sample(fraction=frac, seed=seed) if frac < 1.0 else reference

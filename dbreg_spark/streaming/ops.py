@@ -539,8 +539,14 @@ def streaming_volume_anomaly(
     replays are deterministic; rows older than the watermark are dropped
     by Spark BEFORE the operator, which is exactly what makes a closed
     day immutable (an arriving row's day always ends after the current
-    watermark). The rows-based trailing window (last observed days, not
-    calendar days) matches the batch gate's ROWS BETWEEN frame."""
+    watermark). Days are UTC epoch buckets — the same frame as the
+    watermark, so the immutability argument holds in EVERY session
+    timezone (pandas-delivered timestamps are session-local naive, so
+    bucketing those against the UTC watermark would break it; the epoch
+    column is computed engine-side instead). The batch gate buckets with
+    session-time date_trunc — equal when the session timezone is UTC.
+    The rows-based trailing window (last observed days, not calendar
+    days) matches the batch gate's ROWS BETWEEN frame."""
     import numpy as np
 
     day_s = int(day_seconds)
@@ -566,7 +572,7 @@ def streaming_volume_anomaly(
             open_map, hist = {}, []
         if not state.hasTimedOut:
             rows = pd.concat(list(pdfs))
-            days = (rows["ts"].astype("int64") // (int(1e9) * day_s)).to_numpy()
+            days = (rows["__sec"] // day_s).astype("int64").to_numpy()
             for d, c in zip(*np.unique(days, return_counts=True)):
                 open_map[int(d)] = open_map.get(int(d), 0) + int(c)
         wm_s = state.getCurrentWatermarkMs() / 1000.0
@@ -595,9 +601,16 @@ def streaming_volume_anomaly(
                 }
             )
 
+    ev = _ensure_event_time(events, ts_col)
+    # UTC epoch seconds computed ENGINE-side: CAST(timestamp AS DOUBLE) is
+    # the internal epoch, independent of spark.sql.session.timeZone —
+    # the pandas-side timestamps are session-local naive and would bucket
+    # days in the wrong frame vs the UTC watermark
+    ev = ev.withColumn(
+        "__sec", F.col(ts_col).cast("timestamp").cast("double")
+    )
     return (
-        _ensure_event_time(events, ts_col)
-        .withWatermark(ts_col, watermark)
+        ev.withWatermark(ts_col, watermark)
         .groupBy(type_col)
         .applyInPandasWithState(
             fn,
