@@ -76,6 +76,34 @@ def _tables(spark: SparkSession, sf_dir: str) -> dict:
 
 
 # regression specs reused across queries (FIXTURES.md F8 lineitem mapping)
+# Dialect-NEUTRAL document enrichments for the web-corpus gates (the raw
+# fixture text is single-line and URL-free): multi-line text exercising
+# every C4 rule, and injected URLs with mixed-case hosts / fragments /
+# trailing sentence punctuation. ||, chr(10), substr, CASE and % are the
+# shared SQL subset, so ONE string serves both engines.
+C4_ENRICH = (
+    "'A good first sentence about ' || source || ' documents.'"
+    " || chr(10) || 'too short'"
+    " || chr(10) || CASE WHEN doc_id % 3 = 0"
+    " THEN 'You must enable javascript to continue viewing.'"
+    " ELSE 'Another clean line mentioning ' || substr(text, 1, 20) || ' tokens.' END"
+    " || chr(10) || CASE WHEN doc_id % 11 = 0"
+    " THEN 'Lorem Ipsum dolor sit amet.'"
+    " ELSE 'Final good line ends with a question mark?' END"
+    " || chr(10) || CASE WHEN doc_id % 13 = 0"
+    " THEN 'body { margin: 0; }' ELSE 'No terminal punctuation here' END"
+)
+
+
+def _url_enrich(x) -> str:
+    """Text with three injected URLs per doc (str_cast differs by dialect)."""
+    return (
+        "text || ' See https://Example.COM/a' || " + x.str_cast("doc_id")
+        + " || '?q=1#frag or http://sub' || " + x.str_cast("doc_id % 7")
+        + " || '.test.org/path, and https://example.com/dup.'"
+    )
+
+
 FML_NOFE = "l_extendedprice ~ l_quantity + l_discount"
 FML_1FE = "l_extendedprice ~ l_quantity + l_discount | l_returnflag"
 FML_2FE = "l_extendedprice ~ l_quantity + l_discount | l_returnflag + l_linestatus"
@@ -879,6 +907,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["events_moments_daily_1fe"] = q_events_moments_1fe
 
+    # typed JSON field extraction out of the events props payload
+    # (get_json_object column exprs — one scan, zero shuffles)
+    def q_json_fields(spark, sf_dir):
+        from dbreg_spark.operators import semistruct as _ss
+
+        t = _tables(spark, sf_dir)
+        out = _ss.json_fields(
+            t["events"],
+            [("k", "$.k", "BIGINT"), ("absent", "$.absent", "STRING")],
+            col="props",
+            drop_raw=True,
+        )
+        return out.select("event_id", "event_type", "k", "absent")
+
+    Q["events_json_fields"] = q_json_fields
+
+    # C4-style line/document cleaning over multi-line-enriched documents
+    def q_c4_filter(spark, sf_dir):
+        from dbreg_spark.operators import web as _web
+
+        t = _tables(spark, sf_dir)
+        d = t["documents"].withColumn("text", F.expr(C4_ENRICH))
+        return _web.c4_filter(d).select(
+            "doc_id", "clean_text", "n_lines", "n_lines_kept",
+            F.col("has_lorem_ipsum").cast("int").alias("has_lorem_ipsum"),
+            F.col("has_brace").cast("int").alias("has_brace"),
+            F.col("keep").cast("int").alias("keep"),
+        )
+
+    Q["text_c4_filter"] = q_c4_filter
+
+    # URL extraction + normalization (explode, no shuffle)
+    def q_extract_urls(spark, sf_dir):
+        from dbreg_spark.functions.xdialect import SPARK as _SP, X as _X
+        from dbreg_spark.operators import web as _web
+
+        t = _tables(spark, sf_dir)
+        d = t["documents"].withColumn("text", F.expr(_url_enrich(_X(_SP))))
+        return _web.extract_urls(d)
+
+    Q["text_extract_urls"] = q_extract_urls
+
+    # per-domain link statistics (aggregated TakeOrdered top-N)
+    def q_domain_stats(spark, sf_dir):
+        from dbreg_spark.functions.xdialect import SPARK as _SP, X as _X
+        from dbreg_spark.operators import web as _web
+
+        t = _tables(spark, sf_dir)
+        d = t["documents"].withColumn("text", F.expr(_url_enrich(_X(_SP))))
+        return _web.domain_stats(d)
+
+    Q["text_domain_stats"] = q_domain_stats
+
+    # batch mirror of the stream-static enrichment join (broadcast dim)
+    def q_events_enriched(spark, sf_dir):
+        from dbreg_spark.streaming.ops import enrich
+
+        t = _tables(spark, sf_dir)
+        ev, dim = t["events"], t["nation"]
+        return enrich(
+            ev, dim, on=ev["user_id"] % 25 == dim["n_nationkey"], how="inner"
+        ).select("event_id", "event_type", "value", "n_name")
+
+    Q["events_enriched"] = q_events_enriched
+
     return Q
 
 
@@ -1611,5 +1704,34 @@ GROUP BY 1
         ["day", "n_total", "n_fe1", "w_0_0", "w_0_y", "w_y_y"],
         ["w_0_0", "w_0_y", "w_y_y"],
     )
+
+    from dbreg_spark.operators import semistruct as _ss
+    from dbreg_spark.operators import web as _web
+
+    O["events_json_fields"] = _ss.json_fields_sql(
+        "events",
+        [("k", "$.k", "BIGINT"), ("absent", "$.absent", "STRING")],
+        col="props",
+        select_cols=["event_id", "event_type"],
+    )
+
+    _c4_src = f"(SELECT doc_id, source, {C4_ENRICH} AS text FROM documents)"
+    O["text_c4_filter"] = (
+        "SELECT doc_id, clean_text, n_lines, n_lines_kept, "
+        "CAST(has_lorem_ipsum AS INT) AS has_lorem_ipsum, "
+        "CAST(has_brace AS INT) AS has_brace, CAST(keep AS INT) AS keep "
+        f"FROM ({_web.c4_filter_sql(_c4_src)}) __c4"
+    )
+
+    _url_src = (
+        f"(SELECT doc_id, {_url_enrich(_xd)} AS text FROM documents)"
+    )
+    O["text_extract_urls"] = _web.extract_urls_sql(_url_src)
+    O["text_domain_stats"] = _web.domain_stats_sql(_url_src)
+
+    O["events_enriched"] = """
+SELECT event_id, event_type, value, n_name
+FROM events JOIN nation ON (events.user_id % 25) = nation.n_nationkey
+"""
 
     return O

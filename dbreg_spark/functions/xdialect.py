@@ -98,10 +98,22 @@ class X:
         return f", unnest({arr_expr}) AS _u({alias})"
 
     # -- strings ------------------------------------------------------------
+    def trim_ws(self, s: str) -> str:
+        """Strip leading/trailing WS-class characters — the dialect-neutral
+        trim. Bare ``trim()`` DIVERGES across engines: DuckDB strips
+        Unicode Zs (U+00A0 …) while Spark strips only ASCII space, and
+        neither strips ``\\t``/``\\n`` (found by hypothesis on
+        ``'000 00\\xa0'``). Anchors are ``\\A``/``\\z`` (both Java regex
+        and RE2 support them) instead of ``^``/``$`` because Java's ``$``
+        also matches before a FINAL LINE TERMINATOR — including U+0085,
+        which is not in the WS class — while RE2's does not."""
+        return self.regexp_replace_all(s, f"\\A{WS}+|{WS}+\\z", "")
+
     def split_ws(self, s: str) -> str:
+        t = self.trim_ws(s)
         if self.e == SPARK:
-            return f"split(trim({s}), {self.rx(WS + '+')})"
-        return f"string_split_regex(trim({s}), {self.rx(WS + '+')})"
+            return f"split({t}, {self.rx(WS + '+')})"
+        return f"string_split_regex({t}, {self.rx(WS + '+')})"
 
     def split_re(self, s: str, pattern: str) -> str:
         """Split on a regex (no trim — caller decides)."""
@@ -118,6 +130,41 @@ class X:
         if self.e == SPARK:
             return f"regexp_replace({s}, {self.rx(pattern)}, '{repl}')"
         return f"regexp_replace({s}, {self.rx(pattern)}, '{repl}', 'g')"
+
+    def rlike(self, s: str, pattern: str) -> str:
+        """Boolean regex match (unanchored contains-match on both engines:
+        Spark ``rlike`` and DuckDB ``regexp_matches`` both search, not
+        full-match)."""
+        if self.e == SPARK:
+            return f"({s} rlike {self.rx(pattern)})"
+        return f"regexp_matches({s}, {self.rx(pattern)})"
+
+    def regexp_extract(self, s: str, pattern: str, group: int) -> str:
+        """First match's capture group ``group`` (same 1-based group
+        numbering on both engines; no match → '' on Spark, '' on DuckDB)."""
+        return f"regexp_extract({s}, {self.rx(pattern)}, {group})"
+
+    def regexp_extract_all(self, s: str, pattern: str) -> str:
+        """Array of ALL full matches of ``pattern`` in ``s``."""
+        if self.e == SPARK:
+            return f"regexp_extract_all({s}, {self.rx(pattern)}, 0)"
+        return f"regexp_extract_all({s}, {self.rx(pattern)})"
+
+    def array_join_expr(self, arr: str, sep_expr: str) -> str:
+        """array_join with an arbitrary separator EXPRESSION (e.g.
+        ``chr(10)`` — the cross-dialect way to spell a newline, since
+        Spark string literals process ``\\n`` and DuckDB's do not).
+
+        Empty-array contract pinned to Spark's: empty → ``''``, NULL →
+        NULL. DuckDB's ``array_to_string`` returns NULL for an EMPTY list,
+        so the twin guards on ``len()`` (NULL array falls through the CASE
+        to ``array_to_string(NULL)`` = NULL)."""
+        if self.e == SPARK:
+            return f"array_join({arr}, {sep_expr})"
+        return (
+            f"CASE WHEN len({arr}) = 0 THEN '' "
+            f"ELSE array_to_string({arr}, {sep_expr}) END"
+        )
 
     # -- hashing ------------------------------------------------------------
     def md5int(self, s: str) -> str:

@@ -44,7 +44,7 @@ def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def _norm_expr(x: X, col: str) -> str:
-    return f"lower({x.regexp_replace_all(f'trim({col})', WS + '+', ' ')})"
+    return f"lower({x.regexp_replace_all(x.trim_ws(col), WS + '+', ' ')})"
 
 
 def exact_duplicates(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -31,10 +31,10 @@ def _report_row_exprs(x: X, col: str) -> dict[str, str]:
     ``size(NULL)`` is -1 while DuckDB's ``len(NULL)`` is NULL — both
     engines get the same CASE)."""
     n_tok = (
-        f"CASE WHEN {col} IS NULL OR length(trim({col})) = 0 THEN 0 "
+        f"CASE WHEN {col} IS NULL OR length({x.trim_ws(col)}) = 0 THEN 0 "
         f"ELSE {x.size(x.split_ws(col))} END"
     )
-    norm = f"lower({x.regexp_replace_all(f'trim({col})', WS + '+', ' ')})"
+    norm = f"lower({x.regexp_replace_all(x.trim_ws(col), WS + '+', ' ')})"
     return {
         "__ntok": f"CAST({n_tok} AS BIGINT)",
         "__len": f"CAST(length({col}) AS DOUBLE)",

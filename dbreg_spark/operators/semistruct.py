@@ -1,0 +1,103 @@
+"""Semi-structured (JSON) field extraction — typed column projection out of
+JSON string columns, the first step of ingesting event/log payloads.
+
+The reference engine has no JSON surface; this is Spark-native pipeline
+plumbing (events-table ``props`` payloads, API logs, crawl metadata).
+Extraction is a pure column expression — ``get_json_object`` lives inside
+whole-stage codegen, so a typed projection costs one scan with zero
+shuffles and the surrounding filter/column pruning still reaches parquet.
+
+Cross-engine contract: Spark ``get_json_object(col, '$.path')`` and DuckDB
+``json_extract_string(col, '$.path')`` both return the unquoted string
+value of the path (NULL when absent), and ``TRY_CAST`` maps malformed
+numerics to NULL on both engines (Spark 4 runs ANSI mode, so a plain CAST
+would raise — TRY_CAST is the portable spelling).
+
+At 100 TB: stateless row-local projection — streaming-safe, partition
+count preserved, no skew surface. Extract once, early, and drop the raw
+JSON string before any shuffle so the shuffle carries typed columns, not
+payload text (guidance the docstring of :func:`json_fields` repeats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dbreg_spark.functions.xdialect import DUCK, SPARK, X
+
+# (alias, json path, SQL type) — the type names below are the portable
+# subset (BIGINT / DOUBLE / BOOLEAN work verbatim on both engines; STRING
+# is spelled per-dialect).
+FieldSpec = tuple[str, str, str]
+
+
+def _type_name(x: X, sql_type: str) -> str:
+    t = sql_type.upper()
+    if t in ("STRING", "VARCHAR"):
+        return "STRING" if x.e == SPARK else "VARCHAR"
+    return t
+
+
+def json_field_expr(x: X, col: str, path: str, sql_type: str) -> str:
+    """One typed JSON field as a dialect expression.
+
+    ``path`` is a JSONPath like ``$.k`` or ``$.a.b`` (the dotted subset
+    both engines support identically)."""
+    if not path.startswith("$"):
+        raise ValueError(f"JSON path must start with '$': {path!r}")
+    if x.e == SPARK:
+        raw = f"get_json_object({col}, '{path}')"
+    else:
+        # json_valid guard: DuckDB's json_extract_string RAISES on
+        # malformed JSON while Spark's get_json_object returns NULL —
+        # the operator contract is Spark's (malformed payload → NULL
+        # fields, the only sane behavior over a 100 TB crawl)
+        raw = (
+            f"CASE WHEN json_valid({col}) "
+            f"THEN json_extract_string({col}, '{path}') END"
+        )
+    t = _type_name(x, sql_type)
+    if t in ("STRING", "VARCHAR"):
+        return raw
+    return f"TRY_CAST({raw} AS {t})"
+
+
+def json_fields(
+    df: DataFrame,
+    fields: list[FieldSpec],
+    col: str = "props",
+    drop_raw: bool = False,
+) -> DataFrame:
+    """Project typed columns out of a JSON string column.
+
+    ``fields`` is a list of ``(alias, '$.path', sql_type)``; missing paths
+    and malformed values become NULL (TRY_CAST semantics on both engines).
+    With ``drop_raw=True`` the JSON column itself is dropped — do that
+    before any shuffle so downstream exchanges carry typed scalars, not
+    payload strings.
+    """
+    x = X(SPARK)
+    keep = [c for c in df.columns if not (drop_raw and c == col)]
+    return df.select(
+        *keep,
+        *[
+            F.expr(json_field_expr(x, col, path, t)).alias(a)
+            for a, path, t in fields
+        ],
+    )
+
+
+def json_fields_sql(
+    table: str,
+    fields: list[FieldSpec],
+    col: str = "props",
+    select_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`json_fields` (``select_cols`` defaults to
+    ``*`` which keeps the raw column, matching ``drop_raw=False``)."""
+    x = X(DUCK)
+    base = select_cols if select_cols is not None else ["*"]
+    exprs = [
+        f"{json_field_expr(x, col, path, t)} AS {a}" for a, path, t in fields
+    ]
+    return "SELECT " + ", ".join(base + exprs) + f" FROM {table}"

@@ -48,7 +48,7 @@ def _in_list(words: list[str]) -> str:
 def text_stats_exprs(x: X, col: str) -> list[tuple[str, str]]:
     """(alias, expression) pairs for the per-document text statistics."""
     words = x.split_ws(col)
-    n_tok = f"CASE WHEN length(trim({col})) = 0 THEN 0 ELSE {x.size(words)} END"
+    n_tok = f"CASE WHEN length({x.trim_ws(col)}) = 0 THEN 0 ELSE {x.size(words)} END"
     n_stop = x.size(x.filter(words, f"t -> lower(t) IN {_in_list(STOPWORDS_EN)}"))
     n_uniq = x.size(x.array_distinct(words))
     exprs = [
@@ -86,7 +86,7 @@ def quality_score_expr(x: X, col: str) -> str:
     """Composite quality score in [0, 1]: favors mid-length documents with
     some stopwords, low punctuation/digit noise, and lexical diversity."""
     words = x.split_ws(col)
-    n_tok = f"CASE WHEN length(trim({col})) = 0 THEN 0 ELSE {x.size(words)} END"
+    n_tok = f"CASE WHEN length({x.trim_ws(col)}) = 0 THEN 0 ELSE {x.size(words)} END"
     n_stop = x.size(x.filter(words, f"t -> lower(t) IN {_in_list(STOPWORDS_EN)}"))
     n_uniq = x.size(x.array_distinct(words))
     len_score = f"least(CAST({n_tok} AS DOUBLE) / 100.0, 1.0)"
@@ -121,7 +121,7 @@ def fingerprint_exprs(x: X, col: str) -> list[tuple[str, str]]:
     """Document fingerprints: md5 of whitespace-normalized lowercase text,
     plus a rolling 40-bit polynomial hash over word hashes (order-sensitive,
     overflow-free on both engines)."""
-    norm = f"lower({x.regexp_replace_all(f'trim({col})', WS + '+', ' ')})"
+    norm = f"lower({x.regexp_replace_all(x.trim_ws(col), WS + '+', ' ')})"
     words = x.split_ws(col)
     word_h = x.transform(words, f"w -> {x.md5int('lower(w)')} % 1099511627776")
     rolling = x.reduce_bigint(
@@ -576,7 +576,7 @@ def _repetition_token_arrays(
     than n words contribute NO n-grams (the metric is 0, not the whole-doc
     shingle the minhash path uses)."""
     lines = x.filter(
-        x.split_re(col, r"\n"), "l -> length(trim(l)) > 0"
+        x.split_re(col, r"\n"), f"l -> length({x.trim_ws('l')}) > 0"
     )
     words = x.split_ws(col)
     out = {"L": lines}
@@ -1300,7 +1300,7 @@ def bm25_topk(
         x.transform(x.split_ws(col), "w -> lower(w)"), "w -> length(w) > 0"
     )
     ndoc = (
-        f"CASE WHEN {col} IS NULL OR length(trim({col})) = 0 THEN 0 "
+        f"CASE WHEN {col} IS NULL OR length({x.trim_ws(col)}) = 0 THEN 0 "
         f"ELSE {x.size(x.split_ws(col))} END"
     )
     base = corpus.select(
@@ -1360,7 +1360,7 @@ def bm25_topk_sql(
         x.transform(x.split_ws(col), "w -> lower(w)"), "w -> length(w) > 0"
     )
     ndoc = (
-        f"CASE WHEN {col} IS NULL OR length(trim({col})) = 0 THEN 0 "
+        f"CASE WHEN {col} IS NULL OR length({x.trim_ws(col)}) = 0 THEN 0 "
         f"ELSE {x.size(x.split_ws(col))} END"
     )
     tlist = ", ".join(x.lit_str(t) for t in terms)

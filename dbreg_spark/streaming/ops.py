@@ -77,7 +77,7 @@ def streaming_dedup(
     keyed on the normalized-content hash (state size = one hash per doc in
     the horizon, not the text)."""
     x = X(SPARK)
-    norm = f"lower({x.regexp_replace_all(f'trim({text_col})', WS + '+', ' ')})"
+    norm = f"lower({x.regexp_replace_all(x.trim_ws(text_col), WS + '+', ' ')})"
     hashed = _ensure_event_time(docs, ts_col).withColumn("__fp", F.expr(f"md5({norm})"))
     return (
         hashed.withWatermark(ts_col, watermark)
@@ -620,3 +620,35 @@ def streaming_volume_anomaly(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — attach dimension attributes (user
+    profile, geo lookup, source metadata) to an event stream.
+
+    Stream-static joins are stateless in Structured Streaming: each
+    micro-batch joins against the CURRENT static table snapshot, so no
+    watermark and no state store are involved (inner and left-outer with
+    the static side on the right are the supported shapes — Spark rejects
+    others at analysis time). The dimension is broadcast by default: a
+    per-batch hash join with ZERO shuffle of the stream; disable for
+    dimensions past broadcast size, which shuffles both sides on the key
+    each micro-batch.
+
+    The same call works on a batch frame (the gate's mirror,
+    ``events_enriched``). At 100 TB of stream: cost is one map-side join
+    per batch; re-planning picks up dim-table updates between batches
+    (exactly-once semantics apply to the stream, not the dim snapshot).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"stream-static enrichment supports inner/left joins, got {how!r}"
+        )
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=on, how=how)

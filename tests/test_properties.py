@@ -233,3 +233,42 @@ def test_hashing_paths_cross_engine_on_arbitrary_text(spark, texts):
     )
     for c in ("sig_0", "sig_1", "sig_2", "sig_3"):
         assert got_mh[c].fillna(-1).tolist() == want_mh[c].fillna(-1).tolist(), c
+
+
+def test_trim_ws_cross_engine_regression(spark):
+    """Deterministic pin of the bare-trim() divergence hypothesis found:
+    DuckDB's trim strips Unicode Zs (U+00A0) while Spark's strips only
+    ASCII space, so any expression built on bare trim diverges. trim_ws
+    strips exactly the explicit WS class on both engines — NBSP is content,
+    tabs/newlines are whitespace, and U+0085 (a Java line terminator, which
+    a $-anchored pattern would mis-handle) stays put."""
+    import duckdb
+    import pandas as pd
+
+    from dbreg_spark.functions.xdialect import DUCK, SPARK, X
+    from dbreg_spark.operators import text as tx
+
+    cases = ["000 00\xa0", " a ", "\ta\n", "a \x85", "\xa0", "", "\x0b a"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = df.selectExpr(
+        "doc_id", X(SPARK).trim_ws("text") + " AS t"
+    ).toPandas().sort_values("doc_id")
+    con = duckdb.connect()
+    con.register("t_in", pd.DataFrame(enumerate(cases), columns=["doc_id", "text"]))
+    want = con.execute(
+        f"SELECT doc_id, {X(DUCK).trim_ws('text')} AS t FROM t_in ORDER BY doc_id"
+    ).fetchdf()
+    assert got["t"].tolist() == want["t"].tolist()
+    # NBSP and U+0085 are content; \x0b (vertical tab) is deliberately NOT
+    # in the WS class (Java \s and RE2 \s disagree on it)
+    assert got["t"].tolist() == [
+        "000 00\xa0", "a", "a", "a \x85", "\xa0", "", "\x0b a"
+    ]
+    # the original falsifying doc now yields identical repetition metrics
+    rep_got = tx.repetition_stats(df).toPandas().sort_values("doc_id")
+    rep_want = con.execute(tx.repetition_stats_sql("t_in")).fetchdf().sort_values("doc_id")
+    for c in ("n_lines", "top_ngram_char_frac", "dup_line_frac"):
+        assert rep_got[c].tolist() == rep_want[c].tolist(), c
+    con.close()

@@ -534,3 +534,37 @@ def test_streaming_volume_anomaly_matches_batch_gate(spark, tables, event_stream
     assert (merged["is_anomaly"] == merged["is_anomaly_want"]).all()
     # anomaly days exist in the fixture (7 in the batch gate at sf0.01)
     assert want["is_anomaly"].sum() > 0
+
+
+def test_stream_static_enrich_matches_batch(spark, tables, event_stream_dir):
+    """Stream-static broadcast enrichment: a streamed events source joined
+    to the static nation dim equals the same join on the batch frame, and
+    unsupported join types are refused."""
+    from dbreg_spark.streaming.ops import enrich
+
+    dim = tables["nation"]
+    ev = tables["events"]
+    stream = spark.readStream.schema(ev.schema).parquet(event_stream_dir)
+
+    def _do(df):
+        return enrich(
+            df.withColumn("__nk", (F.col("user_id") % 25).cast("int")),
+            dim.withColumnRenamed("n_nationkey", "__nk"),
+            on="__nk",
+            how="inner",
+        ).select("event_id", "event_type", "n_name")
+
+    name = f"enr_{uuid.uuid4().hex[:8]}"
+    _run_stream(_do(stream), name)
+    got = (
+        spark.sql(f"SELECT * FROM {name}").toPandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    want = _do(ev).toPandas().sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got["n_name"] == want["n_name"]).all()
+    # dim side is broadcast: no shuffle of the stream in the batch plan
+    plan = _do(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError, match="inner/left"):
+        enrich(stream, dim, on="event_id", how="full")
