@@ -972,6 +972,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["events_enriched"] = q_events_enriched
 
+    # model-based quality classification (logistic scorer over text_stats
+    # features — pure column exprs, zero shuffles)
+    def q_quality_classify(spark, sf_dir):
+        from dbreg_spark.operators import text as _text
+
+        t = _tables(spark, sf_dir)
+        return _round_doubles_df(
+            _text.quality_classify(t["documents"]).select(
+                "doc_id", "clf_score", "clf_keep"
+            )
+        )
+
+    Q["text_quality_classify"] = q_quality_classify
+
     return Q
 
 
@@ -1733,5 +1747,13 @@ GROUP BY 1
 SELECT event_id, event_type, value, n_name
 FROM events JOIN nation ON (events.user_id % 25) = nation.n_nationkey
 """
+
+    O["text_quality_classify"] = _round_doubles_sql(
+        "SELECT doc_id, clf_score, clf_keep FROM ("
+        + _text.quality_classify_sql("documents")
+        + ") __clf",
+        ["doc_id", "clf_score", "clf_keep"],
+        ["clf_score"],
+    )
 
     return O

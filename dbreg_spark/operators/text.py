@@ -1623,3 +1623,98 @@ def assemble_packs(
             ids_col,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Model-based quality classification (FineWeb-Edu-style filter apply)
+# --------------------------------------------------------------------------
+
+# Default weights: a hand-set logistic model over the text_stats features —
+# a stand-in shape for weights trained offline (the real pipeline trains a
+# classifier on LLM-annotated samples and applies it at scale; applying IS
+# the distributed part). Signs encode the usual priors: stopword presence
+# and lexical diversity up, punctuation/digit noise down, token volume
+# saturating via the log.
+QUALITY_CLF_WEIGHTS = {
+    "log_tokens": 0.6,
+    "stopword_ratio": 3.0,
+    "unique_token_ratio": 1.5,
+    "punct_ratio": -4.0,
+    "digit_ratio": -6.0,
+    "mean_token_len": -0.15,
+}
+QUALITY_CLF_BIAS = -2.0
+
+
+def quality_classify_exprs(
+    x: X,
+    col: str,
+    weights: dict[str, float],
+    bias: float,
+    threshold: float,
+) -> list[tuple[str, str]]:
+    """(alias, expression) for the classifier output. Features are the
+    :func:`text_stats_exprs` aliases plus ``log_tokens`` =
+    ``ln(1 + n_tokens)``; unknown weight keys raise."""
+    feats = dict(text_stats_exprs(x, col))
+    feats["log_tokens"] = f"ln(1.0 + {feats['n_tokens']})"
+    unknown = set(weights) - set(feats)
+    if unknown:
+        raise ValueError(
+            f"quality_classify: unknown feature(s) {sorted(unknown)}; "
+            f"valid: {sorted(feats)}"
+        )
+    z = " + ".join(
+        [repr(float(bias))]
+        + [f"({w!r}) * ({feats[k]})" for k, w in sorted(weights.items())]
+    )
+    score = f"1.0 / (1.0 + exp(-({z})))"
+    return [
+        ("clf_score", score),
+        ("clf_keep", f"CAST({score} >= {float(threshold)!r} AS INT)"),
+    ]
+
+
+def quality_classify(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    bias: float = QUALITY_CLF_BIAS,
+    col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Apply a linear (logistic) quality classifier over per-document text
+    features — the model-based filtering stage of an LLM data pipeline
+    (FineWeb-Edu / DCLM style: train a small classifier offline on scored
+    samples, then score the WHOLE corpus with it). ``weights`` maps
+    :func:`text_stats` feature names (plus ``log_tokens``) to
+    coefficients; the default set is a documented stand-in — pass your
+    trained weights.
+
+    Returns the input (minus ``col``) + ``clf_score`` in (0, 1) and the
+    ``clf_keep`` flag. Pure column expressions: one stateless scan, zero
+    shuffles, streaming-safe; a trained 10⁶-feature model would instead
+    broadcast a (term, weight) table and reuse the ``lm_quality_score``
+    join shape."""
+    x = X(SPARK)
+    w = QUALITY_CLF_WEIGHTS if weights is None else weights
+    exprs = quality_classify_exprs(x, col, w, bias, threshold)
+    keep = [c for c in df.columns if c != col]
+    return df.select(
+        *keep, *[F.expr(e).alias(a) for a, e in exprs]
+    )
+
+
+def quality_classify_sql(
+    table: str,
+    weights: dict[str, float] | None = None,
+    bias: float = QUALITY_CLF_BIAS,
+    col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> str:
+    x = X(DUCK)
+    w = QUALITY_CLF_WEIGHTS if weights is None else weights
+    exprs = quality_classify_exprs(x, col, w, bias, threshold)
+    cols = [id_col] + [f"{e} AS {a}" for a, e in exprs]
+    return "SELECT " + ",\n  ".join(cols) + f" FROM {table}"

@@ -38,7 +38,9 @@ from .operators.multimodal import (
     synthesize_media,
 )
 from .operators.report import corpus_report
-from .streaming.ops import streaming_corpus_stats, streaming_volume_anomaly
+from .operators.semistruct import json_fields
+from .operators.web import c4_filter, domain_stats, extract_urls
+from .streaming.ops import enrich, streaming_corpus_stats, streaming_volume_anomaly
 from .operators.sampling import (
     hash_split,
     plan_mixture,
@@ -69,6 +71,7 @@ from .operators.text import (
     lm_quality_score,
     pack_greedy,
     redact_pii,
+    quality_classify,
     repetition_stats,
     text_stats,
     vocab_with_ids,
@@ -87,13 +90,15 @@ __all__ = [
     "quantize_int8", "random_projection",
     # text
     "text_stats", "fingerprints", "repetition_stats", "lm_quality_score", "lm_bigram_score",
-    "redact_pii", "decontaminate", "vocabulary", "vocab_with_ids",
+    "redact_pii", "decontaminate", "vocabulary", "vocab_with_ids", "quality_classify",
     "encode_tokens", "bm25_topk", "importance_weights",
     "importance_sample", "chunk_text", "pack_greedy", "assemble_packs",
+    # web-corpus cleaning / semi-structured
+    "c4_filter", "extract_urls", "domain_stats", "json_fields",
     # sampling / mixing
     "hash_split", "stratified_sample", "plan_mixture", "sample_mixture",
     # temporal / events
-    "asof_join", "interval_join", "funnel", "retention_cohorts",
+    "asof_join", "interval_join", "funnel", "retention_cohorts", "enrich",
     # multimodal
     "synthesize_media", "decode_features", "resize_stub",
     "frame_sample_plan",

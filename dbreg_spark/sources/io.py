@@ -265,3 +265,39 @@ def write_csv(
 
 def write_json(df: DataFrame, path: str, mode: str = "error") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "error",
+) -> None:
+    """Persist ``df`` as a BUCKETED parquet table (``bucketBy`` +
+    optional ``sortBy``, registered in the session catalog) — the Spark
+    mechanism for CO-LOCATED joins and aggregations: two tables bucketed
+    on the same keys into the same bucket count join with ZERO exchange
+    (and with ``sort_by`` on the join keys, zero sort), because the
+    bucket id pins each key's rows to one file set per side.
+
+    This is the pre-shuffle trade at 100 TB: pay the shuffle ONCE at
+    write time, then every subsequent join/groupBy on the bucket keys is
+    exchange-free — the right call for fact tables that are repeatedly
+    joined on the same key (events by user_id, documents by doc_id).
+    Bucket pruning also applies to equality filters on the first bucket
+    column. Requires a catalog table (Spark cannot express bucketing on
+    a bare directory); pass ``path`` to control the storage location.
+
+    Pinned by ``tests/test_plans.py::test_bucketed_join_has_no_exchange``.
+    """
+    if not bucket_by:
+        raise ValueError("bucket_by must name at least one column")
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -183,3 +183,52 @@ def test_minhash_guard_clean_corpus_plan_is_unguarded(tables):
     skel = lambda p: [re.match(r"[+\-:\s|]*\*?\(?\d*\)?\s*(\w+)", ln).group(1)
                       for ln in p.splitlines() if ln.strip()]
     assert skel(gp) == skel(up)
+
+
+def test_bucketed_join_has_no_exchange(spark, tables, tmp_path):
+    """Co-located join: two tables bucketed on the join key into the same
+    bucket count join with ZERO exchange (the 100 TB pre-shuffle trade
+    write_bucketed documents) — and with sortBy on the key, zero sort."""
+    import uuid
+
+    from dbreg_spark.sources.io import write_bucketed
+
+    ev = tables["events"].select("event_id", "user_id", "value")
+    us = (
+        tables["events"].groupBy("user_id")
+        .count().withColumnRenamed("count", "n_events")
+    )
+    ta = f"bk_ev_{uuid.uuid4().hex[:8]}"
+    tb = f"bk_us_{uuid.uuid4().hex[:8]}"
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(
+            ev, ta, ["user_id"], 8, sort_by=["user_id"],
+            path=str(tmp_path / ta),
+        )
+        write_bucketed(
+            us, tb, ["user_id"], 8, sort_by=["user_id"],
+            path=str(tmp_path / tb),
+        )
+        # force a non-broadcast join so co-location is what saves the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(ta).join(spark.table(tb), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == ev.count()
+        # the unbucketed twin of the same join DOES shuffle both sides
+        plain = ev.join(us, "user_id")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_write_bucketed_requires_keys(tables):
+    from dbreg_spark.sources.io import write_bucketed
+
+    with pytest.raises(ValueError, match="bucket_by"):
+        write_bucketed(tables["events"], "t", [], 8)

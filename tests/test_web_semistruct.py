@@ -216,3 +216,64 @@ def test_domain_stats_top_n_plan_is_take_ordered(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert len(out.collect()) == 3
+
+
+# ------------------------------------------------- quality classifier ----
+
+
+def test_quality_classify_parity_and_semantics(spark, duck, docs):
+    from dbreg_spark.operators import text as tx
+
+    got = (
+        tx.quality_classify(docs).select("doc_id", "clf_score", "clf_keep")
+        .toPandas()
+    )
+    want = duck.execute(
+        "SELECT doc_id, clf_score, clf_keep FROM ("
+        + tx.quality_classify_sql("documents")
+        + ") q"
+    ).fetchdf()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = want.sort_values("doc_id").reset_index(drop=True)
+    import numpy as np
+
+    np.testing.assert_allclose(a["clf_score"], b["clf_score"], rtol=1e-9)
+    assert a["clf_keep"].tolist() == b["clf_keep"].tolist()
+    assert ((a["clf_score"] > 0) & (a["clf_score"] < 1)).all()
+
+
+def test_quality_classify_orders_noise_below_prose(spark):
+    from dbreg_spark.operators import text as tx
+
+    rows = [
+        (1, "the table shows a clear value and it is that simple to read"),
+        (2, "0x3f9 0x2ae 0x991 0x4d2 0x777 0x123 0x456 0x789 0xabc 0xdef"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        tx.quality_classify(df).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    # stopword-rich prose outscores digit/punct noise
+    assert got.loc[0, "clf_score"] > got.loc[1, "clf_score"]
+    # NULL text -> NULL score and NULL keep (no row dropped)
+    assert pd.isna(got.loc[2, "clf_score"]) and pd.isna(got.loc[2, "clf_keep"])
+    # threshold moves the flag
+    all_keep = tx.quality_classify(df, threshold=0.0).toPandas()
+    assert all_keep.dropna()["clf_keep"].tolist() == [1, 1]
+
+
+def test_quality_classify_unknown_feature_raises(docs):
+    from dbreg_spark.operators import text as tx
+
+    with pytest.raises(ValueError, match="unknown feature"):
+        tx.quality_classify(docs, weights={"nope": 1.0})
+
+
+def test_quality_classify_no_shuffle_plan(docs):
+    from dbreg_spark.operators import text as tx
+
+    out = tx.quality_classify(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
