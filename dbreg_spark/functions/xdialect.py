@@ -86,10 +86,17 @@ class X:
         return f"array_distinct({arr})" if self.e == SPARK else f"list_distinct({arr})"
 
     def reduce_bigint(self, arr: str, init: str, lam: str) -> str:
-        """Fold an array into a BIGINT accumulator."""
+        """Fold an array into a BIGINT accumulator. NULL array → NULL on
+        BOTH engines: Spark's ``aggregate(NULL, …)`` is NULL already, but
+        DuckDB's ``list_prepend(init, NULL)`` yields ``[init]`` (folding a
+        NULL list to the seed) — found by the cross-engine fuzz on NULL
+        text — so the twin guards explicitly."""
         if self.e == SPARK:
             return f"aggregate({arr}, cast({init} as bigint), {lam})"
-        return f"list_reduce(list_prepend(cast({init} as bigint), {arr}), {lam})"
+        return (
+            f"CASE WHEN {arr} IS NULL THEN NULL ELSE "
+            f"list_reduce(list_prepend(cast({init} as bigint), {arr}), {lam}) END"
+        )
 
     def explode_alias(self, arr_expr: str, alias: str) -> str:
         """FROM-clause fragment exploding an array column."""

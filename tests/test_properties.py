@@ -205,7 +205,10 @@ def test_hashing_paths_cross_engine_on_arbitrary_text(spark, texts):
 
     from dbreg_spark.operators import dedup, text as tx
 
-    rows = [(i, t) for i, t in enumerate(texts)]
+    # the None row pins NULL-text parity: DuckDB list_prepend(init, NULL)
+    # is [init], which folded a NULL doc's rolling hash to the seed until
+    # reduce_bigint's twin grew a NULL guard (found by the offline fuzz)
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), None)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     con = duckdb.connect()
     con.register("t_in", pd.DataFrame(rows, columns=["doc_id", "text"]))
@@ -218,8 +221,8 @@ def test_hashing_paths_cross_engine_on_arbitrary_text(spark, texts):
         con.execute(tx.fingerprints_sql("t_in"))
         .fetchdf().sort_values("doc_id").reset_index(drop=True)
     )
-    assert got_fp["fp_md5"].tolist() == want_fp["fp_md5"].tolist()
-    assert got_fp["fp_rolling"].tolist() == want_fp["fp_rolling"].tolist()
+    assert got_fp["fp_md5"].fillna("§").tolist() == want_fp["fp_md5"].fillna("§").tolist()
+    assert got_fp["fp_rolling"].fillna(-1).tolist() == want_fp["fp_rolling"].fillna(-1).tolist()
 
     got_mh = (
         dedup.minhash_signatures(df, n_hashes=4, shingle_words=2)
@@ -271,4 +274,71 @@ def test_trim_ws_cross_engine_regression(spark):
     rep_want = con.execute(tx.repetition_stats_sql("t_in")).fetchdf().sort_values("doc_id")
     for c in ("n_lines", "top_ngram_char_frac", "dup_line_frac"):
         assert rep_got[c].tolist() == rep_want[c].tolist(), c
+    con.close()
+
+
+@given(st.lists(st.text(_text_chars, max_size=100), min_size=30, max_size=40))
+@settings(max_examples=3, deadline=None)
+def test_c4_filter_cross_engine_on_arbitrary_text(spark, texts):
+    """The C4 line filter (regex-heavy: terminal-punct \\z match, WS-class
+    word counts, LIKE blocklist, newline splits, array_join on kept lines)
+    is byte-identical across engines on arbitrary text."""
+    import duckdb
+    import pandas as pd
+
+    from dbreg_spark.operators import web as wb
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        wb.c4_filter(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t_in", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = (
+        con.execute(wb.c4_filter_sql("t_in"))
+        .fetchdf().sort_values("doc_id").reset_index(drop=True)
+    )
+    for c in ("clean_text", "n_lines", "n_lines_kept"):
+        assert got[c].fillna("§").tolist() == want[c].fillna("§").tolist(), c
+    for c in ("has_lorem_ipsum", "has_brace", "keep"):
+        assert (
+            got[c].astype("object").fillna("§").tolist()
+            == want[c].astype("object").fillna("§").tolist()
+        ), c
+    con.close()
+
+
+@given(st.lists(st.text(_text_chars, max_size=100), min_size=30, max_size=40))
+@settings(max_examples=3, deadline=None)
+def test_extract_urls_cross_engine_on_arbitrary_text(spark, texts):
+    """URL extraction + normalization (extract_all, fragment/punct strips,
+    host/domain captures) matches across engines on arbitrary text — the
+    URL char class excludes Java's line-terminator set precisely so this
+    holds."""
+    import duckdb
+    import pandas as pd
+
+    from dbreg_spark.operators import web as wb
+
+    # salt some rows with URL-ish fragments so matches actually occur
+    salted = [
+        t + " http://x" + str(i % 3) + ".Example.org/p#f." if i % 2 else t
+        for i, t in enumerate(texts)
+    ]
+    rows = [(i, t) for i, t in enumerate(salted)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        wb.extract_urls(df).toPandas()
+        .sort_values(["doc_id", "url"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t_in", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = (
+        con.execute(wb.extract_urls_sql("t_in"))
+        .fetchdf().sort_values(["doc_id", "url"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ("url", "url_norm", "host", "domain"):
+        assert got[c].fillna("§").tolist() == want[c].fillna("§").tolist(), c
     con.close()
