@@ -1668,10 +1668,14 @@ def quality_classify_exprs(
         [repr(float(bias))]
         + [f"({w!r}) * ({feats[k]})" for k, w in sorted(weights.items())]
     )
-    score = f"1.0 / (1.0 + exp(-({z})))"
+    # the feature tree is the expensive part (several regex/array passes
+    # over the text) — callers project z ONCE and derive score + keep from
+    # the projected column, so the features are evaluated once per row
+    score_of_z = "1.0 / (1.0 + exp(-(__z)))"
     return [
-        ("clf_score", score),
-        ("clf_keep", f"CAST({score} >= {float(threshold)!r} AS INT)"),
+        ("__z", z),
+        ("clf_score", score_of_z),
+        ("clf_keep", f"CAST({score_of_z} >= {float(threshold)!r} AS INT)"),
     ]
 
 
@@ -1698,10 +1702,11 @@ def quality_classify(
     join shape."""
     x = X(SPARK)
     w = QUALITY_CLF_WEIGHTS if weights is None else weights
-    exprs = quality_classify_exprs(x, col, w, bias, threshold)
+    (za, ze), *outs = quality_classify_exprs(x, col, w, bias, threshold)
     keep = [c for c in df.columns if c != col]
-    return df.select(
-        *keep, *[F.expr(e).alias(a) for a, e in exprs]
+    base = df.select(*keep, F.expr(ze).alias(za))
+    return base.select(
+        *keep, *[F.expr(e).alias(a) for a, e in outs]
     )
 
 
@@ -1715,6 +1720,7 @@ def quality_classify_sql(
 ) -> str:
     x = X(DUCK)
     w = QUALITY_CLF_WEIGHTS if weights is None else weights
-    exprs = quality_classify_exprs(x, col, w, bias, threshold)
-    cols = [id_col] + [f"{e} AS {a}" for a, e in exprs]
-    return "SELECT " + ",\n  ".join(cols) + f" FROM {table}"
+    (za, ze), *outs = quality_classify_exprs(x, col, w, bias, threshold)
+    inner = f"SELECT {id_col}, {ze} AS {za} FROM {table}"
+    cols = [id_col] + [f"{e} AS {a}" for a, e in outs]
+    return "SELECT " + ",\n  ".join(cols) + f" FROM ({inner}) __zt"
