@@ -31,22 +31,17 @@ from dbreg_spark.functions.xdialect import DUCK, SPARK, X
 FieldSpec = tuple[str, str, str]
 
 
-def _type_name(x: X, sql_type: str) -> str:
-    t = sql_type.upper()
-    if t in ("STRING", "VARCHAR"):
-        return "STRING" if x.e == SPARK else "VARCHAR"
-    return t
-
-
 def json_field_expr(x: X, col: str, path: str, sql_type: str) -> str:
     """One typed JSON field as a dialect expression.
 
     ``path`` is a JSONPath like ``$.k`` or ``$.a.b`` (the dotted subset
-    both engines support identically)."""
+    both engines support identically); it is escaped via ``lit_str``
+    (JSON keys may legally contain quotes)."""
     if not path.startswith("$"):
         raise ValueError(f"JSON path must start with '$': {path!r}")
+    p = x.lit_str(path)
     if x.e == SPARK:
-        raw = f"get_json_object({col}, '{path}')"
+        raw = f"get_json_object({col}, {p})"
     else:
         # json_valid guard: DuckDB's json_extract_string RAISES on
         # malformed JSON while Spark's get_json_object returns NULL —
@@ -54,11 +49,11 @@ def json_field_expr(x: X, col: str, path: str, sql_type: str) -> str:
         # fields, the only sane behavior over a 100 TB crawl)
         raw = (
             f"CASE WHEN json_valid({col}) "
-            f"THEN json_extract_string({col}, '{path}') END"
+            f"THEN json_extract_string({col}, {p}) END"
         )
-    t = _type_name(x, sql_type)
+    t = sql_type.upper()
     if t in ("STRING", "VARCHAR"):
-        return raw
+        return raw  # extraction already yields the dialect's string type
     return f"TRY_CAST({raw} AS {t})"
 
 

@@ -1684,7 +1684,6 @@ def quality_classify(
     weights: dict[str, float] | None = None,
     bias: float = QUALITY_CLF_BIAS,
     col: str = "text",
-    id_col: str = "doc_id",
     threshold: float = 0.5,
 ) -> DataFrame:
     """Apply a linear (logistic) quality classifier over per-document text
@@ -1699,7 +1698,10 @@ def quality_classify(
     ``clf_keep`` flag. Pure column expressions: one stateless scan, zero
     shuffles, streaming-safe; a trained 10⁶-feature model would instead
     broadcast a (term, weight) table and reuse the ``lm_quality_score``
-    join shape."""
+    join shape. The threshold compare reads the raw score — a document
+    whose score lands within ~1 ulp of ``threshold`` could in principle
+    flag differently across engines (libm vs JVM exp); probability
+    ~1e-16 per document, accepted."""
     x = X(SPARK)
     w = QUALITY_CLF_WEIGHTS if weights is None else weights
     (za, ze), *outs = quality_classify_exprs(x, col, w, bias, threshold)

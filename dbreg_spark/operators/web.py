@@ -45,11 +45,15 @@ C4_LINE_BLOCKLIST = [
 # U+0085), RE2's does not — \z is end-of-input on both.
 _TERMINAL_RE = "[.!?\"']\\z"
 
-# Full URL match: scheme + everything up to whitespace/quote/bracket.
+# Full URL match: scheme (case-insensitive — crawled text shouts) +
+# everything up to whitespace/quote/bracket.
 # U+0085/U+2028/U+2029 are excluded too: they are line terminators to Java
 # regex (affecting `.` and `$`) but not to RE2 — keeping them out of URLs
 # makes every downstream URL regex engine-identical.
-URL_RE = "https?://[^ \\t\\n\\r\\f\\x{85}\\x{2028}\\x{2029}\"'<>]+"
+URL_RE = (
+    "[Hh][Tt][Tt][Pp][Ss]?://"
+    "[^ \\t\\n\\r\\f\\x{85}\\x{2028}\\x{2029}\"'<>]+"
+)
 
 
 def c4_exprs(
@@ -58,30 +62,51 @@ def c4_exprs(
     min_words: int = 3,
     min_lines: int = 1,
     blocklist: list[str] | None = None,
-) -> list[tuple[str, str]]:
-    """(alias, expression) pairs for the C4 filter output columns."""
+) -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
+    """Two projection stages for the C4 filter: stage 1 evaluates the
+    expensive per-line filter tree ONCE (kept-lines array, line count,
+    doc flags); stage 2 derives the outputs from the stage-1 columns.
+    Inlining the kept-array into every output would evaluate the lambda
+    tree (regexes × lines) three times per row — the same
+    double-evaluation class quality_classify measured at 4.1×.
+
+    Blocklist entries are lowercased in Python and escaped via
+    ``lit_str``; matching uses ``instr`` (plain substring — no LIKE
+    wildcard surprises, no quote injection)."""
     bl = C4_LINE_BLOCKLIST if blocklist is None else blocklist
     lines = x.split_re(col, "\\n")
     preds = [
         x.rlike(x.trim_ws("l"), _TERMINAL_RE),
         f"{x.size(x.split_ws('l'))} >= {min_words}",
     ]
-    preds += [f"lower(l) NOT LIKE '%{p}%'" for p in bl]
-    kept = x.filter(lines, "l -> " + " AND ".join(preds))
-    has_lorem = f"(lower({col}) LIKE '%lorem ipsum%')"
-    has_brace = f"({col} LIKE '%{{%')"
-    n_kept = x.size(kept)
-    return [
-        ("clean_text", x.array_join_expr(kept, "chr(10)")),
-        ("n_lines", x.size(lines)),
+    preds += [
+        f"instr(lower(l), {x.lit_str(p.lower())}) = 0" for p in bl
+    ]
+    # kept lines are emitted TRIMMED (a CRLF doc would otherwise carry
+    # stray \r into clean_text; the keep-rules already judge trimmed text)
+    kept = x.transform(
+        x.filter(lines, "l -> " + " AND ".join(preds)),
+        f"l -> {x.trim_ws('l')}",
+    )
+    stage1 = [
+        ("__c4_kept", kept),
+        ("__c4_nl", x.size(lines)),
+        ("__c4_lorem", f"(instr(lower({col}), 'lorem ipsum') > 0)"),
+        ("__c4_brace", f"(instr({col}, '{{') > 0)"),
+    ]
+    n_kept = x.size("__c4_kept")
+    stage2 = [
+        ("clean_text", x.array_join_expr("__c4_kept", "chr(10)")),
+        ("n_lines", "__c4_nl"),
         ("n_lines_kept", n_kept),
-        ("has_lorem_ipsum", has_lorem),
-        ("has_brace", has_brace),
+        ("has_lorem_ipsum", "__c4_lorem"),
+        ("has_brace", "__c4_brace"),
         (
             "keep",
-            f"(NOT {has_lorem} AND NOT {has_brace} AND {n_kept} >= {min_lines})",
+            f"(NOT __c4_lorem AND NOT __c4_brace AND {n_kept} >= {min_lines})",
         ),
     ]
+    return stage1, stage2
 
 
 def c4_filter(
@@ -92,23 +117,28 @@ def c4_filter(
     blocklist: list[str] | None = None,
 ) -> DataFrame:
     """C4-style cleaning: per-line keep rules (terminal punctuation,
-    ``min_words`` whitespace words, no blocklisted substring) plus
-    document-level flags (``has_lorem_ipsum``, ``has_brace``) and the
-    overall ``keep`` verdict (no doc flag AND ≥ ``min_lines`` surviving
-    lines). Returns every input column except ``col`` plus
-    (clean_text, n_lines, n_lines_kept, flags, keep) — filter on ``keep``
-    and train on ``clean_text``.
+    ``min_words`` whitespace words, no blocklisted substring — entries
+    are case-insensitive plain substrings) plus document-level flags
+    (``has_lorem_ipsum``, ``has_brace``) and the overall ``keep`` verdict
+    (no doc flag AND ≥ ``min_lines`` surviving lines). Returns every
+    input column except ``col`` plus (clean_text, n_lines, n_lines_kept,
+    flags, keep) — filter on ``keep`` and train on ``clean_text`` (kept
+    lines, trimmed, rejoined with \\n).
 
-    One stateless scan, zero shuffles (streaming-safe)."""
+    One stateless scan, zero shuffles (streaming-safe); the per-line
+    filter tree is evaluated once per row (two chained projections)."""
     x = X(SPARK)
-    exprs = c4_exprs(x, col, min_words, min_lines, blocklist)
+    stage1, stage2 = c4_exprs(x, col, min_words, min_lines, blocklist)
     keep_cols = [c for c in df.columns if c != col]
+    base = df.select(
+        *keep_cols, *[F.expr(e).alias(a) for a, e in stage1]
+    )
     casts = {"n_lines": "long", "n_lines_kept": "long"}
-    return df.select(
+    return base.select(
         *keep_cols,
         *[
             F.expr(e).cast(casts[a]).alias(a) if a in casts else F.expr(e).alias(a)
-            for a, e in exprs
+            for a, e in stage2
         ],
     )
 
@@ -122,13 +152,18 @@ def c4_filter_sql(
     blocklist: list[str] | None = None,
 ) -> str:
     x = X(DUCK)
-    exprs = c4_exprs(x, col, min_words, min_lines, blocklist)
+    stage1, stage2 = c4_exprs(x, col, min_words, min_lines, blocklist)
+    inner = (
+        f"SELECT {id_col}, "
+        + ", ".join(f"{e} AS {a}" for a, e in stage1)
+        + f" FROM {table}"
+    )
     casts = {"n_lines", "n_lines_kept"}
     cols = [id_col] + [
         f"CAST({e} AS BIGINT) AS {a}" if a in casts else f"{e} AS {a}"
-        for a, e in exprs
+        for a, e in stage2
     ]
-    return "SELECT " + ",\n  ".join(cols) + f" FROM {table}"
+    return "SELECT " + ",\n  ".join(cols) + f" FROM ({inner}) __c4s1"
 
 
 # --------------------------------------------------------------------------
@@ -147,7 +182,9 @@ def url_part_exprs(x: X, url: str) -> list[tuple[str, str]]:
     by suffix, documented)."""
     norm = x.regexp_replace_all(url, "#.*\\z", "")
     norm = x.regexp_replace_all(norm, "[.,;:!?)\\]]+\\z", "")
-    host = f"lower({x.regexp_extract(norm, '^https?://([^/:?#]+)', 1)})"
+    host = (
+        f"lower({x.regexp_extract(norm, '^[Hh][Tt][Tt][Pp][Ss]?://([^/:?#]+)', 1)})"
+    )
     domain = x.regexp_extract(host, "([^.]+[.][^.]+)\\z", 1)
     return [("url_norm", norm), ("host", host), ("domain", domain)]
 

@@ -277,3 +277,64 @@ def test_quality_classify_no_shuffle_plan(docs):
     out = tx.quality_classify(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------ review-finding pins ----
+
+
+def test_c4_blocklist_escaping_case_and_wildcards(spark, duck):
+    """Blocklist entries are plain case-insensitive substrings: quotes
+    don't crash, mixed case still matches, % and _ are literals."""
+    rows = [
+        (1, "Please don't sell my personal information today."),
+        (2, "A line with 100% guarantees here."),
+        (3, "Completely clean sentence right here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bl = ["Don't SELL my personal information", "100% guarantee"]
+    got = (
+        web.c4_filter(df, blocklist=bl).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["n_lines_kept"].tolist() == [0, 0, 1]
+    duck.register("bl_in", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = duck.execute(web.c4_filter_sql("bl_in", blocklist=bl)).fetchdf()
+    assert want.sort_values("doc_id")["n_lines_kept"].tolist() == [0, 0, 1]
+    # an underscore entry must not act as a single-char wildcard
+    got2 = web.c4_filter(df, blocklist=["cl_an"]).toPandas()
+    assert got2.sort_values("doc_id")["n_lines_kept"].tolist() == [1, 1, 1]
+
+
+def test_c4_clean_text_trims_crlf_lines(spark, duck):
+    rows = [(1, "Good first line here.\r\nSecond good line too.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = web.c4_filter(df).toPandas()
+    assert got.loc[0, "clean_text"] == "Good first line here.\nSecond good line too."
+    assert "\r" not in got.loc[0, "clean_text"]
+    duck.register("crlf_in", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = duck.execute(web.c4_filter_sql("crlf_in")).fetchdf()
+    assert want.loc[0, "clean_text"] == got.loc[0, "clean_text"]
+
+
+def test_extract_urls_uppercase_scheme(spark, duck):
+    rows = [(1, "shouting HTTP://EXAMPLE.COM/PAGE and Https://Foo.Bar/x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = web.extract_urls(df).toPandas().sort_values("url").reset_index(drop=True)
+    assert len(got) == 2
+    assert set(got["host"]) == {"example.com", "foo.bar"}
+    duck.register("uc_in", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = duck.execute(web.extract_urls_sql("uc_in")).fetchdf()
+    _cmp(got, want.sort_values("url").reset_index(drop=True), ["doc_id", "url"])
+
+
+def test_json_fields_path_with_quote(spark, duck):
+    rows = [(1, '{"user\'s_id": 5}')]
+    fields = [("v", "$.user's_id", "BIGINT")]
+    df = spark.createDataFrame(rows, "id long, props string")
+    got = semistruct.json_fields(df, fields, col="props").toPandas()
+    duck.register("q_in", pd.DataFrame(rows, columns=["id", "props"]))
+    want = duck.execute(
+        semistruct.json_fields_sql("q_in", fields, col="props", select_cols=["id"])
+    ).fetchdf()
+    # both engines parse without a SQL error; extracted values agree
+    assert got["v"].fillna(-1).tolist() == want["v"].fillna(-1).tolist()
