@@ -104,6 +104,14 @@ def _url_enrich(x) -> str:
     )
 
 
+# mixed JSON payload shapes for the key-profiling gate (dialect-neutral)
+JSON_SHAPES_ENRICH = (
+    "CASE WHEN event_id % 4 = 0 THEN '{\"a\": 1, \"b\": 2}'"
+    " WHEN event_id % 4 = 1 THEN '{\"a\": 1, \"c\": {\"d\": 3}}'"
+    " WHEN event_id % 4 = 2 THEN 'broken {'"
+    " ELSE props END"
+)
+
 FML_NOFE = "l_extendedprice ~ l_quantity + l_discount"
 FML_1FE = "l_extendedprice ~ l_quantity + l_discount | l_returnflag"
 FML_2FE = "l_extendedprice ~ l_quantity + l_discount | l_returnflag + l_linestatus"
@@ -986,6 +994,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["text_quality_classify"] = q_quality_classify
 
+    # JSON payload profiling (key universe + coverage) over events whose
+    # props are enriched with mixed shapes incl. broken JSON and NULLs
+    def q_json_keys(spark, sf_dir):
+        from dbreg_spark.operators import semistruct as _ss
+
+        t = _tables(spark, sf_dir)
+        d = t["events"].withColumn("props", F.expr(JSON_SHAPES_ENRICH))
+        return _ss.json_key_stats(d, col="props")
+
+    Q["events_json_keys"] = q_json_keys
+
     return Q
 
 
@@ -1747,6 +1766,10 @@ GROUP BY 1
 SELECT event_id, event_type, value, n_name
 FROM events JOIN nation ON (events.user_id % 25) = nation.n_nationkey
 """
+
+    O["events_json_keys"] = _ss.json_key_stats_sql(
+        f"(SELECT {JSON_SHAPES_ENRICH} AS props FROM events)"
+    )
 
     O["text_quality_classify"] = _round_doubles_sql(
         "SELECT doc_id, clf_score, clf_keep FROM ("

@@ -96,3 +96,51 @@ def json_fields_sql(
         f"{json_field_expr(x, col, path, t)} AS {a}" for a, path, t in fields
     ]
     return "SELECT " + ", ".join(base + exprs) + f" FROM {table}"
+
+
+def json_keys_expr(x: X, col: str) -> str:
+    """Array of top-level JSON keys; malformed/NULL payload → NULL on
+    both engines (Spark's json_object_keys does that natively; the
+    DuckDB twin guards with json_valid since json_keys raises)."""
+    if x.e == SPARK:
+        return f"json_object_keys({col})"
+    return f"CASE WHEN json_valid({col}) THEN json_keys({col}) END"
+
+
+def json_key_stats(df: DataFrame, col: str = "props") -> DataFrame:
+    """Profile a JSON payload column: one row per top-level key with its
+    occurrence count and coverage (fraction of ALL rows carrying the
+    key) — the schema-discovery step before committing a pipeline to
+    :func:`json_fields` extractions. Malformed/NULL payloads contribute
+    no keys but stay in the coverage denominator.
+
+    Scale shape: one explode scan into a (key, partial count) shuffle —
+    the key universe is tiny, map-side combine collapses it; the total
+    row count is one count() job (parquet metadata-cheap). Output is
+    deterministic: descending count, then key."""
+    x = X(SPARK)
+    total = df.count()
+    keys = df.select(
+        F.explode(F.expr(json_keys_expr(x, col))).alias("key")
+    )
+    return (
+        keys.groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .withColumn(
+            "coverage",
+            F.round(F.col("n_rows").cast("double") / F.lit(float(max(total, 1))), 6),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+    )
+
+
+def json_key_stats_sql(table: str, col: str = "props") -> str:
+    x = X(DUCK)
+    return f"""
+WITH __tot AS (SELECT GREATEST(COUNT(*), 1) AS n FROM {table}),
+__k AS (SELECT unnest({json_keys_expr(x, col)}) AS key FROM {table})
+SELECT key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(COUNT(*)::DOUBLE / (SELECT n FROM __tot), 6) AS coverage
+FROM __k GROUP BY key
+ORDER BY n_rows DESC, key ASC
+"""

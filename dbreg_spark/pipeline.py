@@ -38,7 +38,7 @@ from .operators.multimodal import (
     synthesize_media,
 )
 from .operators.report import corpus_report
-from .operators.semistruct import json_fields
+from .operators.semistruct import json_fields, json_key_stats
 from .operators.web import c4_filter, domain_stats, extract_urls
 from .streaming.ops import enrich, streaming_corpus_stats, streaming_volume_anomaly
 from .operators.sampling import (
@@ -94,7 +94,7 @@ __all__ = [
     "encode_tokens", "bm25_topk", "importance_weights",
     "importance_sample", "chunk_text", "pack_greedy", "assemble_packs",
     # web-corpus cleaning / semi-structured
-    "c4_filter", "extract_urls", "domain_stats", "json_fields",
+    "c4_filter", "extract_urls", "domain_stats", "json_fields", "json_key_stats",
     # sampling / mixing
     "hash_split", "stratified_sample", "plan_mixture", "sample_mixture",
     # temporal / events

@@ -338,3 +338,27 @@ def test_json_fields_path_with_quote(spark, duck):
     ).fetchdf()
     # both engines parse without a SQL error; extracted values agree
     assert got["v"].fillna(-1).tolist() == want["v"].fillna(-1).tolist()
+
+
+def test_json_key_stats_handmade_and_parity(spark, duck):
+    rows = [
+        (1, '{"a": 1, "b": 2}'),
+        (2, '{"a": 3}'),
+        (3, "broken {"),
+        (4, None),
+        (5, '{"a": 1, "c": [1, 2]}'),
+    ]
+    df = spark.createDataFrame(rows, "id long, props string")
+    got = semistruct.json_key_stats(df).toPandas()
+    # a: 3/5, b: 1/5, c: 1/5 — malformed and NULL stay in the denominator
+    assert got["key"].tolist() == ["a", "b", "c"]
+    assert got["n_rows"].tolist() == [3, 1, 1]
+    assert got["coverage"].tolist() == [0.6, 0.2, 0.2]
+    duck.register("jk_in", pd.DataFrame(rows, columns=["id", "props"]))
+    want = duck.execute(semistruct.json_key_stats_sql("jk_in")).fetchdf()
+    _cmp(got, want, ["key"])
+
+
+def test_json_key_stats_empty_universe(spark):
+    df = spark.createDataFrame([(1, None), (2, "nope")], "id long, props string")
+    assert semistruct.json_key_stats(df).count() == 0
