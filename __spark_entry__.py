@@ -1005,6 +1005,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["events_json_keys"] = q_json_keys
 
+    # global boilerplate clipping: hot 3-word spans (df > 50 docs) removed
+    # from every occurrence — the ExactSubstr clipping pass end-to-end
+    def q_clip_spans(spark, sf_dir):
+        from dbreg_spark.operators import dedup as _dedup
+
+        t = _tables(spark, sf_dir)
+        spans = _dedup.hot_span_table(t["documents"], span_words=3, max_df=5)
+        return _dedup.clip_spans(t["documents"], spans, span_words=3).select(
+            "doc_id", "text", "n_words", "n_words_kept"
+        )
+
+    Q["dedup_clip_spans"] = q_clip_spans
+
     return Q
 
 
@@ -1766,6 +1779,14 @@ GROUP BY 1
 SELECT event_id, event_type, value, n_name
 FROM events JOIN nation ON (events.user_id % 25) = nation.n_nationkey
 """
+
+    from dbreg_spark.operators import dedup as _dedup_o
+
+    O["dedup_clip_spans"] = _dedup_o.clip_spans_sql(
+        "documents",
+        _dedup_o.hot_span_table_sql("documents", span_words=3, max_df=5),
+        span_words=3,
+    )
 
     O["events_json_keys"] = _ss.json_key_stats_sql(
         f"(SELECT {JSON_SHAPES_ENRICH} AS props FROM events)"

@@ -1136,3 +1136,120 @@ SELECT j.{id_col}, j.component,
 FROM joined j
 LEFT JOIN pmin p USING (component)
 """
+
+
+def _clip_kept_words_expr(x: X, col: str, starts: str, span_words: int) -> str:
+    """Words of ``col`` not covered by any span starting at a 1-based word
+    position in the ``starts`` array. Index-lambda bases differ: Spark's
+    filter index is 0-based, DuckDB's is 1-based — normalized to 1-based
+    here."""
+    idx = "(i + 1)" if x.e == SPARK else "i"
+    covered = x.filter(starts, f"s -> s <= {idx} AND {idx} < s + {span_words}")
+    return x.filter(
+        x.split_ws(col), f"(w, i) -> {x.size(covered)} = 0"
+    )
+
+
+def clip_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    span_words: int = 20,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every occurrence of the listed spans from the corpus — the
+    clipping pass that consumes :func:`hot_span_table` (global boilerplate
+    deletion, the ExactSubstr remedy for spans too common to pairwise
+    dedup). ``spans`` needs a ``span_hash`` column (any subset of the
+    corpus's ``span_words``-token window hashes).
+
+    A word is clipped when ANY listed span covers it; remaining words are
+    rejoined with single spaces (whitespace is normalized by
+    reconstruction — acceptable for training text, disclosed here). NULL
+    documents pass through as NULL. Returns the input columns with ``col``
+    replaced by the clipped text plus (n_words, n_words_kept).
+
+    Scale shape: one posexplode scan of window hashes, an equi-join
+    against the broadcast span list, a per-doc collect_list of matching
+    START POSITIONS only (bounded by hits, not words), then a row-local
+    rebuild. The corpus text itself never shuffles."""
+    x = X(SPARK)
+    grams = x.word_ngrams(col, span_words)
+    hashed = x.transform(grams, f"g -> {x.md5int('g')}")
+    nwords = x.size(x.split_ws(col))
+    windows = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN {nwords} >= {span_words} THEN {hashed} "
+                f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            )
+        ).alias("pos0", "h"),
+    )
+    hits = windows.join(
+        F.broadcast(spans.select(F.col("span_hash").cast("long").alias("h"))),
+        "h",
+    ).select(id_col, (F.col("pos0") + 1).cast("long").alias("start"))
+    starts = hits.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("start")).alias("__starts")
+    )
+    joined = df.join(starts, id_col, "left")
+    st = "coalesce(__starts, CAST(array() AS ARRAY<BIGINT>))"
+    kept = _clip_kept_words_expr(x, col, st, span_words)
+    keep_cols = [c for c in df.columns if c != col]
+    return joined.select(
+        *keep_cols,
+        F.expr(
+            f"CASE WHEN {col} IS NULL THEN NULL "
+            + "ELSE " + x.array_join_expr(kept, "' '") + " END"
+        ).alias(col),
+        F.expr(
+            f"CASE WHEN {col} IS NULL THEN NULL ELSE {nwords} END"
+        ).cast("long").alias("n_words"),
+        F.expr(
+            f"CASE WHEN {col} IS NULL THEN NULL ELSE {x.size(kept)} END"
+        ).cast("long").alias("n_words_kept"),
+    )
+
+
+def clip_spans_sql(
+    table: str,
+    spans_sql: str,
+    span_words: int = 20,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`clip_spans` (``spans_sql`` is a query with a
+    ``span_hash`` column, e.g. :func:`hot_span_table_sql`)."""
+    x = X(DUCK)
+    grams = x.word_ngrams(col, span_words)
+    hashed = x.transform(grams, f"g -> {x.md5int('g')}")
+    nwords = x.size(x.split_ws(col))
+    st = "coalesce(s.__starts, CAST([] AS BIGINT[]))"
+    kept = _clip_kept_words_expr(x, f"d.{col}", st, span_words)
+    join_expr = x.array_join_expr(kept, "' '")
+    return f"""
+WITH __arrs AS (
+  SELECT {id_col},
+         CASE WHEN {nwords} >= {span_words} THEN {hashed}
+              ELSE CAST([] AS BIGINT[]) END AS ha
+  FROM {table}
+),
+__w AS (
+  SELECT {id_col}, CAST(ha[g.i] AS BIGINT) AS h, CAST(g.i AS BIGINT) AS pos
+  FROM __arrs, unnest(generate_series(1, len(ha))) AS g(i)
+),
+__hits AS (
+  SELECT DISTINCT w.{id_col}, CAST(w.pos AS BIGINT) AS start
+  FROM __w w JOIN ({spans_sql}) sp ON w.h = CAST(sp.span_hash AS BIGINT)
+),
+__starts AS (
+  SELECT {id_col}, list_sort(list(start)) AS __starts
+  FROM __hits GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       CASE WHEN d.{col} IS NULL THEN NULL ELSE {join_expr} END AS {col},
+       CAST(CASE WHEN d.{col} IS NULL THEN NULL ELSE {x.size(x.split_ws(f'd.{col}'))} END AS BIGINT) AS n_words,
+       CAST(CASE WHEN d.{col} IS NULL THEN NULL ELSE {x.size(kept)} END AS BIGINT) AS n_words_kept
+FROM {table} d LEFT JOIN __starts s USING ({id_col})
+"""

@@ -20,6 +20,7 @@ from .operators.asof import (
     retention_cohorts,
 )
 from .operators.dedup import (
+    clip_spans,
     connected_components,
     dedup_against,
     dedup_components,
@@ -83,7 +84,7 @@ __all__ = [
     "exact_duplicates", "minhash_signatures", "minhash_lsh_pairs",
     "ngram_jaccard_pairs", "simhash", "connected_components",
     "dedup_components", "dedup_against", "shared_span_pairs",
-    "hot_span_table", "semantic_dedup",
+    "hot_span_table", "clip_spans", "semantic_dedup",
     # similarity / embeddings
     "cosine_topk", "hyperplane_lsh_topk", "ivf_topk",
     "embedding_neardup_pairs", "kmeans_centroids", "l2_normalize",

@@ -2014,3 +2014,55 @@ def test_user_string_escaping(spark, duck):
         + sampling.hash_split_sql("q_in", {"it's-train": 1.0})
         + ")"
     )
+
+
+def test_clip_spans_handmade_and_parity(spark, duck):
+    """Hot 3-word span shared by 3 docs is removed from EVERY occurrence;
+    short docs, no-overlap docs, and NULL text pass through; engine
+    parity on all columns."""
+    import pandas as pd
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "prefix alpha beta gamma tail words here"),
+        (3, "no overlap at all in this doc"),
+        (4, None),
+        (5, "alpha beta gamma"),
+        (6, "ab"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.hot_span_table(df, span_words=3, max_df=1)
+    out = (
+        dedup.clip_spans(df, spans, span_words=3)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["text"].fillna("§").tolist() == [
+        "delta epsilon zeta", "prefix tail words here",
+        "no overlap at all in this doc", "§", "", "ab",
+    ]
+    assert out["n_words_kept"].fillna(-1).tolist() == [3, 4, 7, -1, 0, 1]
+    assert out["n_words"].fillna(-1).tolist() == [6, 7, 7, -1, 3, 1]
+    duck.register("clip_in", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = dedup.clip_spans_sql(
+        "clip_in", dedup.hot_span_table_sql("clip_in", span_words=3, max_df=1),
+        span_words=3,
+    )
+    want = duck.execute(sql).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    for c in ("text", "n_words", "n_words_kept"):
+        assert (
+            out[c].fillna("§").tolist() == want[c].fillna("§").tolist()
+        ), c
+
+
+def test_clip_spans_empty_span_list_is_identity_modulo_ws(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b   c"), (2, "one two")], "doc_id long, text string"
+    )
+    empty = dedup.hot_span_table(df, span_words=3, max_df=1000)
+    out = (
+        dedup.clip_spans(df, empty, span_words=3)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # nothing clipped; whitespace is normalized by reconstruction
+    assert out["text"].tolist() == ["a b c", "one two"]
+    assert (out["n_words"] == out["n_words_kept"]).all()
