@@ -1018,6 +1018,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["dedup_clip_spans"] = q_clip_spans
 
+    # per-source top-20% selection by length — quantile threshold +
+    # broadcast join, never a window sort (skew-safe selection)
+    def q_top_fraction(spark, sf_dir):
+        from dbreg_spark.operators import sampling as _sampling
+
+        t = _tables(spark, sf_dir)
+        return _sampling.top_fraction_by_group(
+            t["documents"], "n_chars", 0.2, group_col="source"
+        )
+
+    Q["sampling_top_fraction"] = q_top_fraction
+
     return Q
 
 
@@ -1779,6 +1791,12 @@ GROUP BY 1
 SELECT event_id, event_type, value, n_name
 FROM events JOIN nation ON (events.user_id % 25) = nation.n_nationkey
 """
+
+    from dbreg_spark.operators import sampling as _sampling_o
+
+    O["sampling_top_fraction"] = _sampling_o.top_fraction_by_group_sql(
+        "documents", "n_chars", 0.2, group_col="source"
+    )
 
     from dbreg_spark.operators import dedup as _dedup_o
 

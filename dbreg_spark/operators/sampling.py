@@ -171,3 +171,71 @@ def sample_mixture(
     return stratified_sample(
         df, fractions, strata_col=strata_col, id_col=id_col, seed=seed
     )
+
+
+def top_fraction_by_group(
+    df: DataFrame,
+    score_col: str,
+    frac: float,
+    group_col: str | None = None,
+    keep_ties: bool = True,
+) -> DataFrame:
+    """Keep (approximately) the best ``frac`` of rows by ``score_col``,
+    per ``group_col`` (or globally) — the selection step after quality
+    scoring: "train on the top 20% of each source".
+
+    Implemented as a per-group quantile THRESHOLD (exact interpolated
+    percentile at 1−frac, the same Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` primitive corpus_report uses) broadcast-joined back
+    and applied as a filter. This is the skew-safe shape at 100 TB: a
+    window ``row_number`` over PARTITION BY source sorts a handful of
+    enormous partitions, while the threshold is one partial-aggregated
+    pass + a map-side filter. The trade: ties at the threshold all pass
+    (``keep_ties=True``, default — deterministic) or all fail, so the
+    kept fraction is approximate at score granularity. NULL scores never
+    pass.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    q = 1.0 - frac
+    cmp_op = ">=" if keep_ties else ">"
+    if group_col is None:
+        thr = df.agg(
+            F.expr(f"percentile({score_col}, {q!r})").alias("__thr")
+        )
+        out = df.crossJoin(F.broadcast(thr))
+    else:
+        thr = df.groupBy(group_col).agg(
+            F.expr(f"percentile({score_col}, {q!r})").alias("__thr")
+        )
+        out = df.join(F.broadcast(thr), group_col)
+    return out.where(F.expr(f"{score_col} {cmp_op} __thr")).drop("__thr")
+
+
+def top_fraction_by_group_sql(
+    table: str,
+    score_col: str,
+    frac: float,
+    group_col: str | None = None,
+    keep_ties: bool = True,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`top_fraction_by_group`."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    q = 1.0 - frac
+    cmp_op = ">=" if keep_ties else ">"
+    if group_col is None:
+        return f"""
+SELECT {select_cols} FROM {table}
+WHERE {score_col} {cmp_op} (SELECT quantile_cont({score_col}, {q!r}) FROM {table})
+"""
+    sel = "d.*" if select_cols == "*" else select_cols  # never leak __t
+    return f"""
+WITH __thr AS (
+  SELECT {group_col}, quantile_cont({score_col}, {q!r}) AS __t
+  FROM {table} GROUP BY {group_col}
+)
+SELECT {sel} FROM {table} d JOIN __thr USING ({group_col})
+WHERE d.{score_col} {cmp_op} __thr.__t
+"""

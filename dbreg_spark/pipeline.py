@@ -44,6 +44,7 @@ from .operators.web import c4_filter, domain_stats, extract_urls
 from .streaming.ops import enrich, streaming_corpus_stats, streaming_volume_anomaly
 from .operators.sampling import (
     hash_split,
+    top_fraction_by_group,
     plan_mixture,
     sample_mixture,
     stratified_sample,
@@ -98,6 +99,7 @@ __all__ = [
     "c4_filter", "extract_urls", "domain_stats", "json_fields", "json_key_stats",
     # sampling / mixing
     "hash_split", "stratified_sample", "plan_mixture", "sample_mixture",
+    "top_fraction_by_group",
     # temporal / events
     "asof_join", "interval_join", "funnel", "retention_cohorts", "enrich",
     # multimodal

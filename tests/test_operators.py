@@ -2066,3 +2066,49 @@ def test_clip_spans_empty_span_list_is_identity_modulo_ws(spark):
     # nothing clipped; whitespace is normalized by reconstruction
     assert out["text"].tolist() == ["a b c", "one two"]
     assert (out["n_words"] == out["n_words_kept"]).all()
+
+
+def test_top_fraction_by_group_semantics_and_parity(spark, duck):
+    import pandas as pd
+
+    from dbreg_spark.operators import sampling
+
+    rows = [
+        ("s1", 1, 10.0), ("s1", 2, 20.0), ("s1", 3, 30.0), ("s1", 4, 40.0),
+        ("s2", 5, 1.0), ("s2", 6, 2.0), ("s2", 7, 2.0), ("s2", 8, 2.0),
+        ("s3", 9, None), ("s3", 10, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, score double")
+    got = (
+        sampling.top_fraction_by_group(df, "score", 0.25, group_col="src")
+        .toPandas().sort_values("id")
+    )
+    # s1: top 25% of 4 -> threshold at q0.75 = 37.5 -> only id 4
+    assert 4 in got["id"].tolist()
+    assert not {1, 2, 3} & set(got["id"])
+    # s2: ties at the threshold all pass (keep_ties default)
+    assert {6, 7, 8}.issubset(set(got["id"]))
+    # NULL scores never pass; s3's only scored row is its own top
+    assert 9 not in got["id"].tolist() and 10 in got["id"].tolist()
+    duck.register("tf_in", pd.DataFrame(rows, columns=["src", "id", "score"]))
+    want = duck.execute(
+        sampling.top_fraction_by_group_sql("tf_in", "score", 0.25, group_col="src")
+    ).fetchdf()
+    assert sorted(got["id"]) == sorted(want["id"])
+    # global variant + keep_ties=False drops the boundary row
+    glob = sampling.top_fraction_by_group(df, "score", 0.5, keep_ties=False)
+    gw = duck.execute(
+        sampling.top_fraction_by_group_sql("tf_in", "score", 0.5, keep_ties=False)
+    ).fetchdf()
+    assert sorted(r.id for r in glob.collect()) == sorted(gw["id"])
+    with pytest.raises(ValueError, match="frac"):
+        sampling.top_fraction_by_group(df, "score", 0.0)
+
+
+def test_top_fraction_plan_uses_broadcast_not_window(docs):
+    from dbreg_spark.operators import sampling
+
+    out = sampling.top_fraction_by_group(docs, "n_chars", 0.2, group_col="source")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
