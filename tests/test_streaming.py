@@ -568,3 +568,46 @@ def test_stream_static_enrich_matches_batch(spark, tables, event_stream_dir):
     assert "BroadcastHashJoin" in plan
     with pytest.raises(ValueError, match="inner/left"):
         enrich(stream, dim, on="event_id", how="full")
+
+
+def test_stateless_web_json_operators_stream(spark, tables, docs_stream_dir):
+    """c4_filter, quality_classify, and json_fields are stateless column
+    transforms — the same operator code runs unchanged on a streaming
+    DataFrame and equals the batch result."""
+    from dbreg_spark.operators import semistruct, text as tx, web
+
+    schema = tables["documents"].schema
+    stream = spark.readStream.schema(schema).parquet(docs_stream_dir)
+
+    def _chain(df):
+        enriched = df.withColumn(
+            "text",
+            F.expr(
+                "concat('A good sentence about ', source, ' here.', chr(10), text)"
+            ),
+        ).withColumn(
+            "props", F.concat(F.lit('{"k": '), F.col("doc_id") % 9, F.lit("}"))
+        )
+        c4 = web.c4_filter(enriched).select(
+            "doc_id", "source", "props",
+            F.col("clean_text").alias("text"), "n_lines_kept", "keep",
+        )
+        clf = tx.quality_classify(c4).select(
+            "doc_id", "props", "n_lines_kept", "clf_score"
+        )
+        return semistruct.json_fields(
+            clf, [("k", "$.k", "BIGINT")], col="props", drop_raw=True
+        )
+
+    name = f"wjs_{uuid.uuid4().hex[:8]}"
+    _run_stream(_chain(stream), name)
+    got = (
+        spark.sql(f"SELECT * FROM {name}").toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        _chain(tables["documents"]).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got[want.columns], want)
