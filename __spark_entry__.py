@@ -138,6 +138,42 @@ PRED_COMPRESS_BETA = {
 
 EP_BREAKS = [float(b) for b in range(0, 121000, 12100)]  # 10 manual bins
 
+# fixed-β IRLS gate (literal-β pattern, like MEAT_BETA): one GLM iteration's
+# weighted-moment aggregation at a pinned β — the distributed computation
+# dbglm runs every pass (convergence/β-update is driver-side numpy, pinned
+# by tests/test_glm.py against an independent numpy IRLS)
+GLM_BETA = [-0.5, 0.02, 0.3]  # (intercept, quantity, discount), logit scale
+
+
+def _glm_step_plan(spark: SparkSession):
+    """(agg_df, oracle_sql) for one logit IRLS pass at GLM_BETA over
+    lineitem with the derived 0/1 outcome is_return = (l_returnflag='R')."""
+    import numpy as np
+
+    from dbreg_spark.design import build_design
+    from dbreg_spark.formula import parse_formula
+    from dbreg_spark.glm import get_family, irls_pass_plan
+    from dbreg_spark.plans.common import Source
+    from dbreg_spark.plans.frames import build_base_frame
+
+    li = spark.table("lineitem")
+    src = Source(
+        df=li.withColumn(
+            "is_return", (F.col("l_returnflag") == "R").cast("double")
+        ),
+        sql_from=(
+            "FROM (SELECT *, CAST(l_returnflag = 'R' AS DOUBLE) AS is_return "
+            "FROM lineitem)"
+        ),
+    )
+    parsed = parse_formula("is_return ~ l_quantity + l_discount")
+    design = build_design(src.df, parsed, expand="all", fe_vars=None)
+    frame = build_base_frame(src, parsed, design, True, want_sql=True)
+    _spec, agg_df, sql = irls_pass_plan(
+        frame, get_family("binomial"), np.asarray(GLM_BETA), list(frame.x_cols), True
+    )
+    return agg_df, sql
+
 
 # ---------------------------------------------------------------------------
 # entry: flagship query
@@ -224,6 +260,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _round_doubles_df(df)
 
     Q["cluster_scores_multiway"] = cluster_scores_multiway
+
+    # ---- GLM: one logit IRLS pass at fixed β (beyond-reference dbglm) ----
+    def glm_irls_step(spark, sf_dir):
+        _tables(spark, sf_dir)
+        agg_df, _sql = _glm_step_plan(spark)
+        return _round_doubles_df(agg_df)
+
+    Q["glm_irls_step_logit"] = glm_irls_step
 
     # ---- design matrix (SURVEY §2.7 F1-F2) ----
     def design_matrix(spark, sf_dir):
@@ -1299,6 +1343,27 @@ def oracle_sql() -> dict[str, str]:
         ["l_returnflag", "l_linestatus", "score_0", "score_1", "score_2"],
         ["score_0", "score_1", "score_2"],
     )
+
+    # GLM fixed-β IRLS pass: emit the exact SQL the plan builder produces
+    # (same IR rendered to both engines), rounded like every other gate
+    def _glm_oracle() -> str:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            from dbreg_spark.sources.io import get_session
+
+            spark = get_session(
+                "oracle-sql-emit", master="local[2]", shuffle_partitions=2
+            )
+        _tables(
+            spark,
+            os.environ.get("SPARK_GRAFT_SF_DIR_FOR_SQL", "/root/testdata/sf0.01"),
+        )
+        agg_df, sql = _glm_step_plan(spark)
+        cols = [f.name for f in agg_df.schema.fields]
+        dbl = [c for c in cols if c not in ("n_total",)]
+        return _round_doubles_sql(sql, cols, dbl)
+
+    O["glm_irls_step_logit"] = _glm_oracle()
 
     # design matrix: levels of l_returnflag are A < N < R; drop reference A
     O["design_matrix_interactions"] = """

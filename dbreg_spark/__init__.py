@@ -11,6 +11,7 @@ from .api import dbreg, sql_model_matrix
 from .binsreg import BinsregResult, dbbinsreg
 from .design import standardize_coef_names
 from .formula import parse_formula, parse_vcov
+from .glm import GlmModel, dbglm
 from .model import DbregModel
 
 __all__ = [
@@ -19,6 +20,8 @@ __all__ = [
     "dbbinsreg",
     "BinsregResult",
     "DbregModel",
+    "dbglm",
+    "GlmModel",
     "parse_formula",
     "parse_vcov",
     "standardize_coef_names",

@@ -1,0 +1,726 @@
+"""Generalized linear models via distributed IRLS — logistic ("binomial"),
+Poisson, and Gaussian families.
+
+Beyond-reference estimator (the reference, grantmcdermott/dbreg, is OLS-only
+— R/dbreg.R:302-380): `dbglm()` extends the same moments architecture to
+maximum-likelihood GLMs. Each IRLS iteration is ONE distributed aggregation
+pass over the data computing, at the current coefficient vector β (baked in
+as exact double literals, the literal-β pattern of the reference's sandwich
+second pass, R/dbreg.R:1807-2000):
+
+- the weighted normal-equation moments  A = X'WX  and  b = X'Wz  (upper
+  triangle, p(p+1)/2 + p sums),
+- the log-likelihood at β (the convergence statistic — it rides the same
+  aggregation, costing zero extra passes),
+
+where w and w·z are evaluated per-row as pure column expressions:
+
+    binomial (logit):  μ = σ(η),   w = μ(1−μ),  w·z = w·η + (y−μ)
+    poisson  (log):    μ = exp(η), w = μ,       w·z = w·η + (y−μ)
+    gaussian (id):     μ = η,      w = 1,       w·z = y
+
+Carrying w·z (never z = η + (y−μ)/w) avoids the division entirely: rows
+whose weight underflows at extreme η simply drop out of the weighted system,
+which is exactly IRLS's limiting behavior — no clipping heuristics needed.
+
+The driver solves the p×p system, applies the Newton step (with step-halving
+when the log-likelihood fails to improve — poisson's exp(η) can overshoot),
+and stops when the log-likelihood is stationary. State on the driver is
+O(p²); pass count is the IRLS iteration count (typically 4-8) — the same
+100 TB contract as the moments strategy: nothing proportional to rows or
+groups ever reaches the driver.
+
+Standard errors: model-based (inverse observed information), HC1 sandwich,
+or cluster-robust (CR1, one/multi-way interaction) — the meat is one extra
+aggregation pass at the final β with score residual (y−μ̂)x, mirroring
+plans/meat.py. Inference is Wald-z (normal), the GLM convention.
+
+Fixed effects: high-cardinality `| fe` terms are refused (weighted within-
+transformations change per IRLS iteration — a different algorithm); LOW-
+cardinality group controls work today by listing the column as a regressor
+(string/factor columns auto-expand to dummies via the shared design
+machinery).
+
+Every per-row expression is IR (plans/exprs.py), so the one-pass aggregation
+renders identically to a Spark DataFrame plan and to DuckDB oracle SQL —
+gate `glm_irls_step_logit` pins the distributed computation cross-engine at
+a fixed literal β.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .design import DesignInfo, build_design, standardize_coef_names
+from .formula import ParsedFormula, parse_formula, parse_vcov
+from .plans.common import Source, agg_select_sql, resolve_source
+from .plans.exprs import (
+    Agg,
+    CaseGE,
+    Cast,
+    Expr,
+    Func,
+    Lit,
+    Var,
+    agg_to_spark,
+    amax,
+    amin,
+    asum,
+    count_star,
+    to_spark,
+    to_sql,
+)
+from .plans.frames import Frame, build_base_frame
+from .solve import compute_vcov, detect_collinearity, solve_with_fallback
+from .stats import norm_ppf
+
+FAMILIES = ("binomial", "poisson", "gaussian")
+
+_W_EPS = 1e-12  # pearson-residual denominator floor (never used in w·z)
+
+
+def _d(e: Expr) -> Expr:
+    return Cast(e, "double")
+
+
+def _neg(e: Expr) -> Expr:
+    return Lit(-1.0) * e
+
+
+def _eta_expr(beta: np.ndarray, x_names: list[str], intercept: bool) -> Expr:
+    """η = β₀ + Σ βⱼ·xⱼ with β as 17-digit double literals."""
+    b = np.asarray(beta, dtype=float).reshape(-1)
+    off = 1 if intercept else 0
+    e: Expr = Lit(float(b[0])) if intercept else Lit(0.0)
+    for j, xn in enumerate(x_names):
+        e = e + Lit(float(b[j + off])) * _d(Var(xn))
+    return e
+
+
+@dataclass(frozen=True)
+class _Family:
+    """Per-row IRLS expressions for one family, all as IR over η and y."""
+
+    name: str
+    link: str
+
+    def mu(self, eta: Expr) -> Expr:
+        if self.name == "binomial":
+            return Lit(1.0) / (Lit(1.0) + Func("exp", (_neg(eta),)))
+        if self.name == "poisson":
+            return Func("exp", (eta,))
+        return eta
+
+    def w(self, eta: Expr, mu: Expr) -> Expr:
+        if self.name == "binomial":
+            return mu * (Lit(1.0) - mu)
+        if self.name == "poisson":
+            return mu
+        return Lit(1.0)
+
+    def wz(self, eta: Expr, mu: Expr, y: Expr, w: Expr) -> Expr:
+        """w·z = w·η + (y−μ) — division-free working response."""
+        if self.name == "gaussian":
+            return y
+        return w * eta + (y - mu)
+
+    def ll(self, eta: Expr, mu: Expr, y: Expr) -> Expr:
+        """Per-row log-likelihood contribution (poisson: up to the constant
+        −Σ ln y!, which cancels in every deviance/convergence use)."""
+        if self.name == "binomial":
+            # y·η − softplus(η), overflow-safe:
+            # softplus(η) = max(η,0) + ln(1 + exp(−|η|))
+            sp = Func("greatest", (eta, Lit(0.0))) + Func(
+                "ln",
+                (Lit(1.0) + Func("exp", (_neg(Func("abs", (eta,))),)),),
+            )
+            return y * eta - sp
+        if self.name == "poisson":
+            return y * eta - mu
+        return _neg((y - eta) * (y - eta)) / Lit(2.0)
+
+    def ll_sat(self, y: Expr) -> Expr:
+        """Saturated-model per-row log-likelihood (same constant dropped)."""
+        if self.name == "binomial":
+            return Lit(0.0)  # exact for y ∈ {0,1}
+        if self.name == "poisson":
+            # y>0: y·ln(y) − y; y=0: 0
+            return CaseGE(y, 0.0, y * Func("ln", (y,)) - y, strict=True)
+        return Lit(0.0)
+
+    def pearson_sq(self, mu: Expr, y: Expr) -> Expr:
+        """(y−μ)² / V(μ) with a floored denominator (diagnostic only)."""
+        r2 = (y - mu) * (y - mu)
+        if self.name == "binomial":
+            v = Func("greatest", (mu * (Lit(1.0) - mu), Lit(_W_EPS)))
+            return r2 / v
+        if self.name == "poisson":
+            return r2 / Func("greatest", (mu, Lit(_W_EPS)))
+        return r2
+
+    def inverse_link_py(self, eta):
+        eta = np.asarray(eta, dtype=float)
+        if self.name == "binomial":
+            return 1.0 / (1.0 + np.exp(-eta))
+        if self.name == "poisson":
+            return np.exp(eta)
+        return eta
+
+
+def get_family(name: str) -> _Family:
+    n = str(name).strip().lower()
+    if n not in FAMILIES:
+        raise ValueError(f"family must be one of {FAMILIES}, got {name!r}")
+    return _Family(n, {"binomial": "logit", "poisson": "log", "gaussian": "identity"}[n])
+
+
+# --------------------------------------------------------------------------
+# One IRLS pass: spec + projection + oracle SQL
+# --------------------------------------------------------------------------
+
+
+def irls_pass_plan(
+    frame: Frame,
+    family: _Family,
+    beta: np.ndarray,
+    x_names: list[str],
+    intercept: bool = True,
+    first: bool = False,
+):
+    """Build the single-pass weighted-moment aggregation at literal β.
+
+    Returns (spec, agg_df, sql). ``first=True`` adds the once-per-fit free
+    riders (Σy, Σy², min/max y, a non-binary-y detector, the saturated
+    log-likelihood) to the same scan.
+
+    The per-row μ/w/wz/ll expressions are materialized ONCE in a projection
+    before the aggregation — inlining η into all p(p+1)/2 product terms
+    blows up codegen quadratically (same finding as hc1_meat_plan).
+    """
+    y = _d(Var(frame.y_col))
+    eta = _eta_expr(beta, x_names, intercept)
+    mu = family.mu(eta)
+    w = family.w(eta, mu)
+    wz = family.wz(eta, mu, y, w)
+    ll = family.ll(eta, mu, y)
+
+    proj_exprs: list[tuple[str, Expr]] = [
+        ("__w", _d(w)),
+        ("__wz", _d(wz)),
+        ("__ll", _d(ll)),
+    ]
+    if first:
+        proj_exprs.append(("__llsat", _d(family.ll_sat(y))))
+        proj_exprs.append(("__y", y))
+        if family.name == "binomial":
+            # y(1−y) ≠ 0 ⇔ y ∉ {0,1}; Σ|·| > 0 flags a non-binary outcome
+            proj_exprs.append(("__ybad", Func("abs", (y * (Lit(1.0) - y),))))
+    proj = frame.df.select(
+        *[to_spark(e).alias(n) for n, e in proj_exprs],
+        *[F.col(n) for n in x_names],
+    )
+
+    cols: list[Expr] = ([Lit(1.0)] if intercept else []) + [Var(n) for n in x_names]
+    p = len(cols)
+    spec: list[tuple[str, Agg]] = [
+        ("n_total", count_star()),
+        ("ll", asum(Var("__ll"))),
+    ]
+    if first:
+        spec += [
+            ("ll_sat", asum(Var("__llsat"))),
+            ("sum_y", asum(Var("__y"))),
+            ("sum_y_sq", asum(Var("__y") * Var("__y"))),
+            ("y_min", amin(Var("__y"))),
+            ("y_max", amax(Var("__y"))),
+        ]
+        if family.name == "binomial":
+            spec.append(("y_bad", asum(Var("__ybad"))))
+    wv = Var("__w")
+    for i in range(p):
+        for j in range(i, p):
+            spec.append((f"a_{i}_{j}", asum(wv * _d(cols[i]) * _d(cols[j]))))
+    for i in range(p):
+        spec.append((f"b_{i}", asum(Var("__wz") * _d(cols[i]))))
+
+    agg_df = proj.agg(*[agg_to_spark(a).alias(n) for n, a in spec])
+
+    sql = None
+    if frame.sql_cte:
+        psel = ",\n    ".join(
+            f"CAST({to_sql(e)} AS DOUBLE) AS {n}" for n, e in proj_exprs
+        )
+        xs = "".join(f",\n    {n}" for n in x_names)
+        sql = (
+            f"{frame.sql_cte},\nirls AS (\n  SELECT\n    {psel}{xs}"
+            f"\n  FROM {frame.cte_name}\n),\nstep AS (\n  SELECT {agg_select_sql(spec)}"
+            f"\n  FROM irls\n)\nSELECT * FROM step"
+        )
+    return spec, agg_df, sql
+
+
+def _decode_pass(row: dict, p: int) -> tuple[np.ndarray, np.ndarray, float, float]:
+    a = np.zeros((p, p))
+    b = np.zeros(p)
+    for i in range(p):
+        b[i] = float(row[f"b_{i}"])
+        for j in range(i, p):
+            v = float(row[f"a_{i}_{j}"])
+            a[i, j] = a[j, i] = v
+    return a, b, float(row["ll"]), float(row["n_total"])
+
+
+# --------------------------------------------------------------------------
+# Final-β sandwich meat (score residual y − μ̂)
+# --------------------------------------------------------------------------
+
+
+def glm_meat(
+    frame: Frame,
+    family: _Family,
+    beta: np.ndarray,
+    x_names: list[str],
+    intercept: bool,
+    cluster_cols: list[str] | None = None,
+) -> tuple[np.ndarray, int | None]:
+    """HC meat Σ (y−μ̂)²·x·xᵀ, or with ``cluster_cols`` the CR meat
+    Σ_g s_g s_gᵀ from per-cluster score sums s_g = Σ_g (y−μ̂)·x — the score
+    shuffle carries one p-vector per cluster, the outer-product sum is one
+    more single-row aggregation (driver never loops over clusters; mirrors
+    plans/meat.py:cluster_meat)."""
+    y = _d(Var(frame.y_col))
+    eta = _eta_expr(beta, x_names, intercept)
+    mu = family.mu(eta)
+    s = y - mu
+    cols: list[Expr] = ([Lit(1.0)] if intercept else []) + [Var(n) for n in x_names]
+    p = len(cols)
+
+    key_cols = cluster_cols or []
+    proj = frame.df.select(
+        *[F.col(c) for c in key_cols],
+        to_spark(_d(s)).alias("__s"),
+        *[F.col(n) for n in x_names],
+    )
+    sv = Var("__s")
+    if not cluster_cols:
+        spec = []
+        for i in range(p):
+            for j in range(i, p):
+                spec.append((f"m_{i}_{j}", asum(sv * sv * _d(cols[i]) * _d(cols[j]))))
+        row = proj.agg(*[agg_to_spark(a).alias(n) for n, a in spec]).collect()[0].asDict()
+        meat = np.zeros((p, p))
+        for i in range(p):
+            for j in range(i, p):
+                meat[i, j] = meat[j, i] = float(row[f"m_{i}_{j}"])
+        return meat, None
+
+    score_aggs = [
+        agg_to_spark(asum(sv * _d(c))).alias(f"score_{j}") for j, c in enumerate(cols)
+    ]
+    scores = proj.groupBy(*cluster_cols).agg(*score_aggs)
+    outer = [("n_clusters", Agg("count_star", None, "long"))]
+    for i in range(p):
+        for j in range(i, p):
+            outer.append((f"m_{i}_{j}", asum(Var(f"score_{i}") * Var(f"score_{j}"))))
+    row = scores.agg(*[agg_to_spark(a).alias(n) for n, a in outer]).collect()[0].asDict()
+    g = int(row["n_clusters"])
+    meat = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            meat[i, j] = meat[j, i] = float(row[f"m_{i}_{j}"])
+    return meat, g
+
+
+# --------------------------------------------------------------------------
+# Model object
+# --------------------------------------------------------------------------
+
+
+def _norm_sf(z):
+    z = np.atleast_1d(np.asarray(z, dtype=float))
+    out = np.array([0.5 * math.erfc(v / math.sqrt(2.0)) for v in z])
+    return out
+
+
+@dataclass
+class GlmModel:
+    """Fitted GLM. Inference is Wald-z (normal), the MLE convention."""
+
+    coeftable: object
+    vcov_: np.ndarray
+    coef_names: list[str]
+    family: str
+    link: str
+    yvar: str
+    vcov_type: str
+    cluster_var: str | None
+    nobs: int
+    df_residual: float
+    loglik: float
+    deviance: float
+    null_deviance: float
+    dispersion: float
+    pearson_chi2: float
+    n_iter: int
+    converged: bool
+    collin_vars: list[str]
+    n_clusters: int | None
+    design_info: DesignInfo
+    parsed: ParsedFormula
+    query_string: str | None = None
+    _betahat: np.ndarray = field(default=None, repr=False)
+
+    def coef(self):
+        import pandas as pd
+
+        return pd.Series(self._betahat, index=self.coef_names)
+
+    def se(self):
+        import pandas as pd
+
+        return pd.Series(np.sqrt(np.diag(self.vcov_)), index=self.coef_names)
+
+    def vcov(self):
+        import pandas as pd
+
+        return pd.DataFrame(self.vcov_, index=self.coef_names, columns=self.coef_names)
+
+    def confint(self, level: float = 0.95):
+        import pandas as pd
+
+        z = norm_ppf(0.5 + level / 2.0)
+        se = np.sqrt(np.diag(self.vcov_))
+        lo = self._betahat - z * se
+        hi = self._betahat + z * se
+        a = (1 - level) / 2
+        return pd.DataFrame(
+            {f"{a:.3f}": lo, f"{1 - a:.3f}": hi}, index=self.coef_names
+        )
+
+    def tidy(self):
+        t = self.coeftable.reset_index().rename(columns={"index": "term"})
+        return t
+
+    def glance(self):
+        import pandas as pd
+
+        return pd.DataFrame(
+            [
+                {
+                    "family": self.family,
+                    "link": self.link,
+                    "nobs": self.nobs,
+                    "logLik": self.loglik,
+                    "deviance": self.deviance,
+                    "null.deviance": self.null_deviance,
+                    "pseudo.r.squared": (
+                        1.0 - self.deviance / self.null_deviance
+                        if self.null_deviance > 0
+                        else float("nan")
+                    ),
+                    "dispersion": self.dispersion,
+                    "n.iter": self.n_iter,
+                    "converged": self.converged,
+                }
+            ]
+        )
+
+    def predict(self, data: DataFrame, type: str = "response") -> DataFrame:
+        """Attach the fitted value as column ``fit`` (link scale with
+        type="link", mean scale with type="response") — a pure column
+        expression, fully distributed."""
+        if type not in ("response", "link"):
+            raise ValueError("type must be 'response' or 'link'")
+        fam = get_family(self.family)
+        icpt = "(Intercept)" in self.coef_names
+        # design exprs for the KEPT columns, re-derived on newdata
+        name_to_expr = dict(zip(
+            [standardize_coef_names(n) for n in self.design_info.names],
+            self.design_info.exprs,
+        ))
+        kept = [n for n in self.coef_names if n != "(Intercept)"]
+        missing = [n for n in kept if n not in name_to_expr]
+        if missing:
+            raise ValueError(f"predict: no design expression for {missing}")
+        b = self._betahat
+        off = 1 if icpt else 0
+        eta: Expr = Lit(float(b[0])) if icpt else Lit(0.0)
+        for j, n in enumerate(kept):
+            eta = eta + Lit(float(b[j + off])) * _d(name_to_expr[n])
+        col = to_spark(eta)
+        if type == "response" and self.family != "gaussian":
+            col = to_spark(fam.mu(eta))
+        return data.withColumn("fit", col)
+
+    def __repr__(self):
+        lines = [
+            f"dbglm(family={self.family}, link={self.link}, "
+            f"vcov={self.vcov_type}"
+            + (f" ~{self.cluster_var}" if self.cluster_var else "")
+            + ")",
+            f"nobs: {self.nobs}   iterations: {self.n_iter}"
+            + ("" if self.converged else "   (NOT CONVERGED)"),
+            f"deviance: {self.deviance:.6g}   logLik: {self.loglik:.6g}",
+            str(self.coeftable),
+        ]
+        return "\n".join(lines)
+
+
+def _gen_coeftable_z(betahat, vcov, names):
+    import pandas as pd
+
+    b = np.asarray(betahat, dtype=float).reshape(-1)
+    se = np.sqrt(np.clip(np.diag(vcov), 0.0, None))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = b / se
+    p = 2.0 * _norm_sf(np.abs(z))
+    return pd.DataFrame(
+        {"estimate": b, "std.error": se, "statistic": z, "p.value": p},
+        index=list(names),
+    )
+
+
+# --------------------------------------------------------------------------
+# dbglm entry point
+# --------------------------------------------------------------------------
+
+
+def dbglm(
+    fml: str,
+    data=None,
+    *,
+    spark: SparkSession | None = None,
+    table: str | None = None,
+    path: str | None = None,
+    family: str = "binomial",
+    vcov: str | None = "iid",
+    cluster=None,
+    max_iter: int = 25,
+    tol: float = 1e-8,
+    drop_missings: bool = True,
+    verbose: bool = False,
+) -> GlmModel:
+    """Fit a GLM by distributed IRLS. See the module docstring for the
+    per-pass computation; the driver holds only the p×p system.
+
+    ``fml`` is the same formula syntax as :func:`dbreg.dbreg` WITHOUT the
+    ``| fe`` part (string/factor regressors expand to dummies). ``vcov`` is
+    "iid" (inverse information), "hc1", or a cluster formula "~ g" /
+    "~ g1 + g2"."""
+    fam = get_family(family)
+    parsed = parse_formula(fml)
+    if parsed.fe:
+        raise NotImplementedError(
+            "dbglm does not support high-cardinality `| fe` fixed effects: "
+            "the weighted within-transformation changes every IRLS "
+            "iteration. List low-cardinality group columns as regressors "
+            "(factors expand to dummies), or use dbreg() for linear FE "
+            "models."
+        )
+    vcov_type, cluster_vars = parse_vcov(vcov, cluster, valid=("iid", "hc1"))
+
+    source = resolve_source(spark, data=data, table=table, path=path)
+    design = build_design(source.df, parsed, expand="all", fe_vars=None)
+    frame = build_base_frame(
+        source,
+        parsed,
+        design,
+        drop_missings,
+        extra_cols=list(cluster_vars) if cluster_vars else None,
+        want_sql=source.sql_from is not None,
+    )
+
+    names_all = ["(Intercept)"] + [standardize_coef_names(n) for n in frame.x_cols]
+    x_names = list(frame.x_cols)
+    p_all = len(names_all)
+
+    # ---- first pass at β = 0: moments + collinearity + y diagnostics ----
+    beta = np.zeros(p_all)
+    spec, agg_df, sql = irls_pass_plan(frame, fam, beta, x_names, True, first=True)
+    row = agg_df.collect()[0].asDict()
+    n_total = float(row["n_total"])
+    if n_total == 0:
+        raise ValueError("dbglm: zero rows after missing-value filtering")
+    if fam.name == "binomial" and float(row.get("y_bad") or 0.0) > 0:
+        raise ValueError(
+            f"dbglm(family='binomial') needs a 0/1 outcome; {parsed.yvar} "
+            "has values outside {0, 1}"
+        )
+    if fam.name == "poisson" and float(row["y_min"]) < 0:
+        raise ValueError(
+            f"dbglm(family='poisson') needs a non-negative outcome; "
+            f"min({parsed.yvar}) = {row['y_min']}"
+        )
+    sum_y = float(row["sum_y"])
+    sum_y_sq = float(row["sum_y_sq"])
+    ll_sat = float(row["ll_sat"])
+
+    a0, b0, ll0, _ = _decode_pass(row, p_all)
+    # at β=0, binomial A = X'X/4 and gaussian A = X'X: pivot detection on
+    # the weighted matrix is scale-invariant, so collinear columns drop once
+    collin = detect_collinearity(a0, b0, names_all)
+    keep_idx = [names_all.index(n) for n in collin.keep_names]
+    names = list(collin.keep_names)
+    icpt = "(Intercept)" in names
+    x_kept = [xn for xn in x_names if standardize_coef_names(xn) in names]
+    p = len(names)
+
+    def sub(a, b):
+        return a[np.ix_(keep_idx, keep_idx)], b[np.asarray(keep_idx)]
+
+    a_k, b_k = sub(a0, b0)
+    sol = solve_with_fallback(a_k, b_k)
+    beta = sol.betahat
+    ll_prev = ll0
+    beta_prev = np.zeros(p)
+    converged = False
+    n_iter = 1
+    halvings = 0
+    final_row = row
+    final_a = a_k
+    last_sql = sql
+
+    if fam.name == "gaussian":
+        # identity link: IRLS is exact in one step; run one pass at β̂ for
+        # the final log-likelihood / information
+        spec, agg_df, last_sql = irls_pass_plan(frame, fam, beta, x_kept, icpt)
+        r2 = agg_df.collect()[0].asDict()
+        a2, b2, ll2, _ = _decode_pass(r2, p)
+        final_a, ll_prev, final_row = a2, ll2, r2
+        n_iter = 2
+        converged = True
+    else:
+        while n_iter < max_iter:
+            spec, agg_df, last_sql = irls_pass_plan(frame, fam, beta, x_kept, icpt)
+            rowi = agg_df.collect()[0].asDict()
+            a_i, b_i, ll_i, _ = _decode_pass(rowi, p)
+            n_iter += 1
+            if not math.isfinite(ll_i) or ll_i < ll_prev - 1e-10 * (abs(ll_prev) + 1.0):
+                # overshoot (poisson exp blow-up / extreme logit step):
+                # halve back toward the last accepted β
+                halvings += 1
+                if halvings > 30:
+                    warnings.warn(
+                        "[dbglm] step-halving failed to restore likelihood "
+                        "ascent; stopping at the last accepted coefficients"
+                    )
+                    beta = beta_prev
+                    break
+                beta = 0.5 * (beta + beta_prev)
+                continue
+            halvings = 0
+            final_row, final_a = rowi, a_i
+            if verbose:
+                print(f"[dbglm] iter {n_iter}: ll = {ll_i:.10g}")
+            if abs(ll_i - ll_prev) <= tol * (abs(ll_i) + 0.1):
+                ll_prev = ll_i
+                converged = True
+                break
+            sol = solve_with_fallback(a_i, b_i)
+            beta_prev, beta = beta, sol.betahat
+            ll_prev = ll_i
+        if not converged:
+            warnings.warn(
+                f"[dbglm] IRLS did not converge in {max_iter} iterations "
+                f"(family={fam.name}); estimates are the last accepted step"
+            )
+
+    ll_final = ll_prev
+    deviance = 2.0 * (ll_sat - ll_final)
+    # null model (intercept-only) in closed form from Σy (binomial/poisson)
+    ybar = sum_y / n_total
+    if fam.name == "binomial":
+        null_ll = (
+            n_total * (ybar * math.log(ybar) + (1 - ybar) * math.log(1 - ybar))
+            if 0.0 < ybar < 1.0
+            else 0.0
+        )
+        null_dev = 2.0 * (ll_sat - null_ll)
+    elif fam.name == "poisson":
+        null_ll = (sum_y * math.log(ybar) - n_total * ybar) if ybar > 0 else 0.0
+        null_dev = 2.0 * (ll_sat - null_ll)
+    else:
+        null_dev = sum_y_sq - sum_y**2 / n_total  # TSS
+        deviance = -2.0 * ll_final  # RSS (ll = −Σ(y−η)²/2)
+
+    df_res = max(n_total - p, 1.0)
+    info_inv = solve_with_fallback(final_a, np.zeros(p)).xtx_inv
+
+    # pearson dispersion: one cheap extra aggregation at final β (diagnostic;
+    # fixed to 1 for binomial/poisson model-based vcov, the R glm convention)
+    eta_f = _eta_expr(beta, x_kept, icpt)
+    mu_f = fam.mu(eta_f)
+    pearson = float(
+        frame.df.select(
+            to_spark(_d(fam.pearson_sq(mu_f, _d(Var(frame.y_col))))).alias("__p2")
+        )
+        .agg(F.sum("__p2"))
+        .collect()[0][0]
+    )
+    dispersion = pearson / df_res if fam.name == "gaussian" else 1.0
+
+    meat = n_clusters = None
+    if vcov_type == "hc1":
+        meat, _ = glm_meat(frame, fam, beta, x_kept, icpt)
+    elif vcov_type == "cluster":
+        if len(cluster_vars) > 1:
+            # CGM inclusion-exclusion over non-empty subsets, same sign
+            # convention as the linear multiway path
+            from itertools import combinations
+
+            meat = np.zeros((p, p))
+            gmin = None
+            for k in range(1, len(cluster_vars) + 1):
+                for subset in combinations(cluster_vars, k):
+                    m_s, g_s = glm_meat(
+                        frame, fam, beta, x_kept, icpt, list(subset)
+                    )
+                    meat += ((-1.0) ** (k + 1)) * m_s
+                    if k == 1:
+                        gmin = g_s if gmin is None else min(gmin, g_s)
+            n_clusters = gmin
+        else:
+            meat, n_clusters = glm_meat(
+                frame, fam, beta, x_kept, icpt, list(cluster_vars)
+            )
+
+    if vcov_type == "iid":
+        V = dispersion * info_inv
+    else:
+        V = compute_vcov(
+            vcov_type, info_inv, deviance, df_res, n_total, p, meat, n_clusters
+        )
+
+    ct = _gen_coeftable_z(beta, V, names)
+    frame.cleanup()
+    return GlmModel(
+        coeftable=ct,
+        vcov_=V,
+        coef_names=names,
+        family=fam.name,
+        link=fam.link,
+        yvar=parsed.yvar,
+        vcov_type=vcov_type,
+        cluster_var="+".join(cluster_vars) if cluster_vars else None,
+        nobs=int(n_total),
+        df_residual=df_res,
+        loglik=ll_final,
+        deviance=deviance,
+        null_deviance=null_dev,
+        dispersion=dispersion,
+        pearson_chi2=pearson,
+        n_iter=n_iter,
+        converged=converged,
+        collin_vars=collin.drop_names,
+        n_clusters=n_clusters,
+        design_info=design,
+        parsed=parsed,
+        query_string=last_sql,
+        _betahat=beta,
+    )

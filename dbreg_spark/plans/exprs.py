@@ -169,8 +169,10 @@ def to_spark(e: Expr) -> Column:
             "ln": F.log,  # natural log
             "log10": F.log10,
             "least": F.least,
+            "greatest": F.greatest,
             "abs": F.abs,
             "round": F.round,
+            "exp": F.exp,
         }[e.name]
         return fn(*args)
     if isinstance(e, OneHot):

@@ -1,0 +1,267 @@
+"""dbglm: distributed-IRLS GLMs vs a pure-numpy IRLS oracle.
+
+The oracle below is a straight textbook IRLS on the collected design matrix
+(dense numpy, z-form with explicit division) — an independent derivation
+path from the division-free w·z aggregation the engine runs, so agreement
+to ~1e-8 pins both the algebra and the distributed execution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dbreg_spark import dbglm, dbreg
+
+
+# ---------------------------------------------------------------------------
+# numpy IRLS oracle
+# ---------------------------------------------------------------------------
+
+
+def _np_irls(X, y, family, max_iter=50, tol=1e-12):
+    n, p = X.shape
+    beta = np.zeros(p)
+    for _ in range(max_iter):
+        eta = X @ beta
+        if family == "binomial":
+            mu = 1.0 / (1.0 + np.exp(-eta))
+            w = mu * (1.0 - mu)
+        elif family == "poisson":
+            mu = np.exp(eta)
+            w = mu
+        else:
+            mu = eta
+            w = np.ones(n)
+        z = eta + (y - mu) / np.clip(w, 1e-10, None)
+        WX = X * w[:, None]
+        A = X.T @ WX
+        b = WX.T @ z
+        beta_new = np.linalg.solve(A, b)
+        if np.max(np.abs(beta_new - beta)) < tol:
+            beta = beta_new
+            break
+        beta = beta_new
+    # final information and residuals
+    eta = X @ beta
+    if family == "binomial":
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = mu * (1.0 - mu)
+    elif family == "poisson":
+        mu = np.exp(eta)
+        w = mu
+    else:
+        mu = eta
+        w = np.ones(n)
+    A = X.T @ (X * w[:, None])
+    return beta, np.linalg.inv(A), mu
+
+
+def _sandwich_hc1(X, y, mu, bread, n, p):
+    s = (y - mu)[:, None] * X
+    meat = s.T @ s
+    return (n / (n - p)) * bread @ meat @ bread
+
+
+def _sandwich_cr1(X, y, mu, bread, clusters, n, p):
+    s = (y - mu)[:, None] * X
+    df = pd.DataFrame(s)
+    df["g"] = clusters
+    sg = df.groupby("g", dropna=False).sum().values
+    meat = sg.T @ sg
+    g = sg.shape[0]
+    return (g / (g - 1)) * (n / (n - p)) * bread @ meat @ bread
+
+
+@pytest.fixture(scope="module")
+def glm_pdf():
+    rng = np.random.default_rng(42)
+    n = 4000
+    x1 = rng.normal(size=n)
+    x2 = rng.uniform(-1, 1, size=n)
+    g = rng.integers(0, 25, size=n)
+    eta = 0.4 + 0.8 * x1 - 1.2 * x2 + 0.05 * g
+    p = 1.0 / (1.0 + np.exp(-eta))
+    ybin = (rng.uniform(size=n) < p).astype(float)
+    lam = np.exp(0.2 + 0.3 * x1 + 0.1 * x2)
+    ypois = rng.poisson(lam).astype(float)
+    return pd.DataFrame(
+        {
+            "x1": x1,
+            "x2": x2,
+            "g": g.astype(np.int64),
+            "ybin": ybin,
+            "ypois": ypois,
+            "ynum": eta + rng.normal(size=n),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def glm_df(spark, glm_pdf):
+    return spark.createDataFrame(glm_pdf)
+
+
+def _X(pdf, cols):
+    return np.column_stack([np.ones(len(pdf))] + [pdf[c].values for c in cols])
+
+
+def test_logit_matches_numpy_irls(glm_df, glm_pdf):
+    m = dbglm("ybin ~ x1 + x2", glm_df, family="binomial")
+    X = _X(glm_pdf, ["x1", "x2"])
+    beta, bread, _ = _np_irls(X, glm_pdf["ybin"].values, "binomial")
+    assert m.converged
+    np.testing.assert_allclose(m.coef().values, beta, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(
+        m.se().values, np.sqrt(np.diag(bread)), rtol=1e-6, atol=1e-10
+    )
+    # deviance = -2·loglik for 0/1 outcomes (saturated ll = 0)
+    assert m.deviance == pytest.approx(-2.0 * m.loglik, rel=1e-12)
+    assert 0 < m.deviance < m.null_deviance
+
+
+def test_poisson_matches_numpy_irls(glm_df, glm_pdf):
+    m = dbglm("ypois ~ x1 + x2", glm_df, family="poisson")
+    X = _X(glm_pdf, ["x1", "x2"])
+    beta, bread, _ = _np_irls(X, glm_pdf["ypois"].values, "poisson")
+    assert m.converged
+    np.testing.assert_allclose(m.coef().values, beta, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(
+        m.se().values, np.sqrt(np.diag(bread)), rtol=1e-6, atol=1e-10
+    )
+
+
+def test_gaussian_equals_ols(glm_df):
+    m = dbglm("ynum ~ x1 + x2", glm_df, family="gaussian")
+    ref = dbreg("ynum ~ x1 + x2", glm_df, strategy="moments")
+    np.testing.assert_allclose(
+        m.coef().values, ref.coef().values, rtol=1e-9, atol=1e-12
+    )
+    # gaussian model-based SEs use the pearson (= OLS sigma²) dispersion
+    np.testing.assert_allclose(m.se().values, ref.se().values, rtol=1e-7)
+
+
+def test_logit_hc1_matches_numpy_sandwich(glm_df, glm_pdf):
+    m = dbglm("ybin ~ x1 + x2", glm_df, family="binomial", vcov="hc1")
+    X = _X(glm_pdf, ["x1", "x2"])
+    y = glm_pdf["ybin"].values
+    beta, bread, mu = _np_irls(X, y, "binomial")
+    V = _sandwich_hc1(X, y, mu, bread, len(y), X.shape[1])
+    np.testing.assert_allclose(m.se().values, np.sqrt(np.diag(V)), rtol=1e-6)
+
+
+def test_logit_cluster_matches_numpy_crve(glm_df, glm_pdf):
+    m = dbglm("ybin ~ x1 + x2", glm_df, family="binomial", vcov="~ g")
+    X = _X(glm_pdf, ["x1", "x2"])
+    y = glm_pdf["ybin"].values
+    beta, bread, mu = _np_irls(X, y, "binomial")
+    V = _sandwich_cr1(X, y, mu, bread, glm_pdf["g"].values, len(y), X.shape[1])
+    assert m.n_clusters == glm_pdf["g"].nunique()
+    np.testing.assert_allclose(m.se().values, np.sqrt(np.diag(V)), rtol=1e-6)
+
+
+def test_factor_regressor_expands(glm_df, glm_pdf):
+    pdf = glm_pdf.assign(cat=np.where(glm_pdf["g"] % 2 == 0, "even", "odd"))
+    sdf = glm_df.sparkSession.createDataFrame(pdf)
+    m = dbglm("ybin ~ x1 + cat", sdf, family="binomial")
+    X = np.column_stack(
+        [np.ones(len(pdf)), pdf["x1"].values, (pdf["cat"] == "odd").astype(float)]
+    )
+    beta, _, _ = _np_irls(X, pdf["ybin"].values, "binomial")
+    assert any("cat" in n for n in m.coef_names)
+    np.testing.assert_allclose(m.coef().values, beta, rtol=1e-7, atol=1e-9)
+
+
+def test_predict_response_and_link(glm_df, glm_pdf):
+    m = dbglm("ybin ~ x1 + x2", glm_df, family="binomial")
+    out = m.predict(glm_df, type="response").select("fit").toPandas()["fit"]
+    assert ((out >= 0) & (out <= 1)).all()
+    link = m.predict(glm_df, type="link").select("fit").toPandas()["fit"]
+    X = _X(glm_pdf, ["x1", "x2"])
+    # row order is preserved for a local-relation source
+    np.testing.assert_allclose(
+        np.sort(link.values), np.sort(X @ m.coef().values), rtol=1e-7
+    )
+
+
+def test_refuses_fe_formula(glm_df):
+    with pytest.raises(NotImplementedError, match="fixed effects"):
+        dbglm("ybin ~ x1 | g", glm_df, family="binomial")
+
+
+def test_rejects_non_binary_outcome(glm_df):
+    with pytest.raises(ValueError, match="0/1 outcome"):
+        dbglm("ypois ~ x1", glm_df, family="binomial")
+
+
+def test_rejects_negative_poisson_outcome(glm_df):
+    with pytest.raises(ValueError, match="non-negative"):
+        dbglm("ynum ~ x1", glm_df, family="poisson")
+
+
+def test_collinear_column_dropped(glm_df, glm_pdf):
+    pdf = glm_pdf.assign(x1_copy=glm_pdf["x1"])
+    sdf = glm_df.sparkSession.createDataFrame(pdf)
+    m = dbglm("ybin ~ x1 + x1_copy + x2", sdf, family="binomial")
+    assert m.collin_vars  # one of the twins dropped
+    X = _X(glm_pdf, ["x1", "x2"])
+    beta, _, _ = _np_irls(X, glm_pdf["ybin"].values, "binomial")
+    # kept coefficients still match the full-rank fit
+    np.testing.assert_allclose(np.sort(m.coef().values), np.sort(beta), rtol=1e-7)
+
+
+def test_separation_warns_not_crashes(spark):
+    # perfectly separated: MLE diverges; must terminate with a warning, not
+    # an exception or a non-finite coeftable
+    pdf = pd.DataFrame({"y": [0.0] * 20 + [1.0] * 20, "x": list(range(40))})
+    sdf = spark.createDataFrame(pdf)
+    with pytest.warns(UserWarning):
+        m = dbglm("y ~ x", sdf, family="binomial", max_iter=8)
+    assert not m.converged
+    assert np.isfinite(m.coef().values).all()
+
+
+def test_multiway_cluster_runs(glm_df, glm_pdf):
+    pdf = glm_pdf.assign(g2=(glm_pdf["g"] * 7 + 3) % 11)
+    sdf = glm_df.sparkSession.createDataFrame(pdf)
+    m = dbglm("ybin ~ x1 + x2", sdf, family="binomial", vcov="~ g + g2")
+    assert m.n_clusters == min(pdf["g"].nunique(), pdf["g2"].nunique())
+    assert np.isfinite(m.se().values).all()
+
+
+def test_pass_plan_sql_matches_duckdb(spark, duck, sf_dir):
+    """The one-pass weighted-moment aggregation at a fixed β: Spark plan vs
+    the emitted DuckDB SQL (the gate's mechanism, pinned here too)."""
+    import numpy as np
+
+    from dbreg_spark.design import build_design
+    from dbreg_spark.formula import parse_formula
+    from dbreg_spark.glm import get_family, irls_pass_plan
+    from dbreg_spark.plans.common import resolve_source
+    from dbreg_spark.plans.frames import build_base_frame
+
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet")  # ensure view exists via tables fixture elsewhere
+    src = resolve_source(spark, path=f"{sf_dir}/lineitem.parquet")
+    parsed = parse_formula("is_return ~ l_quantity + l_discount")
+    df = src.df.withColumn(
+        "is_return", (src.df["l_returnflag"] == "R").cast("double")
+    )
+    from dbreg_spark.plans.common import Source
+
+    src2 = Source(
+        df=df,
+        sql_from=(
+            "FROM (SELECT *, CAST(l_returnflag = 'R' AS DOUBLE) AS is_return "
+            f"FROM read_parquet('{sf_dir}/lineitem.parquet'))"
+        ),
+    )
+    design = build_design(src2.df, parsed, expand="all", fe_vars=None)
+    frame = build_base_frame(src2, parsed, design, True, want_sql=True)
+    fam = get_family("binomial")
+    beta = np.array([-0.5, 0.02, 0.3])
+    spec, agg_df, sql = irls_pass_plan(frame, fam, beta, list(frame.x_cols), True)
+    srow = agg_df.collect()[0].asDict()
+    orow = duck.execute(sql).fetchdf().iloc[0].to_dict()
+    for k, v in srow.items():
+        assert orow[k] == pytest.approx(v, rel=1e-9), k
