@@ -120,6 +120,21 @@ def main() -> None:
             vcov="hc1",
         ),
     )
+    # GLM: full logit IRLS fit (≈5 passes) + HC1 score-meat pass
+    from dbreg_spark import dbglm
+
+    li_glm = li.withColumn(
+        "is_return", (F.col("l_returnflag") == "R").cast("double")
+    )
+    bench(
+        "glm_logit_hc1",
+        lambda: dbglm(
+            "is_return ~ l_quantity + l_discount",
+            li_glm,
+            family="binomial",
+            vcov="hc1",
+        ),
+    )
     bench(
         "reg_demean_2fe_hc1",
         lambda: dbreg(

@@ -214,6 +214,10 @@ def irls_pass_plan(
         ("__w", _d(w)),
         ("__wz", _d(wz)),
         ("__ll", _d(ll)),
+        # pearson χ² rides every pass (free vs a dedicated scan): the pass
+        # that detects convergence is at the final β, so its value is the
+        # final-model diagnostic / gaussian dispersion
+        ("__p2", _d(family.pearson_sq(mu, y))),
     ]
     if first:
         proj_exprs.append(("__llsat", _d(family.ll_sat(y))))
@@ -231,6 +235,7 @@ def irls_pass_plan(
     spec: list[tuple[str, Agg]] = [
         ("n_total", count_star()),
         ("ll", asum(Var("__ll"))),
+        ("pearson", asum(Var("__p2"))),
     ]
     if first:
         spec += [
@@ -626,9 +631,13 @@ def dbglm(
             beta_prev, beta = beta, sol.betahat
             ll_prev = ll_i
         if not converged:
+            # report the β of the last EVALUATED pass, so coefficients,
+            # information matrix, log-likelihood and pearson all refer to
+            # the same point
+            beta = beta_prev
             warnings.warn(
                 f"[dbglm] IRLS did not converge in {max_iter} iterations "
-                f"(family={fam.name}); estimates are the last accepted step"
+                f"(family={fam.name}); estimates are the last evaluated step"
             )
 
     ll_final = ll_prev
@@ -652,17 +661,9 @@ def dbglm(
     df_res = max(n_total - p, 1.0)
     info_inv = solve_with_fallback(final_a, np.zeros(p)).xtx_inv
 
-    # pearson dispersion: one cheap extra aggregation at final β (diagnostic;
-    # fixed to 1 for binomial/poisson model-based vcov, the R glm convention)
-    eta_f = _eta_expr(beta, x_kept, icpt)
-    mu_f = fam.mu(eta_f)
-    pearson = float(
-        frame.df.select(
-            to_spark(_d(fam.pearson_sq(mu_f, _d(Var(frame.y_col))))).alias("__p2")
-        )
-        .agg(F.sum("__p2"))
-        .collect()[0][0]
-    )
+    # pearson dispersion rode the final accepted pass (fixed to 1 for
+    # binomial/poisson model-based vcov, the R glm convention)
+    pearson = float(final_row["pearson"])
     dispersion = pearson / df_res if fam.name == "gaussian" else 1.0
 
     meat = n_clusters = None
