@@ -77,7 +77,12 @@ from .plans.exprs import (
     to_sql,
 )
 from .plans.frames import Frame, build_base_frame
-from .solve import compute_vcov, detect_collinearity, solve_with_fallback
+from .solve import (
+    compute_vcov,
+    detect_collinearity,
+    gen_coeftable,
+    solve_with_fallback,
+)
 from .stats import norm_ppf
 
 FAMILIES = ("binomial", "poisson", "gaussian")
@@ -347,12 +352,6 @@ def glm_meat(
 # --------------------------------------------------------------------------
 
 
-def _norm_sf(z):
-    z = np.atleast_1d(np.asarray(z, dtype=float))
-    out = np.array([0.5 * math.erfc(v / math.sqrt(2.0)) for v in z])
-    return out
-
-
 @dataclass
 class GlmModel:
     """Fitted GLM. Inference is Wald-z (normal), the MLE convention."""
@@ -477,20 +476,6 @@ class GlmModel:
         return "\n".join(lines)
 
 
-def _gen_coeftable_z(betahat, vcov, names):
-    import pandas as pd
-
-    b = np.asarray(betahat, dtype=float).reshape(-1)
-    se = np.sqrt(np.clip(np.diag(vcov), 0.0, None))
-    with np.errstate(divide="ignore", invalid="ignore"):
-        z = b / se
-    p = 2.0 * _norm_sf(np.abs(z))
-    return pd.DataFrame(
-        {"estimate": b, "std.error": se, "statistic": z, "p.value": p},
-        index=list(names),
-    )
-
-
 # --------------------------------------------------------------------------
 # dbglm entry point
 # --------------------------------------------------------------------------
@@ -541,13 +526,18 @@ def dbglm(
         want_sql=source.sql_from is not None,
     )
 
-    names_all = ["(Intercept)"] + [standardize_coef_names(n) for n in frame.x_cols]
+    icpt_req = bool(parsed.intercept)  # "y ~ 0 + x" / "- 1" suppresses it
+    names_all = (["(Intercept)"] if icpt_req else []) + [
+        standardize_coef_names(n) for n in frame.x_cols
+    ]
     x_names = list(frame.x_cols)
     p_all = len(names_all)
 
     # ---- first pass at β = 0: moments + collinearity + y diagnostics ----
     beta = np.zeros(p_all)
-    spec, agg_df, sql = irls_pass_plan(frame, fam, beta, x_names, True, first=True)
+    spec, agg_df, sql = irls_pass_plan(
+        frame, fam, beta, x_names, icpt_req, first=True
+    )
     row = agg_df.collect()[0].asDict()
     n_total = float(row["n_total"])
     if n_total == 0:
@@ -570,10 +560,11 @@ def dbglm(
     # at β=0, binomial A = X'X/4 and gaussian A = X'X: pivot detection on
     # the weighted matrix is scale-invariant, so collinear columns drop once
     collin = detect_collinearity(a0, b0, names_all)
-    keep_idx = [names_all.index(n) for n in collin.keep_names]
+    keep_idx = list(collin.keep_idx)  # positional — immune to name collisions
     names = list(collin.keep_names)
-    icpt = "(Intercept)" in names
-    x_kept = [xn for xn in x_names if standardize_coef_names(xn) in names]
+    off0 = 1 if icpt_req else 0
+    icpt = icpt_req and 0 in keep_idx
+    x_kept = [x_names[i - off0] for i in keep_idx if i >= off0]
     p = len(names)
 
     def sub(a, b):
@@ -585,10 +576,12 @@ def dbglm(
     ll_prev = ll0
     beta_prev = np.zeros(p)
     converged = False
+    gave_up = False
     n_iter = 1
     halvings = 0
     final_row = row
     final_a = a_k
+    accepted_beta = np.zeros(p)  # β of the pass final_row/final_a came from
     last_sql = sql
 
     if fam.name == "gaussian":
@@ -608,19 +601,21 @@ def dbglm(
             n_iter += 1
             if not math.isfinite(ll_i) or ll_i < ll_prev - 1e-10 * (abs(ll_prev) + 1.0):
                 # overshoot (poisson exp blow-up / extreme logit step):
-                # halve back toward the last accepted β
+                # halve back toward the last accepted β. 12 halvings shrink
+                # the step by 4096× — past that the direction itself is bad
                 halvings += 1
-                if halvings > 30:
+                if halvings > 12:
                     warnings.warn(
                         "[dbglm] step-halving failed to restore likelihood "
                         "ascent; stopping at the last accepted coefficients"
                     )
-                    beta = beta_prev
+                    gave_up = True
                     break
                 beta = 0.5 * (beta + beta_prev)
                 continue
             halvings = 0
             final_row, final_a = rowi, a_i
+            accepted_beta = beta
             if verbose:
                 print(f"[dbglm] iter {n_iter}: ll = {ll_i:.10g}")
             if abs(ll_i - ll_prev) <= tol * (abs(ll_i) + 0.1):
@@ -631,31 +626,42 @@ def dbglm(
             beta_prev, beta = beta, sol.betahat
             ll_prev = ll_i
         if not converged:
-            # report the β of the last EVALUATED pass, so coefficients,
+            # report the β of the last ACCEPTED pass, so coefficients,
             # information matrix, log-likelihood and pearson all refer to
             # the same point
-            beta = beta_prev
-            warnings.warn(
-                f"[dbglm] IRLS did not converge in {max_iter} iterations "
-                f"(family={fam.name}); estimates are the last evaluated step"
-            )
+            beta = accepted_beta
+            if not gave_up:
+                warnings.warn(
+                    f"[dbglm] IRLS did not converge in {max_iter} iterations "
+                    f"(family={fam.name}); estimates are the last accepted "
+                    "step"
+                )
 
     ll_final = ll_prev
     deviance = 2.0 * (ll_sat - ll_final)
-    # null model (intercept-only) in closed form from Σy (binomial/poisson)
+    # null model in closed form from Σy: intercept-only (μ̂ = ȳ) when the
+    # model has an intercept, else the zero linear predictor (R convention
+    # for no-intercept GLMs)
     ybar = sum_y / n_total
     if fam.name == "binomial":
-        null_ll = (
-            n_total * (ybar * math.log(ybar) + (1 - ybar) * math.log(1 - ybar))
-            if 0.0 < ybar < 1.0
-            else 0.0
-        )
+        if icpt_req:
+            null_ll = (
+                n_total * (ybar * math.log(ybar) + (1 - ybar) * math.log(1 - ybar))
+                if 0.0 < ybar < 1.0
+                else 0.0
+            )
+        else:
+            null_ll = -n_total * math.log(2.0)  # η=0 ⇒ μ=1/2
         null_dev = 2.0 * (ll_sat - null_ll)
     elif fam.name == "poisson":
-        null_ll = (sum_y * math.log(ybar) - n_total * ybar) if ybar > 0 else 0.0
+        if icpt_req:
+            null_ll = (sum_y * math.log(ybar) - n_total * ybar) if ybar > 0 else 0.0
+        else:
+            null_ll = -n_total  # η=0 ⇒ μ=1: Σ(y·0 − 1)
         null_dev = 2.0 * (ll_sat - null_ll)
     else:
-        null_dev = sum_y_sq - sum_y**2 / n_total  # TSS
+        # TSS about ȳ with an intercept, about 0 without
+        null_dev = sum_y_sq - (sum_y**2 / n_total if icpt_req else 0.0)
         deviance = -2.0 * ll_final  # RSS (ll = −Σ(y−η)²/2)
 
     df_res = max(n_total - p, 1.0)
@@ -671,20 +677,30 @@ def dbglm(
         meat, _ = glm_meat(frame, fam, beta, x_kept, icpt)
     elif vcov_type == "cluster":
         if len(cluster_vars) > 1:
-            # CGM inclusion-exclusion over non-empty subsets, same sign
-            # convention as the linear multiway path
+            # CGM inclusion-exclusion over non-empty subsets, mirroring the
+            # linear path (api.py:_cluster_meat_any): each component carries
+            # its OWN g_S/(g_S−1) small-sample factor, folded into an
+            # effective meat so compute_vcov's single CR1 formula (with
+            # G = min single-variable G, the reporting convention) returns
+            # the exact component sum — the n/(n−p) factors cancel in the
+            # ratio
             from itertools import combinations
 
-            meat = np.zeros((p, p))
+            comps = []
             gmin = None
             for k in range(1, len(cluster_vars) + 1):
                 for subset in combinations(cluster_vars, k):
                     m_s, g_s = glm_meat(
                         frame, fam, beta, x_kept, icpt, list(subset)
                     )
-                    meat += ((-1.0) ** (k + 1)) * m_s
+                    comps.append((k, m_s, g_s))
                     if k == 1:
                         gmin = g_s if gmin is None else min(gmin, g_s)
+            scale_ref = gmin / (gmin - 1)
+            meat = np.zeros((p, p))
+            for k, m_s, g_s in comps:
+                sign = 1.0 if k % 2 == 1 else -1.0
+                meat += sign * ((g_s / (g_s - 1)) / scale_ref) * m_s
             n_clusters = gmin
         else:
             meat, n_clusters = glm_meat(
@@ -698,7 +714,7 @@ def dbglm(
             vcov_type, info_inv, deviance, df_res, n_total, p, meat, n_clusters
         )
 
-    ct = _gen_coeftable_z(beta, V, names)
+    ct = gen_coeftable(beta, V, df_res, names, use_z=True)
     frame.cleanup()
     return GlmModel(
         coeftable=ct,

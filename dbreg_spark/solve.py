@@ -137,9 +137,16 @@ def compute_vcov(
     return sigma2 * xtx_inv
 
 
-def gen_coeftable(betahat: np.ndarray, vcov: np.ndarray, df_residual: float, names: list[str]):
+def gen_coeftable(
+    betahat: np.ndarray,
+    vcov: np.ndarray,
+    df_residual: float,
+    names: list[str],
+    use_z: bool = False,
+):
     """pandas coeftable: estimate, std.error, statistic, p.value
-    (reference: R/utils.R:10-17)."""
+    (reference: R/utils.R:10-17). ``use_z=True`` switches to Wald-z
+    (standard-normal) p-values — the GLM/MLE convention."""
     import pandas as pd
 
     b = np.asarray(betahat, dtype=float).reshape(-1)
@@ -155,7 +162,14 @@ def gen_coeftable(betahat: np.ndarray, vcov: np.ndarray, df_residual: float, nam
     se = np.sqrt(np.clip(diag, 0.0, None))
     with np.errstate(divide="ignore", invalid="ignore"):
         t = b / se
-    p = 2.0 * np.asarray(t_sf(np.abs(t), df_residual))
+    if use_z:
+        import math
+
+        p = np.asarray(
+            [math.erfc(abs(v) / math.sqrt(2.0)) if np.isfinite(v) else 0.0 for v in t]
+        )
+    else:
+        p = 2.0 * np.asarray(t_sf(np.abs(t), df_residual))
     return pd.DataFrame(
         {"estimate": b, "std.error": se, "statistic": t, "p.value": p}, index=list(names)
     )

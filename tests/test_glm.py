@@ -222,12 +222,39 @@ def test_separation_warns_not_crashes(spark):
     assert np.isfinite(m.coef().values).all()
 
 
-def test_multiway_cluster_runs(glm_df, glm_pdf):
+def test_multiway_cluster_matches_numpy_cgm(glm_df, glm_pdf):
+    """Two-way CGM: V = V_g + V_g2 − V_g∩g2 with each component carrying its
+    own G_S/(G_S−1) CR1 factor — the same convention as the linear path."""
     pdf = glm_pdf.assign(g2=(glm_pdf["g"] * 7 + 3) % 11)
     sdf = glm_df.sparkSession.createDataFrame(pdf)
     m = dbglm("ybin ~ x1 + x2", sdf, family="binomial", vcov="~ g + g2")
     assert m.n_clusters == min(pdf["g"].nunique(), pdf["g2"].nunique())
-    assert np.isfinite(m.se().values).all()
+
+    X = _X(glm_pdf, ["x1", "x2"])
+    y = glm_pdf["ybin"].values
+    beta, bread, mu = _np_irls(X, y, "binomial")
+    inter = pdf["g"].astype(str) + "|" + pdf["g2"].astype(str)
+    n, p = X.shape
+    V = (
+        _sandwich_cr1(X, y, mu, bread, pdf["g"].values, n, p)
+        + _sandwich_cr1(X, y, mu, bread, pdf["g2"].values, n, p)
+        - _sandwich_cr1(X, y, mu, bread, inter.values, n, p)
+    )
+    np.testing.assert_allclose(m.vcov_, V, rtol=1e-6)
+
+
+def test_no_intercept_formula_honored(glm_df, glm_pdf):
+    m = dbglm("ybin ~ 0 + x1 + x2", glm_df, family="binomial")
+    assert "(Intercept)" not in m.coef_names
+    X = np.column_stack([glm_pdf["x1"].values, glm_pdf["x2"].values])
+    beta, bread, _ = _np_irls(X, glm_pdf["ybin"].values, "binomial")
+    np.testing.assert_allclose(m.coef().values, beta, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(
+        m.se().values, np.sqrt(np.diag(bread)), rtol=1e-6
+    )
+    # null model for a no-intercept GLM is the zero linear predictor
+    n = len(glm_pdf)
+    assert m.null_deviance == pytest.approx(2 * n * np.log(2), rel=1e-10)
 
 
 def test_pass_plan_sql_matches_duckdb(spark, duck, sf_dir):
@@ -241,7 +268,6 @@ def test_pass_plan_sql_matches_duckdb(spark, duck, sf_dir):
     from dbreg_spark.plans.common import resolve_source
     from dbreg_spark.plans.frames import build_base_frame
 
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet")  # ensure view exists via tables fixture elsewhere
     src = resolve_source(spark, path=f"{sf_dir}/lineitem.parquet")
     parsed = parse_formula("is_return ~ l_quantity + l_discount")
     df = src.df.withColumn(
