@@ -98,13 +98,20 @@ def _neg(e: Expr) -> Expr:
     return Lit(-1.0) * e
 
 
-def _eta_expr(beta: np.ndarray, x_names: list[str], intercept: bool) -> Expr:
-    """η = β₀ + Σ βⱼ·xⱼ with β as 17-digit double literals."""
+def _eta_expr(
+    beta: np.ndarray,
+    x_names: list[str],
+    intercept: bool,
+    offset: str | None = None,
+) -> Expr:
+    """η = [offset +] β₀ + Σ βⱼ·xⱼ with β as 17-digit double literals."""
     b = np.asarray(beta, dtype=float).reshape(-1)
     off = 1 if intercept else 0
     e: Expr = Lit(float(b[0])) if intercept else Lit(0.0)
     for j, xn in enumerate(x_names):
         e = e + Lit(float(b[j + off])) * _d(Var(xn))
+    if offset is not None:
+        e = _d(Var(offset)) + e
     return e
 
 
@@ -129,11 +136,21 @@ class _Family:
             return mu
         return Lit(1.0)
 
-    def wz(self, eta: Expr, mu: Expr, y: Expr, w: Expr) -> Expr:
-        """w·z = w·η + (y−μ) — division-free working response."""
+    def wz(
+        self,
+        eta_x: Expr,
+        mu: Expr,
+        y: Expr,
+        w: Expr,
+        offset_expr: Expr | None = None,
+    ) -> Expr:
+        """w·(z−offset) = w·η_x + (y−μ) — the division-free working
+        response measured on the Xβ scale (``eta_x`` EXCLUDES the offset;
+        μ and w are evaluated at the full η = offset + η_x). Solving
+        X'WX β = X'W(z−offset) is the IRLS step with an offset."""
         if self.name == "gaussian":
-            return y
-        return w * eta + (y - mu)
+            return y if offset_expr is None else y - offset_expr
+        return w * eta_x + (y - mu)
 
     def ll(self, eta: Expr, mu: Expr, y: Expr) -> Expr:
         """Per-row log-likelihood contribution (poisson: up to the constant
@@ -153,7 +170,12 @@ class _Family:
     def ll_sat(self, y: Expr) -> Expr:
         """Saturated-model per-row log-likelihood (same constant dropped)."""
         if self.name == "binomial":
-            return Lit(0.0)  # exact for y ∈ {0,1}
+            # y·ln(y) + (1−y)·ln(1−y) with 0·ln(0) = 0 — evaluates to 0 for
+            # 0/1 outcomes, nonzero for grouped proportions (weights=trials)
+            one_my = Lit(1.0) - y
+            t1 = CaseGE(y, 0.0, y * Func("ln", (y,)), strict=True)
+            t2 = CaseGE(one_my, 0.0, one_my * Func("ln", (one_my,)), strict=True)
+            return t1 + t2
         if self.name == "poisson":
             # y>0: y·ln(y) − y; y=0: 0
             return CaseGE(y, 0.0, y * Func("ln", (y,)) - y, strict=True)
@@ -197,23 +219,37 @@ def irls_pass_plan(
     x_names: list[str],
     intercept: bool = True,
     first: bool = False,
+    offset: str | None = None,
+    weights: str | None = None,
 ):
     """Build the single-pass weighted-moment aggregation at literal β.
 
     Returns (spec, agg_df, sql). ``first=True`` adds the once-per-fit free
-    riders (Σy, Σy², min/max y, a non-binary-y detector, the saturated
-    log-likelihood) to the same scan.
+    riders (Σωy, Σωy², Σω, min/max of y and ω, a non-binary-y detector, the
+    saturated log-likelihood) to the same scan.
+
+    ``offset`` adds a per-row linear-predictor shift (η = offset + Xβ);
+    ``weights`` are prior weights ω: the IRLS weight becomes ω·w, the score
+    ω·(y−μ), and the log-likelihood/pearson terms are ω-scaled — R's
+    ``glm(weights=)`` semantics (for binomial: y = proportion, ω = trials).
 
     The per-row μ/w/wz/ll expressions are materialized ONCE in a projection
     before the aggregation — inlining η into all p(p+1)/2 product terms
     blows up codegen quadratically (same finding as hc1_meat_plan).
     """
     y = _d(Var(frame.y_col))
-    eta = _eta_expr(beta, x_names, intercept)
+    eta_x = _eta_expr(beta, x_names, intercept)  # Xβ part only
+    off_e: Expr | None = _d(Var(offset)) if offset is not None else None
+    eta = off_e + eta_x if off_e is not None else eta_x
     mu = family.mu(eta)
     w = family.w(eta, mu)
-    wz = family.wz(eta, mu, y, w)
+    wz = family.wz(eta_x, mu, y, w, off_e)
     ll = family.ll(eta, mu, y)
+    om: Expr | None = _d(Var(weights)) if weights is not None else None
+    if om is not None:
+        w = om * w
+        wz = om * wz
+        ll = om * ll
 
     proj_exprs: list[tuple[str, Expr]] = [
         ("__w", _d(w)),
@@ -222,11 +258,18 @@ def irls_pass_plan(
         # pearson χ² rides every pass (free vs a dedicated scan): the pass
         # that detects convergence is at the final β, so its value is the
         # final-model diagnostic / gaussian dispersion
-        ("__p2", _d(family.pearson_sq(mu, y))),
+        ("__p2", _d(
+            family.pearson_sq(mu, y) if om is None
+            else om * family.pearson_sq(mu, y)
+        )),
     ]
     if first:
-        proj_exprs.append(("__llsat", _d(family.ll_sat(y))))
+        llsat = family.ll_sat(y)
+        proj_exprs.append(
+            ("__llsat", _d(llsat if om is None else om * llsat))
+        )
         proj_exprs.append(("__y", y))
+        proj_exprs.append(("__wt", _d(om) if om is not None else Lit(1.0)))
         if family.name == "binomial":
             # y(1−y) ≠ 0 ⇔ y ∉ {0,1}; Σ|·| > 0 flags a non-binary outcome
             proj_exprs.append(("__ybad", Func("abs", (y * (Lit(1.0) - y),))))
@@ -245,8 +288,10 @@ def irls_pass_plan(
     if first:
         spec += [
             ("ll_sat", asum(Var("__llsat"))),
-            ("sum_y", asum(Var("__y"))),
-            ("sum_y_sq", asum(Var("__y") * Var("__y"))),
+            ("sum_wt", asum(Var("__wt"))),
+            ("wt_min", amin(Var("__wt"))),
+            ("sum_y", asum(Var("__wt") * Var("__y"))),
+            ("sum_y_sq", asum(Var("__wt") * Var("__y") * Var("__y"))),
             ("y_min", amin(Var("__y"))),
             ("y_max", amax(Var("__y"))),
         ]
@@ -298,16 +343,20 @@ def glm_meat(
     x_names: list[str],
     intercept: bool,
     cluster_cols: list[str] | None = None,
+    offset: str | None = None,
+    weights: str | None = None,
 ) -> tuple[np.ndarray, int | None]:
-    """HC meat Σ (y−μ̂)²·x·xᵀ, or with ``cluster_cols`` the CR meat
-    Σ_g s_g s_gᵀ from per-cluster score sums s_g = Σ_g (y−μ̂)·x — the score
+    """HC meat Σ s²·x·xᵀ, or with ``cluster_cols`` the CR meat
+    Σ_g s_g s_gᵀ from per-cluster score sums s_g = Σ_g s·x — the score
     shuffle carries one p-vector per cluster, the outer-product sum is one
     more single-row aggregation (driver never loops over clusters; mirrors
-    plans/meat.py:cluster_meat)."""
+    plans/meat.py:cluster_meat). The score residual is s = ω·(y−μ̂)."""
     y = _d(Var(frame.y_col))
-    eta = _eta_expr(beta, x_names, intercept)
+    eta = _eta_expr(beta, x_names, intercept, offset)
     mu = family.mu(eta)
     s = y - mu
+    if weights is not None:
+        s = _d(Var(weights)) * s
     cols: list[Expr] = ([Lit(1.0)] if intercept else []) + [Var(n) for n in x_names]
     p = len(cols)
 
@@ -378,6 +427,8 @@ class GlmModel:
     design_info: DesignInfo
     parsed: ParsedFormula
     query_string: str | None = None
+    offset: str | None = None
+    weights_col: str | None = None
     _betahat: np.ndarray = field(default=None, repr=False)
 
     def coef(self):
@@ -457,6 +508,13 @@ class GlmModel:
         eta: Expr = Lit(float(b[0])) if icpt else Lit(0.0)
         for j, n in enumerate(kept):
             eta = eta + Lit(float(b[j + off])) * _d(name_to_expr[n])
+        if self.offset is not None:
+            if self.offset not in data.columns:
+                raise ValueError(
+                    f"predict: the model was fit with offset="
+                    f"{self.offset!r}, which is missing from the data"
+                )
+            eta = _d(Var(self.offset)) + eta
         col = to_spark(eta)
         if type == "response" and self.family != "gaussian":
             col = to_spark(fam.mu(eta))
@@ -491,6 +549,8 @@ def dbglm(
     family: str = "binomial",
     vcov: str | None = "iid",
     cluster=None,
+    offset: str | None = None,
+    weights: str | None = None,
     max_iter: int = 25,
     tol: float = 1e-8,
     drop_missings: bool = True,
@@ -500,9 +560,13 @@ def dbglm(
     per-pass computation; the driver holds only the p×p system.
 
     ``fml`` is the same formula syntax as :func:`dbreg.dbreg` WITHOUT the
-    ``| fe`` part (string/factor regressors expand to dummies). ``vcov`` is
-    "iid" (inverse information), "hc1", or a cluster formula "~ g" /
-    "~ g1 + g2"."""
+    ``| fe`` part (string/factor regressors expand to dummies; ``y ~ 0 + x``
+    suppresses the intercept). ``vcov`` is "iid" (inverse information),
+    "hc1", or a cluster formula "~ g" / "~ g1 + g2". ``offset`` names a
+    column added to the linear predictor (Poisson rate models pass
+    log-exposure). ``weights`` names a prior-weight column ω, R's
+    ``glm(weights=)`` semantics — for binomial, y may then be a proportion
+    in [0, 1] with ω the trial count (grouped/aggregated logit)."""
     fam = get_family(family)
     parsed = parse_formula(fml)
     if parsed.fe:
@@ -517,14 +581,25 @@ def dbglm(
 
     source = resolve_source(spark, data=data, table=table, path=path)
     design = build_design(source.df, parsed, expand="all", fe_vars=None)
+    aux_cols = [c for c in (offset, weights) if c is not None]
     frame = build_base_frame(
         source,
         parsed,
         design,
         drop_missings,
-        extra_cols=list(cluster_vars) if cluster_vars else None,
+        extra_cols=(list(cluster_vars) if cluster_vars else []) + aux_cols or None,
         want_sql=source.sql_from is not None,
     )
+    if aux_cols and drop_missings:
+        # build_base_frame's null filter covers y/x only; a null offset or
+        # weight would poison every aggregate. The SQL mirror is dropped —
+        # its CTE does not carry this extra predicate.
+        cond = None
+        for c in aux_cols:
+            cc = F.col(c).isNotNull()
+            cond = cc if cond is None else (cond & cc)
+        frame.df = frame.df.where(cond)
+        frame.sql_cte = None
 
     icpt_req = bool(parsed.intercept)  # "y ~ 0 + x" / "- 1" suppresses it
     names_all = (["(Intercept)"] if icpt_req else []) + [
@@ -536,24 +611,38 @@ def dbglm(
     # ---- first pass at β = 0: moments + collinearity + y diagnostics ----
     beta = np.zeros(p_all)
     spec, agg_df, sql = irls_pass_plan(
-        frame, fam, beta, x_names, icpt_req, first=True
+        frame, fam, beta, x_names, icpt_req, first=True,
+        offset=offset, weights=weights,
     )
     row = agg_df.collect()[0].asDict()
     n_total = float(row["n_total"])
     if n_total == 0:
         raise ValueError("dbglm: zero rows after missing-value filtering")
-    if fam.name == "binomial" and float(row.get("y_bad") or 0.0) > 0:
+    if weights is not None and float(row["wt_min"]) < 0:
         raise ValueError(
-            f"dbglm(family='binomial') needs a 0/1 outcome; {parsed.yvar} "
-            "has values outside {0, 1}"
+            f"dbglm: weights column {weights} contains negative values"
         )
+    if fam.name == "binomial":
+        if weights is None and float(row.get("y_bad") or 0.0) > 0:
+            raise ValueError(
+                f"dbglm(family='binomial') needs a 0/1 outcome; {parsed.yvar} "
+                "has values outside {0, 1}"
+            )
+        if weights is not None and (
+            float(row["y_min"]) < 0 or float(row["y_max"]) > 1
+        ):
+            raise ValueError(
+                "dbglm(family='binomial', weights=...) needs a proportion "
+                f"outcome in [0, 1]; {parsed.yvar} is outside that range"
+            )
     if fam.name == "poisson" and float(row["y_min"]) < 0:
         raise ValueError(
             f"dbglm(family='poisson') needs a non-negative outcome; "
             f"min({parsed.yvar}) = {row['y_min']}"
         )
-    sum_y = float(row["sum_y"])
-    sum_y_sq = float(row["sum_y_sq"])
+    sum_wt = float(row["sum_wt"])  # = n_total when weights is None
+    sum_y = float(row["sum_y"])  # Σ ω·y
+    sum_y_sq = float(row["sum_y_sq"])  # Σ ω·y²
     ll_sat = float(row["ll_sat"])
 
     a0, b0, ll0, _ = _decode_pass(row, p_all)
@@ -587,7 +676,9 @@ def dbglm(
     if fam.name == "gaussian":
         # identity link: IRLS is exact in one step; run one pass at β̂ for
         # the final log-likelihood / information
-        spec, agg_df, last_sql = irls_pass_plan(frame, fam, beta, x_kept, icpt)
+        spec, agg_df, last_sql = irls_pass_plan(
+            frame, fam, beta, x_kept, icpt, offset=offset, weights=weights
+        )
         r2 = agg_df.collect()[0].asDict()
         a2, b2, ll2, _ = _decode_pass(r2, p)
         final_a, ll_prev, final_row = a2, ll2, r2
@@ -595,7 +686,9 @@ def dbglm(
         converged = True
     else:
         while n_iter < max_iter:
-            spec, agg_df, last_sql = irls_pass_plan(frame, fam, beta, x_kept, icpt)
+            spec, agg_df, last_sql = irls_pass_plan(
+                frame, fam, beta, x_kept, icpt, offset=offset, weights=weights
+            )
             rowi = agg_df.collect()[0].asDict()
             a_i, b_i, ll_i, _ = _decode_pass(rowi, p)
             n_iter += 1
@@ -639,30 +732,36 @@ def dbglm(
 
     ll_final = ll_prev
     deviance = 2.0 * (ll_sat - ll_final)
-    # null model in closed form from Σy: intercept-only (μ̂ = ȳ) when the
-    # model has an intercept, else the zero linear predictor (R convention
-    # for no-intercept GLMs)
-    ybar = sum_y / n_total
-    if fam.name == "binomial":
+    # null model in closed form from the weighted sums: intercept-only
+    # (μ̂ = Σωy/Σω) when the model has an intercept, else the zero linear
+    # predictor (R convention for no-intercept GLMs). With an offset the
+    # closed form does not exist (the null model must still carry the
+    # offset) — report NaN rather than a wrong number.
+    ybar = sum_y / sum_wt if sum_wt > 0 else float("nan")
+    if offset is not None:
+        null_dev = float("nan")
+    elif fam.name == "binomial":
         if icpt_req:
+            # Σω[y·ln(μ̂) + (1−y)·ln(1−μ̂)] from the weighted sums
             null_ll = (
-                n_total * (ybar * math.log(ybar) + (1 - ybar) * math.log(1 - ybar))
+                sum_y * math.log(ybar) + (sum_wt - sum_y) * math.log(1 - ybar)
                 if 0.0 < ybar < 1.0
                 else 0.0
             )
         else:
-            null_ll = -n_total * math.log(2.0)  # η=0 ⇒ μ=1/2
+            null_ll = -sum_wt * math.log(2.0)  # η=0 ⇒ μ=1/2
         null_dev = 2.0 * (ll_sat - null_ll)
     elif fam.name == "poisson":
         if icpt_req:
-            null_ll = (sum_y * math.log(ybar) - n_total * ybar) if ybar > 0 else 0.0
+            null_ll = (sum_y * math.log(ybar) - sum_wt * ybar) if ybar > 0 else 0.0
         else:
-            null_ll = -n_total  # η=0 ⇒ μ=1: Σ(y·0 − 1)
+            null_ll = -sum_wt  # η=0 ⇒ μ=1: Σω(y·0 − 1)
         null_dev = 2.0 * (ll_sat - null_ll)
     else:
-        # TSS about ȳ with an intercept, about 0 without
-        null_dev = sum_y_sq - (sum_y**2 / n_total if icpt_req else 0.0)
-        deviance = -2.0 * ll_final  # RSS (ll = −Σ(y−η)²/2)
+        # weighted TSS about ȳ with an intercept, about 0 without
+        null_dev = sum_y_sq - (sum_y**2 / sum_wt if icpt_req else 0.0)
+    if fam.name == "gaussian":
+        deviance = -2.0 * ll_final  # ω-weighted RSS (ll = −Σω(y−η)²/2)
 
     df_res = max(n_total - p, 1.0)
     info_inv = solve_with_fallback(final_a, np.zeros(p)).xtx_inv
@@ -674,7 +773,9 @@ def dbglm(
 
     meat = n_clusters = None
     if vcov_type == "hc1":
-        meat, _ = glm_meat(frame, fam, beta, x_kept, icpt)
+        meat, _ = glm_meat(
+            frame, fam, beta, x_kept, icpt, offset=offset, weights=weights
+        )
     elif vcov_type == "cluster":
         if len(cluster_vars) > 1:
             # CGM inclusion-exclusion over non-empty subsets, mirroring the
@@ -691,7 +792,8 @@ def dbglm(
             for k in range(1, len(cluster_vars) + 1):
                 for subset in combinations(cluster_vars, k):
                     m_s, g_s = glm_meat(
-                        frame, fam, beta, x_kept, icpt, list(subset)
+                        frame, fam, beta, x_kept, icpt, list(subset),
+                        offset=offset, weights=weights,
                     )
                     comps.append((k, m_s, g_s))
                     if k == 1:
@@ -704,7 +806,8 @@ def dbglm(
             n_clusters = gmin
         else:
             meat, n_clusters = glm_meat(
-                frame, fam, beta, x_kept, icpt, list(cluster_vars)
+                frame, fam, beta, x_kept, icpt, list(cluster_vars),
+                offset=offset, weights=weights,
             )
 
     if vcov_type == "iid":
@@ -739,5 +842,7 @@ def dbglm(
         design_info=design,
         parsed=parsed,
         query_string=last_sql,
+        offset=offset,
+        weights_col=weights,
         _betahat=beta,
     )

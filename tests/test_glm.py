@@ -20,11 +20,14 @@ from dbreg_spark import dbglm, dbreg
 # ---------------------------------------------------------------------------
 
 
-def _np_irls(X, y, family, max_iter=50, tol=1e-12):
+def _np_irls(X, y, family, max_iter=50, tol=1e-12, offset=None, prior_w=None):
     n, p = X.shape
+    o = np.zeros(n) if offset is None else np.asarray(offset, dtype=float)
+    pw = np.ones(n) if prior_w is None else np.asarray(prior_w, dtype=float)
     beta = np.zeros(p)
-    for _ in range(max_iter):
-        eta = X @ beta
+
+    def _wm(beta):
+        eta = o + X @ beta
         if family == "binomial":
             mu = 1.0 / (1.0 + np.exp(-eta))
             w = mu * (1.0 - mu)
@@ -34,26 +37,21 @@ def _np_irls(X, y, family, max_iter=50, tol=1e-12):
         else:
             mu = eta
             w = np.ones(n)
-        z = eta + (y - mu) / np.clip(w, 1e-10, None)
+        return eta, mu, pw * w
+
+    for _ in range(max_iter):
+        eta, mu, w = _wm(beta)
+        z = eta + (y - mu) / np.clip(w / pw, 1e-10, None)
         WX = X * w[:, None]
         A = X.T @ WX
-        b = WX.T @ z
+        b = WX.T @ (z - o)
         beta_new = np.linalg.solve(A, b)
         if np.max(np.abs(beta_new - beta)) < tol:
             beta = beta_new
             break
         beta = beta_new
     # final information and residuals
-    eta = X @ beta
-    if family == "binomial":
-        mu = 1.0 / (1.0 + np.exp(-eta))
-        w = mu * (1.0 - mu)
-    elif family == "poisson":
-        mu = np.exp(eta)
-        w = mu
-    else:
-        mu = eta
-        w = np.ones(n)
+    eta, mu, w = _wm(beta)
     A = X.T @ (X * w[:, None])
     return beta, np.linalg.inv(A), mu
 
@@ -255,6 +253,95 @@ def test_no_intercept_formula_honored(glm_df, glm_pdf):
     # null model for a no-intercept GLM is the zero linear predictor
     n = len(glm_pdf)
     assert m.null_deviance == pytest.approx(2 * n * np.log(2), rel=1e-10)
+
+
+def test_poisson_offset_matches_numpy(glm_df, glm_pdf):
+    """Rate model: log-exposure offset shifts the linear predictor but is
+    not a fitted coefficient."""
+    rng = np.random.default_rng(7)
+    pdf = glm_pdf.assign(log_exp=np.log(rng.uniform(0.5, 4.0, len(glm_pdf))))
+    sdf = glm_df.sparkSession.createDataFrame(pdf)
+    m = dbglm("ypois ~ x1 + x2", sdf, family="poisson", offset="log_exp")
+    X = _X(pdf, ["x1", "x2"])
+    beta, bread, _ = _np_irls(
+        X, pdf["ypois"].values, "poisson", offset=pdf["log_exp"].values
+    )
+    assert m.converged
+    np.testing.assert_allclose(m.coef().values, beta, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(
+        m.se().values, np.sqrt(np.diag(bread)), rtol=1e-6
+    )
+    assert np.isnan(m.null_deviance)  # no closed form with an offset
+    # predict honors the offset; refuses data without the offset column
+    fit = m.predict(sdf, type="link").select("fit", "log_exp", "x1", "x2")
+    pd_fit = fit.toPandas()
+    np.testing.assert_allclose(
+        np.sort(pd_fit["fit"].values),
+        np.sort(
+            pd_fit["log_exp"].values
+            + np.column_stack(
+                [np.ones(len(pd_fit)), pd_fit["x1"], pd_fit["x2"]]
+            )
+            @ beta
+        ),
+        rtol=1e-6,
+    )
+    with pytest.raises(ValueError, match="offset"):
+        m.predict(sdf.drop("log_exp"))
+
+
+def test_grouped_binomial_equals_rowlevel(glm_df, glm_pdf):
+    """Sufficiency: logit on grouped proportions (weights = trials) must
+    reproduce the row-level 0/1 fit exactly — coefficients, SEs, loglik."""
+    pdf = glm_pdf.assign(xq=np.round(glm_pdf["x1"], 1))
+    g = (
+        pdf.groupby(["xq", "g"], as_index=False)
+        .agg(trials=("ybin", "size"), prop=("ybin", "mean"))
+    )
+    spark = glm_df.sparkSession
+    row_m = dbglm(
+        "ybin ~ xq + g", spark.createDataFrame(pdf[["ybin", "xq", "g"]]),
+        family="binomial",
+    )
+    grp_m = dbglm(
+        "prop ~ xq + g", spark.createDataFrame(g), family="binomial",
+        weights="trials",
+    )
+    np.testing.assert_allclose(
+        grp_m.coef().values, row_m.coef().values, rtol=1e-7
+    )
+    np.testing.assert_allclose(grp_m.se().values, row_m.se().values, rtol=1e-6)
+    assert grp_m.loglik == pytest.approx(row_m.loglik, rel=1e-9)
+    # deviances are relative to each representation's own saturated model,
+    # but their DIFFERENCE (null − residual) is saturation-free and matches
+    assert grp_m.null_deviance - grp_m.deviance == pytest.approx(
+        row_m.null_deviance - row_m.deviance, rel=1e-9
+    )
+
+
+def test_weighted_gaussian_is_wls(glm_df, glm_pdf):
+    rng = np.random.default_rng(11)
+    pdf = glm_pdf.assign(wt=rng.uniform(0.2, 3.0, len(glm_pdf)))
+    sdf = glm_df.sparkSession.createDataFrame(pdf)
+    m = dbglm("ynum ~ x1 + x2", sdf, family="gaussian", weights="wt")
+    X = _X(pdf, ["x1", "x2"])
+    w = pdf["wt"].values
+    A = X.T @ (X * w[:, None])
+    beta = np.linalg.solve(A, X.T @ (w * pdf["ynum"].values))
+    np.testing.assert_allclose(m.coef().values, beta, rtol=1e-9)
+    # model-based SEs use pearson dispersion Σw·e²/(n−p)
+    e = pdf["ynum"].values - X @ beta
+    disp = (w * e**2).sum() / (len(pdf) - 3)
+    np.testing.assert_allclose(
+        m.se().values, np.sqrt(disp * np.diag(np.linalg.inv(A))), rtol=1e-7
+    )
+
+
+def test_negative_weights_rejected(glm_df, glm_pdf):
+    pdf = glm_pdf.assign(wt=np.where(glm_pdf["g"] == 0, -1.0, 1.0))
+    sdf = glm_df.sparkSession.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="negative"):
+        dbglm("ybin ~ x1", sdf, family="binomial", weights="wt")
 
 
 def test_pass_plan_sql_matches_duckdb(spark, duck, sf_dir):
