@@ -145,6 +145,73 @@ EP_BREAKS = [float(b) for b in range(0, 121000, 12100)]  # 10 manual bins
 GLM_BETA = [-0.5, 0.02, 0.3]  # (intercept, quantity, discount), logit scale
 
 
+FEPOIS_BETA = [0.001, 0.05]  # fixed (quantity, discount), log scale
+
+
+def _fepois_step_plan(spark: SparkSession):
+    """One profiled FE-Poisson Newton pass at FEPOIS_BETA over lineitem:
+    y = l_linenumber, FE = l_returnflag — group table (pass 1) joined back
+    into the profiled system aggregation (pass 2), exactly the computation
+    dbglm's fepois path runs every iteration."""
+    import numpy as np
+
+    from dbreg_spark.glm import (
+        fepois_group_table,
+        fepois_profiled_agg,
+        fepois_profiled_rows,
+    )
+
+    cols = ["l_returnflag", "l_linenumber", "l_quantity", "l_discount"]
+    df = spark.table("lineitem").select(*cols)
+    cond = None
+    for c in cols:
+        cc = F.col(c).isNotNull()
+        cond = cc if cond is None else (cond & cc)
+    df = df.where(cond)
+    beta = np.asarray(FEPOIS_BETA)
+    x = ["l_quantity", "l_discount"]
+    gtab = fepois_group_table(df, "l_linenumber", x, "l_returnflag", beta)
+    rows = fepois_profiled_rows(
+        df, gtab, "l_linenumber", x, "l_returnflag", beta, first=True
+    )
+    return fepois_profiled_agg(rows, 2, first=True)
+
+
+FEPOIS_ORACLE_SQL = """
+WITH fp_base AS (
+  SELECT l_returnflag,
+         CAST(l_linenumber AS DOUBLE) AS y,
+         CAST(l_quantity AS DOUBLE) AS x0,
+         CAST(l_discount AS DOUBLE) AS x1,
+         EXP(0.0 + 0.001 * CAST(l_quantity AS DOUBLE)
+                 + 0.05 * CAST(l_discount AS DOUBLE)) AS m
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_linenumber IS NOT NULL
+    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+),
+fp_g AS (
+  SELECT l_returnflag, SUM(m) AS wg, SUM(y) AS yg,
+         SUM(m * x0) AS t0, SUM(m * x1) AS t1
+  FROM fp_base GROUP BY l_returnflag
+),
+fp_j AS (
+  SELECT (g.yg / g.wg) * b.m AS mu, b.y,
+         b.x0 - g.t0 / g.wg AS xt0,
+         b.x1 - g.t1 / g.wg AS xt1
+  FROM fp_base b JOIN fp_g g USING (l_returnflag)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+  SUM((CASE WHEN y > 0.0 THEN y * LN(mu) ELSE 0.0 END) - mu) AS ll,
+  SUM(CASE WHEN y > 0.0 THEN y * LN(y) - y ELSE 0.0 END) AS ll_sat,
+  SUM(mu * xt0 * xt0) AS a_0_0,
+  SUM(mu * xt0 * xt1) AS a_0_1,
+  SUM(mu * xt1 * xt1) AS a_1_1,
+  SUM((y - mu) * xt0) AS b_0,
+  SUM((y - mu) * xt1) AS b_1
+FROM fp_j
+"""
+
+
 def _glm_step_plan(spark: SparkSession):
     """(agg_df, oracle_sql) for one logit IRLS pass at GLM_BETA over
     lineitem with the derived 0/1 outcome is_return = (l_returnflag='R')."""
@@ -268,6 +335,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _round_doubles_df(agg_df)
 
     Q["glm_irls_step_logit"] = glm_irls_step
+
+    def fepois_step(spark, sf_dir):
+        _tables(spark, sf_dir)
+        return _round_doubles_df(_fepois_step_plan(spark))
+
+    Q["glm_fepois_profile_step"] = fepois_step
 
     # ---- design matrix (SURVEY §2.7 F1-F2) ----
     def design_matrix(spark, sf_dir):
@@ -1364,6 +1437,14 @@ def oracle_sql() -> dict[str, str]:
         return _round_doubles_sql(sql, cols, dbl)
 
     O["glm_irls_step_logit"] = _glm_oracle()
+
+    _fp_cols = [
+        "n_total", "ll", "ll_sat",
+        "a_0_0", "a_0_1", "a_1_1", "b_0", "b_1",
+    ]
+    O["glm_fepois_profile_step"] = _round_doubles_sql(
+        FEPOIS_ORACLE_SQL, _fp_cols, [c for c in _fp_cols if c != "n_total"]
+    )
 
     # design matrix: levels of l_returnflag are A < N < R; drop reference A
     O["design_matrix_interactions"] = """

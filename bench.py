@@ -135,6 +135,16 @@ def main() -> None:
             vcov="hc1",
         ),
     )
+    # FE-Poisson (PPML): profiled IRLS, 2 passes/iteration + cluster meat
+    bench(
+        "glm_fepois_cluster",
+        lambda: dbglm(
+            "l_linenumber ~ l_quantity + l_discount | l_returnflag",
+            li,
+            family="poisson",
+            vcov="~ l_linestatus",
+        ),
+    )
     bench(
         "reg_demean_2fe_hc1",
         lambda: dbreg(

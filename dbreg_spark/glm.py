@@ -85,7 +85,13 @@ from .solve import (
 )
 from .stats import norm_ppf
 
-FAMILIES = ("binomial", "poisson", "gaussian")
+FAMILIES = (
+    "binomial",
+    "poisson",
+    "gaussian",
+    "quasibinomial",
+    "quasipoisson",
+)
 
 _W_EPS = 1e-12  # pearson-residual denominator floor (never used in w·z)
 
@@ -117,10 +123,18 @@ def _eta_expr(
 
 @dataclass(frozen=True)
 class _Family:
-    """Per-row IRLS expressions for one family, all as IR over η and y."""
+    """Per-row IRLS expressions for one family, all as IR over η and y.
+    ``quasi`` families share their base family's mean/variance structure
+    but scale the model-based vcov by the pearson dispersion (R's
+    quasibinomial/quasipoisson)."""
 
     name: str
     link: str
+    quasi: bool = False
+
+    @property
+    def label(self) -> str:
+        return ("quasi" if self.quasi else "") + self.name
 
     def mu(self, eta: Expr) -> Expr:
         if self.name == "binomial":
@@ -204,7 +218,10 @@ def get_family(name: str) -> _Family:
     n = str(name).strip().lower()
     if n not in FAMILIES:
         raise ValueError(f"family must be one of {FAMILIES}, got {name!r}")
-    return _Family(n, {"binomial": "logit", "poisson": "log", "gaussian": "identity"}[n])
+    quasi = n.startswith("quasi")
+    base = n[5:] if quasi else n
+    link = {"binomial": "logit", "poisson": "log", "gaussian": "identity"}[base]
+    return _Family(base, link, quasi=quasi)
 
 
 # --------------------------------------------------------------------------
@@ -429,7 +446,10 @@ class GlmModel:
     query_string: str | None = None
     offset: str | None = None
     weights_col: str | None = None
+    fe: list[str] = field(default_factory=list)
+    n_fe_levels: int | None = None
     _betahat: np.ndarray = field(default=None, repr=False)
+    _fe_table: object = field(default=None, repr=False)  # lazy (fe, fixef) DF
 
     def coef(self):
         import pandas as pd
@@ -515,10 +535,35 @@ class GlmModel:
                     f"{self.offset!r}, which is missing from the data"
                 )
             eta = _d(Var(self.offset)) + eta
+        if self.fe:
+            # FE model: attach the recovered α̂_g by joining the (fe, fixef)
+            # table — rows with FE levels unseen at fit time get NULL fit
+            missing_fe = [c for c in self.fe if c not in data.columns]
+            if missing_fe:
+                raise ValueError(
+                    f"predict: FE column(s) {missing_fe} missing from data"
+                )
+            eta = _d(Var("__fixef")) + eta
+            data = data.join(
+                self._fe_table.withColumnRenamed("fixef", "__fixef"),
+                on=list(self.fe),
+                how="left",
+            )
         col = to_spark(eta)
         if type == "response" and self.family != "gaussian":
             col = to_spark(fam.mu(eta))
-        return data.withColumn("fit", col)
+        return data.withColumn("fit", col).drop("__fixef")
+
+    def fixef(self):
+        """Recovered fixed-effect levels for FE models: a DataFrame
+        ``(fe, fixef)`` with α̂_g = ln(λ̂_g) on the link scale. Lazy — the
+        plan re-executes against the source on evaluation."""
+        if not self.fe or self._fe_table is None:
+            raise NotImplementedError(
+                "fixef() is only available for models fit with `| fe` "
+                "(fe_poisson); this model has no absorbed fixed effects"
+            )
+        return self._fe_table
 
     def __repr__(self):
         lines = [
@@ -569,18 +614,20 @@ def dbglm(
     in [0, 1] with ω the trial count (grouped/aggregated logit)."""
     fam = get_family(family)
     parsed = parse_formula(fml)
-    if parsed.fe:
+    if parsed.fe and fam.name != "poisson":
         raise NotImplementedError(
-            "dbglm does not support high-cardinality `| fe` fixed effects: "
-            "the weighted within-transformation changes every IRLS "
-            "iteration. List low-cardinality group columns as regressors "
-            "(factors expand to dummies), or use dbreg() for linear FE "
-            "models."
+            "dbglm supports absorbed `| fe` fixed effects for the poisson "
+            "family only (the log link's FE profile is closed-form — the "
+            "fepois/PPML estimator). For other families list "
+            "low-cardinality group columns as regressors (factors expand "
+            "to dummies), or use dbreg() for linear FE models."
         )
     vcov_type, cluster_vars = parse_vcov(vcov, cluster, valid=("iid", "hc1"))
 
     source = resolve_source(spark, data=data, table=table, path=path)
-    design = build_design(source.df, parsed, expand="all", fe_vars=None)
+    design = build_design(
+        source.df, parsed, expand="all", fe_vars=parsed.fe or None
+    )
     aux_cols = [c for c in (offset, weights) if c is not None]
     frame = build_base_frame(
         source,
@@ -600,6 +647,18 @@ def dbglm(
             cond = cc if cond is None else (cond & cc)
         frame.df = frame.df.where(cond)
         frame.sql_cte = None
+
+    if parsed.fe:
+        if fam.quasi:
+            raise NotImplementedError(
+                "dbglm fe_poisson does not support the quasipoisson "
+                "dispersion yet; use vcov='hc1' or a cluster formula for "
+                "robust inference"
+            )
+        return _fe_poisson(
+            frame, parsed, design, fam, vcov_type, cluster_vars,
+            offset, weights, max_iter, tol, verbose,
+        )
 
     icpt_req = bool(parsed.intercept)  # "y ~ 0 + x" / "- 1" suppresses it
     names_all = (["(Intercept)"] if icpt_req else []) + [
@@ -767,9 +826,12 @@ def dbglm(
     info_inv = solve_with_fallback(final_a, np.zeros(p)).xtx_inv
 
     # pearson dispersion rode the final accepted pass (fixed to 1 for
-    # binomial/poisson model-based vcov, the R glm convention)
+    # binomial/poisson model-based vcov, the R glm convention; estimated
+    # for gaussian and the quasi families)
     pearson = float(final_row["pearson"])
-    dispersion = pearson / df_res if fam.name == "gaussian" else 1.0
+    dispersion = (
+        pearson / df_res if (fam.name == "gaussian" or fam.quasi) else 1.0
+    )
 
     meat = n_clusters = None
     if vcov_type == "hc1":
@@ -823,7 +885,7 @@ def dbglm(
         coeftable=ct,
         vcov_=V,
         coef_names=names,
-        family=fam.name,
+        family=fam.label,
         link=fam.link,
         yvar=parsed.yvar,
         vcov_type=vcov_type,
@@ -846,3 +908,349 @@ def dbglm(
         weights_col=weights,
         _betahat=beta,
     )
+
+
+# --------------------------------------------------------------------------
+# FE-Poisson (PPML with absorbed fixed effects — fepois/ppmlhdfe analog)
+# --------------------------------------------------------------------------
+
+
+def _fepois_exprs(y_col, x_names, beta, offset, weights):
+    """Shared per-row IR for the fepois passes: (y, ω, m = e^{o+x'β})."""
+    y = _d(Var(y_col))
+    om: Expr | None = _d(Var(weights)) if weights is not None else None
+    eta_x = _eta_expr(beta, x_names, intercept=False)
+    full = _d(Var(offset)) + eta_x if offset is not None else eta_x
+    m = Func("exp", (full,))
+    return y, om, m
+
+
+def fepois_group_table(
+    df: DataFrame,
+    y_col: str,
+    x_names: list[str],
+    fe: str,
+    beta: np.ndarray,
+    offset: str | None = None,
+    weights: str | None = None,
+) -> DataFrame:
+    """Pass 1 of the profiled Newton step: per-FE sums W_g = Σωm,
+    Y_g = Σωy, T_gj = Σωm·xⱼ at literal β — the weighted group-mean table
+    (one (p+2)-vector per group through the shuffle)."""
+    y, om, m = _fepois_exprs(y_col, x_names, beta, offset, weights)
+    wm = om * m if om is not None else m
+    wy = om * y if om is not None else y
+    aggs = [
+        F.sum(to_spark(_d(wm))).alias("__Wg"),
+        F.sum(to_spark(_d(wy))).alias("__Yg"),
+    ]
+    for j, xn in enumerate(x_names):
+        aggs.append(F.sum(to_spark(_d(wm) * _d(Var(xn)))).alias(f"__T{j}"))
+    return df.groupBy(fe).agg(*aggs)
+
+
+def fepois_profiled_rows(
+    df: DataFrame,
+    gtab: DataFrame,
+    y_col: str,
+    x_names: list[str],
+    fe: str,
+    beta: np.ndarray,
+    offset: str | None = None,
+    weights: str | None = None,
+    first: bool = False,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Pass 2 projection: join the group table, emit per-row weight
+    (ω·μ̂), score (ω(y−μ̂)), log-likelihood, and the profiled regressors
+    x̃ⱼ = xⱼ − T_gj/W_g, with μ̂ = (Y_g/W_g)·m."""
+    y, om, m = _fepois_exprs(y_col, x_names, beta, offset, weights)
+    lam = Var("__Yg") / Var("__Wg")
+    mu = lam * m
+    wexpr = om * mu if om is not None else mu  # ω·μ̂
+    score = (om if om is not None else Lit(1.0)) * (y - mu)
+    # ℓ_i = ω[y·ln μ̂ − μ̂]; y>0 ⇒ Y_g>0 ⇒ μ̂>0, y=0 term is −ωμ̂
+    ylnmu = CaseGE(y, 0.0, y * Func("ln", (mu,)), strict=True)
+    ll = (om if om is not None else Lit(1.0)) * (ylnmu - mu)
+    proj_cols = [
+        to_spark(_d(wexpr)).alias("__w"),
+        to_spark(_d(score)).alias("__s"),
+        to_spark(_d(ll)).alias("__ll"),
+    ]
+    if first:
+        llsat = CaseGE(y, 0.0, y * Func("ln", (y,)) - y, strict=True)
+        if om is not None:
+            llsat = om * llsat
+        proj_cols.append(to_spark(_d(llsat)).alias("__llsat"))
+    for j, xn in enumerate(x_names):
+        xt = _d(Var(xn)) - Var(f"__T{j}") / Var("__Wg")
+        proj_cols.append(to_spark(xt).alias(f"__xt{j}"))
+    return df.join(gtab, fe).select(*(extra_keys or []), *proj_cols)
+
+
+def fepois_profiled_agg(joined: DataFrame, p: int, first: bool = False) -> DataFrame:
+    """Pass 2 aggregation: the profiled Newton system A = X̃'WX̃,
+    s = X̃'(ω(y−μ̂)) plus n and the log-likelihood, as ONE row."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("__ll").alias("ll"),
+    ]
+    if first:
+        aggs.append(F.sum("__llsat").alias("ll_sat"))
+    for i in range(p):
+        for j in range(i, p):
+            aggs.append(
+                F.sum(F.col("__w") * F.col(f"__xt{i}") * F.col(f"__xt{j}"))
+                .alias(f"a_{i}_{j}")
+            )
+    for i in range(p):
+        aggs.append(F.sum(F.col("__s") * F.col(f"__xt{i}")).alias(f"b_{i}"))
+    return joined.agg(*aggs)
+
+
+def _fe_poisson(
+    frame: Frame,
+    parsed: ParsedFormula,
+    design: DesignInfo,
+    fam: _Family,
+    vcov_type: str,
+    cluster_vars,
+    offset: str | None,
+    weights: str | None,
+    max_iter: int,
+    tol: float,
+    verbose: bool,
+) -> GlmModel:
+    """Poisson regression with one absorbed fixed effect, by concentrated
+    (profiled) IRLS — the `fepois` / PPML workhorse, at Spark scale.
+
+    With log link the FE profile is CLOSED FORM: writing μ_i = λ_g·m_i,
+    m_i = exp(o_i + x_i'β), the per-group first-order condition gives
+    λ̂_g = Σ_g ωy / Σ_g ωm. Each Newton step on the profile likelihood is
+    then TWO passes, both in the repo's demean-strategy shape:
+
+    1. ``groupBy(fe)``: W_g = Σ ωm, T_gj = Σ ωm·xⱼ, Y_g = Σ ωy — the
+       weighted group-mean table (persisted; the shuffle carries one
+       (p+2)-vector per group). Because ω·μ ∝ ω·m within a group, the
+       μ-weighted group means are T_gj/W_g — λ-free.
+    2. join the group table back (broadcast for small G, shuffle-join
+       co-partitioned on fe otherwise) and aggregate the profiled system:
+       A = X̃'WX̃ and s = X̃'(ω(y−μ̂)) over x̃ = x − T_g/W_g with
+       W = diag(ωμ̂), plus the log-likelihood (convergence statistic).
+
+    β⁺ = β + A⁻¹s converges quadratically (Newton), guarded by the same
+    step-halving as plain dbglm. Driver state: the p×p system. Groups with
+    Σ_g ωy = 0 get λ̂_g = 0 — zero weight, zero score: they drop out of
+    the system exactly as ppmlhdfe's separation handling, while remaining
+    counted in nobs (α̂_g = −∞ on the link scale).
+
+    vcov: bread = A⁻¹ (the profile information — equivalently the
+    FE-partialed sandwich bread); HC1/CR1 meats use scores ω(y−μ̂)x̃ with
+    k = p + G in the small-sample factors (the absorbed α's count).
+
+    Binomial/gaussian FE models are refused upstream: no closed-form
+    profile exists for logit, and linear FE models belong to dbreg().
+    """
+    if len(parsed.fe) != 1:
+        raise NotImplementedError(
+            "dbglm fe_poisson supports exactly ONE absorbed FE today "
+            f"(got {len(parsed.fe)}): k-FE needs alternating inner "
+            "profiles. Absorb the highest-cardinality FE and list the "
+            "others as factor regressors."
+        )
+    fe = parsed.fe[0]
+    x_names = list(frame.x_cols)
+    names = [standardize_coef_names(n) for n in x_names]
+    p = len(x_names)
+    spark_df = frame.df
+
+    def group_table(beta):
+        return fepois_group_table(
+            spark_df, frame.y_col, x_names, fe, beta, offset, weights
+        )
+
+    def profiled_pass(beta, gtab, first=False, extra_keys=None):
+        joined = fepois_profiled_rows(
+            spark_df, gtab, frame.y_col, x_names, fe, beta,
+            offset, weights, first=first, extra_keys=extra_keys,
+        )
+        if extra_keys is not None:
+            return joined  # caller aggregates (cluster scores)
+        return (
+            fepois_profiled_agg(joined, p, first=first)
+            .collect()[0]
+            .asDict()
+        )
+
+    beta = np.zeros(p)
+    beta_prev = np.zeros(p)
+    accepted_beta = np.zeros(p)
+    ll_prev = -math.inf
+    converged = False
+    gave_up = False
+    halvings = 0
+    n_iter = 0
+    final_row = None
+    final_a = None
+    gtab = None
+    g_levels = None
+    ll_sat = 0.0
+
+    try:
+        while n_iter < max_iter:
+            new_gtab = group_table(beta).persist()
+            first = n_iter == 0
+            rowi = profiled_pass(beta, new_gtab, first=first)
+            if gtab is not None:
+                gtab.unpersist()
+            gtab = new_gtab
+            if g_levels is None:
+                g_levels = gtab.count()  # free: gtab just materialized
+            n_iter += 1
+            if first:
+                ll_sat = float(rowi["ll_sat"])
+                if float(rowi["n_total"]) == 0:
+                    raise ValueError(
+                        "dbglm: zero rows after missing-value filtering"
+                    )
+            a_i = np.zeros((p, p))
+            b_i = np.zeros(p)
+            for i in range(p):
+                b_i[i] = float(rowi[f"b_{i}"])
+                for j in range(i, p):
+                    a_i[i, j] = a_i[j, i] = float(rowi[f"a_{i}_{j}"])
+            ll_i = float(rowi["ll"])
+            if not math.isfinite(ll_i) or ll_i < ll_prev - 1e-10 * (
+                abs(ll_prev) + 1.0
+            ):
+                halvings += 1
+                if halvings > 12:
+                    warnings.warn(
+                        "[dbglm] step-halving failed to restore likelihood "
+                        "ascent; stopping at the last accepted coefficients"
+                    )
+                    gave_up = True
+                    break
+                beta = 0.5 * (beta + beta_prev)
+                continue
+            halvings = 0
+            final_row, final_a = rowi, a_i
+            accepted_beta = beta
+            if verbose:
+                print(f"[dbglm fepois] iter {n_iter}: ll = {ll_i:.10g}")
+            if math.isfinite(ll_prev) and abs(ll_i - ll_prev) <= tol * (
+                abs(ll_i) + 0.1
+            ):
+                ll_prev = ll_i
+                converged = True
+                break
+            if n_iter >= max_iter:
+                ll_prev = ll_i
+                break
+            # collinearity within the profiled system: detect on the first
+            # accepted information matrix
+            sol = solve_with_fallback(a_i, b_i)
+            beta_prev, beta = beta, beta + sol.betahat
+            ll_prev = ll_i
+        if not converged:
+            beta = accepted_beta
+            if not gave_up:
+                warnings.warn(
+                    f"[dbglm] fe_poisson did not converge in {max_iter} "
+                    "iterations; estimates are the last accepted step"
+                )
+
+        n_total = float(final_row["n_total"])
+        ll_final = ll_prev
+        deviance = 2.0 * (ll_sat - ll_final)
+        k_eff = p + (g_levels or 0)
+        df_res = max(n_total - k_eff, 1.0)
+        info_inv = solve_with_fallback(final_a, np.zeros(p)).xtx_inv
+
+        meat = n_clusters = None
+        if vcov_type in ("hc1", "cluster"):
+            keys = list(cluster_vars) if vcov_type == "cluster" else []
+            sc = profiled_pass(beta, gtab, extra_keys=keys)
+            if vcov_type == "hc1":
+                aggs = []
+                for i in range(p):
+                    for j in range(i, p):
+                        aggs.append(
+                            F.sum(
+                                F.col("__s") * F.col("__s")
+                                * F.col(f"__xt{i}") * F.col(f"__xt{j}")
+                            ).alias(f"m_{i}_{j}")
+                        )
+                mrow = sc.agg(*aggs).collect()[0].asDict()
+            else:
+                score_aggs = [
+                    F.sum(F.col("__s") * F.col(f"__xt{i}")).alias(f"sc_{i}")
+                    for i in range(p)
+                ]
+                stab = sc.groupBy(*keys).agg(*score_aggs)
+                aggs = [F.count(F.lit(1)).alias("G")]
+                for i in range(p):
+                    for j in range(i, p):
+                        aggs.append(
+                            F.sum(F.col(f"sc_{i}") * F.col(f"sc_{j}"))
+                            .alias(f"m_{i}_{j}")
+                        )
+                mrow = stab.agg(*aggs).collect()[0].asDict()
+                n_clusters = int(mrow["G"])
+            meat = np.zeros((p, p))
+            for i in range(p):
+                for j in range(i, p):
+                    meat[i, j] = meat[j, i] = float(mrow[f"m_{i}_{j}"])
+
+        if vcov_type == "iid":
+            V = info_inv
+        else:
+            V = compute_vcov(
+                vcov_type, info_inv, deviance, df_res, n_total, k_eff,
+                meat, n_clusters,
+            )
+
+        ct = gen_coeftable(beta, V, df_res, names, use_z=True)
+        # α̂_g = ln(λ̂_g); Spark's log yields NULL at λ̂=0, which doubles as
+        # the marker for perfectly-predicted (all-zero-outcome) groups
+        fixef_df = gtab.select(
+            F.col(fe),
+            F.log(F.col("__Yg") / F.col("__Wg")).alias("fixef"),
+        )
+        # release the cached group table — fixef_df keeps only the logical
+        # plan and recomputes (one groupBy) if evaluated later
+        gtab.unpersist()
+        gtab = None
+        return GlmModel(
+            coeftable=ct,
+            vcov_=V,
+            coef_names=names,
+            family=fam.label,
+            link=fam.link,
+            yvar=parsed.yvar,
+            vcov_type=vcov_type,
+            cluster_var="+".join(cluster_vars) if cluster_vars else None,
+            nobs=int(n_total),
+            df_residual=df_res,
+            loglik=ll_final,
+            deviance=deviance,
+            null_deviance=float("nan"),  # FE-only null needs its own fit
+            dispersion=1.0,
+            pearson_chi2=float("nan"),
+            n_iter=n_iter,
+            converged=converged,
+            collin_vars=[],
+            n_clusters=n_clusters,
+            design_info=design,
+            parsed=parsed,
+            query_string=None,
+            offset=offset,
+            weights_col=weights,
+            fe=list(parsed.fe),
+            n_fe_levels=int(g_levels) if g_levels is not None else None,
+            _betahat=beta,
+            _fe_table=fixef_df,
+        )
+    finally:
+        if gtab is not None:  # error path: release the cached group table
+            gtab.unpersist()

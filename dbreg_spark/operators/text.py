@@ -1712,6 +1712,55 @@ def quality_classify(
     )
 
 
+def fit_quality_classifier(
+    labeled: DataFrame,
+    label_col: str,
+    col: str = "text",
+    features: list[str] | None = None,
+    vcov: str = "iid",
+):
+    """TRAIN the :func:`quality_classify` model in-engine: a distributed-
+    IRLS logistic regression (``dbglm``) of a 0/1 quality label on the
+    :func:`text_stats` features — the FineWeb-Edu/DCLM loop closed inside
+    the engine (annotate a sample → fit here → ``quality_classify`` the
+    whole corpus with the returned weights).
+
+    Returns ``(weights, bias, model)`` where ``weights``/``bias`` plug
+    directly into :func:`quality_classify` / :func:`quality_classify_sql`
+    (collinearity-dropped features are simply absent from ``weights``),
+    and ``model`` is the full :class:`dbreg_spark.glm.GlmModel` for
+    inference on the coefficients.
+
+    Scale shape: one stateless projection computes the feature columns
+    (the same expression tree ``quality_classify`` applies), then each
+    IRLS iteration is a single aggregation pass — the labeled sample
+    never needs to fit anywhere; fitting on 10⁹ labeled rows costs ~6
+    scans of them."""
+    from ..glm import dbglm
+
+    x = X(SPARK)
+    feats = dict(text_stats_exprs(x, col))
+    feats["log_tokens"] = f"ln(1.0 + {feats['n_tokens']})"
+    names = list(features) if features is not None else sorted(QUALITY_CLF_WEIGHTS)
+    unknown = set(names) - set(feats)
+    if unknown:
+        raise ValueError(
+            f"fit_quality_classifier: unknown feature(s) {sorted(unknown)}; "
+            f"valid: {sorted(feats)}"
+        )
+    proj = labeled.select(
+        F.col(label_col).cast("double").alias("__qlabel"),
+        *[F.expr(feats[n]).alias(n) for n in names],
+    )
+    model = dbglm(
+        "__qlabel ~ " + " + ".join(names), proj, family="binomial", vcov=vcov
+    )
+    coefs = model.coef()
+    bias = float(coefs.get("(Intercept)", 0.0))
+    weights = {n: float(coefs[n]) for n in names if n in coefs.index}
+    return weights, bias, model
+
+
 def quality_classify_sql(
     table: str,
     weights: dict[str, float] | None = None,

@@ -71,6 +71,7 @@ from .operators.text import (
     importance_weights,
     lm_bigram_score,
     lm_quality_score,
+    fit_quality_classifier,
     pack_greedy,
     redact_pii,
     quality_classify,
@@ -93,6 +94,7 @@ __all__ = [
     # text
     "text_stats", "fingerprints", "repetition_stats", "lm_quality_score", "lm_bigram_score",
     "redact_pii", "decontaminate", "vocabulary", "vocab_with_ids", "quality_classify",
+    "fit_quality_classifier",
     "encode_tokens", "bm25_topk", "importance_weights",
     "importance_sample", "chunk_text", "pack_greedy", "assemble_packs",
     # web-corpus cleaning / semi-structured

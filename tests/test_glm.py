@@ -337,11 +337,175 @@ def test_weighted_gaussian_is_wls(glm_df, glm_pdf):
     )
 
 
+def test_quasipoisson_scales_se_by_dispersion(glm_df, glm_pdf):
+    m = dbglm("ypois ~ x1 + x2", glm_df, family="poisson")
+    q = dbglm("ypois ~ x1 + x2", glm_df, family="quasipoisson")
+    np.testing.assert_allclose(q.coef().values, m.coef().values, rtol=1e-12)
+    assert q.family == "quasipoisson"
+    assert q.dispersion == pytest.approx(q.pearson_chi2 / q.df_residual)
+    np.testing.assert_allclose(
+        q.se().values, m.se().values * np.sqrt(q.dispersion), rtol=1e-10
+    )
+
+
 def test_negative_weights_rejected(glm_df, glm_pdf):
     pdf = glm_pdf.assign(wt=np.where(glm_pdf["g"] == 0, -1.0, 1.0))
     sdf = glm_df.sparkSession.createDataFrame(pdf)
     with pytest.raises(ValueError, match="negative"):
         dbglm("ybin ~ x1", sdf, family="binomial", weights="wt")
+
+
+@pytest.fixture(scope="module")
+def fe_sdf(glm_df, glm_pdf):
+    pdf = glm_pdf.assign(gcat="g" + glm_pdf["g"].astype(str))
+    return glm_df.sparkSession.createDataFrame(pdf), pdf
+
+
+def test_fe_poisson_matches_dummy_encoding(fe_sdf):
+    """Profiled (concentrated) FE-Poisson must equal the explicit-dummy
+    logit— two entirely different computation paths through the engine."""
+    sdf, pdf = fe_sdf
+    fe_m = dbglm("ypois ~ x1 + x2 | gcat", sdf, family="poisson")
+    dm = dbglm("ypois ~ x1 + x2 + gcat", sdf, family="poisson")
+    assert fe_m.converged
+    for name in ["x1", "x2"]:
+        assert fe_m.coef()[name] == pytest.approx(dm.coef()[name], rel=1e-6)
+        # model-based SEs: profile information == partitioned full inverse
+        assert fe_m.se()[name] == pytest.approx(dm.se()[name], rel=1e-5)
+    assert fe_m.loglik == pytest.approx(dm.loglik, rel=1e-9)
+    assert fe_m.n_fe_levels == pdf["gcat"].nunique()
+
+
+def test_fe_poisson_fixef_matches_dummy_coefs(fe_sdf):
+    sdf, pdf = fe_sdf
+    fe_m = dbglm("ypois ~ x1 + x2 | gcat", sdf, family="poisson")
+    dm = dbglm("ypois ~ x1 + x2 + gcat", sdf, family="poisson")
+    fx = fe_m.fixef().toPandas().set_index("gcat")["fixef"]
+    # dummy model: α̂_ref = intercept; α̂_level = intercept + γ_level
+    icpt = dm.coef()["(Intercept)"]
+    levels = sorted(pdf["gcat"].unique())
+    ref = levels[0]
+    assert fx[ref] == pytest.approx(icpt, rel=1e-6)
+    probe = levels[7]
+    assert fx[probe] == pytest.approx(
+        icpt + dm.coef()[f"gcat{probe}"], rel=1e-6
+    )
+
+
+def test_fe_poisson_hc1_and_cluster_match_dummy(fe_sdf):
+    """FWL: the profiled sandwich (scores (y−μ̂)x̃) equals the β-block of
+    the full dummy-model sandwich, small-sample factors included."""
+    sdf, pdf = fe_sdf
+    fe_h = dbglm("ypois ~ x1 + x2 | gcat", sdf, family="poisson", vcov="hc1")
+    dm_h = dbglm("ypois ~ x1 + x2 + gcat", sdf, family="poisson", vcov="hc1")
+    for name in ["x1", "x2"]:
+        assert fe_h.se()[name] == pytest.approx(dm_h.se()[name], rel=1e-5)
+    fe_c = dbglm(
+        "ypois ~ x1 + x2 | gcat", sdf, family="poisson", vcov="~ g"
+    )
+    dm_c = dbglm(
+        "ypois ~ x1 + x2 + gcat", sdf, family="poisson", vcov="~ g"
+    )
+    assert fe_c.n_clusters == dm_c.n_clusters
+    for name in ["x1", "x2"]:
+        assert fe_c.se()[name] == pytest.approx(dm_c.se()[name], rel=1e-5)
+
+
+def test_fe_poisson_offset_and_weights(fe_sdf):
+    sdf, pdf = fe_sdf
+    rng = np.random.default_rng(3)
+    pdf2 = pdf.assign(
+        log_exp=np.log(rng.uniform(0.5, 2.0, len(pdf))),
+        wt=rng.uniform(0.5, 2.0, len(pdf)),
+    )
+    sdf2 = sdf.sparkSession.createDataFrame(pdf2)
+    fe_m = dbglm(
+        "ypois ~ x1 + x2 | gcat", sdf2, family="poisson",
+        offset="log_exp", weights="wt",
+    )
+    dm = dbglm(
+        "ypois ~ x1 + x2 + gcat", sdf2, family="poisson",
+        offset="log_exp", weights="wt",
+    )
+    for name in ["x1", "x2"]:
+        assert fe_m.coef()[name] == pytest.approx(dm.coef()[name], rel=1e-6)
+        assert fe_m.se()[name] == pytest.approx(dm.se()[name], rel=1e-5)
+
+
+def test_fe_poisson_zero_outcome_group_drops_cleanly(fe_sdf):
+    """A group whose outcomes are all zero is perfectly predicted
+    (λ̂_g = 0): it must not move β, and its fixef is NULL (ln 0) —
+    ppmlhdfe's separation behavior, marked instead of crashed."""
+    sdf, pdf = fe_sdf
+    extra = pdf.iloc[:50].assign(gcat="gzero", ypois=0.0)
+    pdf2 = pd.concat([pdf, extra], ignore_index=True)
+    sdf2 = sdf.sparkSession.createDataFrame(pdf2)
+    m_with = dbglm("ypois ~ x1 + x2 | gcat", sdf2, family="poisson")
+    m_base = dbglm("ypois ~ x1 + x2 | gcat", sdf, family="poisson")
+    np.testing.assert_allclose(
+        m_with.coef().values, m_base.coef().values, rtol=1e-6
+    )
+    fx = m_with.fixef().toPandas().set_index("gcat")["fixef"]
+    assert pd.isna(fx["gzero"])
+    assert fx.drop("gzero").notna().all()
+
+
+def test_fe_poisson_predict_joins_fixef(fe_sdf):
+    sdf, pdf = fe_sdf
+    m = dbglm("ypois ~ x1 + x2 | gcat", sdf, family="poisson")
+    out = m.predict(sdf).select("gcat", "ypois", "fit").toPandas()
+    assert out["fit"].notna().all() and (out["fit"] > 0).all()
+    # group means of fit equal group means of y (the FE moment condition)
+    gm = out.groupby("gcat").agg(fit=("fit", "sum"), y=("ypois", "sum"))
+    np.testing.assert_allclose(gm["fit"], gm["y"], rtol=1e-6)
+
+
+def test_fe_poisson_refusals(fe_sdf):
+    sdf, _ = fe_sdf
+    with pytest.raises(NotImplementedError, match="poisson family only"):
+        dbglm("ybin ~ x1 | gcat", sdf, family="binomial")
+    with pytest.raises(NotImplementedError, match="ONE absorbed FE"):
+        dbglm("ypois ~ x1 | gcat + g", sdf, family="poisson")
+    with pytest.raises(NotImplementedError, match="quasipoisson"):
+        dbglm("ypois ~ x1 | gcat", sdf, family="quasipoisson")
+
+
+def test_fit_quality_classifier_roundtrip(tables):
+    """Train-in-engine → apply-at-scale loop: dbglm-fitted weights plug
+    straight into quality_classify, and the applied score equals the
+    model's own probability."""
+    import pyspark.sql.functions as F
+
+    from dbreg_spark.operators.text import (
+        fit_quality_classifier,
+        quality_classify,
+    )
+
+    docs = tables["documents"]
+    # label: thresholded default-classifier score with 10% deterministic
+    # label noise (pure separability would make the MLE diverge)
+    scored = quality_classify(docs.select("doc_id", "text"))
+    labeled = scored.select(
+        "doc_id",
+        F.when(
+            F.pmod(F.hash("doc_id"), F.lit(10)) == 0,
+            1 - F.col("clf_keep"),
+        ).otherwise(F.col("clf_keep")).cast("double").alias("label"),
+    ).join(docs.select("doc_id", "text"), "doc_id")
+
+    w, b, model = fit_quality_classifier(labeled, "label")
+    assert model.converged
+    assert set(w) <= set(
+        ["log_tokens", "stopword_ratio", "unique_token_ratio",
+         "punct_ratio", "digit_ratio", "mean_token_len"]
+    )
+
+    applied = quality_classify(
+        labeled.select("doc_id", "label", "text"), weights=w, bias=b
+    )
+    pdf = applied.toPandas()
+    agree = (pdf["clf_keep"] == pdf["label"]).mean()
+    assert agree > 0.8, f"fitted classifier agreement only {agree:.2%}"
 
 
 def test_pass_plan_sql_matches_duckdb(spark, duck, sf_dir):
