@@ -195,7 +195,7 @@ fp_g AS (
   FROM fp_base GROUP BY l_returnflag
 ),
 fp_j AS (
-  SELECT (g.yg / g.wg) * b.m AS mu, b.y,
+  SELECT (g.yg / g.wg) * b.m AS mu, b.y, b.x0, b.x1,
          b.x0 - g.t0 / g.wg AS xt0,
          b.x1 - g.t1 / g.wg AS xt1
   FROM fp_base b JOIN fp_g g USING (l_returnflag)
@@ -203,6 +203,8 @@ fp_j AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
   SUM((CASE WHEN y > 0.0 THEN y * LN(mu) ELSE 0.0 END) - mu) AS ll,
   SUM(CASE WHEN y > 0.0 THEN y * LN(y) - y ELSE 0.0 END) AS ll_sat,
+  SUM(mu * x0 * x0) AS d_0,
+  SUM(mu * x1 * x1) AS d_1,
   SUM(mu * xt0 * xt0) AS a_0_0,
   SUM(mu * xt0 * xt1) AS a_0_1,
   SUM(mu * xt1 * xt1) AS a_1_1,
@@ -1439,7 +1441,7 @@ def oracle_sql() -> dict[str, str]:
     O["glm_irls_step_logit"] = _glm_oracle()
 
     _fp_cols = [
-        "n_total", "ll", "ll_sat",
+        "n_total", "ll", "ll_sat", "d_0", "d_1",
         "a_0_0", "a_0_1", "a_1_1", "b_0", "b_1",
     ]
     O["glm_fepois_profile_step"] = _round_doubles_sql(

@@ -448,6 +448,9 @@ class GlmModel:
     weights_col: str | None = None
     fe: list[str] = field(default_factory=list)
     n_fe_levels: int | None = None
+    # "z" (fixed-dispersion MLE) or "t" (estimated dispersion: gaussian and
+    # quasi families, R's summary.glm convention)
+    inference: str = "z"
     _betahat: np.ndarray = field(default=None, repr=False)
     _fe_table: object = field(default=None, repr=False)  # lazy (fe, fixef) DF
 
@@ -469,7 +472,12 @@ class GlmModel:
     def confint(self, level: float = 0.95):
         import pandas as pd
 
-        z = norm_ppf(0.5 + level / 2.0)
+        if self.inference == "t":
+            from .stats import t_ppf
+
+            z = t_ppf(0.5 + level / 2.0, self.df_residual)
+        else:
+            z = norm_ppf(0.5 + level / 2.0)
         se = np.sqrt(np.diag(self.vcov_))
         lo = self._betahat - z * se
         hi = self._betahat + z * se
@@ -535,6 +543,7 @@ class GlmModel:
                     f"{self.offset!r}, which is missing from the data"
                 )
             eta = _d(Var(self.offset)) + eta
+        dropcols = []
         if self.fe:
             # FE model: attach the recovered α̂_g by joining the (fe, fixef)
             # table — rows with FE levels unseen at fit time get NULL fit
@@ -543,16 +552,22 @@ class GlmModel:
                 raise ValueError(
                     f"predict: FE column(s) {missing_fe} missing from data"
                 )
+            if "__fixef" in data.columns:
+                raise ValueError(
+                    "predict: column name __fixef is reserved for the "
+                    "fixed-effect join; rename that input column"
+                )
             eta = _d(Var("__fixef")) + eta
             data = data.join(
                 self._fe_table.withColumnRenamed("fixef", "__fixef"),
                 on=list(self.fe),
                 how="left",
             )
+            dropcols = ["__fixef"]
         col = to_spark(eta)
         if type == "response" and self.family != "gaussian":
             col = to_spark(fam.mu(eta))
-        return data.withColumn("fit", col).drop("__fixef")
+        return data.withColumn("fit", col).drop(*dropcols)
 
     def fixef(self):
         """Recovered fixed-effect levels for FE models: a DataFrame
@@ -622,6 +637,12 @@ def dbglm(
             "low-cardinality group columns as regressors (factors expand "
             "to dummies), or use dbreg() for linear FE models."
         )
+    if parsed.fe and fam.quasi:
+        raise NotImplementedError(
+            "dbglm fe_poisson does not support the quasipoisson "
+            "dispersion yet; use vcov='hc1' or a cluster formula for "
+            "robust inference"
+        )
     vcov_type, cluster_vars = parse_vcov(vcov, cluster, valid=("iid", "hc1"))
 
     source = resolve_source(spark, data=data, table=table, path=path)
@@ -649,12 +670,6 @@ def dbglm(
         frame.sql_cte = None
 
     if parsed.fe:
-        if fam.quasi:
-            raise NotImplementedError(
-                "dbglm fe_poisson does not support the quasipoisson "
-                "dispersion yet; use vcov='hc1' or a cluster formula for "
-                "robust inference"
-            )
         return _fe_poisson(
             frame, parsed, design, fam, vcov_type, cluster_vars,
             offset, weights, max_iter, tol, verbose,
@@ -879,7 +894,10 @@ def dbglm(
             vcov_type, info_inv, deviance, df_res, n_total, p, meat, n_clusters
         )
 
-    ct = gen_coeftable(beta, V, df_res, names, use_z=True)
+    # estimated dispersion (gaussian / quasi families) ⇒ t inference with
+    # df_residual, R's summary.glm convention; fixed dispersion ⇒ Wald-z
+    use_t = fam.name == "gaussian" or fam.quasi
+    ct = gen_coeftable(beta, V, df_res, names, use_z=not use_t)
     frame.cleanup()
     return GlmModel(
         coeftable=ct,
@@ -906,6 +924,7 @@ def dbglm(
         query_string=last_sql,
         offset=offset,
         weights_col=weights,
+        inference="t" if use_t else "z",
         _betahat=beta,
     )
 
@@ -969,8 +988,17 @@ def fepois_profiled_rows(
     mu = lam * m
     wexpr = om * mu if om is not None else mu  # ω·μ̂
     score = (om if om is not None else Lit(1.0)) * (y - mu)
-    # ℓ_i = ω[y·ln μ̂ − μ̂]; y>0 ⇒ Y_g>0 ⇒ μ̂>0, y=0 term is −ωμ̂
-    ylnmu = CaseGE(y, 0.0, y * Func("ln", (mu,)), strict=True)
+    # ℓ_i = ω[y·ln μ̂ − μ̂] with y·ln μ̂ expanded in LOG form:
+    # y·(ln Y_g − ln W_g + η). Evaluating ln(μ̂) directly would go NULL
+    # when m underflows to 0 on a y>0 row (near-separation) — Spark's SUM
+    # silently drops NULLs and the step-halving guard would accept a
+    # likelihood-destroying step. In log form the term stays a finite
+    # large-negative (or −inf on W_g overflow, which correctly trips the
+    # non-finite check). y>0 ⇒ Y_g>0, so ln(Y_g) is defined where used.
+    eta_x = _eta_expr(beta, x_names, intercept=False)
+    full_eta = _d(Var(offset)) + eta_x if offset is not None else eta_x
+    lnlam = Func("ln", (Var("__Yg"),)) - Func("ln", (Var("__Wg"),))
+    ylnmu = CaseGE(y, 0.0, y * (lnlam + full_eta), strict=True)
     ll = (om if om is not None else Lit(1.0)) * (ylnmu - mu)
     proj_cols = [
         to_spark(_d(wexpr)).alias("__w"),
@@ -982,6 +1010,10 @@ def fepois_profiled_rows(
         if om is not None:
             llsat = om * llsat
         proj_cols.append(to_spark(_d(llsat)).alias("__llsat"))
+        # raw regressors ride the first pass for the absorbed-column check:
+        # Σw·x² is the scale Σw·x̃² is compared against
+        for j, xn in enumerate(x_names):
+            proj_cols.append(to_spark(_d(Var(xn))).alias(f"__xr{j}"))
     for j, xn in enumerate(x_names):
         xt = _d(Var(xn)) - Var(f"__T{j}") / Var("__Wg")
         proj_cols.append(to_spark(xt).alias(f"__xt{j}"))
@@ -997,6 +1029,11 @@ def fepois_profiled_agg(joined: DataFrame, p: int, first: bool = False) -> DataF
     ]
     if first:
         aggs.append(F.sum("__llsat").alias("ll_sat"))
+        for i in range(p):
+            aggs.append(
+                F.sum(F.col("__w") * F.col(f"__xr{i}") * F.col(f"__xr{i}"))
+                .alias(f"d_{i}")
+            )
     for i in range(p):
         for j in range(i, p):
             aggs.append(
@@ -1093,36 +1130,50 @@ def _fe_poisson(
     final_row = None
     final_a = None
     gtab = None
+    gtab_beta = None  # (β, x tuple) the cached group table was built at
+    gtab_x = None
     g_levels = None
     ll_sat = 0.0
+    collin_dropped: list[str] = []
 
     try:
         while n_iter < max_iter:
             new_gtab = group_table(beta).persist()
+            # hand over BEFORE the collect so the finally block releases the
+            # new table even if this pass's job fails mid-flight
+            prev_gtab, gtab = gtab, new_gtab
+            gtab_beta, gtab_x = beta.copy(), tuple(x_names)
             first = n_iter == 0
-            rowi = profiled_pass(beta, new_gtab, first=first)
-            if gtab is not None:
-                gtab.unpersist()
-            gtab = new_gtab
+            rowi = profiled_pass(beta, gtab, first=first)
+            if prev_gtab is not None:
+                prev_gtab.unpersist()
             if g_levels is None:
                 g_levels = gtab.count()  # free: gtab just materialized
             n_iter += 1
+            if first and float(rowi["n_total"]) == 0:
+                raise ValueError(
+                    "dbglm: zero rows after missing-value filtering"
+                )
             if first:
                 ll_sat = float(rowi["ll_sat"])
-                if float(rowi["n_total"]) == 0:
-                    raise ValueError(
-                        "dbglm: zero rows after missing-value filtering"
-                    )
             a_i = np.zeros((p, p))
             b_i = np.zeros(p)
             for i in range(p):
-                b_i[i] = float(rowi[f"b_{i}"])
+                b_i[i] = float(rowi[f"b_{i}"] or 0.0)
                 for j in range(i, p):
-                    a_i[i, j] = a_i[j, i] = float(rowi[f"a_{i}_{j}"])
-            ll_i = float(rowi["ll"])
+                    v = float(rowi[f"a_{i}_{j}"] or 0.0)
+                    a_i[i, j] = a_i[j, i] = v
+            ll_i = float(rowi["ll"]) if rowi["ll"] is not None else math.nan
             if not math.isfinite(ll_i) or ll_i < ll_prev - 1e-10 * (
                 abs(ll_prev) + 1.0
             ):
+                if not math.isfinite(ll_prev):
+                    # β=0 start already non-finite: halving cannot help
+                    raise ValueError(
+                        "dbglm fe_poisson: non-finite likelihood at the "
+                        "starting point β=0 — the offset/outcome scale "
+                        "overflows exp(); rescale the offset column"
+                    )
                 halvings += 1
                 if halvings > 12:
                     warnings.warn(
@@ -1134,6 +1185,42 @@ def _fe_poisson(
                 beta = 0.5 * (beta + beta_prev)
                 continue
             halvings = 0
+            if first:
+                # collinearity in the PROFILED system, two layers:
+                # (1) ABSORBED columns — constant within FE groups (the
+                #     time-invariant panel variable): x̃ is floating-point
+                #     noise, detected by Σw·x̃² ≤ tol·Σw·x² (profiled vs
+                #     raw second moment, scale-free);
+                # (2) mutual dependence among the surviving profiled
+                #     columns — the usual pivoted-Cholesky rank check.
+                d_raw = np.array(
+                    [float(rowi[f"d_{i}"] or 0.0) for i in range(p)]
+                )
+                absorbed = [
+                    i for i in range(p)
+                    if a_i[i, i] <= 1e-10 * max(d_raw[i], 1e-300)
+                ]
+                survive = [i for i in range(p) if i not in absorbed]
+                collin_dropped = [names[i] for i in absorbed]
+                sub_a = a_i[np.ix_(survive, survive)]
+                sub_b = b_i[np.asarray(survive, dtype=int)] if survive else b_i[:0]
+                collin = detect_collinearity(
+                    sub_a, sub_b, [names[i] for i in survive]
+                )
+                if collin_dropped or collin.collinear:
+                    collin_dropped = collin_dropped + list(collin.drop_names)
+                    keep = [survive[i] for i in collin.keep_idx]
+                    x_names = [x_names[i] for i in keep]
+                    names = [names[i] for i in keep]
+                    p = len(names)
+                    a_i = a_i[np.ix_(keep, keep)]
+                    b_i = b_i[np.asarray(keep)]
+                    beta = beta[np.asarray(keep)]
+                    beta_prev = beta_prev[np.asarray(keep)]
+                    accepted_beta = accepted_beta[np.asarray(keep)]
+                    # gtab's __T columns are positionally stale now; the
+                    # next build (or the post-loop rebuild) refreshes them
+                    gtab_x = None
             final_row, final_a = rowi, a_i
             accepted_beta = beta
             if verbose:
@@ -1147,8 +1234,6 @@ def _fe_poisson(
             if n_iter >= max_iter:
                 ll_prev = ll_i
                 break
-            # collinearity within the profiled system: detect on the first
-            # accepted information matrix
             sol = solve_with_fallback(a_i, b_i)
             beta_prev, beta = beta, beta + sol.betahat
             ll_prev = ll_i
@@ -1159,6 +1244,24 @@ def _fe_poisson(
                     f"[dbglm] fe_poisson did not converge in {max_iter} "
                     "iterations; estimates are the last accepted step"
                 )
+        if final_row is None:
+            raise ValueError(
+                "dbglm fe_poisson: no likelihood-improving step was ever "
+                "accepted; the model could not be fit on this data"
+            )
+        # the meat pass and fixef table must see the group table OF THE
+        # REPORTED β — rebuild if the loop exited holding a rejected-β or
+        # stale-column table (give-up / max-iter-mid-halving / collinearity
+        # drop on the final pass)
+        if (
+            gtab_beta is None
+            or not np.array_equal(gtab_beta, beta)
+            or gtab_x != tuple(x_names)
+        ):
+            new_gtab = group_table(beta).persist()
+            prev_gtab, gtab = gtab, new_gtab
+            if prev_gtab is not None:
+                prev_gtab.unpersist()
 
         n_total = float(final_row["n_total"])
         ll_final = ll_prev
@@ -1171,6 +1274,30 @@ def _fe_poisson(
         if vcov_type in ("hc1", "cluster"):
             keys = list(cluster_vars) if vcov_type == "cluster" else []
             sc = profiled_pass(beta, gtab, extra_keys=keys)
+
+            def _decode_meat(mrow):
+                m = np.zeros((p, p))
+                for i in range(p):
+                    for j in range(i, p):
+                        m[i, j] = m[j, i] = float(mrow[f"m_{i}_{j}"])
+                return m
+
+            def _cluster_component(subset):
+                score_aggs = [
+                    F.sum(F.col("__s") * F.col(f"__xt{i}")).alias(f"sc_{i}")
+                    for i in range(p)
+                ]
+                stab = sc.groupBy(*subset).agg(*score_aggs)
+                aggs = [F.count(F.lit(1)).alias("G")]
+                for i in range(p):
+                    for j in range(i, p):
+                        aggs.append(
+                            F.sum(F.col(f"sc_{i}") * F.col(f"sc_{j}"))
+                            .alias(f"m_{i}_{j}")
+                        )
+                mrow = stab.agg(*aggs).collect()[0].asDict()
+                return _decode_meat(mrow), int(mrow["G"])
+
             if vcov_type == "hc1":
                 aggs = []
                 for i in range(p):
@@ -1181,26 +1308,29 @@ def _fe_poisson(
                                 * F.col(f"__xt{i}") * F.col(f"__xt{j}")
                             ).alias(f"m_{i}_{j}")
                         )
-                mrow = sc.agg(*aggs).collect()[0].asDict()
+                meat = _decode_meat(sc.agg(*aggs).collect()[0].asDict())
+            elif len(keys) == 1:
+                meat, n_clusters = _cluster_component(keys)
             else:
-                score_aggs = [
-                    F.sum(F.col("__s") * F.col(f"__xt{i}")).alias(f"sc_{i}")
-                    for i in range(p)
-                ]
-                stab = sc.groupBy(*keys).agg(*score_aggs)
-                aggs = [F.count(F.lit(1)).alias("G")]
-                for i in range(p):
-                    for j in range(i, p):
-                        aggs.append(
-                            F.sum(F.col(f"sc_{i}") * F.col(f"sc_{j}"))
-                            .alias(f"m_{i}_{j}")
-                        )
-                mrow = stab.agg(*aggs).collect()[0].asDict()
-                n_clusters = int(mrow["G"])
-            meat = np.zeros((p, p))
-            for i in range(p):
-                for j in range(i, p):
-                    meat[i, j] = meat[j, i] = float(mrow[f"m_{i}_{j}"])
+                # multiway CGM inclusion-exclusion, each component with its
+                # own g_S/(g_S−1) factor folded into an effective meat —
+                # the same convention as plain dbglm and the linear path
+                from itertools import combinations
+
+                comps = []
+                gmin = None
+                for r in range(1, len(keys) + 1):
+                    for subset in combinations(keys, r):
+                        m_s, g_s = _cluster_component(list(subset))
+                        comps.append((r, m_s, g_s))
+                        if r == 1:
+                            gmin = g_s if gmin is None else min(gmin, g_s)
+                scale_ref = gmin / (gmin - 1)
+                meat = np.zeros((p, p))
+                for r, m_s, g_s in comps:
+                    sign = 1.0 if r % 2 == 1 else -1.0
+                    meat += sign * ((g_s / (g_s - 1)) / scale_ref) * m_s
+                n_clusters = gmin
 
         if vcov_type == "iid":
             V = info_inv
@@ -1239,7 +1369,7 @@ def _fe_poisson(
             pearson_chi2=float("nan"),
             n_iter=n_iter,
             converged=converged,
-            collin_vars=[],
+            collin_vars=collin_dropped,
             n_clusters=n_clusters,
             design_info=design,
             parsed=parsed,

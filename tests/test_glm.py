@@ -460,6 +460,39 @@ def test_fe_poisson_predict_joins_fixef(fe_sdf):
     np.testing.assert_allclose(gm["fit"], gm["y"], rtol=1e-6)
 
 
+def test_fe_poisson_multiway_cluster_matches_dummy(fe_sdf):
+    """Two-way CGM in the profiled path must equal the dummy-model CGM —
+    per-component G_S/(G_S−1) scaling included (FWL extends to each
+    inclusion-exclusion component)."""
+    sdf, pdf = fe_sdf
+    pdf2 = pdf.assign(c2=(pdf["g"] * 13 + 5) % 7)
+    sdf2 = sdf.sparkSession.createDataFrame(pdf2)
+    fe_m = dbglm(
+        "ypois ~ x1 + x2 | gcat", sdf2, family="poisson", vcov="~ g + c2"
+    )
+    dm = dbglm(
+        "ypois ~ x1 + x2 + gcat", sdf2, family="poisson", vcov="~ g + c2"
+    )
+    assert fe_m.n_clusters == dm.n_clusters
+    for name in ["x1", "x2"]:
+        assert fe_m.se()[name] == pytest.approx(dm.se()[name], rel=1e-5)
+
+
+def test_fe_poisson_drops_within_group_constant_regressor(fe_sdf):
+    """A regressor constant within the FE groups is absorbed — it must be
+    DROPPED (recorded in collin_vars), not reported with garbage SE."""
+    sdf, pdf = fe_sdf
+    gmean = pdf.groupby("gcat")["x1"].transform("mean")
+    pdf2 = pdf.assign(gconst=gmean)  # constant within each gcat
+    sdf2 = sdf.sparkSession.createDataFrame(pdf2)
+    m = dbglm("ypois ~ x1 + gconst + x2 | gcat", sdf2, family="poisson")
+    assert "gconst" in m.collin_vars
+    assert list(m.coef_names) == ["x1", "x2"]
+    base = dbglm("ypois ~ x1 + x2 | gcat", sdf, family="poisson")
+    np.testing.assert_allclose(m.coef().values, base.coef().values, rtol=1e-6)
+    np.testing.assert_allclose(m.se().values, base.se().values, rtol=1e-6)
+
+
 def test_fe_poisson_refusals(fe_sdf):
     sdf, _ = fe_sdf
     with pytest.raises(NotImplementedError, match="poisson family only"):
