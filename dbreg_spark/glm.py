@@ -35,11 +35,13 @@ or cluster-robust (CR1, one/multi-way interaction) — the meat is one extra
 aggregation pass at the final β with score residual (y−μ̂)x, mirroring
 plans/meat.py. Inference is Wald-z (normal), the GLM convention.
 
-Fixed effects: high-cardinality `| fe` terms are refused (weighted within-
-transformations change per IRLS iteration — a different algorithm); LOW-
-cardinality group controls work today by listing the column as a regressor
-(string/factor columns auto-expand to dummies via the shared design
-machinery).
+Fixed effects: `dbglm("y ~ x | g", family="poisson")` fits the
+fepois/PPML estimator by concentrated IRLS — the log link's FE profile is
+closed form, so each Newton step is two demean-shaped passes (see
+:func:`_fe_poisson`). Other families refuse `| fe` (no closed-form
+profile); low-cardinality group controls work everywhere by listing the
+column as a regressor (string/factor columns auto-expand to dummies via
+the shared design machinery).
 
 Every per-row expression is IR (plans/exprs.py), so the one-pass aggregation
 renders identically to a Spark DataFrame plan and to DuckDB oracle SQL —
@@ -580,6 +582,128 @@ class GlmModel:
             )
         return self._fe_table
 
+    # -- persistence: train once, score in another session -----------------
+    def save(self, path: str) -> None:
+        """Serialize the fitted model to directory ``path``: a
+        ``model.json`` with coefficients/vcov/metadata plus the design
+        expressions (the IR serializes losslessly), and, for FE models,
+        the recovered fixed-effect table as ``fixef.parquet``. Reload with
+        :meth:`GlmModel.load`; the restored model supports
+        ``predict``/``coef``/``se``/``confint``/``tidy``/``glance``."""
+        import json
+        import os
+
+        from .plans.exprs import expr_to_obj
+
+        os.makedirs(path, exist_ok=True)
+        obj = {
+            "format": "dbreg_spark.glm/1",
+            "family": self.family,
+            "link": self.link,
+            "yvar": self.yvar,
+            "vcov_type": self.vcov_type,
+            "cluster_var": self.cluster_var,
+            "nobs": self.nobs,
+            "df_residual": self.df_residual,
+            "loglik": self.loglik,
+            "deviance": self.deviance,
+            "null_deviance": self.null_deviance,
+            "dispersion": self.dispersion,
+            "pearson_chi2": self.pearson_chi2,
+            "n_iter": self.n_iter,
+            "converged": self.converged,
+            "collin_vars": list(self.collin_vars),
+            "n_clusters": self.n_clusters,
+            "offset": self.offset,
+            "weights_col": self.weights_col,
+            "fe": list(self.fe),
+            "n_fe_levels": self.n_fe_levels,
+            "inference": self.inference,
+            "coef_names": list(self.coef_names),
+            "beta": [float(v) for v in np.asarray(self._betahat).ravel()],
+            "vcov": np.asarray(self.vcov_).tolist(),
+            "design": [
+                {"name": n, "expr": expr_to_obj(e)}
+                for n, e in zip(self.design_info.names, self.design_info.exprs)
+            ],
+        }
+        with open(os.path.join(path, "model.json"), "w") as f:
+            json.dump(obj, f, allow_nan=True)
+        if self.fe and self._fe_table is not None:
+            self._fe_table.write.mode("overwrite").parquet(
+                os.path.join(path, "fixef.parquet")
+            )
+
+    @classmethod
+    def load(cls, path: str, spark: SparkSession | None = None) -> "GlmModel":
+        """Restore a model saved by :meth:`save`. FE models need ``spark``
+        to read back the fixef table."""
+        import json
+        import os
+
+        from .plans.exprs import expr_from_obj
+
+        with open(os.path.join(path, "model.json")) as f:
+            obj = json.load(f)
+        if obj.get("format") != "dbreg_spark.glm/1":
+            raise ValueError(f"unrecognized model format in {path}")
+        design = DesignInfo(
+            names=[d["name"] for d in obj["design"]],
+            exprs=[expr_from_obj(d["expr"]) for d in obj["design"]],
+            factor_levels={},
+            numeric_vars=[],
+        )
+        fe = list(obj["fe"])
+        fe_table = None
+        if fe:
+            if spark is None:
+                spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError(
+                    "GlmModel.load: a SparkSession is required to restore "
+                    "an FE model's fixef table"
+                )
+            fe_table = spark.read.parquet(os.path.join(path, "fixef.parquet"))
+        beta = np.asarray(obj["beta"], dtype=float)
+        V = np.asarray(obj["vcov"], dtype=float)
+        ct = gen_coeftable(
+            beta,
+            V,
+            obj["df_residual"],
+            obj["coef_names"],
+            use_z=obj["inference"] == "z",
+        )
+        return cls(
+            coeftable=ct,
+            vcov_=V,
+            coef_names=list(obj["coef_names"]),
+            family=obj["family"],
+            link=obj["link"],
+            yvar=obj["yvar"],
+            vcov_type=obj["vcov_type"],
+            cluster_var=obj["cluster_var"],
+            nobs=obj["nobs"],
+            df_residual=obj["df_residual"],
+            loglik=obj["loglik"],
+            deviance=obj["deviance"],
+            null_deviance=obj["null_deviance"],
+            dispersion=obj["dispersion"],
+            pearson_chi2=obj["pearson_chi2"],
+            n_iter=obj["n_iter"],
+            converged=obj["converged"],
+            collin_vars=list(obj["collin_vars"]),
+            n_clusters=obj["n_clusters"],
+            design_info=design,
+            parsed=None,
+            offset=obj["offset"],
+            weights_col=obj["weights_col"],
+            fe=fe,
+            n_fe_levels=obj["n_fe_levels"],
+            inference=obj["inference"],
+            _betahat=beta,
+            _fe_table=fe_table,
+        )
+
     def __repr__(self):
         lines = [
             f"dbglm(family={self.family}, link={self.link}, "
@@ -611,6 +735,7 @@ def dbglm(
     cluster=None,
     offset: str | None = None,
     weights: str | None = None,
+    l2: float = 0.0,
     max_iter: int = 25,
     tol: float = 1e-8,
     drop_missings: bool = True,
@@ -626,7 +751,16 @@ def dbglm(
     column added to the linear predictor (Poisson rate models pass
     log-exposure). ``weights`` names a prior-weight column ω, R's
     ``glm(weights=)`` semantics — for binomial, y may then be a proportion
-    in [0, 1] with ω the trial count (grouped/aggregated logit)."""
+    in [0, 1] with ω the trial count (grouped/aggregated logit).
+
+    ``l2`` > 0 adds a ridge penalty (λ/2)·‖β‖² on the NON-intercept
+    coefficients: the IRLS step solves (X'WX + λI)β = X'Wz and convergence
+    tracks the penalized likelihood. This regularizes separable problems
+    (a perfectly separating classifier feature no longer diverges) and
+    near-collinear designs — collinearity dropping is disabled, the ridge
+    handles it. Reported vcov is the penalized sandwich B·A·B (model-based)
+    or B·M·B (robust) with B = (X'WX + λI)⁻¹; inference is approximate
+    under a penalty, as usual."""
     fam = get_family(family)
     parsed = parse_formula(fml)
     if parsed.fe and fam.name != "poisson":
@@ -669,7 +803,15 @@ def dbglm(
         frame.df = frame.df.where(cond)
         frame.sql_cte = None
 
+    if l2 < 0:
+        raise ValueError("l2 must be >= 0")
     if parsed.fe:
+        if l2 > 0:
+            raise NotImplementedError(
+                "l2 regularization is not available with absorbed `| fe` "
+                "fixed effects (the profiled system is not the penalized "
+                "one); drop l2 or use explicit factor dummies"
+            )
         return _fe_poisson(
             frame, parsed, design, fam, vcov_type, cluster_vars,
             offset, weights, max_iter, tol, verbose,
@@ -721,8 +863,14 @@ def dbglm(
 
     a0, b0, ll0, _ = _decode_pass(row, p_all)
     # at β=0, binomial A = X'X/4 and gaussian A = X'X: pivot detection on
-    # the weighted matrix is scale-invariant, so collinear columns drop once
-    collin = detect_collinearity(a0, b0, names_all)
+    # the weighted matrix is scale-invariant, so collinear columns drop once.
+    # With a ridge penalty the system is always full-rank — keep everything.
+    if l2 > 0:
+        from .solve import CollinResult
+
+        collin = CollinResult(a0, b0, list(range(p_all)), list(names_all), [], False)
+    else:
+        collin = detect_collinearity(a0, b0, names_all)
     keep_idx = list(collin.keep_idx)  # positional — immune to name collisions
     names = list(collin.keep_names)
     off0 = 1 if icpt_req else 0
@@ -733,10 +881,20 @@ def dbglm(
     def sub(a, b):
         return a[np.ix_(keep_idx, keep_idx)], b[np.asarray(keep_idx)]
 
+    # ridge: λ on the non-intercept diagonal; penalized objective
+    # ℓ_pen(β) = ℓ(β) − (λ/2)‖β₋₀‖² drives the step/convergence logic
+    penM = np.eye(p) * l2
+    if icpt and l2 > 0:
+        penM[0, 0] = 0.0
+
+    def pen(b):
+        return 0.5 * float(b @ (penM @ b))
+
     a_k, b_k = sub(a0, b0)
-    sol = solve_with_fallback(a_k, b_k)
+    sol = solve_with_fallback(a_k + penM, b_k)
     beta = sol.betahat
-    ll_prev = ll0
+    ll_prev = ll0  # penalized ll at β=0 equals raw ll0 (penalty 0)
+    ll_raw = ll0
     beta_prev = np.zeros(p)
     converged = False
     gave_up = False
@@ -756,6 +914,7 @@ def dbglm(
         r2 = agg_df.collect()[0].asDict()
         a2, b2, ll2, _ = _decode_pass(r2, p)
         final_a, ll_prev, final_row = a2, ll2, r2
+        ll_raw = ll2
         n_iter = 2
         converged = True
     else:
@@ -765,8 +924,11 @@ def dbglm(
             )
             rowi = agg_df.collect()[0].asDict()
             a_i, b_i, ll_i, _ = _decode_pass(rowi, p)
+            llp_i = ll_i - pen(beta)
             n_iter += 1
-            if not math.isfinite(ll_i) or ll_i < ll_prev - 1e-10 * (abs(ll_prev) + 1.0):
+            if not math.isfinite(llp_i) or llp_i < ll_prev - 1e-10 * (
+                abs(ll_prev) + 1.0
+            ):
                 # overshoot (poisson exp blow-up / extreme logit step):
                 # halve back toward the last accepted β. 12 halvings shrink
                 # the step by 4096× — past that the direction itself is bad
@@ -783,15 +945,16 @@ def dbglm(
             halvings = 0
             final_row, final_a = rowi, a_i
             accepted_beta = beta
+            ll_raw = ll_i
             if verbose:
-                print(f"[dbglm] iter {n_iter}: ll = {ll_i:.10g}")
-            if abs(ll_i - ll_prev) <= tol * (abs(ll_i) + 0.1):
-                ll_prev = ll_i
+                print(f"[dbglm] iter {n_iter}: ll = {llp_i:.10g}")
+            if abs(llp_i - ll_prev) <= tol * (abs(llp_i) + 0.1):
+                ll_prev = llp_i
                 converged = True
                 break
-            sol = solve_with_fallback(a_i, b_i)
+            sol = solve_with_fallback(a_i + penM, b_i)
             beta_prev, beta = beta, sol.betahat
-            ll_prev = ll_i
+            ll_prev = llp_i
         if not converged:
             # report the β of the last ACCEPTED pass, so coefficients,
             # information matrix, log-likelihood and pearson all refer to
@@ -804,7 +967,7 @@ def dbglm(
                     "step"
                 )
 
-    ll_final = ll_prev
+    ll_final = ll_raw
     deviance = 2.0 * (ll_sat - ll_final)
     # null model in closed form from the weighted sums: intercept-only
     # (μ̂ = Σωy/Σω) when the model has an intercept, else the zero linear
@@ -838,7 +1001,8 @@ def dbglm(
         deviance = -2.0 * ll_final  # ω-weighted RSS (ll = −Σω(y−η)²/2)
 
     df_res = max(n_total - p, 1.0)
-    info_inv = solve_with_fallback(final_a, np.zeros(p)).xtx_inv
+    # bread: B = (A + λI)⁻¹ (reduces to A⁻¹ at λ=0)
+    info_inv = solve_with_fallback(final_a + penM, np.zeros(p)).xtx_inv
 
     # pearson dispersion rode the final accepted pass (fixed to 1 for
     # binomial/poisson model-based vcov, the R glm convention; estimated
@@ -888,7 +1052,11 @@ def dbglm(
             )
 
     if vcov_type == "iid":
-        V = dispersion * info_inv
+        # λ=0: B·A·B = A⁻¹ (classic); λ>0: the penalized model-based
+        # sandwich B·A·B with B = (A+λI)⁻¹
+        V = dispersion * (
+            info_inv if l2 == 0 else info_inv @ final_a @ info_inv
+        )
     else:
         V = compute_vcov(
             vcov_type, info_inv, deviance, df_res, n_total, p, meat, n_clusters

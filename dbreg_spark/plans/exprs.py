@@ -250,3 +250,61 @@ def agg_to_sql(a: Agg) -> str:
         to = {"double": "DOUBLE", "long": "BIGINT"}.get(a.cast_to, a.cast_to.upper())
         s = f"CAST({s} AS {to})"
     return s
+
+
+# --------------------------------------------------------------------------
+# JSON-serializable form (model persistence: save a fitted model's design
+# expressions and rebuild them in another session)
+# --------------------------------------------------------------------------
+
+
+def expr_to_obj(e: Expr) -> dict:
+    """Encode an Expr tree as plain JSON-compatible dicts."""
+    if isinstance(e, Var):
+        return {"t": "var", "name": e.name}
+    if isinstance(e, Lit):
+        return {"t": "lit", "value": e.value}
+    if isinstance(e, BinOp):
+        return {
+            "t": "bin",
+            "op": e.op,
+            "left": expr_to_obj(e.left),
+            "right": expr_to_obj(e.right),
+        }
+    if isinstance(e, Func):
+        return {"t": "func", "name": e.name, "args": [expr_to_obj(a) for a in e.args]}
+    if isinstance(e, OneHot):
+        return {"t": "onehot", "var": e.var, "level": e.level}
+    if isinstance(e, CaseGE):
+        return {
+            "t": "casege",
+            "cond": expr_to_obj(e.cond_var),
+            "knot": e.knot,
+            "then": expr_to_obj(e.then),
+            "strict": e.strict,
+        }
+    if isinstance(e, Cast):
+        return {"t": "cast", "expr": expr_to_obj(e.expr), "to": e.to}
+    raise TypeError(f"unknown expr {e!r}")
+
+
+def expr_from_obj(d: dict) -> Expr:
+    """Inverse of :func:`expr_to_obj`."""
+    t = d["t"]
+    if t == "var":
+        return Var(d["name"])
+    if t == "lit":
+        return Lit(d["value"])
+    if t == "bin":
+        return BinOp(d["op"], expr_from_obj(d["left"]), expr_from_obj(d["right"]))
+    if t == "func":
+        return Func(d["name"], tuple(expr_from_obj(a) for a in d["args"]))
+    if t == "onehot":
+        return OneHot(d["var"], d["level"])
+    if t == "casege":
+        return CaseGE(
+            expr_from_obj(d["cond"]), d["knot"], expr_from_obj(d["then"]), d["strict"]
+        )
+    if t == "cast":
+        return Cast(expr_from_obj(d["expr"]), d["to"])
+    raise ValueError(f"unknown expr tag {t!r}")

@@ -337,6 +337,51 @@ def test_weighted_gaussian_is_wls(glm_df, glm_pdf):
     )
 
 
+def test_ridge_logit_matches_numpy_penalized_irls(glm_df, glm_pdf):
+    lam = 5.0
+    m = dbglm("ybin ~ x1 + x2", glm_df, family="binomial", l2=lam)
+    X = _X(glm_pdf, ["x1", "x2"])
+    y = glm_pdf["ybin"].values
+    P = np.diag([0.0, lam, lam])  # intercept unpenalized
+    beta = np.zeros(3)
+    for _ in range(60):
+        eta = X @ beta
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = mu * (1.0 - mu)
+        z = eta + (y - mu) / w
+        A = X.T @ (X * w[:, None])
+        beta_new = np.linalg.solve(A + P, X.T @ (w * z))
+        if np.max(np.abs(beta_new - beta)) < 1e-12:
+            beta = beta_new
+            break
+        beta = beta_new
+    assert m.converged
+    np.testing.assert_allclose(m.coef().values, beta, rtol=1e-6, atol=1e-9)
+    # penalty shrinks the slopes toward zero vs the unpenalized fit
+    m0 = dbglm("ybin ~ x1 + x2", glm_df, family="binomial")
+    assert abs(m.coef()["x1"]) < abs(m0.coef()["x1"])
+
+
+def test_ridge_tames_separation(spark):
+    pdf = pd.DataFrame({"y": [0.0] * 20 + [1.0] * 20, "x": list(range(40))})
+    sdf = spark.createDataFrame(pdf)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # any non-convergence warning fails this
+        m = dbglm("y ~ x", sdf, family="binomial", l2=1.0, max_iter=50)
+    assert m.converged
+    assert abs(m.coef()["x"]) < 10  # bounded, not diverging
+    assert np.isfinite(m.se().values).all()
+
+
+def test_ridge_refused_with_fe(glm_df, glm_pdf):
+    pdf = glm_pdf.assign(gcat="g" + glm_pdf["g"].astype(str))
+    sdf = glm_df.sparkSession.createDataFrame(pdf)
+    with pytest.raises(NotImplementedError, match="l2"):
+        dbglm("ypois ~ x1 | gcat", sdf, family="poisson", l2=1.0)
+
+
 def test_quasipoisson_scales_se_by_dispersion(glm_df, glm_pdf):
     m = dbglm("ypois ~ x1 + x2", glm_df, family="poisson")
     q = dbglm("ypois ~ x1 + x2", glm_df, family="quasipoisson")
@@ -501,6 +546,38 @@ def test_fe_poisson_refusals(fe_sdf):
         dbglm("ypois ~ x1 | gcat + g", sdf, family="poisson")
     with pytest.raises(NotImplementedError, match="quasipoisson"):
         dbglm("ypois ~ x1 | gcat", sdf, family="quasipoisson")
+
+
+def test_model_save_load_roundtrip(glm_df, glm_pdf, tmp_path):
+    from dbreg_spark import GlmModel
+
+    m = dbglm("ybin ~ x1 + x2", glm_df, family="binomial", vcov="hc1")
+    p = str(tmp_path / "logit_model")
+    m.save(p)
+    r = GlmModel.load(p)
+    np.testing.assert_allclose(r.coef().values, m.coef().values, rtol=0)
+    np.testing.assert_allclose(r.vcov_, m.vcov_, rtol=0)
+    assert r.coeftable["p.value"].equals(m.coeftable["p.value"])
+    a = m.predict(glm_df).select("fit").toPandas()["fit"].values
+    b = r.predict(glm_df).select("fit").toPandas()["fit"].values
+    np.testing.assert_allclose(np.sort(a), np.sort(b), rtol=0)
+
+
+def test_fe_model_save_load_roundtrip(fe_sdf, tmp_path):
+    from dbreg_spark import GlmModel
+
+    sdf, pdf = fe_sdf
+    m = dbglm("ypois ~ x1 + x2 | gcat", sdf, family="poisson")
+    p = str(tmp_path / "fepois_model")
+    m.save(p)
+    r = GlmModel.load(p, spark=sdf.sparkSession)
+    np.testing.assert_allclose(r.coef().values, m.coef().values, rtol=0)
+    fx_m = m.fixef().toPandas().set_index("gcat")["fixef"].sort_index()
+    fx_r = r.fixef().toPandas().set_index("gcat")["fixef"].sort_index()
+    np.testing.assert_allclose(fx_r.values, fx_m.values, rtol=1e-12)
+    a = m.predict(sdf).select("fit").toPandas()["fit"].values
+    b = r.predict(sdf).select("fit").toPandas()["fit"].values
+    np.testing.assert_allclose(np.sort(a), np.sort(b), rtol=1e-12)
 
 
 def test_fit_quality_classifier_roundtrip(tables):
