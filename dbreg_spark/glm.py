@@ -56,6 +56,7 @@ import warnings
 from dataclasses import dataclass, field
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -547,25 +548,47 @@ class GlmModel:
             eta = _d(Var(self.offset)) + eta
         dropcols = []
         if self.fe:
-            # FE model: attach the recovered α̂_g by joining the (fe, fixef)
-            # table — rows with FE levels unseen at fit time get NULL fit
+            # FE model: attach the recovered α̂ by joining the fixef table —
+            # rows with FE levels unseen at fit time get NULL fit
             missing_fe = [c for c in self.fe if c not in data.columns]
             if missing_fe:
                 raise ValueError(
                     f"predict: FE column(s) {missing_fe} missing from data"
                 )
-            if "__fixef" in data.columns:
-                raise ValueError(
-                    "predict: column name __fixef is reserved for the "
-                    "fixed-effect join; rename that input column"
-                )
-            eta = _d(Var("__fixef")) + eta
-            data = data.join(
-                self._fe_table.withColumnRenamed("fixef", "__fixef"),
-                on=list(self.fe),
-                how="left",
+            long_form = "fe_var" in self._fe_table.columns  # k-FE layout
+            fx_cols = (
+                [f"__fixef_{f}" for f in self.fe] if long_form else ["__fixef"]
             )
-            dropcols = ["__fixef"]
+            clash = [c for c in fx_cols if c in data.columns]
+            if clash:
+                raise ValueError(
+                    f"predict: column name(s) {clash} are reserved for the "
+                    "fixed-effect join; rename those input columns"
+                )
+            if long_form:
+                for f in self.fe:
+                    sub = (
+                        self._fe_table.where(F.col("fe_var") == f)
+                        .select(
+                            F.col("level").alias(f"__lvl_{f}"),
+                            F.col("fixef").alias(f"__fixef_{f}"),
+                        )
+                    )
+                    data = data.join(
+                        sub,
+                        data[f].cast("string") == F.col(f"__lvl_{f}"),
+                        "left",
+                    ).drop(f"__lvl_{f}")
+                    eta = _d(Var(f"__fixef_{f}")) + eta
+                dropcols = fx_cols
+            else:
+                eta = _d(Var("__fixef")) + eta
+                data = data.join(
+                    self._fe_table.withColumnRenamed("fixef", "__fixef"),
+                    on=list(self.fe),
+                    how="left",
+                )
+                dropcols = ["__fixef"]
         col = to_spark(eta)
         if type == "response" and self.family != "gaussian":
             col = to_spark(fam.mu(eta))
@@ -1256,12 +1279,10 @@ def _fe_poisson(
     Binomial/gaussian FE models are refused upstream: no closed-form
     profile exists for logit, and linear FE models belong to dbreg().
     """
-    if len(parsed.fe) != 1:
-        raise NotImplementedError(
-            "dbglm fe_poisson supports exactly ONE absorbed FE today "
-            f"(got {len(parsed.fe)}): k-FE needs alternating inner "
-            "profiles. Absorb the highest-cardinality FE and list the "
-            "others as factor regressors."
+    if len(parsed.fe) > 1:
+        return _fe_poisson_kfe(
+            frame, parsed, design, fam, vcov_type, cluster_vars,
+            offset, weights, max_iter, tol, verbose,
         )
     fe = parsed.fe[0]
     x_names = list(frame.x_cols)
@@ -1552,3 +1573,509 @@ def _fe_poisson(
     finally:
         if gtab is not None:  # error path: release the cached group table
             gtab.unpersist()
+
+
+# --------------------------------------------------------------------------
+# k-FE Poisson via the occupied-cell formulation (compress-strategy PPML)
+# --------------------------------------------------------------------------
+
+
+def _kfe_solve_cells(cells, fes, p, verbose=False):
+    """Driver-side inner problem on the occupied-cell table.
+
+    ``cells``: pandas frame with one row per occupied FE cell carrying
+    C = Σ_cell ωm, Y = Σ_cell ωy, X_j = Σ_cell ωm·xⱼ at the current β
+    (m = e^{o+x'β} — per-row, so these are true sums, not counts).
+
+    1. λ alternation (the FE profile): the update for FE k only needs
+       per-level sums of C·φ/λ_k — vectorized bincounts; iterate
+       Gauss-Seidel to machine stationarity (cost: microseconds per sweep,
+       the data never moves).
+    2. Weighted-mean corrections (the within transform): find per-level
+       vectors c_k[g, j] with Σ_g ωμ·(xⱼ − Σ_k c_k) = 0 for every level of
+       every FE — alternating projections on the cell sums (weights
+       W = C·φ = Σ_cell ωμ; the ωμ-weighted x sums are φ·X_j: within a
+       cell m is the only row-level weight, so φ factors out).
+
+    Returns (lnphi_cell array, a_cell (n_cells × p) corrections,
+    lnl per-FE level arrays, level codes per FE, separation flag count).
+    Raises on cross-FE separation (a level with Σωy > 0 forced to zero
+    mean by other FEs' dead groups).
+    """
+    n_cells = len(cells)
+    C = cells["__C"].to_numpy(dtype=float)
+    Y = cells["__Y"].to_numpy(dtype=float)
+    X = np.column_stack(
+        [cells[f"__X{j}"].to_numpy(dtype=float) for j in range(p)]
+    ) if p else np.zeros((n_cells, 0))
+
+    idx = {}
+    lvls = {}
+    Yk = {}
+    for f in fes:
+        codes, uniques = pd.factorize(cells[f], use_na_sentinel=False)
+        idx[f] = codes
+        lvls[f] = uniques
+        Yk[f] = np.bincount(codes, weights=Y, minlength=len(uniques))
+
+    lnl = {f: np.zeros(len(lvls[f])) for f in fes}
+    # dead levels (Σωy = 0): λ = 0 from the first update; keep −inf
+    with np.errstate(divide="ignore"):
+        lnY = {f: np.log(Yk[f]) for f in fes}  # −inf at 0
+
+    lnphi = np.zeros(n_cells)
+    for sweep in range(500):
+        worst = 0.0
+        for f in fes:
+            other = lnphi - lnl[f][idx[f]]
+            with np.errstate(over="ignore"):
+                denom = np.bincount(
+                    idx[f], weights=C * np.exp(other), minlength=len(lvls[f])
+                )
+            sep = (Yk[f] > 0) & (denom <= 0)
+            if sep.any():
+                raise ValueError(
+                    "dbglm fe_poisson: separated observations — "
+                    f"{int(sep.sum())} level(s) of {f} have positive "
+                    "outcomes but are forced to zero mean by another FE's "
+                    "all-zero groups. Drop the separated rows "
+                    "(ppmlhdfe-style) and refit."
+                )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                new = lnY[f] - np.log(denom)
+            new[Yk[f] <= 0] = -np.inf
+            live = np.isfinite(new) & np.isfinite(lnl[f])
+            if live.any():
+                worst = max(worst, float(np.max(np.abs(new[live] - lnl[f][live]))))
+            elif np.isfinite(new).any() and not np.isfinite(lnl[f]).any():
+                worst = max(worst, 1.0)
+            lnl[f] = new
+            lnphi = other + new[idx[f]]
+        if worst <= 1e-13:
+            break
+    if verbose:
+        print(f"[dbglm kfe] lambda alternation: {sweep + 1} sweeps")
+
+    # corrections: weights W = C·φ (dead cells: 0), x-sums φ·X_j
+    with np.errstate(over="ignore"):
+        phi = np.exp(lnphi)
+    W = C * phi
+    XW = X * phi[:, None]
+    a = np.zeros((n_cells, p))
+    Dk = {
+        f: np.bincount(idx[f], weights=W, minlength=len(lvls[f])) for f in fes
+    }
+    ck = {f: np.zeros((len(lvls[f]), p)) for f in fes}
+    for sweep in range(1000):
+        worst = 0.0
+        for f in fes:
+            resid = XW - W[:, None] * a  # Σ_cell ωμ·x̃ per cell, per j
+            num = np.zeros((len(lvls[f]), p))
+            for j in range(p):
+                num[:, j] = np.bincount(
+                    idx[f], weights=resid[:, j], minlength=len(lvls[f])
+                )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                step = np.where(Dk[f][:, None] > 0, num / Dk[f][:, None], 0.0)
+            ck[f] += step
+            a += step[idx[f], :]
+            if step.size:
+                worst = max(worst, float(np.max(np.abs(step))))
+        if worst <= 1e-12:
+            break
+    if verbose:
+        print(f"[dbglm kfe] AP corrections: {sweep + 1} sweeps")
+    return lnphi, a, lnl, lvls
+
+
+def _fe_poisson_kfe(
+    frame: Frame,
+    parsed: ParsedFormula,
+    design: DesignInfo,
+    fam: _Family,
+    vcov_type: str,
+    cluster_vars,
+    offset: str | None,
+    weights: str | None,
+    max_iter: int,
+    tol: float,
+    verbose: bool,
+    cells_nmax: int = 5_000_000,
+) -> GlmModel:
+    """Poisson regression with k ≥ 2 absorbed fixed effects — the
+    ppmlhdfe/gravity estimator (exporter × importer × year FEs) in the
+    COMPRESS-strategy shape.
+
+    Everything the concentrated Newton step needs from the data reduces to
+    the OCCUPIED FE-cell table at the current β: per cell (g₁…g_k),
+    C = Σωm, Y = Σωy, X_j = Σωm·xⱼ with m = e^{o+x'β}. The FE profile
+    (alternating closed-form λ updates) and the weighted within-transform
+    corrections both run driver-side in numpy on that table — the inner
+    iterations cost microseconds and touch no data. Each outer Newton
+    iteration is therefore exactly TWO distributed passes:
+
+    1. the cell aggregation (groupBy over the FE tuple; the shuffle
+       carries one (p+2)-vector per occupied cell, map-side combined),
+    2. the system aggregation: one broadcast join of the cell-keyed
+       (lnφ, corrections) helper table back to the rows, then the
+       single-row profiled Newton system A = X̃'WX̃, s = X̃'ω(y−μ̂), ll.
+
+    Scale bound, stated honestly: the occupied-cell table must fit on the
+    driver (default cap ``cells_nmax`` = 5M cells, plus Spark's own
+    maxResultSize guard). Gravity-style panels (countries² × years) sit
+    far under it. Past the cap the same algebra would run cell-resident
+    as small-table joins (the cell table is tiny relative to rows even at
+    100 TB) — not yet implemented; a clear error names the bound.
+
+    Separation (Σωy > 0 level forced to zero mean by another FE's dead
+    groups) raises with diagnosis instead of silently diverging; all-zero
+    groups get λ̂ = 0 and drop out exactly as in the 1-FE path.
+    """
+    fes = list(parsed.fe)
+    x_names = list(frame.x_cols)
+    names = [standardize_coef_names(n) for n in x_names]
+    p = len(x_names)
+    df = frame.df
+    y = _d(Var(frame.y_col))
+    om: Expr | None = _d(Var(weights)) if weights is not None else None
+    wy = om * y if om is not None else y
+    spark = df.sparkSession
+
+    def cell_pass(beta, x_list):
+        eta_x = _eta_expr(beta, x_list, intercept=False)
+        lnm = _d(Var(offset)) + eta_x if offset is not None else eta_x
+        m = Func("exp", (lnm,))
+        wm = om * m if om is not None else m
+        aggs = [
+            F.sum(to_spark(_d(wm))).alias("__C"),
+            F.sum(to_spark(_d(wy))).alias("__Y"),
+        ]
+        for j, xn in enumerate(x_list):
+            aggs.append(F.sum(to_spark(_d(wm) * _d(Var(xn)))).alias(f"__X{j}"))
+        cdf = df.groupBy(*fes).agg(*aggs)
+        pdf_cells = cdf.limit(cells_nmax + 1).toPandas()
+        if len(pdf_cells) > cells_nmax:
+            raise NotImplementedError(
+                f"dbglm fe_poisson: more than {cells_nmax} occupied FE "
+                "cells — the driver-side inner solver is capped (raise "
+                "cells_nmax if the driver has memory; a cell-resident "
+                "distributed inner loop is the documented follow-up)"
+            )
+        return pdf_cells
+
+    def system_pass(beta, x_list, helper, first=False, rows_only=False):
+        """Join the cell-keyed helper (lnφ, a_j) and aggregate the system."""
+        pl = len(x_list)
+        hdf = F.broadcast(spark.createDataFrame(helper))
+        joined = df.join(hdf, on=fes, how="inner")
+        eta_x = _eta_expr(beta, x_list, intercept=False)
+        lnm = _d(Var(offset)) + eta_x if offset is not None else eta_x
+        omc = to_spark(_d(om)) if om is not None else F.lit(1.0)
+        lnmu = F.col("__lnphi") + to_spark(_d(lnm))
+        mu = F.exp(lnmu)
+        w_col = omc * mu
+        s_col = omc * (to_spark(y) - mu)
+        ll_col = omc * (
+            F.when(to_spark(y) > 0, to_spark(y) * lnmu).otherwise(F.lit(0.0))
+            - mu
+        )
+        proj = [
+            w_col.alias("__w"),
+            s_col.alias("__s"),
+            ll_col.alias("__ll"),
+        ]
+        for j, xn in enumerate(x_list):
+            proj.append(
+                (to_spark(_d(Var(xn))) - F.col(f"__a{j}")).alias(f"__xt{j}")
+            )
+            if first:
+                proj.append(to_spark(_d(Var(xn))).alias(f"__xr{j}"))
+        keys = list(cluster_vars) if (rows_only and cluster_vars) else []
+        out = joined.select(*keys, *proj)
+        if rows_only:
+            return out
+        aggs = [
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("__ll").alias("ll"),
+        ]
+        if first:
+            for i in range(pl):
+                aggs.append(
+                    F.sum(F.col("__w") * F.col(f"__xr{i}") * F.col(f"__xr{i}"))
+                    .alias(f"d_{i}")
+                )
+        for i in range(pl):
+            for j in range(i, pl):
+                aggs.append(
+                    F.sum(F.col("__w") * F.col(f"__xt{i}") * F.col(f"__xt{j}"))
+                    .alias(f"a_{i}_{j}")
+                )
+        for i in range(pl):
+            aggs.append(F.sum(F.col("__s") * F.col(f"__xt{i}")).alias(f"b_{i}"))
+        return out.agg(*aggs).collect()[0].asDict()
+
+    def evaluate(beta, x_list, first=False):
+        """cells → driver inner solve → system row. Returns (row, helper,
+        lnl, lvls)."""
+        cells = cell_pass(beta, x_list)
+        if first and len(cells) == 0:
+            raise ValueError("dbglm: zero rows after missing-value filtering")
+        lnphi, a_corr, lnl, lvls = _kfe_solve_cells(
+            cells, fes, len(x_list), verbose=verbose
+        )
+        helper = cells[fes].copy()
+        # -inf breaks some Arrow paths; Spark exp(-1e308) == 0.0 exactly
+        helper["__lnphi"] = np.where(
+            np.isfinite(lnphi), lnphi, -1.0e308
+        )
+        for j in range(len(x_list)):
+            helper[f"__a{j}"] = a_corr[:, j]
+        row = system_pass(beta, x_list, helper, first=first)
+        return row, helper, lnl, lvls
+
+    # ll_sat: β-independent, once
+    llsat_e = CaseGE(y, 0.0, y * Func("ln", (y,)) - y, strict=True)
+    if om is not None:
+        llsat_e = om * llsat_e
+    srow = df.agg(
+        F.sum(to_spark(_d(llsat_e))).alias("lls"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n_total = int(srow["n"])
+    if n_total == 0:
+        raise ValueError("dbglm: zero rows after missing-value filtering")
+    ll_sat = float(srow["lls"] or 0.0)
+
+    beta = np.zeros(p)
+    beta_prev = np.zeros(p)
+    accepted_beta = np.zeros(p)
+    ll_prev = -math.inf
+    converged = False
+    gave_up = False
+    halvings = 0
+    n_iter = 0
+    final_a = None
+    final_helper = None
+    final_lnl = None
+    final_lvls = None
+    collin_dropped: list[str] = []
+    helper_beta = None
+
+    while n_iter < max_iter:
+        rowi, helper, lnl, lvls = evaluate(beta, x_names, first=n_iter == 0)
+        evaluated_beta = beta
+        n_iter += 1
+        a_i = np.zeros((p, p))
+        b_i = np.zeros(p)
+        for i in range(p):
+            b_i[i] = float(rowi[f"b_{i}"] or 0.0)
+            for j in range(i, p):
+                v = float(rowi[f"a_{i}_{j}"] or 0.0)
+                a_i[i, j] = a_i[j, i] = v
+        ll_i = float(rowi["ll"]) if rowi["ll"] is not None else math.nan
+        if not math.isfinite(ll_i) or ll_i < ll_prev - 1e-10 * (
+            abs(ll_prev) + 1.0
+        ):
+            if not math.isfinite(ll_prev):
+                raise ValueError(
+                    "dbglm fe_poisson: non-finite likelihood at the "
+                    "starting point β=0 — check the offset/outcome scale"
+                )
+            halvings += 1
+            if halvings > 12:
+                warnings.warn(
+                    "[dbglm] step-halving failed to restore likelihood "
+                    "ascent; stopping at the last accepted coefficients"
+                )
+                gave_up = True
+                break
+            beta = 0.5 * (beta + beta_prev)
+            continue
+        halvings = 0
+        if n_iter == 1 and p:
+            # absorbed/collinear columns: profiled diag ≈ 0 vs the raw
+            # weighted second moment (same criterion as the 1-FE path)
+            absorbed = [
+                i for i in range(p)
+                if float(rowi[f"a_{i}_{i}"] or 0.0)
+                <= 1e-10 * max(float(rowi[f"d_{i}"] or 0.0), 1e-300)
+            ]
+            if absorbed:
+                survive = [i for i in range(p) if i not in absorbed]
+                collin_dropped = [names[i] for i in absorbed]
+                x_names = [x_names[i] for i in survive]
+                names = [names[i] for i in survive]
+                p = len(names)
+                sv = np.asarray(survive, dtype=int)
+                a_i = a_i[np.ix_(survive, survive)]
+                b_i = b_i[sv]
+                beta, beta_prev = beta[sv], beta_prev[sv]
+                accepted_beta = accepted_beta[sv]
+                helper = None  # stale __a layout — rebuild when needed
+        final_a = a_i
+        final_helper, final_lnl, final_lvls = helper, lnl, lvls
+        helper_beta = evaluated_beta if helper is not None else None
+        accepted_beta = beta
+        if verbose:
+            print(f"[dbglm kfe] iter {n_iter}: ll = {ll_i:.10g}")
+        if math.isfinite(ll_prev) and abs(ll_i - ll_prev) <= tol * (
+            abs(ll_i) + 0.1
+        ):
+            ll_prev = ll_i
+            converged = True
+            break
+        if n_iter >= max_iter:
+            ll_prev = ll_i
+            break
+        sol = solve_with_fallback(a_i, b_i)
+        beta_prev, beta = beta, beta + sol.betahat
+        ll_prev = ll_i
+    if not converged:
+        beta = accepted_beta
+        if not gave_up:
+            warnings.warn(
+                f"[dbglm] fe_poisson k-FE did not converge in {max_iter} "
+                "iterations; estimates are the last accepted step"
+            )
+    if final_a is None:
+        raise ValueError(
+            "dbglm fe_poisson: no likelihood-improving step was ever "
+            "accepted; the model could not be fit on this data"
+        )
+    # the helper (λ/corrections) must correspond to the REPORTED β
+    if (
+        final_helper is None
+        or helper_beta is None
+        or len(helper_beta) != len(beta)
+        or not np.array_equal(helper_beta, beta)
+    ):
+        cells = cell_pass(beta, x_names)
+        lnphi, a_corr, final_lnl, final_lvls = _kfe_solve_cells(
+            cells, fes, p, verbose=verbose
+        )
+        final_helper = cells[fes].copy()
+        final_helper["__lnphi"] = np.where(
+            np.isfinite(lnphi), lnphi, -1.0e308
+        )
+        for j in range(p):
+            final_helper[f"__a{j}"] = a_corr[:, j]
+
+    ll_final = ll_prev
+    deviance = 2.0 * (ll_sat - ll_final)
+    g_total = sum(len(final_lvls[f]) for f in fes)
+    k_eff = p + g_total - (len(fes) - 1)
+    df_res = max(n_total - k_eff, 1.0)
+    info_inv = solve_with_fallback(final_a, np.zeros(p)).xtx_inv
+
+    meat = n_clusters = None
+    if vcov_type in ("hc1", "cluster"):
+        sc = system_pass(beta, x_names, final_helper, rows_only=True)
+        if vcov_type == "hc1":
+            aggs = []
+            for i in range(p):
+                for j in range(i, p):
+                    aggs.append(
+                        F.sum(
+                            F.col("__s") * F.col("__s")
+                            * F.col(f"__xt{i}") * F.col(f"__xt{j}")
+                        ).alias(f"m_{i}_{j}")
+                    )
+            mrow = sc.agg(*aggs).collect()[0].asDict()
+            meat = np.zeros((p, p))
+            for i in range(p):
+                for j in range(i, p):
+                    meat[i, j] = meat[j, i] = float(mrow[f"m_{i}_{j}"])
+        else:
+
+            def _component(subset):
+                score_aggs = [
+                    F.sum(F.col("__s") * F.col(f"__xt{i}")).alias(f"sc_{i}")
+                    for i in range(p)
+                ]
+                stab = sc.groupBy(*subset).agg(*score_aggs)
+                aggs2 = [F.count(F.lit(1)).alias("G")]
+                for i in range(p):
+                    for j in range(i, p):
+                        aggs2.append(
+                            F.sum(F.col(f"sc_{i}") * F.col(f"sc_{j}"))
+                            .alias(f"m_{i}_{j}")
+                        )
+                mr = stab.agg(*aggs2).collect()[0].asDict()
+                mm = np.zeros((p, p))
+                for i in range(p):
+                    for j in range(i, p):
+                        mm[i, j] = mm[j, i] = float(mr[f"m_{i}_{j}"])
+                return mm, int(mr["G"])
+
+            keys = list(cluster_vars)
+            if len(keys) == 1:
+                meat, n_clusters = _component(keys)
+            else:
+                from itertools import combinations
+
+                comps = []
+                gmin = None
+                for r in range(1, len(keys) + 1):
+                    for subset in combinations(keys, r):
+                        m_s, g_s = _component(list(subset))
+                        comps.append((r, m_s, g_s))
+                        if r == 1:
+                            gmin = g_s if gmin is None else min(gmin, g_s)
+                scale_ref = gmin / (gmin - 1)
+                meat = np.zeros((p, p))
+                for r, m_s, g_s in comps:
+                    sign = 1.0 if r % 2 == 1 else -1.0
+                    meat += sign * ((g_s / (g_s - 1)) / scale_ref) * m_s
+                n_clusters = gmin
+
+    if vcov_type == "iid":
+        V = info_inv
+    else:
+        V = compute_vcov(
+            vcov_type, info_inv, deviance, df_res, float(n_total), k_eff,
+            meat, n_clusters,
+        )
+
+    ct = gen_coeftable(beta, V, df_res, names, use_z=True)
+    # fixef: long form (fe_var, level, fixef); NULL = dead (λ=0) group.
+    # Levels are identified up to k−1 additive constants, the usual FE
+    # normalization caveat.
+    fix_rows = []
+    for f in fes:
+        for lv, v in zip(final_lvls[f], final_lnl[f]):
+            fix_rows.append(
+                (f, str(lv), float(v) if math.isfinite(v) else None)
+            )
+    fixef_df = spark.createDataFrame(
+        pd.DataFrame(fix_rows, columns=["fe_var", "level", "fixef"])
+    )
+    return GlmModel(
+        coeftable=ct,
+        vcov_=V,
+        coef_names=names,
+        family=fam.label,
+        link=fam.link,
+        yvar=parsed.yvar,
+        vcov_type=vcov_type,
+        cluster_var="+".join(cluster_vars) if cluster_vars else None,
+        nobs=n_total,
+        df_residual=df_res,
+        loglik=ll_final,
+        deviance=deviance,
+        null_deviance=float("nan"),
+        dispersion=1.0,
+        pearson_chi2=float("nan"),
+        n_iter=n_iter,
+        converged=converged,
+        collin_vars=collin_dropped,
+        n_clusters=n_clusters,
+        design_info=design,
+        parsed=parsed,
+        query_string=None,
+        offset=offset,
+        weights_col=weights,
+        fe=fes,
+        n_fe_levels=int(g_total),
+        _betahat=beta,
+        _fe_table=fixef_df,
+    )

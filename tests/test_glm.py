@@ -542,10 +542,78 @@ def test_fe_poisson_refusals(fe_sdf):
     sdf, _ = fe_sdf
     with pytest.raises(NotImplementedError, match="poisson family only"):
         dbglm("ybin ~ x1 | gcat", sdf, family="binomial")
-    with pytest.raises(NotImplementedError, match="ONE absorbed FE"):
-        dbglm("ypois ~ x1 | gcat + g", sdf, family="poisson")
     with pytest.raises(NotImplementedError, match="quasipoisson"):
         dbglm("ypois ~ x1 | gcat", sdf, family="quasipoisson")
+
+
+# ---------------------------------------------------------------------------
+# k-FE Poisson (alternating profiles + weighted AP demeaning)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fe2_sdf(glm_df, glm_pdf):
+    pdf = glm_pdf.assign(
+        gcat="g" + glm_pdf["g"].astype(str),
+        hcat="h" + ((glm_pdf["g"] * 3 + (glm_pdf["x1"] > 0)) % 7).astype(str),
+    )
+    return glm_df.sparkSession.createDataFrame(pdf), pdf
+
+
+def test_fe_poisson_2fe_matches_dummy_encoding(fe2_sdf):
+    """Two absorbed FEs via alternating profiles must equal the explicit
+    double-dummy fit — coefficients, model SEs (profile information ≡
+    partitioned full inverse), and the log-likelihood."""
+    sdf, pdf = fe2_sdf
+    fe_m = dbglm("ypois ~ x1 + x2 | gcat + hcat", sdf, family="poisson")
+    dm = dbglm("ypois ~ x1 + x2 + gcat + hcat", sdf, family="poisson")
+    assert fe_m.converged
+    for name in ["x1", "x2"]:
+        assert fe_m.coef()[name] == pytest.approx(dm.coef()[name], rel=1e-5)
+        assert fe_m.se()[name] == pytest.approx(dm.se()[name], rel=1e-4)
+    assert fe_m.loglik == pytest.approx(dm.loglik, rel=1e-8)
+
+
+def test_fe_poisson_2fe_cluster_matches_dummy(fe2_sdf):
+    sdf, pdf = fe2_sdf
+    fe_c = dbglm(
+        "ypois ~ x1 + x2 | gcat + hcat", sdf, family="poisson", vcov="~ g"
+    )
+    dm_c = dbglm(
+        "ypois ~ x1 + x2 + gcat + hcat", sdf, family="poisson", vcov="~ g"
+    )
+    assert fe_c.n_clusters == dm_c.n_clusters
+    for name in ["x1", "x2"]:
+        assert fe_c.se()[name] == pytest.approx(dm_c.se()[name], rel=1e-4)
+
+
+def test_fe_poisson_2fe_predict_moment_conditions(fe2_sdf):
+    """Fitted means must reproduce each FE's group totals (the FE
+    first-order conditions) — and predict must resolve both α̂ joins."""
+    sdf, pdf = fe2_sdf
+    m = dbglm("ypois ~ x1 + x2 | gcat + hcat", sdf, family="poisson")
+    out = m.predict(sdf).select("gcat", "hcat", "ypois", "fit").toPandas()
+    assert out["fit"].notna().all()
+    for key in ["gcat", "hcat"]:
+        gm = out.groupby(key).agg(fit=("fit", "sum"), y=("ypois", "sum"))
+        np.testing.assert_allclose(gm["fit"], gm["y"], rtol=1e-5)
+    # fixef: long form with both FEs present
+    fx = m.fixef().toPandas()
+    assert set(fx["fe_var"]) == {"gcat", "hcat"}
+
+
+def test_fe_poisson_2fe_save_load(fe2_sdf, tmp_path):
+    from dbreg_spark import GlmModel
+
+    sdf, _ = fe2_sdf
+    m = dbglm("ypois ~ x1 + x2 | gcat + hcat", sdf, family="poisson")
+    p = str(tmp_path / "fe2_model")
+    m.save(p)
+    r = GlmModel.load(p, spark=sdf.sparkSession)
+    np.testing.assert_allclose(r.coef().values, m.coef().values, rtol=0)
+    a = m.predict(sdf).select("fit").toPandas()["fit"].values
+    b = r.predict(sdf).select("fit").toPandas()["fit"].values
+    np.testing.assert_allclose(np.sort(a), np.sort(b), rtol=1e-12)
 
 
 def test_model_save_load_roundtrip(glm_df, glm_pdf, tmp_path):
