@@ -344,6 +344,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["glm_fepois_profile_step"] = fepois_step
 
+    # k-FE PPML: the occupied-cell aggregation at fixed β — the entire
+    # distributed half of the gravity estimator (the λ/within inner solve
+    # is driver-side numpy, pinned by test_glm's double-dummy parity)
+    def fepois_kfe_cells(spark, sf_dir):
+        import numpy as np
+
+        _tables(spark, sf_dir)
+        cols = ["l_returnflag", "l_linestatus", "l_linenumber",
+                "l_quantity", "l_discount"]
+        df = spark.table("lineitem").select(*cols)
+        cond = None
+        for c in cols:
+            cc = F.col(c).isNotNull()
+            cond = cc if cond is None else (cond & cc)
+        df = df.where(cond)
+        b0, b1 = FEPOIS_BETA
+        m = F.exp(
+            F.lit(0.0)
+            + F.lit(b0) * F.col("l_quantity").cast("double")
+            + F.lit(b1) * F.col("l_discount").cast("double")
+        )
+        yv = F.col("l_linenumber").cast("double")
+        cells = df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(m).alias("c_sum"),
+            F.sum(yv).alias("y_sum"),
+            F.sum(m * F.col("l_quantity").cast("double")).alias("x_0"),
+            F.sum(m * F.col("l_discount").cast("double")).alias("x_1"),
+        )
+        return _round_doubles_df(cells)
+
+    Q["glm_kfe_cells"] = fepois_kfe_cells
+
     # ---- design matrix (SURVEY §2.7 F1-F2) ----
     def design_matrix(spark, sf_dir):
         from dbreg_spark.design import build_design
@@ -1446,6 +1478,29 @@ def oracle_sql() -> dict[str, str]:
     ]
     O["glm_fepois_profile_step"] = _round_doubles_sql(
         FEPOIS_ORACLE_SQL, _fp_cols, [c for c in _fp_cols if c != "n_total"]
+    )
+
+    b0, b1 = FEPOIS_BETA
+    O["glm_kfe_cells"] = _round_doubles_sql(
+        f"""
+SELECT l_returnflag, l_linestatus,
+  SUM(m) AS c_sum, SUM(y) AS y_sum,
+  SUM(m * x0) AS x_0, SUM(m * x1) AS x_1
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_linenumber AS DOUBLE) AS y,
+         CAST(l_quantity AS DOUBLE) AS x0,
+         CAST(l_discount AS DOUBLE) AS x1,
+         EXP(0.0 + {b0!r} * CAST(l_quantity AS DOUBLE)
+                 + {b1!r} * CAST(l_discount AS DOUBLE)) AS m
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+    AND l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_discount IS NOT NULL
+) b GROUP BY l_returnflag, l_linestatus
+""",
+        ["l_returnflag", "l_linestatus", "c_sum", "y_sum", "x_0", "x_1"],
+        ["c_sum", "y_sum", "x_0", "x_1"],
     )
 
     # design matrix: levels of l_returnflag are A < N < R; drop reference A

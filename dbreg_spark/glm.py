@@ -356,6 +356,73 @@ def _decode_pass(row: dict, p: int) -> tuple[np.ndarray, np.ndarray, float, floa
 # --------------------------------------------------------------------------
 
 
+def _cluster_meat_from_scores(sc: DataFrame, p: int, keys: list[str]):
+    """Cluster meat from a row-level score frame carrying ``__s`` and
+    ``__xt0..p-1`` plus the cluster key columns: per-cluster score sums,
+    then Σ s_g s_gᵀ — with CGM inclusion-exclusion (per-component
+    G_S/(G_S−1) factors folded into an effective meat, the repo-wide
+    convention) for multiway keys. The frame is persisted across the
+    2^K−1 component passes and released before returning.
+
+    Shared by the 1-FE and k-FE fepois paths."""
+
+    def _component(subset):
+        score_aggs = [
+            F.sum(F.col("__s") * F.col(f"__xt{i}")).alias(f"sc_{i}")
+            for i in range(p)
+        ]
+        stab = sc.groupBy(*subset).agg(*score_aggs)
+        aggs = [F.count(F.lit(1)).alias("G")]
+        for i in range(p):
+            for j in range(i, p):
+                aggs.append(
+                    F.sum(F.col(f"sc_{i}") * F.col(f"sc_{j}")).alias(f"m_{i}_{j}")
+                )
+        mr = stab.agg(*aggs).collect()[0].asDict()
+        mm = np.zeros((p, p))
+        for i in range(p):
+            for j in range(i, p):
+                mm[i, j] = mm[j, i] = float(mr[f"m_{i}_{j}"])
+        return mm, int(mr["G"])
+
+    multi = len(keys) > 1
+    if multi:
+        sc = sc.persist()
+    try:
+        if not multi:
+            meat, g = _component(keys)
+            if g < 2:
+                raise ValueError(
+                    "cluster-robust SEs need at least 2 clusters "
+                    f"(got {g} for {keys})"
+                )
+            return meat, g
+        from itertools import combinations
+
+        comps = []
+        gmin = None
+        for r in range(1, len(keys) + 1):
+            for subset in combinations(keys, r):
+                m_s, g_s = _component(list(subset))
+                comps.append((r, m_s, g_s))
+                if r == 1:
+                    gmin = g_s if gmin is None else min(gmin, g_s)
+        if gmin < 2:
+            raise ValueError(
+                "cluster-robust SEs need at least 2 clusters in every "
+                f"dimension (min G = {gmin} across {keys})"
+            )
+        scale_ref = gmin / (gmin - 1)
+        meat = np.zeros((p, p))
+        for r, m_s, g_s in comps:
+            sign = 1.0 if r % 2 == 1 else -1.0
+            meat += sign * ((g_s / (g_s - 1)) / scale_ref) * m_s
+        return meat, gmin
+    finally:
+        if multi:
+            sc.unpersist()
+
+
 def glm_meat(
     frame: Frame,
     family: _Family,
@@ -555,7 +622,12 @@ class GlmModel:
                 raise ValueError(
                     f"predict: FE column(s) {missing_fe} missing from data"
                 )
-            long_form = "fe_var" in self._fe_table.columns  # k-FE layout
+            # k-FE long-form layout is exactly {fe_var, level, fixef}; a
+            # 1-FE table is (fe-column, fixef) — even when the FE column
+            # is literally named "fe_var" it lacks the "level" column
+            long_form = set(self._fe_table.columns) == {
+                "fe_var", "level", "fixef",
+            }
             fx_cols = (
                 [f"__fixef_{f}" for f in self.fe] if long_form else ["__fixef"]
             )
@@ -1463,30 +1535,6 @@ def _fe_poisson(
         if vcov_type in ("hc1", "cluster"):
             keys = list(cluster_vars) if vcov_type == "cluster" else []
             sc = profiled_pass(beta, gtab, extra_keys=keys)
-
-            def _decode_meat(mrow):
-                m = np.zeros((p, p))
-                for i in range(p):
-                    for j in range(i, p):
-                        m[i, j] = m[j, i] = float(mrow[f"m_{i}_{j}"])
-                return m
-
-            def _cluster_component(subset):
-                score_aggs = [
-                    F.sum(F.col("__s") * F.col(f"__xt{i}")).alias(f"sc_{i}")
-                    for i in range(p)
-                ]
-                stab = sc.groupBy(*subset).agg(*score_aggs)
-                aggs = [F.count(F.lit(1)).alias("G")]
-                for i in range(p):
-                    for j in range(i, p):
-                        aggs.append(
-                            F.sum(F.col(f"sc_{i}") * F.col(f"sc_{j}"))
-                            .alias(f"m_{i}_{j}")
-                        )
-                mrow = stab.agg(*aggs).collect()[0].asDict()
-                return _decode_meat(mrow), int(mrow["G"])
-
             if vcov_type == "hc1":
                 aggs = []
                 for i in range(p):
@@ -1497,29 +1545,13 @@ def _fe_poisson(
                                 * F.col(f"__xt{i}") * F.col(f"__xt{j}")
                             ).alias(f"m_{i}_{j}")
                         )
-                meat = _decode_meat(sc.agg(*aggs).collect()[0].asDict())
-            elif len(keys) == 1:
-                meat, n_clusters = _cluster_component(keys)
-            else:
-                # multiway CGM inclusion-exclusion, each component with its
-                # own g_S/(g_S−1) factor folded into an effective meat —
-                # the same convention as plain dbglm and the linear path
-                from itertools import combinations
-
-                comps = []
-                gmin = None
-                for r in range(1, len(keys) + 1):
-                    for subset in combinations(keys, r):
-                        m_s, g_s = _cluster_component(list(subset))
-                        comps.append((r, m_s, g_s))
-                        if r == 1:
-                            gmin = g_s if gmin is None else min(gmin, g_s)
-                scale_ref = gmin / (gmin - 1)
+                mrow = sc.agg(*aggs).collect()[0].asDict()
                 meat = np.zeros((p, p))
-                for r, m_s, g_s in comps:
-                    sign = 1.0 if r % 2 == 1 else -1.0
-                    meat += sign * ((g_s / (g_s - 1)) / scale_ref) * m_s
-                n_clusters = gmin
+                for i in range(p):
+                    for j in range(i, p):
+                        meat[i, j] = meat[j, i] = float(mrow[f"m_{i}_{j}"])
+            else:
+                meat, n_clusters = _cluster_meat_from_scores(sc, p, keys)
 
         if vcov_type == "iid":
             V = info_inv
@@ -1598,9 +1630,9 @@ def _kfe_solve_cells(cells, fes, p, verbose=False):
        cell m is the only row-level weight, so φ factors out).
 
     Returns (lnphi_cell array, a_cell (n_cells × p) corrections,
-    lnl per-FE level arrays, level codes per FE, separation flag count).
-    Raises on cross-FE separation (a level with Σωy > 0 forced to zero
-    mean by other FEs' dead groups).
+    lnl per-FE level arrays, level codes per FE). Raises on cross-FE
+    separation (a level with Σωy > 0 forced to zero mean by other FEs'
+    dead groups).
     """
     n_cells = len(cells)
     C = cells["__C"].to_numpy(dtype=float)
@@ -1623,11 +1655,24 @@ def _kfe_solve_cells(cells, fes, p, verbose=False):
     with np.errstate(divide="ignore"):
         lnY = {f: np.log(Yk[f]) for f in fes}  # −inf at 0
 
-    lnphi = np.zeros(n_cells)
+    def _lnphi():
+        # recomputed as a fresh SUM of per-FE terms — never by subtracting
+        # one FE's contribution from a running total, which turns
+        # -inf − (-inf) into NaN the moment any level is dead
+        s = np.zeros(n_cells)
+        for f2 in fes:
+            s = s + lnl[f2][idx[f2]]
+        return s
+
     for sweep in range(500):
         worst = 0.0
         for f in fes:
-            other = lnphi - lnl[f][idx[f]]
+            # contribution of all OTHER FEs (−inf where another FE is
+            # dead ⇒ exp = 0, the cell correctly contributes nothing)
+            other = np.zeros(n_cells)
+            for f2 in fes:
+                if f2 != f:
+                    other = other + lnl[f2][idx[f2]]
             with np.errstate(over="ignore"):
                 denom = np.bincount(
                     idx[f], weights=C * np.exp(other), minlength=len(lvls[f])
@@ -1647,14 +1692,21 @@ def _kfe_solve_cells(cells, fes, p, verbose=False):
             live = np.isfinite(new) & np.isfinite(lnl[f])
             if live.any():
                 worst = max(worst, float(np.max(np.abs(new[live] - lnl[f][live]))))
-            elif np.isfinite(new).any() and not np.isfinite(lnl[f]).any():
-                worst = max(worst, 1.0)
+            elif np.isfinite(new).any() != np.isfinite(lnl[f]).any():
+                worst = max(worst, 1.0)  # liveness flipped: not stationary
             lnl[f] = new
-            lnphi = other + new[idx[f]]
         if worst <= 1e-13:
             break
+    else:
+        warnings.warn(
+            "[dbglm] fe_poisson k-FE: the λ alternation hit its sweep cap "
+            f"(last change {worst:.3g}) — the FE profile is not fully "
+            "stationary; check the FE graph's connectivity / "
+            "near-separation. Coefficients may be slightly biased."
+        )
     if verbose:
         print(f"[dbglm kfe] lambda alternation: {sweep + 1} sweeps")
+    lnphi = _lnphi()
 
     # corrections: weights W = C·φ (dead cells: 0), x-sums φ·X_j
     with np.errstate(over="ignore"):
@@ -1665,7 +1717,6 @@ def _kfe_solve_cells(cells, fes, p, verbose=False):
     Dk = {
         f: np.bincount(idx[f], weights=W, minlength=len(lvls[f])) for f in fes
     }
-    ck = {f: np.zeros((len(lvls[f]), p)) for f in fes}
     for sweep in range(1000):
         worst = 0.0
         for f in fes:
@@ -1677,12 +1728,17 @@ def _kfe_solve_cells(cells, fes, p, verbose=False):
                 )
             with np.errstate(divide="ignore", invalid="ignore"):
                 step = np.where(Dk[f][:, None] > 0, num / Dk[f][:, None], 0.0)
-            ck[f] += step
             a += step[idx[f], :]
             if step.size:
                 worst = max(worst, float(np.max(np.abs(step))))
         if worst <= 1e-12:
             break
+    else:
+        warnings.warn(
+            "[dbglm] fe_poisson k-FE: the within-transform projections hit "
+            f"their sweep cap (last change {worst:.3g}) — standard errors "
+            "may be slightly off; check the FE graph's connectivity."
+        )
     if verbose:
         print(f"[dbglm kfe] AP corrections: {sweep + 1} sweeps")
     return lnphi, a, lnl, lvls
@@ -1741,6 +1797,25 @@ def _fe_poisson_kfe(
     wy = om * y if om is not None else y
     spark = df.sparkSession
 
+    from pyspark.sql import types as T
+
+    ok_fe_types = (
+        T.StringType, T.IntegerType, T.LongType, T.ShortType,
+        T.ByteType, T.BooleanType,
+    )
+    for f in fes:
+        dt = df.schema[f].dataType
+        if not isinstance(dt, ok_fe_types):
+            # the long-form fixef/predict path renders levels as strings;
+            # float/date/timestamp Python reprs diverge from Spark's
+            # string cast, which would silently break the predict join
+            raise ValueError(
+                f"dbglm fe_poisson: FE column {f} has type "
+                f"{dt.simpleString()} — absorbed FEs must be "
+                "string/integer/boolean. Cast the column (e.g. "
+                "date_format(...) or CAST AS STRING) before fitting."
+            )
+
     def cell_pass(beta, x_list):
         eta_x = _eta_expr(beta, x_list, intercept=False)
         lnm = _d(Var(offset)) + eta_x if offset is not None else eta_x
@@ -1784,6 +1859,11 @@ def _fe_poisson_kfe(
             s_col.alias("__s"),
             ll_col.alias("__ll"),
         ]
+        if first:
+            llsat = CaseGE(y, 0.0, y * Func("ln", (y,)) - y, strict=True)
+            if om is not None:
+                llsat = om * llsat
+            proj.append(to_spark(_d(llsat)).alias("__llsat"))
         for j, xn in enumerate(x_list):
             proj.append(
                 (to_spark(_d(Var(xn))) - F.col(f"__a{j}")).alias(f"__xt{j}")
@@ -1799,6 +1879,7 @@ def _fe_poisson_kfe(
             F.sum("__ll").alias("ll"),
         ]
         if first:
+            aggs.append(F.sum("__llsat").alias("ll_sat"))
             for i in range(pl):
                 aggs.append(
                     F.sum(F.col("__w") * F.col(f"__xr{i}") * F.col(f"__xr{i}"))
@@ -1833,18 +1914,10 @@ def _fe_poisson_kfe(
         row = system_pass(beta, x_list, helper, first=first)
         return row, helper, lnl, lvls
 
-    # ll_sat: β-independent, once
-    llsat_e = CaseGE(y, 0.0, y * Func("ln", (y,)) - y, strict=True)
-    if om is not None:
-        llsat_e = om * llsat_e
-    srow = df.agg(
-        F.sum(to_spark(_d(llsat_e))).alias("lls"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    n_total = int(srow["n"])
-    if n_total == 0:
-        raise ValueError("dbglm: zero rows after missing-value filtering")
-    ll_sat = float(srow["lls"] or 0.0)
+    # ll_sat and n_total are β-independent free riders on the FIRST system
+    # pass (no dedicated scan)
+    ll_sat = 0.0
+    n_total = 0
 
     beta = np.zeros(p)
     beta_prev = np.zeros(p)
@@ -1865,6 +1938,13 @@ def _fe_poisson_kfe(
         rowi, helper, lnl, lvls = evaluate(beta, x_names, first=n_iter == 0)
         evaluated_beta = beta
         n_iter += 1
+        if n_iter == 1:
+            n_total = int(rowi["n_total"])
+            if n_total == 0:
+                raise ValueError(
+                    "dbglm: zero rows after missing-value filtering"
+                )
+            ll_sat = float(rowi["ll_sat"] or 0.0)
         a_i = np.zeros((p, p))
         b_i = np.zeros(p)
         for i in range(p):
@@ -1893,16 +1973,27 @@ def _fe_poisson_kfe(
             continue
         halvings = 0
         if n_iter == 1 and p:
-            # absorbed/collinear columns: profiled diag ≈ 0 vs the raw
-            # weighted second moment (same criterion as the 1-FE path)
+            # two-layer collinearity, same as the 1-FE path: (1) ABSORBED
+            # columns (profiled diag ≈ 0 vs the raw weighted second
+            # moment); (2) mutual dependence among the survivors
+            # (pivoted-Cholesky rank check)
             absorbed = [
                 i for i in range(p)
                 if float(rowi[f"a_{i}_{i}"] or 0.0)
                 <= 1e-10 * max(float(rowi[f"d_{i}"] or 0.0), 1e-300)
             ]
-            if absorbed:
-                survive = [i for i in range(p) if i not in absorbed]
-                collin_dropped = [names[i] for i in absorbed]
+            pre_survive = [i for i in range(p) if i not in absorbed]
+            collin = detect_collinearity(
+                a_i[np.ix_(pre_survive, pre_survive)],
+                b_i[np.asarray(pre_survive, dtype=int)]
+                if pre_survive else b_i[:0],
+                [names[i] for i in pre_survive],
+            )
+            if absorbed or collin.collinear:
+                survive = [pre_survive[i] for i in collin.keep_idx]
+                collin_dropped = [names[i] for i in absorbed] + list(
+                    collin.drop_names
+                )
                 x_names = [x_names[i] for i in survive]
                 names = [names[i] for i in survive]
                 p = len(names)
@@ -1986,47 +2077,9 @@ def _fe_poisson_kfe(
                 for j in range(i, p):
                     meat[i, j] = meat[j, i] = float(mrow[f"m_{i}_{j}"])
         else:
-
-            def _component(subset):
-                score_aggs = [
-                    F.sum(F.col("__s") * F.col(f"__xt{i}")).alias(f"sc_{i}")
-                    for i in range(p)
-                ]
-                stab = sc.groupBy(*subset).agg(*score_aggs)
-                aggs2 = [F.count(F.lit(1)).alias("G")]
-                for i in range(p):
-                    for j in range(i, p):
-                        aggs2.append(
-                            F.sum(F.col(f"sc_{i}") * F.col(f"sc_{j}"))
-                            .alias(f"m_{i}_{j}")
-                        )
-                mr = stab.agg(*aggs2).collect()[0].asDict()
-                mm = np.zeros((p, p))
-                for i in range(p):
-                    for j in range(i, p):
-                        mm[i, j] = mm[j, i] = float(mr[f"m_{i}_{j}"])
-                return mm, int(mr["G"])
-
-            keys = list(cluster_vars)
-            if len(keys) == 1:
-                meat, n_clusters = _component(keys)
-            else:
-                from itertools import combinations
-
-                comps = []
-                gmin = None
-                for r in range(1, len(keys) + 1):
-                    for subset in combinations(keys, r):
-                        m_s, g_s = _component(list(subset))
-                        comps.append((r, m_s, g_s))
-                        if r == 1:
-                            gmin = g_s if gmin is None else min(gmin, g_s)
-                scale_ref = gmin / (gmin - 1)
-                meat = np.zeros((p, p))
-                for r, m_s, g_s in comps:
-                    sign = 1.0 if r % 2 == 1 else -1.0
-                    meat += sign * ((g_s / (g_s - 1)) / scale_ref) * m_s
-                n_clusters = gmin
+            meat, n_clusters = _cluster_meat_from_scores(
+                sc, p, list(cluster_vars)
+            )
 
     if vcov_type == "iid":
         V = info_inv

@@ -602,6 +602,49 @@ def test_fe_poisson_2fe_predict_moment_conditions(fe2_sdf):
     assert set(fx["fe_var"]) == {"gcat", "hcat"}
 
 
+def test_fe_poisson_2fe_dead_group_drops_cleanly(fe2_sdf):
+    """An all-zero-outcome level of one FE must not poison the other FE's
+    λ updates (−inf − (−inf) = NaN regression): β invariant, dead fixef
+    NULL, live fixefs finite."""
+    sdf, pdf = fe2_sdf
+    extra = pdf.iloc[:40].assign(gcat="gdead", ypois=0.0)
+    pdf2 = pd.concat([pdf, extra], ignore_index=True)
+    sdf2 = sdf.sparkSession.createDataFrame(pdf2)
+    m_with = dbglm("ypois ~ x1 + x2 | gcat + hcat", sdf2, family="poisson")
+    m_base = dbglm("ypois ~ x1 + x2 | gcat + hcat", sdf, family="poisson")
+    np.testing.assert_allclose(
+        m_with.coef().values, m_base.coef().values, rtol=1e-5
+    )
+    fx = m_with.fixef().toPandas()
+    dead = fx[(fx["fe_var"] == "gcat") & (fx["level"] == "gdead")]
+    assert len(dead) == 1 and pd.isna(dead["fixef"]).all()
+    live = fx[~((fx["fe_var"] == "gcat") & (fx["level"] == "gdead"))]
+    assert live["fixef"].notna().all()
+
+
+def test_fe_poisson_2fe_duplicate_regressor_dropped(fe2_sdf):
+    sdf, pdf = fe2_sdf
+    pdf2 = pdf.assign(x1_copy=pdf["x1"] * 2.0)
+    sdf2 = sdf.sparkSession.createDataFrame(pdf2)
+    m = dbglm("ypois ~ x1 + x1_copy + x2 | gcat + hcat", sdf2, family="poisson")
+    # exactly one of the twins is dropped (the pivot keeps the larger-norm
+    # one, so which twin survives is an implementation detail)
+    assert len(set(m.collin_vars) & {"x1", "x1_copy"}) == 1
+    kept = ({"x1", "x1_copy"} - set(m.collin_vars)).pop()
+    scale = 2.0 if kept == "x1_copy" else 1.0
+    base = dbglm("ypois ~ x1 + x2 | gcat + hcat", sdf, family="poisson")
+    assert m.coef()[kept] * scale == pytest.approx(base.coef()["x1"], rel=1e-5)
+    assert m.coef()["x2"] == pytest.approx(base.coef()["x2"], rel=1e-5)
+
+
+def test_fe_poisson_rejects_continuous_fe_type(fe2_sdf):
+    sdf, pdf = fe2_sdf
+    pdf2 = pdf.assign(fdbl=pdf["g"].astype(float))
+    sdf2 = sdf.sparkSession.createDataFrame(pdf2)
+    with pytest.raises(ValueError, match="string/integer/boolean"):
+        dbglm("ypois ~ x1 | fdbl + hcat", sdf2, family="poisson")
+
+
 def test_fe_poisson_2fe_save_load(fe2_sdf, tmp_path):
     from dbreg_spark import GlmModel
 
