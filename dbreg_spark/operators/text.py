@@ -1718,6 +1718,7 @@ def fit_quality_classifier(
     col: str = "text",
     features: list[str] | None = None,
     vcov: str = "iid",
+    l2: float = 0.0,
 ):
     """TRAIN the :func:`quality_classify` model in-engine: a distributed-
     IRLS logistic regression (``dbglm``) of a 0/1 quality label on the
@@ -1729,7 +1730,9 @@ def fit_quality_classifier(
     directly into :func:`quality_classify` / :func:`quality_classify_sql`
     (collinearity-dropped features are simply absent from ``weights``),
     and ``model`` is the full :class:`dbreg_spark.glm.GlmModel` for
-    inference on the coefficients.
+    inference on the coefficients. If a feature separates the labels
+    perfectly (the MLE diverges with a non-convergence warning), pass a
+    small ridge penalty ``l2`` — the fit regularizes to bounded weights.
 
     Scale shape: one stateless projection computes the feature columns
     (the same expression tree ``quality_classify`` applies), then each
@@ -1753,7 +1756,8 @@ def fit_quality_classifier(
         *[F.expr(feats[n]).alias(n) for n in names],
     )
     model = dbglm(
-        "__qlabel ~ " + " + ".join(names), proj, family="binomial", vcov=vcov
+        "__qlabel ~ " + " + ".join(names), proj, family="binomial",
+        vcov=vcov, l2=l2,
     )
     coefs = model.coef()
     bias = float(coefs.get("(Intercept)", 0.0))
