@@ -1197,6 +1197,13 @@ def dbglm(
 # --------------------------------------------------------------------------
 
 
+# the profiled-pass join broadcasts the group table whenever its level
+# count is known to be at most this — each row is (p+2) doubles + the key,
+# so 500k levels ≈ tens of MB on the driver; beyond that the join stays a
+# shuffle join co-partitioned on the FE (AQE may still broadcast at runtime)
+FEPOIS_BROADCAST_GMAX = 500_000
+
+
 def _fepois_exprs(y_col, x_names, beta, offset, weights):
     """Shared per-row IR for the fepois passes: (y, ω, m = e^{o+x'β})."""
     y = _d(Var(y_col))
@@ -1242,10 +1249,13 @@ def fepois_profiled_rows(
     weights: str | None = None,
     first: bool = False,
     extra_keys: list[str] | None = None,
+    broadcast: bool = False,
 ) -> DataFrame:
     """Pass 2 projection: join the group table, emit per-row weight
     (ω·μ̂), score (ω(y−μ̂)), log-likelihood, and the profiled regressors
-    x̃ⱼ = xⱼ − T_gj/W_g, with μ̂ = (Y_g/W_g)·m."""
+    x̃ⱼ = xⱼ − T_gj/W_g, with μ̂ = (Y_g/W_g)·m. ``broadcast=True`` pins
+    the group table to the broadcast side (the caller knows G is small);
+    otherwise Catalyst/AQE picks the join strategy."""
     y, om, m = _fepois_exprs(y_col, x_names, beta, offset, weights)
     lam = Var("__Yg") / Var("__Wg")
     mu = lam * m
@@ -1280,7 +1290,8 @@ def fepois_profiled_rows(
     for j, xn in enumerate(x_names):
         xt = _d(Var(xn)) - Var(f"__T{j}") / Var("__Wg")
         proj_cols.append(to_spark(xt).alias(f"__xt{j}"))
-    return df.join(gtab, fe).select(*(extra_keys or []), *proj_cols)
+    gt = F.broadcast(gtab) if broadcast else gtab
+    return df.join(gt, fe).select(*(extra_keys or []), *proj_cols)
 
 
 def fepois_profiled_agg(joined: DataFrame, p: int, first: bool = False) -> DataFrame:
@@ -1368,9 +1379,13 @@ def _fe_poisson(
         )
 
     def profiled_pass(beta, gtab, first=False, extra_keys=None):
+        # once the first pass materialized the group table we know G; a
+        # small table is pinned broadcast (the demean-strategy convention)
+        # so every later iteration joins without shuffling the big side
         joined = fepois_profiled_rows(
             spark_df, gtab, frame.y_col, x_names, fe, beta,
             offset, weights, first=first, extra_keys=extra_keys,
+            broadcast=g_levels is not None and g_levels <= FEPOIS_BROADCAST_GMAX,
         )
         if extra_keys is not None:
             return joined  # caller aggregates (cluster scores)

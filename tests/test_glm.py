@@ -763,3 +763,65 @@ def test_pass_plan_sql_matches_duckdb(spark, duck, sf_dir):
     orow = duck.execute(sql).fetchdf().iloc[0].to_dict()
     for k, v in srow.items():
         assert orow[k] == pytest.approx(v, rel=1e-9), k
+
+
+@pytest.mark.parametrize("family", ["binomial", "poisson", "gaussian"])
+def test_irls_pass_cross_engine_fuzz(spark, duck, family):
+    """Cross-engine fuzz of the IRLS pass algebra: random data, random β,
+    random offset/prior-weight combinations — the Spark aggregation row and
+    the emitted DuckDB SQL must agree on every moment to ~1e-9 (pins the
+    μ/w/wz/ll/pearson expressions of every family in BOTH dialects, not
+    just at the gate's single fixed β)."""
+    import numpy as np
+
+    from dbreg_spark.design import build_design
+    from dbreg_spark.formula import parse_formula
+    from dbreg_spark.glm import get_family, irls_pass_plan
+    from dbreg_spark.plans.common import Source
+    from dbreg_spark.plans.frames import build_base_frame
+
+    rng = np.random.default_rng(hash(family) % 2**31)
+    fam = get_family(family)
+    for draw in range(4):
+        n = 400
+        pdf = pd.DataFrame(
+            {
+                "x1": rng.normal(size=n),
+                "x2": rng.uniform(-2, 2, size=n),
+                "off": rng.normal(scale=0.2, size=n),
+                "wt": rng.uniform(0.2, 3.0, size=n),
+            }
+        )
+        if family == "binomial":
+            pdf["y"] = rng.integers(0, 2, size=n).astype(float)
+        elif family == "poisson":
+            pdf["y"] = rng.poisson(2.0, size=n).astype(float)
+        else:
+            pdf["y"] = rng.normal(size=n)
+        tname = f"glm_fuzz_{family}_{draw}"
+        duck.register(tname, pdf)
+        sdf = spark.createDataFrame(pdf)
+        src = Source(df=sdf, sql_from=f"FROM {tname}")
+        parsed = parse_formula("y ~ x1 + x2")
+        design = build_design(sdf, parsed, expand="all", fe_vars=None)
+        beta = rng.normal(scale=0.3, size=3)
+        use_off = draw % 2 == 1
+        use_wt = draw >= 2
+        extra = (["off"] if use_off else []) + (["wt"] if use_wt else [])
+        frame = build_base_frame(
+            src, parsed, design, True, want_sql=True,
+            extra_cols=extra or None,
+        )
+        spec, agg_df, sql = irls_pass_plan(
+            frame, fam, beta, list(frame.x_cols), True,
+            first=(draw == 0),
+            offset="off" if use_off else None,
+            weights="wt" if use_wt else None,
+        )
+        srow = agg_df.collect()[0].asDict()
+        orow = duck.execute(sql).fetchdf().iloc[0].to_dict()
+        for k, v in srow.items():
+            assert orow[k] == pytest.approx(v, rel=1e-9, abs=1e-12), (
+                f"{family} draw {draw} stat {k}: spark={v} duck={orow[k]}"
+            )
+        duck.unregister(tname)

@@ -232,3 +232,80 @@ def test_write_bucketed_requires_keys(tables):
 
     with pytest.raises(ValueError, match="bucket_by"):
         write_bucketed(tables["events"], "t", [], 8)
+
+
+def test_glm_irls_pass_single_exchange(tables):
+    """Every dbglm IRLS iteration is ONE scan → partial agg → a single
+    exchange of one moment row: no window, no join, no Python UDF, and the
+    per-row μ/w/wz projection stays inside whole-stage codegen."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from dbreg_spark.design import build_design
+    from dbreg_spark.formula import parse_formula
+    from dbreg_spark.glm import get_family, irls_pass_plan
+    from dbreg_spark.plans.common import Source
+    from dbreg_spark.plans.frames import build_base_frame
+
+    li = tables["lineitem"]
+    src = Source(
+        df=li.withColumn("is_return", (F.col("l_returnflag") == "R").cast("double"))
+    )
+    parsed = parse_formula("is_return ~ l_quantity + l_discount")
+    design = build_design(src.df, parsed, expand="all", fe_vars=None)
+    frame = build_base_frame(src, parsed, design, True, want_sql=False)
+    _spec, agg_df, _sql = irls_pass_plan(
+        frame, get_family("binomial"), np.zeros(3), list(frame.x_cols), True,
+        first=True,
+    )
+    plan = _formatted(agg_df)
+    assert _n_nodes(plan, "Exchange") == 1
+    assert "Window" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert _n_nodes(plan, "Scan parquet") <= 1
+
+
+def test_fepois_pass_plans(tables):
+    """The profiled FE-Poisson Newton step: pass 1 (group table) is a
+    single-exchange aggregation; pass 2 joins the group table back
+    BROADCAST when the caller knows G is small (the strategy dbglm pins
+    after materializing the table) — the big side is never shuffled."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from dbreg_spark.glm import (
+        fepois_group_table,
+        fepois_profiled_agg,
+        fepois_profiled_rows,
+    )
+
+    cols = ["l_returnflag", "l_linenumber", "l_quantity", "l_discount"]
+    df = tables["lineitem"].select(*cols).na.drop()
+    beta = np.array([0.001, 0.05])
+    x = ["l_quantity", "l_discount"]
+    gtab = fepois_group_table(df, "l_linenumber", x, "l_returnflag", beta)
+    gplan = _formatted(gtab)
+    assert _n_nodes(gplan, "Exchange") == 1
+    assert "Window" not in gplan
+
+    rows = fepois_profiled_rows(
+        df, gtab, "l_linenumber", x, "l_returnflag", beta, broadcast=True
+    )
+    step = fepois_profiled_agg(rows, 2)
+    splan = _formatted(step)
+    assert "BroadcastHashJoin" in splan
+    assert "SortMergeJoin" not in splan and "Window" not in splan
+    assert "BatchEvalPython" not in splan and "ArrowEvalPython" not in splan
+
+
+def test_quality_classify_plan_stateless(tables):
+    """Model-based corpus scoring is a pure projection: ZERO exchanges,
+    zero joins, zero Python UDFs — the shape that scores 100 TB in one
+    embarrassingly-parallel scan (and is therefore streaming-safe)."""
+    from dbreg_spark.operators.text import quality_classify
+
+    out = quality_classify(tables["documents"])
+    plan = _formatted(out)
+    assert _n_nodes(plan, "Exchange") == 0
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

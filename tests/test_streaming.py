@@ -611,3 +611,76 @@ def test_stateless_web_json_operators_stream(spark, tables, docs_stream_dir):
     )
     assert len(got) == len(want) > 0
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_quality_classify_scores_stream(spark, tables, docs_stream_dir):
+    """Model-based corpus scoring (quality_classify) is a pure projection
+    (pinned by test_plans), so the trained classifier scores a LIVE
+    document stream with the same code path — pin that the streamed scores
+    equal the batch scores, including with non-default trained weights."""
+    from dbreg_spark.operators.text import quality_classify
+
+    w = {"stopword_ratio": 2.0, "mean_token_len": -0.3, "log_tokens": 0.25}
+    schema = tables["documents"].schema
+    stream = spark.readStream.schema(schema).parquet(docs_stream_dir)
+    out = quality_classify(stream, weights=w, bias=0.2).select(
+        "doc_id", "clf_score", "clf_keep"
+    )
+    name = f"clf_{uuid.uuid4().hex[:8]}"
+    _run_stream(out, name)
+    got = (
+        spark.sql(f"SELECT * FROM {name}").toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        quality_classify(tables["documents"], weights=w, bias=0.2)
+        .select("doc_id", "clf_score", "clf_keep").toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+    assert got["clf_keep"].nunique() > 1  # threshold actually separates
+
+
+def test_glm_predict_scores_stream(spark):
+    """Train once, score forever: a fitted FE-Poisson model's predict()
+    is a projection plus a stream-static LEFT join against the recovered
+    fixef table, so the same model object scores a LIVE stream — pin that
+    streamed fits equal batch fits row-for-row."""
+    from dbreg_spark.glm import dbglm
+
+    df = (
+        spark.range(2000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 7).cast("string").alias("g"),
+            (F.pmod(F.hash("id"), F.lit(100)) / 50.0 - 1.0).alias("x1"),
+        )
+        .withColumn(
+            "y",
+            F.floor(
+                F.exp(0.3 * F.col("x1"))
+                * F.pmod(F.hash(F.col("id") + 1), F.lit(4))
+            ).cast("double"),
+        )
+    )
+    m = dbglm("y ~ x1 | g", df, family="poisson")
+    d = tempfile.mkdtemp(prefix="dbreg_glmstream_")
+    try:
+        df.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        scored = m.predict(stream).select("id", "fit")
+        name = f"glmp_{uuid.uuid4().hex[:8]}"
+        _run_stream(scored, name)
+        got = (
+            spark.sql(f"SELECT * FROM {name}").toPandas()
+            .sort_values("id").reset_index(drop=True)
+        )
+        want = (
+            m.predict(df).select("id", "fit").toPandas()
+            .sort_values("id").reset_index(drop=True)
+        )
+        assert len(got) == 2000
+        pd.testing.assert_frame_equal(got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
