@@ -79,6 +79,7 @@ from .plans.exprs import (
     to_spark,
     to_sql,
 )
+from .guards import is_result_too_large
 from .plans.frames import Frame, build_base_frame
 from .solve import (
     compute_vcov,
@@ -835,6 +836,7 @@ def dbglm(
     tol: float = 1e-8,
     drop_missings: bool = True,
     verbose: bool = False,
+    cells_nmax: int = 5_000_000,
 ) -> GlmModel:
     """Fit a GLM by distributed IRLS. See the module docstring for the
     per-pass computation; the driver holds only the p×p system.
@@ -855,7 +857,14 @@ def dbglm(
     near-collinear designs — collinearity dropping is disabled, the ridge
     handles it. Reported vcov is the penalized sandwich B·A·B (model-based)
     or B·M·B (robust) with B = (X'WX + λI)⁻¹; inference is approximate
-    under a penalty, as usual."""
+    under a penalty, as usual.
+
+    ``cells_nmax`` bounds the k-FE Poisson driver-side inner solver: an
+    occupied-FE-cell table at most this long collects to the driver (fast
+    numpy alternations); a bigger one — or a maxResultSize abort — switches
+    the fit to the cell-resident Spark inner solver (same algebra, the
+    cells never leave the cluster) with a warning naming the extra
+    per-iteration passes."""
     fam = get_family(family)
     parsed = parse_formula(fml)
     if parsed.fe and fam.name != "poisson":
@@ -909,7 +918,7 @@ def dbglm(
             )
         return _fe_poisson(
             frame, parsed, design, fam, vcov_type, cluster_vars,
-            offset, weights, max_iter, tol, verbose,
+            offset, weights, max_iter, tol, verbose, cells_nmax,
         )
 
     icpt_req = bool(parsed.intercept)  # "y ~ 0 + x" / "- 1" suppresses it
@@ -1331,6 +1340,7 @@ def _fe_poisson(
     max_iter: int,
     tol: float,
     verbose: bool,
+    cells_nmax: int = 5_000_000,
 ) -> GlmModel:
     """Poisson regression with one absorbed fixed effect, by concentrated
     (profiled) IRLS — the `fepois` / PPML workhorse, at Spark scale.
@@ -1365,7 +1375,7 @@ def _fe_poisson(
     if len(parsed.fe) > 1:
         return _fe_poisson_kfe(
             frame, parsed, design, fam, vcov_type, cluster_vars,
-            offset, weights, max_iter, tol, verbose,
+            offset, weights, max_iter, tol, verbose, cells_nmax,
         )
     fe = parsed.fe[0]
     x_names = list(frame.x_cols)
@@ -1759,6 +1769,342 @@ def _kfe_solve_cells(cells, fes, p, verbose=False):
     return lnphi, a, lnl, lvls
 
 
+def _kfe_solve_cells_spark(
+    cdf: DataFrame,
+    fes: list[str],
+    p: int,
+    verbose: bool = False,
+    warm: tuple[dict, dict] | None = None,
+    warm_has_a: bool = False,
+):
+    """Cell-RESIDENT twin of :func:`_kfe_solve_cells` for occupied-cell
+    tables past the driver cap.
+
+    The driver cap that matters is the CELL table (5M × (p+2) doubles by
+    default); the per-LEVEL state is far smaller (Σ_f G_f doubles — a
+    500M-cell buyer×seller panel has ~10M levels ≈ 80 MB). This tier
+    therefore keeps the cells in Spark — checkpointed exactly twice, so
+    every pass has a constant, shallow plan — and runs the SAME numpy
+    alternations as the driver solver on per-level arrays, with each
+    Gauss-Seidel update realized as ONE Spark job: broadcast the other
+    FEs' tiny (level-id, value) tables in, aggregate per level id,
+    collect the level-sized sums out. Nothing cell-proportional ever
+    reaches the driver.
+
+    Level ids are assigned once per call by a DETERMINISTIC sort of each
+    FE's level values (nulls last), attached to the cells with null-safe
+    equality joins — so warm-start arrays from the previous Newton
+    iteration (cell occupancy is β-independent) align positionally, and
+    null FE levels behave exactly as the driver tier's
+    ``factorize(use_na_sentinel=False)``.
+
+    Identical algebra and edge handling to :func:`_kfe_solve_cells`:
+    dead levels (Σωy = 0) get lnλ = −inf and drop out of the weighted
+    system (the broadcast clamps −inf to −1e308; Spark's exp of that is
+    exactly 0.0); separation raises with the same diagnosis; convergence
+    compares mutually-finite levels and treats a liveness flip as
+    non-stationary.
+
+    Returns ``(helper_df, fixef_df, level_counts, state)``: the
+    cell-keyed (FE tuple, __lnphi, __a0..p-1) helper ready to join back
+    to the rows, the long-form (fe_var, level, fixef) table, per-FE
+    level counts, and the (lnλ, corrections) arrays for warm-starting
+    the next call (``warm_has_a`` reuses the corrections only while the
+    regressor tuple is unchanged).
+    """
+    spark = cdf.sparkSession
+    warm_l, warm_c = warm if warm is not None else (None, None)
+
+    # -- per-FE level catalogs: deterministic ids + static outcome sums -----
+    lvl_pdf: dict = {}
+    Yk: dict = {}
+    lid_col = {f: f"__lid_{f}" for f in fes}
+    w = cdf
+    for f in fes:
+        t = (
+            cdf.groupBy(f).agg(F.sum("__Y").alias("__yk")).toPandas()
+            .sort_values(f, na_position="last", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        lvl_pdf[f] = t
+        Yk[f] = t["__yk"].to_numpy(dtype=float)
+        m = spark.createDataFrame(
+            t[[f]].assign(**{lid_col[f]: np.arange(len(t), dtype=np.int64)})
+        ).withColumn(f, F.col(f).cast(cdf.schema[f].dataType))
+        # null-safe equality so a NULL level keys its own group, exactly
+        # factorize(use_na_sentinel=False)
+        w = w.join(
+            F.broadcast(m), on=w[f].eqNullSafe(m[f]), how="inner"
+        ).drop(m[f])
+    base = w.select(
+        *fes, *[lid_col[f] for f in fes], "__C", "__Y",
+        *[f"__X{j}" for j in range(p)],
+    ).localCheckpoint()
+
+    def _bcast(f, values, colname):
+        arr = np.asarray(values, dtype=float)
+        # -inf breaks some Arrow paths; Spark exp(-1e308) == 0.0 exactly
+        arr = np.where(np.isfinite(arr), arr, -1.0e308)
+        pdf = pd.DataFrame(
+            {lid_col[f]: np.arange(len(arr), dtype=np.int64), colname: arr}
+        )
+        return F.broadcast(spark.createDataFrame(pdf))
+
+    def _aligned(t, f, col, fill=0.0):
+        arr = np.full(len(Yk[f]), fill)
+        arr[t[lid_col[f]].to_numpy(dtype=np.int64)] = t[col].to_numpy(
+            dtype=float
+        )
+        return arr
+
+    # -- λ alternation: numpy state, one Spark job per update ---------------
+    lnl = {}
+    for f in fes:
+        if warm_l is not None and f in warm_l and len(warm_l[f]) == len(Yk[f]):
+            lnl[f] = warm_l[f].copy()
+        else:
+            lnl[f] = np.zeros(len(Yk[f]))
+    with np.errstate(divide="ignore"):
+        lnY = {f: np.log(Yk[f]) for f in fes}  # −inf at 0
+
+    worst = math.inf
+    last_worst = None
+    last_accel = -10
+    for sweep in range(500):
+        worst = 0.0
+        steps = {}
+        for f in fes:
+            joined = base
+            other = F.lit(0.0)
+            for f2 in fes:
+                if f2 != f:
+                    joined = joined.join(
+                        _bcast(f2, lnl[f2], f"__lnl_{f2}"), lid_col[f2]
+                    )
+                    other = other + F.col(f"__lnl_{f2}")
+            t = (
+                joined.groupBy(lid_col[f])
+                .agg(F.sum(F.col("__C") * F.exp(other)).alias("__den"))
+                .toPandas()
+            )
+            denom = _aligned(t, f, "__den")
+            sep = (Yk[f] > 0) & (denom <= 0)
+            if sep.any():
+                raise ValueError(
+                    "dbglm fe_poisson: separated observations — "
+                    f"{int(sep.sum())} level(s) of {f} have positive "
+                    "outcomes but are forced to zero mean by another FE's "
+                    "all-zero groups. Drop the separated rows "
+                    "(ppmlhdfe-style) and refit."
+                )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                new = lnY[f] - np.log(denom)
+            new[Yk[f] <= 0] = -np.inf
+            live = np.isfinite(new) & np.isfinite(lnl[f])
+            with np.errstate(invalid="ignore"):  # −inf − −inf on dead lvls
+                steps[f] = np.where(live, new - lnl[f], 0.0)
+            if live.any():
+                worst = max(
+                    worst, float(np.max(np.abs(new[live] - lnl[f][live])))
+                )
+            if (np.isfinite(new) != np.isfinite(lnl[f])).any():
+                worst = max(worst, 1.0)  # liveness flipped: not stationary
+            lnl[f] = new
+        # 1e-11 (vs the driver tier's free 1e-13): fixest/ppmlhdfe demean
+        # at 1e-6..1e-8 by default; 1e-11 keeps ~1e-8 coefficient
+        # agreement while saving tail sweeps that cost a cells pass each
+        if worst <= 1e-11:
+            break
+        # Aitken extrapolation on the geometric tail: each sweep of a
+        # linear fixed-point iteration contracts the error by the
+        # dominant ratio r — when r is measured stable, jumping
+        # x += r/(1−r)·step lands near the fixed point, and the plain
+        # sweeps that follow wash out the non-dominant modes. Sweeps here
+        # cost a cells pass each, so this cuts the tail by ~3-5x; the
+        # driver tier doesn't bother (its sweeps are microseconds).
+        if (
+            last_worst is not None
+            and 0.0 < worst < last_worst
+            and sweep - last_accel >= 3
+        ):
+            r = worst / last_worst
+            if 0.05 < r < 0.9:
+                boost = r / (1.0 - r)
+                for f in fes:
+                    lnl[f] = np.where(
+                        np.isfinite(lnl[f]),
+                        lnl[f] + boost * steps[f],
+                        lnl[f],
+                    )
+                last_accel = sweep
+        last_worst = worst
+    else:
+        warnings.warn(
+            "[dbglm] fe_poisson k-FE: the λ alternation hit its sweep cap "
+            f"(last change {worst:.3g}) — the FE profile is not fully "
+            "stationary; check the FE graph's connectivity / "
+            "near-separation. Coefficients may be slightly biased."
+        )
+    if verbose:
+        print(f"[dbglm kfe/spark] lambda alternation: {sweep + 1} sweeps")
+
+    # cells with the converged profile attached — the SECOND and last
+    # checkpoint; every corrections pass and the final helper read it
+    w2 = base
+    lnphi = F.lit(0.0)
+    for f in fes:
+        w2 = w2.join(_bcast(f, lnl[f], f"__lnl_{f}"), lid_col[f])
+        lnphi = lnphi + F.col(f"__lnl_{f}")
+    w2 = w2.withColumn("__lnphi", lnphi).withColumn(
+        "__W", F.col("__C") * F.exp(F.col("__lnphi"))
+    )
+    for j in range(p):
+        w2 = w2.withColumn(
+            f"__xw{j}", F.col(f"__X{j}") * F.exp(F.col("__lnphi"))
+        )
+    w2 = w2.select(
+        *fes, *[lid_col[f] for f in fes], "__lnphi", "__W",
+        *[f"__xw{j}" for j in range(p)],
+    ).localCheckpoint()
+
+    # -- weighted within-transform corrections ------------------------------
+    corr: dict = {}
+    if p:
+        # per-level denominators, all FEs in one grouping-sets pass
+        dk = {}
+        gs = (
+            w2.groupingSets(
+                [[lid_col[f]] for f in fes], *[lid_col[f] for f in fes]
+            )
+            .agg(F.sum("__W").alias("__dk"))
+            .toPandas()
+        )
+        for f in fes:
+            sub = gs[gs[lid_col[f]].notna()]
+            dk[f] = _aligned(sub, f, "__dk")
+        for f in fes:
+            if (
+                warm_has_a
+                and warm_c is not None
+                and f in warm_c
+                and warm_c[f].shape == (len(Yk[f]), p)
+            ):
+                corr[f] = warm_c[f].copy()
+            else:
+                corr[f] = np.zeros((len(Yk[f]), p))
+
+        def _c_joined():
+            out = w2
+            for f2 in fes:
+                pdf = pd.DataFrame(
+                    {
+                        lid_col[f2]: np.arange(
+                            len(Yk[f2]), dtype=np.int64
+                        ),
+                        **{
+                            f"__c{j}_{f2}": np.where(
+                                np.isfinite(corr[f2][:, j]),
+                                corr[f2][:, j],
+                                0.0,
+                            )
+                            for j in range(p)
+                        },
+                    }
+                )
+                out = out.join(
+                    F.broadcast(spark.createDataFrame(pdf)), lid_col[f2]
+                )
+            return out
+
+        worst = math.inf
+        last_worst = None
+        last_accel = -10
+        for sweep in range(500):
+            worst = 0.0
+            csteps = {}
+            for f in fes:
+                joined = _c_joined()
+                aggs = []
+                for j in range(p):
+                    a_j = F.lit(0.0)
+                    for f2 in fes:
+                        a_j = a_j + F.col(f"__c{j}_{f2}")
+                    aggs.append(
+                        F.sum(
+                            F.col(f"__xw{j}") - F.col("__W") * a_j
+                        ).alias(f"__num{j}")
+                    )
+                t = joined.groupBy(lid_col[f]).agg(*aggs).toPandas()
+                num = np.column_stack(
+                    [_aligned(t, f, f"__num{j}") for j in range(p)]
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    step = np.where(
+                        dk[f][:, None] > 0, num / dk[f][:, None], 0.0
+                    )
+                corr[f] = corr[f] + step
+                csteps[f] = step
+                if step.size:
+                    worst = max(worst, float(np.max(np.abs(step))))
+            if worst <= 1e-11:  # same reasoning as the λ tolerance
+                break
+            # same Aitken jump as the λ loop (linear AP iteration)
+            if (
+                last_worst is not None
+                and 0.0 < worst < last_worst
+                and sweep - last_accel >= 3
+            ):
+                r = worst / last_worst
+                if 0.05 < r < 0.9:
+                    boost = r / (1.0 - r)
+                    for f in fes:
+                        corr[f] = corr[f] + boost * csteps[f]
+                    last_accel = sweep
+            last_worst = worst
+        else:
+            warnings.warn(
+                "[dbglm] fe_poisson k-FE: the within-transform "
+                f"projections hit their sweep cap (last change "
+                f"{worst:.3g}) — standard errors may be slightly off; "
+                "check the FE graph's connectivity."
+            )
+        if verbose:
+            print(f"[dbglm kfe/spark] AP corrections: {sweep + 1} sweeps")
+
+    helper = w2
+    if p:
+        helper = _c_joined()
+        a_cols = []
+        for j in range(p):
+            a_j = F.lit(0.0)
+            for f2 in fes:
+                a_j = a_j + F.col(f"__c{j}_{f2}")
+            a_cols.append(a_j.alias(f"__a{j}"))
+        helper = helper.select(*fes, "__lnphi", *a_cols)
+    else:
+        helper = w2.select(*fes, "__lnphi")
+
+    parts = []
+    level_counts = {}
+    for f in fes:
+        level_counts[f] = len(Yk[f])
+        fx = pd.DataFrame(
+            {
+                "fe_var": f,
+                "level": lvl_pdf[f][f].astype(str),
+                "fixef": [
+                    float(v) if math.isfinite(v) else None for v in lnl[f]
+                ],
+            }
+        )
+        parts.append(fx)
+    fixef_df = spark.createDataFrame(
+        pd.concat(parts, ignore_index=True)[["fe_var", "level", "fixef"]]
+    )
+    state = (dict(lnl), dict(corr))
+    return helper, fixef_df, level_counts, state
+
+
 def _fe_poisson_kfe(
     frame: Frame,
     parsed: ParsedFormula,
@@ -1791,12 +2137,17 @@ def _fe_poisson_kfe(
        (lnφ, corrections) helper table back to the rows, then the
        single-row profiled Newton system A = X̃'WX̃, s = X̃'ω(y−μ̂), ll.
 
-    Scale bound, stated honestly: the occupied-cell table must fit on the
-    driver (default cap ``cells_nmax`` = 5M cells, plus Spark's own
-    maxResultSize guard). Gravity-style panels (countries² × years) sit
-    far under it. Past the cap the same algebra would run cell-resident
-    as small-table joins (the cell table is tiny relative to rows even at
-    100 TB) — not yet implemented; a clear error names the bound.
+    Two inner-solver tiers, chosen automatically: below ``cells_nmax``
+    (default 5M cells) the cell table collects to the driver and the
+    alternations run in vectorized numpy (microseconds per sweep); past
+    the cap — or when Spark's maxResultSize aborts the transfer — the SAME
+    algebra runs cell-resident (:func:`_kfe_solve_cells_spark`): per-level
+    λ/correction state carried as cell columns, refreshed by level-keyed
+    joins, one groupBy + join per (FE, sweep), localCheckpoint per sweep.
+    The switch is sticky for the fit and emits a warning naming the cost
+    (sweeps × k extra cell-table passes per Newton iteration). Driver
+    state in that tier: per-sweep convergence scalars and the p×p system —
+    nothing cell- or level-proportional.
 
     Separation (Σωy > 0 level forced to zero mean by another FE's dead
     groups) raises with diagnosis instead of silently diverging; all-zero
@@ -1831,7 +2182,12 @@ def _fe_poisson_kfe(
                 "date_format(...) or CAST AS STRING) before fitting."
             )
 
+    use_spark_cells = False  # sticky: once over-cap, stay cell-resident
+
     def cell_pass(beta, x_list):
+        """Occupied-cell table at β: pandas below the driver cap, else a
+        PERSISTED Spark DataFrame for the cell-resident solver."""
+        nonlocal use_spark_cells
         eta_x = _eta_expr(beta, x_list, intercept=False)
         lnm = _d(Var(offset)) + eta_x if offset is not None else eta_x
         m = Func("exp", (lnm,))
@@ -1843,20 +2199,35 @@ def _fe_poisson_kfe(
         for j, xn in enumerate(x_list):
             aggs.append(F.sum(to_spark(_d(wm) * _d(Var(xn)))).alias(f"__X{j}"))
         cdf = df.groupBy(*fes).agg(*aggs)
-        pdf_cells = cdf.limit(cells_nmax + 1).toPandas()
-        if len(pdf_cells) > cells_nmax:
-            raise NotImplementedError(
-                f"dbglm fe_poisson: more than {cells_nmax} occupied FE "
-                "cells — the driver-side inner solver is capped (raise "
-                "cells_nmax if the driver has memory; a cell-resident "
-                "distributed inner loop is the documented follow-up)"
+        if not use_spark_cells:
+            try:
+                pdf_cells = cdf.limit(cells_nmax + 1).toPandas()
+                if len(pdf_cells) <= cells_nmax:
+                    return pdf_cells
+            except Exception as exc:
+                if not is_result_too_large(exc):
+                    raise
+            use_spark_cells = True
+            warnings.warn(
+                f"[dbglm] fe_poisson: more than {cells_nmax} occupied FE "
+                "cells (or the transfer exceeded maxResultSize) — "
+                "switching to the cell-resident inner solver for this "
+                "fit. Each Newton iteration now costs sweeps × k extra "
+                "cell-table passes instead of a driver-side solve; raise "
+                "cells_nmax if the driver has memory to spare."
             )
-        return pdf_cells
+        return cdf.persist()
 
     def system_pass(beta, x_list, helper, first=False, rows_only=False):
-        """Join the cell-keyed helper (lnφ, a_j) and aggregate the system."""
+        """Join the cell-keyed helper (lnφ, a_j) and aggregate the system.
+        A pandas helper (driver tier) broadcasts; a Spark helper (cell-
+        resident tier, potentially bigger than the driver) joins
+        co-partitioned on the FE tuple."""
         pl = len(x_list)
-        hdf = F.broadcast(spark.createDataFrame(helper))
+        if isinstance(helper, pd.DataFrame):
+            hdf = F.broadcast(spark.createDataFrame(helper))
+        else:
+            hdf = helper
         joined = df.join(hdf, on=fes, how="inner")
         eta_x = _eta_expr(beta, x_list, intercept=False)
         lnm = _d(Var(offset)) + eta_x if offset is not None else eta_x
@@ -1910,24 +2281,47 @@ def _fe_poisson_kfe(
             aggs.append(F.sum(F.col("__s") * F.col(f"__xt{i}")).alias(f"b_{i}"))
         return out.agg(*aggs).collect()[0].asDict()
 
+    warm_state = None  # cell-resident tier: previous iteration's (lnλ, a)
+    warm_x: tuple | None = None
+
+    def solve_cells(cells, x_list):
+        """Inner solve on either tier. Returns (helper, fix) where
+        ``helper`` is pandas (driver tier) or a Spark DataFrame, and
+        ``fix`` carries what the fixef table needs:
+        ("driver", lnl, lvls) or ("spark", fixef_df, level_counts)."""
+        nonlocal warm_state, warm_x
+        if isinstance(cells, pd.DataFrame):
+            lnphi, a_corr, lnl, lvls = _kfe_solve_cells(
+                cells, fes, len(x_list), verbose=verbose
+            )
+            helper = cells[fes].copy()
+            # -inf breaks some Arrow paths; Spark exp(-1e308) == 0.0 exactly
+            helper["__lnphi"] = np.where(np.isfinite(lnphi), lnphi, -1.0e308)
+            for j in range(len(x_list)):
+                helper[f"__a{j}"] = a_corr[:, j]
+            return helper, ("driver", lnl, lvls)
+        helper, fixef_df, level_counts, state = _kfe_solve_cells_spark(
+            cells, fes, len(x_list), verbose=verbose,
+            warm=warm_state,
+            # correction warm-start is valid only while the regressor
+            # tuple is unchanged (a collinearity drop shifts the indices)
+            warm_has_a=warm_state is not None and warm_x == tuple(x_list),
+        )
+        warm_state, warm_x = state, tuple(x_list)
+        # the solver's final localCheckpoint holds the helper materialized;
+        # the raw cell aggregation cache is no longer needed
+        cells.unpersist()
+        return helper, ("spark", fixef_df, level_counts)
+
     def evaluate(beta, x_list, first=False):
-        """cells → driver inner solve → system row. Returns (row, helper,
-        lnl, lvls)."""
+        """cells → inner solve (driver or cell-resident) → system row.
+        Returns (row, helper, fix)."""
         cells = cell_pass(beta, x_list)
-        if first and len(cells) == 0:
+        if first and isinstance(cells, pd.DataFrame) and len(cells) == 0:
             raise ValueError("dbglm: zero rows after missing-value filtering")
-        lnphi, a_corr, lnl, lvls = _kfe_solve_cells(
-            cells, fes, len(x_list), verbose=verbose
-        )
-        helper = cells[fes].copy()
-        # -inf breaks some Arrow paths; Spark exp(-1e308) == 0.0 exactly
-        helper["__lnphi"] = np.where(
-            np.isfinite(lnphi), lnphi, -1.0e308
-        )
-        for j in range(len(x_list)):
-            helper[f"__a{j}"] = a_corr[:, j]
+        helper, fix = solve_cells(cells, x_list)
         row = system_pass(beta, x_list, helper, first=first)
-        return row, helper, lnl, lvls
+        return row, helper, fix
 
     # ll_sat and n_total are β-independent free riders on the FIRST system
     # pass (no dedicated scan)
@@ -1944,13 +2338,12 @@ def _fe_poisson_kfe(
     n_iter = 0
     final_a = None
     final_helper = None
-    final_lnl = None
-    final_lvls = None
+    final_fix = None
     collin_dropped: list[str] = []
     helper_beta = None
 
     while n_iter < max_iter:
-        rowi, helper, lnl, lvls = evaluate(beta, x_names, first=n_iter == 0)
+        rowi, helper, fix = evaluate(beta, x_names, first=n_iter == 0)
         evaluated_beta = beta
         n_iter += 1
         if n_iter == 1:
@@ -2019,7 +2412,7 @@ def _fe_poisson_kfe(
                 accepted_beta = accepted_beta[sv]
                 helper = None  # stale __a layout — rebuild when needed
         final_a = a_i
-        final_helper, final_lnl, final_lvls = helper, lnl, lvls
+        final_helper, final_fix = helper, fix
         helper_beta = evaluated_beta if helper is not None else None
         accepted_beta = beta
         if verbose:
@@ -2055,20 +2448,16 @@ def _fe_poisson_kfe(
         or len(helper_beta) != len(beta)
         or not np.array_equal(helper_beta, beta)
     ):
-        cells = cell_pass(beta, x_names)
-        lnphi, a_corr, final_lnl, final_lvls = _kfe_solve_cells(
-            cells, fes, p, verbose=verbose
-        )
-        final_helper = cells[fes].copy()
-        final_helper["__lnphi"] = np.where(
-            np.isfinite(lnphi), lnphi, -1.0e308
-        )
-        for j in range(p):
-            final_helper[f"__a{j}"] = a_corr[:, j]
+        final_helper, final_fix = solve_cells(cell_pass(beta, x_names), x_names)
 
     ll_final = ll_prev
     deviance = 2.0 * (ll_sat - ll_final)
-    g_total = sum(len(final_lvls[f]) for f in fes)
+    if final_fix[0] == "driver":
+        _, final_lnl, final_lvls = final_fix
+        g_total = sum(len(final_lvls[f]) for f in fes)
+    else:
+        _, spark_fixef_df, level_counts = final_fix
+        g_total = sum(level_counts.values())
     k_eff = p + g_total - (len(fes) - 1)
     df_res = max(n_total - k_eff, 1.0)
     info_inv = solve_with_fallback(final_a, np.zeros(p)).xtx_inv
@@ -2108,15 +2497,18 @@ def _fe_poisson_kfe(
     # fixef: long form (fe_var, level, fixef); NULL = dead (λ=0) group.
     # Levels are identified up to k−1 additive constants, the usual FE
     # normalization caveat.
-    fix_rows = []
-    for f in fes:
-        for lv, v in zip(final_lvls[f], final_lnl[f]):
-            fix_rows.append(
-                (f, str(lv), float(v) if math.isfinite(v) else None)
-            )
-    fixef_df = spark.createDataFrame(
-        pd.DataFrame(fix_rows, columns=["fe_var", "level", "fixef"])
-    )
+    if final_fix[0] == "driver":
+        fix_rows = []
+        for f in fes:
+            for lv, v in zip(final_lvls[f], final_lnl[f]):
+                fix_rows.append(
+                    (f, str(lv), float(v) if math.isfinite(v) else None)
+                )
+        fixef_df = spark.createDataFrame(
+            pd.DataFrame(fix_rows, columns=["fe_var", "level", "fixef"])
+        )
+    else:
+        fixef_df = spark_fixef_df
     return GlmModel(
         coeftable=ct,
         vcov_=V,

@@ -825,3 +825,71 @@ def test_irls_pass_cross_engine_fuzz(spark, duck, family):
                 f"{family} draw {draw} stat {k}: spark={v} duck={orow[k]}"
             )
         duck.unregister(tname)
+
+
+def test_fe_poisson_2fe_cell_resident_matches_driver(fe2_sdf):
+    """Past cells_nmax the inner solve switches to the cell-RESIDENT Spark
+    solver (_kfe_solve_cells_spark). Force the switch with a tiny cap and
+    pin full parity with the driver-tier fit: coefficients, cluster SEs,
+    log-likelihood, dof, and the recovered fixef table (incl. NULL for
+    dead groups)."""
+    sdf, pdf = fe2_sdf
+    with pytest.warns(UserWarning, match="cell-resident"):
+        m_sp = dbglm(
+            "ypois ~ x1 + x2 | gcat + hcat", sdf, family="poisson",
+            vcov="~g", cells_nmax=10,
+        )
+    m_dr = dbglm(
+        "ypois ~ x1 + x2 | gcat + hcat", sdf, family="poisson", vcov="~g"
+    )
+    assert m_sp.converged and m_sp.n_iter == m_dr.n_iter
+    for name in ["x1", "x2"]:
+        assert m_sp.coef()[name] == pytest.approx(m_dr.coef()[name], rel=1e-9)
+        assert m_sp.se()[name] == pytest.approx(m_dr.se()[name], rel=1e-8)
+    assert m_sp.loglik == pytest.approx(m_dr.loglik, rel=1e-10)
+    assert m_sp.df_residual == m_dr.df_residual
+    fx_sp = (
+        m_sp.fixef().toPandas()
+        .sort_values(["fe_var", "level"]).reset_index(drop=True)
+    )
+    fx_dr = (
+        m_dr.fixef().toPandas()
+        .sort_values(["fe_var", "level"]).reset_index(drop=True)
+    )
+    assert list(fx_sp["level"]) == list(fx_dr["level"])
+    assert fx_sp["fixef"].isna().equals(fx_dr["fixef"].isna())
+    import numpy as np
+
+    # fixefs are identified up to k−1 additive constants (see the kfe
+    # docstring) and the two tiers may land on different normalizations:
+    # within each FE the difference must be one CONSTANT, and the
+    # constants must cancel across FEs (the total α per cell is invariant)
+    shifts = []
+    for fv in ["gcat", "hcat"]:
+        sub = fx_sp["fe_var"] == fv
+        live = sub & ~fx_sp["fixef"].isna()
+        diff = (fx_sp.loc[live, "fixef"] - fx_dr.loc[live, "fixef"]).to_numpy()
+        assert np.ptp(diff) < 1e-7, f"{fv}: non-constant fixef shift"
+        shifts.append(float(diff.mean()))
+    assert abs(sum(shifts)) < 1e-7
+
+
+def test_fe_poisson_2fe_cell_resident_dead_group(fe2_sdf):
+    """Cell-resident tier with a dead (all-zero-outcome) FE level: drops
+    out with a NULL fixef exactly as the driver tier, predict() joins it
+    back as NULL fit."""
+    sdf, pdf = fe2_sdf
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2["gcat"] == "g3", "ypois"] = 0.0
+    sdf2 = sdf.sparkSession.createDataFrame(pdf2)
+    with pytest.warns(UserWarning, match="cell-resident"):
+        m = dbglm(
+            "ypois ~ x1 + x2 | gcat + hcat", sdf2, family="poisson",
+            cells_nmax=10,
+        )
+    m_dr = dbglm("ypois ~ x1 + x2 | gcat + hcat", sdf2, family="poisson")
+    for name in ["x1", "x2"]:
+        assert m.coef()[name] == pytest.approx(m_dr.coef()[name], rel=1e-8)
+    fx = m.fixef().toPandas()
+    dead = fx[(fx["fe_var"] == "gcat") & (fx["level"] == "g3")]
+    assert len(dead) == 1 and dead["fixef"].isna().all()
