@@ -147,6 +147,28 @@ GLM_BETA = [-0.5, 0.02, 0.3]  # (intercept, quantity, discount), logit scale
 
 FEPOIS_BETA = [0.001, 0.05]  # fixed (quantity, discount), log scale
 
+# dbiv (2SLS) gates: a derived instrument column shared by both engines —
+# floor(quantity/2) + discount tracks quantity closely (strong first stage)
+# without being an exact linear function of the regressors. ONE SQL string
+# defines the view on both sides (FLOOR / arithmetic are dialect-neutral).
+IV_VIEW_SQL = (
+    "SELECT l_extendedprice, l_quantity, l_discount, l_returnflag, "
+    "CAST(FLOOR(l_quantity / 2.0) AS DOUBLE) + l_discount AS z_half "
+    "FROM lineitem"
+)
+FML_IV = "l_extendedprice ~ l_discount | l_quantity ~ z_half"
+# moment_spec layout for w = [l_discount, l_quantity, z_half] with intercept
+IV_GRAM_COLS = (
+    ["n_total", "sum_y", "sum_y_sq"]
+    + [f"sum_{i}" for i in (1, 2, 3)]
+    + [f"sum_{i}_y" for i in (1, 2, 3)]
+    + [f"sum_{i}_{j}" for i in (1, 2, 3) for j in range(i, 4)]
+)
+
+
+def _register_iv_view(spark: SparkSession) -> None:
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW lineitem_iv AS {IV_VIEW_SQL}")
+
 
 def _fepois_step_plan(spark: SparkSession):
     """One profiled FE-Poisson Newton pass at FEPOIS_BETA over lineitem:
@@ -375,6 +397,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _round_doubles_df(cells)
 
     Q["glm_kfe_cells"] = fepois_kfe_cells
+
+    # ---- dbiv / 2SLS (beyond reference; fixest-style IV) ----
+    def iv_gram(spark, sf_dir):
+        """The ONE-pass cross-moment (Gram) row the 2SLS solve consumes —
+        the entire distributed half of dbiv (the solve itself is p×p
+        driver numpy, pinned by tests/test_iv.py against dense 2SLS)."""
+        from dbreg_spark import dbiv
+
+        _tables(spark, sf_dir)
+        _register_iv_view(spark)
+        row = dbiv(FML_IV, spark=spark, table="lineitem_iv", data_only=True)
+        return _round_doubles_df(spark.createDataFrame(row))
+
+    Q["iv_gram_2sls"] = iv_gram
+
+    def iv_coef_simple(spark, sf_dir):
+        """Full estimator cross-engine: just-identified IV coefficient +
+        iid SEs vs DuckDB's closed-form covariance-ratio solution."""
+        from dbreg_spark import dbiv
+
+        _tables(spark, sf_dir)
+        _register_iv_view(spark)
+        m = dbiv(
+            "l_extendedprice ~ 1 | l_quantity ~ z_half",
+            spark=spark, table="lineitem_iv", vcov="iid",
+        )
+        pdf = m.tidy()[["term", "estimate", "std.error"]].rename(
+            columns={"std.error": "std_error"}
+        )
+        return _round_doubles_df(spark.createDataFrame(pdf))
+
+    Q["iv_coef_simple"] = iv_coef_simple
+
+    def iv_coef_demean(spark, sf_dir):
+        """FE-IV: 1 absorbed FE (demeaned y, x AND z) vs DuckDB window
+        demeaning + the covariance-ratio closed form."""
+        from dbreg_spark import dbiv
+
+        _tables(spark, sf_dir)
+        _register_iv_view(spark)
+        m = dbiv(
+            "l_extendedprice ~ 1 | l_returnflag | l_quantity ~ z_half",
+            spark=spark, table="lineitem_iv", vcov="iid",
+        )
+        pdf = m.tidy()[["term", "estimate", "std.error"]].rename(
+            columns={"std.error": "std_error"}
+        )
+        return _round_doubles_df(spark.createDataFrame(pdf))
+
+    Q["iv_coef_demean_1fe"] = iv_coef_demean
 
     # ---- design matrix (SURVEY §2.7 F1-F2) ----
     def design_matrix(spark, sf_dir):
@@ -1501,6 +1573,118 @@ FROM (
 """,
         ["l_returnflag", "l_linestatus", "c_sum", "y_sum", "x_0", "x_1"],
         ["c_sum", "y_sum", "x_0", "x_1"],
+    )
+
+    # ---- dbiv / 2SLS oracles ----
+    # Gram pass: emit dbiv's own oracle SQL (same IR-to-SQL path the OLS
+    # plan gates use), with the shared derived-view CTE prepended
+    def _iv_gram_oracle():
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            from dbreg_spark.sources.io import get_session
+
+            spark = get_session(
+                "oracle-sql-emit", master="local[2]", shuffle_partitions=2
+            )
+        _tables(
+            spark,
+            os.environ.get("SPARK_GRAFT_SF_DIR_FOR_SQL", "/root/testdata/sf0.01"),
+        )
+        _register_iv_view(spark)
+        from dbreg_spark import dbiv
+
+        sql = dbiv(FML_IV, spark=spark, table="lineitem_iv", sql_only=True)
+        sql = sql.replace(
+            "WITH ", f"WITH lineitem_iv AS (\n{IV_VIEW_SQL}\n),\n", 1
+        )
+        return _round_doubles_sql(
+            sql, IV_GRAM_COLS, [c for c in IV_GRAM_COLS if c != "n_total"]
+        )
+
+    O["iv_gram_2sls"] = _iv_gram_oracle()
+
+    # just-identified IV closed form: β₁ = Σz̃ỹ/Σz̃x̃ (deviation sums),
+    # β₀ = ȳ − β₁x̄; iid Var(β₁) = σ²·Szz/Szx², Var(β₀) = σ²(1/n + x̄²·Szz/Szx²)
+    # with σ² = (Syy − 2β₁Sxy + β₁²Sxx)/(n − 2) — an INDEPENDENT derivation
+    # of the same estimator (DuckDB covariance aggregates, no shared code)
+    _iv_simple_inner = f"""
+WITH lineitem_iv AS (
+{IV_VIEW_SQL}
+),
+b AS (
+  SELECT l_extendedprice AS y, l_quantity AS x, z_half AS z
+  FROM lineitem_iv
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND z_half IS NOT NULL
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(x) AS mx, AVG(y) AS my,
+         COVAR_POP(z, x) * COUNT(*) AS szx,
+         COVAR_POP(z, y) * COUNT(*) AS szy,
+         VAR_POP(z) * COUNT(*) AS szz,
+         VAR_POP(x) * COUNT(*) AS sxx,
+         VAR_POP(y) * COUNT(*) AS syy,
+         COVAR_POP(x, y) * COUNT(*) AS sxy
+  FROM b
+),
+c AS (
+  SELECT n, mx, my, szy / szx AS b1, szz, szx, sxx, syy, sxy FROM s
+),
+f AS (
+  SELECT n, mx, my, b1, szz, szx,
+         (syy - 2 * b1 * sxy + b1 * b1 * sxx) / (n - 2) AS sig2
+  FROM c
+)
+SELECT '(Intercept)' AS term, my - b1 * mx AS estimate,
+       SQRT(sig2 * (1.0 / n + mx * mx * szz / (szx * szx))) AS std_error
+FROM f
+UNION ALL
+SELECT 'l_quantity', b1, SQRT(sig2 * szz / (szx * szx)) FROM f
+"""
+    O["iv_coef_simple"] = _round_doubles_sql(
+        _iv_simple_inner, ["term", "estimate", "std_error"],
+        ["estimate", "std_error"],
+    )
+
+    # FE-IV: window-demean y, x AND z within l_returnflag (FWL for 2SLS),
+    # then the no-intercept ratio on RAW demeaned sums; dof = n − 1 − G
+    _iv_demean_inner = f"""
+WITH lineitem_iv AS (
+{IV_VIEW_SQL}
+),
+b AS (
+  SELECT l_extendedprice AS y, l_quantity AS x, z_half AS z,
+         l_returnflag AS g
+  FROM lineitem_iv
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND z_half IS NOT NULL AND l_returnflag IS NOT NULL
+),
+d AS (
+  SELECT y - AVG(y) OVER (PARTITION BY g) AS yt,
+         x - AVG(x) OVER (PARTITION BY g) AS xt,
+         z - AVG(z) OVER (PARTITION BY g) AS zt, g
+  FROM b
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(COUNT(DISTINCT g) AS DOUBLE) AS gg,
+         SUM(zt * xt) AS szx, SUM(zt * yt) AS szy, SUM(zt * zt) AS szz,
+         SUM(xt * xt) AS sxx, SUM(yt * yt) AS syy, SUM(xt * yt) AS sxy
+  FROM d
+),
+c AS (SELECT n, gg, szy / szx AS b1, szz, szx, sxx, syy, sxy FROM s),
+f AS (
+  SELECT b1, szz, szx,
+         (syy - 2 * b1 * sxy + b1 * b1 * sxx) / (n - 1 - gg) AS sig2
+  FROM c
+)
+SELECT 'l_quantity' AS term, b1 AS estimate,
+       SQRT(sig2 * szz / (szx * szx)) AS std_error
+FROM f
+"""
+    O["iv_coef_demean_1fe"] = _round_doubles_sql(
+        _iv_demean_inner, ["term", "estimate", "std_error"],
+        ["estimate", "std_error"],
     )
 
     # design matrix: levels of l_returnflag are A < N < R; drop reference A

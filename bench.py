@@ -145,6 +145,21 @@ def main() -> None:
             vcov="~ l_linestatus",
         ),
     )
+    # IV/2SLS: one Gram pass + one z-score cluster meat pass
+    from dbreg_spark import dbiv
+
+    li_iv = li.withColumn(
+        "z_half",
+        F.floor(F.col("l_quantity") / 2.0).cast("double") + F.col("l_discount"),
+    )
+    bench(
+        "iv_2sls_cluster",
+        lambda: dbiv(
+            "l_extendedprice ~ l_discount | l_quantity ~ z_half",
+            li_iv,
+            vcov="~ l_returnflag",
+        ),
+    )
     bench(
         "reg_demean_2fe_hc1",
         lambda: dbreg(

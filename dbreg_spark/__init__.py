@@ -12,6 +12,7 @@ from .binsreg import BinsregResult, dbbinsreg
 from .design import standardize_coef_names
 from .formula import parse_formula, parse_vcov
 from .glm import GlmModel, dbglm
+from .iv import IvModel, dbiv
 from .model import DbregModel
 
 __all__ = [
@@ -22,6 +23,8 @@ __all__ = [
     "DbregModel",
     "dbglm",
     "GlmModel",
+    "dbiv",
+    "IvModel",
     "parse_formula",
     "parse_vcov",
     "standardize_coef_names",

@@ -207,7 +207,10 @@ def _cluster_label(cluster_vars):
     return "+".join(cluster_vars) if cluster_vars else None
 
 
-def _cluster_meat_any(frame, betahat, kept_x, icpt, cluster_vars, n_total, n_params):
+def _cluster_meat_any(
+    frame, betahat, kept_x, icpt, cluster_vars, n_total, n_params,
+    score_names=None, score_intercept=None,
+):
     """Single- or multiway-cluster meat.
 
     Multiway (Cameron-Gelbach-Miller): V = Σ_S (−1)^{|S|+1} V_S over the
@@ -221,14 +224,16 @@ def _cluster_meat_any(frame, betahat, kept_x, icpt, cluster_vars, n_total, n_par
 
     if len(cluster_vars) == 1:
         return cluster_meat(
-            frame, betahat, kept_x, intercept=icpt, cluster_col=cluster_vars[0]
+            frame, betahat, kept_x, intercept=icpt, cluster_col=cluster_vars[0],
+            score_names=score_names, score_intercept=score_intercept,
         )
     comps = []
     g_single = {}
     for r in range(1, len(cluster_vars) + 1):
         for S in combinations(cluster_vars, r):
             meat_S, g_S, _sql = cluster_meat(
-                frame, betahat, kept_x, intercept=icpt, cluster_col=list(S)
+                frame, betahat, kept_x, intercept=icpt, cluster_col=list(S),
+                score_names=score_names, score_intercept=score_intercept,
             )
             comps.append((r, meat_S, g_S))
             if r == 1:

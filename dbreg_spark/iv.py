@@ -1,0 +1,535 @@
+"""Instrumental-variables / two-stage-least-squares regression at Spark
+scale — :func:`dbiv`.
+
+Beyond the reference (grantmcdermott/dbreg has no IV estimator; the formula
+syntax and inference conventions follow fixest's ``feols(y ~ x | fe |
+endo ~ inst)``), but built from the SAME sufficient-statistics design as
+the reference's moments path (R/dbreg.R:724-804): everything the 2SLS
+solve needs is one full cross-moment (Gram) pass over W = [1?, exog,
+endog, inst] plus y —
+
+    A = W'W,  b = W'y,  n,  Σy²                       (ONE data scan)
+
+and the driver (p_w × p_w doubles, p_w tiny) assembles
+
+    β̂ = (X'P_Z X)⁻¹ X'P_Z y
+       = (Azx' Azz⁻¹ Azx)⁻¹ (Azx' Azz⁻¹ Azy)
+
+with X = [1?, exog, endog], Z = [1?, exog, inst] index subsets of W.
+Robust/clustered sandwiches use the existing second-pass meat machinery
+(plans/meat.py) with the STRUCTURAL residual u = y − X β̂ (β̂ as double
+literals) and scores over Z — Γ = Azz⁻¹Azx maps the z-space meat into
+coefficient space: V = B (Γ'SΓ) B with B = (X'P_Z X)⁻¹. Fixed effects are
+absorbed by the same demeaning frames the OLS path uses (y, X and Z all
+demeaned — FWL applies to 2SLS exactly as to OLS).
+
+Scale shape: two full-data passes total (Gram + meat; iid needs only one),
+no shuffle of the fact table (demeaning joins broadcast tiny per-FE mean
+tables), nothing but the p_w×p_w moment row ever reaches the driver.
+
+First-stage relevance is diagnosed for free: the per-endogenous-regressor
+excluded-instrument F statistics fall out of the same Gram blocks (no
+extra pass) and are reported on the model (``first_stage_F``).
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .design import (
+    DesignInfo,
+    classify_columns,
+    expand_term,
+    factor_levels,
+    standardize_coef_names,
+)
+from .formula import (
+    ParsedFormula,
+    Term,
+    _split_top,
+    _TOKEN,
+    parse_formula,
+    parse_vcov,
+)
+from .model import DbregModel
+from .plans.common import (
+    agg_select_sql,
+    assemble_normal_eqs,
+    moment_spec,
+    resolve_source,
+    run_agg,
+)
+from .plans.exprs import Var
+from .plans.frames import (
+    build_base_frame,
+    build_demeaned_frame,
+    build_demeaned_frame_iterative,
+)
+from .plans.meat import hc1_meat
+from .solve import (
+    detect_collinearity,
+    gen_coeftable,
+    rss_from_moments,
+    solve_with_fallback,
+    tss_from_moments,
+)
+
+
+# --------------------------------------------------------------------------
+# formula
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class IvFormula:
+    yvar: str
+    exog_terms: list[Term]
+    endog_terms: list[Term]
+    inst_terms: list[Term]
+    fe: list[str]
+    intercept: bool
+
+    @property
+    def all_vars(self) -> list[str]:
+        seen: dict[str, None] = {}
+        for t in self.exog_terms + self.endog_terms + self.inst_terms:
+            for v in t.vars:
+                seen[v] = None
+        return list(seen)
+
+
+def parse_iv_formula(fml: str) -> IvFormula:
+    """``y ~ exog | fe | endog ~ inst`` (fixest), FE part optional:
+    ``y ~ exog | endog ~ inst``; ``y ~ 1 | endog ~ inst`` for no exogenous
+    controls. The LAST ``|``-part must contain the second ``~``."""
+    segs = [s.strip() for s in _split_top(fml.strip(), "|")]
+    if len(segs) < 2 or "~" not in segs[-1]:
+        raise ValueError(
+            "dbiv formula needs an instrument part: "
+            "'y ~ exog | [fe |] endog ~ inst'"
+        )
+    if len(segs) > 3:
+        raise ValueError("too many '|' parts (max: exog | fe | endog ~ inst)")
+    main, iv_seg = segs[0], segs[-1]
+    fe_seg = segs[1] if len(segs) == 3 else None
+
+    if "~" not in main:
+        raise ValueError(f"not a formula: {fml!r}")
+    lhs, exog_rhs = (s.strip() for s in main.split("~", 1))
+    if not _TOKEN.match(lhs):
+        raise ValueError(f"invalid outcome variable {lhs!r}")
+
+    if exog_rhs in ("", "1"):
+        exog_terms: list[Term] = []
+        intercept = True
+    elif exog_rhs == "0":
+        exog_terms = []
+        intercept = False
+    else:
+        p_main = parse_formula(f"~ {exog_rhs}")
+        exog_terms, intercept = p_main.terms, p_main.intercept
+
+    fe: list[str] = []
+    if fe_seg:
+        fe = [v.strip() for v in _split_top(fe_seg, "+") if v.strip()]
+        for v in fe:
+            if not _TOKEN.match(v):
+                raise ValueError(f"invalid fixed-effect variable {v!r}")
+
+    endog_lhs, inst_rhs = (s.strip() for s in iv_seg.split("~", 1))
+    if not endog_lhs or not inst_rhs:
+        raise ValueError("instrument part must be 'endog ~ inst'")
+    endog_terms = parse_formula(f"~ {endog_lhs}").terms
+    p_inst = parse_formula(f"~ {inst_rhs}")
+    inst_terms = p_inst.terms
+
+    ek = {t.sorted_key for t in endog_terms}
+    xk = {t.sorted_key for t in exog_terms}
+    zk = {t.sorted_key for t in inst_terms}
+    if ek & xk:
+        raise ValueError(
+            "endogenous regressors cannot also appear as exogenous controls"
+        )
+    if ek & zk:
+        raise ValueError(
+            "an endogenous regressor cannot instrument itself; list it only "
+            "on the left of the instrument part"
+        )
+    if xk & zk:
+        raise ValueError(
+            "exogenous controls are included instruments automatically — do "
+            "not list them on the right of the instrument part"
+        )
+    fe_set = set(fe)
+    for t in endog_terms:
+        if set(t.vars) & fe_set:
+            raise ValueError("a fixed-effect variable cannot be endogenous")
+    return IvFormula(
+        yvar=lhs,
+        exog_terms=exog_terms,
+        endog_terms=endog_terms,
+        inst_terms=inst_terms,
+        fe=fe,
+        intercept=intercept,
+    )
+
+
+def _grouped_design(
+    df: DataFrame, ivf: IvFormula
+) -> tuple[DesignInfo, list[str], list[str], list[str]]:
+    """Design expansion for all three groups with ONE shared factor-level
+    probe (mirrors design.build_design; the drop-reference bookkeeping sees
+    the union of terms so contrast rules match a joint expansion)."""
+    all_terms = ivf.exog_terms + ivf.endog_terms + ivf.inst_terms
+    vars_ = ivf.all_vars
+    types = classify_columns(df, vars_)
+    fvars = [v for v in vars_ if types[v] == "factor"]
+    levels = factor_levels(df, fvars) if fvars else {}
+    all_term_keys = {t.sorted_key for t in all_terms}
+    for v in ivf.fe:
+        all_term_keys.add((v,))
+
+    def expand(terms: list[Term]) -> list[tuple[str, object]]:
+        out = []
+        for t in terms:
+            out.extend(expand_term(t, types, levels, "all", all_term_keys, ivf.fe))
+        return out
+
+    exog = expand(ivf.exog_terms)
+    endog = expand(ivf.endog_terms)
+    inst = expand(ivf.inst_terms)
+    names = [n for n, _ in exog + endog + inst]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate design columns across IV formula parts")
+    design = DesignInfo(
+        names=names,
+        exprs=[e for _, e in exog + endog + inst],
+        factor_levels=levels,
+        numeric_vars=[v for v in vars_ if types[v] == "numeric"],
+    )
+    return (
+        design,
+        [n for n, _ in exog],
+        [n for n, _ in endog],
+        [n for n, _ in inst],
+    )
+
+
+# --------------------------------------------------------------------------
+# model object
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class IvModel(DbregModel):
+    """2SLS fit. Inherits the full dbreg post-estimation surface —
+    coef/se/vcov/confint/tidy/glance and the distributed ``predict``
+    (``strategy`` is "moments"/"demean" so scoring reuses those paths; the
+    structural fit is X β̂ over exog+endog, which is exactly what
+    ``design_info`` carries)."""
+
+    endog: list[str] = field(default_factory=list)
+    instruments: list[str] = field(default_factory=list)
+    first_stage_F: dict = field(default_factory=dict)
+
+    def __repr__(self) -> str:
+        base = super().__repr__().replace(
+            f"strategy={self.strategy}", f"estimator=2SLS({self.strategy})", 1
+        )
+        fs = "  ".join(
+            f"{k}: {v:.4g}" for k, v in self.first_stage_F.items()
+        )
+        return base + (f"\nfirst-stage F (excluded instruments)  {fs}" if fs else "")
+
+
+# --------------------------------------------------------------------------
+# estimator
+# --------------------------------------------------------------------------
+
+
+def dbiv(
+    fml: str,
+    data=None,
+    *,
+    spark: SparkSession | None = None,
+    table: str | None = None,
+    path: str | None = None,
+    vcov="iid",
+    cluster=None,
+    drop_missings: bool = True,
+    sql_only: bool = False,
+    data_only: bool = False,
+    verbose: bool = False,
+    broadcast_means: bool = True,
+) -> IvModel:
+    """Fit a 2SLS/IV regression on a Spark-resident table.
+
+    ``fml`` is fixest-style: ``"y ~ exog | fe1 + fe2 | endog ~ inst"`` (FE
+    part optional, ``exog`` may be ``1``). ``vcov``: "iid", "hc1", or a
+    cluster formula ``"~g"`` / ``"~g1 + g2"`` (multiway CGM).
+
+    ``sql_only`` returns the DuckDB-executable SQL of the Gram pass;
+    ``data_only`` returns the collected Gram row as a one-row pandas frame
+    (both mirror :func:`dbreg`'s contract — the 2SLS solve itself is
+    driver-side numpy on that row, identical across engines).
+    """
+    vcov_type, cluster_vars = parse_vcov(vcov, cluster)
+    ivf = parse_iv_formula(fml)
+    if spark is None and isinstance(data, DataFrame):
+        spark = data.sparkSession
+    source = resolve_source(spark=spark, data=data, table=table, path=path)
+
+    design, exog_names, endog_names, inst_names = _grouped_design(source.df, ivf)
+    if not inst_names:
+        raise ValueError("no instruments given")
+
+    # the frame carries y + ALL design columns (exog, endog, inst); the
+    # missing filter spans every variable so X and Z see the same rows
+    parsed_all = ParsedFormula(
+        yvar=ivf.yvar,
+        terms=ivf.exog_terms + ivf.endog_terms + ivf.inst_terms,
+        fe=ivf.fe,
+        intercept=ivf.intercept,
+    )
+    frame = base = build_base_frame(
+        source,
+        parsed_all,
+        design,
+        drop_missings,
+        extra_cols=cluster_vars if cluster_vars else None,
+        want_sql=source.sql_from is not None,
+    )
+    icpt = ivf.intercept and not ivf.fe  # FE absorb the constant
+    if ivf.fe:
+        if len(ivf.fe) <= 2:
+            frame = build_demeaned_frame(base, ivf.fe, broadcast_means)
+            if cluster_vars and any(
+                c not in frame.df.columns for c in cluster_vars
+            ):
+                from .api import _reattach_cluster
+
+                frame = _reattach_cluster(
+                    base, frame, ivf.fe, cluster_vars, broadcast_means
+                )
+        else:
+            # iterated demeaning carries cluster keys in base.key_cols
+            frame = build_demeaned_frame_iterative(base, ivf.fe, broadcast_means)
+
+    w_names = list(frame.x_cols)  # exog + endog + inst, frame order
+    n_fe_exprs = [Var(f) for f in ivf.fe] if ivf.fe else None
+    spec = moment_spec(
+        Var(frame.y_col),
+        [Var(n) for n in w_names],
+        intercept=icpt,
+        n_fe_exprs=n_fe_exprs,
+    )
+    sql = None
+    if frame.sql_cte:
+        sql = (
+            f"{frame.sql_cte},\nmoments AS (\n  SELECT {agg_select_sql(spec)}"
+            f"\n  FROM {frame.cte_name}\n)\nSELECT * FROM moments"
+        )
+    if sql_only:
+        frame.cleanup()
+        return sql if sql is not None else f"SELECT {agg_select_sql(spec)} FROM base"
+    try:
+        row = run_agg(frame.df, spec, fe_cols=ivf.fe or None)
+        if data_only:
+            return pd.DataFrame([row])
+        return _solve_2sls(
+            row, frame, ivf, design, exog_names, endog_names, inst_names,
+            icpt, vcov_type, cluster_vars, sql, verbose,
+        )
+    finally:
+        frame.cleanup()
+
+
+def _solve_2sls(
+    row, frame, ivf, design, exog_names, endog_names, inst_names,
+    icpt, vcov_type, cluster_vars, sql, verbose,
+):
+    from .api import _cluster_meat_any, _cluster_label
+
+    w_names = list(frame.x_cols)
+    A, b, n_total, sum_y, sum_y_sq = assemble_normal_eqs(
+        row, len(w_names), intercept=icpt
+    )
+    off = 1 if icpt else 0
+    pos = {n: off + i for i, n in enumerate(w_names)}
+    x_cols = exog_names + endog_names
+    z_cols = exog_names + inst_names
+    x_idx = ([0] if icpt else []) + [pos[n] for n in x_cols]
+    z_idx = ([0] if icpt else []) + [pos[n] for n in z_cols]
+    names_x = (["(Intercept)"] if icpt else []) + [
+        standardize_coef_names(n) for n in x_cols
+    ]
+    names_z = (["(Intercept)"] if icpt else []) + [
+        standardize_coef_names(n) for n in z_cols
+    ]
+
+    # --- Z-side rank: drop collinear instruments/controls from Z ---------
+    Azz = A[np.ix_(z_idx, z_idx)]
+    cz = detect_collinearity(Azz, b[z_idx], names_z)
+    if cz.collinear and verbose:
+        print(f"[dbiv] dropped from Z (collinear): {cz.drop_names}")
+    zk = [z_idx[i] for i in cz.keep_idx]
+    zk_names = cz.keep_names
+    Azz_k = A[np.ix_(zk, zk)]
+
+    excl_kept = [n for n in zk_names if n in
+                 {standardize_coef_names(m) for m in inst_names}]
+    if len(excl_kept) < len(endog_names):
+        raise ValueError(
+            f"under-identified: {len(endog_names)} endogenous regressor(s) "
+            f"but only {len(excl_kept)} (non-collinear) excluded "
+            f"instrument(s)"
+        )
+
+    # --- 2SLS normal equations in coefficient space -----------------------
+    Azx = A[np.ix_(zk, x_idx)]
+    Azy = b[zk]
+    Azz_inv = np.linalg.pinv(Azz_k)
+    M = Azx.T @ Azz_inv @ Azx  # X'P_Z X
+    m = Azx.T @ Azz_inv @ Azy  # X'P_Z y
+    cx = detect_collinearity(M, m, names_x)
+    sol = solve_with_fallback(cx.xtx, cx.xty)
+    xk_idx = [x_idx[i] for i in cx.keep_idx]
+    icpt_x = "(Intercept)" in cx.keep_names
+
+    # structural residual uses the ORIGINAL X (2SLS convention), so rss
+    # comes from the X-block of the same Gram
+    Axx_k = A[np.ix_(xk_idx, xk_idx)]
+    bx_k = b[xk_idx]
+    rss = rss_from_moments(sum_y_sq, sol.betahat, Axx_k, bx_k)
+    if icpt:
+        tss = tss_from_moments(sum_y_sq, sum_y, n_total)
+    else:
+        tss = sum_y_sq  # within-TSS under absorbed FE, as the demean path
+
+    n_fe = [int(row.get(f"n_fe{k + 1}", 1)) for k in range(len(ivf.fe))]
+    df_fe = (n_fe[0] + sum(g - 1 for g in n_fe[1:])) if ivf.fe else 0
+    p_kept = len(cx.keep_names)
+    df_res = max(n_total - p_kept - df_fe, 1)
+
+    if len(ivf.fe) == 2 and row.get("__n_cells") is not None:
+        balanced = row["__cell_min"] == row["__cell_max"] and int(
+            row["__n_cells"]
+        ) == n_fe[0] * n_fe[1]
+        if not balanced:
+            warnings.warn(
+                "[dbiv] Panel appears unbalanced. Double demeaning may yield "
+                "different coefficients than exact two-way FE-IV."
+            )
+
+    # --- sandwiches -------------------------------------------------------
+    kept_x_cols = [n for n in x_cols if standardize_coef_names(n) in cx.keep_names]
+    kept_z_cols = [n for n in z_cols if standardize_coef_names(n) in zk_names]
+    icpt_z = "(Intercept)" in zk_names
+    # Γ = Azz⁻¹ Azx maps z-space scores into coefficient space; row order is
+    # kept-Z (intercept first, matching the meat layout), columns kept-X
+    Gamma = Azz_inv @ A[np.ix_(zk, xk_idx)]
+
+    meat = n_clusters = None
+    n_params_cluster = p_kept + df_fe
+    if vcov_type == "hc1":
+        S, _ = hc1_meat(
+            frame, sol.betahat, kept_x_cols, intercept=icpt_x,
+            score_names=kept_z_cols, score_intercept=icpt_z,
+        )
+        meat = Gamma.T @ S @ Gamma
+    elif vcov_type == "cluster":
+        S, n_clusters, _ = _cluster_meat_any(
+            frame, sol.betahat, kept_x_cols, icpt_x, cluster_vars,
+            n_total, n_params_cluster,
+            score_names=kept_z_cols, score_intercept=icpt_z,
+        )
+        meat = Gamma.T @ S @ Gamma
+
+    from .solve import compute_vcov
+
+    V = compute_vcov(
+        vcov_type, sol.xtx_inv, rss, df_res, n_total, n_params_cluster,
+        meat, n_clusters,
+    )
+    ct = gen_coeftable(sol.betahat, V, df_res, cx.keep_names)
+
+    # --- first-stage excluded-instrument F, per endogenous column ---------
+    # all from Gram blocks: regress e on kept Z (unrestricted) vs on the
+    # included-only columns of kept Z (restricted); zero extra passes
+    fsF: dict[str, float] = {}
+    incl = [i for i, n in enumerate(zk_names) if n not in set(excl_kept)]
+    q = len(excl_kept)
+    dof2 = max(n_total - len(zk_names) - df_fe, 1)
+    for en in endog_names:
+        e_i = pos[en]
+        Aze = A[np.ix_(zk, [e_i])][:, 0]
+        ee = A[e_i, e_i]
+        g_u = Azz_inv @ Aze
+        rss_u = max(ee - g_u @ Aze, 0.0)
+        if incl:
+            Arr = Azz_k[np.ix_(incl, incl)]
+            Are = Aze[incl]
+            g_r = np.linalg.pinv(Arr) @ Are
+            rss_r = max(ee - g_r @ Are, 0.0)
+        else:
+            rss_r = ee
+        denom = rss_u / dof2
+        fsF[standardize_coef_names(en)] = (
+            float(((rss_r - rss_u) / q) / denom) if denom > 0 and q > 0
+            else float("inf")
+        )
+        if verbose:
+            print(f"[dbiv] first-stage F[{en}] = {fsF[standardize_coef_names(en)]:.4g}")
+    weak = [k for k, v in fsF.items() if np.isfinite(v) and v < 10.0]
+    if weak:
+        warnings.warn(
+            f"[dbiv] weak instruments: first-stage F < 10 for {weak} — 2SLS "
+            "point estimates and inference are unreliable under weak "
+            "identification"
+        )
+
+    # predict() scores the STRUCTURAL fit X β̂ — restrict design info to X
+    design_x = DesignInfo(
+        names=x_cols,
+        exprs=[design.exprs[design.names.index(n)] for n in x_cols],
+        factor_levels=design.factor_levels,
+        numeric_vars=design.numeric_vars,
+    )
+    parsed_x = ParsedFormula(
+        yvar=ivf.yvar,
+        terms=ivf.exog_terms + ivf.endog_terms,
+        fe=ivf.fe,
+        intercept=ivf.intercept,
+    )
+    return IvModel(
+        coeftable=ct,
+        vcov_=V,
+        coef_names=cx.keep_names,
+        yvar=ivf.yvar,
+        xvars=[standardize_coef_names(n) for n in x_cols],
+        fe=ivf.fe,
+        strategy="demean" if ivf.fe else "moments",
+        vcov_type=vcov_type,
+        cluster_var=_cluster_label(cluster_vars) if cluster_vars else None,
+        nobs=1,
+        nobs_orig=int(n_total),
+        df_residual=df_res,
+        rss=rss,
+        tss=tss,
+        n_fe1=n_fe[0] if ivf.fe else 1,
+        n_fe2=n_fe[1] if len(ivf.fe) > 1 else 1,
+        n_clusters=n_clusters,
+        collin_vars=cx.drop_names + [n for n in cz.drop_names if n not in cx.drop_names],
+        query_string=sql,
+        design_info=design_x,
+        parsed=parsed_x,
+        intercept=icpt,
+        endog=[standardize_coef_names(n) for n in endog_names],
+        instruments=[standardize_coef_names(n) for n in inst_names],
+        first_stage_F=fsF,
+    )

@@ -41,22 +41,34 @@ def _d(e: Expr) -> Expr:
 
 
 def hc1_meat_plan(
-    frame: Frame, betahat: np.ndarray, x_names: list[str], intercept: bool
+    frame: Frame,
+    betahat: np.ndarray,
+    x_names: list[str],
+    intercept: bool,
+    score_names: list[str] | None = None,
+    score_intercept: bool | None = None,
 ):
     """Lazy HC1 meat aggregation: (spec, agg_df, sql).
 
     The residual column is materialized ONCE in a projection before the
     aggregation — inlining it into all p(p+1)/2 product terms blows up the
     generated code quadratically (observed 6× wall-clock on a 20-dummy
-    binscatter fit)."""
+    binscatter fit).
+
+    ``score_names`` decouples the score columns from the residual columns:
+    the residual is always y − x'β over ``x_names``, but the outer products
+    run over ``score_names`` instead (IV/2SLS needs Σe²·zᵢ·zⱼ with the
+    structural residual; OLS keeps the default score = regressor)."""
     from .exprs import agg_to_spark, to_spark, to_sql
 
+    s_names = x_names if score_names is None else score_names
+    s_icpt = intercept if score_intercept is None else score_intercept
     r = _resid_expr(frame, betahat, x_names, intercept)
     proj = frame.df.select(
         to_spark(Cast(r, "double")).alias("__e"),
-        *[F.col(n) for n in x_names],
+        *[F.col(n) for n in dict.fromkeys(s_names)],
     )
-    cols: list[Expr] = ([Lit(1.0)] if intercept else []) + [Var(n) for n in x_names]
+    cols: list[Expr] = ([Lit(1.0)] if s_icpt else []) + [Var(n) for n in s_names]
     e = Var("__e")
     spec: list[tuple[str, Agg]] = []
     p = len(cols)
@@ -66,7 +78,7 @@ def hc1_meat_plan(
     agg_df = proj.agg(*[agg_to_spark(a).alias(n) for n, a in spec])
     sql = None
     if frame.sql_cte:
-        xs = "".join(f", {n}" for n in x_names)
+        xs = "".join(f", {n}" for n in dict.fromkeys(s_names))
         sql = (
             f"{frame.sql_cte},\nresid AS (\n  SELECT CAST({to_sql(r)} AS DOUBLE) AS __e{xs}"
             f"\n  FROM {frame.cte_name}\n),\nmeat AS (\n  SELECT {agg_select_sql(spec)}"
@@ -76,11 +88,23 @@ def hc1_meat_plan(
 
 
 def hc1_meat(
-    frame: Frame, betahat: np.ndarray, x_names: list[str], intercept: bool
+    frame: Frame,
+    betahat: np.ndarray,
+    x_names: list[str],
+    intercept: bool,
+    score_names: list[str] | None = None,
+    score_intercept: bool | None = None,
 ) -> tuple[np.ndarray, str | None]:
-    """Return the (p×p) HC1 meat matrix and its oracle SQL (if emittable)."""
-    spec, agg_df, sql = hc1_meat_plan(frame, betahat, x_names, intercept)
-    p = (1 if intercept else 0) + len(x_names)
+    """Return the (p×p) HC1 meat matrix and its oracle SQL (if emittable).
+    ``score_names`` switches the outer products to a different column set
+    (see :func:`hc1_meat_plan`) — the returned matrix is then sized to it."""
+    spec, agg_df, sql = hc1_meat_plan(
+        frame, betahat, x_names, intercept, score_names, score_intercept
+    )
+    s_icpt = intercept if score_intercept is None else score_intercept
+    p = (1 if s_icpt else 0) + len(
+        x_names if score_names is None else score_names
+    )
     row = agg_df.collect()[0].asDict()
     meat = np.zeros((p, p))
     for i in range(p):
@@ -95,6 +119,8 @@ def cluster_meat(
     x_names: list[str],
     intercept: bool,
     cluster_col: str | list[str],
+    score_names: list[str] | None = None,
+    score_intercept: bool | None = None,
 ) -> tuple[np.ndarray, int, str | None]:
     """Return (meat matrix, n_clusters, oracle SQL for the score table).
 
@@ -104,8 +130,14 @@ def cluster_meat(
     Stage 2: one more single-row agg of score products Σ s_i·s_j plus
     COUNT(*) for G. Nothing proportional to G ever reaches the driver.
     """
-    scores, _sql = cluster_scores_plan(frame, betahat, x_names, intercept, cluster_col)
-    p = (1 if intercept else 0) + len(x_names)
+    scores, _sql = cluster_scores_plan(
+        frame, betahat, x_names, intercept, cluster_col, score_names,
+        score_intercept,
+    )
+    s_icpt = intercept if score_intercept is None else score_intercept
+    p = (1 if s_icpt else 0) + len(
+        x_names if score_names is None else score_names
+    )
 
     outer_spec: list[tuple[str, Agg]] = [("n_clusters", Agg("count_star", None, "long"))]
     for i in range(p):
@@ -129,19 +161,24 @@ def cluster_scores_plan(
     x_names: list[str],
     intercept: bool,
     cluster_col: str | list[str],
+    score_names: list[str] | None = None,
+    score_intercept: bool | None = None,
 ):
     """Lazy per-cluster score aggregation: (scores_df, sql). The residual is
-    materialized once (see hc1_meat_plan)."""
+    materialized once (see hc1_meat_plan). ``score_names`` swaps the score
+    columns away from the residual columns (IV: s_g = Σ_g e·z)."""
     from .exprs import to_spark, to_sql
 
+    s_names = x_names if score_names is None else score_names
+    s_icpt = intercept if score_intercept is None else score_intercept
     ccols = [cluster_col] if isinstance(cluster_col, str) else list(cluster_col)
     r = _resid_expr(frame, betahat, x_names, intercept)
     proj = frame.df.select(
         *[F.col(c) for c in ccols],
         to_spark(Cast(r, "double")).alias("__e"),
-        *[F.col(n) for n in x_names],
+        *[F.col(n) for n in dict.fromkeys(s_names)],
     )
-    cols: list[Expr] = ([Lit(1.0)] if intercept else []) + [Var(n) for n in x_names]
+    cols: list[Expr] = ([Lit(1.0)] if s_icpt else []) + [Var(n) for n in s_names]
     e = Var("__e")
     score_aggs = [
         agg_to_spark(asum(e * _d(c))).alias(f"score_{j}") for j, c in enumerate(cols)
@@ -150,7 +187,7 @@ def cluster_scores_plan(
     sql = None
     if frame.sql_cte:
         clist = ", ".join(ccols)
-        xs = "".join(f", {n}" for n in x_names)
+        xs = "".join(f", {n}" for n in dict.fromkeys(s_names))
         score_sql = ", ".join(
             f"{agg_to_sql(asum(e * _d(c)))} AS score_{j}" for j, c in enumerate(cols)
         )

@@ -309,3 +309,39 @@ def test_quality_classify_plan_stateless(tables):
     assert _n_nodes(plan, "Exchange") == 0
     assert "Join" not in plan and "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_iv_gram_plan_single_exchange(tables):
+    """The dbiv 2SLS Gram pass is the moments shape: ONE pruned scan with
+    pushed null filters → map-side partial aggregation → a single
+    one-row Exchange. No join, no window, no Python UDF — the whole
+    distributed cost of an IV fit is one scan (plus one more for a
+    robust/clustered meat)."""
+    from dbreg_spark.formula import ParsedFormula
+    from dbreg_spark.iv import _grouped_design, parse_iv_formula
+    from dbreg_spark.plans.common import Source, moment_spec
+    from dbreg_spark.plans.exprs import Var, agg_to_spark
+    from dbreg_spark.plans.frames import build_base_frame
+
+    ivf = parse_iv_formula(
+        "l_extendedprice ~ l_discount | l_quantity ~ l_tax"
+    )
+    src = Source(df=tables["lineitem"])
+    design, *_ = _grouped_design(src.df, ivf)
+    parsed = ParsedFormula(
+        yvar=ivf.yvar,
+        terms=ivf.exog_terms + ivf.endog_terms + ivf.inst_terms,
+        fe=[],
+        intercept=True,
+    )
+    frame = build_base_frame(src, parsed, design, True, want_sql=False)
+    spec = moment_spec(
+        Var(frame.y_col), [Var(n) for n in frame.x_cols], intercept=True
+    )
+    agg = frame.df.agg(*[agg_to_spark(a).alias(n) for n, a in spec])
+    plan = _formatted(agg)
+    assert _n_nodes(plan, "Exchange") == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PushedFilters: [IsNotNull" in plan
+    assert _n_nodes(plan, "Scan parquet") <= 1
