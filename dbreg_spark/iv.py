@@ -236,6 +236,10 @@ class IvModel(DbregModel):
     endog: list[str] = field(default_factory=list)
     instruments: list[str] = field(default_factory=list)
     first_stage_F: dict = field(default_factory=dict)
+    # Sargan over-identification J: (stat, df, p) — None when just-identified
+    sargan: tuple | None = None
+    # Wu-Hausman endogeneity F: (stat, df1, df2, p)
+    wu_hausman: tuple | None = None
 
     def __repr__(self) -> str:
         base = super().__repr__().replace(
@@ -244,7 +248,19 @@ class IvModel(DbregModel):
         fs = "  ".join(
             f"{k}: {v:.4g}" for k, v in self.first_stage_F.items()
         )
-        return base + (f"\nfirst-stage F (excluded instruments)  {fs}" if fs else "")
+        lines = [base]
+        if fs:
+            lines.append(f"first-stage F (excluded instruments)  {fs}")
+        diag = []
+        if self.wu_hausman is not None:
+            s, d1, d2, p = self.wu_hausman
+            diag.append(f"Wu-Hausman F({d1:.0f},{d2:.0f}) = {s:.4g} (p = {p:.4g})")
+        if self.sargan is not None:
+            s, d, p = self.sargan
+            diag.append(f"Sargan chi2({d:.0f}) = {s:.4g} (p = {p:.4g})")
+        if diag:
+            lines.append("  ".join(diag))
+        return "\n".join(lines)
 
 
 # --------------------------------------------------------------------------
@@ -462,6 +478,7 @@ def _solve_2sls(
     # all from Gram blocks: regress e on kept Z (unrestricted) vs on the
     # included-only columns of kept Z (restricted); zero extra passes
     fsF: dict[str, float] = {}
+    fs_gamma: dict[str, np.ndarray] = {}
     incl = [i for i, n in enumerate(zk_names) if n not in set(excl_kept)]
     q = len(excl_kept)
     dof2 = max(n_total - len(zk_names) - df_fe, 1)
@@ -470,6 +487,7 @@ def _solve_2sls(
         Aze = A[np.ix_(zk, [e_i])][:, 0]
         ee = A[e_i, e_i]
         g_u = Azz_inv @ Aze
+        fs_gamma[en] = g_u
         rss_u = max(ee - g_u @ Aze, 0.0)
         if incl:
             Arr = Azz_k[np.ix_(incl, incl)]
@@ -492,6 +510,52 @@ def _solve_2sls(
             "point estimates and inference are unreliable under weak "
             "identification"
         )
+
+    # --- specification diagnostics, free from the same Gram blocks --------
+    # Sargan over-identification J = n · u'P_Z u / u'u with u = y − Xβ̂:
+    # u'Z = Azy − Azx β̂ in kept layouts; classical (homoskedastic) form
+    from . import stats as _tstats
+
+    sargan = None
+    kept_endog = [
+        en for en in endog_names if standardize_coef_names(en) in cx.keep_names
+    ]
+    Azx_kk = A[np.ix_(zk, xk_idx)]
+    df_sargan = len(excl_kept) - len(kept_endog)
+    if df_sargan > 0 and rss > 0:
+        uZ = Azy - Azx_kk @ sol.betahat
+        J = float(n_total * (uZ @ Azz_inv @ uZ) / rss)
+        sargan = (J, float(df_sargan), _tstats.chi2_sf(J, df_sargan))
+
+    # Wu-Hausman endogeneity: augmented OLS of y on [X, v̂] with v̂ the
+    # first-stage residuals (v̂ = e − Zγ̂); F-test on the v̂ block. All
+    # augmented Gram blocks reduce to A-blocks minus γ̂-projections.
+    wu_hausman = None
+    if kept_endog:
+        qh = len(kept_endog)
+        e_idx = [pos[en] for en in kept_endog]
+        gam = np.column_stack([fs_gamma[en] for en in kept_endog])
+        Axz = A[np.ix_(xk_idx, zk)]
+        Axe = A[np.ix_(xk_idx, e_idx)]
+        Aze_m = A[np.ix_(zk, e_idx)]
+        Aee = A[np.ix_(e_idx, e_idx)]
+        Axv = Axe - Axz @ gam
+        Avv = Aee - Aze_m.T @ gam
+        Avv = 0.5 * (Avv + Avv.T)
+        bv = b[e_idx] - gam.T @ Azy
+        kx = len(xk_idx)
+        G_aug = np.block([[Axx_k, Axv], [Axv.T, Avv]])
+        g_aug = np.concatenate([bx_k, bv])
+        sol_aug = solve_with_fallback(G_aug, g_aug)
+        rss_aug = rss_from_moments(sum_y_sq, sol_aug.betahat, G_aug, g_aug)
+        sol_r = solve_with_fallback(Axx_k, bx_k)
+        rss_r = rss_from_moments(sum_y_sq, sol_r.betahat, Axx_k, bx_k)
+        dof_h = max(n_total - (kx + qh) - df_fe, 1)
+        if rss_aug > 0:
+            Fh = float(max(rss_r - rss_aug, 0.0) / qh / (rss_aug / dof_h))
+            wu_hausman = (
+                Fh, float(qh), float(dof_h), _tstats.f_sf(Fh, qh, dof_h)
+            )
 
     # predict() scores the STRUCTURAL fit X β̂ — restrict design info to X
     design_x = DesignInfo(
@@ -532,4 +596,6 @@ def _solve_2sls(
         endog=[standardize_coef_names(n) for n in endog_names],
         instruments=[standardize_coef_names(n) for n in inst_names],
         first_stage_F=fsF,
+        sargan=sargan,
+        wu_hausman=wu_hausman,
     )

@@ -97,6 +97,74 @@ def t_ppf(q: float, df: float) -> float:
     return 0.5 * (lo + hi)
 
 
+def _gser(a: float, x: float) -> float:
+    """Lower incomplete gamma P(a, x) by series (x < a + 1)."""
+    if x <= 0.0:
+        return 0.0
+    ap, total = a, 1.0 / a
+    delta = total
+    for _ in range(500):
+        ap += 1.0
+        delta *= x / ap
+        total += delta
+        if abs(delta) < abs(total) * 3e-16:
+            break
+    return total * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def _gcf(a: float, x: float) -> float:
+    """Upper incomplete gamma Q(a, x) by continued fraction (x ≥ a + 1)."""
+    FPMIN = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / FPMIN
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = b + an / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 3e-16:
+            break
+    return h * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def gammainc_upper(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x) = 1 − P(a, x)."""
+    if x < 0.0 or a <= 0.0:
+        raise ValueError("gammainc_upper needs x >= 0, a > 0")
+    if x == 0.0:
+        return 1.0
+    if x < a + 1.0:
+        return 1.0 - _gser(a, x)
+    return _gcf(a, x)
+
+
+def chi2_sf(x: float, df: float) -> float:
+    """Chi-square survival function P(X > x)."""
+    if not np.isfinite(x):
+        return 0.0 if x > 0 else 1.0
+    if x <= 0.0:
+        return 1.0
+    return gammainc_upper(df / 2.0, x / 2.0)
+
+
+def f_sf(f: float, d1: float, d2: float) -> float:
+    """F-distribution survival function P(F > f) via the incomplete beta."""
+    if not np.isfinite(f):
+        return 0.0 if f > 0 else 1.0
+    if f <= 0.0:
+        return 1.0
+    return betainc(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f))
+
+
 def norm_ppf(q: float) -> float:
     """Standard normal quantile (Acklam's rational approximation, ~1e-9)."""
     if not 0.0 < q < 1.0:
