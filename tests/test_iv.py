@@ -344,3 +344,110 @@ def test_iv_missing_rows_dropped_consistently(spark):
     beta, *_ = _np_2sls(sub.y.to_numpy(), X, Z)
     assert m.nobs_orig == n
     assert m.coef()["x_end"] == pytest.approx(beta[2], rel=1e-9)
+
+
+# --------------------------------------------------------------------------
+# specification diagnostics: Sargan J + Wu-Hausman (computed free from the
+# Gram blocks — these tests pin them against dense numpy formulas)
+# --------------------------------------------------------------------------
+
+
+def test_iv_sargan_matches_numpy(iv_sdf):
+    sdf, pdf = iv_sdf
+    m = dbiv("y ~ x_ex | x_end ~ z1 + z2", sdf, vcov="iid")
+    n = len(pdf)
+    X = np.column_stack([np.ones(n), pdf.x_ex, pdf.x_end])
+    Z = np.column_stack([np.ones(n), pdf.x_ex, pdf.z1, pdf.z2])
+    beta, _, _, u = _np_2sls(pdf.y.to_numpy(), X, Z)
+    Zu = Z.T @ u
+    J = n * (Zu @ np.linalg.solve(Z.T @ Z, Zu)) / (u @ u)
+    stat, df, p = m.sargan
+    assert df == 1  # 2 excluded instruments, 1 endogenous
+    assert stat == pytest.approx(J, rel=1e-8)
+    # instruments are valid by construction: do not expect rejection
+    assert 0.0 < p <= 1.0 and p > 1e-4
+
+
+def test_iv_sargan_none_when_just_identified(iv_sdf):
+    sdf, _ = iv_sdf
+    m = dbiv("y ~ x_ex | x_end ~ z1", sdf, vcov="iid")
+    assert m.sargan is None
+    assert m.wu_hausman is not None
+
+
+def test_iv_wu_hausman_matches_numpy(iv_sdf):
+    sdf, pdf = iv_sdf
+    m = dbiv("y ~ x_ex | x_end ~ z1 + z2", sdf, vcov="iid")
+    n = len(pdf)
+    y = pdf.y.to_numpy()
+    X = np.column_stack([np.ones(n), pdf.x_ex, pdf.x_end])
+    Z = np.column_stack([np.ones(n), pdf.x_ex, pdf.z1, pdf.z2])
+    gam = np.linalg.solve(Z.T @ Z, Z.T @ pdf.x_end.to_numpy())
+    v = pdf.x_end.to_numpy() - Z @ gam
+    Xa = np.column_stack([X, v])
+    rss_a = float(y @ y - (Xa.T @ y) @ np.linalg.solve(Xa.T @ Xa, Xa.T @ y))
+    rss_r = float(y @ y - (X.T @ y) @ np.linalg.solve(X.T @ X, X.T @ y))
+    dof = n - X.shape[1] - 1
+    F = ((rss_r - rss_a) / 1) / (rss_a / dof)
+    stat, d1, d2, p = m.wu_hausman
+    assert (d1, d2) == (1.0, float(dof))
+    assert stat == pytest.approx(F, rel=1e-7)
+    # x_end is endogenous by construction (shares u with y): strong rejection
+    assert p < 1e-6
+
+
+def test_iv_wu_hausman_exogenous_parity(spark):
+    """When the 'endogenous' regressor is in fact exogenous, the statistic
+    still matches numpy and is small (no evidence of endogeneity)."""
+    rng = np.random.default_rng(11)
+    n = 2000
+    z = rng.normal(size=n)
+    x = 0.9 * z + rng.normal(size=n)  # independent of the outcome error
+    y = 1.0 + 2.0 * x + rng.normal(size=n)
+    pdf = pd.DataFrame(dict(y=y, x=x, z=z))
+    m = dbiv("y ~ 1 | x ~ z", spark.createDataFrame(pdf), vcov="iid")
+    X = np.column_stack([np.ones(n), x])
+    Z = np.column_stack([np.ones(n), z])
+    gam = np.linalg.solve(Z.T @ Z, Z.T @ x)
+    v = x - Z @ gam
+    Xa = np.column_stack([X, v])
+    rss_a = float(y @ y - (Xa.T @ y) @ np.linalg.solve(Xa.T @ Xa, Xa.T @ y))
+    rss_r = float(y @ y - (X.T @ y) @ np.linalg.solve(X.T @ X, X.T @ y))
+    dof = n - 2 - 1
+    F = ((rss_r - rss_a) / 1) / (rss_a / dof)
+    stat, _, _, p = m.wu_hausman
+    assert stat == pytest.approx(F, rel=1e-7)
+    assert p > 0.01  # seed-checked: no spurious endogeneity signal
+
+
+def test_iv_diagnostics_under_fe_match_demeaned_numpy(iv_sdf):
+    """1-FE absorption: Sargan and Wu-Hausman computed on the demeaned
+    moments must equal the dense formulas on within-transformed data."""
+    sdf, pdf = iv_sdf
+    m = dbiv("y ~ x_ex | g | x_end ~ z1 + z2", sdf, vcov="iid")
+    d = pdf.copy()
+    cols = ["y", "x_ex", "x_end", "z1", "z2"]
+    for c in cols:
+        d[c] = d[c] - d.groupby("g")[c].transform("mean")
+    n = len(d)
+    G = pdf.g.nunique()
+    y = d.y.to_numpy()
+    X = np.column_stack([d.x_ex, d.x_end])
+    Z = np.column_stack([d.x_ex, d.z1, d.z2])
+    beta, _, _, u = _np_2sls(y, X, Z)
+    Zu = Z.T @ u
+    J = n * (Zu @ np.linalg.solve(Z.T @ Z, Zu)) / (u @ u)
+    stat, df, _ = m.sargan
+    assert df == 1
+    assert stat == pytest.approx(J, rel=1e-6)
+
+    gam = np.linalg.solve(Z.T @ Z, Z.T @ d.x_end.to_numpy())
+    v = d.x_end.to_numpy() - Z @ gam
+    Xa = np.column_stack([X, v])
+    rss_a = float(y @ y - (Xa.T @ y) @ np.linalg.solve(Xa.T @ Xa, Xa.T @ y))
+    rss_r = float(y @ y - (X.T @ y) @ np.linalg.solve(X.T @ X, X.T @ y))
+    dof = n - 3 - G
+    F = ((rss_r - rss_a) / 1) / (rss_a / dof)
+    stat_h, d1, d2, _ = m.wu_hausman
+    assert (d1, d2) == (1.0, float(dof))
+    assert stat_h == pytest.approx(F, rel=1e-6)
