@@ -119,6 +119,11 @@ FML_3FE = (
     "l_extendedprice ~ l_quantity + l_discount | l_returnflag + l_linestatus + l_linenumber"
 )
 FML_COMPRESS = "l_tax ~ l_quantity + l_discount | l_returnflag + l_linestatus"
+# WLS gates: l_quantity (integer 1..50, strictly positive) as the weight
+W_COL = "l_quantity"
+FML_W = "l_extendedprice ~ l_discount + l_tax"
+FML_W_1FE = "l_extendedprice ~ l_discount + l_tax | l_returnflag"
+FML_W_COMPRESS = "l_tax ~ l_discount | l_returnflag + l_linestatus"
 MEAT_BETA = [50000.0, -20.0, 15000.0]  # fixed (intercept, quantity, discount)
 
 # fixed-β predict gates (literal-β pattern, like MEAT_BETA): the transform
@@ -296,15 +301,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # ---- regression-engine aggregation plans (SURVEY §2.4) ----
-    def plan_query(fml, strategy):
+    def plan_query(fml, strategy, weights=None):
         def run(spark, sf_dir):
             _tables(spark, sf_dir)
-            df, _ = build_plan(fml, spark=spark, table="lineitem", strategy=strategy)
+            df, _ = build_plan(
+                fml, spark=spark, table="lineitem", strategy=strategy,
+                weights=weights,
+            )
             return _round_doubles_df(df)
 
         return run
 
     Q["moments_nofe"] = plan_query(FML_NOFE, "moments")
+    # WLS (fixest weights=): w-weighted moment / demean / compress plans,
+    # each with a handwritten-free SQL twin from the same expression IR
+    Q["moments_weighted"] = plan_query(FML_W, "moments", weights=W_COL)
+    Q["demean_moments_1fe_weighted"] = plan_query(
+        FML_W_1FE, "demean", weights=W_COL
+    )
+    Q["compress_cells_weighted"] = plan_query(
+        FML_W_COMPRESS, "compress", weights=W_COL
+    )
     Q["demean_moments_1fe"] = plan_query(FML_1FE, "demean")
     Q["demean_moments_2fe"] = plan_query(FML_2FE, "demean")
     # k>2 FEs: fixed-sweep iterated demeaning (beyond the reference's 2-FE cap)
@@ -1439,7 +1456,7 @@ def _session_stats_sql(engine: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _plan_oracle_sql(fml: str, strategy: str) -> str:
+def _plan_oracle_sql(fml: str, strategy: str, weights: str | None = None) -> str:
     """Emit a strategy plan's oracle SQL using DuckDB itself for the schema
     probe (no Spark session needed): factor levels and types are read from
     the sf0.01 parquet footer/scan via a temporary in-process connection."""
@@ -1453,7 +1470,9 @@ def _plan_oracle_sql(fml: str, strategy: str) -> str:
     _tables(spark, os.environ.get("SPARK_GRAFT_SF_DIR_FOR_SQL", "/root/testdata/sf0.01"))
     from dbreg_spark.api import build_plan
 
-    df, sql = build_plan(fml, spark=spark, table="lineitem", strategy=strategy)
+    df, sql = build_plan(
+        fml, spark=spark, table="lineitem", strategy=strategy, weights=weights
+    )
     from pyspark.sql import types as T
 
     cols = [f.name for f in df.schema.fields]
@@ -1477,6 +1496,12 @@ def oracle_sql() -> dict[str, str]:
         ("group_means_1fe", FML_1FE, "group_means"),
     ]:
         O[name] = _plan_oracle_sql(fml, strat)
+    for name, fml, strat in [
+        ("moments_weighted", FML_W, "moments"),
+        ("demean_moments_1fe_weighted", FML_W_1FE, "demean"),
+        ("compress_cells_weighted", FML_W_COMPRESS, "compress"),
+    ]:
+        O[name] = _plan_oracle_sql(fml, strat, weights=W_COL)
 
     b0, b1, b2 = MEAT_BETA
     resid = (

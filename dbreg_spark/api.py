@@ -58,6 +58,7 @@ def dbreg(
     path: str | None = None,
     vcov="iid",
     cluster=None,
+    weights: str | None = None,
     ssc: str = "full",
     strategy: str = "auto",
     compress_ratio: float | None = None,
@@ -83,16 +84,32 @@ def dbreg(
     and any balance; auto routes here for unbalanced 2-FE panels past the
     compression limits and for k>2), or "mundlak" (CRE with group-mean
     regressors).
+
+    ``weights``: a column name (or ``"~w"`` formula string) of strictly
+    positive observation weights — WLS minimizing Σ wᵢ(yᵢ − xᵢ'β)², the
+    semantics of fixest's ``weights=`` (nobs and dof keep the raw row
+    count; iid/HC1/CR1 sandwiches use the WLS scores w·u·x). Supported on
+    every strategy; weighted 2-FE demeaning routes to the iterated path
+    (the single-pass double-demean identity does not hold under weights).
     """
     vcov_type, cluster_var = parse_vcov(vcov, cluster)
     parsed = parse_formula(fml)
     if parsed.yvar is None:
         raise ValueError("Formula needs an outcome variable.")
+    weight_col = None
+    if weights is not None:
+        weight_col = weights.lstrip("~").strip()
+        if not weight_col or any(ch in weight_col for ch in " +*:|"):
+            raise ValueError(
+                "weights must name a single column (e.g. weights='w' or '~w')"
+            )
     if spark is None and isinstance(data, DataFrame):
         spark = data.sparkSession
     source = resolve_source(spark=spark, data=data, table=table, path=path)
     _require_columns(
-        source.df, [parsed.yvar] + parsed.xvars + parsed.fe + (cluster_var or [])
+        source.df,
+        [parsed.yvar] + parsed.xvars + parsed.fe + (cluster_var or [])
+        + ([weight_col] if weight_col else []),
     )
 
     if ssc not in ("full", "nested"):
@@ -128,16 +145,24 @@ def dbreg(
         broadcast_means=broadcast_means,
         compression_ratio_est=cr_est,
         compress_nmax=compress_nmax,
+        weight_col=weight_col,
     )
     if chosen == "moments":
         return _execute_moments(**kwargs)
     if chosen in ("demean", "demean_iter"):
         return _execute_demean(
-            force_iter=(chosen == "demean_iter"),
+            # weighted double demeaning isn't exact — absorb via sweeps
+            force_iter=(chosen == "demean_iter")
+            or (weight_col is not None and len(parsed.fe) >= 2),
             # user-selected 2-FE demean runs the balanced-panel identity;
             # the balance diagnostic rides the moment aggregation for free
-            # and warns post-fit (reference: R/dbreg.R:685-692)
-            warn_unbalanced=(strategy == "demean" and len(parsed.fe) == 2),
+            # and warns post-fit (reference: R/dbreg.R:685-692). Weighted
+            # fits never run that identity (always iterated), so no warning
+            warn_unbalanced=(
+                strategy == "demean"
+                and len(parsed.fe) == 2
+                and weight_col is None
+            ),
             **kwargs,
         )
     if chosen == "mundlak":
@@ -209,7 +234,7 @@ def _cluster_label(cluster_vars):
 
 def _cluster_meat_any(
     frame, betahat, kept_x, icpt, cluster_vars, n_total, n_params,
-    score_names=None, score_intercept=None,
+    score_names=None, score_intercept=None, weight_col=None,
 ):
     """Single- or multiway-cluster meat.
 
@@ -226,6 +251,7 @@ def _cluster_meat_any(
         return cluster_meat(
             frame, betahat, kept_x, intercept=icpt, cluster_col=cluster_vars[0],
             score_names=score_names, score_intercept=score_intercept,
+            weight_col=weight_col,
         )
     comps = []
     g_single = {}
@@ -234,6 +260,7 @@ def _cluster_meat_any(
             meat_S, g_S, _sql = cluster_meat(
                 frame, betahat, kept_x, intercept=icpt, cluster_col=list(S),
                 score_names=score_names, score_intercept=score_intercept,
+                weight_col=weight_col,
             )
             comps.append((r, meat_S, g_S))
             if r == 1:
@@ -359,6 +386,23 @@ def _is_balanced(source: Source, parsed: ParsedFormula) -> bool:
 # --------------------------------------------------------------------------
 
 
+def _check_weights_valid(row: dict, weight_col: str | None) -> None:
+    """Raise on non-positive (or NaN — which would silently poison every
+    weighted sum) weights; w_min rides the moment pass for free."""
+    if weight_col is None:
+        return
+    w_min = row.get("w_min")
+    # Spark MIN sorts NaN above every real value, so a poisoned column shows
+    # up in the SUM (NaN-absorbing), not the min — probe both
+    sum_w = row.get("sum_w")
+    bad_sum = sum_w is not None and not np.isfinite(float(sum_w))
+    if bad_sum or (w_min is not None and not (float(w_min) > 0.0)):
+        raise ValueError(
+            f"weights column '{weight_col}' contains non-positive or NaN "
+            f"values (min = {w_min}); weights must be strictly positive"
+        )
+
+
 def _execute_moments(
     source,
     parsed,
@@ -372,6 +416,7 @@ def _execute_moments(
     broadcast_means,
     compression_ratio_est,
     compress_nmax,
+    weight_col=None,
 ):
     design = build_design(source.df, parsed, expand="all", fe_vars=parsed.fe)
     frame = build_base_frame(
@@ -381,9 +426,11 @@ def _execute_moments(
         drop_missings,
         extra_cols=cluster_var if cluster_var else None,
         want_sql=source.sql_from is not None,
+        weight_col=weight_col,
     )
     spec = moment_spec(
-        Var(frame.y_col), [Var(n) for n in frame.x_cols], intercept=True
+        Var(frame.y_col), [Var(n) for n in frame.x_cols], intercept=True,
+        weight=Var(weight_col) if weight_col else None,
     )
     sql = None
     if frame.sql_cte:
@@ -396,6 +443,7 @@ def _execute_moments(
     row = run_agg(frame.df, spec)
     if data_only:
         return pd.DataFrame([row])
+    _check_weights_valid(row, weight_col)
 
     names_all = ["(Intercept)"] + [standardize_coef_names(n) for n in frame.x_cols]
     xtx, xty, n_total, sum_y, sum_y_sq = assemble_normal_eqs(
@@ -404,7 +452,9 @@ def _execute_moments(
     collin = detect_collinearity(xtx, xty, names_all)
     sol = solve_with_fallback(collin.xtx, collin.xty)
     rss = rss_from_moments(sum_y_sq, sol.betahat, collin.xtx, collin.xty)
-    tss = tss_from_moments(sum_y_sq, sum_y, n_total)
+    # weighted TSS centers on the weighted mean: Σw·y² − (Σw·y)²/Σw
+    tss_n = float(row["sum_w"]) if weight_col else n_total
+    tss = tss_from_moments(sum_y_sq, sum_y, tss_n)
     p = len(collin.keep_names)
     df_res = max(n_total - p, 1)
 
@@ -414,10 +464,13 @@ def _execute_moments(
     # column wins its pivot) — the meat residual must use the kept layout
     icpt = "(Intercept)" in collin.keep_names
     if vcov_type == "hc1":
-        meat, _ = hc1_meat(frame, sol.betahat, kept_x, intercept=icpt)
+        meat, _ = hc1_meat(
+            frame, sol.betahat, kept_x, intercept=icpt, weight_col=weight_col
+        )
     elif vcov_type == "cluster":
         meat, n_clusters, _ = _cluster_meat_any(
-            frame, sol.betahat, kept_x, icpt, cluster_var, n_total, p
+            frame, sol.betahat, kept_x, icpt, cluster_var, n_total, p,
+            weight_col=weight_col,
         )
 
     V = compute_vcov(vcov_type, sol.xtx_inv, rss, df_res, n_total, p, meat, n_clusters)
@@ -443,6 +496,7 @@ def _execute_moments(
         query_string=sql,
         design_info=design,
         parsed=parsed,
+        weight_col=weight_col,
     )
 
 
@@ -468,6 +522,7 @@ def _execute_demean(
     broadcast_means,
     compression_ratio_est,
     compress_nmax,
+    weight_col=None,
     force_iter=False,
     warn_unbalanced=False,
 ):
@@ -482,21 +537,28 @@ def _execute_demean(
         drop_missings,
         extra_cols=cluster_var if cluster_var else None,
         want_sql=source.sql_from is not None,
+        weight_col=weight_col,
     )
     if len(fe) > 2 or force_iter:
         # iterated demeaning (alternating projections) — exact at
         # convergence for any balance; cluster keys ride in base.key_cols
-        frame = build_demeaned_frame_iterative(base, fe, broadcast_means)
+        frame = build_demeaned_frame_iterative(
+            base, fe, broadcast_means, weight_col=weight_col
+        )
     else:
-        frame = build_demeaned_frame(base, fe, broadcast_means)
+        frame = build_demeaned_frame(
+            base, fe, broadcast_means, weight_col=weight_col
+        )
         if cluster_var and any(c not in frame.df.columns for c in cluster_var):
             # carry the cluster keys through the demeaned projection
-            frame = _reattach_cluster(base, frame, fe, cluster_var, broadcast_means)
+            frame = _reattach_cluster(
+                base, frame, fe, cluster_var, broadcast_means, weight_col
+            )
 
     try:
         return _finish_demean(
             frame, base, design, parsed, vcov_type, cluster_var, ssc, sql_only,
-            data_only, compression_ratio_est, warn_unbalanced,
+            data_only, compression_ratio_est, warn_unbalanced, weight_col,
         )
     finally:
         # the one-scan GROUPING SETS means table is cached for reuse across
@@ -506,7 +568,7 @@ def _execute_demean(
 
 def _finish_demean(
     frame, base, design, parsed, vcov_type, cluster_var, ssc, sql_only,
-    data_only, compression_ratio_est, warn_unbalanced=False,
+    data_only, compression_ratio_est, warn_unbalanced=False, weight_col=None,
 ):
     fe = parsed.fe
     n_fe_exprs = [Var(f) for f in fe]
@@ -515,6 +577,7 @@ def _finish_demean(
         [Var(n) for n in frame.x_cols],
         intercept=False,
         n_fe_exprs=n_fe_exprs,
+        weight=Var(weight_col) if weight_col else None,
     )
     sql = None
     if frame.sql_cte:
@@ -527,6 +590,7 @@ def _finish_demean(
     row = run_agg(frame.df, spec, fe_cols=parsed.fe)
     if data_only:
         return pd.DataFrame([row])
+    _check_weights_valid(row, weight_col)
 
     n_total = float(row["n_total"])
     n_fe = [int(row.get(f"n_fe{k + 1}", 1)) for k in range(max(len(fe), 2))]
@@ -571,10 +635,13 @@ def _finish_demean(
     n_params_cluster = p_kept + df_fe
     kept_x = [n for n in frame.x_cols if standardize_coef_names(n) in collin.keep_names]
     if vcov_type == "hc1":
-        meat, _ = hc1_meat(frame, sol.betahat, kept_x, intercept=False)
+        meat, _ = hc1_meat(
+            frame, sol.betahat, kept_x, intercept=False, weight_col=weight_col
+        )
     elif vcov_type == "cluster":
         meat, n_clusters, _ = _cluster_meat_any(
-            frame, sol.betahat, kept_x, False, cluster_var, n_total, n_params_cluster
+            frame, sol.betahat, kept_x, False, cluster_var, n_total,
+            n_params_cluster, weight_col=weight_col,
         )
         if ssc == "nested":
             if len(cluster_var) > 1:
@@ -609,26 +676,40 @@ def _finish_demean(
         query_string=sql,
         design_info=design,
         parsed=parsed,
+        weight_col=weight_col,
         intercept=False,
         demean_iterated=(frame.cte_name == "demeaned_iter"),
     )
 
 
-def _reattach_cluster(base: Frame, frame: Frame, fe, cluster_vars, broadcast_means):
+def _reattach_cluster(
+    base: Frame, frame: Frame, fe, cluster_vars, broadcast_means,
+    weight_col=None,
+):
     """Rebuild the demeaned frame carrying the cluster column(s) through."""
+    from .plans.frames import _wmean_col
+
     # Cheap approach: re-run the demeaning select with the cluster cols kept.
     vals = [base.y_col] + base.x_cols
     bc = F.broadcast if broadcast_means else (lambda d: d)
     ccols = list(cluster_vars)
+    wcols = [weight_col] if weight_col else []
+
+    def _mean(c: str, alias: str):
+        if weight_col is not None:
+            return _wmean_col(c, weight_col).alias(alias)
+        return F.avg(c).alias(alias)
+
     if len(fe) == 1:
         fe1 = fe[0]
-        means = base.df.groupBy(fe1).agg(*[F.avg(c).alias(f"{c}__m1") for c in vals])
+        means = base.df.groupBy(fe1).agg(*[_mean(c, f"{c}__m1") for c in vals])
         dm = base.df.join(bc(means), on=fe1).select(
             fe1,
             *ccols,
+            *wcols,
             *[(F.col(c) - F.col(f"{c}__m1")).alias(c) for c in vals],
         )
-        keys = [fe1] + ccols
+        keys = [fe1] + ccols + wcols
     else:
         fe1, fe2 = fe
         um = base.df.groupBy(fe1).agg(*[F.avg(c).alias(f"{c}__m1") for c in vals])
@@ -681,6 +762,7 @@ def _execute_mundlak(
     broadcast_means,
     compression_ratio_est,
     compress_nmax,
+    weight_col=None,
 ):
     fe = parsed.fe
     if not fe:
@@ -693,13 +775,16 @@ def _execute_mundlak(
         drop_missings,
         extra_cols=cluster_var if cluster_var else None,
         want_sql=source.sql_from is not None,
+        weight_col=weight_col,
     )
-    frame = build_mundlak_frame(base, fe, design.numeric_vars, broadcast_means)
+    frame = build_mundlak_frame(
+        base, fe, design.numeric_vars, broadcast_means, weight_col=weight_col
+    )
 
     try:
         return _finish_mundlak(
             frame, design, parsed, vcov_type, cluster_var, sql_only, data_only,
-            compression_ratio_est,
+            compression_ratio_est, weight_col,
         )
     finally:
         frame.cleanup()
@@ -707,7 +792,7 @@ def _execute_mundlak(
 
 def _finish_mundlak(
     frame, design, parsed, vcov_type, cluster_var, sql_only, data_only,
-    compression_ratio_est,
+    compression_ratio_est, weight_col=None,
 ):
     fe = parsed.fe
     n_fe_exprs = [Var(f) for f in fe[:2]]
@@ -716,6 +801,7 @@ def _finish_mundlak(
         [Var(n) for n in frame.x_cols],
         intercept=True,
         n_fe_exprs=n_fe_exprs,
+        weight=Var(weight_col) if weight_col else None,
     )
     sql = None
     if frame.sql_cte:
@@ -728,6 +814,7 @@ def _finish_mundlak(
     row = run_agg(frame.df, spec, fe_cols=parsed.fe)
     if data_only:
         return pd.DataFrame([row])
+    _check_weights_valid(row, weight_col)
 
     n_total = float(row["n_total"])
     n_fe1 = int(row.get("n_fe1", 1))
@@ -739,7 +826,8 @@ def _finish_mundlak(
     collin = detect_collinearity(xtx, xty, names_all)
     sol = solve_with_fallback(collin.xtx, collin.xty)
     rss = rss_from_moments(sum_y_sq, sol.betahat, collin.xtx, collin.xty)
-    tss = tss_from_moments(sum_y_sq, sum_y, n_total)
+    tss_n = float(row["sum_w"]) if weight_col else n_total
+    tss = tss_from_moments(sum_y_sq, sum_y, tss_n)
     p = len(collin.keep_names)
     df_res = max(n_total - p, 1)
 
@@ -749,10 +837,13 @@ def _finish_mundlak(
     # (tiny samples with a 2-level FE) — meat must follow the kept layout
     icpt = "(Intercept)" in collin.keep_names
     if vcov_type == "hc1":
-        meat, _ = hc1_meat(frame, sol.betahat, kept_x, intercept=icpt)
+        meat, _ = hc1_meat(
+            frame, sol.betahat, kept_x, intercept=icpt, weight_col=weight_col
+        )
     elif vcov_type == "cluster":
         meat, n_clusters, _ = _cluster_meat_any(
-            frame, sol.betahat, kept_x, icpt, cluster_var, n_total, p
+            frame, sol.betahat, kept_x, icpt, cluster_var, n_total, p,
+            weight_col=weight_col,
         )
 
     V = compute_vcov(vcov_type, sol.xtx_inv, rss, df_res, n_total, p, meat, n_clusters)
@@ -781,6 +872,7 @@ def _finish_mundlak(
         query_string=sql,
         design_info=design,
         parsed=parsed,
+        weight_col=weight_col,
     )
 
 
@@ -789,18 +881,32 @@ def _finish_mundlak(
 # --------------------------------------------------------------------------
 
 
-def compress_plan(source: Source, parsed: ParsedFormula, design: DesignInfo, drop_missings=True):
+def compress_plan(
+    source: Source,
+    parsed: ParsedFormula,
+    design: DesignInfo,
+    drop_missings=True,
+    weight_col: str | None = None,
+):
     """Build the group-by compression DAG + SQL (reference: R/dbreg.R:1544-1569).
 
     Returns (compressed_df, group_cols, sql). One shuffle on the grouping
     keys with map-side partial aggregation; at 100 TB the shuffle volume is
     ≈ #cells per partition, not the data.
+
+    ``weight_col`` adds the WLS sufficient statistics per cell on the SAME
+    pass: Σw / Σw·y / Σw·y² drive the weighted normal equations, the Σw²
+    triplet drives the weighted HC1 meat (scores are w·u·x, so the squared
+    form needs w²), and ``w_min`` is the free positivity probe. Raw n /
+    Σy / Σy² stay — nobs and dof keep the raw row count (fixest semantics).
     """
     from .plans.common import filter_missing, not_null_filter_sql
     from .plans.exprs import to_spark, to_sql
 
     df = source.df
-    needed = [parsed.yvar] + parsed.xvars + parsed.fe
+    needed = [parsed.yvar] + parsed.xvars + parsed.fe + (
+        [weight_col] if weight_col else []
+    )
     if drop_missings:
         df = filter_missing(df, needed)
     key_exprs = list(zip(design.names, design.exprs))
@@ -816,14 +922,28 @@ def compress_plan(source: Source, parsed: ParsedFormula, design: DesignInfo, dro
         *[to_spark(e).alias(n) for n, e in key_exprs],
         *[F.col(f) for f in fe_extra],
         F.col(parsed.yvar),
+        *([F.col(weight_col)] if weight_col else []),
     )
+    yc = F.col(parsed.yvar).cast("double")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(yc).alias("sum_y"),
+        F.sum(yc * yc).alias("sum_y_sq"),
+    ]
+    if weight_col:
+        wc = F.col(weight_col).cast("double")
+        aggs += [
+            F.sum(wc).alias("sum_w"),
+            F.sum(wc * yc).alias("sum_wy"),
+            F.sum(wc * yc * yc).alias("sum_wy_sq"),
+            F.sum(wc * wc).alias("sum_w2"),
+            F.sum(wc * wc * yc).alias("sum_w2y"),
+            F.sum(wc * wc * yc * yc).alias("sum_w2y_sq"),
+            F.min(wc).alias("w_min"),
+        ]
     comp = (
         proj.groupBy(*group_cols)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.col(parsed.yvar).cast("double")).alias("sum_y"),
-            F.sum(F.pow(F.col(parsed.yvar).cast("double"), F.lit(2))).alias("sum_y_sq"),
-        )
+        .agg(*aggs)
         .withColumn("mean_y", F.col("sum_y") / F.col("n"))
         .withColumn("wts", F.sqrt(F.col("n")))
     )
@@ -835,11 +955,25 @@ def compress_plan(source: Source, parsed: ParsedFormula, design: DesignInfo, dro
         )
         fe_sql = "".join(f",\n    {f}" for f in fe_extra)
         where = f"\n  WHERE {not_null_filter_sql(needed)}" if drop_missings else ""
+        w_sql = ""
+        if weight_col:
+            wd = f"CAST({weight_col} AS DOUBLE)"
+            yd = f"CAST({parsed.yvar} AS DOUBLE)"
+            w_sql = (
+                f",\n    SUM({wd}) AS sum_w,\n"
+                f"    SUM({wd} * {yd}) AS sum_wy,\n"
+                f"    SUM({wd} * {yd} * {yd}) AS sum_wy_sq,\n"
+                f"    SUM({wd} * {wd}) AS sum_w2,\n"
+                f"    SUM({wd} * {wd} * {yd}) AS sum_w2y,\n"
+                f"    SUM({wd} * {wd} * {yd} * {yd}) AS sum_w2y_sq,\n"
+                f"    MIN({wd}) AS w_min"
+            )
         sql = (
             f"WITH cte AS (\n  SELECT\n    {key_sql}{fe_sql},\n"
             f"    CAST(COUNT(*) AS BIGINT) AS n,\n"
             f"    SUM(CAST({parsed.yvar} AS DOUBLE)) AS sum_y,\n"
-            f"    SUM(POWER(CAST({parsed.yvar} AS DOUBLE), 2)) AS sum_y_sq\n"
+            f"    SUM(POWER(CAST({parsed.yvar} AS DOUBLE), 2)) AS sum_y_sq"
+            f"{w_sql}\n"
             f"  {source.require_sql()}{where}\n"
             f"  GROUP BY {', '.join(group_cols)}\n)\n"
             "SELECT *, sum_y / n AS mean_y, SQRT(n) AS wts FROM cte"
@@ -860,9 +994,12 @@ def _execute_compress(
     broadcast_means,
     compression_ratio_est,
     compress_nmax,
+    weight_col=None,
 ):
     design = build_design(source.df, parsed, expand="interactions", fe_vars=parsed.fe)
-    comp, group_cols, sql = compress_plan(source, parsed, design, drop_missings)
+    comp, group_cols, sql = compress_plan(
+        source, parsed, design, drop_missings, weight_col
+    )
     if sql_only:
         return sql
     if data_only:
@@ -885,8 +1022,16 @@ def _execute_compress(
             )
         return _execute_compress_distributed(
             comp, source, parsed, design, vcov_type, cluster_var, ssc,
-            drop_missings, compression_ratio_est, sql, verbose,
+            drop_missings, compression_ratio_est, sql, verbose, weight_col,
         )
+    if weight_col is not None and len(pdf):
+        wm = pdf["w_min"].to_numpy(dtype=float)
+        sw = pdf["sum_w"].to_numpy(dtype=float)
+        if not (np.min(wm) > 0.0) or not np.isfinite(sw).all():
+            raise ValueError(
+                f"weights column '{weight_col}' contains non-positive or "
+                "NaN values; weights must be strictly positive"
+            )
     nobs_orig = int(pdf["n"].sum())
     nobs_comp = len(pdf)
     compression_ratio = nobs_comp / max(nobs_orig, 1)
@@ -907,9 +1052,16 @@ def _execute_compress(
     fe_coef_names = frozenset(
         f"{v}{lvl}" for v in parsed.fe for lvl in cat_levels.get(v, [])
     )
-    n_vec = pdf["n"].to_numpy(dtype=float)
-    sum_y = pdf["sum_y"].to_numpy(dtype=float)
-    sum_y_sq = pdf["sum_y_sq"].to_numpy(dtype=float)
+    if weight_col is not None:
+        # weighted cells: the WLS weight is Σw per cell, the response
+        # moments are the w-weighted sums (x is constant within a cell)
+        n_vec = pdf["sum_w"].to_numpy(dtype=float)
+        sum_y = pdf["sum_wy"].to_numpy(dtype=float)
+        sum_y_sq = pdf["sum_wy_sq"].to_numpy(dtype=float)
+    else:
+        n_vec = pdf["n"].to_numpy(dtype=float)
+        sum_y = pdf["sum_y"].to_numpy(dtype=float)
+        sum_y_sq = pdf["sum_y_sq"].to_numpy(dtype=float)
     # WLS with weights √n:  X'WX = Σ n·x·x',  X'Wy = Σ x·sum_y
     xtx = cd.gram(n_vec)
     xty = cd.weighted_col_sums(sum_y)
@@ -922,17 +1074,26 @@ def _execute_compress(
     rss_total = float(rss_g.sum())
     p = len(collin.keep_names)
     df_res = max(nobs_orig - p, 1)
-    tss = float(sum_y_sq.sum() - (sum_y.sum() ** 2) / nobs_orig)
+    tss = float(sum_y_sq.sum() - (sum_y.sum() ** 2) / n_vec.sum())
 
     meat = n_clusters = None
     n_params_cluster = p
     if vcov_type == "hc1":
         # meat = X' diag(rss_g) X on kept columns (reference: R/dbreg.R:1771)
-        meat = cd.gram(rss_g)[np.ix_(collin.keep_idx, collin.keep_idx)]
+        if weight_col is not None:
+            # WLS scores are w·u·x — the squared-residual factor per cell is
+            # Σw²u² = Σw²y² − 2ŷΣw²y + ŷ²Σw² (ŷ constant within the cell)
+            w2 = pdf["sum_w2"].to_numpy(dtype=float)
+            w2y = pdf["sum_w2y"].to_numpy(dtype=float)
+            w2yy = pdf["sum_w2y_sq"].to_numpy(dtype=float)
+            meat_g = w2yy - 2.0 * yhat * w2y + w2 * yhat**2
+        else:
+            meat_g = rss_g
+        meat = cd.gram(meat_g)[np.ix_(collin.keep_idx, collin.keep_idx)]
     elif vcov_type == "cluster":
         meat, n_clusters = _compress_cluster_meat(
             source, parsed, design, group_cols, cluster_var, pdf, cd, collin,
-            sol.betahat, yhat, drop_missings, nobs_orig, p
+            sol.betahat, yhat, drop_missings, nobs_orig, p, weight_col
         )
         if ssc == "nested":
             from .plans.common import filter_missing
@@ -971,6 +1132,7 @@ def _execute_compress(
         query_string=sql,
         design_info=design,
         parsed=parsed,
+        weight_col=weight_col,
         cells=pdf,
         spark_session=source.df.sparkSession,
         cat_levels=cat_levels,
@@ -1000,7 +1162,7 @@ def _collect_cells_guarded(comp, compress_nmax):
 
 def _execute_compress_distributed(
     comp, source, parsed, design, vcov_type, cluster_var, ssc, drop_missings,
-    compression_ratio_est, sql, verbose,
+    compression_ratio_est, sql, verbose, weight_col=None,
 ):
     """Compress WLS past the driver-transfer cap: X'WX / X'Wy assembled from
     blocked groupBy aggregates over the (persisted) cell table — the cells
@@ -1013,13 +1175,40 @@ def _execute_compress_distributed(
     (all cluster vars × cell) table — a single source scan total."""
     from .gram import blocked_cluster_meat, blocked_gram, build_blocks, yhat_frame
 
+    # weighted cells: route the w-weighted sufficient statistics through the
+    # SAME blocked machinery by renaming them into the canonical slots —
+    # wcol carries Σw (the WLS weight) and sum_y/sum_y_sq the Σw·y / Σw·y²
+    # response moments. Raw n rides along for nobs/dof (fixest convention).
+    wcol = "n"
+    if weight_col is not None:
+        comp = (
+            comp.drop("sum_y", "sum_y_sq", "mean_y", "wts")
+            .withColumnRenamed("sum_wy", "sum_y")
+            .withColumnRenamed("sum_wy_sq", "sum_y_sq")
+        )
+        wcol = "sum_w"
     comp = comp.persist()
     try:
         blocks, col_names, levels = build_blocks(comp, design.names, parsed.fe)
-        mom = blocked_gram(comp, blocks, "n", with_y=True)
+        mom = blocked_gram(comp, blocks, wcol, with_y=True)
         xtx, xty, syy = mom["xtx"], mom["xty"], mom["syy"]
-        n_tot = float(xtx[0, 0])
         sum_y = float(xty[0])
+        if weight_col is not None:
+            probe = comp.agg(
+                F.sum("n").alias("__n"), F.min("w_min").alias("__wmin")
+            ).collect()[0]
+            n_tot = float(probe["__n"])
+            bad_sum = not np.isfinite(float(xtx[0, 0]))  # Σw NaN-absorbing
+            if bad_sum or (
+                probe["__wmin"] is not None
+                and not (float(probe["__wmin"]) > 0.0)
+            ):
+                raise ValueError(
+                    f"weights column '{weight_col}' contains non-positive "
+                    "or NaN values; weights must be strictly positive"
+                )
+        else:
+            n_tot = float(xtx[0, 0])
         nobs_comp = comp.count()
         compression_ratio = nobs_comp / max(n_tot, 1.0)
         if verbose and compression_ratio > 0.8:
@@ -1041,14 +1230,28 @@ def _execute_compress_distributed(
             "__rss_g",
             F.col("sum_y_sq").cast("double")
             - 2.0 * yhat * F.col("sum_y").cast("double")
-            + F.col("n").cast("double") * yhat * yhat,
+            + F.col(wcol).cast("double") * yhat * yhat,
         )
+        if weight_col is not None and vcov_type == "hc1":
+            # per-cell Σw²u² from the w² triplet (scores are w·u·x)
+            scored = scored.withColumn(
+                "__meat_g",
+                F.col("sum_w2y_sq").cast("double")
+                - 2.0 * yhat * F.col("sum_w2y").cast("double")
+                + F.col("sum_w2").cast("double") * yhat * yhat,
+            )
         meat = n_clusters = None
         n_params_cluster = p
         if vcov_type == "hc1":
-            g = blocked_gram(scored, blocks, "__rss_g")["xtx"]
-            rss_total = float(g[0, 0])
+            mcol = "__meat_g" if weight_col is not None else "__rss_g"
+            g = blocked_gram(scored, blocks, mcol)["xtx"]
             meat = g[np.ix_(collin.keep_idx, collin.keep_idx)]
+            if weight_col is not None:
+                rss_total = float(
+                    scored.agg(F.sum("__rss_g")).collect()[0][0]
+                )
+            else:
+                rss_total = float(g[0, 0])
         else:
             rss_total = float(scored.agg(F.sum("__rss_g")).collect()[0][0])
         if vcov_type == "cluster":
@@ -1061,7 +1264,9 @@ def _execute_compress_distributed(
             # u = Σy − n·ŷ. Every CGM subset component re-aggregates this
             # table (n/Σy are additive) — one source scan total.
             sdf = source.df
-            needed = [parsed.yvar] + parsed.xvars + parsed.fe
+            needed = [parsed.yvar] + parsed.xvars + parsed.fe + (
+                [weight_col] if weight_col else []
+            )
             if drop_missings:
                 sdf = filter_missing(sdf, needed)
             aliases = [f"__cl_{i}" for i in range(len(cluster_var))]
@@ -1073,15 +1278,32 @@ def _execute_compress_distributed(
                 ],
                 *[F.col(f) for f in parsed.fe if f not in design.names],
                 F.col(parsed.yvar),
+                *([F.col(weight_col)] if weight_col else []),
             )
             cell_cols = [
                 c for c in comp.columns
-                if c not in ("n", "sum_y", "sum_y_sq", "mean_y", "wts")
+                if c not in (
+                    "n", "sum_y", "sum_y_sq", "mean_y", "wts", "sum_w",
+                    "sum_wy", "sum_wy_sq", "sum_w2", "sum_w2y",
+                    "sum_w2y_sq", "w_min",
+                )
             ]
-            cc = proj.groupBy(*aliases, *cell_cols).agg(
-                F.count(F.lit(1)).cast("double").alias("__n_gc"),
-                F.sum(F.col(parsed.yvar).cast("double")).alias("__sy_gc"),
-            )
+            # weighted: __n_gc/__sy_gc carry Σw / Σw·y so that the score
+            # __u = __sy_gc − __n_gc·ŷ is the per-(cluster,cell) WLS score
+            if weight_col is not None:
+                wcc = F.col(weight_col).cast("double")
+                cc_aggs = [
+                    F.sum(wcc).alias("__n_gc"),
+                    F.sum(wcc * F.col(parsed.yvar).cast("double")).alias(
+                        "__sy_gc"
+                    ),
+                ]
+            else:
+                cc_aggs = [
+                    F.count(F.lit(1)).cast("double").alias("__n_gc"),
+                    F.sum(F.col(parsed.yvar).cast("double")).alias("__sy_gc"),
+                ]
+            cc = proj.groupBy(*aliases, *cell_cols).agg(*cc_aggs)
             if len(cluster_var) > 1:
                 cc = cc.persist()
 
@@ -1133,7 +1355,10 @@ def _execute_compress_distributed(
                 n_params_cluster = p - nested
 
         df_res = max(n_tot - p, 1)
-        tss = tss_from_moments(syy, sum_y, n_tot)
+        # weighted TSS centers on the weighted mean (denominator Σw)
+        tss = tss_from_moments(
+            syy, sum_y, float(xtx[0, 0]) if weight_col is not None else n_tot
+        )
         V = compute_vcov(
             vcov_type, sol.xtx_inv, rss_total, df_res, n_tot, n_params_cluster,
             meat, n_clusters,
@@ -1162,6 +1387,7 @@ def _execute_compress_distributed(
             query_string=sql,
             design_info=design,
             parsed=parsed,
+            weight_col=weight_col,
             cells=None,  # too large to retain; predict(newdata=...) works
             spark_session=comp.sparkSession,
             cat_levels=cat_levels,
@@ -1175,7 +1401,7 @@ def _execute_compress_distributed(
 
 def _compress_cluster_meat(
     source, parsed, design, group_cols, cluster_vars, pdf, cd, collin, betahat, yhat,
-    drop_missings, n_total, n_params
+    drop_missings, n_total, n_params, weight_col=None
 ):
     """Cluster meat for compress (reference: R/dbreg.R:2008-2068), vectorized:
     per-(cluster, cell) summed residuals u = Σy − n·ŷ(cell), score vectors
@@ -1200,7 +1426,9 @@ def _compress_cluster_meat(
     from .plans.exprs import to_spark
 
     df = source.df
-    needed = [parsed.yvar] + parsed.xvars + parsed.fe
+    needed = [parsed.yvar] + parsed.xvars + parsed.fe + (
+        [weight_col] if weight_col else []
+    )
     if drop_missings:
         df = filter_missing(df, needed)
     aliases = [f"__cl_{i}" for i in range(len(cluster_vars))]
@@ -1209,11 +1437,19 @@ def _compress_cluster_meat(
         *[to_spark(e).alias(n) for n, e in zip(design.names, design.exprs)],
         *[F.col(f) for f in parsed.fe],
         F.col(parsed.yvar),
+        *([F.col(weight_col)] if weight_col else []),
     )
-    cc_df = proj.groupBy(*aliases, *group_cols).agg(
-        F.count(F.lit(1)).cast("long").alias("n_gc"),
-        F.sum(F.col(parsed.yvar).cast("double")).alias("sum_y_gc"),
-    )
+    # weighted: n_gc carries Σw and sum_y_gc carries Σw·y, so the downstream
+    # score u = sum_y_gc − n_gc·ŷ IS the per-(cluster,cell) WLS score Σw·u —
+    # both aggregates stay additive for the CGM subset re-aggregations
+    if weight_col is not None:
+        wc = F.col(weight_col).cast("double")
+        n_agg = F.sum(wc).alias("n_gc")
+        sy_agg = F.sum(wc * F.col(parsed.yvar).cast("double")).alias("sum_y_gc")
+    else:
+        n_agg = F.count(F.lit(1)).cast("long").alias("n_gc")
+        sy_agg = F.sum(F.col(parsed.yvar).cast("double")).alias("sum_y_gc")
+    cc_df = proj.groupBy(*aliases, *group_cols).agg(n_agg, sy_agg)
     cc = _toPandas_guarded(cc_df)
 
     def component(sub_aliases, cc_sub_df=None):
@@ -1357,41 +1593,57 @@ def build_plan(
     strategy: str = "moments",
     drop_missings: bool = True,
     broadcast_means: bool = True,
+    weights: str | None = None,
 ):
     """Build (agg_df, oracle_sql) for a strategy's main aggregation without
     executing it. ``strategy`` in {moments, demean, mundlak, compress,
-    group_means}."""
+    group_means}. ``weights`` emits the WLS variant of the plan."""
     from .plans.exprs import agg_to_spark
 
     parsed = parse_formula(fml)
+    weight_col = weights.lstrip("~").strip() if weights else None
     if spark is None and isinstance(data, DataFrame):
         spark = data.sparkSession
     source = resolve_source(spark=spark, data=data, table=table, path=path)
 
     if strategy == "compress":
         design = build_design(source.df, parsed, expand="interactions", fe_vars=parsed.fe)
-        comp, _, sql = compress_plan(source, parsed, design, drop_missings)
+        comp, _, sql = compress_plan(
+            source, parsed, design, drop_missings, weight_col
+        )
         return comp, sql
 
     design = build_design(source.df, parsed, expand="all", fe_vars=parsed.fe)
     base = build_base_frame(
-        source, parsed, design, drop_missings, want_sql=source.sql_from is not None
+        source, parsed, design, drop_missings,
+        want_sql=source.sql_from is not None, weight_col=weight_col,
     )
     if strategy == "moments":
         frame, intercept, n_fe = base, True, []
     elif strategy == "demean":
+        # k>2 (or any weighted k≥2): fixed-sweep iterated demeaning so the
+        # plan (and its SQL mirror) is deterministic — pins the transform
+        use_iter = len(parsed.fe) > 2 or (
+            weight_col is not None and len(parsed.fe) >= 2
+        )
         frame, intercept, n_fe = (
-            # k>2: fixed-sweep iterated demeaning so the plan (and its SQL
-            # mirror) is deterministic — the gate pins the transform shape
-            build_demeaned_frame_iterative(base, parsed.fe, broadcast_means, sweeps=2)
-            if len(parsed.fe) > 2
-            else build_demeaned_frame(base, parsed.fe, broadcast_means),
+            build_demeaned_frame_iterative(
+                base, parsed.fe, broadcast_means, sweeps=2,
+                weight_col=weight_col,
+            )
+            if use_iter
+            else build_demeaned_frame(
+                base, parsed.fe, broadcast_means, weight_col=weight_col
+            ),
             False,
             [Var(f) for f in parsed.fe],
         )
     elif strategy == "mundlak":
         frame, intercept, n_fe = (
-            build_mundlak_frame(base, parsed.fe, design.numeric_vars, broadcast_means),
+            build_mundlak_frame(
+                base, parsed.fe, design.numeric_vars, broadcast_means,
+                weight_col=weight_col,
+            ),
             True,
             [Var(f) for f in parsed.fe[:2]],
         )
@@ -1418,6 +1670,7 @@ def build_plan(
         [Var(n) for n in frame.x_cols],
         intercept=intercept,
         n_fe_exprs=n_fe,
+        weight=Var(weight_col) if weight_col else None,
     )
     agg_df = frame.df.agg(*[agg_to_spark(a).alias(n) for n, a in spec])
     sql = None

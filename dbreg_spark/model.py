@@ -71,6 +71,9 @@ class DbregModel:
     # projection) demeaning — predict() must then apply the same transform
     # to newdata, NOT the balanced double-demean identity
     demean_iterated: bool = False
+    # WLS: the observation-weight column (fixest's weights=). predict() and
+    # fixef() must use w-weighted group means to mirror the estimator
+    weight_col: Optional[str] = None
 
     # -- inference ---------------------------------------------------------
     def _is_fe_coef(self, name: str) -> bool:
@@ -157,6 +160,25 @@ class DbregModel:
             ]
         )
 
+    # -- weighted-mean plumbing (WLS models mirror the estimator's means) --
+    def _require_weight(self, newdata) -> None:
+        if self.weight_col and self.weight_col not in newdata.columns:
+            raise ValueError(
+                f"this model was fit with weights='{self.weight_col}'; "
+                "newdata/data must carry that column so group means can be "
+                "recomputed with the estimator's weighting"
+            )
+
+    def _mean_agg(self, expr, alias: str):
+        """Group-mean aggregate matching the estimator: plain AVG, or the
+        w-weighted mean Σw·x/Σw for WLS models."""
+        import pyspark.sql.functions as F
+
+        if self.weight_col:
+            w = F.col(self.weight_col).cast("double")
+            return (F.sum(expr * w) / F.sum(w)).alias(alias)
+        return F.avg(expr).alias(alias)
+
     # -- predict (distributed; reference: R/stats-methods.R:94-236) --------
     def predict(self, newdata=None, interval: str | None = None, level: float = 0.95):
         """Score a Spark DataFrame with the fitted coefficients.
@@ -203,7 +225,11 @@ class DbregModel:
                 keep = [
                     c
                     for c in self.cells.columns
-                    if c not in ("n", "sum_y", "sum_y_sq", "mean_y", "wts")
+                    if c not in (
+                        "n", "sum_y", "sum_y_sq", "mean_y", "wts", "sum_w",
+                        "sum_wy", "sum_wy_sq", "sum_w2", "sum_w2y",
+                        "sum_w2y_sq", "w_min",
+                    )
                 ]
                 newdata = self.spark_session.createDataFrame(self.cells[keep])
             else:
@@ -302,8 +328,10 @@ class DbregModel:
                 fit = fit + F.lit(float(beta[cname])) * expr
 
         # mundlak: group-mean regressors recomputed from newdata
-        # (reference: stats-methods.R:183-201)
+        # (reference: stats-methods.R:183-201); weighted models recompute
+        # the same w-weighted means the estimator used
         if self.strategy == "mundlak":
+            self._require_weight(newdata)
             numeric_vars = list(getattr(self.design_info, "numeric_vars", []))
             for fe_k in self.fe or []:
                 bars = [
@@ -315,7 +343,7 @@ class DbregModel:
                     continue
                 means = newdata.groupBy(fe_k).agg(
                     *[
-                        F.avg(F.col(v).cast("double")).alias(bar)
+                        self._mean_agg(F.col(v).cast("double"), bar)
                         for v, bar in bars
                     ]
                 )
@@ -341,6 +369,7 @@ class DbregModel:
                 f"Outcome '{self.yvar}' not found in newdata. Returning "
                 "within-group predictions (demean strategy only)."
             )
+        self._require_weight(newdata)
         orig_cols = list(newdata.columns)
 
         used = [
@@ -361,10 +390,14 @@ class DbregModel:
             )
 
         def mean_table(group_by: list[str], suffix: str):
-            aggs = [F.avg(F.col(a)).alias(f"{a}{suffix}") for a in tmp_cols]
+            aggs = [
+                self._mean_agg(F.col(a), f"{a}{suffix}") for a in tmp_cols
+            ]
             if has_y:
                 aggs.append(
-                    F.avg(F.col(self.yvar).cast("double")).alias(f"__py{suffix}")
+                    self._mean_agg(
+                        F.col(self.yvar).cast("double"), f"__py{suffix}"
+                    )
                 )
             if group_by:
                 return proj.groupBy(*group_by).agg(*aggs)
@@ -419,7 +452,9 @@ class DbregModel:
             F.col(self.yvar).cast("double") if has_y else F.lit(0.0),
         )
         base = Frame(proj, "__py", list(tmp_cols), orig_cols, None, "predict_base")
-        frame = build_demeaned_frame_iterative(base, list(self.fe))
+        frame = build_demeaned_frame_iterative(
+            base, list(self.fe), weight_col=self.weight_col
+        )
         fit = (
             F.col(self.yvar).cast("double") - F.col("__py")
             if has_y
@@ -470,9 +505,17 @@ class DbregModel:
                     f"fixef() for {self.strategy} models needs the data "
                     "back (dbreg retains none); pass the training DataFrame."
                 )
+            self._require_weight(data)
             fe1 = self.fe[0]
             beta = self.coeftable["estimate"]
-            terms = [F.avg(F.col(self.yvar).cast("double"))]
+
+            def _wavg(expr):
+                if self.weight_col:
+                    w = F.col(self.weight_col).cast("double")
+                    return F.sum(expr * w) / F.sum(w)
+                return F.avg(expr)
+
+            terms = [_wavg(F.col(self.yvar).cast("double"))]
             # design_info.names holds the STRUCTURAL terms only — the
             # Mundlak x_bar_<fe> CRE columns are appended to the frame
             # after the design is built, so residualizing on these names
@@ -481,7 +524,8 @@ class DbregModel:
                 cname = standardize_coef_names(raw)
                 if cname in beta.index:
                     terms.append(
-                        -F.lit(float(beta[cname])) * F.avg(self._design_expr(raw, data))
+                        -F.lit(float(beta[cname]))
+                        * _wavg(self._design_expr(raw, data))
                     )
             fix = terms[0]
             for t in terms[1:]:
@@ -521,8 +565,12 @@ class DbregModel:
             cname = standardize_coef_names(raw)
             if cname in beta.index:
                 resid = resid - F.lit(float(beta[cname])) * self._design_expr(raw, data)
-        proj = data.select(*self.fe, resid.alias("__r"))
-        stats = fe_level_stats(proj, self.fe, ["__r"])
+        self._require_weight(data)
+        wcols = [self.weight_col] if self.weight_col else []
+        proj = data.select(*self.fe, *wcols, resid.alias("__r"))
+        stats = fe_level_stats(
+            proj, self.fe, ["__r"], weight_col=self.weight_col
+        )
         if stats is None:
             raise NotImplementedError(
                 "fixef(): the FE level/pair tables exceed the driver cap; "

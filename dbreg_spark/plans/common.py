@@ -32,6 +32,7 @@ from .exprs import (
     acountd,
     agg_to_spark,
     agg_to_sql,
+    amin,
     asum,
     count_star,
     to_spark,
@@ -135,29 +136,45 @@ def moment_spec(
     xs: list[Expr],
     intercept: bool,
     n_fe_exprs: list[Expr] | None = None,
+    weight: Expr | None = None,
 ) -> list[tuple[str, Agg]]:
     """Build the single-row sufficient-statistics aggregation.
 
     With ``intercept=True`` mirrors the moments/mundlak queries
     (R/dbreg.R:724-757, 1334-1363); with ``intercept=False`` mirrors the
     demean moment query on tilde columns (R/dbreg.R:1055-1094).
+
+    ``weight`` turns every sum into its w-weighted version (Σw·xᵢxⱼ, Σw·y,
+    …) and adds ``sum_w`` = Σw and ``w_min`` (a free validity rider — the
+    caller raises on non-positive weights AFTER the single pass, so the
+    check costs nothing). ``n_total`` stays the raw row count: dof
+    conventions for frequency-agnostic weights (fixest's ``weights=``) are
+    based on the number of observations, not the weight mass.
     """
     spec: list[tuple[str, Agg]] = [("n_total", count_star())]
     for k, fe_e in enumerate(n_fe_exprs or []):
         spec.append((f"n_fe{k + 1}", acountd(fe_e)))
+    wd = _dx(weight) if weight is not None else None
+    if wd is not None:
+        spec.append(("sum_w", asum(wd)))
+        spec.append(("w_min", amin(wd)))
+
+    def ws(e: Expr) -> Agg:
+        return asum(wd * e) if wd is not None else asum(e)
+
     yd = _dx(y)
     if intercept:
-        spec.append(("sum_y", asum(yd)))
-    spec.append(("sum_y_sq", asum(yd * yd)))
+        spec.append(("sum_y", ws(yd)))
+    spec.append(("sum_y_sq", ws(yd * yd)))
     for i, x in enumerate(xs, start=1):
         xd = _dx(x)
         if intercept:
-            spec.append((f"sum_{i}", asum(xd)))
-        spec.append((f"sum_{i}_y", asum(xd * yd)))
+            spec.append((f"sum_{i}", ws(xd)))
+        spec.append((f"sum_{i}_y", ws(xd * yd)))
     for i, xi in enumerate(xs, start=1):
         for j in range(i, len(xs) + 1):
             xj = xs[j - 1]
-            spec.append((f"sum_{i}_{j}", asum(_dx(xi) * _dx(xj))))
+            spec.append((f"sum_{i}_{j}", ws(_dx(xi) * _dx(xj))))
     return spec
 
 
@@ -194,7 +211,10 @@ def run_agg(
         else:
             pc = f"__p{i}"
             partial_cols.append(agg_to_spark(a).alias(pc))
-            final_cols.append(F.sum(pc).alias(name))
+            # re-combine per-cell partials with the aggregate's own monoid:
+            # sums/counts add, min/max take the extremum (w_min rides here)
+            comb = {"min": F.min, "max": F.max}.get(a.kind, F.sum)
+            final_cols.append(comb(pc).alias(name))
     # free riders on the cell pass: per-cell row counts and the cell count
     # give the panel-balance diagnostic (equal counts + complete grid) with
     # zero extra scans — callers read __cell_min/__cell_max/__n_cells
@@ -222,7 +242,9 @@ def assemble_normal_eqs(
     row: dict, p_x: int, intercept: bool
 ) -> tuple[np.ndarray, np.ndarray, float, float | None, float]:
     """Decode the moments row into (XtX, Xty, n_total, sum_y, sum_y_sq)
-    (reference: R/dbreg.R:772-793, 1402-1424)."""
+    (reference: R/dbreg.R:772-793, 1402-1424). Weighted rows (those carrying
+    ``sum_w``) put Σw in the intercept-intercept cell — every other sum is
+    already w-scaled by the spec."""
     n_total = float(row["n_total"])
     sum_y = float(row["sum_y"]) if intercept else None
     sum_y_sq = float(row["sum_y_sq"])
@@ -231,7 +253,8 @@ def assemble_normal_eqs(
     xtx = np.zeros((p, p))
     xty = np.zeros(p)
     if intercept:
-        xtx[0, 0] = n_total
+        sw = row.get("sum_w")
+        xtx[0, 0] = float(sw) if sw is not None else n_total
         xty[0] = sum_y
         for i in range(1, p_x + 1):
             s = float(row[f"sum_{i}"])

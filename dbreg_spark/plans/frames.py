@@ -103,6 +103,7 @@ def build_base_frame(
     drop_missings: bool = True,
     extra_cols: list[str] | None = None,
     want_sql: bool = True,
+    weight_col: str | None = None,
 ) -> Frame:
     """Base frame: filtered source projected to keys + y + design columns.
 
@@ -110,13 +111,26 @@ def build_base_frame(
     CTE of the reference (R/dbreg.R:751, 906-909). The projection plus
     conjunctive null filter compile to a parquet scan with pushed filters and
     a pruned ReadSchema.
+
+    ``weight_col`` rides in the key columns (so every downstream frame
+    builder carries it through) and joins the null filter — a null weight
+    drops the observation, matching fixest's NA handling for ``weights=``.
     """
-    keys = list(dict.fromkeys((parsed.fe or []) + (extra_cols or [])))
+    keys = list(
+        dict.fromkeys(
+            (parsed.fe or [])
+            + (extra_cols or [])
+            + ([weight_col] if weight_col else [])
+        )
+    )
     sel = _base_select_exprs(parsed, design, keys)
+    filter_cols = [parsed.yvar] + parsed.xvars + (parsed.fe or []) + (
+        [weight_col] if weight_col else []
+    )
 
     df = source.df
     if drop_missings:
-        df = filter_missing(df, [parsed.yvar] + parsed.xvars + (parsed.fe or []))
+        df = filter_missing(df, filter_cols)
     df = df.select(*[to_spark(e).alias(n) for n, e in sel])
 
     sql_cte = None
@@ -127,9 +141,7 @@ def build_base_frame(
         )
         where = ""
         if drop_missings:
-            where = "\n  WHERE " + not_null_filter_sql(
-                [parsed.yvar] + parsed.xvars + (parsed.fe or [])
-            )
+            where = "\n  WHERE " + not_null_filter_sql(filter_cols)
         sql_cte = f"WITH base AS (\n  SELECT\n    {cols_sql}\n  {source.require_sql()}{where}\n)"
 
     return Frame(
@@ -142,11 +154,23 @@ def build_base_frame(
     )
 
 
+def _wmean_col(c: str, w: str):
+    """Weighted mean Σw·c / Σw as a Spark aggregate column."""
+    return F.sum(F.col(c).cast("double") * F.col(w).cast("double")) / F.sum(
+        F.col(w).cast("double")
+    )
+
+
+def _wmean_sql(c: str, w: str) -> str:
+    return f"SUM(CAST({c} AS DOUBLE) * CAST({w} AS DOUBLE)) / SUM(CAST({w} AS DOUBLE))"
+
+
 def build_demeaned_frame(
     base: Frame,
     fe: list[str],
     broadcast_means: bool = True,
     one_scan_means: bool | None = None,
+    weight_col: str | None = None,
 ) -> Frame:
     """Attach group means and demean (reference: R/dbreg.R:902-1053).
 
@@ -156,36 +180,58 @@ def build_demeaned_frame(
     Spark formulation: per-FE ``groupBy().agg(avg)`` (tiny result, map-side
     combined) broadcast-joined back; the grand mean is a 1-row aggregate
     cross-joined. The big table is never shuffled.
+
+    ``weight_col`` switches to w-weighted group means (exact weighted FWL
+    for 1 FE; callers route weighted k≥2 fits to the iterative path — the
+    double-demean identity does not hold under weights even on balanced
+    grids) and carries the weight column through for the moment pass.
     """
     vals = [base.y_col] + base.x_cols
     bc = F.broadcast if broadcast_means else (lambda d: d)
 
     if len(fe) == 1:
         fe1 = fe[0]
-        means = base.df.groupBy(fe1).agg(
-            *[F.avg(c).alias(f"{c}__m1") for c in vals]
-        )
+        if weight_col is not None:
+            means = base.df.groupBy(fe1).agg(
+                *[_wmean_col(c, weight_col).alias(f"{c}__m1") for c in vals]
+            )
+        else:
+            means = base.df.groupBy(fe1).agg(
+                *[F.avg(c).alias(f"{c}__m1") for c in vals]
+            )
+        keep = [fe1] + ([weight_col] if weight_col is not None else [])
         dm = (
             base.df.join(bc(means), on=fe1)
             .select(
-                fe1,
+                *keep,
                 *[(F.col(c) - F.col(f"{c}__m1")).alias(c) for c in vals],
             )
         )
         sql_cte = None
         if base.sql_cte:
-            mean_cols = ", ".join(f"AVG({c}) AS {c}__m1" for c in vals)
+            if weight_col is not None:
+                mean_cols = ", ".join(
+                    f"{_wmean_sql(c, weight_col)} AS {c}__m1" for c in vals
+                )
+            else:
+                mean_cols = ", ".join(f"AVG({c}) AS {c}__m1" for c in vals)
             tilde = ",\n    ".join(
                 f"(b.{c} - gm.{c}__m1) AS {c}" for c in vals
             )
+            keep_sql = ", ".join(f"b.{k}" for k in keep)
             sql_cte = (
                 f"{base.sql_cte},\ngroup_means AS (\n  SELECT {fe1}, {mean_cols}"
                 f" FROM {base.cte_name} GROUP BY {fe1}\n),\n"
-                f"demeaned AS (\n  SELECT b.{fe1},\n    {tilde}\n"
+                f"demeaned AS (\n  SELECT {keep_sql},\n    {tilde}\n"
                 f"  FROM {base.cte_name} b JOIN group_means gm ON b.{fe1} = gm.{fe1}\n)"
             )
-        return Frame(dm, base.y_col, base.x_cols, [fe1], sql_cte, "demeaned")
+        return Frame(dm, base.y_col, base.x_cols, keep, sql_cte, "demeaned")
 
+    if weight_col is not None:
+        raise ValueError(
+            "weighted double demeaning is not exact; callers must route "
+            "weighted k>=2 FE fits to the iterative path"
+        )
     fe1, fe2 = fe[0], fe[1]
     gs = None
     if _use_one_scan_means(base.df, one_scan_means):
@@ -262,6 +308,7 @@ def build_demeaned_frame_iterative(
     sweeps: int | None = None,
     tol: float = 1e-6,
     max_sweeps: int = 60,
+    weight_col: str | None = None,
 ) -> Frame:
     """k-FE demeaning by alternating projections — Gauss-Seidel sweeps over
     the per-FE group-mean operators (the same fixed point fixest's demeaning
@@ -282,12 +329,19 @@ def build_demeaned_frame_iterative(
     sweep's cache is released as soon as the next materializes; the final
     cache is owned by the returned Frame (``Frame.cleanup``)."""
     vals = [base.y_col] + base.x_cols
+    # the weight column rides in key_cols (callers pass it as an extra col),
+    # so every sweep's select carries it through untouched
     keys = list(base.key_cols)
     bc = F.broadcast if broadcast_means else (lambda d: d)
 
+    def _mean_agg(c: str, alias: str):
+        if weight_col is not None:
+            return _wmean_col(c, weight_col).alias(alias)
+        return F.avg(c).alias(alias)
+
     def one_sweep(df: DataFrame) -> DataFrame:
         for f in fe:
-            means = df.groupBy(f).agg(*[F.avg(c).alias(f"{c}__m") for c in vals])
+            means = df.groupBy(f).agg(*[_mean_agg(c, f"{c}__m") for c in vals])
             df = df.join(bc(means), on=f).select(
                 *keys, *[(F.col(c) - F.col(f"{c}__m")).alias(c) for c in vals]
             )
@@ -307,7 +361,12 @@ def build_demeaned_frame_iterative(
                 for f in fe:
                     mname, dname = f"gm_{step}", f"dm_{step}"
                     step += 1
-                    mean_cols = ", ".join(f"AVG({c}) AS {c}__m" for c in vals)
+                    if weight_col is not None:
+                        mean_cols = ", ".join(
+                            f"{_wmean_sql(c, weight_col)} AS {c}__m" for c in vals
+                        )
+                    else:
+                        mean_cols = ", ".join(f"AVG({c}) AS {c}__m" for c in vals)
                     tilde = ", ".join(f"(b.{c} - m.{c}__m) AS {c}" for c in vals)
                     parts.append(
                         f"{mname} AS (SELECT {f}, {mean_cols} FROM {prev} GROUP BY {f})"
@@ -328,7 +387,9 @@ def build_demeaned_frame_iterative(
     # per-level offsets. Falls back to data-resident sweeps when the
     # level/pair tables are too large to collect (or nulls demand Spark's
     # avg semantics).
-    compressed = _demeaned_iterative_compressed(base, fe, vals, keys, bc, tol)
+    compressed = _demeaned_iterative_compressed(
+        base, fe, vals, keys, bc, tol, weight_col
+    )
     if compressed is not None:
         return compressed
 
@@ -362,7 +423,7 @@ def build_demeaned_frame_iterative(
         for fi, f in enumerate(fe):
             mcols = [f"{c}__m{fi}" for c in vals]
             means = out.groupBy(f).agg(
-                *[F.avg(c).alias(m) for c, m in zip(vals, mcols)]
+                *[_mean_agg(c, m) for c, m in zip(vals, mcols)]
             )
             out = out.join(bc(means), on=f).withColumns(
                 {c: F.col(c) - F.col(m) for c, m in zip(vals, mcols)}
@@ -425,7 +486,8 @@ COMPRESSED_ITER_NMAX = 5_000_000
 
 
 def _demeaned_iterative_compressed(
-    base: Frame, fe: list[str], vals: list[str], keys: list[str], bc, tol: float
+    base: Frame, fe: list[str], vals: list[str], keys: list[str], bc,
+    tol: float, weight_col: str | None = None,
 ) -> Frame | None:
     """k-FE alternating projections on COMPRESSED statistics (VERDICT r03
     #6; the in-memory formulation fixest's demeaning loop uses, re-shaped
@@ -455,7 +517,7 @@ def _demeaned_iterative_compressed(
 
     df = base.df
     k = len(fe)
-    stats = fe_level_stats(df, fe, vals)
+    stats = fe_level_stats(df, fe, vals, weight_col)
     if stats is None:
         return None
     levels, counts, sums, pairs = stats
@@ -500,7 +562,9 @@ def _demeaned_iterative_compressed(
     )
 
 
-def fe_level_stats(df: DataFrame, fe: list[str], vals: list[str]):
+def fe_level_stats(
+    df: DataFrame, fe: list[str], vals: list[str], weight_col: str | None = None
+):
     """ONE grouping-sets scan collecting everything the alternating-
     projection algebra needs: per-FE-level counts and value sums, pairwise
     co-occurrence counts, and a global null probe.
@@ -510,7 +574,13 @@ def fe_level_stats(df: DataFrame, fe: list[str], vals: list[str]):
     (G_i × len(vals)) sum matrix, and ``pairs[(a, b)] = (codes_a, codes_b,
     n)`` co-occurrence triplets — or None when the stats exceed
     COMPRESSED_ITER_NMAX / the driver cap or nulls require row-level
-    semantics (callers fall back to data-resident sweeps)."""
+    semantics (callers fall back to data-resident sweeps).
+
+    ``weight_col`` makes it the WEIGHTED statistics: counts become Σw per
+    level and the co-occurrence triplets carry Σw — the same Gauss-Seidel
+    algebra then converges to the weighted alternating projections
+    (weighted means everywhere). Null detection stays on raw row counts.
+    """
     from itertools import combinations
 
     import numpy as np
@@ -520,8 +590,17 @@ def fe_level_stats(df: DataFrame, fe: list[str], vals: list[str]):
     m = len(vals)
     sets = [[f] for f in fe] + [list(p) for p in combinations(fe, 2)] + [[]]
     aggs = [F.count(F.lit(1)).alias("__n")]
+    if weight_col is not None:
+        aggs.append(F.sum(F.col(weight_col).cast("double")).alias("__w"))
     for i, c in enumerate(vals):
-        aggs.append(F.sum(F.col(c).cast("double")).alias(f"__s_{i}"))
+        if weight_col is not None:
+            aggs.append(
+                F.sum(
+                    F.col(c).cast("double") * F.col(weight_col).cast("double")
+                ).alias(f"__s_{i}")
+            )
+        else:
+            aggs.append(F.sum(F.col(c).cast("double")).alias(f"__s_{i}"))
         aggs.append(F.count(F.col(c)).alias(f"__c_{i}"))
     try:
         gs = (
@@ -549,6 +628,7 @@ def fe_level_stats(df: DataFrame, fe: list[str], vals: list[str]):
             return None  # null values: Spark avg semantics needed row-wise
 
     # singleton tables: gid with only bit (k-1-i) cleared
+    ncol = "__w" if weight_col is not None else "__n"
     levels, counts, sums = [], [], []
     for i, f in enumerate(fe):
         gid = all_mask ^ (1 << (k - 1 - i))
@@ -556,7 +636,7 @@ def fe_level_stats(df: DataFrame, fe: list[str], vals: list[str]):
         if sub[f].isna().any():
             return None  # null FE level: groupBy-null semantics in fallback
         levels.append(sub[f].to_numpy())
-        counts.append(sub["__n"].to_numpy(dtype=float))
+        counts.append(sub[ncol].to_numpy(dtype=float))
         sums.append(
             np.column_stack([sub[f"__s_{i2}"].to_numpy(dtype=float) for i2 in range(m)])
         )
@@ -569,7 +649,7 @@ def fe_level_stats(df: DataFrame, fe: list[str], vals: list[str]):
         sub = stats[stats["__gid"] == gid]
         ca = index[a].get_indexer(sub[fe[a]])
         cb = index[b].get_indexer(sub[fe[b]])
-        pairs[(a, b)] = (ca, cb, sub["__n"].to_numpy(dtype=float))
+        pairs[(a, b)] = (ca, cb, sub[ncol].to_numpy(dtype=float))
     return levels, counts, sums, pairs
 
 
@@ -644,14 +724,26 @@ def build_mundlak_frame(
     numeric_xvars: list[str],
     broadcast_means: bool = True,
     one_scan_means: bool | None = None,
+    weight_col: str | None = None,
 ) -> Frame:
     """Augment with per-FE group means of the numeric regressors
     (reference: R/dbreg.R:1295-1332). ``x_bar_fek`` columns are appended; the
     regression is y on [X, x̄₁, …, x̄ₖ] *with* intercept — the CRE/Mundlak
-    estimator."""
+    estimator. ``weight_col`` switches to w-weighted group means (the CRE
+    augmentation that reproduces the weighted within estimator)."""
     bc = F.broadcast if broadcast_means else (lambda d: d)
     numeric_in_frame = [v for v in numeric_xvars if v in base.x_cols]
     df = base.df
+
+    def _m_agg(v: str, alias: str):
+        if weight_col is not None:
+            return _wmean_col(v, weight_col).alias(alias)
+        return F.avg(v).alias(alias)
+
+    def _m_sql(v: str) -> str:
+        if weight_col is not None:
+            return _wmean_sql(v, weight_col)
+        return f"AVG({v})"
 
     # all per-FE mean tables from ONE scan via GROUPING SETS ((fe1),...,(fek))
     # (k separate groupBys would re-read the source k times); the tiny cached
@@ -667,7 +759,7 @@ def build_mundlak_frame(
         gs = (
             base.df.groupingSets([[f] for f in fe], *fe)
             .agg(
-                *[F.avg(v).alias(f"{v}__m") for v in numeric_in_frame],
+                *[_m_agg(v, f"{v}__m") for v in numeric_in_frame],
                 F.grouping_id().alias("__gid"),
             )
             .cache()
@@ -690,10 +782,12 @@ def build_mundlak_frame(
                 )
             else:
                 means = base.df.groupBy(fe_k).agg(
-                    *[F.avg(v).alias(f"{v}{suffix}") for v in numeric_in_frame]
+                    *[_m_agg(v, f"{v}{suffix}") for v in numeric_in_frame]
                 )
             df = df.join(bc(means), on=fe_k)
-            mc = ", ".join(f"AVG({v}) AS {v}{suffix}" for v in numeric_in_frame)
+            mc = ", ".join(
+                f"{_m_sql(v)} AS {v}{suffix}" for v in numeric_in_frame
+            )
             sql_parts.append(
                 f"fe{k}_means AS (SELECT {fe_k}, {mc} FROM {base.cte_name} GROUP BY {fe_k})"
             )

@@ -47,6 +47,7 @@ def hc1_meat_plan(
     intercept: bool,
     score_names: list[str] | None = None,
     score_intercept: bool | None = None,
+    weight_col: str | None = None,
 ):
     """Lazy HC1 meat aggregation: (spec, agg_df, sql).
 
@@ -64,6 +65,10 @@ def hc1_meat_plan(
     s_names = x_names if score_names is None else score_names
     s_icpt = intercept if score_intercept is None else score_intercept
     r = _resid_expr(frame, betahat, x_names, intercept)
+    if weight_col is not None:
+        # WLS score: s = w·u·x, so __e carries w·u — the squared form below
+        # is then exactly the weighted HC1 meat Σ w²u²·xᵢxⱼ
+        r = _d(Var(weight_col)) * r
     proj = frame.df.select(
         to_spark(Cast(r, "double")).alias("__e"),
         *[F.col(n) for n in dict.fromkeys(s_names)],
@@ -94,12 +99,14 @@ def hc1_meat(
     intercept: bool,
     score_names: list[str] | None = None,
     score_intercept: bool | None = None,
+    weight_col: str | None = None,
 ) -> tuple[np.ndarray, str | None]:
     """Return the (p×p) HC1 meat matrix and its oracle SQL (if emittable).
     ``score_names`` switches the outer products to a different column set
     (see :func:`hc1_meat_plan`) — the returned matrix is then sized to it."""
     spec, agg_df, sql = hc1_meat_plan(
-        frame, betahat, x_names, intercept, score_names, score_intercept
+        frame, betahat, x_names, intercept, score_names, score_intercept,
+        weight_col,
     )
     s_icpt = intercept if score_intercept is None else score_intercept
     p = (1 if s_icpt else 0) + len(
@@ -121,6 +128,7 @@ def cluster_meat(
     cluster_col: str | list[str],
     score_names: list[str] | None = None,
     score_intercept: bool | None = None,
+    weight_col: str | None = None,
 ) -> tuple[np.ndarray, int, str | None]:
     """Return (meat matrix, n_clusters, oracle SQL for the score table).
 
@@ -132,7 +140,7 @@ def cluster_meat(
     """
     scores, _sql = cluster_scores_plan(
         frame, betahat, x_names, intercept, cluster_col, score_names,
-        score_intercept,
+        score_intercept, weight_col,
     )
     s_icpt = intercept if score_intercept is None else score_intercept
     p = (1 if s_icpt else 0) + len(
@@ -163,6 +171,7 @@ def cluster_scores_plan(
     cluster_col: str | list[str],
     score_names: list[str] | None = None,
     score_intercept: bool | None = None,
+    weight_col: str | None = None,
 ):
     """Lazy per-cluster score aggregation: (scores_df, sql). The residual is
     materialized once (see hc1_meat_plan). ``score_names`` swaps the score
@@ -173,6 +182,8 @@ def cluster_scores_plan(
     s_icpt = intercept if score_intercept is None else score_intercept
     ccols = [cluster_col] if isinstance(cluster_col, str) else list(cluster_col)
     r = _resid_expr(frame, betahat, x_names, intercept)
+    if weight_col is not None:
+        r = _d(Var(weight_col)) * r  # per-row WLS score s = w·u·x
     proj = frame.df.select(
         *[F.col(c) for c in ccols],
         to_spark(Cast(r, "double")).alias("__e"),
