@@ -277,6 +277,7 @@ def dbiv(
     path: str | None = None,
     vcov="iid",
     cluster=None,
+    weights: str | None = None,
     drop_missings: bool = True,
     sql_only: bool = False,
     data_only: bool = False,
@@ -289,6 +290,13 @@ def dbiv(
     part optional, ``exog`` may be ``1``). ``vcov``: "iid", "hc1", or a
     cluster formula ``"~g"`` / ``"~g1 + g2"`` (multiway CGM).
 
+    ``weights``: strictly positive observation weights (fixest semantics —
+    see :func:`dbreg`); weighted 2SLS is 2SLS on √w-scaled data, so every
+    Gram block, rank layer, first-stage F, and diagnostic below flows from
+    the w-weighted cross-moment pass unchanged. nobs/dof keep raw counts;
+    sandwiches use the WLS scores w·u·z. Weighted 2-FE absorbs via
+    iterated demeaning (the double-demean identity fails under weights).
+
     ``sql_only`` returns the DuckDB-executable SQL of the Gram pass;
     ``data_only`` returns the collected Gram row as a one-row pandas frame
     (both mirror :func:`dbreg`'s contract — the 2SLS solve itself is
@@ -296,6 +304,13 @@ def dbiv(
     """
     vcov_type, cluster_vars = parse_vcov(vcov, cluster)
     ivf = parse_iv_formula(fml)
+    weight_col = None
+    if weights is not None:
+        weight_col = weights.lstrip("~").strip()
+        if not weight_col or any(ch in weight_col for ch in " +*:|"):
+            raise ValueError(
+                "weights must name a single column (e.g. weights='w' or '~w')"
+            )
     if spark is None and isinstance(data, DataFrame):
         spark = data.sparkSession
     source = resolve_source(spark=spark, data=data, table=table, path=path)
@@ -319,22 +334,30 @@ def dbiv(
         drop_missings,
         extra_cols=cluster_vars if cluster_vars else None,
         want_sql=source.sql_from is not None,
+        weight_col=weight_col,
     )
     icpt = ivf.intercept and not ivf.fe  # FE absorb the constant
     if ivf.fe:
-        if len(ivf.fe) <= 2:
-            frame = build_demeaned_frame(base, ivf.fe, broadcast_means)
+        # weighted k≥2: the one-scan double-demean identity fails under
+        # weights — absorb via (weighted) alternating projections instead
+        if len(ivf.fe) <= 2 and not (weight_col and len(ivf.fe) == 2):
+            frame = build_demeaned_frame(
+                base, ivf.fe, broadcast_means, weight_col=weight_col
+            )
             if cluster_vars and any(
                 c not in frame.df.columns for c in cluster_vars
             ):
                 from .api import _reattach_cluster
 
                 frame = _reattach_cluster(
-                    base, frame, ivf.fe, cluster_vars, broadcast_means
+                    base, frame, ivf.fe, cluster_vars, broadcast_means,
+                    weight_col,
                 )
         else:
             # iterated demeaning carries cluster keys in base.key_cols
-            frame = build_demeaned_frame_iterative(base, ivf.fe, broadcast_means)
+            frame = build_demeaned_frame_iterative(
+                base, ivf.fe, broadcast_means, weight_col=weight_col
+            )
 
     w_names = list(frame.x_cols)  # exog + endog + inst, frame order
     n_fe_exprs = [Var(f) for f in ivf.fe] if ivf.fe else None
@@ -343,6 +366,7 @@ def dbiv(
         [Var(n) for n in w_names],
         intercept=icpt,
         n_fe_exprs=n_fe_exprs,
+        weight=Var(weight_col) if weight_col else None,
     )
     sql = None
     if frame.sql_cte:
@@ -357,9 +381,12 @@ def dbiv(
         row = run_agg(frame.df, spec, fe_cols=ivf.fe or None)
         if data_only:
             return pd.DataFrame([row])
+        from .api import _check_weights_valid
+
+        _check_weights_valid(row, weight_col)
         return _solve_2sls(
             row, frame, ivf, design, exog_names, endog_names, inst_names,
-            icpt, vcov_type, cluster_vars, sql, verbose,
+            icpt, vcov_type, cluster_vars, sql, verbose, weight_col,
         )
     finally:
         frame.cleanup()
@@ -367,7 +394,7 @@ def dbiv(
 
 def _solve_2sls(
     row, frame, ivf, design, exog_names, endog_names, inst_names,
-    icpt, vcov_type, cluster_vars, sql, verbose,
+    icpt, vcov_type, cluster_vars, sql, verbose, weight_col=None,
 ):
     from .api import _cluster_meat_any, _cluster_label
 
@@ -423,7 +450,9 @@ def _solve_2sls(
     bx_k = b[xk_idx]
     rss = rss_from_moments(sum_y_sq, sol.betahat, Axx_k, bx_k)
     if icpt:
-        tss = tss_from_moments(sum_y_sq, sum_y, n_total)
+        # weighted TSS centers on the weighted mean (denominator Σw)
+        tss_n = float(row["sum_w"]) if weight_col else n_total
+        tss = tss_from_moments(sum_y_sq, sum_y, tss_n)
     else:
         tss = sum_y_sq  # within-TSS under absorbed FE, as the demean path
 
@@ -432,7 +461,11 @@ def _solve_2sls(
     p_kept = len(cx.keep_names)
     df_res = max(n_total - p_kept - df_fe, 1)
 
-    if len(ivf.fe) == 2 and row.get("__n_cells") is not None:
+    if (
+        len(ivf.fe) == 2
+        and weight_col is None  # weighted 2-FE routed to exact iteration
+        and row.get("__n_cells") is not None
+    ):
         balanced = row["__cell_min"] == row["__cell_max"] and int(
             row["__n_cells"]
         ) == n_fe[0] * n_fe[1]
@@ -456,6 +489,7 @@ def _solve_2sls(
         S, _ = hc1_meat(
             frame, sol.betahat, kept_x_cols, intercept=icpt_x,
             score_names=kept_z_cols, score_intercept=icpt_z,
+            weight_col=weight_col,
         )
         meat = Gamma.T @ S @ Gamma
     elif vcov_type == "cluster":
@@ -463,6 +497,7 @@ def _solve_2sls(
             frame, sol.betahat, kept_x_cols, icpt_x, cluster_vars,
             n_total, n_params_cluster,
             score_names=kept_z_cols, score_intercept=icpt_z,
+            weight_col=weight_col,
         )
         meat = Gamma.T @ S @ Gamma
 
@@ -598,4 +633,6 @@ def _solve_2sls(
         first_stage_F=fsF,
         sargan=sargan,
         wu_hausman=wu_hausman,
+        weight_col=weight_col,
+        demean_iterated=(frame.cte_name == "demeaned_iter"),
     )

@@ -451,3 +451,120 @@ def test_iv_diagnostics_under_fe_match_demeaned_numpy(iv_sdf):
     stat_h, d1, d2, _ = m.wu_hausman
     assert (d1, d2) == (1.0, float(dof))
     assert stat_h == pytest.approx(F, rel=1e-6)
+
+
+# --------------------------------------------------------------------------
+# observation weights (WLS-2SLS: identical to 2SLS on sqrt(w)-scaled data)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def iv_wdf(spark):
+    pdf = _gen(seed=11)
+    rng = np.random.default_rng(99)
+    pdf["w"] = rng.uniform(0.2, 3.0, len(pdf))
+    return spark.createDataFrame(pdf), pdf
+
+
+def _scaled(pdf, cols):
+    """sqrt(w)-scale the columns (incl. the intercept column of ones)."""
+    sw = np.sqrt(pdf.w.to_numpy())
+    n = len(pdf)
+    X = np.column_stack([np.ones(n)] + [pdf[c].to_numpy() for c in cols])
+    return X * sw[:, None], sw
+
+
+def test_iv_weighted_iid_matches_numpy(iv_wdf):
+    sdf, pdf = iv_wdf
+    m = dbiv("y ~ x_ex | x_end ~ z1 + z2", sdf, weights="w", vcov="iid")
+    n = len(pdf)
+    Xs, sw = _scaled(pdf, ["x_ex", "x_end"])
+    Zs, _ = _scaled(pdf, ["x_ex", "z1", "z2"])
+    ys = pdf.y.to_numpy() * sw
+    beta, Minv, _, us = _np_2sls(ys, Xs, Zs)
+    V = (us @ us / (n - 3)) * Minv
+    for i, name in enumerate(["(Intercept)", "x_ex", "x_end"]):
+        assert m.coef()[name] == pytest.approx(beta[i], rel=1e-9)
+        assert m.se()[name] == pytest.approx(np.sqrt(V[i, i]), rel=1e-8)
+    assert m.nobs_orig == n  # raw rows, not sum(w)
+    assert m.weight_col == "w"
+
+
+def test_iv_weighted_hc1_matches_numpy(iv_wdf):
+    sdf, pdf = iv_wdf
+    m = dbiv("y ~ x_ex | x_end ~ z1 + z2", sdf, weights="w", vcov="hc1")
+    n = len(pdf)
+    Xs, sw = _scaled(pdf, ["x_ex", "x_end"])
+    Zs, _ = _scaled(pdf, ["x_ex", "z1", "z2"])
+    ys = pdf.y.to_numpy() * sw
+    beta, Minv, G, us = _np_2sls(ys, Xs, Zs)
+    S = (Zs * (us**2)[:, None]).T @ Zs
+    V = (n / (n - 3)) * Minv @ (G.T @ S @ G) @ Minv
+    for i, name in enumerate(["(Intercept)", "x_ex", "x_end"]):
+        assert m.coef()[name] == pytest.approx(beta[i], rel=1e-9)
+        assert m.se()[name] == pytest.approx(np.sqrt(V[i, i]), rel=1e-8)
+
+
+def test_iv_weighted_cluster_matches_numpy(iv_wdf):
+    sdf, pdf = iv_wdf
+    m = dbiv("y ~ x_ex | x_end ~ z1 + z2", sdf, weights="w", vcov="~cl")
+    n = len(pdf)
+    Xs, sw = _scaled(pdf, ["x_ex", "x_end"])
+    Zs, _ = _scaled(pdf, ["x_ex", "z1", "z2"])
+    ys = pdf.y.to_numpy() * sw
+    beta, Minv, G, us = _np_2sls(ys, Xs, Zs)
+    cl = pdf.cl.to_numpy()
+    S = np.zeros((Zs.shape[1], Zs.shape[1]))
+    for c in np.unique(cl):
+        s = (Zs[cl == c] * us[cl == c][:, None]).sum(axis=0)
+        S += np.outer(s, s)
+    Gn = len(np.unique(cl))
+    V = (Gn / (Gn - 1)) * (n / (n - 3)) * Minv @ (G.T @ S @ G) @ Minv
+    for i, name in enumerate(["(Intercept)", "x_ex", "x_end"]):
+        assert m.coef()[name] == pytest.approx(beta[i], rel=1e-9)
+        assert m.se()[name] == pytest.approx(np.sqrt(V[i, i]), rel=1e-8)
+    assert m.n_clusters == Gn
+
+
+def test_iv_weighted_1fe_matches_scaled_lsdv(iv_wdf):
+    sdf, pdf = iv_wdf
+    m = dbiv("y ~ x_ex | g | x_end ~ z1 + z2", sdf, weights="w", vcov="iid")
+    # scaled-data LSDV-IV oracle: dummies also scaled by sqrt(w)
+    sw = np.sqrt(pdf.w.to_numpy())
+    D = pd.get_dummies(pdf.g).to_numpy(dtype=float)
+    X = np.column_stack([pdf.x_ex, pdf.x_end, D]) * sw[:, None]
+    Z = np.column_stack([pdf.x_ex, pdf.z1, pdf.z2, D]) * sw[:, None]
+    ys = pdf.y.to_numpy() * sw
+    beta, Minv, _, us = _np_2sls(ys, X, Z)
+    n, G = len(pdf), D.shape[1]
+    dfres = n - 2 - G
+    V = (us @ us / dfres) * Minv
+    assert m.coef()["x_ex"] == pytest.approx(beta[0], rel=1e-8)
+    assert m.coef()["x_end"] == pytest.approx(beta[1], rel=1e-8)
+    assert m.se()["x_ex"] == pytest.approx(np.sqrt(V[0, 0]), rel=1e-7)
+    assert m.se()["x_end"] == pytest.approx(np.sqrt(V[1, 1]), rel=1e-7)
+    assert m.df_residual == dfres
+
+
+def test_iv_weighted_2fe_routes_iterative(iv_wdf, recwarn):
+    sdf, pdf = iv_wdf
+    m = dbiv("y ~ x_ex | g + h | x_end ~ z1 + z2", sdf, weights="w")
+    assert m.demean_iterated
+    assert not [w for w in recwarn.list if "unbalanced" in str(w.message)]
+    sw = np.sqrt(pdf.w.to_numpy())
+    Dg = pd.get_dummies(pdf.g).to_numpy(dtype=float)
+    Dh = pd.get_dummies(pdf.h, drop_first=True).to_numpy(dtype=float)
+    X = np.column_stack([pdf.x_ex, pdf.x_end, Dg, Dh]) * sw[:, None]
+    Z = np.column_stack([pdf.x_ex, pdf.z1, pdf.z2, Dg, Dh]) * sw[:, None]
+    beta, *_ = _np_2sls(pdf.y.to_numpy() * sw, X, Z)
+    assert m.coef()["x_ex"] == pytest.approx(beta[0], rel=1e-7)
+    assert m.coef()["x_end"] == pytest.approx(beta[1], rel=1e-7)
+
+
+def test_iv_weighted_nonpositive_raises(spark):
+    pdf = _gen(seed=13, n=300)
+    pdf["w"] = 1.0
+    pdf.loc[5, "w"] = -2.0
+    sdf = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="non-positive"):
+        dbiv("y ~ x_ex | x_end ~ z1", sdf, weights="w")
