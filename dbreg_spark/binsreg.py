@@ -154,6 +154,7 @@ def dbbinsreg(
     ci: bool = True,
     cb: bool = False,
     vcov=None,
+    weights: str | None = None,
     level: float = 0.95,
     nsims: int = 500,
     seed: int = 42,
@@ -173,6 +174,14 @@ def dbbinsreg(
     threshold, or an explicit ``randcut`` < 1); ``True`` enables silently;
     ``False`` always fits on the full data. Ignored for s = 0 fits, which
     the compress strategy already handles efficiently.
+
+    ``weights`` (beyond the reference; R binsreg's ``weights=``): strictly
+    positive observation weights — every bin/spline regression runs as WLS
+    through :func:`dbreg`'s weighted paths, so fitted points, CIs, and the
+    sup-t band all reflect the weighting. Bin BREAKS and geometry stay
+    unweighted data quantiles/means (the x-axis is data geometry, not
+    estimator state — matching R binsreg, whose quantile knots ignore
+    weights).
     """
     pts = _parse_ps(points, "points", default=None)
     lns = _parse_ps(line, "line", default=None)
@@ -208,7 +217,14 @@ def dbbinsreg(
     df = source.df
     from .api import _require_columns
 
-    _require_columns(df, [y, x] + controls + fe)
+    weight_col = None
+    if weights is not None:
+        weight_col = weights.lstrip("~").strip()
+        if not weight_col or any(ch in weight_col for ch in " +*:|"):
+            raise ValueError(
+                "weights must name a single column (e.g. weights='w' or '~w')"
+            )
+    _require_columns(df, [y, x] + controls + fe + ([weight_col] if weight_col else []))
 
     # ---- sample_fit: one sample reused for breaks AND spline fits --------
     # (reference: R/dbbinsreg.R:517-535 materializes a sampled temp table of
@@ -219,7 +235,7 @@ def dbbinsreg(
         import warnings
 
         cond = F.col(x).isNotNull() & F.col(y).isNotNull()
-        for c in controls + fe:
+        for c in controls + fe + ([weight_col] if weight_col else []):
             cond = cond & F.col(c).isNotNull()
         n_rows = df.where(cond).count()
         frac = randcut if randcut is not None else (0.01 if n_rows > 1_000_000 else 1.0)
@@ -267,6 +283,7 @@ def dbbinsreg(
     common = dict(
         y=y, x=x, controls=controls, fe=fe, breaks=breaks, vcov=vcov,
         ci=ci, strategy=strategy, xs_full=xs_full, verbose=verbose,
+        weight_col=weight_col,
     )
 
     def _fit(p, s):
@@ -318,8 +335,12 @@ def dbbinsreg(
 # --------------------------------------------------------------------------
 
 
-def _unconstrained(df, y, x, controls, fe, breaks, degree, vcov, ci, strategy, xs_full, verbose):
-    binned = assign_bins(df, x, y, breaks, keep_cols=controls + fe)
+def _unconstrained(
+    df, y, x, controls, fe, breaks, degree, vcov, ci, strategy, xs_full,
+    verbose, weight_col=None,
+):
+    wk = [weight_col] if weight_col else []
+    binned = assign_bins(df, x, y, breaks, keep_cols=controls + fe + wk)
     geo = bin_geometry_np(xs_full, breaks) if xs_full is not None else bin_geometry(binned, x)
 
     # drop bins with too few observations for the requested degree
@@ -357,6 +378,9 @@ def _unconstrained(df, y, x, controls, fe, breaks, degree, vcov, ci, strategy, x
     for f_ in fe:
         cols.append(F.col(f_))
         sel_names.append(f_)
+    if weight_col:
+        cols.append(F.col(weight_col))
+        sel_names.append(weight_col)
 
     frame = binned.select(*cols)
     fml = f"{y} ~ {' + '.join(rhs_terms)}"
@@ -372,7 +396,10 @@ def _unconstrained(df, y, x, controls, fe, breaks, degree, vcov, ci, strategy, x
             strategy = "compress"
         elif not controls and not fe:
             strategy = "moments"
-    fit = dbreg(fml, frame, strategy=strategy, vcov=vcov if ci else "iid", verbose=verbose)
+    fit = dbreg(
+        fml, frame, strategy=strategy, vcov=vcov if ci else "iid",
+        verbose=verbose, weights=weight_col,
+    )
 
     coefs = fit.coef()
     has_intercept = "(Intercept)" in coefs.index
@@ -418,8 +445,12 @@ def _unconstrained(df, y, x, controls, fe, breaks, degree, vcov, ci, strategy, x
 # --------------------------------------------------------------------------
 
 
-def _constrained(df, y, x, controls, fe, breaks, degree, smooth, vcov, ci, strategy, xs_full, verbose):
-    binned = assign_bins(df, x, y, breaks, keep_cols=controls + fe)
+def _constrained(
+    df, y, x, controls, fe, breaks, degree, smooth, vcov, ci, strategy,
+    xs_full, verbose, weight_col=None,
+):
+    wk = [weight_col] if weight_col else []
+    binned = assign_bins(df, x, y, breaks, keep_cols=controls + fe + wk)
     geo = bin_geometry_np(xs_full, breaks) if xs_full is not None else bin_geometry(binned, x)
     knots = geo["x_right"].to_numpy(dtype=float)[:-1]
 
@@ -446,6 +477,8 @@ def _constrained(df, y, x, controls, fe, breaks, degree, smooth, vcov, ci, strat
         rhs_terms.append(c)
     for f_ in fe:
         cols.append(F.col(f_))
+    if weight_col:
+        cols.append(F.col(weight_col))
 
     frame = binned.select(*cols)
     fml = f"{y} ~ {' + '.join(rhs_terms)}"
@@ -455,7 +488,10 @@ def _constrained(df, y, x, controls, fe, breaks, degree, smooth, vcov, ci, strat
     # strategy is determined (moments for the no-FE case)
     if strategy == "auto" and not fe:
         strategy = "moments"
-    fit = dbreg(fml, frame, strategy=strategy, vcov=vcov if ci else "iid", verbose=verbose)
+    fit = dbreg(
+        fml, frame, strategy=strategy, vcov=vcov if ci else "iid",
+        verbose=verbose, weights=weight_col,
+    )
 
     coefs = fit.coef()
     has_intercept = "(Intercept)" in coefs.index

@@ -358,3 +358,74 @@ def test_weighted_moments_sql_matches_duckdb(spark, wpanel):
     ).iloc[0]
     for k in got.index:
         np.testing.assert_allclose(got[k], oracle[k], rtol=1e-9)
+
+
+# ----------------------------------------------------------- dbbinsreg ----
+
+
+def test_binsreg_weighted_deg0_bins_are_weighted_means(spark):
+    """Degree-0 weighted binscatter: each bin's fitted value is the bin's
+    w-weighted mean of y (the WLS bin-dummy coefficient)."""
+    from dbreg_spark import dbbinsreg
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "x": rng.uniform(0, 1, n),
+            "w": rng.uniform(0.2, 3.0, n),
+        }
+    )
+    pdf["y"] = 2.0 * pdf.x + rng.normal(size=n)
+    df = spark.createDataFrame(pdf)
+    breaks = [0.0, 0.25, 0.5, 0.75, 1.0]
+    r = dbbinsreg(
+        "y ~ x", df, points=(0, 0), binspos=breaks, weights="w", ci=False
+    )
+    fit = r.points.set_index("bin")["fit"]
+    cut = pd.cut(pdf.x, breaks, labels=False, include_lowest=True) + 1
+    for b, grp in pdf.groupby(cut):
+        wmean = (grp.y * grp.w).sum() / grp.w.sum()
+        assert fit[b] == pytest.approx(wmean, rel=1e-8)
+    # unweighted differs (sanity that the weighting actually bound)
+    r0 = dbbinsreg("y ~ x", df, points=(0, 0), binspos=breaks, ci=False)
+    assert not np.allclose(
+        r0.points["fit"].to_numpy(), r.points["fit"].to_numpy()
+    )
+
+
+def test_binsreg_weighted_spline_matches_dense_wls(spark):
+    """Weighted constrained (spline) fit == dense numpy WLS on the same
+    truncated-power basis."""
+    from dbreg_spark import dbbinsreg
+
+    rng = np.random.default_rng(22)
+    n = 2500
+    pdf = pd.DataFrame(
+        {"x": rng.uniform(0, 1, n), "w": rng.uniform(0.5, 2.0, n)}
+    )
+    pdf["y"] = np.sin(3 * pdf.x) + rng.normal(scale=0.3, size=n)
+    df = spark.createDataFrame(pdf)
+    breaks = [0.0, 0.25, 0.5, 0.75, 1.0]
+    r = dbbinsreg(
+        "y ~ x", df, points=(1, 1), binspos=breaks, weights="w", ci=False,
+        sample_fit=False,
+    )
+    # engine knots are the data-driven per-bin x-max (bin_geometry), not
+    # the literal break values
+    cut = pd.cut(pdf.x, breaks, labels=False, include_lowest=True)
+    knots = pdf.groupby(cut)["x"].max().to_numpy()[:-1]
+    X = np.column_stack(
+        [np.ones(n), pdf.x]
+        + [np.maximum(0.0, pdf.x - k) for k in knots]
+    )
+    w = pdf.w.to_numpy()
+    b = np.linalg.solve(X.T @ (w[:, None] * X), X.T @ (w * pdf.y.to_numpy()))
+
+    def spline_at(xv):
+        return b[0] + b[1] * xv + sum(
+            b[2 + j] * max(0.0, xv - k) for j, k in enumerate(knots)
+        )
+
+    for _, row in r.points.iterrows():
+        assert row["fit"] == pytest.approx(spline_at(row["x"]), rel=1e-7)
