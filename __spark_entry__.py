@@ -296,7 +296,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dbreg_spark import dbbinsreg, dbreg
     from dbreg_spark.api import build_meat_plan, build_plan
-    from dbreg_spark.operators import dedup, similarity, text
+    from dbreg_spark.operators import dedup, evaluate, similarity, text
 
     Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -578,6 +578,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.fingerprints(t["documents"]).select("doc_id", "fp_md5", "fp_rolling")
 
     Q["text_fingerprints"] = q_fingerprints
+
+    # ---- evaluation metrics (classifier loop: fit -> apply -> EVALUATE) ----
+    def _eval_scored(t):
+        return t["documents"].select(
+            (F.col("lang") == "en").cast("double").alias("label"),
+            (
+                F.when(F.col("lang") == "en", 0.3).otherwise(0.0)
+                + F.pmod(F.col("doc_id"), F.lit(700)) / 999.0
+            ).alias("score"),
+        )
+
+    def q_eval_classifier(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        return _round_doubles_df(
+            evaluate.classifier_metrics(
+                _eval_scored(t), "label", "score", bins=1000
+            )
+        )
+
+    Q["eval_classifier_metrics"] = q_eval_classifier
+
+    def q_eval_calibration(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        return _round_doubles_df(
+            evaluate.calibration_table(_eval_scored(t), "label", "score", bins=10)
+        )
+
+    Q["eval_calibration"] = q_eval_calibration
+
+    def q_eval_regression(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        d = t["documents"].select(
+            F.col("n_chars").cast("double").alias("yv"),
+            (F.pmod(F.col("doc_id"), F.lit(500)) + 100.0).alias("fv"),
+        )
+        return _round_doubles_df(evaluate.regression_metrics(d, "yv", "fv"))
+
+    Q["eval_regression_metrics"] = q_eval_regression
 
     def q_exact_dedup(spark, sf_dir):
         t = _tables(spark, sf_dir)
@@ -1483,7 +1521,7 @@ def _plan_oracle_sql(fml: str, strategy: str, weights: str | None = None) -> str
 
 
 def oracle_sql() -> dict[str, str]:
-    from dbreg_spark.operators import dedup, text
+    from dbreg_spark.operators import dedup, evaluate, text
 
     O: dict[str, str] = {}
     for name, fml, strat in [
@@ -1521,6 +1559,35 @@ def oracle_sql() -> dict[str, str]:
                 f"CAST({cols[i]} AS DOUBLE) * CAST({cols[j]} AS DOUBLE)) AS meat_{i}_{j}"
             )
     meat_names = [f"meat_{i}_{j}" for i in range(3) for j in range(i, 3)]
+    _scored_from = (
+        "FROM (SELECT CAST(lang = 'en' AS DOUBLE) AS label, "
+        "(CASE WHEN lang = 'en' THEN 0.3 ELSE 0.0 END "
+        "+ (doc_id % 700) / 999.0) AS score FROM documents)"
+    )
+    _cm_cols = [
+        "n", "n_pos", "n_neg", "auc", "log_loss", "brier", "tp", "fp",
+        "tn", "fn", "accuracy", "precision", "recall", "f1",
+    ]
+    O["eval_classifier_metrics"] = _round_doubles_sql(
+        evaluate.classifier_metrics_sql(_scored_from, "label", "score", bins=1000),
+        _cm_cols,
+        ["auc", "log_loss", "brier", "accuracy", "precision", "recall", "f1"],
+    )
+    O["eval_calibration"] = _round_doubles_sql(
+        evaluate.calibration_table_sql(_scored_from, "label", "score", bins=10),
+        ["bucket", "n", "mean_score", "pos_rate"],
+        ["mean_score", "pos_rate"],
+    )
+    _reg_from = (
+        "FROM (SELECT CAST(n_chars AS DOUBLE) AS yv, "
+        "CAST((doc_id % 500) + 100.0 AS DOUBLE) AS fv FROM documents)"
+    )
+    O["eval_regression_metrics"] = _round_doubles_sql(
+        evaluate.regression_metrics_sql(_reg_from, "yv", "fv"),
+        ["n", "rmse", "mae", "bias", "r2"],
+        ["rmse", "mae", "bias", "r2"],
+    )
+
     O["meat_hc1_fixed_beta"] = _round_doubles_sql(
         "SELECT " + ", ".join(meat_terms) + f" FROM ({base}) b", meat_names, meat_names
     )

@@ -38,6 +38,11 @@ from .operators.multimodal import (
     resize_stub,
     synthesize_media,
 )
+from .operators.evaluate import (
+    calibration_table,
+    classifier_metrics,
+    regression_metrics,
+)
 from .operators.report import corpus_report
 from .operators.semistruct import json_fields, json_key_stats
 from .operators.web import c4_filter, domain_stats, extract_urls
@@ -94,6 +99,7 @@ __all__ = [
     # text
     "text_stats", "fingerprints", "repetition_stats", "lm_quality_score", "lm_bigram_score",
     "redact_pii", "decontaminate", "vocabulary", "vocab_with_ids", "quality_classify",
+    "classifier_metrics", "calibration_table", "regression_metrics",
     "fit_quality_classifier",
     "encode_tokens", "bm25_topk", "importance_weights",
     "importance_sample", "chunk_text", "pack_greedy", "assemble_packs",
