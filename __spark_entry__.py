@@ -296,7 +296,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dbreg_spark import dbbinsreg, dbreg
     from dbreg_spark.api import build_meat_plan, build_plan
-    from dbreg_spark.operators import dedup, evaluate, similarity, text
+    from dbreg_spark.operators import bpe, dedup, evaluate, similarity, text
 
     Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -616,6 +616,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _round_doubles_df(evaluate.regression_metrics(d, "yv", "fv"))
 
     Q["eval_regression_metrics"] = q_eval_regression
+
+    # ---- BPE tokenizer: training word-frequency pass (SQL twin) and the
+    # full train+encode loop (rows-only: iterative merges are not SQL) ----
+    def q_bpe_wordfreq(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        return bpe.word_frequencies(t["documents"], max_words=200)
+
+    Q["text_bpe_wordfreq"] = q_bpe_wordfreq
+
+    def q_bpe_encode(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        model = bpe.learn_bpe(t["documents"], num_merges=150, max_words=10_000)
+        return bpe.encode_bpe(t["documents"], model).select(
+            "doc_id", "n_tokens", "n_oov_words"
+        )
+
+    Q["text_bpe_encode"] = q_bpe_encode
 
     def q_exact_dedup(spark, sf_dir):
         t = _tables(spark, sf_dir)
@@ -1577,6 +1594,11 @@ def oracle_sql() -> dict[str, str]:
         evaluate.calibration_table_sql(_scored_from, "label", "score", bins=10),
         ["bucket", "n", "mean_score", "pos_rate"],
         ["mean_score", "pos_rate"],
+    )
+    from dbreg_spark.operators import bpe as _bpe
+
+    O["text_bpe_wordfreq"] = _bpe.word_frequencies_sql(
+        "FROM documents", max_words=200
     )
     _reg_from = (
         "FROM (SELECT CAST(n_chars AS DOUBLE) AS yv, "

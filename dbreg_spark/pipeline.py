@@ -38,6 +38,12 @@ from .operators.multimodal import (
     resize_stub,
     synthesize_media,
 )
+from .operators.bpe import (
+    BpeModel,
+    encode_bpe,
+    learn_bpe,
+    word_frequencies,
+)
 from .operators.evaluate import (
     calibration_table,
     classifier_metrics,
@@ -100,6 +106,7 @@ __all__ = [
     "text_stats", "fingerprints", "repetition_stats", "lm_quality_score", "lm_bigram_score",
     "redact_pii", "decontaminate", "vocabulary", "vocab_with_ids", "quality_classify",
     "classifier_metrics", "calibration_table", "regression_metrics",
+    "BpeModel", "learn_bpe", "encode_bpe", "word_frequencies",
     "fit_quality_classifier",
     "encode_tokens", "bm25_topk", "importance_weights",
     "importance_sample", "chunk_text", "pack_greedy", "assemble_packs",
