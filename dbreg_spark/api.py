@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .design import DesignInfo, build_design, standardize_coef_names
-from .formula import ParsedFormula, parse_formula, parse_vcov
+from .formula import ParsedFormula, parse_formula, parse_vcov, parse_weights
 from .guards import is_result_too_large
 from .model import DbregModel
 from .plans.common import (
@@ -96,13 +96,7 @@ def dbreg(
     parsed = parse_formula(fml)
     if parsed.yvar is None:
         raise ValueError("Formula needs an outcome variable.")
-    weight_col = None
-    if weights is not None:
-        weight_col = weights.lstrip("~").strip()
-        if not weight_col or any(ch in weight_col for ch in " +*:|"):
-            raise ValueError(
-                "weights must name a single column (e.g. weights='w' or '~w')"
-            )
+    weight_col = parse_weights(weights)
     if spark is None and isinstance(data, DataFrame):
         spark = data.sparkSession
     source = resolve_source(spark=spark, data=data, table=table, path=path)
@@ -1601,7 +1595,7 @@ def build_plan(
     from .plans.exprs import agg_to_spark
 
     parsed = parse_formula(fml)
-    weight_col = weights.lstrip("~").strip() if weights else None
+    weight_col = parse_weights(weights)
     if spark is None and isinstance(data, DataFrame):
         spark = data.sparkSession
     source = resolve_source(spark=spark, data=data, table=table, path=path)

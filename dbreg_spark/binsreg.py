@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import stats as _tstats
 from .api import dbreg
-from .formula import parse_formula
+from .formula import parse_formula, parse_weights
 from .model import DbregModel
 from .operators.binning import (
     BreakInfo,
@@ -217,13 +217,7 @@ def dbbinsreg(
     df = source.df
     from .api import _require_columns
 
-    weight_col = None
-    if weights is not None:
-        weight_col = weights.lstrip("~").strip()
-        if not weight_col or any(ch in weight_col for ch in " +*:|"):
-            raise ValueError(
-                "weights must name a single column (e.g. weights='w' or '~w')"
-            )
+    weight_col = parse_weights(weights)
     _require_columns(df, [y, x] + controls + fe + ([weight_col] if weight_col else []))
 
     # ---- sample_fit: one sample reused for breaks AND spline fits --------

@@ -199,6 +199,20 @@ def parse_cluster(spec) -> list[str]:
     return vars_
 
 
+def parse_weights(weights: str | None) -> str | None:
+    """Resolve a ``weights=`` argument ("w" or "~w") to a single column
+    name — shared by dbreg/dbiv/dbbinsreg/build_plan so the rule and its
+    error message cannot drift."""
+    if weights is None:
+        return None
+    col = weights.lstrip("~").strip()
+    if not col or any(ch in col for ch in " +*:|"):
+        raise ValueError(
+            "weights must name a single column (e.g. weights='w' or '~w')"
+        )
+    return col
+
+
 def parse_vcov(vcov, cluster=None, valid=("iid", "hc1")) -> tuple[str, list[str] | None]:
     """Returns (vcov_type, cluster_vars). Mirrors R/utils.R:276-314; the
     cluster list has >1 entry only for the multiway extension."""

@@ -55,6 +55,7 @@ from .formula import (
     _TOKEN,
     parse_formula,
     parse_vcov,
+    parse_weights,
 )
 from .model import DbregModel
 from .plans.common import (
@@ -304,13 +305,7 @@ def dbiv(
     """
     vcov_type, cluster_vars = parse_vcov(vcov, cluster)
     ivf = parse_iv_formula(fml)
-    weight_col = None
-    if weights is not None:
-        weight_col = weights.lstrip("~").strip()
-        if not weight_col or any(ch in weight_col for ch in " +*:|"):
-            raise ValueError(
-                "weights must name a single column (e.g. weights='w' or '~w')"
-            )
+    weight_col = parse_weights(weights)
     if spark is None and isinstance(data, DataFrame):
         spark = data.sparkSession
     source = resolve_source(spark=spark, data=data, table=table, path=path)

@@ -169,15 +169,18 @@ class DbregModel:
                 "recomputed with the estimator's weighting"
             )
 
-    def _mean_agg(self, expr, alias: str):
+    def _mean_agg(self, expr, alias: str | None = None):
         """Group-mean aggregate matching the estimator: plain AVG, or the
-        w-weighted mean Σw·x/Σw for WLS models."""
+        null-aware w-weighted mean Σw·x / Σ(w | x not null) for WLS models
+        (same semantics as plans.frames._wmean_col)."""
         import pyspark.sql.functions as F
 
         if self.weight_col:
             w = F.col(self.weight_col).cast("double")
-            return (F.sum(expr * w) / F.sum(w)).alias(alias)
-        return F.avg(expr).alias(alias)
+            out = F.sum(expr * w) / F.sum(F.when(expr.isNotNull(), w))
+        else:
+            out = F.avg(expr)
+        return out.alias(alias) if alias is not None else out
 
     # -- predict (distributed; reference: R/stats-methods.R:94-236) --------
     def predict(self, newdata=None, interval: str | None = None, level: float = 0.95):
@@ -508,14 +511,7 @@ class DbregModel:
             self._require_weight(data)
             fe1 = self.fe[0]
             beta = self.coeftable["estimate"]
-
-            def _wavg(expr):
-                if self.weight_col:
-                    w = F.col(self.weight_col).cast("double")
-                    return F.sum(expr * w) / F.sum(w)
-                return F.avg(expr)
-
-            terms = [_wavg(F.col(self.yvar).cast("double"))]
+            terms = [self._mean_agg(F.col(self.yvar).cast("double"))]
             # design_info.names holds the STRUCTURAL terms only — the
             # Mundlak x_bar_<fe> CRE columns are appended to the frame
             # after the design is built, so residualizing on these names
@@ -525,7 +521,7 @@ class DbregModel:
                 if cname in beta.index:
                     terms.append(
                         -F.lit(float(beta[cname]))
-                        * _wavg(self._design_expr(raw, data))
+                        * self._mean_agg(self._design_expr(raw, data))
                     )
             fix = terms[0]
             for t in terms[1:]:

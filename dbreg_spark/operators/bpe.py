@@ -289,7 +289,17 @@ def encode_bpe(
     spark = corpus.sparkSession
     wf = word_frequencies(corpus, col, max_apply_words, model.lowercase)
     seen = [r["word"] for r in wf.select("word").collect()]
-    mapping = [(w, model.encode_word(w)) for w in seen]
+    unk = int(model.unk_id)
+    # a word containing symbols unseen at training time can't be encoded —
+    # keep it OUT of the map so it takes the one-unk OOV path below and is
+    # COUNTED in n_oov_words (an in-map entry would emit one unk per
+    # untrained symbol with oov=0, silently hiding exactly the
+    # high-frequency OOV mass this column exists to surface)
+    mapping = []
+    for w in seen:
+        ids = model.encode_word(w)
+        if unk not in ids:
+            mapping.append((w, ids))
 
     from pyspark.sql import types as T
 
@@ -303,7 +313,6 @@ def encode_bpe(
         [(w, [int(i) for i in ids]) for w, ids in mapping], schema=map_schema
     )
 
-    unk = int(model.unk_id)
     toks = corpus.select(
         F.col(id_col),
         F.posexplode(F.expr(_word_array_expr(col, model.lowercase))).alias(

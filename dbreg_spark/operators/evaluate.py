@@ -52,8 +52,10 @@ def classifier_metrics(
     precision/recall/f1 are NULL when undefined, sklearn's 0-division
     sentinel made explicit).
 
-    Two jobs total: the global aggregate and the ≤ ``bins``-row bucket
-    aggregate (cumulated driver-side). Null labels/scores are dropped.
+    ONE data scan: every global metric is a per-row sum, so it rides the
+    same groupBy(bucket) pass as the ROC (≤ ``bins`` output rows, map-side
+    combined) and is totaled driver-side. An empty (or fully-null) input
+    returns the n=0 row with NULL metrics rather than crashing.
     """
     y = F.col(label_col).cast("double")
     p = F.col(score_col).cast("double")
@@ -62,39 +64,45 @@ def classifier_metrics(
     )
     y, p = F.col("__y"), F.col("__p")
     pred = (p >= F.lit(float(threshold))).cast("double")
-
-    row = d.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(y).cast("long").alias("n_pos"),
-        F.sum(1.0 - y).cast("long").alias("n_neg"),
-        F.avg(
-            -(y * F.log(_clip(p)) + (1.0 - y) * F.log(1.0 - _clip(p)))
-        ).alias("log_loss"),
-        F.avg((p - y) * (p - y)).alias("brier"),
-        F.sum(pred * y).cast("long").alias("tp"),
-        F.sum(pred * (1.0 - y)).cast("long").alias("fp"),
-        F.sum((1.0 - pred) * (1.0 - y)).cast("long").alias("tn"),
-        F.sum((1.0 - pred) * y).cast("long").alias("fn"),
-    ).collect()[0]
-
-    # ---- binned ROC: bucket b holds scores in [b/bins, (b+1)/bins) -------
     bkt = F.least(
         F.greatest(F.floor(p * bins), F.lit(0)), F.lit(int(bins) - 1)
     )
     bt = (
         d.groupBy(bkt.alias("__b"))
-        .agg(F.sum(y).alias("__pos"), F.sum(1.0 - y).alias("__neg"))
+        .agg(
+            F.sum(y).alias("__pos"),
+            F.sum(1.0 - y).alias("__neg"),
+            F.sum(
+                -(y * F.log(_clip(p)) + (1.0 - y) * F.log(1.0 - _clip(p)))
+            ).alias("__ll"),
+            F.sum((p - y) * (p - y)).alias("__br"),
+            F.sum(pred * y).alias("__tp"),
+            F.sum(pred * (1.0 - y)).alias("__fp"),
+            F.sum((1.0 - pred) * (1.0 - y)).alias("__tn"),
+            F.sum((1.0 - pred) * y).alias("__fn"),
+        )
         .orderBy(F.col("__b").desc())
         .collect()
     )
+
+    def tot(col):
+        return float(sum(r[col] for r in bt))
+
+    n_pos, n_neg = (int(tot("__pos")), int(tot("__neg"))) if bt else (0, 0)
+    n = n_pos + n_neg
     auc = _trapezoid_auc(
         np.array([r["__pos"] for r in bt], dtype=float),
         np.array([r["__neg"] for r in bt], dtype=float),
-        int(row["n_pos"]),
-        int(row["n_neg"]),
+        n_pos,
+        n_neg,
     )
-
-    tp, fp, tn, fn = (float(row[k]) for k in ("tp", "fp", "tn", "fn"))
+    if n:
+        tp, fp, tn, fn = (tot(c) for c in ("__tp", "__fp", "__tn", "__fn"))
+        log_loss = tot("__ll") / n
+        brier = tot("__br") / n
+    else:
+        tp = fp = tn = fn = 0.0
+        log_loss = brier = None
     prec = tp / (tp + fp) if (tp + fp) > 0 else None
     rec = tp / (tp + fn) if (tp + fn) > 0 else None
     f1 = (
@@ -103,17 +111,17 @@ def classifier_metrics(
         else None
     )
     out = {
-        "n": int(row["n"]),
-        "n_pos": int(row["n_pos"]),
-        "n_neg": int(row["n_neg"]),
+        "n": n,
+        "n_pos": n_pos,
+        "n_neg": n_neg,
         "auc": auc,
-        "log_loss": float(row["log_loss"]) if row["log_loss"] is not None else None,
-        "brier": float(row["brier"]) if row["brier"] is not None else None,
-        "tp": int(row["tp"]),
-        "fp": int(row["fp"]),
-        "tn": int(row["tn"]),
-        "fn": int(row["fn"]),
-        "accuracy": (tp + tn) / max(tp + fp + tn + fn, 1.0),
+        "log_loss": log_loss,
+        "brier": brier,
+        "tp": int(tp),
+        "fp": int(fp),
+        "tn": int(tn),
+        "fn": int(fn),
+        "accuracy": (tp + tn) / n if n else None,
         "precision": prec,
         "recall": rec,
         "f1": f1,
@@ -196,7 +204,8 @@ a AS (SELECT SUM((fpr - fpr0) * (tpr + tpr0) / 2.0) AS auc FROM c)
 SELECT g.n, g.n_pos, g.n_neg,
   CASE WHEN g.n_pos = 0 OR g.n_neg = 0 THEN NULL ELSE a.auc END AS auc,
   g.log_loss, g.brier, g.tp, g.fp, g.tn, g.fn,
-  (g.tp + g.tn) / GREATEST(CAST(g.n AS DOUBLE), 1.0) AS accuracy,
+  CASE WHEN g.n > 0
+    THEN (g.tp + g.tn) / CAST(g.n AS DOUBLE) END AS accuracy,
   CASE WHEN g.tp + g.fp > 0 THEN g.tp / CAST(g.tp + g.fp AS DOUBLE) END AS precision,
   CASE WHEN g.tp + g.fn > 0 THEN g.tp / CAST(g.tp + g.fn AS DOUBLE) END AS recall,
   CASE WHEN g.tp + g.fp > 0 AND g.tp + g.fn > 0

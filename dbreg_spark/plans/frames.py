@@ -155,14 +155,24 @@ def build_base_frame(
 
 
 def _wmean_col(c: str, w: str):
-    """Weighted mean Σw·c / Σw as a Spark aggregate column."""
-    return F.sum(F.col(c).cast("double") * F.col(w).cast("double")) / F.sum(
-        F.col(w).cast("double")
-    )
+    """Weighted mean Σw·c / Σw as a Spark aggregate column.
+
+    Null-aware like AVG: a null c contributes neither numerator nor
+    denominator (the denominator conditions w on c's presence — a plain
+    SUM(w) would count null-c rows and shrink the mean toward 0 whenever
+    drop_missings=False leaves nulls in)."""
+    cd = F.col(c).cast("double")
+    wd = F.col(w).cast("double")
+    return F.sum(cd * wd) / F.sum(F.when(cd.isNotNull(), wd))
 
 
 def _wmean_sql(c: str, w: str) -> str:
-    return f"SUM(CAST({c} AS DOUBLE) * CAST({w} AS DOUBLE)) / SUM(CAST({w} AS DOUBLE))"
+    cd = f"CAST({c} AS DOUBLE)"
+    wd = f"CAST({w} AS DOUBLE)"
+    return (
+        f"SUM({cd} * {wd}) / "
+        f"SUM(CASE WHEN {cd} IS NOT NULL THEN {wd} END)"
+    )
 
 
 def build_demeaned_frame(

@@ -177,14 +177,14 @@ def test_encode_bpe_oov_words_become_unk(spark, corpus):
     extra = spark.createDataFrame(
         pd.DataFrame({"doc_id": [900], "text": ["low qqqq low"]})
     )
-    # qqqq's symbols exist? 'q' never appears in training: every symbol
-    # lookup misses -> each segment is unk, and the word is not in the
-    # apply map built from THIS corpus, so it encodes as one unk
+    # 'q' never appears in training, so 'qqqq' cannot be encoded — the
+    # contract is ONE unk for the whole word, counted in n_oov_words,
+    # even though 'qqqq' is frequent enough to enter the apply map
     enc = encode_bpe(extra, m).toPandas().iloc[0]
     ids = list(enc["token_ids"])
-    assert m.unk_id in ids
     low_ids = m.encode_word("low")
-    assert ids[: len(low_ids)] == low_ids and ids[-len(low_ids):] == low_ids
+    assert ids == low_ids + [m.unk_id] + low_ids
+    assert enc["n_oov_words"] == 1
 
 
 def test_encode_bpe_empty_doc(spark, corpus):

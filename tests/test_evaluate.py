@@ -153,3 +153,45 @@ def test_null_rows_dropped(spark):
     pdf2.loc[:19, "y"] = None
     m = classifier_metrics(spark.createDataFrame(pdf2), "y", "p").toPandas()
     assert m["n"].iloc[0] == 480
+
+
+def test_classifier_metrics_empty_input(spark):
+    df = spark.createDataFrame([], schema="y double, p double")
+    m = classifier_metrics(df, "y", "p").toPandas().iloc[0]
+    assert m["n"] == 0
+    for c in ("auc", "log_loss", "brier", "accuracy", "precision", "recall", "f1"):
+        assert pd.isna(m[c]), c
+
+
+def test_weighted_demean_null_x_drop_missings_false(spark):
+    """drop_missings=False with a null regressor: the weighted group mean
+    must ignore the null row entirely (AVG semantics), not count its w in
+    the denominator."""
+    import numpy as np
+
+    from dbreg_spark import dbreg
+
+    rng = np.random.default_rng(31)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "x": rng.normal(size=n),
+            "f": rng.integers(0, 5, n),
+            "w": rng.uniform(0.5, 2.0, n),
+        }
+    )
+    pdf["y"] = 1.0 + 2.0 * pdf.x + 0.3 * pdf.f + rng.normal(size=n)
+    pdf["x"] = pdf["x"].astype(object)
+    pdf.loc[:19, "x"] = None
+    df = spark.createDataFrame(pdf)
+    m = dbreg("y ~ x | f", df, weights="w", strategy="demean",
+              drop_missings=False)
+    sub = pdf.iloc[20:]
+    import pandas as _pd
+
+    D = _pd.get_dummies(sub.f.astype(str)).to_numpy(dtype=float)
+    X = np.column_stack([sub.x.to_numpy(dtype=float), D])
+    w = sub.w.to_numpy()
+    yv = sub.y.to_numpy()
+    b = np.linalg.solve(X.T @ (w[:, None] * X), X.T @ (w * yv))
+    assert m.coef()["x"] == pytest.approx(b[0], rel=1e-8)
