@@ -120,6 +120,18 @@ def main() -> None:
             vcov="hc1",
         ),
     )
+    # WLS: weighted 1-FE demean + HC1 (the weighted moment/mean/meat paths;
+    # l_quantity is a strictly positive integer weight)
+    bench(
+        "reg_weighted_demean_hc1",
+        lambda: dbreg(
+            "l_extendedprice ~ l_discount + l_tax | l_returnflag",
+            li,
+            weights="l_quantity",
+            strategy="demean",
+            vcov="hc1",
+        ),
+    )
     # GLM: full logit IRLS fit (≈5 passes) + HC1 score-meat pass
     from dbreg_spark import dbglm
 
@@ -347,6 +359,29 @@ def main() -> None:
     bench(
         "events_retention",
         lambda: em.queries()["events_retention"](spark, SF_DIR).count(),
+    )
+    # BPE: train (word-frequency scan + driver merges) + encode (broadcast
+    # word-map join) on the documents corpus
+    from dbreg_spark.operators import bpe as _bpe
+
+    def _bpe_train_encode():
+        model = _bpe.learn_bpe(t["documents"], num_merges=200, max_words=50_000)
+        _bpe.encode_bpe(t["documents"], model).count()
+
+    bench("text_bpe_train_encode", _bpe_train_encode)
+    # classifier evaluation: one bucket-pass scan over a scored corpus
+    from dbreg_spark.operators import evaluate as _ev
+
+    docs_scored = t["documents"].select(
+        (F.col("lang") == "en").cast("double").alias("label"),
+        (
+            F.when(F.col("lang") == "en", 0.3).otherwise(0.0)
+            + F.pmod(F.col("doc_id"), F.lit(700)) / 999.0
+        ).alias("score"),
+    )
+    bench(
+        "eval_classifier_metrics",
+        lambda: _ev.classifier_metrics(docs_scored, "label", "score").count(),
     )
 
     sf = None
