@@ -634,6 +634,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["text_bpe_encode"] = q_bpe_encode
 
+    # ---- split-sample estimation: per-level moments from ONE grouped pass
+    def q_moments_split(spark, sf_dir):
+        from dbreg_spark.plans.common import moment_spec
+        from dbreg_spark.plans.exprs import Var, agg_to_spark
+
+        t = _tables(spark, sf_dir)
+        spec = moment_spec(
+            Var("l_extendedprice"),
+            [Var("l_quantity"), Var("l_discount")],
+            intercept=True,
+        )
+        li = t["lineitem"].where(
+            "l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL "
+            "AND l_discount IS NOT NULL"
+        )
+        return _round_doubles_df(
+            li.groupBy("l_linestatus").agg(
+                *[agg_to_spark(a).alias(n) for n, a in spec]
+            )
+        )
+
+    Q["moments_split"] = q_moments_split
+
     def q_exact_dedup(spark, sf_dir):
         t = _tables(spark, sf_dir)
         return dedup.exact_duplicates(t["documents"])
@@ -1599,6 +1622,20 @@ def oracle_sql() -> dict[str, str]:
 
     O["text_bpe_wordfreq"] = _bpe.word_frequencies_sql(
         "FROM documents", max_words=200
+    )
+    from dbreg_spark.split import split_moments_sql
+
+    _ms_sql = split_moments_sql(
+        "l_extendedprice ~ l_quantity + l_discount",
+        "l_linestatus",
+        "FROM lineitem",
+    )
+    _ms_cols = [
+        "l_linestatus", "n_total", "sum_y", "sum_y_sq", "sum_1", "sum_1_y",
+        "sum_2", "sum_2_y", "sum_1_1", "sum_1_2", "sum_2_2",
+    ]
+    O["moments_split"] = _round_doubles_sql(
+        _ms_sql, _ms_cols, [c for c in _ms_cols if c not in ("l_linestatus", "n_total")]
     )
     _reg_from = (
         "FROM (SELECT CAST(n_chars AS DOUBLE) AS yv, "

@@ -14,6 +14,7 @@ from .formula import parse_formula, parse_vcov
 from .glm import GlmModel, dbglm
 from .iv import IvModel, dbiv
 from .model import DbregModel
+from .split import DbregSplit, dbreg_split
 
 __all__ = [
     "dbreg",
@@ -24,6 +25,8 @@ __all__ = [
     "dbglm",
     "GlmModel",
     "dbiv",
+    "dbreg_split",
+    "DbregSplit",
     "IvModel",
     "parse_formula",
     "parse_vcov",

@@ -1,0 +1,571 @@
+"""Split-sample estimation — fixest's ``split=``: one regression per level
+of a splitting variable, ALL levels estimated from ONE grouped moment scan.
+
+The naive approach (loop ``dbreg`` over ``df.where(split == level)``) scans
+the data once per level — G full passes. Here the per-level sufficient
+statistics come from a single ``groupBy(split)`` aggregation (map-side
+combined, the shuffle carries G moment rows of O(p²) doubles), the driver
+solves G tiny normal-equation systems, and robust/clustered sandwiches add
+at most ONE more grouped pass (the per-level β̂ vector rides a broadcast
+(level → β) lookup into the residual expression). Total full-data passes:
+1 (iid) or 2 (HC1/cluster) — independent of G.
+
+Supported: strategies "moments" (no FE), "demean" (1-2 FEs absorbed within
+each split level — group means over (split × fe); the 2-FE case is the
+same balanced-panel double-demean identity as ``dbreg(strategy='demean')``
+and shares its unbalanced-panel caveat), "compress" (split joins the cell
+key; per-level WLS on the collected cells); vcov iid / hc1 /
+single-variable cluster; observation ``weights=``. Auto picks demean when
+FEs are present, else moments.
+
+No reference counterpart (the reference has no split); semantics follow
+fixest: each level is its own regression, as if the data were filtered.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .design import build_design, standardize_coef_names
+from .formula import parse_formula, parse_vcov, parse_weights
+from .model import DbregModel
+from .plans.common import (
+    assemble_normal_eqs,
+    moment_spec,
+    resolve_source,
+)
+from .plans.exprs import Var, agg_to_spark, agg_to_sql
+from .plans.frames import _wmean_col, build_base_frame
+from .solve import (
+    compute_vcov,
+    detect_collinearity,
+    gen_coeftable,
+    rss_from_moments,
+    solve_with_fallback,
+    tss_from_moments,
+)
+
+SPLIT_NMAX = 10_000  # max split levels collected to the driver
+
+
+class DbregSplit(dict):
+    """``{split_level: DbregModel}`` with a stacked ``tidy()`` view."""
+
+    split_var: str = ""
+
+    def tidy(self) -> pd.DataFrame:
+        frames = []
+        for lvl, m in self.items():
+            t = m.tidy().copy()
+            t.insert(0, self.split_var or "split", lvl)
+            frames.append(t)
+        return pd.concat(frames, ignore_index=True)
+
+    def coef_table(self) -> pd.DataFrame:
+        """(level × coefficient) estimate matrix."""
+        return pd.DataFrame(
+            {lvl: m.coef() for lvl, m in self.items()}
+        ).T.sort_index()
+
+
+def dbreg_split(
+    fml: str,
+    data=None,
+    *,
+    split: str,
+    spark: SparkSession | None = None,
+    table: str | None = None,
+    path: str | None = None,
+    vcov="iid",
+    cluster=None,
+    weights: str | None = None,
+    strategy: str = "auto",
+    drop_missings: bool = True,
+    verbose: bool = False,
+    split_nmax: int = SPLIT_NMAX,
+) -> DbregSplit:
+    """Fit ``fml`` separately for every level of ``split`` — see module
+    docstring for the pass-count contract. NULL split values form their own
+    level (matching groupBy semantics); levels beyond ``split_nmax`` raise.
+    """
+    vcov_type, cluster_vars = parse_vcov(vcov, cluster)
+    if vcov_type == "cluster" and len(cluster_vars) > 1:
+        raise NotImplementedError(
+            "split= supports single-variable clustering only"
+        )
+    weight_col = parse_weights(weights)
+    parsed = parse_formula(fml)
+    if parsed.yvar is None:
+        raise ValueError("Formula needs an outcome variable.")
+    if spark is None and isinstance(data, DataFrame):
+        spark = data.sparkSession
+    source = resolve_source(spark=spark, data=data, table=table, path=path)
+    if split in parsed.fe or split == parsed.yvar:
+        raise ValueError(
+            f"split variable {split!r} cannot also be the outcome or a "
+            "fixed effect"
+        )
+
+    valid = ("auto", "moments", "demean", "compress")
+    if strategy not in valid:
+        raise ValueError(
+            f"split= supports strategy in {valid[1:]} (or 'auto'); "
+            f"got {strategy!r}"
+        )
+    if strategy == "auto":
+        strategy = "demean" if parsed.fe else "moments"
+    if strategy == "moments" and parsed.fe:
+        raise ValueError("moments strategy cannot absorb fixed effects")
+    if strategy == "demean" and not parsed.fe:
+        raise ValueError("demean strategy requires at least one fixed effect")
+    if strategy == "demean" and len(parsed.fe) > 2:
+        raise NotImplementedError(
+            "split= absorbs at most 2 FEs (per-level double demeaning); "
+            "for k>2 filter per level and use dbreg(strategy='demean_iter')"
+        )
+
+    if strategy == "compress":
+        return _split_compress(
+            source, parsed, split, vcov_type, cluster_vars, weight_col,
+            drop_missings, split_nmax, verbose,
+        )
+
+    design = build_design(source.df, parsed, expand="all", fe_vars=parsed.fe)
+    extra = [split] + (cluster_vars or [])
+    base = build_base_frame(
+        source,
+        parsed,
+        design,
+        drop_missings,
+        extra_cols=extra,
+        want_sql=False,
+        weight_col=weight_col,
+    )
+
+    fe = parsed.fe
+    intercept = strategy == "moments"
+    frame_df = base.df
+    fe_counts = None
+    cached = None
+    if strategy == "demean":
+        frame_df, fe_counts, cached = _demean_within_split(
+            base, split, fe, weight_col
+        )
+
+    try:
+        models = _grouped_fit(
+            frame_df, base, split, intercept, fe, fe_counts, vcov_type,
+            cluster_vars, weight_col, split_nmax, parsed, design, strategy,
+        )
+    finally:
+        if cached is not None:
+            cached.unpersist()
+    out = DbregSplit(models)
+    out.split_var = split
+    return out
+
+
+def _demean_within_split(base, split, fe, weight_col):
+    """Demean y/X within (split × fe) cells: per-level FWL with the same
+    broadcast-means shape as the global demean path. Returns (demeaned_df,
+    per-split FE-level counts, the cached means table to release)."""
+    vals = [base.y_col] + base.x_cols
+
+    def mean_agg(c, alias):
+        if weight_col is not None:
+            return _wmean_col(c, weight_col).alias(alias)
+        return F.avg(c).alias(alias)
+
+    # key_cols = fe + split + cluster (+ weight): cluster keys must survive
+    # the demeaning projection for the grouped score pass
+    keep = list(base.key_cols)
+    df = base.df
+    if len(fe) == 1:
+        fe1 = fe[0]
+        mg = df.groupBy(split, fe1).agg(
+            *[mean_agg(c, f"{c}__m1") for c in vals]
+        ).persist()
+        counts = {
+            r[split]: {"n_fe1": int(r["cnt"]), "n_fe2": 1}
+            for r in mg.groupBy(split).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        dm = df.join(F.broadcast(mg), on=[split, fe1]).select(
+            *keep,
+            *[(F.col(c) - F.col(f"{c}__m1")).alias(c) for c in vals],
+        )
+        return dm, counts, mg
+
+    fe1, fe2 = fe
+    m1 = df.groupBy(split, fe1).agg(*[mean_agg(c, f"{c}__m1") for c in vals])
+    m2 = df.groupBy(split, fe2).agg(*[mean_agg(c, f"{c}__m2") for c in vals])
+    mo = df.groupBy(split).agg(*[mean_agg(c, f"{c}__mo") for c in vals]).persist()
+    m1 = m1.persist()
+    m2 = m2.persist()
+    c1 = {
+        r[split]: int(r["cnt"])
+        for r in m1.groupBy(split).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    c2 = {
+        r[split]: int(r["cnt"])
+        for r in m2.groupBy(split).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    counts = {
+        k: {"n_fe1": c1.get(k, 1), "n_fe2": c2.get(k, 1)} for k in c1
+    }
+    dm = (
+        df.join(F.broadcast(m1), on=[split, fe1])
+        .join(F.broadcast(m2), on=[split, fe2])
+        .join(F.broadcast(mo), on=[split])
+        .select(
+            *keep,
+            *[
+                (
+                    F.col(c)
+                    - F.col(f"{c}__m1")
+                    - F.col(f"{c}__m2")
+                    + F.col(f"{c}__mo")
+                ).alias(c)
+                for c in vals
+            ],
+        )
+    )
+
+    class _Multi:
+        def __init__(self, frames):
+            self.frames = frames
+
+        def unpersist(self):
+            for f in self.frames:
+                f.unpersist()
+
+    return dm, counts, _Multi([m1, m2, mo])
+
+
+def _grouped_fit(
+    frame_df, base, split, intercept, fe, fe_counts, vcov_type, cluster_vars,
+    weight_col, split_nmax, parsed, design, strategy,
+):
+    x_cols = base.x_cols
+    spec = moment_spec(
+        Var(base.y_col),
+        [Var(n) for n in x_cols],
+        intercept=intercept,
+        weight=Var(weight_col) if weight_col else None,
+    )
+    rows = (
+        frame_df.groupBy(split)
+        .agg(*[agg_to_spark(a).alias(n) for n, a in spec])
+        .limit(split_nmax + 1)
+        .collect()
+    )
+    if len(rows) > split_nmax:
+        raise ValueError(
+            f"split variable {split!r} has more than {split_nmax:,} levels; "
+            "raise split_nmax or choose a coarser split"
+        )
+
+    names_all = ([f"(Intercept)"] if intercept else []) + [
+        standardize_coef_names(n) for n in x_cols
+    ]
+    sols = {}
+    for r in rows:
+        row = r.asDict()
+        lvl = row.pop(split)
+        if weight_col is not None:
+            w_min, sum_w = row.get("w_min"), row.get("sum_w")
+            bad = (sum_w is not None and not np.isfinite(float(sum_w))) or (
+                w_min is not None and not (float(w_min) > 0.0)
+            )
+            if bad:
+                raise ValueError(
+                    f"weights column '{weight_col}' contains non-positive "
+                    f"or NaN values in split level {lvl!r}"
+                )
+        xtx, xty, n_total, sum_y, sum_y_sq = assemble_normal_eqs(
+            row, len(x_cols), intercept=intercept
+        )
+        collin = detect_collinearity(xtx, xty, names_all)
+        sol = solve_with_fallback(collin.xtx, collin.xty)
+        rss = rss_from_moments(sum_y_sq, sol.betahat, collin.xtx, collin.xty)
+        if intercept:
+            tss_n = float(row["sum_w"]) if weight_col else n_total
+            tss = tss_from_moments(sum_y_sq, sum_y, tss_n)
+        else:
+            tss = sum_y_sq
+        sols[lvl] = dict(
+            row=row, collin=collin, sol=sol, rss=rss, tss=tss,
+            n_total=n_total,
+        )
+
+    meats = {}
+    n_clusters = {}
+    if vcov_type in ("hc1", "cluster") and sols:
+        meats, n_clusters = _split_meats(
+            frame_df, split, base.y_col, x_cols, intercept, sols, vcov_type,
+            cluster_vars, weight_col,
+        )
+
+    models = DbregSplit()
+    for lvl, s in sols.items():
+        collin, sol = s["collin"], s["sol"]
+        p = len(collin.keep_names)
+        n_total = s["n_total"]
+        if strategy == "demean":
+            cs = (fe_counts or {}).get(lvl, {"n_fe1": 1, "n_fe2": 1})
+            df_fe = cs["n_fe1"] + (cs["n_fe2"] - 1 if len(fe) == 2 else 0)
+        else:
+            cs = {"n_fe1": 1, "n_fe2": 1}
+            df_fe = 0
+        df_res = max(n_total - p - df_fe, 1)
+        nc = n_clusters.get(lvl)
+        V = compute_vcov(
+            vcov_type, sol.xtx_inv, s["rss"], df_res, n_total, p + df_fe,
+            meats.get(lvl), nc,
+        )
+        ct = gen_coeftable(sol.betahat, V, df_res, collin.keep_names)
+        models[lvl] = DbregModel(
+            coeftable=ct,
+            vcov_=V,
+            coef_names=collin.keep_names,
+            yvar=parsed.yvar,
+            xvars=standardize_coef_names(parsed.xvars),
+            fe=fe,
+            strategy=strategy,
+            vcov_type=vcov_type,
+            cluster_var="+".join(cluster_vars) if cluster_vars else None,
+            nobs=1,
+            nobs_orig=int(n_total),
+            df_residual=df_res,
+            rss=s["rss"],
+            tss=s["tss"],
+            n_fe1=cs["n_fe1"],
+            n_fe2=cs["n_fe2"],
+            n_clusters=nc,
+            collin_vars=collin.drop_names,
+            design_info=design,
+            parsed=parsed,
+            intercept=intercept,
+            weight_col=weight_col,
+        )
+    return models
+
+
+def _split_meats(
+    frame_df, split, y_col, x_cols, intercept, sols, vcov_type, cluster_vars,
+    weight_col,
+):
+    """One grouped pass for every level's HC1 meat (or per-(level, cluster)
+    scores): the per-level β̂ rides a broadcast (level → β) table into the
+    residual expression. Dropped-by-collinearity columns carry β = 0 —
+    fitted values are unchanged (the dropped column is a linear combination
+    of kept ones), so the residual is exact; the driver then slices each
+    level's meat to its kept coefficient layout."""
+    spark = frame_df.sparkSession
+    p_x = len(x_cols)
+    pos = {}
+    off = 1 if intercept else 0
+    beta_rows = []
+    for lvl, s in sols.items():
+        collin, sol = s["collin"], s["sol"]
+        full = np.zeros(off + p_x)
+        names_all = (["(Intercept)"] if intercept else []) + [
+            standardize_coef_names(n) for n in x_cols
+        ]
+        for name, b in zip(collin.keep_names, sol.betahat):
+            full[names_all.index(name)] = b
+        beta_rows.append((lvl,) + tuple(float(v) for v in full))
+        pos[lvl] = collin
+    bcols = [f"__b{i}" for i in range(off + p_x)]
+    bt = spark.createDataFrame(beta_rows, schema=[split] + bcols)
+
+    j = frame_df.join(F.broadcast(bt), on=split)
+    fitted = (F.col("__b0") if intercept else F.lit(0.0))
+    for i, xc in enumerate(x_cols):
+        fitted = fitted + F.col(bcols[off + i]) * F.col(xc).cast("double")
+    e = F.col(y_col).cast("double") - fitted
+    if weight_col is not None:
+        e = F.col(weight_col).cast("double") * e  # WLS score factor w·u
+    j = j.withColumn("__e", e)
+
+    score_cols = ([F.lit(1.0)] if intercept else []) + [
+        F.col(xc).cast("double") for xc in x_cols
+    ]
+    p = len(score_cols)
+
+    if vcov_type == "hc1":
+        aggs = []
+        for a in range(p):
+            for b in range(a, p):
+                aggs.append(
+                    F.sum(
+                        F.col("__e") * F.col("__e") * score_cols[a] * score_cols[b]
+                    ).alias(f"m_{a}_{b}")
+                )
+        rows = j.groupBy(split).agg(*aggs).collect()
+        meats = {}
+        for r in rows:
+            lvl = r[split]
+            Mfull = np.zeros((p, p))
+            for a in range(p):
+                for b in range(a, p):
+                    v = float(r[f"m_{a}_{b}"] or 0.0)
+                    Mfull[a, b] = Mfull[b, a] = v
+            keep = np.asarray(pos[lvl].keep_idx, dtype=int)
+            meats[lvl] = Mfull[np.ix_(keep, keep)]
+        return meats, {}
+
+    # cluster: per-(level, cluster) score vectors, Σss' per level on driver.
+    # The collect is bounded by Σ_g G_cluster(g) rows of p doubles.
+    ccol = cluster_vars[0]
+    aggs = [F.sum(F.col("__e") * score_cols[a]).alias(f"s_{a}") for a in range(p)]
+    rows = j.groupBy(split, ccol).agg(*aggs).collect()
+    meats = {}
+    n_clusters = {}
+    for r in rows:
+        lvl = r[split]
+        s = np.array([float(r[f"s_{a}"] or 0.0) for a in range(p)])
+        if lvl not in meats:
+            meats[lvl] = np.zeros((len(s), len(s)))
+            n_clusters[lvl] = 0
+        meats[lvl] += np.outer(s, s)
+        n_clusters[lvl] += 1
+    for lvl in list(meats):
+        keep = np.asarray(pos[lvl].keep_idx, dtype=int)
+        meats[lvl] = meats[lvl][np.ix_(keep, keep)]
+    return meats, n_clusters
+
+
+def _split_compress(
+    source, parsed, split, vcov_type, cluster_vars, weight_col,
+    drop_missings, split_nmax, verbose,
+):
+    """Compress with ``split`` joined into the cell key: ONE cell pass, then
+    per-level driver WLS slices of the collected cells."""
+    from .api import _collect_cells_guarded, compress_plan
+    from .wls import CellDesign
+
+    if vcov_type == "cluster":
+        raise NotImplementedError(
+            "split= with strategy='compress' supports iid/hc1; use "
+            "strategy='moments'/'demean' for clustered split fits"
+        )
+    design = build_design(
+        source.df, parsed, expand="interactions", fe_vars=parsed.fe
+    )
+    split_parsed = type(parsed)(
+        yvar=parsed.yvar,
+        terms=parsed.terms,
+        fe=parsed.fe + [split],
+        intercept=parsed.intercept,
+    )
+    comp, group_cols, _sql = compress_plan(
+        source, split_parsed, design, drop_missings, weight_col
+    )
+    pdf = _collect_cells_guarded(comp, 10_000_000)
+    if pdf is None:
+        raise ValueError(
+            "split compress cells exceed the driver cap; use "
+            "strategy='moments' or 'demean' (fully grouped passes)"
+        )
+    models = DbregSplit()
+    models.split_var = split
+    levels = pdf[split].unique()
+    if len(levels) > split_nmax:
+        raise ValueError(
+            f"split variable {split!r} has more than {split_nmax:,} levels"
+        )
+    from .api import _execute_compress  # noqa: F401  (parity reference)
+
+    for lvl in levels:
+        sub = pdf[pdf[split].isna()] if pd.isna(lvl) else pdf[pdf[split] == lvl]
+        sub = sub.reset_index(drop=True)
+        cd = CellDesign(sub, design.names, parsed.fe)
+        if weight_col is not None:
+            if not (sub["w_min"].to_numpy(dtype=float).min() > 0.0) or not (
+                np.isfinite(sub["sum_w"].to_numpy(dtype=float)).all()
+            ):
+                raise ValueError(
+                    f"weights column '{weight_col}' contains non-positive "
+                    f"or NaN values in split level {lvl!r}"
+                )
+            n_vec = sub["sum_w"].to_numpy(dtype=float)
+            sum_y = sub["sum_wy"].to_numpy(dtype=float)
+            sum_y_sq = sub["sum_wy_sq"].to_numpy(dtype=float)
+        else:
+            n_vec = sub["n"].to_numpy(dtype=float)
+            sum_y = sub["sum_y"].to_numpy(dtype=float)
+            sum_y_sq = sub["sum_y_sq"].to_numpy(dtype=float)
+        nobs_orig = int(sub["n"].sum())
+        xtx = cd.gram(n_vec)
+        xty = cd.weighted_col_sums(sum_y)
+        collin = detect_collinearity(xtx, xty, cd.col_names)
+        sol = solve_with_fallback(collin.xtx, collin.xty)
+        yhat = cd.matvec(sol.betahat, collin.keep_idx)
+        rss_g = sum_y_sq - 2.0 * yhat * sum_y + n_vec * yhat**2
+        rss = float(rss_g.sum())
+        p = len(collin.keep_names)
+        df_res = max(nobs_orig - p, 1)
+        tss = float(sum_y_sq.sum() - (sum_y.sum() ** 2) / n_vec.sum())
+        meat = None
+        if vcov_type == "hc1":
+            if weight_col is not None:
+                w2 = sub["sum_w2"].to_numpy(dtype=float)
+                w2y = sub["sum_w2y"].to_numpy(dtype=float)
+                w2yy = sub["sum_w2y_sq"].to_numpy(dtype=float)
+                meat_g = w2yy - 2.0 * yhat * w2y + w2 * yhat**2
+            else:
+                meat_g = rss_g
+            meat = cd.gram(meat_g)[np.ix_(collin.keep_idx, collin.keep_idx)]
+        V = compute_vcov(vcov_type, sol.xtx_inv, rss, df_res, nobs_orig, p, meat)
+        ct = gen_coeftable(sol.betahat, V, df_res, collin.keep_names)
+        models[lvl] = DbregModel(
+            coeftable=ct,
+            vcov_=V,
+            coef_names=collin.keep_names,
+            yvar=parsed.yvar,
+            xvars=standardize_coef_names(parsed.xvars),
+            fe=parsed.fe,
+            strategy="compress",
+            vcov_type=vcov_type,
+            cluster_var=None,
+            nobs=len(sub),
+            nobs_orig=nobs_orig,
+            df_residual=df_res,
+            rss=rss,
+            tss=tss,
+            collin_vars=collin.drop_names,
+            design_info=design,
+            parsed=parsed,
+            weight_col=weight_col,
+        )
+    return models
+
+
+def split_moments_sql(
+    fml: str,
+    split: str,
+    from_clause: str = "FROM lineitem",
+    weights: str | None = None,
+) -> str:
+    """Oracle SQL for the grouped moment pass (moments strategy): one
+    GROUP BY over the split variable with the standard moment sums."""
+    parsed = parse_formula(fml)
+    weight_col = parse_weights(weights)
+    spec = moment_spec(
+        Var(parsed.yvar),
+        [Var(v) for v in parsed.xvars],
+        intercept=True,
+        weight=Var(weight_col) if weight_col else None,
+    )
+    cols = ",\n  ".join(f"{agg_to_sql(a)} AS {n}" for n, a in spec)
+    needed = [parsed.yvar] + parsed.xvars + (
+        [weight_col] if weight_col else []
+    )
+    where = " AND ".join(f"{c} IS NOT NULL" for c in needed)
+    return (
+        f"SELECT {split},\n  {cols}\n{from_clause}\n"
+        f"WHERE {where}\nGROUP BY {split}"
+    )

@@ -1,0 +1,186 @@
+"""Split-sample estimation: every level must equal the per-level filtered
+dbreg fit exactly (same estimator, same dof, same sandwiches) while the
+split runs in O(1) full-data passes."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dbreg_spark import dbreg, dbreg_split
+
+
+def _gen(seed=42, n=6000):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "x1": rng.normal(size=n),
+            "x2": rng.normal(size=n),
+            "g": rng.choice(["a", "b", "c"], n),
+            "f1": rng.integers(0, 8, n),
+            "f2": rng.integers(0, 5, n),
+            "cl": rng.integers(0, 12, n),
+            "w": rng.uniform(0.2, 3.0, n),
+        }
+    )
+    slope = np.where(pdf.g == "a", 2.0, np.where(pdf.g == "b", -1.0, 0.5))
+    pdf["y"] = (
+        1.0 + slope * pdf.x1 - 0.7 * pdf.x2 + 0.4 * pdf.f1 + rng.normal(size=n)
+    )
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def sdata(spark):
+    pdf = _gen()
+    return spark.createDataFrame(pdf), pdf
+
+
+def _assert_matches(sm, ref, rel=1e-9):
+    np.testing.assert_allclose(
+        sm.coef().to_numpy(), ref.coef().to_numpy(), rtol=rel
+    )
+    np.testing.assert_allclose(sm.se().to_numpy(), ref.se().to_numpy(), rtol=rel)
+    assert sm.nobs_orig == ref.nobs_orig
+    assert sm.df_residual == ref.df_residual
+
+
+@pytest.mark.parametrize("vcov", ["iid", "hc1", "cluster"])
+def test_split_moments_matches_filtered(sdata, vcov):
+    df, pdf = sdata
+    v = "~cl" if vcov == "cluster" else vcov
+    ms = dbreg_split("y ~ x1 + x2", df, split="g", strategy="moments", vcov=v)
+    assert set(ms) == {"a", "b", "c"}
+    for lvl in ms:
+        ref = dbreg(
+            "y ~ x1 + x2", df.where(df.g == lvl), strategy="moments", vcov=v
+        )
+        _assert_matches(ms[lvl], ref)
+
+
+@pytest.mark.parametrize("vcov", ["iid", "hc1", "cluster"])
+def test_split_demean_1fe_matches_filtered(sdata, vcov):
+    df, pdf = sdata
+    v = "~cl" if vcov == "cluster" else vcov
+    ms = dbreg_split("y ~ x1 + x2 | f1", df, split="g", vcov=v)
+    for lvl in ms:
+        ref = dbreg(
+            "y ~ x1 + x2 | f1", df.where(df.g == lvl), strategy="demean",
+            vcov=v,
+        )
+        _assert_matches(ms[lvl], ref)
+        assert ms[lvl].n_fe1 == ref.n_fe1
+
+
+def test_split_demean_2fe_matches_filtered(sdata):
+    df, pdf = sdata
+    ms = dbreg_split("y ~ x1 + x2 | f1 + f2", df, split="g", vcov="hc1")
+    for lvl in ms:
+        ref = dbreg(
+            "y ~ x1 + x2 | f1 + f2", df.where(df.g == lvl),
+            strategy="demean", vcov="hc1",
+        )
+        _assert_matches(ms[lvl], ref)
+
+
+def test_split_weighted(sdata):
+    df, pdf = sdata
+    ms = dbreg_split(
+        "y ~ x1 + x2 | f1", df, split="g", weights="w", vcov="hc1"
+    )
+    for lvl in ms:
+        ref = dbreg(
+            "y ~ x1 + x2 | f1", df.where(df.g == lvl), strategy="demean",
+            weights="w", vcov="hc1",
+        )
+        _assert_matches(ms[lvl], ref)
+        assert ms[lvl].weight_col == "w"
+
+
+def test_split_compress_matches_filtered(spark):
+    rng = np.random.default_rng(3)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "xd": rng.integers(0, 5, n).astype(float),
+            "g": rng.choice(["u", "v"], n),
+            "w": rng.uniform(0.5, 2.0, n),
+        }
+    )
+    pdf["y"] = 1.0 + 0.8 * pdf.xd + (pdf.g == "u") * 0.5 + rng.normal(size=n)
+    df = spark.createDataFrame(pdf)
+    for kw in (dict(vcov="hc1"), dict(vcov="iid", weights="w")):
+        ms = dbreg_split("y ~ xd", df, split="g", strategy="compress", **kw)
+        for lvl in ms:
+            ref = dbreg(
+                "y ~ xd", df.where(df.g == lvl), strategy="compress", **kw
+            )
+            _assert_matches(ms[lvl], ref)
+
+
+def test_split_tidy_and_coef_table(sdata):
+    df, _ = sdata
+    ms = dbreg_split("y ~ x1", df, split="g", strategy="moments")
+    t = ms.tidy()
+    assert list(t.columns)[0] == "g"
+    assert len(t) == 6  # 3 levels x (intercept + slope)
+    ct = ms.coef_table()
+    assert set(ct.index) == {"a", "b", "c"}
+    # the construction put genuinely different slopes per level
+    assert ct["x1"].max() - ct["x1"].min() > 1.0
+
+
+def test_split_null_level_is_a_level(spark):
+    pdf = _gen(seed=9, n=900)
+    pdf["g"] = pdf["g"].astype(object)
+    pdf.loc[:99, "g"] = None
+    df = spark.createDataFrame(pdf)
+    ms = dbreg_split("y ~ x1", df, split="g", strategy="moments")
+    assert None in ms
+    ref = dbreg("y ~ x1", df.where(df.g.isNull()), strategy="moments")
+    _assert_matches(ms[None], ref)
+
+
+def test_split_refusals(sdata):
+    df, _ = sdata
+    with pytest.raises(ValueError, match="cannot also be"):
+        dbreg_split("y ~ x1 | g", df, split="g")
+    with pytest.raises(NotImplementedError, match="single-variable"):
+        dbreg_split("y ~ x1", df, split="g", vcov="~cl + f1")
+    with pytest.raises(ValueError, match="more than"):
+        dbreg_split(
+            "y ~ x2", df, split="x1", strategy="moments", split_nmax=10
+        )
+
+
+def test_split_moments_sql_twin(spark, sdata):
+    import duckdb
+
+    from dbreg_spark.plans.common import moment_spec
+    from dbreg_spark.plans.exprs import Var, agg_to_spark
+    from dbreg_spark.split import split_moments_sql
+
+    df, pdf = sdata
+    spec = moment_spec(Var("y"), [Var("x1"), Var("x2")], intercept=True)
+    got = (
+        df.where("y IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL")
+        .groupBy("g")
+        .agg(*[agg_to_spark(a).alias(n) for n, a in spec])
+        .toPandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    o = (
+        con.execute(split_moments_sql("y ~ x1 + x2", "g", "FROM t"))
+        .fetchdf()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for c in got.columns:
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float) if c != "g" else 0,
+            o[c].to_numpy(dtype=float) if c != "g" else 0,
+            rtol=1e-9,
+        )
+    assert list(got["g"]) == list(o["g"])
