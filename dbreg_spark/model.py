@@ -122,6 +122,68 @@ class DbregModel:
             out = out.loc[parm]
         return out
 
+    # -- Wald tests of linear restrictions (beyond the reference; fixest's
+    # wald() / car::linearHypothesis) --------------------------------------
+    def wald(self, hypotheses=None, R=None, q=None) -> dict:
+        """Wald F test of linear restrictions Rβ = q under the model's
+        fitted vcov (iid/HC1/CR1 — whatever this model was estimated with).
+
+        Three input forms:
+
+        - ``hypotheses=None``: joint significance of every non-intercept
+          (non-FE-dummy) coefficient — the regression F statistic.
+        - ``hypotheses=[...]``: list of coefficient names (jointly = 0)
+          and/or equation strings like ``"x1 = x2"``, ``"x1 + 2*x2 = 1"``
+          (car::linearHypothesis syntax, +/- and numeric*name terms).
+        - ``R=`` a (k × p) matrix over ``coef_names`` (optional ``q``).
+
+        Returns ``{"stat", "df1", "df2", "p.value"}`` with
+        F = (Rβ̂−q)'(RVR')⁻¹(Rβ̂−q)/k and df2 = the model's residual dof.
+        Driver-side only — no data pass."""
+        from . import stats as _ts
+
+        beta = self.coeftable["estimate"].to_numpy(dtype=float)
+        names = list(self.coef_names)
+        if R is not None:
+            R = np.atleast_2d(np.asarray(R, dtype=float))
+            if R.shape[1] != len(names):
+                raise ValueError(
+                    f"R has {R.shape[1]} columns; model has {len(names)} "
+                    "coefficients"
+                )
+            qv = np.zeros(R.shape[0]) if q is None else np.asarray(q, float)
+        else:
+            if hypotheses is None:
+                hypotheses = [
+                    n
+                    for n in names
+                    if n != "(Intercept)" and not self._is_fe_coef(n)
+                ]
+                if not hypotheses:
+                    raise ValueError("no testable coefficients in the model")
+            if isinstance(hypotheses, str):
+                hypotheses = [hypotheses]
+            rows, qs = [], []
+            for h in hypotheses:
+                r, c = _parse_hypothesis(h, names)
+                rows.append(r)
+                qs.append(c)
+            R = np.vstack(rows)
+            qv = np.asarray(qs, dtype=float)
+        k = R.shape[0]
+        if np.linalg.matrix_rank(R) < k:
+            raise ValueError("restriction matrix R is rank-deficient")
+        diff = R @ beta - qv
+        RVR = R @ self.vcov_ @ R.T
+        stat = float(diff @ np.linalg.solve(RVR, diff)) / k
+        df2 = float(self.df_residual)
+        return {
+            "stat": stat,
+            "df1": float(k),
+            "df2": df2,
+            "p.value": _ts.f_sf(stat, k, df2),
+        }
+
     # -- goodness of fit (reference: R/gof.R:10-27) ------------------------
     def r2(self) -> float:
         return 1.0 - self.rss / self.tss
@@ -613,3 +675,59 @@ class DbregModel:
             f"R2: {self.r2():.6f}  Adj.R2: {self.adj_r2():.6f}  RMSE: {self.rmse():.4g}"
         )
         return "\n".join(lines)
+
+
+def _parse_linear(expr: str, names: list[str], h: str):
+    """One side of a restriction as Σ cᵢ·nameᵢ + const. Terms are split on
+    +/-; each is ``name``, ``number``, or ``number*name``. (A coefficient
+    name containing +, -, or * itself can't be parsed here — use the bare
+    single-name form or pass an explicit R matrix.)"""
+    import re
+
+    vec = np.zeros(len(names))
+    const = 0.0
+    for t in re.split(r"(?=[+-])", expr.replace(" ", "")):
+        if not t:
+            continue
+        c = 1.0
+        if t[0] == "+":
+            t = t[1:]
+        elif t[0] == "-":
+            c = -1.0
+            t = t[1:]
+        if "*" in t:
+            num, t = t.split("*", 1)
+            c *= float(num)
+        if t in names:
+            vec[names.index(t)] += c
+            continue
+        try:
+            const += c * float(t) if t else c
+        except ValueError:
+            raise ValueError(
+                f"unknown coefficient {t!r} in hypothesis {h!r} "
+                f"(coefficients: {names})"
+            ) from None
+    return vec, const
+
+
+def _parse_hypothesis(h: str, names: list[str]):
+    """Parse one restriction: a bare coefficient name (= 0) or an equation
+    ``"2*x1 - x2 = 1"`` / ``"x1 = x2"``. Returns (row over ``names``, rhs)."""
+    h = h.strip()
+    if h in names:  # bare name => coef = 0
+        r = np.zeros(len(names))
+        r[names.index(h)] = 1.0
+        return r, 0.0
+    if "=" not in h:
+        raise ValueError(
+            f"unknown coefficient or malformed hypothesis {h!r} "
+            f"(coefficients: {names})"
+        )
+    lhs, rhs = h.split("=", 1)
+    lv, lc = _parse_linear(lhs, names, h)
+    rv, rc = _parse_linear(rhs, names, h)
+    r = lv - rv
+    if not np.any(r):
+        raise ValueError(f"hypothesis {h!r} references no coefficients")
+    return r, rc - lc

@@ -427,3 +427,86 @@ def test_fixef_demean_3fe_sums_match_lsdv(spark):
     np.testing.assert_allclose(got, fepart, rtol=1e-6, atol=1e-6)
     for f in ("year", "grp"):
         assert abs(fx[f].mean()) < 1e-8
+
+
+# ---------------------------------------------------------------- wald ----
+
+
+def _wald_fixture(spark, seed=1, n=4000):
+    import numpy as np
+    import pandas as pd
+
+    from dbreg_spark import dbreg
+
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame({"x1": rng.normal(size=n), "x2": rng.normal(size=n)})
+    pdf["y"] = 1 + 2 * pdf.x1 + 2 * pdf.x2 + rng.normal(size=n)
+    return dbreg("y ~ x1 + x2", spark.createDataFrame(pdf), strategy="moments"), pdf
+
+
+def _dense_wald(m, R, q=None):
+    import numpy as np
+
+    beta = m.coef().to_numpy()
+    R = np.atleast_2d(np.asarray(R, dtype=float))
+    q = np.zeros(R.shape[0]) if q is None else np.asarray(q, float)
+    d = R @ beta - q
+    return float(d @ np.linalg.solve(R @ m.vcov_ @ R.T, d)) / R.shape[0]
+
+
+def test_wald_equation_forms_match_matrix(spark):
+    import numpy as np
+    import pytest as _pt
+
+    m, _ = _wald_fixture(spark)
+    # equality of two coefs
+    w = m.wald(["x1 = x2"])
+    assert w["stat"] == _pt.approx(_dense_wald(m, [[0, 1, -1]]), rel=1e-12)
+    # affine restriction with constants on both sides
+    w2 = m.wald(["x1 + 2*x2 = 4 + 1"])
+    assert w2["stat"] == _pt.approx(
+        _dense_wald(m, [[0, 1, 2]], [5.0]), rel=1e-12
+    )
+    # scaled form
+    w3 = m.wald(["2*x1 = 4"])
+    assert w3["stat"] == _pt.approx(_dense_wald(m, [[0, 2, 0]], [4.0]), rel=1e-12)
+    # name on the right with a coefficient term
+    w4 = m.wald(["x1 - x2 = 0"])
+    assert w4["stat"] == _pt.approx(w["stat"], rel=1e-12)
+    # joint default = all slopes zero (huge F here)
+    wj = m.wald()
+    assert wj["df1"] == 2.0 and wj["stat"] > 1000
+    assert 0.0 <= wj["p.value"] < 1e-10
+
+
+def test_wald_bare_names_joint(spark):
+    import pytest as _pt
+
+    m, _ = _wald_fixture(spark, seed=2)
+    w = m.wald(["x1", "x2"])
+    assert w["stat"] == _pt.approx(
+        _dense_wald(m, [[0, 1, 0], [0, 0, 1]]), rel=1e-12
+    )
+
+
+def test_wald_refusals(spark):
+    import numpy as np
+    import pytest as _pt
+
+    m, _ = _wald_fixture(spark, seed=3)
+    with _pt.raises(ValueError, match="unknown coefficient"):
+        m.wald(["nope = 1"])
+    with _pt.raises(ValueError, match="rank-deficient"):
+        m.wald(R=np.array([[0, 1, 0], [0, 2, 0]]))
+    with _pt.raises(ValueError, match="columns"):
+        m.wald(R=np.array([[1, 0]]))
+
+
+def test_wald_f_matches_t_squared(spark):
+    """Single-coef Wald F == squared t statistic from the coeftable."""
+    import pytest as _pt
+
+    m, _ = _wald_fixture(spark, seed=4)
+    t = float(m.coeftable.loc["x1", "statistic"])
+    w = m.wald(["x1"])
+    assert w["stat"] == _pt.approx(t * t, rel=1e-10)
