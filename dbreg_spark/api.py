@@ -38,7 +38,7 @@ from .plans.frames import (
     build_demeaned_frame_iterative,
     build_mundlak_frame,
 )
-from .plans.meat import cluster_meat, count_nested_fe_levels, hc1_meat
+from .plans.meat import cluster_meat, count_nested_fe_levels, dk_meat, hc1_meat
 from .solve import (
     compute_vcov,
     detect_collinearity,
@@ -59,6 +59,7 @@ def dbreg(
     vcov="iid",
     cluster=None,
     weights: str | None = None,
+    hac_lag: int | None = None,
     ssc: str = "full",
     strategy: str = "auto",
     compress_ratio: float | None = None,
@@ -84,6 +85,11 @@ def dbreg(
     and any balance; auto routes here for unbalanced 2-FE panels past the
     compression limits and for k>2), or "mundlak" (CRE with group-mean
     regressors).
+
+    ``vcov="dk ~ t"`` requests Driscoll-Kraay HAC standard errors over
+    the time column ``t`` (per-period score sums, Bartlett-weighted across
+    ``hac_lag`` lags — the Newey-West plug-in bandwidth when None; lag 0
+    equals clustering by ``t``). Supported on moments/demean/mundlak.
 
     ``weights``: a column name (or ``"~w"`` formula string) of strictly
     positive observation weights — WLS minimizing Σ wᵢ(yᵢ − xᵢ'β)², the
@@ -125,6 +131,9 @@ def dbreg(
     chosen, cr_est = _choose_strategy(
         source, parsed, strategy, compress_ratio, compress_nmax, verbose
     )
+    if vcov_type == "dk" and chosen == "compress" and strategy == "auto":
+        # DK needs a per-period score pass; cells drop the time dimension
+        chosen = "demean" if parsed.fe else "moments"
 
     kwargs = dict(
         source=source,
@@ -140,6 +149,7 @@ def dbreg(
         compression_ratio_est=cr_est,
         compress_nmax=compress_nmax,
         weight_col=weight_col,
+        hac_lag=hac_lag,
     )
     if chosen == "moments":
         return _execute_moments(**kwargs)
@@ -411,6 +421,7 @@ def _execute_moments(
     compression_ratio_est,
     compress_nmax,
     weight_col=None,
+    hac_lag=None,
 ):
     design = build_design(source.df, parsed, expand="all", fe_vars=parsed.fe)
     frame = build_base_frame(
@@ -466,6 +477,11 @@ def _execute_moments(
             frame, sol.betahat, kept_x, icpt, cluster_var, n_total, p,
             weight_col=weight_col,
         )
+    elif vcov_type == "dk":
+        meat, n_clusters, _lag, _ = dk_meat(
+            frame, sol.betahat, kept_x, intercept=icpt,
+            time_col=cluster_var[0], lag=hac_lag, weight_col=weight_col,
+        )
 
     V = compute_vcov(vcov_type, sol.xtx_inv, rss, df_res, n_total, p, meat, n_clusters)
     ct = gen_coeftable(sol.betahat, V, df_res, collin.keep_names)
@@ -517,6 +533,7 @@ def _execute_demean(
     compression_ratio_est,
     compress_nmax,
     weight_col=None,
+    hac_lag=None,
     force_iter=False,
     warn_unbalanced=False,
 ):
@@ -553,6 +570,7 @@ def _execute_demean(
         return _finish_demean(
             frame, base, design, parsed, vcov_type, cluster_var, ssc, sql_only,
             data_only, compression_ratio_est, warn_unbalanced, weight_col,
+            hac_lag,
         )
     finally:
         # the one-scan GROUPING SETS means table is cached for reuse across
@@ -563,6 +581,7 @@ def _execute_demean(
 def _finish_demean(
     frame, base, design, parsed, vcov_type, cluster_var, ssc, sql_only,
     data_only, compression_ratio_est, warn_unbalanced=False, weight_col=None,
+    hac_lag=None,
 ):
     fe = parsed.fe
     n_fe_exprs = [Var(f) for f in fe]
@@ -642,6 +661,11 @@ def _finish_demean(
                 raise ValueError("ssc='nested' is not defined for multiway clustering")
             nested = count_nested_fe_levels(base.df, fe, cluster_var[0])
             n_params_cluster = p_kept + df_fe - nested
+    elif vcov_type == "dk":
+        meat, n_clusters, _lag, _ = dk_meat(
+            frame, sol.betahat, kept_x, intercept=False,
+            time_col=cluster_var[0], lag=hac_lag, weight_col=weight_col,
+        )
 
     V = compute_vcov(
         vcov_type, sol.xtx_inv, rss, df_res, n_total, n_params_cluster, meat, n_clusters
@@ -757,6 +781,7 @@ def _execute_mundlak(
     compression_ratio_est,
     compress_nmax,
     weight_col=None,
+    hac_lag=None,
 ):
     fe = parsed.fe
     if not fe:
@@ -778,7 +803,7 @@ def _execute_mundlak(
     try:
         return _finish_mundlak(
             frame, design, parsed, vcov_type, cluster_var, sql_only, data_only,
-            compression_ratio_est, weight_col,
+            compression_ratio_est, weight_col, hac_lag,
         )
     finally:
         frame.cleanup()
@@ -786,7 +811,7 @@ def _execute_mundlak(
 
 def _finish_mundlak(
     frame, design, parsed, vcov_type, cluster_var, sql_only, data_only,
-    compression_ratio_est, weight_col=None,
+    compression_ratio_est, weight_col=None, hac_lag=None,
 ):
     fe = parsed.fe
     n_fe_exprs = [Var(f) for f in fe[:2]]
@@ -838,6 +863,11 @@ def _finish_mundlak(
         meat, n_clusters, _ = _cluster_meat_any(
             frame, sol.betahat, kept_x, icpt, cluster_var, n_total, p,
             weight_col=weight_col,
+        )
+    elif vcov_type == "dk":
+        meat, n_clusters, _lag, _ = dk_meat(
+            frame, sol.betahat, kept_x, intercept=icpt,
+            time_col=cluster_var[0], lag=hac_lag, weight_col=weight_col,
         )
 
     V = compute_vcov(vcov_type, sol.xtx_inv, rss, df_res, n_total, p, meat, n_clusters)
@@ -989,7 +1019,14 @@ def _execute_compress(
     compression_ratio_est,
     compress_nmax,
     weight_col=None,
+    hac_lag=None,
 ):
+    if vcov_type == "dk":
+        raise NotImplementedError(
+            "Driscoll-Kraay SEs are supported on strategies "
+            "'moments'/'demean'/'mundlak' (per-period score passes); "
+            "compress cells do not retain the time dimension"
+        )
     design = build_design(source.df, parsed, expand="interactions", fe_vars=parsed.fe)
     comp, group_cols, sql = compress_plan(
         source, parsed, design, drop_missings, weight_col

@@ -222,6 +222,19 @@ def parse_vcov(vcov, cluster=None, valid=("iid", "hc1")) -> tuple[str, list[str]
     elif isinstance(vcov, str) and vcov.strip().startswith("~"):
         cluster_vars = parse_cluster(vcov)
         vcov_type = "cluster"
+    elif isinstance(vcov, str) and "~" in vcov:
+        # "dk ~ time": Driscoll-Kraay HAC over per-period score sums
+        lhs, rhs = vcov.split("~", 1)
+        if lhs.strip().lower() in ("dk", "driscoll_kraay", "driscoll-kraay"):
+            cluster_vars = parse_cluster("~" + rhs)
+            if len(cluster_vars) != 1:
+                raise ValueError("Driscoll-Kraay needs exactly one time variable")
+            vcov_type = "dk"
+        else:
+            raise ValueError(
+                f"unknown vcov form {vcov!r}; use 'iid', 'hc1', '~cluster', "
+                "or 'dk ~ time'"
+            )
     elif isinstance(vcov, str):
         vt = vcov.strip().lower()
         matches = [v for v in valid if v.startswith(vt)]

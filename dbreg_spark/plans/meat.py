@@ -229,3 +229,53 @@ def count_nested_fe_levels(frame_df, fe: list[str], cluster_col: str) -> int:
         if spans == 0:
             nested += frame_df.select(f).distinct().count()
     return nested
+
+
+def dk_meat(
+    frame,
+    betahat,
+    x_names: list[str],
+    intercept: bool,
+    time_col: str,
+    lag: int | None = None,
+    score_names: list[str] | None = None,
+    score_intercept: bool | None = None,
+    weight_col: str | None = None,
+) -> tuple[np.ndarray, int, int, str | None]:
+    """Driscoll-Kraay HAC meat: per-PERIOD score sums from one grouped pass
+    (the same plan as cluster scores with the time column as the key), then
+    Newey-West Bartlett weighting across periods driver-side.
+
+        S = Γ₀ + Σ_{l=1..L} (1 − l/(L+1)) (Γ_l + Γ_l'),
+        Γ_l = Σ_t s_t s_{t−l}'
+
+    with s_t the period-t score sum (u·x, or w·u·x under weights) and
+    periods ordered by the time column's natural sort. ``lag=None`` uses
+    the Newey-West plug-in L = floor(4·(T/100)^(2/9)). Lag 0 reproduces
+    clustering by the time variable exactly. Returns (meat, T, lag_used,
+    oracle SQL of the score table). Only the T×p score matrix reaches the
+    driver — at any data scale, T is the number of time periods.
+    """
+    scores_df, sql = cluster_scores_plan(
+        frame, betahat, x_names, intercept, time_col, score_names,
+        score_intercept, weight_col,
+    )
+    rows = scores_df.collect()
+    rows.sort(key=lambda r: (r[time_col] is None, r[time_col]))
+    s_icpt = intercept if score_intercept is None else score_intercept
+    p = (1 if s_icpt else 0) + len(
+        dict.fromkeys(x_names if score_names is None else score_names)
+    )
+    S = np.array(
+        [[float(r[f"score_{j}"] or 0.0) for j in range(p)] for r in rows]
+    )
+    T = S.shape[0]
+    if lag is None:
+        lag = int(np.floor(4.0 * (T / 100.0) ** (2.0 / 9.0))) if T > 1 else 0
+    lag = min(int(lag), max(T - 1, 0))
+    meat = S.T @ S
+    for ell in range(1, lag + 1):
+        w = 1.0 - ell / (lag + 1.0)
+        G = S[ell:].T @ S[:-ell]
+        meat = meat + w * (G + G.T)
+    return meat, T, lag, sql

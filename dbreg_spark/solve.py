@@ -133,6 +133,17 @@ def compute_vcov(
             n_params = xtx_inv.shape[0]
         scale = (n_clusters / (n_clusters - 1)) * (nobs_orig / (nobs_orig - n_params))
         return scale * (xtx_inv @ meat @ xtx_inv)
+    if vcov_type == "dk":
+        # Driscoll-Kraay: NW-weighted per-period meat, scaled like CR1 on
+        # the time dimension (T periods) — lag 0 reproduces cluster-by-time
+        if meat is None or n_clusters is None:
+            raise ValueError("DK requires a meat matrix and period count")
+        if n_params is None:
+            n_params = xtx_inv.shape[0]
+        scale = (n_clusters / (n_clusters - 1)) * (nobs_orig / (nobs_orig - n_params))
+        return scale * (xtx_inv @ meat @ xtx_inv)
+    if vcov_type != "iid":
+        raise ValueError(f"unknown vcov type {vcov_type!r}")
     sigma2 = rss / df_res
     return sigma2 * xtx_inv
 

@@ -96,6 +96,11 @@ def dbreg_split(
         raise NotImplementedError(
             "split= supports single-variable clustering only"
         )
+    if vcov_type == "dk":
+        raise NotImplementedError(
+            "split= does not support Driscoll-Kraay; fit per level with "
+            "dbreg(vcov='dk ~ t')"
+        )
     weight_col = parse_weights(weights)
     parsed = parse_formula(fml)
     if parsed.yvar is None:

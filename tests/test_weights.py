@@ -429,3 +429,100 @@ def test_binsreg_weighted_spline_matches_dense_wls(spark):
 
     for _, row in r.points.iterrows():
         assert row["fit"] == pytest.approx(spline_at(row["x"]), rel=1e-7)
+
+
+# ----------------------------------------------------- Driscoll-Kraay -----
+
+
+def _ts_panel(seed=11, n=3000, T=40):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "x1": rng.normal(size=n),
+            "x2": rng.normal(size=n),
+            "t": rng.integers(0, T, n),
+            "f1": rng.integers(0, 6, n),
+            "w": rng.uniform(0.5, 2.0, n),
+        }
+    )
+    # serially correlated common shock so DK differs from HC1
+    shock = np.cumsum(rng.normal(size=T)) * 0.3
+    pdf["y"] = 1 + 2 * pdf.x1 - pdf.x2 + shock[pdf.t] + rng.normal(size=n)
+    return pdf
+
+
+def _dense_dk(X, y, t, lag, w=None, df_fe=0):
+    """Dense Driscoll-Kraay with the engine's conventions."""
+    n, p = X.shape
+    w = np.ones(n) if w is None else w
+    XtWX = X.T @ (w[:, None] * X)
+    b = np.linalg.solve(XtWX, X.T @ (w * y))
+    u = y - X @ b
+    periods = np.sort(np.unique(t))
+    S = np.vstack([(X[t == per] * (w * u)[t == per][:, None]).sum(0) for per in periods])
+    T = len(periods)
+    meat = S.T @ S
+    for ell in range(1, lag + 1):
+        wgt = 1.0 - ell / (lag + 1.0)
+        G = S[ell:].T @ S[:-ell]
+        meat += wgt * (G + G.T)
+    Vi = np.linalg.inv(XtWX)
+    scale = (T / (T - 1)) * (n / (n - p - df_fe))
+    return b, np.sqrt(np.diag(scale * Vi @ meat @ Vi))
+
+
+@pytest.fixture(scope="module")
+def tspanel(spark):
+    pdf = _ts_panel()
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_dk_lag0_equals_cluster_by_time(tspanel):
+    df, _ = tspanel
+    mdk = dbreg("y ~ x1 + x2", df, strategy="moments", vcov="dk ~ t", hac_lag=0)
+    mcl = dbreg("y ~ x1 + x2", df, strategy="moments", vcov="~t")
+    np.testing.assert_allclose(
+        mdk.se().to_numpy(), mcl.se().to_numpy(), rtol=1e-10
+    )
+    assert mdk.vcov_type == "dk"
+
+
+def test_dk_moments_matches_dense_nw(tspanel):
+    df, pdf = tspanel
+    m = dbreg("y ~ x1 + x2", df, strategy="moments", vcov="dk ~ t", hac_lag=3)
+    X = np.column_stack([np.ones(len(pdf)), pdf.x1, pdf.x2])
+    b, se = _dense_dk(X, pdf.y.to_numpy(), pdf.t.to_numpy(), lag=3)
+    np.testing.assert_allclose(m.coef().to_numpy(), b, rtol=1e-9)
+    np.testing.assert_allclose(m.se().to_numpy(), se, rtol=1e-9)
+    # serial correlation present: DK(3) must differ from DK(0)
+    m0 = dbreg("y ~ x1 + x2", df, strategy="moments", vcov="dk ~ t", hac_lag=0)
+    assert not np.allclose(m.se().to_numpy(), m0.se().to_numpy(), rtol=1e-3)
+
+
+def test_dk_demean_weighted_matches_dense(tspanel):
+    df, pdf = tspanel
+    m = dbreg(
+        "y ~ x1 + x2 | f1", df, strategy="demean", vcov="dk ~ t",
+        hac_lag=2, weights="w",
+    )
+    D = _fe_dummies(pdf.f1, drop_first=False)
+    X = np.column_stack([pdf.x1, pdf.x2, D])
+    b, se = _dense_dk(
+        X, pdf.y.to_numpy(), pdf.t.to_numpy(), lag=2, w=pdf.w.to_numpy()
+    )
+    np.testing.assert_allclose(m.coef().to_numpy(), b[:2], rtol=1e-8)
+    np.testing.assert_allclose(m.se().to_numpy(), se[:2], rtol=1e-7)
+
+
+def test_dk_auto_lag_and_auto_strategy(tspanel):
+    df, _ = tspanel
+    # auto bandwidth runs; auto strategy never lands on compress under dk
+    m = dbreg("y ~ x1 + x2 | f1", df, vcov="dk ~ t")
+    assert m.strategy in ("demean", "moments")
+    assert np.isfinite(m.se().to_numpy()).all()
+
+
+def test_dk_compress_refused(tspanel):
+    df, _ = tspanel
+    with pytest.raises(NotImplementedError, match="Driscoll-Kraay"):
+        dbreg("y ~ x1", df, strategy="compress", vcov="dk ~ t")
