@@ -255,6 +255,7 @@ def streaming_moments(
     window: str | None = None,
     watermark: str = "1 hour",
     ts_col: str = "ts",
+    weights: str | None = None,
 ) -> DataFrame:
     """Online OLS: the same sufficient-statistics aggregation the batch
     moments strategy runs (plans/common.py:moment_spec), as a streaming
@@ -275,12 +276,21 @@ def streaming_moments(
     ``w_{i}_{j}`` (upper-triangle demeaned X'X), ``w_{i}_y``, ``w_y_y``;
     feed a row to :func:`within_fit_from_moments`. Two or more FEs are
     refused (k-FE absorption needs iterated projections; use the batch
-    strategies)."""
-    from ..formula import parse_formula
+    strategies). ``weights=`` (no-FE form) carries the WLS sufficient
+    statistics — the emitted row feeds :func:`coef_from_moments`
+    unchanged (Σw rides in ``sum_w``)."""
+    from ..formula import parse_formula, parse_weights
     from ..plans.common import filter_missing, moment_spec
     from ..plans.exprs import Var, agg_to_spark
 
     parsed = parse_formula(fml)
+    weight_col = parse_weights(weights)
+    if weight_col and parsed.fe:
+        raise ValueError(
+            "streaming_moments supports weights= on the no-FE form only "
+            "(the within two-stage aggregation is unweighted; use the "
+            "batch strategies for weighted FE fits)"
+        )
     if len(parsed.fe) >= 2:
         raise ValueError(
             "streaming_moments supports at most one fixed effect "
@@ -297,10 +307,13 @@ def streaming_moments(
             )
         return _streaming_within_moments(df, parsed, window, watermark, ts_col)
     spec = moment_spec(
-        Var(parsed.yvar), [Var(v) for v in parsed.xvars], intercept=True
+        Var(parsed.yvar), [Var(v) for v in parsed.xvars], intercept=True,
+        weight=Var(weight_col) if weight_col else None,
     )
     aggs = [agg_to_spark(a).alias(n) for n, a in spec]
-    base = filter_missing(df, [parsed.yvar] + parsed.xvars)
+    base = filter_missing(
+        df, [parsed.yvar] + parsed.xvars + ([weight_col] if weight_col else [])
+    )
     if window is None:
         return base.agg(*aggs)
     base = _ensure_event_time(base, ts_col)

@@ -684,3 +684,49 @@ def test_glm_predict_scores_stream(spark):
         pd.testing.assert_frame_equal(got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_moments_weighted(spark, tables, event_stream_dir):
+    """Weighted streaming moments: the emitted row carries the WLS
+    sufficient statistics and solves to the batch weighted fit."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from dbreg_spark import dbreg
+    from dbreg_spark.streaming.ops import coef_from_moments, streaming_moments
+
+    schema = tables["events"].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(event_stream_dir)
+        .withColumn("w", F.pmod(F.col("event_id"), F.lit(5)) + F.lit(1.0))
+    )
+    out = streaming_moments(stream, "value ~ user_id", weights="w")
+    name = f"wmom_{uuid.uuid4().hex[:8]}"
+    _run_stream(out, name, mode="complete")
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    assert len(got) == 1 and "sum_w" in got.columns
+    beta = coef_from_moments(got.iloc[0], ["user_id"])
+    batch = tables["events"].withColumn(
+        "w", F.pmod(F.col("event_id"), F.lit(5)) + F.lit(1.0)
+    )
+    m = dbreg("value ~ user_id", batch, strategy="moments", weights="w")
+    np.testing.assert_allclose(
+        beta[["(Intercept)", "user_id"]].to_numpy(),
+        m.coef()[["(Intercept)", "user_id"]].to_numpy(),
+        rtol=1e-9,
+    )
+
+
+def test_streaming_moments_weighted_fe_refused(spark, tables, event_stream_dir):
+    import pytest as _pt
+
+    from dbreg_spark.streaming.ops import streaming_moments
+
+    schema = tables["events"].schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    with _pt.raises(ValueError, match="no-FE"):
+        streaming_moments(
+            stream, "value ~ user_id | event_type", window="1 day",
+            weights="user_id",
+        )
