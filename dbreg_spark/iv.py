@@ -279,6 +279,7 @@ def dbiv(
     vcov="iid",
     cluster=None,
     weights: str | None = None,
+    hac_lag: int | None = None,
     drop_missings: bool = True,
     sql_only: bool = False,
     data_only: bool = False,
@@ -381,7 +382,7 @@ def dbiv(
         _check_weights_valid(row, weight_col)
         return _solve_2sls(
             row, frame, ivf, design, exog_names, endog_names, inst_names,
-            icpt, vcov_type, cluster_vars, sql, verbose, weight_col,
+            icpt, vcov_type, cluster_vars, sql, verbose, weight_col, hac_lag,
         )
     finally:
         frame.cleanup()
@@ -390,6 +391,7 @@ def dbiv(
 def _solve_2sls(
     row, frame, ivf, design, exog_names, endog_names, inst_names,
     icpt, vcov_type, cluster_vars, sql, verbose, weight_col=None,
+    hac_lag=None,
 ):
     from .api import _cluster_meat_any, _cluster_label
 
@@ -491,6 +493,18 @@ def _solve_2sls(
         S, n_clusters, _ = _cluster_meat_any(
             frame, sol.betahat, kept_x_cols, icpt_x, cluster_vars,
             n_total, n_params_cluster,
+            score_names=kept_z_cols, score_intercept=icpt_z,
+            weight_col=weight_col,
+        )
+        meat = Gamma.T @ S @ Gamma
+    elif vcov_type == "dk":
+        # Driscoll-Kraay 2SLS: NW-weighted per-period Z-score meat mapped
+        # into coefficient space by the same Gamma
+        from .plans.meat import dk_meat
+
+        S, n_clusters, _lag, _ = dk_meat(
+            frame, sol.betahat, kept_x_cols, intercept=icpt_x,
+            time_col=cluster_vars[0], lag=hac_lag,
             score_names=kept_z_cols, score_intercept=icpt_z,
             weight_col=weight_col,
         )

@@ -568,3 +568,31 @@ def test_iv_weighted_nonpositive_raises(spark):
     sdf = spark.createDataFrame(pdf)
     with pytest.raises(ValueError, match="non-positive"):
         dbiv("y ~ x_ex | x_end ~ z1", sdf, weights="w")
+
+
+def test_iv_dk_lag0_equals_cluster_by_time(spark):
+    rng = np.random.default_rng(23)
+    n = 2500
+    z1 = rng.normal(size=n)
+    u = rng.normal(size=n)
+    x_end = 0.8 * z1 + 0.5 * u + rng.normal(size=n)
+    t = rng.integers(0, 30, n)
+    pdf = pd.DataFrame(
+        {"y": 1 + 2 * x_end + u + rng.normal(size=n), "x_end": x_end,
+         "z1": z1, "t": t}
+    )
+    sdf = spark.createDataFrame(pdf)
+    mdk = dbiv("y ~ 1 | x_end ~ z1", sdf, vcov="dk ~ t", hac_lag=0)
+    mcl = dbiv("y ~ 1 | x_end ~ z1", sdf, vcov="~t")
+    np.testing.assert_allclose(
+        mdk.se().to_numpy(), mcl.se().to_numpy(), rtol=1e-10
+    )
+    # a positive lag changes the SEs (time-correlated scores by chance
+    # structure alone would not guarantee it, so inject a common shock)
+    pdf2 = pdf.copy()
+    shock = np.cumsum(rng.normal(size=30)) * 0.5
+    pdf2["y"] = pdf2["y"] + shock[pdf2.t]
+    sdf2 = spark.createDataFrame(pdf2)
+    a = dbiv("y ~ 1 | x_end ~ z1", sdf2, vcov="dk ~ t", hac_lag=0)
+    b = dbiv("y ~ 1 | x_end ~ z1", sdf2, vcov="dk ~ t", hac_lag=4)
+    assert not np.allclose(a.se().to_numpy(), b.se().to_numpy(), rtol=1e-3)
