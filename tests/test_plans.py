@@ -345,3 +345,69 @@ def test_iv_gram_plan_single_exchange(tables):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "PushedFilters: [IsNotNull" in plan
     assert _n_nodes(plan, "Scan parquet") <= 1
+
+
+def test_weighted_plans_match_unweighted_shapes(tables):
+    """WLS must not change plan shapes: same exchange counts, means still
+    broadcast — the weighting is pure expression arithmetic inside the
+    same aggregations."""
+    li = tables["lineitem"]
+    for strategy in ("moments", "demean"):
+        fml = (
+            "l_extendedprice ~ l_discount + l_tax"
+            + (" | l_returnflag" if strategy == "demean" else "")
+        )
+        dfu, _ = build_plan(fml, li, strategy=strategy)
+        dfw, _ = build_plan(fml, li, strategy=strategy, weights="l_quantity")
+        pu, pw = _formatted(dfu), _formatted(dfw)
+        assert _n_nodes(pw, "Exchange") == _n_nodes(pu, "Exchange")
+        assert _n_nodes(pw, "SortMergeJoin") == 0
+        if strategy == "demean":
+            assert _n_nodes(pw, "BroadcastHashJoin") >= 1
+
+
+def test_split_grouped_moments_single_exchange(tables):
+    """The split-sample moment pass is ONE grouped aggregation — a single
+    exchange carrying G rows, no join, no window."""
+    import pyspark.sql.functions as F
+
+    from dbreg_spark.plans.common import moment_spec
+    from dbreg_spark.plans.exprs import Var, agg_to_spark
+
+    spec = moment_spec(
+        Var("l_extendedprice"), [Var("l_quantity"), Var("l_discount")],
+        intercept=True,
+    )
+    df = tables["lineitem"].groupBy("l_linestatus").agg(
+        *[agg_to_spark(a).alias(n) for n, a in spec]
+    )
+    plan = _formatted(df)
+    assert _n_nodes(plan, "Exchange") == 1
+    assert _n_nodes(plan, "SortMergeJoin") == 0
+    assert _n_nodes(plan, "Window") == 0
+
+
+def test_dk_score_pass_single_exchange(tables):
+    """The Driscoll-Kraay per-period score table is one grouped pass."""
+    import numpy as np
+
+    from dbreg_spark.design import build_design
+    from dbreg_spark.formula import parse_formula
+    from dbreg_spark.plans.common import Source
+    from dbreg_spark.plans.frames import build_base_frame
+    from dbreg_spark.plans.meat import cluster_scores_plan
+
+    li = tables["lineitem"]
+    parsed = parse_formula("l_extendedprice ~ l_discount + l_tax")
+    design = build_design(li, parsed, expand="all", fe_vars=None)
+    frame = build_base_frame(
+        Source(df=li, sql_from=None), parsed, design, True,
+        extra_cols=["l_linestatus"], want_sql=False,
+    )
+    scores, _sql = cluster_scores_plan(
+        frame, np.array([1.0, 2.0, 3.0]), list(frame.x_cols), True,
+        "l_linestatus",
+    )
+    plan = _formatted(scores)
+    assert _n_nodes(plan, "Exchange") == 1
+    assert _n_nodes(plan, "Window") == 0
