@@ -241,6 +241,24 @@ class IvModel(DbregModel):
     sargan: tuple | None = None
     # Wu-Hausman endogeneity F: (stat, df1, df2, p)
     wu_hausman: tuple | None = None
+    # {endog: first-stage coeftable over the kept Z columns} — free from
+    # the Gram blocks (iid SEs; fixest's summary(stage = 1) analog)
+    first_stage_tables: dict = field(default_factory=dict)
+
+    def first_stage(self, endog: str | None = None):
+        """First-stage coefficient table(s): regress each endogenous
+        column on the kept instruments+controls — assembled from the same
+        Gram pass as the 2SLS solve (zero extra scans), iid inference."""
+        if not self.first_stage_tables:
+            raise ValueError("no first-stage tables on this model")
+        if endog is not None:
+            if endog not in self.first_stage_tables:
+                raise ValueError(
+                    f"unknown endogenous regressor {endog!r}; have "
+                    f"{sorted(self.first_stage_tables)}"
+                )
+            return self.first_stage_tables[endog]
+        return dict(self.first_stage_tables)
 
     def __repr__(self) -> str:
         base = super().__repr__().replace(
@@ -523,6 +541,7 @@ def _solve_2sls(
     # included-only columns of kept Z (restricted); zero extra passes
     fsF: dict[str, float] = {}
     fs_gamma: dict[str, np.ndarray] = {}
+    fs_tables: dict[str, object] = {}
     incl = [i for i, n in enumerate(zk_names) if n not in set(excl_kept)]
     q = len(excl_kept)
     dof2 = max(n_total - len(zk_names) - df_fe, 1)
@@ -533,6 +552,10 @@ def _solve_2sls(
         g_u = Azz_inv @ Aze
         fs_gamma[en] = g_u
         rss_u = max(ee - g_u @ Aze, 0.0)
+        # first-stage coeftable, free from the Gram: V = σ̂² (Z'Z)⁻¹
+        fs_tables[standardize_coef_names(en)] = gen_coeftable(
+            g_u, (rss_u / dof2) * Azz_inv, dof2, zk_names
+        )
         if incl:
             Arr = Azz_k[np.ix_(incl, incl)]
             Are = Aze[incl]
@@ -640,6 +663,7 @@ def _solve_2sls(
         endog=[standardize_coef_names(n) for n in endog_names],
         instruments=[standardize_coef_names(n) for n in inst_names],
         first_stage_F=fsF,
+        first_stage_tables=fs_tables,
         sargan=sargan,
         wu_hausman=wu_hausman,
         weight_col=weight_col,

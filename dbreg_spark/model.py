@@ -184,6 +184,19 @@ class DbregModel:
             "p.value": _ts.f_sf(stat, k, df2),
         }
 
+    def augment(self, newdata=None):
+        """broom's ``augment``: :meth:`predict` output plus a ``resid``
+        column (y − fit) when the outcome is present in the scored frame —
+        fully distributed, same semantics per strategy as predict."""
+        import pyspark.sql.functions as F
+
+        out = self.predict(newdata)
+        if self.yvar in out.columns:
+            out = out.withColumn(
+                "resid", F.col(self.yvar).cast("double") - F.col("fit")
+            )
+        return out
+
     # -- goodness of fit (reference: R/gof.R:10-27) ------------------------
     def r2(self) -> float:
         return 1.0 - self.rss / self.tss

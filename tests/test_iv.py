@@ -596,3 +596,23 @@ def test_iv_dk_lag0_equals_cluster_by_time(spark):
     a = dbiv("y ~ 1 | x_end ~ z1", sdf2, vcov="dk ~ t", hac_lag=0)
     b = dbiv("y ~ 1 | x_end ~ z1", sdf2, vcov="dk ~ t", hac_lag=4)
     assert not np.allclose(a.se().to_numpy(), b.se().to_numpy(), rtol=1e-3)
+
+
+def test_iv_first_stage_tables_match_dense_ols(iv_sdf):
+    sdf, pdf = iv_sdf
+    m = dbiv("y ~ x_ex | x_end ~ z1 + z2", sdf, vcov="iid")
+    fs = m.first_stage("x_end")
+    n = len(pdf)
+    Z = np.column_stack([np.ones(n), pdf.x_ex, pdf.z1, pdf.z2])
+    g = np.linalg.solve(Z.T @ Z, Z.T @ pdf.x_end.to_numpy())
+    u = pdf.x_end.to_numpy() - Z @ g
+    V = (u @ u / (n - 4)) * np.linalg.inv(Z.T @ Z)
+    order = ["(Intercept)", "x_ex", "z1", "z2"]
+    np.testing.assert_allclose(
+        fs.loc[order, "estimate"].to_numpy(), g, rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        fs.loc[order, "std.error"].to_numpy(), np.sqrt(np.diag(V)), rtol=1e-8
+    )
+    with pytest.raises(ValueError, match="unknown endogenous"):
+        m.first_stage("nope")

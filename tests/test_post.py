@@ -510,3 +510,24 @@ def test_wald_f_matches_t_squared(spark):
     t = float(m.coeftable.loc["x1", "statistic"])
     w = m.wald(["x1"])
     assert w["stat"] == _pt.approx(t * t, rel=1e-10)
+
+
+def test_augment_adds_residuals(spark):
+    import numpy as np
+    import pandas as pd
+
+    from dbreg_spark import dbreg
+
+    rng = np.random.default_rng(8)
+    n = 800
+    pdf = pd.DataFrame({"x": rng.normal(size=n), "f": rng.integers(0, 4, n)})
+    pdf["y"] = 1 + 2 * pdf.x + 0.5 * pdf.f + rng.normal(size=n)
+    df = spark.createDataFrame(pdf)
+    m = dbreg("y ~ x | f", df, strategy="compress")
+    aug = m.augment(df).toPandas()
+    assert "resid" in aug.columns and "fit" in aug.columns
+    np.testing.assert_allclose(
+        aug["resid"].to_numpy(), (aug["y"] - aug["fit"]).to_numpy(), rtol=1e-12
+    )
+    # residual sum of squares matches the fitted model's rss
+    assert float((aug["resid"] ** 2).sum()) == pytest.approx(m.rss, rel=1e-8)
