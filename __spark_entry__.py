@@ -296,7 +296,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dbreg_spark import dbbinsreg, dbreg
     from dbreg_spark.api import build_meat_plan, build_plan
-    from dbreg_spark.operators import bpe, dedup, evaluate, similarity, text
+    from dbreg_spark.operators import (
+        bpe,
+        dedup,
+        evaluate,
+        numeric,
+        similarity,
+        text,
+    )
 
     Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -656,6 +663,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     Q["moments_split"] = q_moments_split
+
+    # ---- numeric column prep (winsorize / standardize / MAD outliers) ----
+    def q_winsorize(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        out = numeric.winsorize(
+            t["lineitem"].select("l_orderkey", "l_extendedprice"),
+            ["l_extendedprice"], 0.05, 0.95, exact=True,
+        )
+        return _round_doubles_df(out)
+
+    Q["numeric_winsorize"] = q_winsorize
+
+    def q_mad_outliers(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        out = numeric.mad_outliers(
+            t["lineitem"].select("l_orderkey", "l_extendedprice"),
+            ["l_extendedprice"], exact=True,
+        )
+        return _round_doubles_df(out)
+
+    Q["numeric_mad_outliers"] = q_mad_outliers
 
     def q_exact_dedup(spark, sf_dir):
         t = _tables(spark, sf_dir)
@@ -1622,6 +1650,19 @@ def oracle_sql() -> dict[str, str]:
 
     O["text_bpe_wordfreq"] = _bpe.word_frequencies_sql(
         "FROM documents", max_words=200
+    )
+    from dbreg_spark.operators import numeric as _num
+
+    _wz_from = "FROM (SELECT l_orderkey, l_extendedprice FROM lineitem)"
+    O["numeric_winsorize"] = _round_doubles_sql(
+        _num.winsorize_sql(_wz_from, ["l_extendedprice"], 0.05, 0.95),
+        ["l_orderkey", "l_extendedprice", "l_extendedprice_w"],
+        ["l_extendedprice", "l_extendedprice_w"],
+    )
+    O["numeric_mad_outliers"] = _round_doubles_sql(
+        _num.mad_outliers_sql(_wz_from, ["l_extendedprice"]),
+        ["l_orderkey", "l_extendedprice", "l_extendedprice_outlier"],
+        ["l_extendedprice"],
     )
     from dbreg_spark.split import split_moments_sql
 

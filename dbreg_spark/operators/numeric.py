@@ -1,0 +1,187 @@
+"""Numeric column preparation: winsorization, standardization, robust
+(median/MAD) outlier flagging — the feature-hygiene steps before a
+regression or a quality-classifier fit.
+
+Each operator is TWO jobs at any scale: one tiny aggregation probe
+(quantiles / mean-sd / median-MAD — a handful of doubles to the driver)
+whose results are embedded as literals into pure column expressions, then
+the stateless transform scan. Nothing shuffles except the probe's own
+single-row aggregate.
+
+Quantile probes default to ``percentile_approx`` (mergeable sketch —
+the 100 TB path); ``exact=True`` switches to exact ``percentile``
+(continuous interpolation, identical to DuckDB's ``quantile_cont``) for
+oracle-matched results — exact percentile buffers values per group, so
+reserve it for bounded inputs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_PCTL = {True: "percentile", False: "percentile_approx"}
+
+
+def _quantile_probe(
+    df: DataFrame, cols: list[str], ps: list[float], exact: bool
+) -> dict:
+    """{col: [q_p for p in ps]} from one aggregation pass."""
+    fn = _PCTL[bool(exact)]
+    arr = "array(" + ", ".join(repr(float(p)) for p in ps) + ")"
+    aggs = [
+        F.expr(f"{fn}(CAST({c} AS DOUBLE), {arr})").alias(f"__q_{i}")
+        for i, c in enumerate(cols)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {c: list(row[f"__q_{i}"]) for i, c in enumerate(cols)}
+
+
+def winsorize(
+    df: DataFrame,
+    cols: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    suffix: str = "_w",
+    exact: bool = False,
+) -> DataFrame:
+    """Clamp each column to its [lower, upper] quantiles; clamped values
+    land in ``col + suffix`` (pass ``suffix=""`` to replace in place).
+    NULLs pass through untouched."""
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    qs = _quantile_probe(df, cols, [lower, upper], exact)
+    out = df
+    for c in cols:
+        lo, hi = qs[c]
+        out = out.withColumn(
+            c + suffix,
+            F.least(
+                F.greatest(F.col(c).cast("double"), F.lit(float(lo))),
+                F.lit(float(hi)),
+            ),
+        )
+    return out
+
+
+def winsorize_sql(
+    from_clause: str,
+    cols: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    suffix: str = "_w",
+) -> str:
+    """DuckDB twin (exact ``quantile_cont`` ≡ Spark's exact percentile)."""
+    q = ",\n    ".join(
+        f"quantile_cont(CAST({c} AS DOUBLE), {lower!r}) AS lo_{i},\n"
+        f"    quantile_cont(CAST({c} AS DOUBLE), {upper!r}) AS hi_{i}"
+        for i, c in enumerate(cols)
+    )
+    clamps = ",\n  ".join(
+        f"LEAST(GREATEST(CAST(b.{c} AS DOUBLE), q.lo_{i}), q.hi_{i}) AS {c}{suffix}"
+        for i, c in enumerate(cols)
+    )
+    return (
+        f"WITH q AS (\n  SELECT\n    {q}\n  {from_clause}\n)\n"
+        f"SELECT b.*,\n  {clamps}\nFROM (SELECT * {from_clause}) b, q"
+    )
+
+
+def standardize(
+    df: DataFrame, cols: list[str], suffix: str = "_z", ddof: int = 1
+) -> DataFrame:
+    """z-score each column ((x − mean)/sd) into ``col + suffix``; constant
+    columns yield NULL (0/0) rather than inf."""
+    aggs = []
+    for i, c in enumerate(cols):
+        cd = F.col(c).cast("double")
+        aggs += [
+            F.avg(cd).alias(f"__m_{i}"),
+            (F.stddev_samp(cd) if ddof else F.stddev_pop(cd)).alias(f"__s_{i}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = df
+    for i, c in enumerate(cols):
+        m, s = row[f"__m_{i}"], row[f"__s_{i}"]
+        denom = F.lit(float(s)) if s not in (None, 0.0) else F.lit(None).cast("double")
+        out = out.withColumn(
+            c + suffix, (F.col(c).cast("double") - F.lit(float(m or 0.0))) / denom
+        )
+    return out
+
+
+def standardize_sql(
+    from_clause: str, cols: list[str], suffix: str = "_z", ddof: int = 1
+) -> str:
+    sd = "stddev_samp" if ddof else "stddev_pop"
+    q = ",\n    ".join(
+        f"AVG(CAST({c} AS DOUBLE)) AS m_{i},\n"
+        f"    {sd}(CAST({c} AS DOUBLE)) AS s_{i}"
+        for i, c in enumerate(cols)
+    )
+    zs = ",\n  ".join(
+        f"(CAST(b.{c} AS DOUBLE) - q.m_{i}) / NULLIF(q.s_{i}, 0) AS {c}{suffix}"
+        for i, c in enumerate(cols)
+    )
+    return (
+        f"WITH q AS (\n  SELECT\n    {q}\n  {from_clause}\n)\n"
+        f"SELECT b.*,\n  {zs}\nFROM (SELECT * {from_clause}) b, q"
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    cols: list[str],
+    k: float = 3.5,
+    exact: bool = False,
+) -> DataFrame:
+    """Flag robust outliers per column: |x − median| > k · 1.4826 · MAD
+    (the modified z-score rule; 1.4826 scales MAD to σ under normality).
+    Adds ``col + "_outlier"`` boolean columns (NULL input → NULL flag).
+    Two probe passes (median, then MAD around it) + the stateless scan."""
+    med = _quantile_probe(df, cols, [0.5], exact)
+    fn = _PCTL[bool(exact)]
+    aggs = [
+        F.expr(
+            f"{fn}(ABS(CAST({c} AS DOUBLE) - {med[c][0]!r}), 0.5)"
+        ).alias(f"__mad_{i}")
+        for i, c in enumerate(cols)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    out = df
+    for i, c in enumerate(cols):
+        m = float(med[c][0])
+        mad = float(row[f"__mad_{i}"] or 0.0)
+        thresh = k * 1.4826 * mad
+        cd = F.col(c).cast("double")
+        flag = (
+            F.abs(cd - F.lit(m)) > F.lit(thresh)
+            if mad > 0
+            else (cd != F.lit(m))  # degenerate: anything off the median
+        )
+        out = out.withColumn(c + "_outlier", flag)
+    return out
+
+
+def mad_outliers_sql(
+    from_clause: str, cols: list[str], k: float = 3.5
+) -> str:
+    meds = ",\n    ".join(
+        f"quantile_cont(CAST({c} AS DOUBLE), 0.5) AS med_{i}"
+        for i, c in enumerate(cols)
+    )
+    mads = ",\n    ".join(
+        f"quantile_cont(ABS(CAST(b.{c} AS DOUBLE) - m.med_{i}), 0.5) AS mad_{i}"
+        for i, c in enumerate(cols)
+    )
+    flags = ",\n  ".join(
+        f"CASE WHEN d.mad_{i} > 0 THEN "
+        f"ABS(CAST(b.{c} AS DOUBLE) - m.med_{i}) > {k!r} * 1.4826 * d.mad_{i} "
+        f"ELSE CAST(b.{c} AS DOUBLE) <> m.med_{i} END AS {c}_outlier"
+        for i, c in enumerate(cols)
+    )
+    return (
+        f"WITH m AS (\n  SELECT\n    {meds}\n  {from_clause}\n),\n"
+        f"d AS (\n  SELECT\n    {mads}\n  FROM (SELECT * {from_clause}) b, m\n)\n"
+        f"SELECT b.*,\n  {flags}\nFROM (SELECT * {from_clause}) b, m, d"
+    )

@@ -49,6 +49,7 @@ from .operators.evaluate import (
     classifier_metrics,
     regression_metrics,
 )
+from .operators.numeric import mad_outliers, standardize, winsorize
 from .operators.report import corpus_report
 from .operators.semistruct import json_fields, json_key_stats
 from .operators.web import c4_filter, domain_stats, extract_urls
@@ -107,6 +108,7 @@ __all__ = [
     "redact_pii", "decontaminate", "vocabulary", "vocab_with_ids", "quality_classify",
     "classifier_metrics", "calibration_table", "regression_metrics",
     "BpeModel", "learn_bpe", "encode_bpe", "word_frequencies",
+    "winsorize", "standardize", "mad_outliers",
     "fit_quality_classifier",
     "encode_tokens", "bm25_topk", "importance_weights",
     "importance_sample", "chunk_text", "pack_greedy", "assemble_packs",
