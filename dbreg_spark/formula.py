@@ -146,7 +146,21 @@ def parse_formula(fml: str) -> ParsedFormula:
             continue
         if neg:
             raise ValueError(f"term removal not supported: -{tok}")
-        if "*" in tok:
+        if "^" in tok and ":" not in tok and "*" not in tok:
+            # polynomial sugar: x^k == x:x:…:x (k copies — the repeated-var
+            # interaction term multiplies out to the k-th power)
+            v, _, kk = tok.partition("^")
+            v = v.strip()
+            if not _TOKEN.match(v):
+                raise ValueError(f"invalid variable {v!r}")
+            try:
+                k = int(kk.strip())
+            except ValueError:
+                raise ValueError(f"power must be an integer: {tok!r}") from None
+            if k < 1:
+                raise ValueError(f"power must be >= 1: {tok!r}")
+            raw_terms.append(Term((v,) * k))
+        elif "*" in tok:
             vars_ = [v.strip() for v in tok.split("*")]
             for v in vars_:
                 if not _TOKEN.match(v):

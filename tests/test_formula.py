@@ -73,3 +73,43 @@ def test_unknown_column_clean_error(spark, tables):
         dbreg("l_tax ~ l_quantity", tables["lineitem"], vcov="~bad_cluster")
     with pytest.raises(ValueError, match="not found in input"):
         dbbinsreg("l_tax ~ nope_col", tables["lineitem"])
+
+
+def test_power_sugar_expands_to_repeated_interaction():
+    from dbreg_spark.formula import parse_formula
+
+    p = parse_formula("y ~ x + x^2 + x^3")
+    keys = [t.sorted_key for t in p.terms]
+    assert ("x",) in keys and ("x", "x") in keys and ("x", "x", "x") in keys
+    # x^2 and x:x are the same term (deduped)
+    p2 = parse_formula("y ~ x^2 + x:x")
+    assert len(p2.terms) == 1
+
+
+def test_power_sugar_refusals():
+    import pytest as _pt
+
+    from dbreg_spark.formula import parse_formula
+
+    with _pt.raises(ValueError, match="integer"):
+        parse_formula("y ~ x^a")
+    with _pt.raises(ValueError, match=">= 1"):
+        parse_formula("y ~ x^0")
+
+
+def test_power_fit_matches_dense_quadratic(spark):
+    import numpy as np
+    import pandas as pd
+
+    from dbreg_spark import dbreg
+
+    rng = np.random.default_rng(2)
+    n = 2000
+    pdf = pd.DataFrame({"x": rng.normal(size=n)})
+    pdf["y"] = 1 + 2 * pdf.x + 0.5 * pdf.x**2 + rng.normal(size=n)
+    m = dbreg("y ~ x + x^2", spark.createDataFrame(pdf), strategy="moments")
+    X = np.column_stack([np.ones(n), pdf.x, pdf.x**2])
+    b = np.linalg.solve(X.T @ X, X.T @ pdf.y)
+    np.testing.assert_allclose(
+        m.coef().to_numpy(), b, rtol=1e-9
+    )
