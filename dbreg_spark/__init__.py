@@ -14,6 +14,7 @@ from .formula import parse_formula, parse_vcov
 from .glm import GlmModel, dbglm
 from .iv import IvModel, dbiv
 from .model import DbregModel
+from .eventstudy import EventStudyResult, event_study
 from .split import DbregSplit, dbreg_split
 
 __all__ = [
@@ -26,6 +27,8 @@ __all__ = [
     "GlmModel",
     "dbiv",
     "dbreg_split",
+    "event_study",
+    "EventStudyResult",
     "DbregSplit",
     "IvModel",
     "parse_formula",

@@ -1,0 +1,174 @@
+"""Event-study estimation — fixest's ``i(rel_time, ref = -1)`` workflow:
+dynamic treatment-effect coefficients around an event, with unit and time
+fixed effects absorbed.
+
+``event_study`` builds one dummy column per relative-time level (a bounded,
+probed set — never a blind explode), drops the reference period, and runs
+the standard TWFE regression through :func:`dbreg` — so every strategy,
+sandwich (iid/HC1/CR1/multiway/DK), and ``weights=`` option composes, and
+the estimation inherits dbreg's pass-count guarantees (the dummies are pure
+column expressions on the same scan). The result wraps the fitted model
+with a plot-ready tidy frame: one row per relative time, the reference
+period pinned at 0 with no CI.
+
+This is the classic (possibly-biased-under-staggered-adoption) dynamic
+TWFE; heterogeneity-robust estimators (Sun-Abraham, Callaway-Sant'Anna)
+are deliberately out of scope here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from . import stats as _tstats
+from .api import dbreg
+
+REL_TIME_MAX_LEVELS = 200
+
+
+def _dummy_name(lvl) -> str:
+    """Deterministic, formula-safe column name for a relative-time level."""
+    if isinstance(lvl, (int, np.integer)) or (
+        isinstance(lvl, float) and float(lvl).is_integer()
+    ):
+        k = int(lvl)
+        return f"es_m{-k}" if k < 0 else f"es_p{k}"
+    import hashlib
+
+    return "es_h" + hashlib.md5(str(lvl).encode()).hexdigest()[:8]
+
+
+class EventStudyResult:
+    """Fitted event study: the underlying :class:`DbregModel` plus the
+    relative-time coefficient table."""
+
+    def __init__(self, model, table: pd.DataFrame, ref, rel_time: str):
+        self.model = model
+        self.table = table
+        self.ref = ref
+        self.rel_time = rel_time
+
+    def tidy(self) -> pd.DataFrame:
+        return self.table.copy()
+
+    def __repr__(self) -> str:
+        return (
+            f"event study on {self.rel_time!r} (ref = {self.ref}):\n"
+            + self.table.to_string(index=False)
+        )
+
+
+def event_study(
+    data: DataFrame,
+    y: str,
+    rel_time: str,
+    unit: str,
+    time: str,
+    *,
+    ref=-1,
+    controls: list[str] | None = None,
+    vcov=None,
+    cluster=None,
+    weights: str | None = None,
+    level: float = 0.95,
+    strategy: str = "auto",
+    max_levels: int = REL_TIME_MAX_LEVELS,
+    never_treated_value=None,
+    **dbreg_kwargs,
+) -> EventStudyResult:
+    """Dynamic TWFE event study: ``y`` on relative-time dummies (reference
+    period ``ref`` dropped) with ``unit`` and ``time`` fixed effects.
+
+    ``rel_time`` is the periods-since-event column; rows where it is NULL —
+    or equals ``never_treated_value`` if given — form the never-treated
+    control group (all dummies zero). ``vcov=None`` defaults to clustering
+    by ``unit`` (the standard event-study inference). Distinct relative
+    times are probed first and capped at ``max_levels`` (an event window
+    wider than that needs binning, not 200+ coefficients).
+
+    Returns an :class:`EventStudyResult`; ``.table`` has one row per
+    relative time — estimate/se/CI, the reference row pinned at 0.
+    """
+    if vcov is None and cluster is None:
+        vcov = f"~{unit}"
+    rt = F.col(rel_time)
+    present = rt.isNotNull()
+    from pyspark.sql import types as T
+
+    rt_type = dict(data.dtypes).get(rel_time, "")
+    if rt_type in ("float", "double"):
+        # float NaN (e.g. from pandas NA) is never-treated, same as NULL —
+        # otherwise it becomes a phantom all-zero dummy level
+        present = present & ~F.isnan(rt)
+    lv_rows = (
+        data.select(rt.alias("__rt"))
+        .where(present)
+        .distinct()
+        .limit(max_levels + 1)
+        .collect()
+    )
+    levels = sorted(r["__rt"] for r in lv_rows)
+    if never_treated_value is not None:
+        levels = [lv for lv in levels if lv != never_treated_value]
+    if len(levels) > max_levels:
+        raise ValueError(
+            f"{rel_time!r} has more than {max_levels} distinct levels; bin "
+            "the event window first (or raise max_levels)"
+        )
+    if ref not in levels:
+        raise ValueError(
+            f"reference period {ref!r} not among observed relative times "
+            f"{levels[:10]}{'…' if len(levels) > 10 else ''}"
+        )
+    est_levels = [lv for lv in levels if lv != ref]
+    if not est_levels:
+        raise ValueError("only the reference period is observed")
+
+    df = data
+    names = []
+    for lv in est_levels:
+        nm = _dummy_name(lv)
+        names.append(nm)
+        df = df.withColumn(
+            nm,
+            F.when(F.col(rel_time) == F.lit(lv), 1.0).otherwise(0.0),
+        )
+    rhs = names + list(controls or [])
+    fml = f"{y} ~ {' + '.join(rhs)} | {unit} + {time}"
+    m = dbreg(
+        fml,
+        df,
+        vcov=vcov,
+        cluster=cluster,
+        weights=weights,
+        strategy=strategy,
+        **dbreg_kwargs,
+    )
+
+    crit = _tstats.t_ppf(1 - (1 - level) / 2, m.df_residual)
+    rows = []
+    coefs, ses = m.coef(), m.se()
+    for lv in levels:
+        if lv == ref:
+            rows.append(
+                dict(rel_time=lv, estimate=0.0, se=np.nan, lwr=np.nan,
+                     upr=np.nan, is_ref=True)
+            )
+            continue
+        nm = _dummy_name(lv)
+        if nm not in coefs.index:  # dropped by collinearity
+            rows.append(
+                dict(rel_time=lv, estimate=np.nan, se=np.nan, lwr=np.nan,
+                     upr=np.nan, is_ref=False)
+            )
+            continue
+        b, s = float(coefs[nm]), float(ses[nm])
+        rows.append(
+            dict(rel_time=lv, estimate=b, se=s, lwr=b - crit * s,
+                 upr=b + crit * s, is_ref=False)
+        )
+    table = pd.DataFrame(rows)
+    return EventStudyResult(m, table, ref, rel_time)
