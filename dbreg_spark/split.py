@@ -86,10 +86,16 @@ def dbreg_split(
     drop_missings: bool = True,
     verbose: bool = False,
     split_nmax: int = SPLIT_NMAX,
+    include_full: bool = False,
 ) -> DbregSplit:
     """Fit ``fml`` separately for every level of ``split`` — see module
     docstring for the pass-count contract. NULL split values form their own
     level (matching groupBy semantics); levels beyond ``split_nmax`` raise.
+
+    ``include_full=True`` (fixest's ``fsplit``) adds the full-sample fit
+    under the key ``"(full)"`` — one extra :func:`dbreg` call with the same
+    strategy/vcov/weights (its own pass; per-level demeaning cannot share a
+    frame with full-sample demeaning).
     """
     vcov_type, cluster_vars = parse_vcov(vcov, cluster)
     if vcov_type == "cluster" and len(cluster_vars) > 1:
@@ -133,10 +139,17 @@ def dbreg_split(
         )
 
     if strategy == "compress":
-        return _split_compress(
+        out = _split_compress(
             source, parsed, split, vcov_type, cluster_vars, weight_col,
             drop_missings, split_nmax, verbose,
         )
+        out.split_var = split
+        if include_full:
+            out["(full)"] = _full_fit(
+                source, parsed, strategy, vcov, cluster, weights,
+                drop_missings,
+            )
+        return out
 
     design = build_design(source.df, parsed, expand="all", fe_vars=parsed.fe)
     extra = [split] + (cluster_vars or [])
@@ -170,7 +183,27 @@ def dbreg_split(
             cached.unpersist()
     out = DbregSplit(models)
     out.split_var = split
+    if include_full:
+        out["(full)"] = _full_fit(
+            source, parsed, strategy, vcov, cluster, weights, drop_missings
+        )
     return out
+
+
+def _full_fit(source, parsed, strategy, vcov, cluster, weights, drop_missings):
+    from .api import dbreg
+
+    fml = f"{parsed.yvar} ~ " + " + ".join(
+        ":".join(t.vars) for t in parsed.terms
+    )
+    if not parsed.intercept:
+        fml += " + 0"
+    if parsed.fe:
+        fml += " | " + " + ".join(parsed.fe)
+    return dbreg(
+        fml, data=source.df, vcov=vcov, cluster=cluster, weights=weights,
+        strategy=strategy, drop_missings=drop_missings,
+    )
 
 
 def _demean_within_split(base, split, fe, weight_col):

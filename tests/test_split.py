@@ -184,3 +184,16 @@ def test_split_moments_sql_twin(spark, sdata):
             rtol=1e-9,
         )
     assert list(got["g"]) == list(o["g"])
+
+
+def test_split_include_full(sdata):
+    df, _ = sdata
+    ms = dbreg_split(
+        "y ~ x1 + x2", df, split="g", strategy="moments", vcov="hc1",
+        include_full=True,
+    )
+    assert "(full)" in ms and set(ms) == {"a", "b", "c", "(full)"}
+    ref = dbreg("y ~ x1 + x2", df, strategy="moments", vcov="hc1")
+    _assert_matches(ms["(full)"], ref)
+    t = ms.tidy()
+    assert set(t["g"]) == {"a", "b", "c", "(full)"}

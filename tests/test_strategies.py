@@ -581,3 +581,61 @@ def test_strategy_equivalence_fuzz(spark, seed):
         [fits["compress"].se()["x1"], fits["compress"].se()["x2"]],
         rtol=1e-5,
     )
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_weighted_strategy_equivalence_fuzz(spark, seed):
+    """Randomized WEIGHTED cross-strategy agreement: compress and iterated
+    demean must reproduce the numpy WLS-LSDV within-coefficients and agree
+    with each other on HC1 SEs, on a fresh unbalanced panel with random
+    positive weights."""
+    rng = np.random.default_rng(seed)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "f": rng.integers(1, 13, n).astype("int64"),
+            "g": rng.integers(1, 5, n).astype("int64"),
+            "x1": rng.integers(0, 8, n).astype("float64"),
+            "x2": rng.integers(0, 4, n).astype("float64"),
+            "w": rng.uniform(0.2, 3.0, n),
+        }
+    )
+    fe_f = rng.normal(size=13)
+    fe_g = rng.normal(size=5)
+    pdf["y"] = (
+        1.5 * pdf["x1"]
+        - 0.7 * pdf["x2"]
+        + fe_f[pdf["f"]]
+        + fe_g[pdf["g"]]
+        + rng.normal(0, 1.0, n)
+    )
+    df = spark.createDataFrame(pdf)
+    fml = "y ~ x1 + x2 | f + g"
+    X = np.column_stack(
+        [
+            np.ones(n),
+            pdf["x1"],
+            pdf["x2"],
+            *(np.eye(13)[pdf["f"]][:, 1:].T),
+            *(np.eye(5)[pdf["g"]][:, 1:].T),
+        ]
+    )
+    wv = pdf["w"].to_numpy()
+    beta = np.linalg.solve(
+        X.T @ (wv[:, None] * X), X.T @ (wv * pdf["y"].to_numpy())
+    )
+    want = beta[1:3]
+
+    m_comp = dbreg(fml, df, strategy="compress", vcov="hc1", weights="w")
+    m_iter = dbreg(fml, df, strategy="demean_iter", vcov="hc1", weights="w")
+    np.testing.assert_allclose(
+        m_comp.coef(fe=False)[["x1", "x2"]].to_numpy(), want, rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        m_iter.coef()[["x1", "x2"]].to_numpy(), want, rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        m_comp.se(fe=False)[["x1", "x2"]].to_numpy(),
+        m_iter.se()[["x1", "x2"]].to_numpy(),
+        rtol=1e-6,
+    )
