@@ -585,6 +585,22 @@ class GlmModel:
             ]
         )
 
+    def evaluate(self, data: DataFrame, threshold: float = 0.5, bins: int = 10_000):
+        """Score ``data`` and evaluate in-engine: binomial families return
+        :func:`operators.evaluate.classifier_metrics` (binned-ROC AUC,
+        log-loss, Brier, threshold confusion); everything else returns
+        :func:`operators.evaluate.regression_metrics` on the response-scale
+        fit — one (bucketed) pass over the scored frame, closing the
+        train → apply → evaluate loop without leaving Spark."""
+        from .operators.evaluate import classifier_metrics, regression_metrics
+
+        scored = self.predict(data, type="response")
+        if self.family in ("binomial", "quasibinomial"):
+            return classifier_metrics(
+                scored, self.yvar, "fit", threshold=threshold, bins=bins
+            )
+        return regression_metrics(scored, self.yvar, "fit")
+
     def predict(self, data: DataFrame, type: str = "response") -> DataFrame:
         """Attach the fitted value as column ``fit`` (link scale with
         type="link", mean scale with type="response") — a pure column

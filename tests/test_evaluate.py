@@ -195,3 +195,28 @@ def test_weighted_demean_null_x_drop_missings_false(spark):
     yv = sub.y.to_numpy()
     b = np.linalg.solve(X.T @ (w[:, None] * X), X.T @ (w * yv))
     assert m.coef()["x"] == pytest.approx(b[0], rel=1e-8)
+
+
+def test_glm_evaluate_closes_the_loop(spark):
+    """dbglm fit -> .evaluate(): AUC well above chance on separable data,
+    and the regression branch returns rmse for gaussian fits."""
+    import numpy as np
+
+    from dbreg_spark import dbglm
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    pdf = pd.DataFrame({"x": rng.normal(size=n)})
+    eta = -0.3 + 1.8 * pdf.x
+    pdf["y"] = (rng.random(n) < 1 / (1 + np.exp(-eta))).astype(float)
+    df = spark.createDataFrame(pdf)
+    m = dbglm("y ~ x", df, family="binomial")
+    ev = m.evaluate(df).toPandas().iloc[0]
+    assert ev["auc"] > 0.75 and 0 < ev["log_loss"] < 0.6
+    assert ev["n"] == n
+
+    pdf["yc"] = 2.0 + 0.5 * pdf.x + rng.normal(scale=0.3, size=n)
+    mg = dbglm("yc ~ x", spark.createDataFrame(pdf), family="gaussian")
+    rv = mg.evaluate(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert rv["rmse"] == pytest.approx(0.3, abs=0.05)
+    assert rv["r2"] > 0.5
