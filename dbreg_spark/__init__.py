@@ -14,7 +14,7 @@ from .formula import parse_formula, parse_vcov
 from .glm import GlmModel, dbglm
 from .iv import IvModel, dbiv
 from .model import DbregModel
-from .eventstudy import EventStudyResult, event_study
+from .eventstudy import EventStudyResult, event_study, sun_abraham
 from .split import DbregSplit, dbreg_split
 
 __all__ = [
@@ -28,6 +28,7 @@ __all__ = [
     "dbiv",
     "dbreg_split",
     "event_study",
+    "sun_abraham",
     "EventStudyResult",
     "DbregSplit",
     "IvModel",

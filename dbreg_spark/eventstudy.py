@@ -11,9 +11,12 @@ column expressions on the same scan). The result wraps the fitted model
 with a plot-ready tidy frame: one row per relative time, the reference
 period pinned at 0 with no CI.
 
-This is the classic (possibly-biased-under-staggered-adoption) dynamic
-TWFE; heterogeneity-robust estimators (Sun-Abraham, Callaway-Sant'Anna)
-are deliberately out of scope here.
+``event_study`` is the classic (possibly-biased-under-staggered-adoption)
+dynamic TWFE. :func:`sun_abraham` is the heterogeneity-robust
+interaction-weighted estimator (Sun & Abraham 2021, fixest's ``sunab``):
+one dummy per (cohort × relative-time) cell, cohort-share-weighted
+aggregation per relative time with delta-method SEs — the same single
+dbreg fit plus driver-side linear algebra on the fitted vcov.
 """
 
 from __future__ import annotations
@@ -172,3 +175,129 @@ def event_study(
         )
     table = pd.DataFrame(rows)
     return EventStudyResult(m, table, ref, rel_time)
+
+
+def _sunab_dummy_name(g, lv) -> str:
+    return f"sa_{_dummy_name(g)[3:]}__{_dummy_name(lv)[3:]}"
+
+
+def sun_abraham(
+    data: DataFrame,
+    y: str,
+    cohort: str,
+    time: str,
+    unit: str,
+    *,
+    ref=-1,
+    controls: list[str] | None = None,
+    vcov=None,
+    cluster=None,
+    weights: str | None = None,
+    level: float = 0.95,
+    strategy: str = "auto",
+    max_cells: int = 2000,
+    **dbreg_kwargs,
+) -> EventStudyResult:
+    """Sun-Abraham (2021) interaction-weighted event study.
+
+    ``cohort`` is the period each unit was first treated (NULL / NaN =
+    never treated — the comparison group); relative time is ``time −
+    cohort``. One dummy per observed (cohort × relative-time) cell (the
+    reference period ``ref`` dropped within every cohort) enters a single
+    TWFE :func:`dbreg` fit; per-relative-time effects aggregate the cohort
+    cells with their observation-share weights, SEs by the delta method
+    a'Va on the fitted (cluster-robust by default) vcov. Cells are probed
+    and capped at ``max_cells``; cells dropped by collinearity are excluded
+    with their weight renormalized (reported in ``result.dropped_cells``).
+
+    With a single treated cohort this reduces exactly to
+    :func:`event_study` — pinned by the tests.
+    """
+    if vcov is None and cluster is None:
+        vcov = f"~{unit}"
+    g = F.col(cohort)
+    treated = g.isNotNull()
+    g_type = dict(data.dtypes).get(cohort, "")
+    if g_type in ("float", "double"):
+        treated = treated & ~F.isnan(g)
+    rel = F.col(time) - g
+
+    # one probe: observed (cohort, rel_time) cells with treated-row counts
+    cells = (
+        data.where(treated)
+        .groupBy(g.alias("__g"), rel.alias("__rt"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .limit(max_cells + 1)
+        .collect()
+    )
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"more than {max_cells} (cohort x rel_time) cells; bin the "
+            "event window or raise max_cells"
+        )
+    cells = [(r["__g"], r["__rt"], int(r["__n"])) for r in cells]
+    rts = sorted({rt for _g, rt, _n in cells})
+    if ref not in rts:
+        raise ValueError(
+            f"reference period {ref!r} not among observed relative times"
+        )
+    est_cells = [(gv, rt, n) for gv, rt, n in cells if rt != ref]
+    if not est_cells:
+        raise ValueError("only the reference period is observed")
+
+    df = data
+    names = {}
+    for gv, rt, _n in est_cells:
+        nm = _sunab_dummy_name(gv, rt)
+        names[(gv, rt)] = nm
+        df = df.withColumn(
+            nm,
+            F.when(
+                treated & (g == F.lit(gv)) & (rel == F.lit(rt)), 1.0
+            ).otherwise(0.0),
+        )
+    rhs = list(names.values()) + list(controls or [])
+    fml = f"{y} ~ {' + '.join(rhs)} | {unit} + {time}"
+    m = dbreg(
+        fml, df, vcov=vcov, cluster=cluster, weights=weights,
+        strategy=strategy, **dbreg_kwargs,
+    )
+
+    coefs = m.coef()
+    V = m.vcov_
+    pos = {n: i for i, n in enumerate(m.coef_names)}
+    crit = _tstats.t_ppf(1 - (1 - level) / 2, m.df_residual)
+    rows, dropped = [], []
+    for rt in rts:
+        if rt == ref:
+            rows.append(
+                dict(rel_time=rt, estimate=0.0, se=np.nan, lwr=np.nan,
+                     upr=np.nan, is_ref=True)
+            )
+            continue
+        cell_list = [(gv, n) for gv, rt2, n in est_cells if rt2 == rt]
+        kept = [
+            (gv, n) for gv, n in cell_list if names[(gv, rt)] in pos
+        ]
+        dropped += [
+            (gv, rt) for gv, _n in cell_list if names[(gv, rt)] not in pos
+        ]
+        tot = float(sum(n for _gv, n in kept))
+        if not kept or tot == 0:
+            rows.append(
+                dict(rel_time=rt, estimate=np.nan, se=np.nan, lwr=np.nan,
+                     upr=np.nan, is_ref=False)
+            )
+            continue
+        a = np.zeros(len(m.coef_names))
+        for gv, n in kept:
+            a[pos[names[(gv, rt)]]] = n / tot
+        b = float(a @ coefs.to_numpy())
+        s = float(np.sqrt(max(a @ V @ a, 0.0)))
+        rows.append(
+            dict(rel_time=rt, estimate=b, se=s, lwr=b - crit * s,
+                 upr=b + crit * s, is_ref=False)
+        )
+    out = EventStudyResult(m, pd.DataFrame(rows), ref, f"{time} - {cohort}")
+    out.dropped_cells = dropped
+    return out

@@ -90,3 +90,130 @@ def test_event_study_never_treated_value(spark):
     got = r.table[~r.table.is_ref].estimate.to_numpy()
     want = r0.table[~r0.table.is_ref].estimate.to_numpy()
     np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+# ----------------------------------------------------------- Sun-Abraham --
+
+
+def _staggered(seed=11, n_units=80, T=14):
+    """Staggered adoption with cohort-heterogeneous dynamic effects."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    alpha = rng.normal(size=n_units)
+    gamma = rng.normal(size=T) * 0.4
+    cohorts = rng.choice([5, 8, -1], size=n_units, p=[0.35, 0.35, 0.3])
+    for u in range(n_units):
+        g = cohorts[u]
+        for t in range(T):
+            eff = 0.0
+            if g > 0 and t >= g:
+                # cohort-specific dynamics: early cohort ramps 2x faster
+                ramp = 1.0 if g == 5 else 0.4
+                eff = ramp * (1 + (t - g))
+            rows.append(
+                dict(
+                    unit=u, time=t,
+                    cohort=(int(g) if g > 0 else None),
+                    y=alpha[u] + gamma[t] + eff + rng.normal(scale=0.3),
+                )
+            )
+    pdf = pd.DataFrame(rows)
+    pdf["cohort"] = pdf["cohort"].astype("Int64").astype(object)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def stag(spark):
+    pdf = _staggered()
+    pdf2 = pdf.copy()
+    pdf2["cohort"] = pdf2["cohort"].where(pdf2["cohort"].notna(), None)
+    return spark.createDataFrame(pdf2), pdf
+
+
+def test_sunab_matches_dense_oracle(stag):
+    from dbreg_spark import sun_abraham
+
+    df, pdf = stag
+    r = sun_abraham(df, "y", "cohort", "time", "unit", ref=-1, vcov="hc1")
+    # dense oracle: same (cohort x rel) dummies, same share weights,
+    # delta-method aggregation on the dense HC1 vcov
+    pdf = pdf.copy()
+    pdf["rel"] = pdf.time - pd.to_numeric(pdf.cohort, errors="coerce")
+    cells = (
+        pdf.dropna(subset=["rel"])
+        .groupby(["cohort", "rel"])
+        .size()
+        .reset_index(name="n")
+    )
+    est_cells = [
+        (int(g), int(rt), int(n))
+        for g, rt, n in cells.itertuples(index=False)
+        if rt != -1
+    ]
+    E = np.column_stack(
+        [
+            ((pdf.cohort == g) & (pdf.rel == rt)).to_numpy(dtype=float)
+            for g, rt, _ in est_cells
+        ]
+    )
+    Dn = pd.get_dummies(pdf.unit).to_numpy(dtype=float)
+    Dt = pd.get_dummies(pdf.time, drop_first=True).to_numpy(dtype=float)
+    X = np.column_stack([E, Dn, Dt])
+    yv = pdf.y.to_numpy()
+    n, p = X.shape
+    XtXi = np.linalg.inv(X.T @ X)
+    b = XtXi @ (X.T @ yv)
+    u = yv - X @ b
+    meat = (X * (u**2)[:, None]).T @ X
+    V = (n / (n - p)) * XtXi @ meat @ XtXi
+    k = len(est_cells)
+    got = r.table[~r.table.is_ref].set_index("rel_time")
+    for rt in sorted({c[1] for c in est_cells}):
+        idx = [i for i, c in enumerate(est_cells) if c[1] == rt]
+        w = np.array([est_cells[i][2] for i in idx], dtype=float)
+        w /= w.sum()
+        a = np.zeros(p)
+        for wi, i in zip(w, idx):
+            a[i] = wi
+        est = float(a @ b)
+        se = float(np.sqrt(a @ V @ a))
+        assert got.loc[rt, "estimate"] == pytest.approx(est, rel=1e-6, abs=1e-9)
+        assert got.loc[rt, "se"] == pytest.approx(se, rel=1e-5)
+
+
+def test_sunab_single_cohort_equals_twfe(spark):
+    from dbreg_spark import event_study, sun_abraham
+
+    pdf = _panel(seed=3)  # single event time => single cohort
+    pdf2 = pdf.copy()
+    pdf2["cohort"] = np.where(pdf2.rel_time.notna(), 6, np.nan)
+    pdf2["cohort"] = pdf2["cohort"].astype(object).where(
+        pd.notna(pdf2["cohort"]), None
+    )
+    df = spark.createDataFrame(pdf2)
+    r_sa = sun_abraham(df, "y", "cohort", "time", "unit", ref=-1, vcov="hc1")
+    r_es = event_study(df, "y", "rel_time", "unit", "time", ref=-1, vcov="hc1")
+    a = r_sa.table[~r_sa.table.is_ref].set_index("rel_time")["estimate"]
+    bt = r_es.table[~r_es.table.is_ref].set_index("rel_time")["estimate"]
+    np.testing.assert_allclose(
+        a.sort_index().to_numpy(), bt.sort_index().to_numpy(), rtol=1e-8
+    )
+
+
+def test_sunab_recovers_heterogeneous_truth(stag):
+    """Weighted-average truth at each rel time: cohort-5 share x 1.0-ramp +
+    cohort-8 share x 0.4-ramp; sunab must land near it."""
+    from dbreg_spark import sun_abraham
+
+    df, pdf = stag
+    r = sun_abraham(df, "y", "cohort", "time", "unit", ref=-1)
+    got = r.table[~r.table.is_ref].set_index("rel_time")["estimate"]
+    pdf = pdf.copy()
+    pdf["rel"] = pdf.time - pd.to_numeric(pdf.cohort, errors="coerce")
+    for rt in (0, 1, 2):
+        sub = pdf[pdf.rel == rt]
+        truth = 0.0
+        for g, grp in sub.groupby("cohort"):
+            ramp = 1.0 if g == 5 else 0.4
+            truth += len(grp) / len(sub) * ramp * (1 + rt)
+        assert got[rt] == pytest.approx(truth, abs=0.25)
