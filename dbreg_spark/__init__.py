@@ -16,6 +16,7 @@ from .iv import IvModel, dbiv
 from .model import DbregModel
 from .eventstudy import EventStudyResult, event_study, sun_abraham
 from .split import DbregSplit, dbreg_split
+from .split_glm import GlmSplit, dbglm_split
 
 __all__ = [
     "dbreg",
@@ -27,6 +28,8 @@ __all__ = [
     "GlmModel",
     "dbiv",
     "dbreg_split",
+    "dbglm_split",
+    "GlmSplit",
     "event_study",
     "sun_abraham",
     "EventStudyResult",

@@ -1,0 +1,113 @@
+"""Lockstep grouped-IRLS GLM split: every level must equal the per-level
+filtered dbglm fit exactly while pass counts stay level-count-independent."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dbreg_spark import dbglm
+from dbreg_spark.split_glm import dbglm_split
+
+
+def _gen(seed=4, n=9000):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "x1": rng.normal(size=n),
+            "x2": rng.normal(size=n),
+            "g": rng.choice(["a", "b", "c"], n),
+            "cl": rng.integers(0, 12, n),
+            "w": rng.uniform(0.5, 2.0, n),
+            "off": rng.uniform(0.0, 0.5, n),
+        }
+    )
+    slope = np.where(pdf.g == "a", 1.5, np.where(pdf.g == "b", -0.8, 0.3))
+    eta = -0.2 + slope * pdf.x1 + 0.5 * pdf.x2
+    pdf["y"] = (rng.random(n) < 1 / (1 + np.exp(-eta))).astype(float)
+    pdf["cnt"] = rng.poisson(np.exp(0.3 + 0.4 * pdf.x1))
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def gdata(spark):
+    pdf = _gen()
+    return spark.createDataFrame(pdf), pdf
+
+
+def _match(sm, ref, rel=1e-9):
+    np.testing.assert_allclose(
+        sm.coef().to_numpy(), ref.coef().to_numpy(), rtol=rel, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        sm.se().to_numpy(), ref.se().to_numpy(), rtol=rel, atol=1e-12
+    )
+    assert sm.loglik == pytest.approx(ref.loglik, rel=1e-10)
+    assert sm.deviance == pytest.approx(ref.deviance, rel=1e-10)
+    assert sm.converged == ref.converged
+
+
+@pytest.mark.parametrize("vcov", ["iid", "hc1", "~cl"])
+def test_glm_split_logit_matches_filtered(gdata, vcov):
+    df, _ = gdata
+    ms = dbglm_split("y ~ x1 + x2", df, split="g", family="binomial", vcov=vcov)
+    assert set(ms) == {"a", "b", "c"}
+    for lvl in ms:
+        ref = dbglm(
+            "y ~ x1 + x2", df.where(df.g == lvl), family="binomial", vcov=vcov
+        )
+        _match(ms[lvl], ref)
+
+
+def test_glm_split_poisson_offset_weights(gdata):
+    df, _ = gdata
+    ms = dbglm_split(
+        "cnt ~ x1", df, split="g", family="poisson", offset="off",
+        weights="w", vcov="hc1",
+    )
+    for lvl in ms:
+        ref = dbglm(
+            "cnt ~ x1", df.where(df.g == lvl), family="poisson",
+            offset="off", weights="w", vcov="hc1",
+        )
+        _match(ms[lvl], ref)
+
+
+def test_glm_split_gaussian(gdata):
+    df, pdf = gdata
+    ms = dbglm_split("x2 ~ x1", df, split="g", family="gaussian")
+    for lvl in ms:
+        ref = dbglm("x2 ~ x1", df.where(df.g == lvl), family="gaussian")
+        np.testing.assert_allclose(
+            ms[lvl].coef().to_numpy(), ref.coef().to_numpy(), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            ms[lvl].se().to_numpy(), ref.se().to_numpy(), rtol=1e-8
+        )
+
+
+def test_glm_split_tidy_and_refusals(gdata):
+    df, _ = gdata
+    ms = dbglm_split("y ~ x1", df, split="g")
+    t = ms.tidy()
+    assert list(t.columns)[0] == "g" and len(t) == 6
+    with pytest.raises(NotImplementedError, match="fixed effects"):
+        dbglm_split("y ~ x1 | cl", df, split="g")
+    with pytest.raises(NotImplementedError, match="quasi"):
+        dbglm_split("y ~ x1", df, split="g", family="quasipoisson")
+    with pytest.raises(ValueError, match="0/1"):
+        dbglm_split("x1 ~ x2", df, split="g", family="binomial")
+
+
+def test_glm_split_per_level_validity(spark):
+    """A poisson-invalid level (negative outcome) is reported by level."""
+    rng = np.random.default_rng(9)
+    n = 600
+    pdf = pd.DataFrame(
+        {"x": rng.normal(size=n), "g": ["u"] * (n // 2) + ["v"] * (n // 2)}
+    )
+    pdf["y"] = rng.poisson(2.0, n).astype(float)
+    pdf.loc[pdf.g == "v", "y"] = -1.0
+    with pytest.raises(ValueError, match="'v'"):
+        dbglm_split(
+            "y ~ x", spark.createDataFrame(pdf), split="g", family="poisson"
+        )
