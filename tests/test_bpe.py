@@ -197,3 +197,35 @@ def test_encode_bpe_empty_doc(spark, corpus):
     for i in (901, 902):
         assert list(enc.loc[i, "token_ids"]) == []
         assert enc.loc[i, "n_tokens"] == 0
+
+
+def test_bpe_trainer_hypothesis_fuzz():
+    """Property: the incremental trainer equals the naive-recount reference
+    on arbitrary small word multisets (random words, random counts)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcde", min_size=1, max_size=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(word, st.integers(min_value=1, max_value=9)),
+            min_size=1,
+            max_size=20,
+        ),
+        st.integers(min_value=1, max_value=12),
+    )
+    def check(word_freqs, k):
+        # collapse duplicate words (the engine takes a frequency TABLE)
+        agg = {}
+        for w, c in word_freqs:
+            agg[w] = agg.get(w, 0) + c
+        wf = sorted(agg.items())
+        m = learn_bpe_from_frequencies(wf, num_merges=k)
+        assert m.merges == ref_bpe(wf, k)
+        for w, _ in wf:
+            assert m.segment(w) == ref_segment(w, m.merges)
+            assert "".join(m.segment(w)) == w + EOW
+
+    check()
