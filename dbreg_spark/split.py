@@ -456,10 +456,19 @@ def _split_meats(
         return meats, {}
 
     # cluster: per-(level, cluster) score vectors, Σss' per level on driver.
-    # The collect is bounded by Σ_g G_cluster(g) rows of p doubles.
+    # The collect is Σ_g G_cluster(g) rows of p doubles — bounded explicitly
+    # (a silent full collect could exceed the driver at extreme
+    # level × cluster cardinalities)
     ccol = cluster_vars[0]
     aggs = [F.sum(F.col("__e") * score_cols[a]).alias(f"s_{a}") for a in range(p)]
-    rows = j.groupBy(split, ccol).agg(*aggs).collect()
+    scores_df = j.groupBy(split, ccol).agg(*aggs)
+    cap = 2_000_000
+    rows = scores_df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"split x cluster score table exceeds {cap:,} rows; use a "
+            "coarser split or cluster variable (or fit levels separately)"
+        )
     meats = {}
     n_clusters = {}
     for r in rows:

@@ -427,7 +427,14 @@ def _grouped_glm_meat(
     aggs = [
         agg_to_spark(asum(sv * _d(c))).alias(f"s_{i}") for i, c in enumerate(cols)
     ]
-    rows = proj.groupBy("__sp", ccol).agg(*aggs).collect()
+    scores_df = proj.groupBy("__sp", ccol).agg(*aggs)
+    cap = 2_000_000
+    rows = scores_df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"split x cluster score table exceeds {cap:,} rows; use a "
+            "coarser split or cluster variable (or fit levels separately)"
+        )
     meats, ncl = {}, {}
     for r in rows:
         lvl = r["__sp"]
