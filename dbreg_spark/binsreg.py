@@ -199,6 +199,10 @@ def dbbinsreg(
         vcov = "hc1"
     elif vcov is None:
         vcov = "iid"
+    if isinstance(vcov, str) and vcov.strip().lower().startswith("dk"):
+        raise NotImplementedError(
+            "dbbinsreg does not support Driscoll-Kraay standard errors"
+        )
 
     parsed = parse_formula(fml)
     if parsed.has_interactions:

@@ -113,14 +113,17 @@ def event_study(
         .limit(max_levels + 1)
         .collect()
     )
-    levels = sorted(r["__rt"] for r in lv_rows)
-    if never_treated_value is not None:
-        levels = [lv for lv in levels if lv != never_treated_value]
-    if len(levels) > max_levels:
+    # overflow check BEFORE removing the sentinel: the limit() probe is
+    # unordered, so a window past the cap must raise rather than silently
+    # misclassify uncollected levels as never-treated
+    if len(lv_rows) > max_levels:
         raise ValueError(
             f"{rel_time!r} has more than {max_levels} distinct levels; bin "
             "the event window first (or raise max_levels)"
         )
+    levels = sorted(r["__rt"] for r in lv_rows)
+    if never_treated_value is not None:
+        levels = [lv for lv in levels if lv != never_treated_value]
     if ref not in levels:
         raise ValueError(
             f"reference period {ref!r} not among observed relative times "
@@ -130,15 +133,18 @@ def event_study(
     if not est_levels:
         raise ValueError("only the reference period is observed")
 
-    df = data
-    names = []
-    for lv in est_levels:
-        nm = _dummy_name(lv)
-        names.append(nm)
-        df = df.withColumn(
-            nm,
-            F.when(F.col(rel_time) == F.lit(lv), 1.0).otherwise(0.0),
-        )
+    # ONE projection for all dummies (chained withColumn wraps a new
+    # Project node per call — superlinear analysis cost at wide windows)
+    names = [_dummy_name(lv) for lv in est_levels]
+    df = data.select(
+        "*",
+        *[
+            F.when(F.col(rel_time) == F.lit(lv), 1.0)
+            .otherwise(0.0)
+            .alias(nm)
+            for lv, nm in zip(est_levels, names)
+        ],
+    )
     rhs = names + list(controls or [])
     fml = f"{y} ~ {' + '.join(rhs)} | {unit} + {time}"
     m = dbreg(
@@ -245,17 +251,20 @@ def sun_abraham(
     if not est_cells:
         raise ValueError("only the reference period is observed")
 
-    df = data
-    names = {}
-    for gv, rt, _n in est_cells:
-        nm = _sunab_dummy_name(gv, rt)
-        names[(gv, rt)] = nm
-        df = df.withColumn(
-            nm,
-            F.when(
-                treated & (g == F.lit(gv)) & (rel == F.lit(rt)), 1.0
-            ).otherwise(0.0),
-        )
+    # ONE projection for all cell dummies (a withColumn per cell would
+    # StackOverflow Catalyst near the max_cells cap)
+    names = {
+        (gv, rt): _sunab_dummy_name(gv, rt) for gv, rt, _n in est_cells
+    }
+    df = data.select(
+        "*",
+        *[
+            F.when(treated & (g == F.lit(gv)) & (rel == F.lit(rt)), 1.0)
+            .otherwise(0.0)
+            .alias(names[(gv, rt)])
+            for gv, rt, _n in est_cells
+        ],
+    )
     rhs = list(names.values()) + list(controls or [])
     fml = f"{y} ~ {' + '.join(rhs)} | {unit} + {time}"
     m = dbreg(

@@ -898,6 +898,10 @@ def dbglm(
             "robust inference"
         )
     vcov_type, cluster_vars = parse_vcov(vcov, cluster, valid=("iid", "hc1"))
+    if vcov_type == "dk":
+        raise NotImplementedError(
+            "dbglm does not support Driscoll-Kraay standard errors"
+        )
 
     source = resolve_source(spark, data=data, table=table, path=path)
     design = build_design(

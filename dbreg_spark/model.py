@@ -699,7 +699,8 @@ def _parse_linear(expr: str, names: list[str], h: str):
 
     vec = np.zeros(len(names))
     const = 0.0
-    for t in re.split(r"(?=[+-])", expr.replace(" ", "")):
+    # do not split the +/- inside scientific-notation exponents (1e-3)
+    for t in re.split(r"(?<![eE])(?=[+-])", expr.replace(" ", "")):
         if not t:
             continue
         c = 1.0

@@ -54,11 +54,17 @@ def winsorize(
     out = df
     for c in cols:
         lo, hi = qs[c]
+        cd = F.col(c).cast("double")
+        # guard NULLs explicitly: Spark's greatest/least SKIP nulls (they
+        # return null only when ALL args are null), so an unguarded clamp
+        # would silently turn NULL into the lower bound
         out = out.withColumn(
             c + suffix,
-            F.least(
-                F.greatest(F.col(c).cast("double"), F.lit(float(lo))),
-                F.lit(float(hi)),
+            F.when(
+                cd.isNotNull(),
+                F.least(
+                    F.greatest(cd, F.lit(float(lo))), F.lit(float(hi))
+                ),
             ),
         )
     return out
@@ -78,7 +84,8 @@ def winsorize_sql(
         for i, c in enumerate(cols)
     )
     clamps = ",\n  ".join(
-        f"LEAST(GREATEST(CAST(b.{c} AS DOUBLE), q.lo_{i}), q.hi_{i}) AS {c}{suffix}"
+        f"CASE WHEN b.{c} IS NOT NULL THEN "
+        f"LEAST(GREATEST(CAST(b.{c} AS DOUBLE), q.lo_{i}), q.hi_{i}) END AS {c}{suffix}"
         for i, c in enumerate(cols)
     )
     return (

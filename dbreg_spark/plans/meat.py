@@ -260,7 +260,14 @@ def dk_meat(
         frame, betahat, x_names, intercept, time_col, score_names,
         score_intercept, weight_col,
     )
-    rows = scores_df.collect()
+    cap = 100_000  # periods; a near-continuous timestamp is user error
+    rows = scores_df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"Driscoll-Kraay time variable {time_col!r} has more than "
+            f"{cap:,} distinct periods — pass a period column (e.g. a "
+            "date truncated to day/month), not a raw timestamp"
+        )
     rows.sort(key=lambda r: (r[time_col] is None, r[time_col]))
     s_icpt = intercept if score_intercept is None else score_intercept
     p = (1 if s_icpt else 0) + len(

@@ -223,40 +223,57 @@ def _demean_within_split(base, split, fe, weight_col):
     df = base.df
     if len(fe) == 1:
         fe1 = fe[0]
-        mg = df.groupBy(split, fe1).agg(
-            *[mean_agg(c, f"{c}__m1") for c in vals]
-        ).persist()
+        mg = df.groupBy(
+            F.col(split).alias("__s1"), F.col(fe1).alias("__f1")
+        ).agg(*[mean_agg(c, f"{c}__m1") for c in vals]).persist()
         counts = {
-            r[split]: {"n_fe1": int(r["cnt"]), "n_fe2": 1}
-            for r in mg.groupBy(split).agg(F.count(F.lit(1)).alias("cnt")).collect()
+            r["__s1"]: {"n_fe1": int(r["cnt"]), "n_fe2": 1}
+            for r in mg.groupBy("__s1").agg(F.count(F.lit(1)).alias("cnt")).collect()
         }
-        dm = df.join(F.broadcast(mg), on=[split, fe1]).select(
+        # null-safe on the split side: a NULL level keeps its rows
+        dm = df.join(
+            F.broadcast(mg),
+            on=F.col(split).eqNullSafe(F.col("__s1"))
+            & (F.col(fe1) == F.col("__f1")),
+        ).select(
             *keep,
             *[(F.col(c) - F.col(f"{c}__m1")).alias(c) for c in vals],
         )
         return dm, counts, mg
 
     fe1, fe2 = fe
-    m1 = df.groupBy(split, fe1).agg(*[mean_agg(c, f"{c}__m1") for c in vals])
-    m2 = df.groupBy(split, fe2).agg(*[mean_agg(c, f"{c}__m2") for c in vals])
-    mo = df.groupBy(split).agg(*[mean_agg(c, f"{c}__mo") for c in vals]).persist()
-    m1 = m1.persist()
-    m2 = m2.persist()
+    m1 = df.groupBy(
+        F.col(split).alias("__s1"), F.col(fe1).alias("__f1")
+    ).agg(*[mean_agg(c, f"{c}__m1") for c in vals]).persist()
+    m2 = df.groupBy(
+        F.col(split).alias("__s2"), F.col(fe2).alias("__f2")
+    ).agg(*[mean_agg(c, f"{c}__m2") for c in vals]).persist()
+    mo = df.groupBy(F.col(split).alias("__s3")).agg(
+        *[mean_agg(c, f"{c}__mo") for c in vals]
+    ).persist()
     c1 = {
-        r[split]: int(r["cnt"])
-        for r in m1.groupBy(split).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        r["__s1"]: int(r["cnt"])
+        for r in m1.groupBy("__s1").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     c2 = {
-        r[split]: int(r["cnt"])
-        for r in m2.groupBy(split).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        r["__s2"]: int(r["cnt"])
+        for r in m2.groupBy("__s2").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     counts = {
         k: {"n_fe1": c1.get(k, 1), "n_fe2": c2.get(k, 1)} for k in c1
     }
     dm = (
-        df.join(F.broadcast(m1), on=[split, fe1])
-        .join(F.broadcast(m2), on=[split, fe2])
-        .join(F.broadcast(mo), on=[split])
+        df.join(
+            F.broadcast(m1),
+            on=F.col(split).eqNullSafe(F.col("__s1"))
+            & (F.col(fe1) == F.col("__f1")),
+        )
+        .join(
+            F.broadcast(m2),
+            on=F.col(split).eqNullSafe(F.col("__s2"))
+            & (F.col(fe2) == F.col("__f2")),
+        )
+        .join(F.broadcast(mo), on=F.col(split).eqNullSafe(F.col("__s3")))
         .select(
             *keep,
             *[
@@ -417,9 +434,12 @@ def _split_meats(
         beta_rows.append((lvl,) + tuple(float(v) for v in full))
         pos[lvl] = collin
     bcols = [f"__b{i}" for i in range(off + p_x)]
-    bt = spark.createDataFrame(beta_rows, schema=[split] + bcols)
+    bt = spark.createDataFrame(beta_rows, schema=["__lvl"] + bcols)
 
-    j = frame_df.join(F.broadcast(bt), on=split)
+    # null-safe: a NULL split value is a real level and must match its row
+    j = frame_df.join(
+        F.broadcast(bt), on=F.col(split).eqNullSafe(F.col("__lvl"))
+    ).drop("__lvl")
     fitted = (F.col("__b0") if intercept else F.lit(0.0))
     for i, xc in enumerate(x_cols):
         fitted = fitted + F.col(bcols[off + i]) * F.col(xc).cast("double")
@@ -530,6 +550,12 @@ def _split_compress(
         sub = pdf[pdf[split].isna()] if pd.isna(lvl) else pdf[pdf[split] == lvl]
         sub = sub.reset_index(drop=True)
         cd = CellDesign(sub, design.names, parsed.fe)
+        # predict()/coef(fe=)/wald() need the FE-dummy bookkeeping the
+        # single-model compress path records (model.py relies on both)
+        cat_levels = {b.var: list(b.levels) for b in cd.blocks if b.kind == "cat"}
+        fe_coef_names = frozenset(
+            f"{v}{lv}" for v in parsed.fe for lv in cat_levels.get(v, [])
+        )
         if weight_col is not None:
             if not (sub["w_min"].to_numpy(dtype=float).min() > 0.0) or not (
                 np.isfinite(sub["sum_w"].to_numpy(dtype=float)).all()
@@ -587,6 +613,10 @@ def _split_compress(
             design_info=design,
             parsed=parsed,
             weight_col=weight_col,
+            cells=sub,
+            spark_session=source.df.sparkSession,
+            cat_levels=cat_levels,
+            fe_coef_names=fe_coef_names,
         )
     return models
 

@@ -333,7 +333,7 @@ def _fit_lockstep(
                 f"[dbglm_split] level {lvl!r}: IRLS did not converge in "
                 f"{max_iter} iterations; estimates are the last accepted step"
             )
-        st["beta"] = st["accepted"] if not st["converged"] else st["accepted"]
+        st["beta"] = st["accepted"]
 
     # ---- sandwiches: one more grouped pass at the FINAL β ----------------
     meats = {}

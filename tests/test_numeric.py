@@ -120,3 +120,16 @@ def test_approx_path_close_to_exact(numdf):
     ap = winsorize(df, ["a"], 0.05, 0.95, exact=False).toPandas()["a_w"]
     # approx quantile sketch bounds clamp within a tight band of exact
     assert np.abs(np.sort(ex) - np.sort(ap)).max() < 0.05
+
+
+def test_winsorize_nulls_pass_through(spark):
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0, 4.0, 100.0] * 20})
+    pdf["a"] = pdf["a"].astype(object)
+    pdf.loc[:4, "a"] = None
+    df = spark.createDataFrame(pdf)
+    got = winsorize(df, ["a"], 0.05, 0.95, exact=True).toPandas()
+    assert got["a_w"].isna().sum() == 5  # NULL in, NULL out — never lo
+    con = duckdb.connect()
+    con.register("t", pdf)
+    o = con.execute(winsorize_sql("FROM t", ["a"], 0.05, 0.95)).fetchdf()
+    assert o["a_w"].isna().sum() == 5

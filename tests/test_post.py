@@ -531,3 +531,12 @@ def test_augment_adds_residuals(spark):
     )
     # residual sum of squares matches the fitted model's rss
     assert float((aug["resid"] ** 2).sum()) == pytest.approx(m.rss, rel=1e-8)
+
+
+def test_wald_scientific_notation_coefficients(spark):
+    import pytest as _pt
+
+    m, _ = _wald_fixture(spark, seed=6)
+    w = m.wald(["1e-3*x1 = 0"])
+    ref = m.wald(["0.001*x1 = 0"])
+    assert w["stat"] == _pt.approx(ref["stat"], rel=1e-12)

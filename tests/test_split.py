@@ -197,3 +197,50 @@ def test_split_include_full(sdata):
     _assert_matches(ms["(full)"], ref)
     t = ms.tidy()
     assert set(t["g"]) == {"a", "b", "c", "(full)"}
+
+
+def test_split_null_level_robust_vcov(spark):
+    """NULL split levels must survive the broadcast-β meat join (null-safe
+    equality) under hc1/cluster and the demean means joins."""
+    pdf = _gen(seed=9, n=1200)
+    pdf["g"] = pdf["g"].astype(object)
+    pdf.loc[:199, "g"] = None
+    df = spark.createDataFrame(pdf)
+    for kw in (
+        dict(strategy="moments", vcov="hc1"),
+        dict(strategy="moments", vcov="~cl"),
+        dict(vcov="hc1"),  # demean via f1
+    ):
+        fml = "y ~ x1 + x2" + (" | f1" if "strategy" not in kw else "")
+        ms = dbreg_split(fml, df, split="g", **kw)
+        assert None in ms
+        ref = dbreg(
+            fml, df.where(df.g.isNull()),
+            strategy=kw.get("strategy", "demean"), vcov=kw["vcov"],
+        )
+        _assert_matches(ms[None], ref)
+
+
+def test_split_compress_fe_bookkeeping(spark):
+    """Split-compress models must carry FE-dummy metadata so coef(fe=False)
+    and predict() behave like single-model compress fits."""
+    rng = np.random.default_rng(5)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "xd": rng.integers(0, 4, n).astype(float),
+            "f": rng.integers(0, 6, n),
+            "g": rng.choice(["u", "v"], n),
+        }
+    )
+    pdf["y"] = 1 + 0.7 * pdf.xd + 0.3 * pdf.f + rng.normal(size=n)
+    df = spark.createDataFrame(pdf)
+    ms = dbreg_split("y ~ xd | f", df, split="g", strategy="compress")
+    m = ms["u"]
+    assert m.fe_coef_names  # dummy names recorded
+    assert list(m.coef(fe=False).index) != list(m.coef().index)
+    fit = m.predict(df.where(df.g == "u")).toPandas()["fit"]
+    ref = dbreg(
+        "y ~ xd | f", df.where(df.g == "u"), strategy="compress"
+    ).predict(df.where(df.g == "u")).toPandas()["fit"]
+    np.testing.assert_allclose(fit.to_numpy(), ref.to_numpy(), rtol=1e-9)
