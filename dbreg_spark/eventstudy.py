@@ -53,9 +53,65 @@ class EventStudyResult:
         self.table = table
         self.ref = ref
         self.rel_time = rel_time
+        # sun_abraham only: {rel_time: aggregation row over model coefs}
+        self._agg_rows: dict = {}
+        self.dropped_cells: list = []
 
     def tidy(self) -> pd.DataFrame:
         return self.table.copy()
+
+    def _agg_vector(self, rt):
+        """Coefficient-space weight row for a relative time: the dummy
+        indicator (TWFE) or the stored cohort-share row (Sun-Abraham)."""
+        if self._agg_rows:
+            return self._agg_rows.get(rt)
+        nm = _dummy_name(rt)
+        if nm not in self.model.coef_names:
+            return None
+        a = np.zeros(len(self.model.coef_names))
+        a[self.model.coef_names.index(nm)] = 1.0
+        return a
+
+    def pretrend_test(self) -> dict:
+        """Joint Wald test that every PRE-period (rel_time < ref) effect is
+        zero — the standard parallel-trends diagnostic. Driver-side on the
+        fitted (cluster-robust by default) vcov."""
+        pre = [
+            rt
+            for rt in self.table[~self.table.is_ref].rel_time
+            if rt < self.ref
+        ]
+        rows = [self._agg_vector(rt) for rt in pre]
+        rows = [r for r in rows if r is not None and np.any(r)]
+        if not rows:
+            raise ValueError("no pre-period coefficients to test")
+        return self.model.wald(R=np.vstack(rows))
+
+    def att(self) -> dict:
+        """Observation-weighted average post-treatment effect (rel_time ≥
+        0): Σ n_ℓ·β̂_ℓ / Σ n_ℓ with delta-method SE a'Va — the single-number
+        summary of the dynamic profile."""
+        post = self.table[(~self.table.is_ref) & (self.table.rel_time >= 0)]
+        if not len(post):
+            raise ValueError("no post-period coefficients")
+        rows, ws = [], []
+        for rt, n in zip(post.rel_time, post.get("n_obs", [1] * len(post))):
+            a = self._agg_vector(rt)
+            if a is not None and np.any(a):
+                rows.append(a)
+                ws.append(float(n))
+        w = np.asarray(ws) / sum(ws)
+        a = (np.vstack(rows) * w[:, None]).sum(axis=0)
+        beta = self.model.coef().to_numpy()
+        est = float(a @ beta)
+        se = float(np.sqrt(max(a @ self.model.vcov_ @ a, 0.0)))
+        crit = _tstats.t_ppf(0.975, self.model.df_residual)
+        return {
+            "att": est,
+            "se": se,
+            "lwr": est - crit * se,
+            "upr": est + crit * se,
+        }
 
     def __repr__(self) -> str:
         return (
@@ -109,10 +165,12 @@ def event_study(
     lv_rows = (
         data.select(rt.alias("__rt"))
         .where(present)
-        .distinct()
+        .groupBy("__rt")
+        .count()
         .limit(max_levels + 1)
         .collect()
     )
+    n_obs = {r["__rt"]: int(r["count"]) for r in lv_rows}
     # overflow check BEFORE removing the sentinel: the limit() probe is
     # unordered, so a window past the cap must raise rather than silently
     # misclassify uncollected levels as never-treated
@@ -164,20 +222,20 @@ def event_study(
         if lv == ref:
             rows.append(
                 dict(rel_time=lv, estimate=0.0, se=np.nan, lwr=np.nan,
-                     upr=np.nan, is_ref=True)
+                     upr=np.nan, is_ref=True, n_obs=n_obs.get(lv, 0))
             )
             continue
         nm = _dummy_name(lv)
         if nm not in coefs.index:  # dropped by collinearity
             rows.append(
                 dict(rel_time=lv, estimate=np.nan, se=np.nan, lwr=np.nan,
-                     upr=np.nan, is_ref=False)
+                     upr=np.nan, is_ref=False, n_obs=n_obs.get(lv, 0))
             )
             continue
         b, s = float(coefs[nm]), float(ses[nm])
         rows.append(
             dict(rel_time=lv, estimate=b, se=s, lwr=b - crit * s,
-                 upr=b + crit * s, is_ref=False)
+                 upr=b + crit * s, is_ref=False, n_obs=n_obs.get(lv, 0))
         )
     table = pd.DataFrame(rows)
     return EventStudyResult(m, table, ref, rel_time)
@@ -277,11 +335,13 @@ def sun_abraham(
     pos = {n: i for i, n in enumerate(m.coef_names)}
     crit = _tstats.t_ppf(1 - (1 - level) / 2, m.df_residual)
     rows, dropped = [], []
+    agg_rows = {}
     for rt in rts:
         if rt == ref:
             rows.append(
                 dict(rel_time=rt, estimate=0.0, se=np.nan, lwr=np.nan,
-                     upr=np.nan, is_ref=True)
+                     upr=np.nan, is_ref=True,
+                     n_obs=sum(n for _g, r2, n in cells if r2 == rt))
             )
             continue
         cell_list = [(gv, n) for gv, rt2, n in est_cells if rt2 == rt]
@@ -295,18 +355,20 @@ def sun_abraham(
         if not kept or tot == 0:
             rows.append(
                 dict(rel_time=rt, estimate=np.nan, se=np.nan, lwr=np.nan,
-                     upr=np.nan, is_ref=False)
+                     upr=np.nan, is_ref=False, n_obs=0)
             )
             continue
         a = np.zeros(len(m.coef_names))
         for gv, n in kept:
             a[pos[names[(gv, rt)]]] = n / tot
+        agg_rows[rt] = a
         b = float(a @ coefs.to_numpy())
         s = float(np.sqrt(max(a @ V @ a, 0.0)))
         rows.append(
             dict(rel_time=rt, estimate=b, se=s, lwr=b - crit * s,
-                 upr=b + crit * s, is_ref=False)
+                 upr=b + crit * s, is_ref=False, n_obs=int(tot))
         )
     out = EventStudyResult(m, pd.DataFrame(rows), ref, f"{time} - {cohort}")
     out.dropped_cells = dropped
+    out._agg_rows = agg_rows
     return out

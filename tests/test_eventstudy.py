@@ -217,3 +217,30 @@ def test_sunab_recovers_heterogeneous_truth(stag):
             ramp = 1.0 if g == 5 else 0.4
             truth += len(grp) / len(sub) * ramp * (1 + rt)
         assert got[rt] == pytest.approx(truth, abs=0.25)
+
+
+def test_pretrend_test_and_att(espanel):
+    from dbreg_spark import event_study
+
+    df, pdf = espanel
+    r = event_study(df, "y", "rel_time", "unit", "time", ref=-1, vcov="hc1")
+    pre = r.pretrend_test()
+    # no pre-trend in the DGP: p should not be tiny
+    assert pre["p.value"] > 0.01 and pre["df1"] >= 4
+    a = r.att()
+    # truth: effects 1.0, 1.5, ..., observation-weighted mean in (1, 4)
+    assert 1.0 < a["att"] < 4.0
+    assert a["lwr"] < a["att"] < a["upr"]
+    # n_obs recorded for every level
+    assert (r.table["n_obs"] > 0).all()
+
+
+def test_sunab_pretrend_and_att(stag):
+    from dbreg_spark import sun_abraham
+
+    df, _ = stag
+    r = sun_abraham(df, "y", "cohort", "time", "unit", ref=-1)
+    pre = r.pretrend_test()
+    assert pre["p.value"] > 0.001
+    a = r.att()
+    assert a["att"] > 0.5 and a["se"] > 0
