@@ -685,6 +685,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["numeric_mad_outliers"] = q_mad_outliers
 
+    def q_corr(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        cm = numeric.correlation_matrix(
+            t["lineitem"], ["l_quantity", "l_discount", "l_extendedprice"]
+        )
+        cols = list(cm.columns)
+        row = {
+            f"corr_{i}_{j}": float(cm.iloc[i, j])
+            for i in range(len(cols))
+            for j in range(i + 1, len(cols))
+        }
+        import pandas as pd
+
+        return _round_doubles_df(spark.createDataFrame(pd.DataFrame([row])))
+
+    Q["numeric_correlation"] = q_corr
+
     def q_exact_dedup(spark, sf_dir):
         t = _tables(spark, sf_dir)
         return dedup.exact_duplicates(t["documents"])
@@ -1663,6 +1680,14 @@ def oracle_sql() -> dict[str, str]:
         _num.mad_outliers_sql(_wz_from, ["l_extendedprice"]),
         ["l_orderkey", "l_extendedprice", "l_extendedprice_outlier"],
         ["l_extendedprice"],
+    )
+    _corr_cols = ["corr_0_1", "corr_0_2", "corr_1_2"]
+    O["numeric_correlation"] = _round_doubles_sql(
+        _num.correlation_matrix_sql(
+            "FROM lineitem", ["l_quantity", "l_discount", "l_extendedprice"]
+        ),
+        _corr_cols,
+        _corr_cols,
     )
     from dbreg_spark.split import split_moments_sql
 

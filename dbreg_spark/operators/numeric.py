@@ -192,3 +192,65 @@ def mad_outliers_sql(
         f"d AS (\n  SELECT\n    {mads}\n  FROM (SELECT * {from_clause}) b, m\n)\n"
         f"SELECT b.*,\n  {flags}\nFROM (SELECT * {from_clause}) b, m, d"
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]):
+    """Pairwise Pearson correlations from ONE moment pass (the same
+    sufficient-statistics shape the regression engine uses: n, Σx, Σxᵢxⱼ —
+    p(p+3)/2 aggregates, map-side combined). Returns a pandas DataFrame
+    indexed/columned by ``cols``. Rows with a NULL in ANY listed column are
+    dropped (listwise deletion, matching a joint moment pass)."""
+    import numpy as np
+    import pandas as pd
+
+    d = df
+    for c in cols:
+        d = d.where(F.col(c).isNotNull())
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).cast("double")).alias(f"__s_{i}"))
+        for j2 in range(i, len(cols)):
+            aggs.append(
+                F.sum(
+                    F.col(c).cast("double") * F.col(cols[j2]).cast("double")
+                ).alias(f"__x_{i}_{j2}")
+            )
+    row = d.agg(*aggs).collect()[0]
+    n = float(row["__n"])
+    p = len(cols)
+    s = np.array([float(row[f"__s_{i}"]) for i in range(p)])
+    M = np.zeros((p, p))
+    for i in range(p):
+        for j2 in range(i, p):
+            M[i, j2] = M[j2, i] = float(row[f"__x_{i}_{j2}"])
+    cov = M / n - np.outer(s / n, s / n)
+    sd = np.sqrt(np.clip(np.diag(cov), 0, None))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = cov / np.outer(sd, sd)
+    corr[~np.isfinite(corr)] = np.nan
+    np.fill_diagonal(corr, 1.0)
+    return pd.DataFrame(corr, index=cols, columns=cols)
+
+
+def vif(df: DataFrame, cols: list[str]):
+    """Variance inflation factors from the same single moment pass:
+    VIF_j = [R⁻¹]_jj with R the correlation matrix — the standard
+    multicollinearity diagnostic before a regression."""
+    import numpy as np
+    import pandas as pd
+
+    corr = correlation_matrix(df, cols).to_numpy()
+    inv = np.linalg.pinv(corr)
+    return pd.Series(np.diag(inv), index=cols, name="vif")
+
+
+def correlation_matrix_sql(from_clause: str, cols: list[str]) -> str:
+    """DuckDB twin: one row of all pairwise CORR() values (corr_i_j),
+    listwise-deleted like the Spark path."""
+    where = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    terms = ",\n  ".join(
+        f"corr(CAST({cols[i]} AS DOUBLE), CAST({cols[j]} AS DOUBLE)) AS corr_{i}_{j}"
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    )
+    return f"SELECT {terms}\n{from_clause}\nWHERE {where}"

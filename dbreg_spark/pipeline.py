@@ -49,7 +49,13 @@ from .operators.evaluate import (
     classifier_metrics,
     regression_metrics,
 )
-from .operators.numeric import mad_outliers, standardize, winsorize
+from .operators.numeric import (
+    correlation_matrix,
+    mad_outliers,
+    standardize,
+    vif,
+    winsorize,
+)
 from .operators.report import corpus_report
 from .operators.semistruct import json_fields, json_key_stats
 from .operators.web import c4_filter, domain_stats, extract_urls
@@ -108,7 +114,7 @@ __all__ = [
     "redact_pii", "decontaminate", "vocabulary", "vocab_with_ids", "quality_classify",
     "classifier_metrics", "calibration_table", "regression_metrics",
     "BpeModel", "learn_bpe", "encode_bpe", "word_frequencies",
-    "winsorize", "standardize", "mad_outliers",
+    "winsorize", "standardize", "mad_outliers", "correlation_matrix", "vif",
     "fit_quality_classifier",
     "encode_tokens", "bm25_topk", "importance_weights",
     "importance_sample", "chunk_text", "pack_greedy", "assemble_packs",

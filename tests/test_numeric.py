@@ -133,3 +133,34 @@ def test_winsorize_nulls_pass_through(spark):
     con.register("t", pdf)
     o = con.execute(winsorize_sql("FROM t", ["a"], 0.05, 0.95)).fetchdf()
     assert o["a_w"].isna().sum() == 5
+
+
+def test_correlation_matrix_and_vif(spark):
+    rng = np.random.default_rng(23)
+    n = 4000
+    pdf = pd.DataFrame({"a": rng.normal(size=n)})
+    pdf["b"] = 0.7 * pdf.a + rng.normal(scale=0.5, size=n)
+    pdf["c"] = rng.normal(size=n)
+    df = spark.createDataFrame(pdf)
+    from dbreg_spark.operators.numeric import (
+        correlation_matrix,
+        correlation_matrix_sql,
+        vif,
+    )
+
+    got = correlation_matrix(df, ["a", "b", "c"])
+    want = pdf[["a", "b", "c"]].corr()
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-9)
+    con = duckdb.connect()
+    con.register("t", pdf)
+    o = con.execute(
+        correlation_matrix_sql("FROM t", ["a", "b", "c"])
+    ).fetchdf().iloc[0]
+    assert got.loc["a", "b"] == pytest.approx(o["corr_0_1"], rel=1e-9)
+    v = vif(df, ["a", "b", "c"])
+    # b is strongly collinear with a -> VIF well above 1; c is independent
+    assert v["a"] > 1.5 and v["b"] > 1.5 and v["c"] < 1.1
+    # numpy oracle: diagonal of the inverse correlation matrix
+    np.testing.assert_allclose(
+        v.to_numpy(), np.diag(np.linalg.inv(want.to_numpy())), rtol=1e-8
+    )
