@@ -665,3 +665,51 @@ def enrich(
         )
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on=on, how=how)
+
+
+def streaming_classifier_metrics(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Windowed classifier monitoring over a scored event stream — the
+    model-drift detector for a deployed quality/abuse classifier: per
+    event-time window, n / n_pos / log_loss / brier and the
+    ``threshold``-confusion block (tp/fp/tn/fn, accuracy). Pure windowed
+    aggregation — O(1) state per open window, watermarked and append-able.
+
+    AUC is deliberately NOT computed here: the ROC needs per-bucket state
+    (≤ bins rows per window) and a second level of aggregation — run
+    :func:`dbreg_spark.operators.evaluate.classifier_metrics` on a
+    materialized window when the ranking metric is needed.
+    """
+    eps = 1e-15
+    y = F.col(label_col).cast("double")
+    p = F.col(score_col).cast("double")
+    pc = F.least(F.greatest(p, F.lit(eps)), F.lit(1.0 - eps))
+    pred = (p >= F.lit(float(threshold))).cast("double")
+    base = _ensure_event_time(
+        df.where(y.isNotNull() & p.isNotNull()), ts_col
+    )
+    return (
+        base.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("window"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(y).cast("long").alias("n_pos"),
+            F.avg(-(y * F.log(pc) + (1.0 - y) * F.log(1.0 - pc))).alias(
+                "log_loss"
+            ),
+            F.avg((p - y) * (p - y)).alias("brier"),
+            F.sum(pred * y).cast("long").alias("tp"),
+            F.sum(pred * (1.0 - y)).cast("long").alias("fp"),
+            F.sum((1.0 - pred) * (1.0 - y)).cast("long").alias("tn"),
+            F.sum((1.0 - pred) * y).cast("long").alias("fn"),
+            ((F.sum(pred * y) + F.sum((1.0 - pred) * (1.0 - y)))
+             / F.count(F.lit(1))).alias("accuracy"),
+        )
+    )

@@ -730,3 +730,54 @@ def test_streaming_moments_weighted_fe_refused(spark, tables, event_stream_dir):
             stream, "value ~ user_id | event_type", window="1 day",
             weights="user_id",
         )
+
+
+def test_streaming_classifier_metrics(spark, tables, event_stream_dir):
+    """Windowed classifier monitor: stream result equals the batch windowed
+    aggregation, and the global sums match evaluate.classifier_metrics."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from dbreg_spark.operators.evaluate import classifier_metrics
+    from dbreg_spark.streaming.ops import streaming_classifier_metrics
+
+    schema = tables["events"].schema
+
+    def scored(d):
+        return d.withColumn("lab", (F.col("value") > 0).cast("double")).withColumn(
+            "p",
+            F.least(
+                F.greatest(F.pmod(F.col("event_id"), F.lit(100)) / 100.0, F.lit(0.0)),
+                F.lit(1.0),
+            ),
+        )
+
+    stream = scored(spark.readStream.schema(schema).parquet(event_stream_dir))
+    out = streaming_classifier_metrics(stream, "lab", "p", window="1 day", watermark="2 days")
+    name = f"scm_{uuid.uuid4().hex[:8]}"
+    _run_stream(out, name, mode="append")
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    assert len(got) > 1 and (got["n"] > 0).all()
+    # append mode withholds the last (unexpired) window — compare the
+    # EMITTED windows against the identical batch windowed aggregation
+    from dbreg_spark.streaming.ops import streaming_classifier_metrics as scm
+
+    batch = scored(tables["events"])
+    ref = scm(batch, "lab", "p", window="1 day", watermark="2 days").toPandas()
+    got["ws"] = got["window"].apply(lambda w: w["start"])
+    ref["ws"] = ref["window"].apply(lambda w: w["start"])
+    j = got.merge(ref, on="ws", suffixes=("", "_b"))
+    assert len(j) == len(got)
+    for c in ("n", "n_pos", "tp", "fp", "tn", "fn"):
+        assert (j[c] == j[f"{c}_b"]).all(), c
+    np.testing.assert_allclose(j["log_loss"], j["log_loss_b"], rtol=1e-9)
+    np.testing.assert_allclose(j["brier"], j["brier_b"], rtol=1e-9)
+    # and the emitted windows' totals match the batch evaluator on the
+    # same row subset
+    emitted = sorted(got["ws"])
+    sub = batch.where(
+        F.date_trunc("day", F.col("ts")).isin([str(w) for w in emitted])
+    )
+    refm = classifier_metrics(sub, "lab", "p").toPandas().iloc[0]
+    assert int(got["n"].sum()) == int(refm["n"])
+    assert int(got["tp"].sum()) == int(refm["tp"])
