@@ -155,8 +155,6 @@ def event_study(
         vcov = f"~{unit}"
     rt = F.col(rel_time)
     present = rt.isNotNull()
-    from pyspark.sql import types as T
-
     rt_type = dict(data.dtypes).get(rel_time, "")
     if rt_type in ("float", "double"):
         # float NaN (e.g. from pandas NA) is never-treated, same as NULL —

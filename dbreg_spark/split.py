@@ -544,8 +544,6 @@ def _split_compress(
         raise ValueError(
             f"split variable {split!r} has more than {split_nmax:,} levels"
         )
-    from .api import _execute_compress  # noqa: F401  (parity reference)
-
     for lvl in levels:
         sub = pdf[pdf[split].isna()] if pd.isna(lvl) else pdf[pdf[split] == lvl]
         sub = sub.reset_index(drop=True)

@@ -25,7 +25,6 @@ import math
 import warnings
 
 import numpy as np
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -51,7 +50,7 @@ from .solve import (
     gen_coeftable,
     solve_with_fallback,
 )
-from .split import SPLIT_NMAX, DbregSplit
+from .split import DbregSplit
 
 
 def _d(e):
