@@ -745,3 +745,139 @@ def _parse_hypothesis(h: str, names: list[str]):
     if not np.any(r):
         raise ValueError(f"hypothesis {h!r} references no coefficients")
     return r, rc - lc
+
+
+def _model_to_obj(m: "DbregModel") -> dict:
+    from .plans.exprs import expr_to_obj
+
+    return {
+        "format": "dbreg_spark.ols/1",
+        "yvar": m.yvar,
+        "xvars": list(m.xvars),
+        "fe": list(m.fe),
+        "strategy": m.strategy,
+        "vcov_type": m.vcov_type,
+        "cluster_var": m.cluster_var,
+        "nobs": m.nobs,
+        "nobs_orig": m.nobs_orig,
+        "df_residual": m.df_residual,
+        "rss": m.rss,
+        "tss": m.tss,
+        "n_fe1": m.n_fe1,
+        "n_fe2": m.n_fe2,
+        "n_clusters": m.n_clusters,
+        "collin_vars": list(m.collin_vars),
+        "intercept": m.intercept,
+        "demean_iterated": m.demean_iterated,
+        "weight_col": m.weight_col,
+        "coef_names": list(m.coef_names),
+        "beta": [float(v) for v in m.coeftable["estimate"].to_numpy()],
+        "vcov": np.asarray(m.vcov_).tolist(),
+        "cat_levels": m.cat_levels,
+        "fe_coef_names": sorted(m.fe_coef_names),
+        "design": [
+            {"name": n, "expr": expr_to_obj(e)}
+            for n, e in zip(m.design_info.names, m.design_info.exprs)
+        ]
+        if m.design_info is not None
+        else None,
+        "numeric_vars": list(getattr(m.design_info, "numeric_vars", []))
+        if m.design_info is not None
+        else [],
+    }
+
+
+def save_model(m: "DbregModel", path: str) -> None:
+    """Serialize a fitted dbreg model to directory ``path``: ``model.json``
+    (coefficients/vcov/metadata + the design expressions — the IR
+    serializes losslessly) and, for compress models, the retained cell
+    table as ``cells.parquet`` so ``predict(newdata=None)`` still works.
+    Reload with :func:`load_model` / ``DbregModel.load``; the restored
+    model supports predict/coef/se/vcov/confint/tidy/glance/wald."""
+    import json
+    import os
+
+    def _default(o):
+        # numpy scalars (cell counts, integer factor levels) -> plain python
+        if isinstance(o, np.integer):
+            return int(o)
+        if isinstance(o, np.floating):
+            return float(o)
+        if isinstance(o, np.bool_):
+            return bool(o)
+        raise TypeError(f"not JSON-serializable: {type(o)}")
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "model.json"), "w") as f:
+        json.dump(_model_to_obj(m), f, allow_nan=True, default=_default)
+    if m.cells is not None:
+        m.cells.to_parquet(os.path.join(path, "cells.parquet"))
+
+
+def load_model(path: str, spark=None) -> "DbregModel":
+    """Restore a model saved by :func:`save_model`. ``spark`` (or an active
+    session) is needed only to predict on retained compress cells."""
+    import json
+    import os
+
+    from .plans.exprs import expr_from_obj
+    from .solve import gen_coeftable
+
+    with open(os.path.join(path, "model.json")) as f:
+        obj = json.load(f)
+    if obj.get("format") != "dbreg_spark.ols/1":
+        raise ValueError(f"unrecognized model format in {path}")
+    design = None
+    if obj.get("design") is not None:
+        from .design import DesignInfo
+
+        design = DesignInfo(
+            names=[d["name"] for d in obj["design"]],
+            exprs=[expr_from_obj(d["expr"]) for d in obj["design"]],
+            factor_levels={},
+            numeric_vars=list(obj.get("numeric_vars", [])),
+        )
+    beta = np.asarray(obj["beta"], dtype=float)
+    V = np.asarray(obj["vcov"], dtype=float)
+    ct = gen_coeftable(beta, V, obj["df_residual"], obj["coef_names"])
+    cells = None
+    cp = os.path.join(path, "cells.parquet")
+    if os.path.exists(cp):
+        cells = pd.read_parquet(cp)
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    return DbregModel(
+        coeftable=ct,
+        vcov_=V,
+        coef_names=list(obj["coef_names"]),
+        yvar=obj["yvar"],
+        xvars=list(obj["xvars"]),
+        fe=list(obj["fe"]),
+        strategy=obj["strategy"],
+        vcov_type=obj["vcov_type"],
+        cluster_var=obj["cluster_var"],
+        nobs=obj["nobs"],
+        nobs_orig=obj["nobs_orig"],
+        df_residual=obj["df_residual"],
+        rss=obj["rss"],
+        tss=obj["tss"],
+        n_fe1=obj["n_fe1"],
+        n_fe2=obj["n_fe2"],
+        n_clusters=obj["n_clusters"],
+        collin_vars=list(obj["collin_vars"]),
+        intercept=obj["intercept"],
+        demean_iterated=obj["demean_iterated"],
+        weight_col=obj["weight_col"],
+        design_info=design,
+        parsed=None,
+        cells=cells,
+        spark_session=spark,
+        cat_levels=obj.get("cat_levels"),
+        fe_coef_names=frozenset(obj.get("fe_coef_names", [])),
+    )
+
+
+DbregModel.save = lambda self, path: save_model(self, path)
+DbregModel.load = staticmethod(load_model)

@@ -540,3 +540,50 @@ def test_wald_scientific_notation_coefficients(spark):
     w = m.wald(["1e-3*x1 = 0"])
     ref = m.wald(["0.001*x1 = 0"])
     assert w["stat"] == _pt.approx(ref["stat"], rel=1e-12)
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    """save/load: bit-exact coefficients/vcov and working predict across
+    strategies (compress keeps its cells so predict(newdata=None) works)."""
+    import numpy as np
+    import pandas as pd
+
+    from dbreg_spark import dbreg
+    from dbreg_spark.model import DbregModel
+
+    rng = np.random.default_rng(12)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "xd": rng.integers(0, 4, n).astype(float),
+            "x": rng.normal(size=n),
+            "f": rng.integers(0, 5, n),
+        }
+    )
+    pdf["y"] = 1 + 0.7 * pdf.xd + 0.5 * pdf.x + 0.3 * pdf.f + rng.normal(size=n)
+    df = spark.createDataFrame(pdf)
+
+    # compress (cells retained -> predict with no newdata)
+    m = dbreg("y ~ xd | f", df, strategy="compress", vcov="hc1")
+    p1 = str(tmp_path / "m_compress")
+    m.save(p1)
+    m2 = DbregModel.load(p1, spark)
+    np.testing.assert_array_equal(m2.coef().to_numpy(), m.coef().to_numpy())
+    np.testing.assert_array_equal(m2.vcov_, m.vcov_)
+    f1 = m.predict(df).toPandas()["fit"]
+    f2 = m2.predict(df).toPandas()["fit"]
+    np.testing.assert_allclose(f2.to_numpy(), f1.to_numpy(), rtol=1e-12)
+    assert len(m2.predict().toPandas()) == len(m.predict().toPandas())
+    # wald survives the round trip
+    assert m2.wald()["stat"] == pytest.approx(m.wald()["stat"], rel=1e-12)
+
+    # demean (group means recomputed from newdata)
+    md = dbreg("y ~ x | f", df, strategy="demean")
+    p2 = str(tmp_path / "m_demean")
+    md.save(p2)
+    md2 = DbregModel.load(p2, spark)
+    g1 = md.predict(df).toPandas()["fit"]
+    g2 = md2.predict(df).toPandas()["fit"]
+    np.testing.assert_allclose(
+        np.sort(g2.to_numpy()), np.sort(g1.to_numpy()), rtol=1e-10
+    )
