@@ -120,6 +120,23 @@ def main() -> None:
             vcov="hc1",
         ),
     )
+    # split-sample: 50 regressions with cluster SEs from TWO grouped passes
+    # (pass count independent of the level count)
+    from dbreg_spark import dbreg_split
+
+    li_split = li.withColumn(
+        "seg", F.pmod(F.abs(F.hash("l_orderkey").cast("long")), F.lit(50))
+    )
+    bench(
+        "reg_split50_cluster",
+        lambda: dbreg_split(
+            "l_extendedprice ~ l_quantity + l_discount",
+            li_split,
+            split="seg",
+            strategy="moments",
+            vcov="~l_returnflag",
+        ),
+    )
     # WLS: weighted 1-FE demean + HC1 (the weighted moment/mean/meat paths;
     # l_quantity is a strictly positive integer weight)
     bench(
