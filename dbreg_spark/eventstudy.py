@@ -90,7 +90,12 @@ class EventStudyResult:
     def att(self) -> dict:
         """Observation-weighted average post-treatment effect (rel_time ≥
         0): Σ n_ℓ·β̂_ℓ / Σ n_ℓ with delta-method SE a'Va — the single-number
-        summary of the dynamic profile."""
+        summary of the dynamic profile.
+
+        The n_ℓ weights are the pre-estimation level-probe counts (they
+        include rows later dropped by ``drop_missings``/weight filtering —
+        an approximation to estimation-sample shares, exact when the design
+        columns have no missings)."""
         post = self.table[(~self.table.is_ref) & (self.table.rel_time >= 0)]
         if not len(post):
             raise ValueError("no post-period coefficients")
@@ -100,6 +105,12 @@ class EventStudyResult:
             if a is not None and np.any(a):
                 rows.append(a)
                 ws.append(float(n))
+        if not rows:
+            raise ValueError(
+                "no post-period coefficient survived estimation (all "
+                "post-period dummies were collinearity-dropped); att() "
+                "needs at least one estimated post-period effect"
+            )
         w = np.asarray(ws) / sum(ws)
         a = (np.vstack(rows) * w[:, None]).sum(axis=0)
         beta = self.model.coef().to_numpy()

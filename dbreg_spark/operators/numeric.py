@@ -17,10 +17,30 @@ reserve it for bounded inputs.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 _PCTL = {True: "percentile", False: "percentile_approx"}
+
+
+def _probe_value(col: str, v, what: str = "quantile") -> float:
+    """A probe that comes back None (all-NULL column) or NaN must raise a
+    clear error here — interpolated into a SQL expression it becomes
+    ``... - None`` (a parse error) or a NaN literal that poisons every
+    comparison."""
+    if v is None:
+        raise ValueError(
+            f"column {col!r} has no non-null values; cannot compute its {what}"
+        )
+    v = float(v)
+    if not math.isfinite(v):
+        raise ValueError(
+            f"column {col!r} {what} probe returned {v!r} (NaN/inf values "
+            "in the column?); clean or filter the column first"
+        )
+    return v
 
 
 def _quantile_probe(
@@ -34,7 +54,11 @@ def _quantile_probe(
         for i, c in enumerate(cols)
     ]
     row = df.agg(*aggs).collect()[0]
-    return {c: list(row[f"__q_{i}"]) for i, c in enumerate(cols)}
+    # an all-NULL column yields a NULL array (not an array of NULLs)
+    return {
+        c: list(v) if (v := row[f"__q_{i}"]) is not None else [None] * len(ps)
+        for i, c in enumerate(cols)
+    }
 
 
 def winsorize(
@@ -53,19 +77,22 @@ def winsorize(
     qs = _quantile_probe(df, cols, [lower, upper], exact)
     out = df
     for c in cols:
-        lo, hi = qs[c]
+        lo = _probe_value(c, qs[c][0])
+        hi = _probe_value(c, qs[c][1])
         cd = F.col(c).cast("double")
         # guard NULLs explicitly: Spark's greatest/least SKIP nulls (they
         # return null only when ALL args are null), so an unguarded clamp
-        # would silently turn NULL into the lower bound
+        # would silently turn NULL into the lower bound. Guard NaN too:
+        # greatest/least order NaN above every real, so least(NaN, hi) = hi
+        # would silently clamp NaN to the upper bound — pass it through.
         out = out.withColumn(
             c + suffix,
             F.when(
-                cd.isNotNull(),
+                cd.isNotNull() & ~F.isnan(cd),
                 F.least(
-                    F.greatest(cd, F.lit(float(lo))), F.lit(float(hi))
+                    F.greatest(cd, F.lit(lo)), F.lit(hi)
                 ),
-            ),
+            ).otherwise(cd),
         )
     return out
 
@@ -84,8 +111,9 @@ def winsorize_sql(
         for i, c in enumerate(cols)
     )
     clamps = ",\n  ".join(
-        f"CASE WHEN b.{c} IS NOT NULL THEN "
-        f"LEAST(GREATEST(CAST(b.{c} AS DOUBLE), q.lo_{i}), q.hi_{i}) END AS {c}{suffix}"
+        f"CASE WHEN b.{c} IS NOT NULL AND NOT isnan(CAST(b.{c} AS DOUBLE)) THEN "
+        f"LEAST(GREATEST(CAST(b.{c} AS DOUBLE), q.lo_{i}), q.hi_{i}) "
+        f"ELSE CAST(b.{c} AS DOUBLE) END AS {c}{suffix}"
         for i, c in enumerate(cols)
     )
     return (
@@ -110,7 +138,10 @@ def standardize(
     out = df
     for i, c in enumerate(cols):
         m, s = row[f"__m_{i}"], row[f"__s_{i}"]
-        denom = F.lit(float(s)) if s not in (None, 0.0) else F.lit(None).cast("double")
+        # s == s rejects NaN (a NaN stddev from NaN inputs would emit NaN,
+        # not the documented NULL, through the division)
+        good = s is not None and math.isfinite(float(s)) and float(s) != 0.0
+        denom = F.lit(float(s)) if good else F.lit(None).cast("double")
         out = out.withColumn(
             c + suffix, (F.col(c).cast("double") - F.lit(float(m or 0.0))) / denom
         )
@@ -147,17 +178,18 @@ def mad_outliers(
     Adds ``col + "_outlier"`` boolean columns (NULL input → NULL flag).
     Two probe passes (median, then MAD around it) + the stateless scan."""
     med = _quantile_probe(df, cols, [0.5], exact)
+    meds = {c: _probe_value(c, med[c][0], "median") for c in cols}
     fn = _PCTL[bool(exact)]
     aggs = [
         F.expr(
-            f"{fn}(ABS(CAST({c} AS DOUBLE) - {med[c][0]!r}), 0.5)"
+            f"{fn}(ABS(CAST({c} AS DOUBLE) - {meds[c]!r}), 0.5)"
         ).alias(f"__mad_{i}")
         for i, c in enumerate(cols)
     ]
     row = df.agg(*aggs).collect()[0]
     out = df
     for i, c in enumerate(cols):
-        m = float(med[c][0])
+        m = meds[c]
         mad = float(row[f"__mad_{i}"] or 0.0)
         thresh = k * 1.4826 * mad
         cd = F.col(c).cast("double")

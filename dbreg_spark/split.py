@@ -51,6 +51,20 @@ from .solve import (
 SPLIT_NMAX = 10_000  # max split levels collected to the driver
 
 
+def beta_schema(lvl_type, n_beta: int):
+    """Explicit StructType for a broadcast (level, __b0..__b{n-1}) lookup.
+
+    Name-only schemas lean on type inference for ``__lvl``, which fails when
+    the split column is entirely NULL in the driver rows (one all-None
+    level) — take the level's type from the frame's schema instead."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    return StructType(
+        [StructField("__lvl", lvl_type, True)]
+        + [StructField(f"__b{i}", DoubleType(), False) for i in range(n_beta)]
+    )
+
+
 class DbregSplit(dict):
     """``{split_level: DbregModel}`` with a stacked ``tidy()`` view."""
 
@@ -434,7 +448,9 @@ def _split_meats(
         beta_rows.append((lvl,) + tuple(float(v) for v in full))
         pos[lvl] = collin
     bcols = [f"__b{i}" for i in range(off + p_x)]
-    bt = spark.createDataFrame(beta_rows, schema=["__lvl"] + bcols)
+    bt = spark.createDataFrame(
+        beta_rows, schema=beta_schema(frame_df.schema[split].dataType, off + p_x)
+    )
 
     # null-safe: a NULL split value is a real level and must match its row
     j = frame_df.join(

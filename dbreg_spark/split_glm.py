@@ -50,7 +50,7 @@ from .solve import (
     gen_coeftable,
     solve_with_fallback,
 )
-from .split import DbregSplit
+from .split import DbregSplit, beta_schema
 
 
 def _d(e):
@@ -145,16 +145,17 @@ def _grouped_pass(
     return {r["__sp"]: r.asDict() for r in rows}, p
 
 
-def _beta_frame(spark, split, states, p_all):
+def _beta_frame(spark, lvl_type, states, p_all):
     """Broadcastable (level, __b0..__b{p_all-1}) lookup from driver state.
-    Full design space: collinearity-dropped columns carry 0."""
+    Full design space: collinearity-dropped columns carry 0. ``lvl_type`` is
+    the split column's Spark DataType (explicit schema — inference fails on
+    an all-None level)."""
     rows = []
     for lvl, st in states.items():
         full = np.zeros(p_all)
         full[np.asarray(st["keep_idx"], dtype=int)] = st["cand"]
         rows.append((lvl,) + tuple(float(v) for v in full))
-    cols = ["__lvl"] + [f"__b{i}" for i in range(p_all)]
-    return spark.createDataFrame(rows, schema=cols)
+    return spark.createDataFrame(rows, schema=beta_schema(lvl_type, p_all))
 
 
 def dbglm_split(
@@ -276,7 +277,9 @@ def _fit_lockstep(
         active = {l: s for l, s in states.items() if not s["converged"] and not s["gave_up"]}
         if not active:
             break
-        bt = _beta_frame(sess, split, active, p_all)
+        bt = _beta_frame(
+            sess, frame_df.schema[split].dataType, active, p_all
+        )
         scan = frame_df
         # prune frozen levels from the scan when possible (None-keyed
         # levels can't ride isin; keep scanning everything in that case)
@@ -355,8 +358,17 @@ def _fit_lockstep(
 
 def _validate_level(fam, parsed, weight_col, lvl, row):
     tag = f" in split level {lvl!r}"
-    if weight_col is not None and not (float(row["wt_min"]) > 0.0):
-        raise ValueError(f"weights must be strictly positive{tag}")
+    if weight_col is not None:
+        # Spark MIN sorts NaN above every real, so a NaN weight slips past a
+        # wt_min probe and poisons every IRLS sum — check the (NaN-absorbing)
+        # Σw too, matching api._check_weights_valid / split.py
+        if not (float(row["wt_min"]) > 0.0) or not math.isfinite(
+            float(row["sum_wt"])
+        ):
+            raise ValueError(
+                f"weights column contains non-positive or NaN values{tag}; "
+                "weights must be strictly positive"
+            )
     if fam.name == "binomial":
         if weight_col is None and float(row.get("y_bad") or 0.0) > 0:
             raise ValueError(
@@ -372,7 +384,8 @@ def _grouped_glm_meat(
     vcov_type, cluster_vars, p_all,
 ):
     bt = _beta_frame(
-        sess, split, {l: dict(s, cand=s["beta"]) for l, s in states.items()},
+        sess, frame_df.schema[split].dataType,
+        {l: dict(s, cand=s["beta"]) for l, s in states.items()},
         p_all,
     )
     j = frame_df.join(

@@ -244,3 +244,24 @@ def test_sunab_pretrend_and_att(stag):
     assert pre["p.value"] > 0.001
     a = r.att()
     assert a["att"] > 0.5 and a["se"] > 0
+
+
+def test_att_all_post_dropped_raises_clear_error():
+    """If every post-period dummy was collinearity-dropped, att() must raise
+    a clear ValueError, not an opaque numpy vstack error."""
+    from dbreg_spark.eventstudy import EventStudyResult
+
+    class _StubModel:
+        coef_names = ["(Intercept)", "es_m2"]  # no post-period dummies kept
+
+    table = pd.DataFrame(
+        {
+            "rel_time": [-2, -1, 0, 1],
+            "is_ref": [False, True, False, False],
+            "estimate": [0.1, 0.0, np.nan, np.nan],
+            "n_obs": [10, 10, 10, 10],
+        }
+    )
+    r = EventStudyResult(_StubModel(), table, ref=-1, rel_time="rt")
+    with pytest.raises(ValueError, match="post-period coefficient survived"):
+        r.att()

@@ -164,3 +164,34 @@ def test_correlation_matrix_and_vif(spark):
     np.testing.assert_allclose(
         v.to_numpy(), np.diag(np.linalg.inv(want.to_numpy())), rtol=1e-8
     )
+
+
+def test_all_null_column_raises_clear_error(spark):
+    pdf = pd.DataFrame({"a": [None] * 50, "b": range(50)})
+    pdf["b"] = pdf["b"].astype(float)
+    df = spark.createDataFrame(pdf, schema="a double, b double")
+    with pytest.raises(ValueError, match="'a' has no non-null values"):
+        mad_outliers(df, ["a"], exact=True)
+    with pytest.raises(ValueError, match="'a' has no non-null values"):
+        winsorize(df, ["a"], exact=True)
+
+
+def test_winsorize_nan_passes_through(spark):
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0, 4.0, 100.0] * 20})
+    pdf.loc[:4, "a"] = np.nan
+    # approx sketch (exact percentile NaN-poisons the probe; the approx
+    # sketch ignores NaN), NaN rows must come back NaN — not hi-clamped
+    df = spark.createDataFrame(pdf)
+    got = winsorize(df, ["a"], 0.05, 0.95, exact=False).toPandas()
+    assert np.isnan(got["a_w"].to_numpy()[:5]).all() or got["a_w"].isna()[:5].all()
+    assert (got["a_w"].dropna() <= got["a"].max()).all()
+
+
+def test_standardize_nan_stddev_yields_null(spark):
+    pdf = pd.DataFrame({"a": [1.0, np.nan, 3.0] * 10, "b": range(30)})
+    pdf["b"] = pdf["b"].astype(float)
+    df = spark.createDataFrame(pdf)
+    got = standardize(df, ["a", "b"]).toPandas()
+    # NaN stddev for a → documented NULL, not NaN propagation mislabeled
+    assert got["a_z"].isna().all()
+    assert got["b_z"].notna().all()

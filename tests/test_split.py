@@ -244,3 +244,21 @@ def test_split_compress_fe_bookkeeping(spark):
         "y ~ xd | f", df.where(df.g == "u"), strategy="compress"
     ).predict(df.where(df.g == "u")).toPandas()["fit"]
     np.testing.assert_allclose(fit.to_numpy(), ref.to_numpy(), rtol=1e-9)
+
+
+def test_split_entirely_null_column(spark):
+    """An ALL-NULL split column is one level (None); the broadcast-β frame
+    must carry an explicit __lvl type (inference has no non-None sample)."""
+    pdf = _gen(seed=3, n=900)
+    pdf["g"] = None
+    pdf["g"] = pdf["g"].astype(object)
+    df = spark.createDataFrame(
+        pdf,
+        schema="x1 double, x2 double, g string, f1 long, f2 long, "
+        "cl long, w double, y double",
+    )
+    ms = dbreg_split("y ~ x1 + x2", df, split="g", strategy="moments",
+                     vcov="hc1")
+    assert list(ms) == [None]
+    ref = dbreg("y ~ x1 + x2", df, strategy="moments", vcov="hc1")
+    _assert_matches(ms[None], ref)

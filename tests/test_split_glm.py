@@ -111,3 +111,40 @@ def test_glm_split_per_level_validity(spark):
         dbglm_split(
             "y ~ x", spark.createDataFrame(pdf), split="g", family="poisson"
         )
+
+
+def test_glm_split_nan_weight_raises(spark):
+    """NaN weights sort above every real in Spark MIN — the Σw probe must
+    still catch them per level (not a step-halving warning)."""
+    rng = np.random.default_rng(11)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "x": rng.normal(size=n),
+            "g": ["u"] * (n // 2) + ["v"] * (n // 2),
+            "w": rng.uniform(0.5, 2.0, n),
+        }
+    )
+    pdf["y"] = (rng.random(n) < 0.5).astype(float)
+    pdf.loc[10, "w"] = np.nan
+    with pytest.raises(ValueError, match="non-positive or NaN"):
+        dbglm_split(
+            "y ~ x", spark.createDataFrame(pdf), split="g",
+            family="binomial", weights="w",
+        )
+
+
+def test_glm_split_all_null_level(spark):
+    """An entirely-NULL split level must fit (explicit __lvl schema — type
+    inference would fail on the all-None driver row) and match the filtered
+    per-level dbglm fit."""
+    pdf = _gen(seed=7, n=3000)
+    pdf["g"] = pdf["g"].astype(object)
+    pdf.loc[pdf.g == "c", "g"] = None
+    df = spark.createDataFrame(pdf)
+    res = dbglm_split("y ~ x1 + x2", df, split="g", family="binomial",
+                      vcov="hc1")
+    assert set(res) == {"a", "b", None}
+    ref = dbglm("y ~ x1 + x2", df.where("g IS NULL"), family="binomial",
+                vcov="hc1")
+    _match(res[None], ref)
