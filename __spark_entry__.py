@@ -636,7 +636,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = _tables(spark, sf_dir)
         model = bpe.learn_bpe(t["documents"], num_merges=150, max_words=10_000)
         return bpe.encode_bpe(t["documents"], model).select(
-            "doc_id", "n_tokens", "n_oov_words"
+            "doc_id",
+            "n_tokens",
+            "n_oov_words",
+            # order-insensitive content check on the token ids themselves so
+            # the DuckDB twin can hash-match the broadcast map join
+            F.expr(
+                "aggregate(token_ids, CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("ids_sum"),
         )
 
     Q["text_bpe_encode"] = q_bpe_encode
@@ -1668,6 +1675,26 @@ def oracle_sql() -> dict[str, str]:
     O["text_bpe_wordfreq"] = _bpe.word_frequencies_sql(
         "FROM documents", max_words=200
     )
+    # the encode twin needs the trained model's (word -> ids) map as SQL
+    # literals: train it HERE with DuckDB's own frequency pass (same merge
+    # code the Spark path calls driver-side) over the gate's sf dir, then
+    # the twin is the same tokenize -> broadcast-map join -> per-doc
+    # aggregate. Skipped (rows-only fallback) if the gate data is absent.
+    try:
+        _gate_dir = (
+            os.environ.get("SPARK_GRAFT_GATE_SF_DIR")
+            or "/root/testdata/sf0.01"
+        )
+        _wf = _bpe.duckdb_word_frequencies(_gate_dir, max_words=10_000)
+        _bpe_model = _bpe.learn_bpe_from_frequencies(_wf, num_merges=150)
+        _all_words = _bpe.duckdb_word_frequencies(_gate_dir, max_words=2_000_000)
+        O["text_bpe_encode"] = _bpe.encode_bpe_summary_sql(
+            "FROM documents",
+            _bpe_model,
+            _bpe.build_word_map(_bpe_model, [w for w, _ in _all_words]),
+        )
+    except Exception:  # noqa: BLE001 — no gate data: keep rows-only check
+        pass
     from dbreg_spark.operators import numeric as _num
 
     _wz_from = "FROM (SELECT l_orderkey, l_extendedprice FROM lineitem)"

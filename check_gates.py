@@ -48,6 +48,10 @@ def norm(v):
 
 
 def main() -> int:
+    # data-dependent oracles (text_bpe_encode's embedded word map) must
+    # train on the same sf dir the gate reads
+    os.environ["SPARK_GRAFT_GATE_SF_DIR"] = SF_DIR
+
     import __spark_entry__ as e
     from pyspark.sql import SparkSession
 

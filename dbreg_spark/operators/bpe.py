@@ -269,6 +269,24 @@ def learn_bpe_from_frequencies(
     )
 
 
+def build_word_map(
+    model: BpeModel, words: list[str]
+) -> list[tuple[str, list[int]]]:
+    """(word → token-ids) entries for the broadcast apply map. A word
+    containing symbols unseen at training time can't be encoded — keep it
+    OUT of the map so it takes the one-unk OOV path and is COUNTED in
+    n_oov_words (an in-map entry would emit one unk per untrained symbol
+    with oov=0, silently hiding exactly the high-frequency OOV mass that
+    column exists to surface)."""
+    unk = int(model.unk_id)
+    mapping = []
+    for w in words:
+        ids = model.encode_word(w)
+        if unk not in ids:
+            mapping.append((w, ids))
+    return mapping
+
+
 def encode_bpe(
     corpus: DataFrame,
     model: BpeModel,
@@ -290,16 +308,7 @@ def encode_bpe(
     wf = word_frequencies(corpus, col, max_apply_words, model.lowercase)
     seen = [r["word"] for r in wf.select("word").collect()]
     unk = int(model.unk_id)
-    # a word containing symbols unseen at training time can't be encoded —
-    # keep it OUT of the map so it takes the one-unk OOV path below and is
-    # COUNTED in n_oov_words (an in-map entry would emit one unk per
-    # untrained symbol with oov=0, silently hiding exactly the
-    # high-frequency OOV mass this column exists to surface)
-    mapping = []
-    for w in seen:
-        ids = model.encode_word(w)
-        if unk not in ids:
-            mapping.append((w, ids))
+    mapping = build_word_map(model, seen)
 
     from pyspark.sql import types as T
 
@@ -347,3 +356,86 @@ def encode_bpe(
             .alias("n_oov_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins for the encode path
+# ---------------------------------------------------------------------------
+
+
+def duckdb_word_frequencies(
+    sf_dir: str,
+    table: str = "documents",
+    col: str = "text",
+    max_words: int | None = 1_000_000,
+) -> list[tuple[str, int]]:
+    """(word, freq) via DuckDB over the same parquet — an engine-independent
+    twin of the training frequency pass, so a DuckDB-side oracle can train
+    the SAME model without Spark (merges are shared driver code either way;
+    the frequency-pass parity itself is gated by ``text_bpe_wordfreq``)."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{table}.parquet')"
+        )
+        rows = con.execute(
+            word_frequencies_sql(f"FROM {table}", col, max_words)
+        ).fetchall()
+    finally:
+        con.close()
+    return [(w, int(c)) for w, c in rows]
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def encode_bpe_summary_sql(
+    from_clause: str,
+    model: BpeModel,
+    word_ids: list[tuple[str, list[int]]],
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`encode_bpe`'s summary columns — per document:
+    ``n_tokens``, ``n_oov_words``, and ``ids_sum`` (Σ token ids, an
+    order-insensitive content check on the broadcast map join). The
+    driver-learned (word → ids) map rides in as a VALUES table carrying
+    each word's token count and id sum; the twin is then the same
+    tokenize → left join → per-doc aggregate the Spark plan runs. Token
+    ORDER is not checked here (the Spark side's order-restoring flatten is
+    pinned by tests/test_bpe.py against the driver encoder)."""
+    x = X(DUCK)
+    arr = x.split_ws(col)
+    if model.lowercase:
+        arr = x.transform(arr, "w -> lower(w)")
+    arr = x.filter(arr, "w -> length(w) > 0")
+    unk = int(model.unk_id)
+    vals = ",\n    ".join(
+        f"({_sql_str(w)}, {len(ids)}, {sum(int(i) for i in ids)})"
+        for w, ids in word_ids
+    ) or "('', 0, 0)"  # length>0 tokenization means '' never matches
+    return f"""WITH wmap(word, n_ids, ids_sum) AS (
+  VALUES
+    {vals}
+),
+toks AS (
+  SELECT {id_col}, UNNEST({arr}) AS word
+  {from_clause}
+),
+agg AS (
+  SELECT t.{id_col},
+         SUM(COALESCE(m.n_ids, 1)) AS n_tokens,
+         SUM(CASE WHEN m.word IS NULL THEN 1 ELSE 0 END) AS n_oov_words,
+         SUM(COALESCE(m.ids_sum, {unk})) AS ids_sum
+  FROM toks t LEFT JOIN wmap m USING (word)
+  GROUP BY t.{id_col}
+)
+SELECT d.{id_col},
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_oov_words, 0) AS BIGINT) AS n_oov_words,
+       CAST(COALESCE(a.ids_sum, 0) AS BIGINT) AS ids_sum
+FROM (SELECT {id_col} {from_clause}) d LEFT JOIN agg a USING ({id_col})"""

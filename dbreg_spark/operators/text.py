@@ -654,7 +654,10 @@ def repetition_stats(
             )
         ).alias("__dgc"),
     )
-    nch = F.greatest(F.coalesce(F.length(F.col(col)), F.lit(0)), F.lit(1))
+    # the metrics only need the document's LENGTH — project it before the
+    # join so the shuffle/probe side carries (id, long), never the text
+    # payload itself
+    nch = F.greatest(F.coalesce(F.col("__nch"), F.lit(0)), F.lit(1))
     z = lambda c: F.coalesce(c, F.lit(0)).cast("double")  # noqa: E731
     one = F.lit(1.0)
     # n-gram occurrences overlap, so count × length is an UPPER BOUND on
@@ -676,7 +679,9 @@ def repetition_stats(
     for k, thr in thresholds.items():
         flag = flag | (metrics[k] > F.lit(float(thr)))
     return (
-        df.select(id_col, col)
+        df.select(
+            id_col, F.length(F.col(col)).cast("long").alias("__nch")
+        )
         .join(per_doc, id_col, "left")
         .select(
             id_col,
@@ -728,10 +733,11 @@ m AS (
   SELECT d.{id_col},
          CAST(COALESCE(p.nl, 0) AS BIGINT) AS n_lines,
          COALESCE(p.ndl, 0)::DOUBLE / GREATEST(COALESCE(p.nl, 0), 1) AS dup_line_frac,
-         LEAST(COALESCE(p.dlc, 0)::DOUBLE / GREATEST(COALESCE(LENGTH(d.{col}), 0), 1), 1.0) AS dup_line_char_frac,
-         LEAST(COALESCE(p.top, 0)::DOUBLE / GREATEST(COALESCE(LENGTH(d.{col}), 0), 1), 1.0) AS top_ngram_char_frac,
-         LEAST(COALESCE(p.dgc, 0)::DOUBLE / GREATEST(COALESCE(LENGTH(d.{col}), 0), 1), 1.0) AS dup_ngram_char_frac
-  FROM {table} d LEFT JOIN per_doc p USING ({id_col})
+         LEAST(COALESCE(p.dlc, 0)::DOUBLE / GREATEST(COALESCE(d.nch, 0), 1), 1.0) AS dup_line_char_frac,
+         LEAST(COALESCE(p.top, 0)::DOUBLE / GREATEST(COALESCE(d.nch, 0), 1), 1.0) AS top_ngram_char_frac,
+         LEAST(COALESCE(p.dgc, 0)::DOUBLE / GREATEST(COALESCE(d.nch, 0), 1), 1.0) AS dup_ngram_char_frac
+  FROM (SELECT {id_col}, LENGTH({col}) AS nch FROM {table}) d
+  LEFT JOIN per_doc p USING ({id_col})
 )
 SELECT {id_col}, n_lines, dup_line_frac, dup_line_char_frac,
        top_ngram_char_frac, dup_ngram_char_frac,

@@ -7,6 +7,9 @@ import pytest
 from pyspark.sql import SparkSession
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# data-dependent oracle twins (text_bpe_encode's embedded word map) must
+# train on the same sf dir the tests read
+os.environ["SPARK_GRAFT_GATE_SF_DIR"] = SF_DIR
 TABLES = [
     "region",
     "nation",

@@ -27,10 +27,14 @@ def inventory():
     return entrymod.queries(), entrymod.oracle_sql()
 
 
-# queries whose semantics are genuinely non-SQL-expressible: the driver
-# records a rows-only check for these (text_bpe_encode trains iterative
-# merges; its distributed/driver parity is pinned in tests/test_bpe.py)
-ROWS_ONLY = {"text_bpe_encode"}
+# queries whose semantics are genuinely non-SQL-expressible (the driver
+# records a rows-only check for those). Empty since round 6: even
+# text_bpe_encode now carries a twin — the driver-learned word map rides
+# into the DuckDB SQL as a VALUES table (merge TRAINING stays iterative
+# driver code shared by both sides; what the gate checks is the
+# distributed encode: tokenize → broadcast map join → per-doc aggregate,
+# with ids_sum pinning the token-id content).
+ROWS_ONLY: set[str] = set()
 
 
 def test_oracle_keys_subset(inventory):

@@ -1324,12 +1324,27 @@ def test_repetition_stats_handcomputed(spark, duck):
 
 def test_repetition_stats_single_scan_plan(docs):
     """One corpus scan: the tagged-array design reads the parquet once
-    (the final left join re-reads for id+text, so <= 2 scans, never 3+),
+    (the final left join re-reads for id+length, so <= 2 scans, never 3+),
     and the only exchanges are the two-level groupBy + join."""
     out = text.repetition_stats(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") <= 2
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the metrics join's probe side must carry (id, length) — never the
+    # text payload: length is projected BEFORE the join
+    qe = out._jdf.queryExecution()
+    spark = out.sparkSession
+    fmt = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "AS __nch" in fmt
+    join_inputs = [
+        ln for ln in fmt.splitlines()
+        if ln.startswith("Input") and "__nl#" in ln
+    ]
+    assert join_inputs and all("text#" not in ln for ln in join_inputs)
 
 
 def test_semantic_dedup_vs_duckdb(emb, duck):
