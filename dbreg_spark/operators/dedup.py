@@ -798,6 +798,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int | None = 1000,
     materialize_shingles: bool = True,
+    max_hot_broadcast: int = 1_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicates: candidates share ≥1 shingle
     (explode → equi-join on shingle hash), then exact Jaccard from the full
@@ -819,7 +820,12 @@ def ngram_jaccard_pairs(
     ``materialize_shingles`` localCheckpoints it eagerly so the expensive
     tokenize+md5 scan of the corpus runs ONCE, not per branch (measured 2×
     end-to-end at sf0.1; blocks are executor-local and freed on GC).
-    ``False`` keeps the fully lazy plan."""
+    ``False`` keeps the fully lazy plan.
+
+    The hot-shingle set itself is broadcast only while it holds ≤
+    ``max_hot_broadcast`` hashes (size-probed first); past that the
+    anti-join runs as a shuffle — identical pairs, no unbounded driver
+    broadcast."""
     x = X(SPARK)
     staged = df.select(
         F.col(id_col),
@@ -839,7 +845,12 @@ def ngram_jaccard_pairs(
             .where(F.col("__df") > max_df)
             .select("gh")
         )
-        tok = tok.join(F.broadcast(hot), "gh", "left_anti")
+        # guard the broadcast itself: at trillion-doc scale the >max_df set
+        # can be millions of hashes — size-probe it (bounded count) and past
+        # the bound fall back to a shuffled anti-join, same semantics
+        if hot.limit(max_hot_broadcast + 1).count() <= max_hot_broadcast:
+            hot = F.broadcast(hot)
+        tok = tok.join(hot, "gh", "left_anti")
     a = tok.alias("a")
     b = tok.alias("b")
     cand = (
