@@ -381,3 +381,65 @@ def sun_abraham(
     out.dropped_cells = dropped
     out._agg_rows = agg_rows
     return out
+
+
+# --------------------------------------------------------------------------
+# persistence
+# --------------------------------------------------------------------------
+
+
+def save_event_study(r: EventStudyResult, path: str) -> None:
+    """Serialize a fitted event study: the underlying model in ``model/``,
+    the coefficient table as ``table.parquet``, and the study metadata
+    (reference period, Sun-Abraham aggregation rows, dropped cells) in
+    ``study.json``. Reload with :func:`load_event_study` /
+    ``EventStudyResult.load``: tidy/att/pretrend_test all work on the
+    restored object."""
+    import json
+    import os
+
+    from .model import _json_default, encode_key
+
+    os.makedirs(path, exist_ok=True)
+    r.model.save(os.path.join(path, "model"))
+    r.table.to_parquet(os.path.join(path, "table.parquet"))
+    meta = {
+        "format": "dbreg_spark.event_study/1",
+        "ref": encode_key(r.ref),
+        "rel_time": r.rel_time,
+        "dropped_cells": [list(c) for c in r.dropped_cells],
+        "agg_rows": [
+            {"rt": encode_key(rt), "row": [float(v) for v in a]}
+            for rt, a in r._agg_rows.items()
+        ],
+    }
+    with open(os.path.join(path, "study.json"), "w") as f:
+        json.dump(meta, f, allow_nan=True, default=_json_default)
+
+
+def load_event_study(path: str, spark=None) -> EventStudyResult:
+    """Restore a result saved by :func:`save_event_study`."""
+    import json
+    import os
+
+    from .model import decode_key, load_model
+
+    with open(os.path.join(path, "study.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != "dbreg_spark.event_study/1":
+        raise ValueError(f"unrecognized event-study format in {path}")
+    model = load_model(os.path.join(path, "model"), spark)
+    table = pd.read_parquet(os.path.join(path, "table.parquet"))
+    out = EventStudyResult(
+        model, table, decode_key(meta["ref"]), meta["rel_time"]
+    )
+    out.dropped_cells = [tuple(c) for c in meta.get("dropped_cells", [])]
+    out._agg_rows = {
+        decode_key(e["rt"]): np.asarray(e["row"], dtype=float)
+        for e in meta.get("agg_rows", [])
+    }
+    return out
+
+
+EventStudyResult.save = lambda self, path: save_event_study(self, path)
+EventStudyResult.load = staticmethod(load_event_study)

@@ -99,6 +99,11 @@ FAMILIES = (
 
 _W_EPS = 1e-12  # pearson-residual denominator floor (never used in w·z)
 
+# diagnostics from the last cell-resident k-FE solve: sweep and distributed
+# pass counts for the λ alternation and the AP corrections (tests pin the
+# one-grouping-sets-pass-per-sweep contract here)
+_KFE_PASS_STATS: dict = {}
+
 
 def _d(e: Expr) -> Expr:
     return Cast(e, "double")
@@ -1805,11 +1810,14 @@ def _kfe_solve_cells_spark(
     500M-cell buyer×seller panel has ~10M levels ≈ 80 MB). This tier
     therefore keeps the cells in Spark — checkpointed exactly twice, so
     every pass has a constant, shallow plan — and runs the SAME numpy
-    alternations as the driver solver on per-level arrays, with each
-    Gauss-Seidel update realized as ONE Spark job: broadcast the other
-    FEs' tiny (level-id, value) tables in, aggregate per level id,
-    collect the level-sized sums out. Nothing cell-proportional ever
-    reaches the driver.
+    alternation fixed points as the driver solver on per-level arrays,
+    with each SWEEP realized as ONE Spark job: broadcast every FE's tiny
+    (level-id, value) table in, aggregate ALL k per-FE level tables from
+    a single GROUPING SETS pass over the cells, collect the level-sized
+    sums out. Simultaneity makes the updates damped-Jacobi (1/k) rather
+    than Gauss-Seidel — same fixed point, monotone ascent, Aitken-
+    accelerated tail (see the sweep-loop comments). Nothing
+    cell-proportional ever reaches the driver.
 
     Level ids are assigned once per call by a DETERMINISTIC sort of each
     FE's level values (nulls last), attached to the cells with null-safe
@@ -1887,27 +1895,49 @@ def _kfe_solve_cells_spark(
     with np.errstate(divide="ignore"):
         lnY = {f: np.log(Yk[f]) for f in fes}  # −inf at 0
 
+    # One GROUPING SETS pass per sweep computes EVERY FE's per-level
+    # denominator table at the current profile (the frames.py one-scan-means
+    # trick): separate per-FE groupBys would scan the checkpointed cells k
+    # times per sweep. The price of simultaneity: updates become
+    # damped-Jacobi instead of Gauss-Seidel — undamped parallel updates
+    # oscillate on directions shared between FE spans (every FE absorbs the
+    # full grand-mean shift at once ⇒ k× overshoot), while the 1/k-damped
+    # step is a convex combination of per-coordinate maximizers of the
+    # concave profile likelihood, hence a monotone ascent step. The Aitken
+    # jump below erases most of the damping's rate penalty (slow geometric
+    # tails have very stable dominant ratios).
+    lids = [lid_col[f] for f in fes]
+    damp = 1.0 / len(fes)
+    sweep_cap = 500 * len(fes)  # same total-pass budget as k-passes-per-sweep
     worst = math.inf
     last_worst = None
     last_accel = -10
-    for sweep in range(500):
-        worst = 0.0
-        steps = {}
+    _KFE_PASS_STATS["lambda_passes"] = 0
+    for sweep in range(sweep_cap):
+        joined = base
+        for f2 in fes:
+            joined = joined.join(_bcast(f2, lnl[f2], f"__lnl_{f2}"), lid_col[f2])
+        aggs = []
         for f in fes:
-            joined = base
             other = F.lit(0.0)
             for f2 in fes:
                 if f2 != f:
-                    joined = joined.join(
-                        _bcast(f2, lnl[f2], f"__lnl_{f2}"), lid_col[f2]
-                    )
                     other = other + F.col(f"__lnl_{f2}")
-            t = (
-                joined.groupBy(lid_col[f])
-                .agg(F.sum(F.col("__C") * F.exp(other)).alias("__den"))
-                .toPandas()
+            aggs.append(
+                F.sum(F.col("__C") * F.exp(other)).alias(f"__den_{f}")
             )
-            denom = _aligned(t, f, "__den")
+        gsp = (
+            joined.groupingSets([[l] for l in lids], *lids)
+            .agg(*aggs)
+            .toPandas()
+        )
+        _KFE_PASS_STATS["lambda_passes"] += 1
+        worst = 0.0
+        steps = {}
+        news = {}
+        for f in fes:
+            t = gsp[gsp[lid_col[f]].notna()]
+            denom = _aligned(t, f, f"__den_{f}")
             sep = (Yk[f] > 0) & (denom <= 0)
             if sep.any():
                 raise ValueError(
@@ -1920,16 +1950,20 @@ def _kfe_solve_cells_spark(
             with np.errstate(divide="ignore", invalid="ignore"):
                 new = lnY[f] - np.log(denom)
             new[Yk[f] <= 0] = -np.inf
+            news[f] = new
             live = np.isfinite(new) & np.isfinite(lnl[f])
-            with np.errstate(invalid="ignore"):  # −inf − −inf on dead lvls
-                steps[f] = np.where(live, new - lnl[f], 0.0)
             if live.any():
                 worst = max(
                     worst, float(np.max(np.abs(new[live] - lnl[f][live])))
                 )
             if (np.isfinite(new) != np.isfinite(lnl[f])).any():
                 worst = max(worst, 1.0)  # liveness flipped: not stationary
-            lnl[f] = new
+        for f in fes:
+            new = news[f]
+            live = np.isfinite(new) & np.isfinite(lnl[f])
+            with np.errstate(invalid="ignore"):  # −inf − −inf on dead lvls
+                steps[f] = np.where(live, damp * (new - lnl[f]), 0.0)
+            lnl[f] = np.where(live, lnl[f] + steps[f], new)
         # 1e-11 (vs the driver tier's free 1e-13): fixest/ppmlhdfe demean
         # at 1e-6..1e-8 by default; 1e-11 keeps ~1e-8 coefficient
         # agreement while saving tail sweeps that cost a cells pass each
@@ -1965,6 +1999,7 @@ def _kfe_solve_cells_spark(
             "stationary; check the FE graph's connectivity / "
             "near-separation. Coefficients may be slightly biased."
         )
+    _KFE_PASS_STATS["lambda_sweeps"] = sweep + 1
     if verbose:
         print(f"[dbglm kfe/spark] lambda alternation: {sweep + 1} sweeps")
 
@@ -2036,36 +2071,50 @@ def _kfe_solve_cells_spark(
                 )
             return out
 
+        # same one-pass-per-sweep shape as the λ loop: the per-level numerator
+        # expressions are IDENTICAL across FEs (only the grouping key
+        # differs), so one grouping-sets aggregation feeds every FE's
+        # damped-Jacobi step (1/k damping for the same shared-direction
+        # overshoot reason; worst tracks the UNdamped residual so the
+        # stationarity tolerance keeps its meaning)
         worst = math.inf
         last_worst = None
         last_accel = -10
-        for sweep in range(500):
+        _KFE_PASS_STATS["corr_passes"] = 0
+        for sweep in range(sweep_cap):
+            joined = _c_joined()
+            aggs = []
+            for j in range(p):
+                a_j = F.lit(0.0)
+                for f2 in fes:
+                    a_j = a_j + F.col(f"__c{j}_{f2}")
+                aggs.append(
+                    F.sum(
+                        F.col(f"__xw{j}") - F.col("__W") * a_j
+                    ).alias(f"__num{j}")
+                )
+            gsp = (
+                joined.groupingSets([[l] for l in lids], *lids)
+                .agg(*aggs)
+                .toPandas()
+            )
+            _KFE_PASS_STATS["corr_passes"] += 1
             worst = 0.0
             csteps = {}
             for f in fes:
-                joined = _c_joined()
-                aggs = []
-                for j in range(p):
-                    a_j = F.lit(0.0)
-                    for f2 in fes:
-                        a_j = a_j + F.col(f"__c{j}_{f2}")
-                    aggs.append(
-                        F.sum(
-                            F.col(f"__xw{j}") - F.col("__W") * a_j
-                        ).alias(f"__num{j}")
-                    )
-                t = joined.groupBy(lid_col[f]).agg(*aggs).toPandas()
+                t = gsp[gsp[lid_col[f]].notna()]
                 num = np.column_stack(
                     [_aligned(t, f, f"__num{j}") for j in range(p)]
                 )
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    step = np.where(
+                    full = np.where(
                         dk[f][:, None] > 0, num / dk[f][:, None], 0.0
                     )
+                step = damp * full
                 corr[f] = corr[f] + step
                 csteps[f] = step
                 if step.size:
-                    worst = max(worst, float(np.max(np.abs(step))))
+                    worst = max(worst, float(np.max(np.abs(full))))
             if worst <= 1e-11:  # same reasoning as the λ tolerance
                 break
             # same Aitken jump as the λ loop (linear AP iteration)
@@ -2088,6 +2137,7 @@ def _kfe_solve_cells_spark(
                 f"{worst:.3g}) — standard errors may be slightly off; "
                 "check the FE graph's connectivity."
             )
+        _KFE_PASS_STATS["corr_sweeps"] = sweep + 1
         if verbose:
             print(f"[dbglm kfe/spark] AP corrections: {sweep + 1} sweeps")
 

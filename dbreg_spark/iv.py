@@ -669,3 +669,83 @@ def _solve_2sls(
         weight_col=weight_col,
         demean_iterated=(frame.cte_name == "demeaned_iter"),
     )
+
+
+# --------------------------------------------------------------------------
+# persistence — same directory scheme as DbregModel/GlmModel
+# --------------------------------------------------------------------------
+
+
+def save_iv_model(m: IvModel, path: str) -> None:
+    """Serialize a fitted 2SLS model: the base dbreg payload (coefs/vcov/
+    design IR/retained cells) plus the IV extras (endog/instruments,
+    first-stage F and tables, Sargan, Wu-Hausman). Reload with
+    :func:`load_iv_model` / ``IvModel.load``."""
+    import json
+    import os
+
+    from .model import _json_default, _model_to_obj
+
+    obj = _model_to_obj(m)
+    obj["format"] = "dbreg_spark.iv/1"
+    obj["endog"] = list(m.endog)
+    obj["instruments"] = list(m.instruments)
+    obj["first_stage_F"] = {k: float(v) for k, v in m.first_stage_F.items()}
+    obj["sargan"] = list(m.sargan) if m.sargan is not None else None
+    obj["wu_hausman"] = (
+        list(m.wu_hausman) if m.wu_hausman is not None else None
+    )
+    # hand-rolled split layout: python json round-trips float reprs exactly,
+    # pandas to_json caps at 15 significant digits
+    obj["first_stage_tables"] = {
+        k: {
+            "index": list(map(str, v.index)),
+            "columns": list(map(str, v.columns)),
+            "data": [[float(x) for x in row] for row in v.to_numpy()],
+        }
+        for k, v in m.first_stage_tables.items()
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "model.json"), "w") as f:
+        json.dump(obj, f, allow_nan=True, default=_json_default)
+    if m.cells is not None:
+        m.cells.to_parquet(os.path.join(path, "cells.parquet"))
+
+
+def load_iv_model(path: str, spark=None) -> IvModel:
+    """Restore a model saved by :func:`save_iv_model` — bit-exact
+    coef/vcov/predict plus the IV diagnostics."""
+    import json
+    import os
+    from dataclasses import fields as dc_fields
+
+    from .model import DbregModel, _obj_to_model
+
+    with open(os.path.join(path, "model.json")) as f:
+        obj = json.load(f)
+    if obj.get("format") != "dbreg_spark.iv/1":
+        raise ValueError(f"unrecognized model format in {path}")
+    base = _obj_to_model(obj, path, spark)
+    kw = {f.name: getattr(base, f.name) for f in dc_fields(DbregModel)}
+    return IvModel(
+        **kw,
+        endog=list(obj["endog"]),
+        instruments=list(obj["instruments"]),
+        first_stage_F={k: float(v) for k, v in obj["first_stage_F"].items()},
+        sargan=tuple(obj["sargan"]) if obj.get("sargan") is not None else None,
+        wu_hausman=(
+            tuple(obj["wu_hausman"])
+            if obj.get("wu_hausman") is not None
+            else None
+        ),
+        first_stage_tables={
+            k: pd.DataFrame(
+                v["data"], index=v["index"], columns=v["columns"]
+            )
+            for k, v in obj.get("first_stage_tables", {}).items()
+        },
+    )
+
+
+IvModel.save = lambda self, path: save_iv_model(self, path)
+IvModel.load = staticmethod(load_iv_model)

@@ -787,6 +787,44 @@ def _model_to_obj(m: "DbregModel") -> dict:
     }
 
 
+def _json_default(o):
+    # numpy scalars (cell counts, integer factor levels) -> plain python
+    if isinstance(o, np.integer):
+        return int(o)
+    if isinstance(o, np.floating):
+        return float(o)
+    if isinstance(o, np.bool_):
+        return bool(o)
+    raise TypeError(f"not JSON-serializable: {type(o)}")
+
+
+def encode_key(v) -> dict:
+    """Type-tagged JSON encoding for a dict key (split levels, relative
+    times) — levels can be None/bool/int/float/str and must round-trip."""
+    if v is None:
+        return {"t": "none"}
+    if isinstance(v, (bool, np.bool_)):
+        return {"t": "bool", "v": bool(v)}
+    if isinstance(v, (int, np.integer)):
+        return {"t": "int", "v": int(v)}
+    if isinstance(v, (float, np.floating)):
+        return {"t": "float", "v": float(v)}
+    return {"t": "str", "v": str(v)}
+
+
+def decode_key(d: dict):
+    t = d["t"]
+    if t == "none":
+        return None
+    if t == "bool":
+        return bool(d["v"])
+    if t == "int":
+        return int(d["v"])
+    if t == "float":
+        return float(d["v"])
+    return d["v"]
+
+
 def save_model(m: "DbregModel", path: str) -> None:
     """Serialize a fitted dbreg model to directory ``path``: ``model.json``
     (coefficients/vcov/metadata + the design expressions — the IR
@@ -797,19 +835,9 @@ def save_model(m: "DbregModel", path: str) -> None:
     import json
     import os
 
-    def _default(o):
-        # numpy scalars (cell counts, integer factor levels) -> plain python
-        if isinstance(o, np.integer):
-            return int(o)
-        if isinstance(o, np.floating):
-            return float(o)
-        if isinstance(o, np.bool_):
-            return bool(o)
-        raise TypeError(f"not JSON-serializable: {type(o)}")
-
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "model.json"), "w") as f:
-        json.dump(_model_to_obj(m), f, allow_nan=True, default=_default)
+        json.dump(_model_to_obj(m), f, allow_nan=True, default=_json_default)
     if m.cells is not None:
         m.cells.to_parquet(os.path.join(path, "cells.parquet"))
 
@@ -820,13 +848,19 @@ def load_model(path: str, spark=None) -> "DbregModel":
     import json
     import os
 
-    from .plans.exprs import expr_from_obj
-    from .solve import gen_coeftable
-
     with open(os.path.join(path, "model.json")) as f:
         obj = json.load(f)
     if obj.get("format") != "dbreg_spark.ols/1":
         raise ValueError(f"unrecognized model format in {path}")
+    return _obj_to_model(obj, path, spark)
+
+
+def _obj_to_model(obj: dict, path: str, spark=None) -> "DbregModel":
+    import os
+
+    from .plans.exprs import expr_from_obj
+    from .solve import gen_coeftable
+
     design = None
     if obj.get("design") is not None:
         from .design import DesignInfo
@@ -877,6 +911,27 @@ def load_model(path: str, spark=None) -> "DbregModel":
         cat_levels=obj.get("cat_levels"),
         fe_coef_names=frozenset(obj.get("fe_coef_names", [])),
     )
+
+
+def load_any_model(path: str, spark=None):
+    """Dispatch on the saved ``format`` tag: restores a plain dbreg OLS
+    model, a GLM, or a 2SLS model from the same directory layout."""
+    import json
+    import os
+
+    with open(os.path.join(path, "model.json")) as f:
+        fmt = json.load(f).get("format")
+    if fmt == "dbreg_spark.ols/1":
+        return load_model(path, spark)
+    if fmt == "dbreg_spark.glm/1":
+        from .glm import GlmModel
+
+        return GlmModel.load(path, spark)
+    if fmt == "dbreg_spark.iv/1":
+        from .iv import load_iv_model
+
+        return load_iv_model(path, spark)
+    raise ValueError(f"unrecognized model format {fmt!r} in {path}")
 
 
 DbregModel.save = lambda self, path: save_model(self, path)

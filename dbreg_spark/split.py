@@ -660,3 +660,67 @@ def split_moments_sql(
         f"SELECT {split},\n  {cols}\n{from_clause}\n"
         f"WHERE {where}\nGROUP BY {split}"
     )
+
+
+# --------------------------------------------------------------------------
+# persistence — one member directory per level + a type-tagged key index
+# --------------------------------------------------------------------------
+
+
+def save_split(res: DbregSplit, path: str) -> None:
+    """Serialize a split-sample result: each level's model saves into its
+    own subdirectory (via the member's save — OLS and GLM members share
+    the directory scheme), and ``split.json`` records the level keys with
+    type tags (levels can be None/numeric/str and must round-trip
+    exactly)."""
+    import json
+    import os
+
+    from .model import encode_key
+
+    os.makedirs(path, exist_ok=True)
+    levels = []
+    for i, (lvl, m) in enumerate(res.items()):
+        sub = f"level_{i:05d}"
+        m.save(os.path.join(path, sub))
+        levels.append({"dir": sub, "key": encode_key(lvl)})
+    with open(os.path.join(path, "split.json"), "w") as f:
+        json.dump(
+            {
+                "format": "dbreg_spark.split/1",
+                "class": type(res).__name__,
+                "split_var": res.split_var,
+                "levels": levels,
+            },
+            f,
+        )
+
+
+def load_split(path: str, spark=None) -> DbregSplit:
+    """Restore a result saved by :func:`save_split` (``DbregSplit.load`` /
+    ``GlmSplit.load``); members dispatch on their own saved format."""
+    import json
+    import os
+
+    from .model import decode_key, load_any_model
+
+    with open(os.path.join(path, "split.json")) as f:
+        obj = json.load(f)
+    if obj.get("format") != "dbreg_spark.split/1":
+        raise ValueError(f"unrecognized split format in {path}")
+    cls = DbregSplit
+    if obj.get("class") == "GlmSplit":
+        from .split_glm import GlmSplit
+
+        cls = GlmSplit
+    out = cls()
+    out.split_var = obj.get("split_var", "")
+    for e in obj["levels"]:
+        out[decode_key(e["key"])] = load_any_model(
+            os.path.join(path, e["dir"]), spark
+        )
+    return out
+
+
+DbregSplit.save = lambda self, path: save_split(self, path)
+DbregSplit.load = staticmethod(load_split)

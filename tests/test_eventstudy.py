@@ -265,3 +265,42 @@ def test_att_all_post_dropped_raises_clear_error():
     r = EventStudyResult(_StubModel(), table, ref=-1, rel_time="rt")
     with pytest.raises(ValueError, match="post-period coefficient survived"):
         r.att()
+
+
+def test_event_study_save_load_roundtrip(espanel, tmp_path):
+    df, _ = espanel
+    r = event_study(df, "y", "rel_time", "unit", "time", ref=-1, vcov="hc1")
+    p = str(tmp_path / "es")
+    r.save(p)
+    from dbreg_spark.eventstudy import EventStudyResult
+
+    r2 = EventStudyResult.load(p, df.sparkSession)
+    pd.testing.assert_frame_equal(r.table, r2.table, check_exact=True)
+    assert r2.ref == r.ref and r2.rel_time == r.rel_time
+    np.testing.assert_array_equal(
+        r.model.coef().to_numpy(), r2.model.coef().to_numpy()
+    )
+    np.testing.assert_array_equal(r.model.vcov_, r2.model.vcov_)
+    a1, a2 = r.att(), r2.att()
+    assert a1 == a2
+    p1, p2 = r.pretrend_test(), r2.pretrend_test()
+    assert p1 == p2
+
+
+def test_sunab_save_load_roundtrip(stag, tmp_path):
+    from dbreg_spark import sun_abraham
+    from dbreg_spark.eventstudy import EventStudyResult
+
+    df, _ = stag
+    r = sun_abraham(df, "y", "cohort", "time", "unit", ref=-1)
+    p = str(tmp_path / "sunab")
+    r.save(p)
+    r2 = EventStudyResult.load(p, df.sparkSession)
+    pd.testing.assert_frame_equal(r.table, r2.table, check_exact=True)
+    assert set(r2._agg_rows) == set(r._agg_rows)
+    for rt in r._agg_rows:
+        np.testing.assert_array_equal(r._agg_rows[rt], r2._agg_rows[rt])
+    assert r.att() == r2.att()
+    assert sorted(map(tuple, r.dropped_cells)) == sorted(
+        map(tuple, r2.dropped_cells)
+    )

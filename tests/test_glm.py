@@ -893,3 +893,31 @@ def test_fe_poisson_2fe_cell_resident_dead_group(fe2_sdf):
     fx = m.fixef().toPandas()
     dead = fx[(fx["fe_var"] == "gcat") & (fx["level"] == "g3")]
     assert len(dead) == 1 and dead["fixef"].isna().all()
+
+
+def test_fe_poisson_3fe_cell_resident_one_pass_per_sweep(fe2_sdf):
+    """The cell-resident tier's inner loops run ONE grouping-sets pass per
+    sweep regardless of k (k=3 here), and the damped-Jacobi sweeps land on
+    the same fit as the driver tier."""
+    from dbreg_spark import glm as glm_mod
+
+    sdf, pdf = fe2_sdf
+    pdf3 = pdf.assign(
+        kcat="k" + ((pdf["g"] * 7 + (pdf["x2"] > 0)) % 5).astype(str)
+    )
+    sdf3 = sdf.sparkSession.createDataFrame(pdf3)
+    with pytest.warns(UserWarning, match="cell-resident"):
+        m_sp = dbglm(
+            "ypois ~ x1 + x2 | gcat + hcat + kcat", sdf3, family="poisson",
+            cells_nmax=10,
+        )
+    stats = glm_mod._KFE_PASS_STATS
+    assert stats["lambda_passes"] == stats["lambda_sweeps"]
+    assert stats["corr_passes"] == stats["corr_sweeps"]
+    m_dr = dbglm(
+        "ypois ~ x1 + x2 | gcat + hcat + kcat", sdf3, family="poisson"
+    )
+    for name in ["x1", "x2"]:
+        assert m_sp.coef()[name] == pytest.approx(m_dr.coef()[name], rel=1e-8)
+        assert m_sp.se()[name] == pytest.approx(m_dr.se()[name], rel=1e-7)
+    assert m_sp.loglik == pytest.approx(m_dr.loglik, rel=1e-10)

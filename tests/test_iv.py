@@ -616,3 +616,35 @@ def test_iv_first_stage_tables_match_dense_ols(iv_sdf):
     )
     with pytest.raises(ValueError, match="unknown endogenous"):
         m.first_stage("nope")
+
+
+def test_iv_save_load_roundtrip(iv_sdf, tmp_path):
+    """Bit-exact coef/vcov/predict round trip plus the IV diagnostics
+    (first-stage F + tables, Sargan, Wu-Hausman)."""
+    sdf, pdf = iv_sdf
+    m = dbiv("y ~ x_ex | x_end ~ z1 + z2", sdf, vcov="hc1")
+    p = str(tmp_path / "iv_model")
+    m.save(p)
+    from dbreg_spark.iv import IvModel
+
+    m2 = IvModel.load(p, sdf.sparkSession)
+    assert type(m2) is IvModel
+    np.testing.assert_array_equal(m.coef().to_numpy(), m2.coef().to_numpy())
+    np.testing.assert_array_equal(m.vcov_, m2.vcov_)
+    assert m2.endog == m.endog and m2.instruments == m.instruments
+    assert m2.first_stage_F == m.first_stage_F
+    assert m2.sargan == m.sargan and m2.wu_hausman == m.wu_hausman
+    for k in m.first_stage_tables:
+        pd.testing.assert_frame_equal(
+            m.first_stage_tables[k], m2.first_stage_tables[k],
+            check_exact=True,
+        )
+    a = m.predict(sdf).toPandas().sort_values("y").reset_index(drop=True)
+    b = m2.predict(sdf).toPandas().sort_values("y").reset_index(drop=True)
+    np.testing.assert_array_equal(
+        a["fit"].to_numpy(), b["fit"].to_numpy()
+    )
+    # generic loader dispatches on the format tag
+    from dbreg_spark.model import load_any_model
+
+    assert type(load_any_model(p, sdf.sparkSession)) is IvModel

@@ -262,3 +262,27 @@ def test_split_entirely_null_column(spark):
     assert list(ms) == [None]
     ref = dbreg("y ~ x1 + x2", df, strategy="moments", vcov="hc1")
     _assert_matches(ms[None], ref)
+
+
+def test_split_save_load_roundtrip(sdata, tmp_path):
+    """Bit-exact coef/vcov round trip per level, level keys (incl. the
+    '(full)' pseudo-level) preserved with their types."""
+    df, pdf = sdata
+    ms = dbreg_split(
+        "y ~ x1 + x2", df, split="g", strategy="moments", vcov="hc1",
+        include_full=True,
+    )
+    p = str(tmp_path / "split_res")
+    ms.save(p)
+    from dbreg_spark.split import DbregSplit
+
+    ms2 = DbregSplit.load(p, df.sparkSession)
+    assert type(ms2) is DbregSplit and ms2.split_var == "g"
+    assert set(ms2) == set(ms)
+    for lvl in ms:
+        np.testing.assert_array_equal(
+            ms[lvl].coef().to_numpy(), ms2[lvl].coef().to_numpy()
+        )
+        np.testing.assert_array_equal(ms[lvl].vcov_, ms2[lvl].vcov_)
+        assert ms2[lvl].df_residual == ms[lvl].df_residual
+    pd.testing.assert_frame_equal(ms.tidy(), ms2.tidy(), check_exact=True)

@@ -148,3 +148,22 @@ def test_glm_split_all_null_level(spark):
     ref = dbglm("y ~ x1 + x2", df.where("g IS NULL"), family="binomial",
                 vcov="hc1")
     _match(res[None], ref)
+
+
+def test_glm_split_save_load_roundtrip(gdata, tmp_path):
+    df, pdf = gdata
+    ms = dbglm_split("y ~ x1 + x2", df, split="g", family="binomial",
+                     vcov="hc1")
+    p = str(tmp_path / "glm_split_res")
+    ms.save(p)
+    from dbreg_spark.split_glm import GlmSplit
+
+    ms2 = GlmSplit.load(p, df.sparkSession)
+    assert type(ms2) is GlmSplit and set(ms2) == set(ms)
+    for lvl in ms:
+        np.testing.assert_array_equal(
+            ms[lvl].coef().to_numpy(), ms2[lvl].coef().to_numpy()
+        )
+        np.testing.assert_array_equal(ms[lvl].vcov_, ms2[lvl].vcov_)
+        assert ms2[lvl].loglik == ms[lvl].loglik
+        assert ms2[lvl].family == ms[lvl].family
