@@ -276,6 +276,16 @@ def dk_meat(
     S = np.array(
         [[float(r[f"score_{j}"] or 0.0) for j in range(p)] for r in rows]
     )
+    meat, T, lag = nw_combine(S, lag)
+    return meat, T, lag, sql
+
+
+def nw_combine(S: np.ndarray, lag: int | None = None):
+    """Newey-West Bartlett combination of time-ordered per-period score
+    sums (T × p): returns (meat, T, lag_used). ``lag=None`` uses the
+    plug-in L = floor(4·(T/100)^(2/9)). Shared by :func:`dk_meat` and the
+    split-sample per-level DK assembly."""
+    S = np.asarray(S, dtype=float)
     T = S.shape[0]
     if lag is None:
         lag = int(np.floor(4.0 * (T / 100.0) ** (2.0 / 9.0))) if T > 1 else 0
@@ -285,4 +295,4 @@ def dk_meat(
         w = 1.0 - ell / (lag + 1.0)
         G = S[ell:].T @ S[:-ell]
         meat = meat + w * (G + G.T)
-    return meat, T, lag, sql
+    return meat, T, lag

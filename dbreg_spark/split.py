@@ -14,9 +14,11 @@ Supported: strategies "moments" (no FE), "demean" (1-2 FEs absorbed within
 each split level — group means over (split × fe); the 2-FE case is the
 same balanced-panel double-demean identity as ``dbreg(strategy='demean')``
 and shares its unbalanced-panel caveat), "compress" (split joins the cell
-key; per-level WLS on the collected cells); vcov iid / hc1 /
-single-variable cluster; observation ``weights=``. Auto picks demean when
-FEs are present, else moments.
+key; per-level WLS on the collected cells); vcov iid / hc1 / cluster
+(1-3 way, CGM inclusion-exclusion from ONE finest-key score pass) /
+Driscoll-Kraay (``"dk ~ t"``, per-level NW weighting of the same score
+rows); observation ``weights=``. Auto picks demean when FEs are present,
+else moments.
 
 No reference counterpart (the reference has no split); semantics follow
 fixest: each level is its own regression, as if the data were filtered.
@@ -96,6 +98,7 @@ def dbreg_split(
     vcov="iid",
     cluster=None,
     weights: str | None = None,
+    hac_lag: int | None = None,
     strategy: str = "auto",
     drop_missings: bool = True,
     verbose: bool = False,
@@ -112,14 +115,10 @@ def dbreg_split(
     frame with full-sample demeaning).
     """
     vcov_type, cluster_vars = parse_vcov(vcov, cluster)
-    if vcov_type == "cluster" and len(cluster_vars) > 1:
+    if vcov_type == "cluster" and len(cluster_vars) > 3:
         raise NotImplementedError(
-            "split= supports single-variable clustering only"
-        )
-    if vcov_type == "dk":
-        raise NotImplementedError(
-            "split= does not support Driscoll-Kraay; fit per level with "
-            "dbreg(vcov='dk ~ t')"
+            "split= supports at most 3-way clustering (CGM subsets grow "
+            "as 2^k)"
         )
     weight_col = parse_weights(weights)
     parsed = parse_formula(fml)
@@ -152,6 +151,11 @@ def dbreg_split(
             "for k>2 filter per level and use dbreg(strategy='demean_iter')"
         )
 
+    if strategy == "compress" and vcov_type == "dk":
+        raise NotImplementedError(
+            "split= with strategy='compress' does not support Driscoll-"
+            "Kraay; use moments/demean"
+        )
     if strategy == "compress":
         out = _split_compress(
             source, parsed, split, vcov_type, cluster_vars, weight_col,
@@ -191,6 +195,7 @@ def dbreg_split(
         models = _grouped_fit(
             frame_df, base, split, intercept, fe, fe_counts, vcov_type,
             cluster_vars, weight_col, split_nmax, parsed, design, strategy,
+            hac_lag=hac_lag,
         )
     finally:
         if cached is not None:
@@ -199,12 +204,16 @@ def dbreg_split(
     out.split_var = split
     if include_full:
         out["(full)"] = _full_fit(
-            source, parsed, strategy, vcov, cluster, weights, drop_missings
+            source, parsed, strategy, vcov, cluster, weights, drop_missings,
+            hac_lag=hac_lag,
         )
     return out
 
 
-def _full_fit(source, parsed, strategy, vcov, cluster, weights, drop_missings):
+def _full_fit(
+    source, parsed, strategy, vcov, cluster, weights, drop_missings,
+    hac_lag=None,
+):
     from .api import dbreg
 
     fml = f"{parsed.yvar} ~ " + " + ".join(
@@ -216,7 +225,7 @@ def _full_fit(source, parsed, strategy, vcov, cluster, weights, drop_missings):
         fml += " | " + " + ".join(parsed.fe)
     return dbreg(
         fml, data=source.df, vcov=vcov, cluster=cluster, weights=weights,
-        strategy=strategy, drop_missings=drop_missings,
+        hac_lag=hac_lag, strategy=strategy, drop_missings=drop_missings,
     )
 
 
@@ -315,7 +324,7 @@ def _demean_within_split(base, split, fe, weight_col):
 
 def _grouped_fit(
     frame_df, base, split, intercept, fe, fe_counts, vcov_type, cluster_vars,
-    weight_col, split_nmax, parsed, design, strategy,
+    weight_col, split_nmax, parsed, design, strategy, hac_lag=None,
 ):
     x_cols = base.x_cols
     spec = moment_spec(
@@ -371,10 +380,10 @@ def _grouped_fit(
 
     meats = {}
     n_clusters = {}
-    if vcov_type in ("hc1", "cluster") and sols:
+    if vcov_type in ("hc1", "cluster", "dk") and sols:
         meats, n_clusters = _split_meats(
             frame_df, split, base.y_col, x_cols, intercept, sols, vcov_type,
-            cluster_vars, weight_col,
+            cluster_vars, weight_col, hac_lag=hac_lag,
         )
 
     models = DbregSplit()
@@ -424,10 +433,10 @@ def _grouped_fit(
 
 def _split_meats(
     frame_df, split, y_col, x_cols, intercept, sols, vcov_type, cluster_vars,
-    weight_col,
+    weight_col, hac_lag=None,
 ):
-    """One grouped pass for every level's HC1 meat (or per-(level, cluster)
-    scores): the per-level β̂ rides a broadcast (level → β) table into the
+    """One grouped pass for every level's HC1 meat (or per-(level, key)
+    scores for cluster/CGM/DK): the per-level β̂ rides a broadcast (level → β) table into the
     residual expression. Dropped-by-collinearity columns carry β = 0 —
     fitted values are unchanged (the dropped column is a linear combination
     of kept ones), so the residual is exact; the driver then slices each
@@ -491,13 +500,16 @@ def _split_meats(
             meats[lvl] = Mfull[np.ix_(keep, keep)]
         return meats, {}
 
-    # cluster: per-(level, cluster) score vectors, Σss' per level on driver.
-    # The collect is Σ_g G_cluster(g) rows of p doubles — bounded explicitly
-    # (a silent full collect could exceed the driver at extreme
-    # level × cluster cardinalities)
-    ccol = cluster_vars[0]
+    # cluster (1-way or CGM multiway) and Driscoll-Kraay all reduce to
+    # per-(level, key-tuple) score vectors from ONE grouped pass over the
+    # FINEST key (all cluster variables together, or the period column) —
+    # scores are additive, so every CGM subset component is a driver-side
+    # re-aggregation of the same rows. The collect is Σ_g (finest cells)
+    # rows of p doubles — bounded explicitly (a silent full collect could
+    # exceed the driver at extreme level × cluster cardinalities).
+    key_cols = list(cluster_vars)
     aggs = [F.sum(F.col("__e") * score_cols[a]).alias(f"s_{a}") for a in range(p)]
-    scores_df = j.groupBy(split, ccol).agg(*aggs)
+    scores_df = j.groupBy(split, *key_cols).agg(*aggs)
     cap = 2_000_000
     rows = scores_df.limit(cap + 1).collect()
     if len(rows) > cap:
@@ -505,16 +517,70 @@ def _split_meats(
             f"split x cluster score table exceeds {cap:,} rows; use a "
             "coarser split or cluster variable (or fit levels separately)"
         )
-    meats = {}
-    n_clusters = {}
+    per_level: dict = {}
     for r in rows:
         lvl = r[split]
+        kt = tuple(r[c] for c in key_cols)
         s = np.array([float(r[f"s_{a}"] or 0.0) for a in range(p)])
-        if lvl not in meats:
-            meats[lvl] = np.zeros((len(s), len(s)))
-            n_clusters[lvl] = 0
-        meats[lvl] += np.outer(s, s)
-        n_clusters[lvl] += 1
+        per_level.setdefault(lvl, []).append((kt, s))
+
+    meats = {}
+    n_clusters = {}
+    if vcov_type == "dk":
+        from .plans.meat import nw_combine
+
+        for lvl, pairs in per_level.items():
+            pairs.sort(key=lambda e: (e[0][0] is None, e[0][0]))
+            S = np.vstack([s for _, s in pairs])
+            meats[lvl], n_clusters[lvl], _ = nw_combine(S, hac_lag)
+    elif len(key_cols) == 1:
+        for lvl, pairs in per_level.items():
+            M = np.zeros((p, p))
+            for _, s in pairs:
+                M += np.outer(s, s)
+            meats[lvl] = M
+            n_clusters[lvl] = len(pairs)
+    else:
+        # CGM inclusion-exclusion per level, mirroring api._cluster_meat_any:
+        # each subset carries its own g_S/(g_S−1) factor folded into an
+        # effective meat so compute_vcov's single CR1 formula (G = min
+        # single-variable G) reproduces the component sum — the n/(n−p)
+        # factors cancel within a level
+        from itertools import combinations
+
+        k = len(key_cols)
+        for lvl, pairs in per_level.items():
+            comps = []
+            g_single = {}
+            for r_sz in range(1, k + 1):
+                for S_idx in combinations(range(k), r_sz):
+                    groups: dict = {}
+                    for kt, s in pairs:
+                        sub = tuple(kt[i] for i in S_idx)
+                        acc = groups.get(sub)
+                        groups[sub] = s if acc is None else acc + s
+                    g_S = len(groups)
+                    if g_S < 2:
+                        raise ValueError(
+                            f"multiway clustering needs >= 2 clusters per "
+                            f"dimension within each split level; "
+                            f"{'x'.join(key_cols[i] for i in S_idx)} has "
+                            f"{g_S} in level {lvl!r}"
+                        )
+                    M = np.zeros((p, p))
+                    for sv in groups.values():
+                        M += np.outer(sv, sv)
+                    comps.append((r_sz, M, g_S))
+                    if r_sz == 1:
+                        g_single[S_idx[0]] = g_S
+            g_min = min(g_single.values())
+            scale_ref = g_min / (g_min - 1)
+            M_eff = np.zeros((p, p))
+            for r_sz, M, g_S in comps:
+                sign = 1.0 if r_sz % 2 == 1 else -1.0
+                M_eff += sign * ((g_S / (g_S - 1)) / scale_ref) * M
+            meats[lvl] = M_eff
+            n_clusters[lvl] = g_min
     for lvl in list(meats):
         keep = np.asarray(pos[lvl].keep_idx, dtype=int)
         meats[lvl] = meats[lvl][np.ix_(keep, keep)]

@@ -14,9 +14,10 @@ nothing but I/O already being paid).
 
 Families: binomial / poisson / gaussian, with ``offset=`` and prior
 ``weights=`` (R's glm semantics, matching :func:`dbreg_spark.dbglm`);
-vcov: model-based (iid), HC1, or single-variable cluster via one more
-grouped score pass. Fixed effects are refused (concentrated-FE profiles
-do not share a lockstep frame); fit per level with ``dbglm`` for those.
+vcov: model-based (iid), HC1, or clustered (1-3 way CGM) via one more
+grouped score pass over the finest cluster key. Fixed effects are
+refused (concentrated-FE profiles do not share a lockstep frame); fit
+per level with ``dbglm`` for those.
 """
 
 from __future__ import annotations
@@ -180,12 +181,16 @@ def dbglm_split(
     """Fit one GLM per level of ``split`` in lockstep grouped IRLS passes
     (see module docstring). Returns ``{level: GlmModel}``."""
     vcov_type, cluster_vars = parse_vcov(vcov, cluster)
-    if vcov_type == "cluster" and len(cluster_vars) > 1:
+    if vcov_type == "cluster" and len(cluster_vars) > 3:
         raise NotImplementedError(
-            "dbglm_split supports single-variable clustering only"
+            "dbglm_split supports at most 3-way clustering (CGM subsets "
+            "grow as 2^k)"
         )
     if vcov_type == "dk":
-        raise NotImplementedError("dbglm_split does not support Driscoll-Kraay")
+        raise NotImplementedError(
+            "dbglm_split does not support Driscoll-Kraay (dbglm itself has "
+            "no DK estimator)"
+        )
     weight_col = parse_weights(weights)
     fam = get_family(family)
     if fam.quasi:
@@ -428,10 +433,12 @@ def _grouped_glm_meat(
             meats[lvl] = M[np.ix_(ki, ki)]
         return meats, {}
 
-    ccol = cluster_vars[0]
+    # ONE grouped pass over the FINEST key (all cluster variables): scores
+    # are additive, so every CGM subset component re-aggregates the same
+    # collected rows driver-side — mirroring split.py's _split_meats
     proj = j.select(
         F.col(split).alias("__sp"),
-        F.col(ccol),
+        *[F.col(c) for c in cluster_vars],
         to_spark(_d(s)).alias("__s"),
         *[F.col(n) for n in x_names],
     )
@@ -439,7 +446,7 @@ def _grouped_glm_meat(
     aggs = [
         agg_to_spark(asum(sv * _d(c))).alias(f"s_{i}") for i, c in enumerate(cols)
     ]
-    scores_df = proj.groupBy("__sp", ccol).agg(*aggs)
+    scores_df = proj.groupBy("__sp", *cluster_vars).agg(*aggs)
     cap = 2_000_000
     rows = scores_df.limit(cap + 1).collect()
     if len(rows) > cap:
@@ -447,15 +454,54 @@ def _grouped_glm_meat(
             f"split x cluster score table exceeds {cap:,} rows; use a "
             "coarser split or cluster variable (or fit levels separately)"
         )
-    meats, ncl = {}, {}
+    per_level: dict = {}
     for r in rows:
-        lvl = r["__sp"]
+        kt = tuple(r[c] for c in cluster_vars)
         vec = np.array([float(r[f"s_{i}"] or 0.0) for i in range(p)])
-        if lvl not in meats:
-            meats[lvl] = np.zeros((p, p))
-            ncl[lvl] = 0
-        meats[lvl] += np.outer(vec, vec)
-        ncl[lvl] += 1
+        per_level.setdefault(r["__sp"], []).append((kt, vec))
+    meats, ncl = {}, {}
+    if len(cluster_vars) == 1:
+        for lvl, pairs in per_level.items():
+            M = np.zeros((p, p))
+            for _, vec in pairs:
+                M += np.outer(vec, vec)
+            meats[lvl], ncl[lvl] = M, len(pairs)
+    else:
+        # CGM inclusion-exclusion per level (api._cluster_meat_any
+        # convention: effective meat rescaled to G = min single-variable G)
+        from itertools import combinations
+
+        k = len(cluster_vars)
+        for lvl, pairs in per_level.items():
+            comps, g_single = [], {}
+            for r_sz in range(1, k + 1):
+                for S_idx in combinations(range(k), r_sz):
+                    groups: dict = {}
+                    for kt, vec in pairs:
+                        sub = tuple(kt[i] for i in S_idx)
+                        acc = groups.get(sub)
+                        groups[sub] = vec if acc is None else acc + vec
+                    g_S = len(groups)
+                    if g_S < 2:
+                        raise ValueError(
+                            "multiway clustering needs >= 2 clusters per "
+                            "dimension within each split level; "
+                            f"{'x'.join(cluster_vars[i] for i in S_idx)} "
+                            f"has {g_S} in level {lvl!r}"
+                        )
+                    M = np.zeros((p, p))
+                    for sv2 in groups.values():
+                        M += np.outer(sv2, sv2)
+                    comps.append((r_sz, M, g_S))
+                    if r_sz == 1:
+                        g_single[S_idx[0]] = g_S
+            g_min = min(g_single.values())
+            scale_ref = g_min / (g_min - 1)
+            M_eff = np.zeros((p, p))
+            for r_sz, M, g_S in comps:
+                sign = 1.0 if r_sz % 2 == 1 else -1.0
+                M_eff += sign * ((g_S / (g_S - 1)) / scale_ref) * M
+            meats[lvl], ncl[lvl] = M_eff, g_min
     for lvl in list(meats):
         ki = keep_sets[lvl]
         meats[lvl] = meats[lvl][np.ix_(ki, ki)]

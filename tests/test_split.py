@@ -286,3 +286,52 @@ def test_split_save_load_roundtrip(sdata, tmp_path):
         np.testing.assert_array_equal(ms[lvl].vcov_, ms2[lvl].vcov_)
         assert ms2[lvl].df_residual == ms[lvl].df_residual
     pd.testing.assert_frame_equal(ms.tidy(), ms2.tidy(), check_exact=True)
+
+
+def test_split_multiway_cluster_matches_filtered(sdata):
+    """2-way CGM per level from the ONE finest-key score pass must equal
+    the per-level filtered dbreg multiway fit."""
+    df, pdf = sdata
+    ms = dbreg_split(
+        "y ~ x1 + x2", df, split="g", strategy="moments", vcov="~cl + f2"
+    )
+    for lvl in ms:
+        ref = dbreg(
+            "y ~ x1 + x2", df.where(df.g == lvl), strategy="moments",
+            vcov="~cl + f2",
+        )
+        _assert_matches(ms[lvl], ref)
+        assert ms[lvl].n_clusters == ref.n_clusters
+
+
+def test_split_dk_matches_filtered(sdata):
+    """Driscoll-Kraay per level (NW plug-in lag on the level's own T)."""
+    df, pdf = sdata
+    for kw in (dict(), dict(hac_lag=2)):
+        ms = dbreg_split(
+            "y ~ x1 + x2", df, split="g", strategy="moments",
+            vcov="dk ~ f1", **kw,
+        )
+        for lvl in ms:
+            ref = dbreg(
+                "y ~ x1 + x2", df.where(df.g == lvl), strategy="moments",
+                vcov="dk ~ f1", **kw,
+            )
+            _assert_matches(ms[lvl], ref)
+
+
+def test_split_dk_demean_and_full(sdata):
+    df, pdf = sdata
+    ms = dbreg_split(
+        "y ~ x1 + x2 | f2", df, split="g", vcov="dk ~ f1", hac_lag=1,
+        include_full=True,
+    )
+    for lvl in ("a", "b", "c"):
+        ref = dbreg(
+            "y ~ x1 + x2 | f2", df.where(df.g == lvl), strategy="demean",
+            vcov="dk ~ f1", hac_lag=1,
+        )
+        _assert_matches(ms[lvl], ref)
+    full = dbreg("y ~ x1 + x2 | f2", df, strategy="demean", vcov="dk ~ f1",
+                 hac_lag=1)
+    _assert_matches(ms["(full)"], full)

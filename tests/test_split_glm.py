@@ -167,3 +167,23 @@ def test_glm_split_save_load_roundtrip(gdata, tmp_path):
         np.testing.assert_array_equal(ms[lvl].vcov_, ms2[lvl].vcov_)
         assert ms2[lvl].loglik == ms[lvl].loglik
         assert ms2[lvl].family == ms[lvl].family
+
+
+def test_glm_split_multiway_cluster_matches_filtered(gdata):
+    """2-way CGM per level must equal the per-level filtered dbglm fit."""
+    _, pdf = gdata
+    rng = np.random.default_rng(21)
+    pdf2 = pdf.assign(cl2=rng.integers(0, 9, len(pdf)))
+    import pyspark.sql
+
+    df = pyspark.sql.SparkSession.getActiveSession().createDataFrame(pdf2)
+    ms = dbglm_split(
+        "y ~ x1 + x2", df, split="g", family="binomial", vcov="~cl + cl2"
+    )
+    for lvl in ms:
+        ref = dbglm(
+            "y ~ x1 + x2", df.where(df.g == lvl), family="binomial",
+            vcov="~cl + cl2",
+        )
+        _match(ms[lvl], ref)
+        assert ms[lvl].n_clusters == ref.n_clusters
