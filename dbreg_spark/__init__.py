@@ -9,6 +9,7 @@ similarity search, text analysis, multimodal plumbing).
 
 from .api import dbreg, sql_model_matrix
 from .binsreg import BinsregResult, dbbinsreg
+from .boot import wild_cluster_bootstrap
 from .design import standardize_coef_names
 from .formula import parse_formula, parse_vcov
 from .glm import GlmModel, dbglm
@@ -22,6 +23,7 @@ __all__ = [
     "dbreg",
     "sql_model_matrix",
     "dbbinsreg",
+    "wild_cluster_bootstrap",
     "BinsregResult",
     "DbregModel",
     "dbglm",

@@ -1,0 +1,246 @@
+"""Wild cluster bootstrap inference — boottest-style few-cluster
+hypothesis tests (:func:`wild_cluster_bootstrap`).
+
+With few clusters (G ≲ 40) the CR1 sandwich over-rejects badly; the wild
+cluster bootstrap-t (Cameron, Gelbach & Miller 2008; Roodman et al. 2019's
+``boottest``) is the standard fix. The whole procedure reduces to ONE
+grouped pass over the data: per cluster g collect the Gram block
+A_g = X_g'X_g (p(p+1)/2 doubles) and the moment vector b_g = X_g'y — the
+global solve, the restricted (null-imposed) solve, every bootstrap
+replication's coefficient AND its re-estimated CR1 variance are then exact
+driver-side algebra on those G small blocks:
+
+    restricted:  β̃ = β̂ − (X'X)⁻¹R'(R(X'X)⁻¹R')⁻¹(Rβ̂ − r)
+    scores:      s̃_g = b_g − A_g β̃          (ũ-scores; û-scores for WCU)
+    draw w ∈ {±1}^G (Rademacher; Webb 6-point for tiny G; Mammen):
+        β*_w = β̃ + (X'X)⁻¹ Σ_g w_g s̃_g
+        X_g'û*_g = w_g s̃_g − A_g (β*_w − β̃)
+        t*_w = R(β*_w − β̃) / se_CR1(meat*_w)
+    p = #{|t*| ≥ |t̂|} / B                   (symmetric, boottest WCR-31)
+
+No per-replication data pass: B = 9,999 replications are a numpy einsum
+over a (G × p) score matrix and (G × p × p) blocks. When 2^G ≤ B the
+Rademacher draws are ENUMERATED (deterministic — exactly what boottest
+does for tiny G); otherwise seeded sampling.
+
+Beyond the reference (no bootstrap there); semantics follow the WCR/WCU
+"x1" variants of Roodman et al. (2019, "Fast and wild"). Scope: the
+moments (no-FE) estimator; FE formulas are refused — absorb them as
+explicit dummies if needed (few-cluster designs are small in p by
+construction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .design import build_design, standardize_coef_names
+from .formula import parse_formula, parse_weights
+from .model import _parse_hypothesis
+from .plans.common import resolve_source
+from .plans.frames import build_base_frame
+from .solve import detect_collinearity, solve_with_fallback
+
+MAX_CLUSTERS = 100_000  # per-cluster blocks collected to the driver
+
+
+def _weight_matrix(kind: str, G: int, B: int, seed: int):
+    """(B × G) bootstrap weight draws. Rademacher enumerates all 2^G sign
+    vectors when that is ≤ B (deterministic, seed-free — the exact null
+    distribution); otherwise seeded iid draws."""
+    rng = np.random.default_rng(seed)
+    if kind == "rademacher":
+        if 2**G <= B:
+            ks = np.arange(2**G, dtype=np.uint64)
+            bits = (ks[:, None] >> np.arange(G, dtype=np.uint64)) & 1
+            return bits.astype(float) * 2.0 - 1.0, True
+        return rng.choice([-1.0, 1.0], size=(B, G)), False
+    if kind == "webb":
+        vals = np.array([-np.sqrt(1.5), -1.0, -np.sqrt(0.5),
+                         np.sqrt(0.5), 1.0, np.sqrt(1.5)])
+        return rng.choice(vals, size=(B, G)), False
+    if kind == "mammen":
+        phi = (1.0 + np.sqrt(5.0)) / 2.0
+        p_neg = phi / np.sqrt(5.0)
+        draws = rng.random((B, G))
+        return np.where(draws < p_neg, 1.0 - phi, phi), False
+    raise ValueError(
+        f"unknown bootstrap weights {kind!r}; use 'rademacher', 'webb' or "
+        "'mammen'"
+    )
+
+
+def wild_cluster_bootstrap(
+    fml: str,
+    data=None,
+    *,
+    cluster: str,
+    param: str,
+    B: int = 9_999,
+    weights: str = "rademacher",
+    impose_null: bool = True,
+    seed: int = 12345,
+    level: float = 0.95,
+    spark: SparkSession | None = None,
+    table: str | None = None,
+    path: str | None = None,
+    obs_weights: str | None = None,
+) -> dict:
+    """Wild cluster bootstrap-t test of a linear hypothesis.
+
+    ``param`` is a coefficient name (tests = 0) or an equation string
+    (``"x1 = 1"``, ``"x1 - x2 = 0"`` — the same syntax as
+    :meth:`DbregModel.wald`). ``impose_null=True`` is the restricted (WCR)
+    variant — boottest's default and the one with the good small-G size
+    properties; ``False`` gives WCU. Returns a dict with the CR1 point
+    t-statistic, the bootstrap p-value, and a percentile-t confidence
+    interval ``estimate ± q_{1−α}(|t*|)·se``.
+
+    One distributed pass total (see module docstring); everything after is
+    numpy on G per-cluster blocks.
+    """
+    if B < 99:
+        raise ValueError("B must be at least 99")
+    parsed = parse_formula(fml)
+    if parsed.fe:
+        raise NotImplementedError(
+            "wild_cluster_bootstrap supports the no-FE (moments) estimator; "
+            "include fixed effects as explicit factor regressors instead"
+        )
+    if parsed.yvar is None:
+        raise ValueError("Formula needs an outcome variable.")
+    weight_col = parse_weights(obs_weights)
+    if spark is None and isinstance(data, DataFrame):
+        spark = data.sparkSession
+    source = resolve_source(spark=spark, data=data, table=table, path=path)
+    design = build_design(source.df, parsed, expand="all", fe_vars=None)
+    base = build_base_frame(
+        source, parsed, design, drop_missings=True,
+        extra_cols=[cluster], want_sql=False, weight_col=weight_col,
+    )
+    x_cols = list(base.x_cols)
+    names_all = ["(Intercept)"] + [standardize_coef_names(n) for n in x_cols]
+    p_all = len(names_all)
+
+    # ---- ONE grouped pass: per-cluster Gram blocks + moment vectors ------
+    cols = [F.lit(1.0)] + [F.col(c).cast("double") for c in x_cols]
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    y = F.col(base.y_col).cast("double")
+    aggs = [F.sum(w).alias("n_g"), F.sum(w * y * y).alias("yy_g")]
+    for i in range(p_all):
+        for k2 in range(i, p_all):
+            aggs.append(F.sum(w * cols[i] * cols[k2]).alias(f"a_{i}_{k2}"))
+    for i in range(p_all):
+        aggs.append(F.sum(w * cols[i] * y).alias(f"b_{i}"))
+    rows = (
+        base.df.groupBy(cluster)
+        .agg(*aggs)
+        .limit(MAX_CLUSTERS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_CLUSTERS:
+        raise ValueError(
+            f"cluster variable {cluster!r} has more than {MAX_CLUSTERS:,} "
+            "levels — the wild cluster bootstrap targets FEW clusters; "
+            "use the analytic CR1 vcov instead"
+        )
+    G = len(rows)
+    if G < 2:
+        raise ValueError("need at least 2 clusters")
+    A_g = np.zeros((G, p_all, p_all))
+    b_g = np.zeros((G, p_all))
+    n_total = 0.0
+    for gi, r in enumerate(rows):
+        for i in range(p_all):
+            for k2 in range(i, p_all):
+                v = float(r[f"a_{i}_{k2}"] or 0.0)
+                A_g[gi, i, k2] = A_g[gi, k2, i] = v
+            b_g[gi, i] = float(r[f"b_{i}"] or 0.0)
+        n_total += float(r["n_g"] or 0.0)
+
+    A = A_g.sum(axis=0)
+    bvec = b_g.sum(axis=0)
+    collin = detect_collinearity(A, bvec, names_all)
+    keep = np.asarray(collin.keep_idx, dtype=int)
+    names = list(collin.keep_names)
+    A_g = A_g[:, keep[:, None], keep[None, :]]
+    b_g = b_g[:, keep]
+    A = A[np.ix_(keep, keep)]
+    bvec = bvec[keep]
+    sol = solve_with_fallback(A, bvec)
+    beta = sol.betahat
+    Ainv = sol.xtx_inv
+    p = len(names)
+
+    R, r_rhs = _parse_hypothesis(param, names)
+
+    def _cr1(meat):
+        scale = (G / (G - 1)) * ((n_total - 1) / (n_total - p))
+        return scale * (Ainv @ meat @ Ainv)
+
+    def _t(bta, ref, scores_w):
+        # scores_w: (B?, G, p) bootstrap scores; returns t* per draw
+        num = (bta - ref) @ R
+        Xu = scores_w - np.einsum("gij,bj->bgi", A_g, bta - ref)
+        meat = np.einsum("bgi,bgj->bij", Xu, Xu)
+        V = np.einsum("ij,bjk,kl->bil", Ainv, meat, Ainv)
+        V = (G / (G - 1)) * ((n_total - 1) / (n_total - p)) * V
+        se = np.sqrt(np.maximum(np.einsum("i,bij,j->b", R, V, R), 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(se > 0, num / se, np.inf)
+
+    # point estimate & analytic CR1 t
+    s_hat = b_g - A_g @ beta
+    meat_hat = np.einsum("gi,gj->ij", s_hat, s_hat)
+    V_hat = _cr1(meat_hat)
+    se_hat = float(np.sqrt(max(R @ V_hat @ R, 0.0)))
+    est = float(R @ beta)
+    t_hat = (est - r_rhs) / se_hat if se_hat > 0 else np.inf
+
+    # center: restricted β̃ (WCR) or β̂ (WCU)
+    if impose_null:
+        RA = Ainv @ R
+        beta_c = beta - RA * ((R @ beta - r_rhs) / (R @ RA))
+    else:
+        beta_c = beta
+    s_c = b_g - A_g @ beta_c  # (G, p) centered scores
+
+    W, enumerated = _weight_matrix(weights, G, B, seed)
+    B_used = W.shape[0]
+    # all draws are driver-side numpy; chunk over replications so the
+    # (b × G × p) score tensor stays bounded at large G
+    chunk = max(1, int(2e7 // max(G * p, 1)))
+    t_parts = []
+    for lo in range(0, B_used, chunk):
+        Wc = W[lo : lo + chunk]
+        beta_star = beta_c[None, :] + (Wc @ s_c) @ Ainv.T
+        scores_w = Wc[:, :, None] * s_c[None, :, :]
+        t_parts.append(_t(beta_star, beta_c[None, :], scores_w))
+    t_star = np.concatenate(t_parts)
+
+    t_abs = abs(t_hat)
+    p_val = float(np.mean(np.abs(t_star) >= t_abs - 1e-12))
+    alpha = 1.0 - level
+    q = float(np.quantile(np.abs(t_star), 1.0 - alpha))
+    return {
+        "param": param,
+        "estimate": est,
+        "se": se_hat,
+        "t": float(t_hat),
+        "p_value": p_val,
+        "conf_low": est - q * se_hat,
+        "conf_high": est + q * se_hat,
+        "level": level,
+        "B": int(B_used),
+        "G": int(G),
+        "weights": weights,
+        "impose_null": bool(impose_null),
+        "enumerated": bool(enumerated),
+        "coef_names": names,
+    }
