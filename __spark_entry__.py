@@ -671,6 +671,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["moments_split"] = q_moments_split
 
+    # ---- wild-cluster-bootstrap distributed pass: per-cluster Gram blocks
+    # (the B bootstrap replications are driver-side numpy on these rows)
+    def q_boot_gram(spark, sf_dir):
+        from dbreg_spark.boot import cluster_gram_frame
+
+        t = _tables(spark, sf_dir)
+        return _round_doubles_df(
+            cluster_gram_frame(
+                t["lineitem"], "l_tax", ["l_quantity", "l_discount"],
+                "l_returnflag",
+            )
+        )
+
+    Q["boot_cluster_gram"] = q_boot_gram
+
     # ---- numeric column prep (winsorize / standardize / MAD outliers) ----
     def q_winsorize(spark, sf_dir):
         t = _tables(spark, sf_dir)
@@ -1729,6 +1744,19 @@ def oracle_sql() -> dict[str, str]:
     ]
     O["moments_split"] = _round_doubles_sql(
         _ms_sql, _ms_cols, [c for c in _ms_cols if c not in ("l_linestatus", "n_total")]
+    )
+    from dbreg_spark.boot import cluster_gram_sql as _cgs
+
+    _bg_cols = ["l_returnflag", "n_g", "yy_g"] + [
+        f"a_{i}_{k}" for i in range(3) for k in range(i, 3)
+    ] + [f"b_{i}" for i in range(3)]
+    O["boot_cluster_gram"] = _round_doubles_sql(
+        _cgs(
+            "FROM lineitem", "l_tax", ["l_quantity", "l_discount"],
+            "l_returnflag",
+        ),
+        _bg_cols,
+        [c for c in _bg_cols if c != "l_returnflag"],
     )
     _reg_from = (
         "FROM (SELECT CAST(n_chars AS DOUBLE) AS yv, "

@@ -46,6 +46,59 @@ from .solve import detect_collinearity, solve_with_fallback
 MAX_CLUSTERS = 100_000  # per-cluster blocks collected to the driver
 
 
+def cluster_gram_frame(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    cluster: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """The bootstrap's single distributed pass: per-cluster Gram blocks
+    A_g = X_g'X_g (upper triangle, intercept included) and moment vectors
+    b_g = X_g'y, plus n_g and Σy² — map-side combined, the shuffle carries
+    one O(p²) row per cluster."""
+    p_all = 1 + len(x_cols)
+    cols = [F.lit(1.0)] + [F.col(c).cast("double") for c in x_cols]
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    y = F.col(y_col).cast("double")
+    aggs = [F.sum(w).alias("n_g"), F.sum(w * y * y).alias("yy_g")]
+    for i in range(p_all):
+        for k2 in range(i, p_all):
+            aggs.append(F.sum(w * cols[i] * cols[k2]).alias(f"a_{i}_{k2}"))
+    for i in range(p_all):
+        aggs.append(F.sum(w * cols[i] * y).alias(f"b_{i}"))
+    return df.groupBy(cluster).agg(*aggs)
+
+
+def cluster_gram_sql(
+    from_clause: str,
+    y_col: str,
+    x_cols: list[str],
+    cluster: str,
+) -> str:
+    """ANSI twin of :func:`cluster_gram_frame` (unweighted) for the
+    correctness gate."""
+    cols = ["1.0"] + [f"CAST({c} AS DOUBLE)" for c in x_cols]
+    p_all = len(cols)
+    terms = [
+        "CAST(COUNT(*) AS DOUBLE) AS n_g",
+        f"SUM(CAST({y_col} AS DOUBLE) * CAST({y_col} AS DOUBLE)) AS yy_g",
+    ]
+    for i in range(p_all):
+        for k2 in range(i, p_all):
+            terms.append(f"SUM({cols[i]} * {cols[k2]}) AS a_{i}_{k2}")
+    for i in range(p_all):
+        terms.append(f"SUM({cols[i]} * CAST({y_col} AS DOUBLE)) AS b_{i}")
+    return (
+        f"SELECT {cluster}, " + ",\n  ".join(terms) +
+        f"\n{from_clause}\nGROUP BY {cluster}"
+    )
+
+
 def _weight_matrix(kind: str, G: int, B: int, seed: int):
     """(B × G) bootstrap weight draws. Rademacher enumerates all 2^G sign
     vectors when that is ≤ B (deterministic, seed-free — the exact null
@@ -125,22 +178,8 @@ def wild_cluster_bootstrap(
     p_all = len(names_all)
 
     # ---- ONE grouped pass: per-cluster Gram blocks + moment vectors ------
-    cols = [F.lit(1.0)] + [F.col(c).cast("double") for c in x_cols]
-    w = (
-        F.col(weight_col).cast("double")
-        if weight_col is not None
-        else F.lit(1.0)
-    )
-    y = F.col(base.y_col).cast("double")
-    aggs = [F.sum(w).alias("n_g"), F.sum(w * y * y).alias("yy_g")]
-    for i in range(p_all):
-        for k2 in range(i, p_all):
-            aggs.append(F.sum(w * cols[i] * cols[k2]).alias(f"a_{i}_{k2}"))
-    for i in range(p_all):
-        aggs.append(F.sum(w * cols[i] * y).alias(f"b_{i}"))
     rows = (
-        base.df.groupBy(cluster)
-        .agg(*aggs)
+        cluster_gram_frame(base.df, base.y_col, x_cols, cluster, weight_col)
         .limit(MAX_CLUSTERS + 1)
         .collect()
     )
