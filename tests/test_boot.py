@@ -128,3 +128,49 @@ def test_refusals(spark):
         )
     with pytest.raises(ValueError, match="at least 99"):
         wild_cluster_bootstrap("y ~ x", df, cluster="g", param="x", B=10)
+
+
+def test_weighted_matches_brute_force(spark):
+    """WLS wild bootstrap: the per-cluster blocks carry Σw-weighted sums;
+    parity vs an explicit sqrt(w)-scaled refit-per-draw bootstrap."""
+    pdf = _gen(seed=9, n=400, G=5)
+    rng = np.random.default_rng(2)
+    pdf["w"] = rng.uniform(0.5, 2.0, len(pdf))
+    df = spark.createDataFrame(pdf)
+    res = wild_cluster_bootstrap(
+        "y ~ x", df, cluster="g", param="x", B=9999, obs_weights="w"
+    )
+    assert res["enumerated"] and res["B"] == 32
+
+    # brute force in the sqrt(w)-transformed space (WLS == OLS on scaled
+    # data; scores w*u*x match the engine's weighted blocks)
+    sw = np.sqrt(pdf["w"].to_numpy())
+    X = np.column_stack([np.ones(len(pdf)), pdf["x"].to_numpy()]) * sw[:, None]
+    y = pdf["y"].to_numpy() * sw
+    g = pdf["g"].to_numpy()
+    G, n, p = 5, len(pdf), 2
+    R = np.array([0.0, 1.0])
+    A = X.T @ X
+    Ainv = np.linalg.inv(A)
+    beta = np.linalg.solve(A, X.T @ y)
+    n_w = float(pdf["w"].sum())  # engine convention: n = Σw under weights
+    RA = Ainv @ R
+    beta_c = beta - RA * (R @ beta) / (R @ RA)
+    u_c = y - X @ beta_c
+    ks = np.arange(32, dtype=np.uint64)
+    W = ((ks[:, None] >> np.arange(5, dtype=np.uint64)) & 1).astype(float) * 2 - 1
+    ts = []
+    for w in W:
+        y_star = X @ beta_c + w[g] * u_c
+        b_star = np.linalg.solve(A, X.T @ y_star)
+        u_star = y_star - X @ b_star
+        meat = np.zeros((p, p))
+        for gi in range(G):
+            s = X[g == gi].T @ u_star[g == gi]
+            meat += np.outer(s, s)
+        V = (G / (G - 1)) * ((n_w - 1) / (n_w - p)) * (Ainv @ meat @ Ainv)
+        ts.append(float(R @ (b_star - beta_c)) / float(np.sqrt(R @ V @ R)))
+    t_ref = np.array(ts)
+    p_ref = float(np.mean(np.abs(t_ref) >= abs(res["t"]) - 1e-12))
+    assert res["p_value"] == pytest.approx(p_ref, abs=1e-12)
+    assert res["estimate"] == pytest.approx(beta[1], rel=1e-10)
