@@ -114,12 +114,8 @@ def dbreg_split(
     strategy/vcov/weights (its own pass; per-level demeaning cannot share a
     frame with full-sample demeaning).
     """
+    # parse_vcov caps clustering at 3 variables (CGM subsets grow as 2^k)
     vcov_type, cluster_vars = parse_vcov(vcov, cluster)
-    if vcov_type == "cluster" and len(cluster_vars) > 3:
-        raise NotImplementedError(
-            "split= supports at most 3-way clustering (CGM subsets grow "
-            "as 2^k)"
-        )
     weight_col = parse_weights(weights)
     parsed = parse_formula(fml)
     if parsed.yvar is None:

@@ -180,12 +180,8 @@ def dbglm_split(
 ) -> GlmSplit:
     """Fit one GLM per level of ``split`` in lockstep grouped IRLS passes
     (see module docstring). Returns ``{level: GlmModel}``."""
+    # parse_vcov caps clustering at 3 variables (CGM subsets grow as 2^k)
     vcov_type, cluster_vars = parse_vcov(vcov, cluster)
-    if vcov_type == "cluster" and len(cluster_vars) > 3:
-        raise NotImplementedError(
-            "dbglm_split supports at most 3-way clustering (CGM subsets "
-            "grow as 2^k)"
-        )
     if vcov_type == "dk":
         raise NotImplementedError(
             "dbglm_split does not support Driscoll-Kraay (dbglm itself has "

@@ -144,8 +144,8 @@ def test_split_refusals(sdata):
     df, _ = sdata
     with pytest.raises(ValueError, match="cannot also be"):
         dbreg_split("y ~ x1 | g", df, split="g")
-    with pytest.raises(NotImplementedError, match="single-variable"):
-        dbreg_split("y ~ x1", df, split="g", vcov="~cl + f1")
+    with pytest.raises(ValueError, match="1-3 variables"):
+        dbreg_split("y ~ x1", df, split="g", vcov="~cl + f1 + f2 + w")
     with pytest.raises(ValueError, match="more than"):
         dbreg_split(
             "y ~ x2", df, split="x1", strategy="moments", split_nmax=10
