@@ -24,10 +24,13 @@ Rademacher draws are ENUMERATED (deterministic — exactly what boottest
 does for tiny G); otherwise seeded sampling.
 
 Beyond the reference (no bootstrap there); semantics follow the WCR/WCU
-"x1" variants of Roodman et al. (2019, "Fast and wild"). Scope: the
-moments (no-FE) estimator; FE formulas are refused — absorb them as
-explicit dummies if needed (few-cluster designs are small in p by
-construction).
+"x1" variants of Roodman et al. (2019, "Fast and wild"). Fixed effects
+(1-2) are absorbed by demeaning, which is EXACT for the bootstrap when
+every FE level is nested inside one cluster (the wild weight is then
+constant within the level, so re-demeaning the bootstrap outcome commutes
+with the draw) — enforced with a probe; non-nested FEs must ride as
+explicit factor regressors. Absorbed dof counts toward the CR1 small-
+sample correction (k = p + G₁ [+ G₂ − 1]).
 """
 
 from __future__ import annotations
@@ -52,13 +55,16 @@ def cluster_gram_frame(
     x_cols: list[str],
     cluster: str,
     weight_col: str | None = None,
+    intercept: bool = True,
 ) -> DataFrame:
     """The bootstrap's single distributed pass: per-cluster Gram blocks
-    A_g = X_g'X_g (upper triangle, intercept included) and moment vectors
-    b_g = X_g'y, plus n_g and Σy² — map-side combined, the shuffle carries
-    one O(p²) row per cluster."""
-    p_all = 1 + len(x_cols)
-    cols = [F.lit(1.0)] + [F.col(c).cast("double") for c in x_cols]
+    A_g = X_g'X_g (upper triangle, intercept included unless demeaned) and
+    moment vectors b_g = X_g'y, plus n_g and Σy² — map-side combined, the
+    shuffle carries one O(p²) row per cluster."""
+    cols = ([F.lit(1.0)] if intercept else []) + [
+        F.col(c).cast("double") for c in x_cols
+    ]
+    p_all = len(cols)
     w = (
         F.col(weight_col).cast("double")
         if weight_col is not None
@@ -157,29 +163,79 @@ def wild_cluster_bootstrap(
     if B < 99:
         raise ValueError("B must be at least 99")
     parsed = parse_formula(fml)
-    if parsed.fe:
-        raise NotImplementedError(
-            "wild_cluster_bootstrap supports the no-FE (moments) estimator; "
-            "include fixed effects as explicit factor regressors instead"
-        )
     if parsed.yvar is None:
         raise ValueError("Formula needs an outcome variable.")
     weight_col = parse_weights(obs_weights)
+    if parsed.fe and len(parsed.fe) > 2:
+        raise NotImplementedError(
+            "wild_cluster_bootstrap absorbs at most 2 fixed effects; "
+            "include further FEs as explicit factor regressors"
+        )
+    if parsed.fe and len(parsed.fe) > 1 and weight_col is not None:
+        raise NotImplementedError(
+            "weighted 2-FE demeaning is not exact; use one FE or explicit "
+            "dummies"
+        )
     if spark is None and isinstance(data, DataFrame):
         spark = data.sparkSession
     source = resolve_source(spark=spark, data=data, table=table, path=path)
-    design = build_design(source.df, parsed, expand="all", fe_vars=None)
+    design = build_design(
+        source.df, parsed, expand="all", fe_vars=parsed.fe or None
+    )
     base = build_base_frame(
         source, parsed, design, drop_missings=True,
         extra_cols=[cluster], want_sql=False, weight_col=weight_col,
     )
-    x_cols = list(base.x_cols)
-    names_all = ["(Intercept)"] + [standardize_coef_names(n) for n in x_cols]
+    intercept = not parsed.fe
+    df_fe = 0.0
+    frame = base
+    if parsed.fe:
+        # The demeaned-space bootstrap algebra is EXACT only when every FE
+        # level sits inside a single cluster (then the wild weight is
+        # constant within each level, so re-demeaning the bootstrap outcome
+        # commutes with the draw). Enforce it — the standard designs (unit
+        # FE clustered by unit or coarser) satisfy this.
+        for f in parsed.fe:
+            spans = (
+                base.df.groupBy(f)
+                .agg(F.countDistinct(cluster).alias("g"))
+                .where(F.col("g") > 1)
+                .limit(1)
+                .count()
+            )
+            if spans:
+                raise NotImplementedError(
+                    f"wild_cluster_bootstrap with absorbed FEs requires "
+                    f"each FE level nested inside one cluster; {f!r} has "
+                    f"levels spanning multiple {cluster!r} clusters — "
+                    "include it as an explicit factor regressor instead"
+                )
+        from .plans.frames import build_demeaned_frame
+
+        counts = base.df.agg(
+            *[F.countDistinct(f).alias(f"g_{i}") for i, f in enumerate(parsed.fe)]
+        ).collect()[0]
+        g_fe = [int(counts[f"g_{i}"]) for i in range(len(parsed.fe))]
+        df_fe = float(g_fe[0] + (g_fe[1] - 1 if len(parsed.fe) == 2 else 0))
+        frame = build_demeaned_frame(base, parsed.fe, weight_col=weight_col)
+        if cluster not in frame.df.columns:
+            from .api import _reattach_cluster
+
+            frame = _reattach_cluster(
+                base, frame, parsed.fe, [cluster], True, weight_col
+            )
+    x_cols = list(frame.x_cols)
+    names_all = (["(Intercept)"] if intercept else []) + [
+        standardize_coef_names(n) for n in x_cols
+    ]
     p_all = len(names_all)
 
     # ---- ONE grouped pass: per-cluster Gram blocks + moment vectors ------
     rows = (
-        cluster_gram_frame(base.df, base.y_col, x_cols, cluster, weight_col)
+        cluster_gram_frame(
+            frame.df, frame.y_col, x_cols, cluster, weight_col,
+            intercept=intercept,
+        )
         .limit(MAX_CLUSTERS + 1)
         .collect()
     )
@@ -219,8 +275,10 @@ def wild_cluster_bootstrap(
 
     R, r_rhs = _parse_hypothesis(param, names)
 
+    k_par = p + df_fe  # absorbed-FE dof counts toward the CR1 correction
+
     def _cr1(meat):
-        scale = (G / (G - 1)) * ((n_total - 1) / (n_total - p))
+        scale = (G / (G - 1)) * ((n_total - 1) / (n_total - k_par))
         return scale * (Ainv @ meat @ Ainv)
 
     def _t(bta, ref, scores_w):
@@ -229,7 +287,7 @@ def wild_cluster_bootstrap(
         Xu = scores_w - np.einsum("gij,bj->bgi", A_g, bta - ref)
         meat = np.einsum("bgi,bgj->bij", Xu, Xu)
         V = np.einsum("ij,bjk,kl->bil", Ainv, meat, Ainv)
-        V = (G / (G - 1)) * ((n_total - 1) / (n_total - p)) * V
+        V = (G / (G - 1)) * ((n_total - 1) / (n_total - k_par)) * V
         se = np.sqrt(np.maximum(np.einsum("i,bij,j->b", R, V, R), 0.0))
         with np.errstate(divide="ignore", invalid="ignore"):
             return np.where(se > 0, num / se, np.inf)
@@ -282,4 +340,5 @@ def wild_cluster_bootstrap(
         "impose_null": bool(impose_null),
         "enumerated": bool(enumerated),
         "coef_names": names,
+        "fe": list(parsed.fe),
     }

@@ -119,9 +119,13 @@ def test_hypothesis_string_and_weights_variants(spark):
 
 def test_refusals(spark):
     pdf = _gen()
+    # an FE whose levels span multiple clusters breaks the demeaned-space
+    # bootstrap exactness and must be refused
+    rng = np.random.default_rng(8)
+    pdf["f_span"] = rng.integers(0, 3, len(pdf))
     df = spark.createDataFrame(pdf)
-    with pytest.raises(NotImplementedError, match="no-FE"):
-        wild_cluster_bootstrap("y ~ x | g", df, cluster="g", param="x")
+    with pytest.raises(NotImplementedError, match="nested"):
+        wild_cluster_bootstrap("y ~ x | f_span", df, cluster="g", param="x")
     with pytest.raises(ValueError, match="weights"):
         wild_cluster_bootstrap(
             "y ~ x", df, cluster="g", param="x", weights="bogus"
@@ -174,3 +178,63 @@ def test_weighted_matches_brute_force(spark):
     p_ref = float(np.mean(np.abs(t_ref) >= abs(res["t"]) - 1e-12))
     assert res["p_value"] == pytest.approx(p_ref, abs=1e-12)
     assert res["estimate"] == pytest.approx(beta[1], rel=1e-10)
+
+
+def test_fe_matches_brute_force_dummy_model(spark):
+    """Absorbed-FE bootstrap (FE nested in clusters): the demeaned-space
+    algebra must equal an explicit LSDV refit-per-draw bootstrap with the
+    same CR1 dof (k = p + G_fe) to machine precision."""
+    pdf = _gen(seed=13, n=500, G=5)
+    # a unit FE nested in the cluster: 3 units per cluster
+    rng = np.random.default_rng(4)
+    pdf["unit"] = pdf["g"] * 3 + rng.integers(0, 3, len(pdf))
+    pdf["y"] = pdf["y"] + 0.8 * rng.normal(size=15)[pdf["unit"].to_numpy()]
+    df = spark.createDataFrame(pdf)
+    res = wild_cluster_bootstrap(
+        "y ~ x | unit", df, cluster="g", param="x", B=9999
+    )
+    assert res["enumerated"] and res["B"] == 32 and res["fe"] == ["unit"]
+
+    # explicit-dummy brute force
+    g = pdf["g"].to_numpy()
+    unit = pdf["unit"].to_numpy()
+    n = len(pdf)
+    D = np.zeros((n, 15))
+    D[np.arange(n), unit] = 1.0
+    X = np.column_stack([pdf["x"].to_numpy()[:, None], D])
+    y = pdf["y"].to_numpy()
+    G, p_x, k_par = 5, 1, 1 + 15  # x + 15 unit dummies (no intercept)
+    R = np.zeros(X.shape[1]); R[0] = 1.0
+    A = X.T @ X
+    Ainv = np.linalg.inv(A)
+    beta = np.linalg.solve(A, X.T @ y)
+    RA = Ainv @ R
+    beta_c = beta - RA * (R @ beta) / (R @ RA)
+    u_c = y - X @ beta_c
+    ks = np.arange(32, dtype=np.uint64)
+    W = ((ks[:, None] >> np.arange(5, dtype=np.uint64)) & 1).astype(float) * 2 - 1
+    ts = []
+    for w in W:
+        y_star = X @ beta_c + w[g] * u_c
+        b_star = np.linalg.solve(A, X.T @ y_star)
+        u_star = y_star - X @ b_star
+        meat = np.zeros((X.shape[1],) * 2)
+        for gi in range(G):
+            s = X[g == gi].T @ u_star[g == gi]
+            meat += np.outer(s, s)
+        V = (G / (G - 1)) * ((n - 1) / (n - k_par)) * (Ainv @ meat @ Ainv)
+        ts.append(float(R @ (b_star - beta_c)) / float(np.sqrt(R @ V @ R)))
+    t_ref = np.array(ts)
+    p_ref = float(np.mean(np.abs(t_ref) >= abs(res["t"]) - 1e-12))
+    assert res["p_value"] == pytest.approx(p_ref, abs=1e-12)
+    assert res["estimate"] == pytest.approx(beta[0], rel=1e-9)
+    # the analytic CR1 t itself must match the dummy model's
+    u_hat = y - X @ beta
+    meat = np.zeros((X.shape[1],) * 2)
+    for gi in range(G):
+        s = X[g == gi].T @ u_hat[g == gi]
+        meat += np.outer(s, s)
+    V = (G / (G - 1)) * ((n - 1) / (n - k_par)) * (Ainv @ meat @ Ainv)
+    assert res["t"] == pytest.approx(
+        float(R @ beta) / float(np.sqrt(R @ V @ R)), rel=1e-9
+    )
