@@ -489,6 +489,58 @@ def glm_meat(
     return meat, g
 
 
+def glm_dk_meat(
+    frame: Frame,
+    family: _Family,
+    beta: np.ndarray,
+    x_names: list[str],
+    intercept: bool,
+    time_col: str,
+    lag: int | None = None,
+    offset: str | None = None,
+    weights: str | None = None,
+) -> tuple[np.ndarray, int, int]:
+    """Driscoll-Kraay HAC meat for a GLM: per-PERIOD score sums (the same
+    grouped pass as the CR meat keyed by the time column), Newey-West
+    Bartlett weighting across periods driver-side (plans/meat.py:nw_combine
+    — lag 0 reproduces cluster-by-time exactly). Returns (meat, T,
+    lag_used); only the T × p score matrix reaches the driver."""
+    from .plans.meat import nw_combine
+
+    y = _d(Var(frame.y_col))
+    eta = _eta_expr(beta, x_names, intercept, offset)
+    mu = family.mu(eta)
+    s = y - mu
+    if weights is not None:
+        s = _d(Var(weights)) * s
+    cols: list[Expr] = ([Lit(1.0)] if intercept else []) + [Var(n) for n in x_names]
+    p = len(cols)
+    proj = frame.df.select(
+        F.col(time_col),
+        to_spark(_d(s)).alias("__s"),
+        *[F.col(n) for n in x_names],
+    )
+    sv = Var("__s")
+    score_aggs = [
+        agg_to_spark(asum(sv * _d(c))).alias(f"score_{j}")
+        for j, c in enumerate(cols)
+    ]
+    cap = 100_000  # periods; a near-continuous timestamp is user error
+    rows = proj.groupBy(time_col).agg(*score_aggs).limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"Driscoll-Kraay time variable {time_col!r} has more than "
+            f"{cap:,} distinct periods — pass a period column (e.g. a "
+            "date truncated to day/month), not a raw timestamp"
+        )
+    rows.sort(key=lambda r: (r[time_col] is None, r[time_col]))
+    S = np.array(
+        [[float(r[f"score_{j}"] or 0.0) for j in range(p)] for r in rows]
+    )
+    meat, T, lag_used = nw_combine(S, lag)
+    return meat, T, lag_used
+
+
 # --------------------------------------------------------------------------
 # Model object
 # --------------------------------------------------------------------------
@@ -853,6 +905,7 @@ def dbglm(
     offset: str | None = None,
     weights: str | None = None,
     l2: float = 0.0,
+    hac_lag: int | None = None,
     max_iter: int = 25,
     tol: float = 1e-8,
     drop_missings: bool = True,
@@ -903,9 +956,10 @@ def dbglm(
             "robust inference"
         )
     vcov_type, cluster_vars = parse_vcov(vcov, cluster, valid=("iid", "hc1"))
-    if vcov_type == "dk":
+    if vcov_type == "dk" and parsed.fe:
         raise NotImplementedError(
-            "dbglm does not support Driscoll-Kraay standard errors"
+            "dbglm supports Driscoll-Kraay only without absorbed FEs; "
+            "include the FE as a factor regressor instead"
         )
 
     source = resolve_source(spark, data=data, table=table, path=path)
@@ -1145,6 +1199,13 @@ def dbglm(
     if vcov_type == "hc1":
         meat, _ = glm_meat(
             frame, fam, beta, x_kept, icpt, offset=offset, weights=weights
+        )
+    elif vcov_type == "dk":
+        # Driscoll-Kraay: per-period score sums + NW weighting; the period
+        # count T plays the cluster-count role in compute_vcov's scale
+        meat, n_clusters, _lag = glm_dk_meat(
+            frame, fam, beta, x_kept, icpt, cluster_vars[0], hac_lag,
+            offset=offset, weights=weights,
         )
     elif vcov_type == "cluster":
         if len(cluster_vars) > 1:

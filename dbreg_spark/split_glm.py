@@ -14,8 +14,8 @@ nothing but I/O already being paid).
 
 Families: binomial / poisson / gaussian, with ``offset=`` and prior
 ``weights=`` (R's glm semantics, matching :func:`dbreg_spark.dbglm`);
-vcov: model-based (iid), HC1, or clustered (1-3 way CGM) via one more
-grouped score pass over the finest cluster key. Fixed effects are
+vcov: model-based (iid), HC1, clustered (1-3 way CGM), or Driscoll-Kraay
+(``"dk ~ t"``) via one more grouped score pass over the finest key. Fixed effects are
 refused (concentrated-FE profiles do not share a lockstep frame); fit
 per level with ``dbglm`` for those.
 """
@@ -171,6 +171,7 @@ def dbglm_split(
     vcov="iid",
     cluster=None,
     weights: str | None = None,
+    hac_lag: int | None = None,
     offset: str | None = None,
     drop_missings: bool = True,
     max_iter: int = 25,
@@ -182,11 +183,7 @@ def dbglm_split(
     (see module docstring). Returns ``{level: GlmModel}``."""
     # parse_vcov caps clustering at 3 variables (CGM subsets grow as 2^k)
     vcov_type, cluster_vars = parse_vcov(vcov, cluster)
-    if vcov_type == "dk":
-        raise NotImplementedError(
-            "dbglm_split does not support Driscoll-Kraay (dbglm itself has "
-            "no DK estimator)"
-        )
+
     weight_col = parse_weights(weights)
     fam = get_family(family)
     if fam.quasi:
@@ -225,7 +222,7 @@ def dbglm_split(
         return _fit_lockstep(
             frame_df, sess, fam, parsed, split, x_names, names_all, icpt,
             offset, weight_col, vcov_type, cluster_vars, max_iter, tol,
-            split_nmax, verbose, p_all, design,
+            split_nmax, verbose, p_all, design, hac_lag,
         )
     finally:
         frame_df.unpersist()
@@ -234,7 +231,7 @@ def dbglm_split(
 def _fit_lockstep(
     frame_df, sess, fam, parsed, split, x_names, names_all, icpt, offset,
     weight_col, vcov_type, cluster_vars, max_iter, tol, split_nmax, verbose,
-    p_all, design,
+    p_all, design, hac_lag=None,
 ):
     # ---- first pass at β = 0 for every level (no join needed) ------------
     zero = frame_df
@@ -341,10 +338,10 @@ def _fit_lockstep(
     # ---- sandwiches: one more grouped pass at the FINAL β ----------------
     meats = {}
     n_clusters = {}
-    if vcov_type in ("hc1", "cluster"):
+    if vcov_type in ("hc1", "cluster", "dk"):
         meats, n_clusters = _grouped_glm_meat(
             frame_df, sess, fam, split, states, x_names, icpt, offset,
-            weight_col, vcov_type, cluster_vars, p_all,
+            weight_col, vcov_type, cluster_vars, p_all, hac_lag,
         )
 
     out = GlmSplit()
@@ -382,7 +379,7 @@ def _validate_level(fam, parsed, weight_col, lvl, row):
 
 def _grouped_glm_meat(
     frame_df, sess, fam, split, states, x_names, icpt, offset, weight_col,
-    vcov_type, cluster_vars, p_all,
+    vcov_type, cluster_vars, p_all, hac_lag=None,
 ):
     bt = _beta_frame(
         sess, frame_df.schema[split].dataType,
@@ -456,7 +453,14 @@ def _grouped_glm_meat(
         vec = np.array([float(r[f"s_{i}"] or 0.0) for i in range(p)])
         per_level.setdefault(r["__sp"], []).append((kt, vec))
     meats, ncl = {}, {}
-    if len(cluster_vars) == 1:
+    if vcov_type == "dk":
+        from .plans.meat import nw_combine
+
+        for lvl, pairs in per_level.items():
+            pairs.sort(key=lambda e: (e[0][0] is None, e[0][0]))
+            S = np.vstack([vec for _, vec in pairs])
+            meats[lvl], ncl[lvl], _ = nw_combine(S, hac_lag)
+    elif len(cluster_vars) == 1:
         for lvl, pairs in per_level.items():
             M = np.zeros((p, p))
             for _, vec in pairs:

@@ -921,3 +921,37 @@ def test_fe_poisson_3fe_cell_resident_one_pass_per_sweep(fe2_sdf):
         assert m_sp.coef()[name] == pytest.approx(m_dr.coef()[name], rel=1e-8)
         assert m_sp.se()[name] == pytest.approx(m_dr.se()[name], rel=1e-7)
     assert m_sp.loglik == pytest.approx(m_dr.loglik, rel=1e-10)
+
+
+def test_glm_dk_lag0_equals_cluster_by_time(glm_df, glm_pdf):
+    """DK with lag 0 must reproduce cluster-by-time exactly, and the
+    NW-weighted meat must match a dense numpy oracle at lag 2."""
+    m0 = dbglm("ybin ~ x1 + x2", glm_df, family="binomial",
+               vcov="dk ~ g", hac_lag=0)
+    mc = dbglm("ybin ~ x1 + x2", glm_df, family="binomial", vcov="~g")
+    np.testing.assert_allclose(m0.vcov_, mc.vcov_, rtol=1e-10)
+
+    m2 = dbglm("ybin ~ x1 + x2", glm_df, family="binomial",
+               vcov="dk ~ g", hac_lag=2)
+    beta = m2.coef().to_numpy()
+    X = _X(glm_pdf, ["x1", "x2"])
+    mu = 1.0 / (1.0 + np.exp(-(X @ beta)))
+    s = glm_pdf["ybin"].to_numpy() - mu
+    t = glm_pdf["g"].to_numpy()
+    T = int(t.max()) + 1
+    S = np.zeros((T, 3))
+    for ti in range(T):
+        S[ti] = X[t == ti].T @ s[t == ti]
+    meat = S.T @ S
+    for ell in (1, 2):
+        w = 1.0 - ell / 3.0
+        Gm = S[ell:].T @ S[:-ell]
+        meat += w * (Gm + Gm.T)
+    W = mu * (1 - mu)
+    A = X.T @ (X * W[:, None])
+    Ainv = np.linalg.inv(A)
+    n, p = X.shape
+    V = (T / (T - 1)) * (n / (n - p)) * (Ainv @ meat @ Ainv)
+    np.testing.assert_allclose(m2.vcov_, V, rtol=1e-8)
+    with pytest.raises(NotImplementedError, match="factor regressor"):
+        dbglm("ypois ~ x1 | g", glm_df, family="poisson", vcov="dk ~ g")

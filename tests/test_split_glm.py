@@ -187,3 +187,20 @@ def test_glm_split_multiway_cluster_matches_filtered(gdata):
         )
         _match(ms[lvl], ref)
         assert ms[lvl].n_clusters == ref.n_clusters
+
+
+def test_glm_split_dk_matches_filtered(gdata):
+    """Per-level Driscoll-Kraay (NW over per-period scores) must equal the
+    filtered dbglm DK fit, auto and fixed lag."""
+    df, pdf = gdata
+    for lag in (0, 2, None):
+        ms = dbglm_split(
+            "y ~ x1 + x2", df, split="g", family="binomial",
+            vcov="dk ~ cl", hac_lag=lag,
+        )
+        for lvl in ms:
+            ref = dbglm(
+                "y ~ x1 + x2", df.where(df.g == lvl), family="binomial",
+                vcov="dk ~ cl", hac_lag=lag,
+            )
+            _match(ms[lvl], ref)
