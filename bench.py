@@ -474,6 +474,13 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             sf1_dir = None
         if sf1_dir is not None:
+            # drop the sf0.1 tier's accumulated cache/localCheckpoint blocks
+            # before the 10x workloads — leftover storage otherwise evicts/
+            # spills under the bigger shuffles and the sf1 numbers measure
+            # GC pressure instead of the queries (observed 3-5x run-to-run
+            # swings without this)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
             from dbreg_spark.sources.io import load_parquet as _lp
 
             li1 = _lp(spark, f"{sf1_dir}/lineitem.parquet")
