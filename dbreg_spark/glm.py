@@ -429,6 +429,32 @@ def _cluster_meat_from_scores(sc: DataFrame, p: int, keys: list[str]):
             sc.unpersist()
 
 
+def _dk_meat_from_scores(sc, p: int, time_col: str, lag: int | None):
+    """Driscoll-Kraay meat from a row-level score frame carrying ``__s``
+    and ``__xt0..p-1`` plus the time column: per-period score sums from
+    one grouped pass, NW Bartlett weighting driver-side. Shared by the
+    1-FE and k-FE fepois paths (the no-FE path uses glm_dk_meat)."""
+    from .plans.meat import nw_combine
+
+    score_aggs = [
+        F.sum(F.col("__s") * F.col(f"__xt{i}")).alias(f"sc_{i}")
+        for i in range(p)
+    ]
+    cap = 100_000
+    rows = sc.groupBy(time_col).agg(*score_aggs).limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"Driscoll-Kraay time variable {time_col!r} has more than "
+            f"{cap:,} distinct periods — pass a period column, not a raw "
+            "timestamp"
+        )
+    rows.sort(key=lambda r: (r[time_col] is None, r[time_col]))
+    S = np.array(
+        [[float(r[f"sc_{i}"] or 0.0) for i in range(p)] for r in rows]
+    )
+    return nw_combine(S, lag)
+
+
 def glm_meat(
     frame: Frame,
     family: _Family,
@@ -956,11 +982,6 @@ def dbglm(
             "robust inference"
         )
     vcov_type, cluster_vars = parse_vcov(vcov, cluster, valid=("iid", "hc1"))
-    if vcov_type == "dk" and parsed.fe:
-        raise NotImplementedError(
-            "dbglm supports Driscoll-Kraay only without absorbed FEs; "
-            "include the FE as a factor regressor instead"
-        )
 
     source = resolve_source(spark, data=data, table=table, path=path)
     design = build_design(
@@ -997,7 +1018,7 @@ def dbglm(
             )
         return _fe_poisson(
             frame, parsed, design, fam, vcov_type, cluster_vars,
-            offset, weights, max_iter, tol, verbose, cells_nmax,
+            offset, weights, max_iter, tol, verbose, cells_nmax, hac_lag,
         )
 
     icpt_req = bool(parsed.intercept)  # "y ~ 0 + x" / "- 1" suppresses it
@@ -1427,6 +1448,7 @@ def _fe_poisson(
     tol: float,
     verbose: bool,
     cells_nmax: int = 5_000_000,
+    hac_lag: int | None = None,
 ) -> GlmModel:
     """Poisson regression with one absorbed fixed effect, by concentrated
     (profiled) IRLS — the `fepois` / PPML workhorse, at Spark scale.
@@ -1461,7 +1483,7 @@ def _fe_poisson(
     if len(parsed.fe) > 1:
         return _fe_poisson_kfe(
             frame, parsed, design, fam, vcov_type, cluster_vars,
-            offset, weights, max_iter, tol, verbose, cells_nmax,
+            offset, weights, max_iter, tol, verbose, cells_nmax, hac_lag,
         )
     fe = parsed.fe[0]
     x_names = list(frame.x_cols)
@@ -1643,10 +1665,14 @@ def _fe_poisson(
         info_inv = solve_with_fallback(final_a, np.zeros(p)).xtx_inv
 
         meat = n_clusters = None
-        if vcov_type in ("hc1", "cluster"):
-            keys = list(cluster_vars) if vcov_type == "cluster" else []
+        if vcov_type in ("hc1", "cluster", "dk"):
+            keys = list(cluster_vars) if vcov_type in ("cluster", "dk") else []
             sc = profiled_pass(beta, gtab, extra_keys=keys)
-            if vcov_type == "hc1":
+            if vcov_type == "dk":
+                meat, n_clusters, _lag = _dk_meat_from_scores(
+                    sc, p, cluster_vars[0], hac_lag
+                )
+            elif vcov_type == "hc1":
                 aggs = []
                 for i in range(p):
                     for j in range(i, p):
@@ -2266,6 +2292,7 @@ def _fe_poisson_kfe(
     tol: float,
     verbose: bool,
     cells_nmax: int = 5_000_000,
+    hac_lag: int | None = None,
 ) -> GlmModel:
     """Poisson regression with k ≥ 2 absorbed fixed effects — the
     ppmlhdfe/gravity estimator (exporter × importer × year FEs) in the
@@ -2611,9 +2638,13 @@ def _fe_poisson_kfe(
     info_inv = solve_with_fallback(final_a, np.zeros(p)).xtx_inv
 
     meat = n_clusters = None
-    if vcov_type in ("hc1", "cluster"):
+    if vcov_type in ("hc1", "cluster", "dk"):
         sc = system_pass(beta, x_names, final_helper, rows_only=True)
-        if vcov_type == "hc1":
+        if vcov_type == "dk":
+            meat, n_clusters, _lag = _dk_meat_from_scores(
+                sc, p, cluster_vars[0], hac_lag
+            )
+        elif vcov_type == "hc1":
             aggs = []
             for i in range(p):
                 for j in range(i, p):

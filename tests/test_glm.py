@@ -953,5 +953,23 @@ def test_glm_dk_lag0_equals_cluster_by_time(glm_df, glm_pdf):
     n, p = X.shape
     V = (T / (T - 1)) * (n / (n - p)) * (Ainv @ meat @ Ainv)
     np.testing.assert_allclose(m2.vcov_, V, rtol=1e-8)
-    with pytest.raises(NotImplementedError, match="factor regressor"):
-        dbglm("ypois ~ x1 | g", glm_df, family="poisson", vcov="dk ~ g")
+
+
+def test_fepois_dk_lag0_equals_cluster_by_time(fe2_sdf):
+    """Driscoll-Kraay over profiled scores, both FE tiers: lag 0 must
+    reproduce cluster-by-time exactly (the NW lag weighting itself is
+    oracle-pinned via nw_combine at the dbreg level)."""
+    sdf, pdf = fe2_sdf
+    a = dbglm("ypois ~ x1 + x2 | gcat", sdf, family="poisson",
+              vcov="dk ~ g", hac_lag=0)
+    b = dbglm("ypois ~ x1 + x2 | gcat", sdf, family="poisson", vcov="~g")
+    np.testing.assert_allclose(a.vcov_, b.vcov_, rtol=1e-10)
+    c = dbglm("ypois ~ x1 + x2 | gcat + hcat", sdf, family="poisson",
+              vcov="dk ~ g", hac_lag=0)
+    d = dbglm("ypois ~ x1 + x2 | gcat + hcat", sdf, family="poisson",
+              vcov="~g")
+    np.testing.assert_allclose(c.vcov_, d.vcov_, rtol=1e-10)
+    # a longer lag changes (typically widens) the SEs but stays finite
+    e = dbglm("ypois ~ x1 + x2 | gcat", sdf, family="poisson",
+              vcov="dk ~ g", hac_lag=3)
+    assert np.isfinite(e.se().to_numpy()).all()
