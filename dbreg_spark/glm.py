@@ -944,7 +944,10 @@ def dbglm(
     ``fml`` is the same formula syntax as :func:`dbreg.dbreg` WITHOUT the
     ``| fe`` part (string/factor regressors expand to dummies; ``y ~ 0 + x``
     suppresses the intercept). ``vcov`` is "iid" (inverse information),
-    "hc1", or a cluster formula "~ g" / "~ g1 + g2". ``offset`` names a
+    "hc1", a cluster formula "~ g" / "~ g1 + g2", or Driscoll-Kraay
+    "dk ~ t" (per-period score sums with Newey-West weighting across
+    ``hac_lag`` lags, plug-in bandwidth by default; works on the plain,
+    1-FE profiled and k-FE fepois paths). ``offset`` names a
     column added to the linear predictor (Poisson rate models pass
     log-exposure). ``weights`` names a prior-weight column ω, R's
     ``glm(weights=)`` semantics — for binomial, y may then be a proportion
