@@ -241,6 +241,84 @@ FROM fp_j
 """
 
 
+def _fepois_split_step_plan(spark: SparkSession):
+    """dbglm_split's lockstep profiled FE-Poisson pass at FEPOIS_BETA:
+    the single-model Newton system PER split level (split=l_linestatus,
+    FE=l_returnflag) from ONE (level, group) table + ONE grouped
+    aggregation — split_glm._fit_lockstep_fepois's per-iteration
+    computation at a fixed beta."""
+    from dbreg_spark.split_glm import (
+        _fepois_group_table,
+        _fepois_profiled_rows,
+    )
+
+    cols = [
+        "l_linestatus", "l_returnflag", "l_linenumber",
+        "l_quantity", "l_discount",
+    ]
+    df = spark.table("lineitem").select(*cols)
+    cond = None
+    for c in cols:
+        cc = F.col(c).isNotNull()
+        cond = cc if cond is None else (cond & cc)
+    df = df.where(cond).withColumn(
+        "__y_raw", F.col("l_linenumber").cast("double")
+    )
+    for i, b in enumerate(FEPOIS_BETA):
+        df = df.withColumn(f"__b{i}", F.lit(float(b)))
+    x = ["l_quantity", "l_discount"]
+    gtab = _fepois_group_table(df, "l_linestatus", "l_returnflag", x, None, None)
+    rows = _fepois_profiled_rows(
+        df, gtab, "l_linestatus", "l_returnflag", x, None, None, first=False
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("__ll").alias("ll"),
+        F.sum(F.col("__w") * F.col("__xt0") * F.col("__xt0")).alias("a_0_0"),
+        F.sum(F.col("__w") * F.col("__xt0") * F.col("__xt1")).alias("a_0_1"),
+        F.sum(F.col("__w") * F.col("__xt1") * F.col("__xt1")).alias("a_1_1"),
+        F.sum(F.col("__s") * F.col("__xt0")).alias("b_0"),
+        F.sum(F.col("__s") * F.col("__xt1")).alias("b_1"),
+    ]
+    return rows.groupBy(F.col("__sp").alias("l_linestatus")).agg(*aggs)
+
+
+FEPOIS_SPLIT_ORACLE_SQL = """
+WITH fps_base AS (
+  SELECT l_linestatus, l_returnflag,
+         CAST(l_linenumber AS DOUBLE) AS y,
+         CAST(l_quantity AS DOUBLE) AS x0,
+         CAST(l_discount AS DOUBLE) AS x1,
+         EXP(0.0 + 0.001 * CAST(l_quantity AS DOUBLE)
+                 + 0.05 * CAST(l_discount AS DOUBLE)) AS m
+  FROM lineitem
+  WHERE l_linestatus IS NOT NULL AND l_returnflag IS NOT NULL
+    AND l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_discount IS NOT NULL
+),
+fps_g AS (
+  SELECT l_linestatus, l_returnflag, SUM(m) AS wg, SUM(y) AS yg,
+         SUM(m * x0) AS t0, SUM(m * x1) AS t1
+  FROM fps_base GROUP BY l_linestatus, l_returnflag
+),
+fps_j AS (
+  SELECT b.l_linestatus AS l_linestatus,
+         (g.yg / g.wg) * b.m AS mu, b.y, b.x0, b.x1,
+         b.x0 - g.t0 / g.wg AS xt0,
+         b.x1 - g.t1 / g.wg AS xt1
+  FROM fps_base b JOIN fps_g g
+    ON b.l_linestatus = g.l_linestatus AND b.l_returnflag = g.l_returnflag
+)
+SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_total,
+  SUM((CASE WHEN y > 0.0 THEN y * LN(mu) ELSE 0.0 END) - mu) AS ll,
+  SUM(mu * xt0 * xt0) AS a_0_0,
+  SUM(mu * xt0 * xt1) AS a_0_1,
+  SUM(mu * xt1 * xt1) AS a_1_1,
+  SUM((y - mu) * xt0) AS b_0,
+  SUM((y - mu) * xt1) AS b_1
+FROM fps_j GROUP BY l_linestatus
+"""
+
 def _glm_step_plan(spark: SparkSession):
     """(agg_df, oracle_sql) for one logit IRLS pass at GLM_BETA over
     lineitem with the derived 0/1 outcome is_return = (l_returnflag='R')."""
@@ -389,6 +467,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _round_doubles_df(_fepois_step_plan(spark))
 
     Q["glm_fepois_profile_step"] = fepois_step
+
+    # the SPLIT twin: one lockstep profiled pass, one system row per level
+    # (dbglm_split 1-FE fepois — VERDICT r06 #4)
+    def fepois_split_step(spark, sf_dir):
+        _tables(spark, sf_dir)
+        return _round_doubles_df(_fepois_split_step_plan(spark))
+
+    Q["glm_split_fepois_step"] = fepois_split_step
 
     # k-FE PPML: the occupied-cell aggregation at fixed β — the entire
     # distributed half of the gravity estimator (the λ/within inner solve
@@ -1822,6 +1908,15 @@ def oracle_sql() -> dict[str, str]:
     ]
     O["glm_fepois_profile_step"] = _round_doubles_sql(
         FEPOIS_ORACLE_SQL, _fp_cols, [c for c in _fp_cols if c != "n_total"]
+    )
+
+    _fps_cols = [
+        "l_linestatus", "n_total", "ll",
+        "a_0_0", "a_0_1", "a_1_1", "b_0", "b_1",
+    ]
+    O["glm_split_fepois_step"] = _round_doubles_sql(
+        FEPOIS_SPLIT_ORACLE_SQL, _fps_cols,
+        [c for c in _fps_cols if c not in ("n_total", "l_linestatus")],
     )
 
     b0, b1 = FEPOIS_BETA

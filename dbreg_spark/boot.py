@@ -278,7 +278,12 @@ def wild_cluster_bootstrap(
     k_par = p + df_fe  # absorbed-FE dof counts toward the CR1 correction
 
     def _cr1(meat):
-        scale = (G / (G - 1)) * ((n_total - 1) / (n_total - k_par))
+        # CR1 small-sample factor follows this package's compute_vcov
+        # (solve.py: G/(G−1) · n/(n−k)) so the reported analytic se/t
+        # matches dbreg(vcov='~g') exactly. Stata/boottest use
+        # (n−1)/(n−k) instead; the bootstrap p-value is identical either
+        # way because the factor cancels between t̂ and every t*.
+        scale = (G / (G - 1)) * (n_total / (n_total - k_par))
         return scale * (Ainv @ meat @ Ainv)
 
     def _t(bta, ref, scores_w):
@@ -287,7 +292,7 @@ def wild_cluster_bootstrap(
         Xu = scores_w - np.einsum("gij,bj->bgi", A_g, bta - ref)
         meat = np.einsum("bgi,bgj->bij", Xu, Xu)
         V = np.einsum("ij,bjk,kl->bil", Ainv, meat, Ainv)
-        V = (G / (G - 1)) * ((n_total - 1) / (n_total - k_par)) * V
+        V = (G / (G - 1)) * (n_total / (n_total - k_par)) * V
         se = np.sqrt(np.maximum(np.einsum("i,bij,j->b", R, V, R), 0.0))
         with np.errstate(divide="ignore", invalid="ignore"):
             return np.where(se > 0, num / se, np.inf)

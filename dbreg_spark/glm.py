@@ -2007,6 +2007,7 @@ def _kfe_solve_cells_spark(
     worst = math.inf
     last_worst = None
     last_accel = -10
+    prev_r = None  # previous sweep's contraction ratio (Aitken stability)
     _KFE_PASS_STATS["lambda_passes"] = 0
     for sweep in range(sweep_cap):
         joined = base
@@ -2080,17 +2081,29 @@ def _kfe_solve_cells_spark(
             else:
                 damp = max(damp_floor, damp * 0.5)
                 mono = 0
-            if 0.0 < worst < last_worst and sweep - last_accel >= 3:
-                r = worst / last_worst
-                if 0.05 < r < 0.995:
-                    boost = r / (1.0 - r)
-                    for f in fes:
-                        lnl[f] = np.where(
-                            np.isfinite(lnl[f]),
-                            lnl[f] + boost * steps[f],
-                            lnl[f],
-                        )
-                    last_accel = sweep
+            r = worst / last_worst if 0.0 < worst < last_worst else None
+            # jump only on a ratio measured STABLE across two consecutive
+            # sweeps (within 10%) — a single noisy r near 1 would boost up
+            # to ~199x a step and badly overshoot; and cap the boost at 50
+            # so even an agreeing-but-wrong tail ratio stays recoverable
+            if (
+                r is not None
+                and sweep - last_accel >= 3
+                and 0.05 < r < 0.995
+                and prev_r is not None
+                and abs(r - prev_r) <= 0.1 * r
+            ):
+                boost = min(r / (1.0 - r), 50.0)
+                for f in fes:
+                    lnl[f] = np.where(
+                        np.isfinite(lnl[f]),
+                        lnl[f] + boost * steps[f],
+                        lnl[f],
+                    )
+                last_accel = sweep
+                prev_r = None  # post-jump ratios are distorted; re-measure
+            else:
+                prev_r = r
         last_worst = worst
     else:
         warnings.warn(
@@ -2180,6 +2193,7 @@ def _kfe_solve_cells_spark(
         worst = math.inf
         last_worst = None
         last_accel = -10
+        prev_r = None
         damp = damp_floor  # reset: the λ loop may have grown it
         mono = 0
         _KFE_PASS_STATS["corr_passes"] = 0
@@ -2229,13 +2243,24 @@ def _kfe_solve_cells_spark(
                 else:
                     damp = max(damp_floor, damp * 0.5)
                     mono = 0
-                if 0.0 < worst < last_worst and sweep - last_accel >= 3:
-                    r = worst / last_worst
-                    if 0.05 < r < 0.995:
-                        boost = r / (1.0 - r)
-                        for f in fes:
-                            corr[f] = corr[f] + boost * csteps[f]
-                        last_accel = sweep
+                r = (
+                    worst / last_worst if 0.0 < worst < last_worst else None
+                )
+                # same stability gate + boost cap as the λ loop
+                if (
+                    r is not None
+                    and sweep - last_accel >= 3
+                    and 0.05 < r < 0.995
+                    and prev_r is not None
+                    and abs(r - prev_r) <= 0.1 * r
+                ):
+                    boost = min(r / (1.0 - r), 50.0)
+                    for f in fes:
+                        corr[f] = corr[f] + boost * csteps[f]
+                    last_accel = sweep
+                    prev_r = None
+                else:
+                    prev_r = r
             last_worst = worst
         else:
             warnings.warn(

@@ -847,9 +847,17 @@ def ngram_jaccard_pairs(
         )
         # guard the broadcast itself: at trillion-doc scale the >max_df set
         # can be millions of hashes — size-probe it (bounded count) and past
-        # the bound fall back to a shuffled anti-join, same semantics
-        if hot.limit(max_hot_broadcast + 1).count() <= max_hot_broadcast:
-            hot = F.broadcast(hot)
+        # the bound fall back to a shuffled anti-join, same semantics. The
+        # probe and the anti-join would each run the document-frequency
+        # groupBy, so checkpoint the (small) hot set first: one aggregation
+        # pass, and the probe count is then a local read. With a lazy
+        # shingle table (materialize_shingles=False) even the checkpoint
+        # would repeat the full tokenize+md5 corpus scan, so skip the probe
+        # there and keep the always-correct shuffle anti-join.
+        if materialize_shingles:
+            hot = hot.localCheckpoint(eager=True)
+            if hot.limit(max_hot_broadcast + 1).count() <= max_hot_broadcast:
+                hot = F.broadcast(hot)
         tok = tok.join(hot, "gh", "left_anti")
     a = tok.alias("a")
     b = tok.alias("b")

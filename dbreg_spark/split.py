@@ -427,6 +427,88 @@ def _grouped_fit(
     return models
 
 
+def combine_level_scores(per_level, key_cols, vcov_type, hac_lag, p):
+    """Driver-side reduction of per-(level, key-tuple) score vectors into
+    per-level meats — shared by the linear, GLM and FE-Poisson split paths.
+
+    ``per_level``: {level: [(key_tuple, score_vec p,)]} from ONE grouped
+    pass over the finest key. DK sorts by the (single) period key and
+    Newey-West-combines; 1-way sums outer products; multiway runs the CGM
+    inclusion-exclusion with each subset's g_S/(g_S-1) folded into an
+    effective meat (compute_vcov then applies the G=min single-variable G
+    convention, the n/(n-p) factors cancelling within a level). Degenerate
+    levels (one period / one cluster / g_S<2) raise a clear per-level error
+    instead of a downstream ZeroDivisionError (ADVICE r06). Returns
+    (meats, n_clusters) keyed by level.
+    """
+    meats: dict = {}
+    n_clusters: dict = {}
+    if vcov_type == "dk":
+        from .plans.meat import nw_combine
+
+        for lvl, pairs in per_level.items():
+            if len(pairs) < 2:
+                raise ValueError(
+                    f"Driscoll-Kraay needs >= 2 time periods within each "
+                    f"split level; {key_cols[0]!r} has {len(pairs)} in "
+                    f"level {lvl!r}"
+                )
+            pairs.sort(key=lambda e: (e[0][0] is None, e[0][0]))
+            S = np.vstack([sv for _, sv in pairs])
+            meats[lvl], n_clusters[lvl], _ = nw_combine(S, hac_lag)
+        return meats, n_clusters
+    if len(key_cols) == 1:
+        for lvl, pairs in per_level.items():
+            if len(pairs) < 2:
+                raise ValueError(
+                    f"clustered vcov needs >= 2 clusters within each split "
+                    f"level; {key_cols[0]!r} has {len(pairs)} in level "
+                    f"{lvl!r}"
+                )
+            M = np.zeros((p, p))
+            for _, sv in pairs:
+                M += np.outer(sv, sv)
+            meats[lvl] = M
+            n_clusters[lvl] = len(pairs)
+        return meats, n_clusters
+    from itertools import combinations
+
+    k = len(key_cols)
+    for lvl, pairs in per_level.items():
+        comps = []
+        g_single = {}
+        for r_sz in range(1, k + 1):
+            for S_idx in combinations(range(k), r_sz):
+                groups: dict = {}
+                for kt, sv in pairs:
+                    sub = tuple(kt[i] for i in S_idx)
+                    acc = groups.get(sub)
+                    groups[sub] = sv if acc is None else acc + sv
+                g_S = len(groups)
+                if g_S < 2:
+                    raise ValueError(
+                        f"multiway clustering needs >= 2 clusters per "
+                        f"dimension within each split level; "
+                        f"{'x'.join(key_cols[i] for i in S_idx)} has "
+                        f"{g_S} in level {lvl!r}"
+                    )
+                M = np.zeros((p, p))
+                for svv in groups.values():
+                    M += np.outer(svv, svv)
+                comps.append((r_sz, M, g_S))
+                if r_sz == 1:
+                    g_single[S_idx[0]] = g_S
+        g_min = min(g_single.values())
+        scale_ref = g_min / (g_min - 1)
+        M_eff = np.zeros((p, p))
+        for r_sz, M, g_S in comps:
+            sign = 1.0 if r_sz % 2 == 1 else -1.0
+            M_eff += sign * ((g_S / (g_S - 1)) / scale_ref) * M
+        meats[lvl] = M_eff
+        n_clusters[lvl] = g_min
+    return meats, n_clusters
+
+
 def _split_meats(
     frame_df, split, y_col, x_cols, intercept, sols, vcov_type, cluster_vars,
     weight_col, hac_lag=None,
@@ -520,63 +602,9 @@ def _split_meats(
         s = np.array([float(r[f"s_{a}"] or 0.0) for a in range(p)])
         per_level.setdefault(lvl, []).append((kt, s))
 
-    meats = {}
-    n_clusters = {}
-    if vcov_type == "dk":
-        from .plans.meat import nw_combine
-
-        for lvl, pairs in per_level.items():
-            pairs.sort(key=lambda e: (e[0][0] is None, e[0][0]))
-            S = np.vstack([s for _, s in pairs])
-            meats[lvl], n_clusters[lvl], _ = nw_combine(S, hac_lag)
-    elif len(key_cols) == 1:
-        for lvl, pairs in per_level.items():
-            M = np.zeros((p, p))
-            for _, s in pairs:
-                M += np.outer(s, s)
-            meats[lvl] = M
-            n_clusters[lvl] = len(pairs)
-    else:
-        # CGM inclusion-exclusion per level, mirroring api._cluster_meat_any:
-        # each subset carries its own g_S/(g_S−1) factor folded into an
-        # effective meat so compute_vcov's single CR1 formula (G = min
-        # single-variable G) reproduces the component sum — the n/(n−p)
-        # factors cancel within a level
-        from itertools import combinations
-
-        k = len(key_cols)
-        for lvl, pairs in per_level.items():
-            comps = []
-            g_single = {}
-            for r_sz in range(1, k + 1):
-                for S_idx in combinations(range(k), r_sz):
-                    groups: dict = {}
-                    for kt, s in pairs:
-                        sub = tuple(kt[i] for i in S_idx)
-                        acc = groups.get(sub)
-                        groups[sub] = s if acc is None else acc + s
-                    g_S = len(groups)
-                    if g_S < 2:
-                        raise ValueError(
-                            f"multiway clustering needs >= 2 clusters per "
-                            f"dimension within each split level; "
-                            f"{'x'.join(key_cols[i] for i in S_idx)} has "
-                            f"{g_S} in level {lvl!r}"
-                        )
-                    M = np.zeros((p, p))
-                    for sv in groups.values():
-                        M += np.outer(sv, sv)
-                    comps.append((r_sz, M, g_S))
-                    if r_sz == 1:
-                        g_single[S_idx[0]] = g_S
-            g_min = min(g_single.values())
-            scale_ref = g_min / (g_min - 1)
-            M_eff = np.zeros((p, p))
-            for r_sz, M, g_S in comps:
-                sign = 1.0 if r_sz % 2 == 1 else -1.0
-                M_eff += sign * ((g_S / (g_S - 1)) / scale_ref) * M
-            meats[lvl] = M_eff
-            n_clusters[lvl] = g_min
+    meats, n_clusters = combine_level_scores(
+        per_level, key_cols, vcov_type, hac_lag, p
+    )
     for lvl in list(meats):
         keep = np.asarray(pos[lvl].keep_idx, dtype=int)
         meats[lvl] = meats[lvl][np.ix_(keep, keep)]

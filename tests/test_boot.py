@@ -37,7 +37,9 @@ def _brute_force(pdf, param_beta, impose_null, weights_matrix):
             s = Xm[g == gi].T @ u[g == gi]
             meat += np.outer(s, s)
         Ainv = np.linalg.inv(Xm.T @ Xm)
-        V = (G / (G - 1)) * ((n - 1) / (n - p)) * (Ainv @ meat @ Ainv)
+        # package CR1 convention (solve.py): G/(G−1) · n/(n−k); the
+        # Stata/boottest (n−1)/(n−k) variant gives identical p-values
+        V = (G / (G - 1)) * (n / (n - p)) * (Ainv @ meat @ Ainv)
         return float(R @ (bta - ref)) / float(np.sqrt(R @ V @ R))
 
     A = X.T @ X
@@ -172,7 +174,7 @@ def test_weighted_matches_brute_force(spark):
         for gi in range(G):
             s = X[g == gi].T @ u_star[g == gi]
             meat += np.outer(s, s)
-        V = (G / (G - 1)) * ((n_w - 1) / (n_w - p)) * (Ainv @ meat @ Ainv)
+        V = (G / (G - 1)) * (n_w / (n_w - p)) * (Ainv @ meat @ Ainv)
         ts.append(float(R @ (b_star - beta_c)) / float(np.sqrt(R @ V @ R)))
     t_ref = np.array(ts)
     p_ref = float(np.mean(np.abs(t_ref) >= abs(res["t"]) - 1e-12))
@@ -222,7 +224,7 @@ def test_fe_matches_brute_force_dummy_model(spark):
         for gi in range(G):
             s = X[g == gi].T @ u_star[g == gi]
             meat += np.outer(s, s)
-        V = (G / (G - 1)) * ((n - 1) / (n - k_par)) * (Ainv @ meat @ Ainv)
+        V = (G / (G - 1)) * (n / (n - k_par)) * (Ainv @ meat @ Ainv)
         ts.append(float(R @ (b_star - beta_c)) / float(np.sqrt(R @ V @ R)))
     t_ref = np.array(ts)
     p_ref = float(np.mean(np.abs(t_ref) >= abs(res["t"]) - 1e-12))
@@ -234,7 +236,7 @@ def test_fe_matches_brute_force_dummy_model(spark):
     for gi in range(G):
         s = X[g == gi].T @ u_hat[g == gi]
         meat += np.outer(s, s)
-    V = (G / (G - 1)) * ((n - 1) / (n - k_par)) * (Ainv @ meat @ Ainv)
+    V = (G / (G - 1)) * (n / (n - k_par)) * (Ainv @ meat @ Ainv)
     assert res["t"] == pytest.approx(
         float(R @ beta) / float(np.sqrt(R @ V @ R)), rel=1e-9
     )

@@ -335,3 +335,23 @@ def test_split_dk_demean_and_full(sdata):
     full = dbreg("y ~ x1 + x2 | f2", df, strategy="demean", vcov="dk ~ f1",
                  hac_lag=1)
     _assert_matches(ms["(full)"], full)
+
+
+def test_split_single_cluster_level_clear_error(spark):
+    """ADVICE r06: a split level with one cluster (or one DK period) must
+    raise a clear per-level error, not a bare ZeroDivisionError from the
+    G/(G-1) small-sample factor."""
+    pdf = pd.DataFrame(
+        {
+            "y": np.arange(40, dtype=float),
+            "x": np.arange(40, dtype=float) * 0.5 + 1.0,
+            "g": ["a"] * 20 + ["b"] * 20,
+            # level 'b' sees only one cluster / one period
+            "cl": [0] * 10 + [1] * 10 + [7] * 20,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="level 'b'"):
+        dbreg_split("y ~ x", df, split="g", vcov="~cl")
+    with pytest.raises(ValueError, match="level 'b'"):
+        dbreg_split("y ~ x", df, split="g", vcov="dk ~ cl", hac_lag=1)
