@@ -874,6 +874,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["text_pack_greedy"] = q_pack
 
+    # the composed end-to-end corpus pipeline (VERDICT r06 #6): LSH pairs
+    # -> components -> keep-canonical -> repetition filter -> pack; the
+    # DuckDB twin composes the stage oracles as nested subqueries
+    def q_pipeline_corpus(spark, sf_dir):
+        from dbreg_spark.pipeline import corpus_pipeline
+
+        t = _tables(spark, sf_dir)
+        return corpus_pipeline(t["documents"])
+
+    Q["pipeline_corpus"] = q_pipeline_corpus
+
     # point-in-time lookup: latest prior purchase per user, every event
     # (union-tag + windowed carry-forward; DuckDB native ASOF JOIN oracle)
     def q_asof(spark, sf_dir):
@@ -2192,6 +2203,10 @@ FROM g CROSS JOIN tot
     from dbreg_spark.operators import text as _text
 
     O["text_pack_greedy"] = _text.pack_greedy_sql("documents", budget=1000)
+
+    from dbreg_spark.pipeline import corpus_pipeline_sql as _cp_sql
+
+    O["pipeline_corpus"] = _cp_sql("documents")
     O["text_vocabulary"] = _text.vocabulary_sql("documents", min_df=3, max_vocab=200)
 
     O["text_decontaminate"] = _text.decontaminate_sql(

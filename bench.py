@@ -395,6 +395,12 @@ def main() -> None:
         "text_pack_greedy",
         lambda: _textops.pack_greedy(t["documents"], budget=1000).count(),
     )
+    from dbreg_spark.pipeline import corpus_pipeline as _corpus_pipeline
+
+    bench(
+        "pipeline_corpus",
+        lambda: _corpus_pipeline(t["documents"]).count(),
+    )
     bench(
         "text_chunks",
         lambda: _textops.chunk_text(
@@ -615,6 +621,10 @@ def main() -> None:
             bench1(
                 "text_pack_greedy",
                 lambda: _textops.pack_greedy(docs1, budget=1000).count(),
+            )
+            bench1(
+                "pipeline_corpus",
+                lambda: _corpus_pipeline(docs1).count(),
             )
             # the entry-point callables re-register the temp views from
             # sf1_dir (only the tables present there), so the sessionize

@@ -9,7 +9,7 @@ similarity search, text analysis, multimodal plumbing).
 
 from .api import dbreg, sql_model_matrix
 from .binsreg import BinsregResult, dbbinsreg
-from .boot import wild_cluster_bootstrap
+from .boot import load_bootstrap, save_bootstrap, wild_cluster_bootstrap
 from .design import standardize_coef_names
 from .formula import parse_formula, parse_vcov
 from .glm import GlmModel, dbglm
@@ -18,12 +18,16 @@ from .model import DbregModel
 from .eventstudy import EventStudyResult, event_study, sun_abraham
 from .split import DbregSplit, dbreg_split
 from .split_glm import GlmSplit, dbglm_split
+from .pipeline import corpus_pipeline
 
 __all__ = [
     "dbreg",
     "sql_model_matrix",
     "dbbinsreg",
     "wild_cluster_bootstrap",
+    "save_bootstrap",
+    "load_bootstrap",
+    "corpus_pipeline",
     "BinsregResult",
     "DbregModel",
     "dbglm",

@@ -134,6 +134,22 @@ def dbreg(
     if vcov_type == "dk" and chosen == "compress" and strategy == "auto":
         # DK needs a per-period score pass; cells drop the time dimension
         chosen = "demean" if parsed.fe else "moments"
+    if vcov_type == "cr3":
+        # CV3 jackknife refits need the raw per-cluster Gram blocks — the
+        # moments strategy carries exactly those; absorbed-FE leave-out
+        # refits would change every group mean (not a block subtraction)
+        if parsed.fe:
+            raise NotImplementedError(
+                "vcov='cr3 ~ g' does not support absorbed `| fe` fixed "
+                "effects (leaving a cluster out changes the FE means); "
+                "include the FE as factor regressors, or use '~g' CR1 / "
+                "wild_cluster_bootstrap"
+            )
+        if strategy not in ("auto", "moments"):
+            raise NotImplementedError(
+                "vcov='cr3 ~ g' supports strategy='moments' only"
+            )
+        chosen = "moments"
 
     kwargs = dict(
         source=source,
@@ -483,7 +499,17 @@ def _execute_moments(
             time_col=cluster_var[0], lag=hac_lag, weight_col=weight_col,
         )
 
-    V = compute_vcov(vcov_type, sol.xtx_inv, rss, df_res, n_total, p, meat, n_clusters)
+    if vcov_type == "cr3":
+        from .boot import cr3_vcov
+
+        V, n_clusters = cr3_vcov(
+            frame.df, frame.y_col, kept_x, icpt, cluster_var[0],
+            weight_col, sol.betahat,
+        )
+    else:
+        V = compute_vcov(
+            vcov_type, sol.xtx_inv, rss, df_res, n_total, p, meat, n_clusters
+        )
     ct = gen_coeftable(sol.betahat, V, df_res, collin.keep_names)
     return DbregModel(
         coeftable=ct,

@@ -622,3 +622,82 @@ def _supt_critical(fit, geo, eval_fn, se_fn, alpha, nsims, seed):
     draws = rng.multivariate_normal(np.zeros(B), C, size=nsims, method="svd")
     sup_t = np.abs(draws / ses).max(axis=1)
     return float(np.quantile(sup_t, 1 - alpha))
+
+
+# --------------------------------------------------------------------------
+# serialization (same json+parquet scheme as save_model / save_split)
+# --------------------------------------------------------------------------
+
+
+def save_binsreg(r: BinsregResult, path: str) -> None:
+    """Serialize a binscatter result to directory ``path``: ``binsreg.json``
+    (options + knots — json floats round-trip bit-exactly via repr),
+    ``points/line/bins.parquet`` (exact doubles), and the underlying model
+    under ``model/`` (so wald/predict still work after reload). Restore
+    with :func:`load_binsreg` / ``BinsregResult.load`` /
+    ``model.load_any_model``."""
+    import json
+    import os
+
+    from .model import _json_default
+
+    os.makedirs(path, exist_ok=True)
+    opt = {
+        k: (list(v) if isinstance(v, tuple) else v) for k, v in r.opt.items()
+    }
+    meta = {
+        "format": "dbreg_spark.binsreg/1",
+        "opt": opt,
+        "knots": [float(v) for v in r.knots] if r.knots is not None else None,
+        "has_points": r.points is not None,
+        "has_line": r.line is not None,
+    }
+    with open(os.path.join(path, "binsreg.json"), "w") as f:
+        json.dump(meta, f, allow_nan=True, default=_json_default)
+    if r.points is not None:
+        r.points.to_parquet(os.path.join(path, "points.parquet"))
+    if r.line is not None:
+        r.line.to_parquet(os.path.join(path, "line.parquet"))
+    r.bins.to_parquet(os.path.join(path, "bins.parquet"))
+    r.model.save(os.path.join(path, "model"))
+
+
+def load_binsreg(path: str, spark=None) -> BinsregResult:
+    import json
+    import os
+
+    from .model import load_model
+
+    with open(os.path.join(path, "binsreg.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != "dbreg_spark.binsreg/1":
+        raise ValueError(f"unrecognized binsreg format in {path}")
+    opt = meta["opt"]
+    # the two bin-spec options are (degree, smooth) tuples in-memory
+    for k in ("points", "line"):
+        if isinstance(opt.get(k), list):
+            opt[k] = tuple(opt[k])
+    return BinsregResult(
+        points=(
+            pd.read_parquet(os.path.join(path, "points.parquet"))
+            if meta["has_points"]
+            else None
+        ),
+        line=(
+            pd.read_parquet(os.path.join(path, "line.parquet"))
+            if meta["has_line"]
+            else None
+        ),
+        bins=pd.read_parquet(os.path.join(path, "bins.parquet")),
+        model=load_model(os.path.join(path, "model"), spark),
+        opt=opt,
+        knots=(
+            np.asarray(meta["knots"], dtype=float)
+            if meta["knots"] is not None
+            else None
+        ),
+    )
+
+
+BinsregResult.save = save_binsreg
+BinsregResult.load = staticmethod(load_binsreg)

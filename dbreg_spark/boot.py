@@ -28,9 +28,13 @@ Beyond the reference (no bootstrap there); semantics follow the WCR/WCU
 (1-2) are absorbed by demeaning, which is EXACT for the bootstrap when
 every FE level is nested inside one cluster (the wild weight is then
 constant within the level, so re-demeaning the bootstrap outcome commutes
-with the draw) — enforced with a probe; non-nested FEs must ride as
-explicit factor regressors. Absorbed dof counts toward the CR1 small-
-sample correction (k = p + G₁ [+ G₂ − 1]).
+with the draw) — probed per FE; an FE that spans clusters (or the second
+FE of a weighted model, where 2-FE demeaning is itself inexact)
+automatically rides as EXPLICIT factor dummies instead — exact for
+arbitrary regressors — while its level count is at most
+``MAX_DUMMY_LEVELS`` (the Gram stays p x p driver-side); only past that
+cap does the refusal fire. Absorbed dof counts toward the CR1 small-
+sample correction (k = p + G₁ [+ G₂ − 1]); dummied levels count inside p.
 """
 
 from __future__ import annotations
@@ -47,6 +51,7 @@ from .plans.frames import build_base_frame
 from .solve import detect_collinearity, solve_with_fallback
 
 MAX_CLUSTERS = 100_000  # per-cluster blocks collected to the driver
+MAX_DUMMY_LEVELS = 200  # non-nested-FE dummy fallback cap (p stays tiny)
 
 
 def cluster_gram_frame(
@@ -103,6 +108,66 @@ def cluster_gram_sql(
         f"SELECT {cluster}, " + ",\n  ".join(terms) +
         f"\n{from_clause}\nGROUP BY {cluster}"
     )
+
+
+def cr3_vcov(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    intercept: bool,
+    cluster: str,
+    weight_col: str | None,
+    beta: np.ndarray,
+) -> tuple[np.ndarray, int]:
+    """MacKinnon-Nielsen-Webb cluster jackknife (CV3): leave-one-cluster-
+    out refits, V = (G-1)/G * sum_g (b_{-g} - b)(b_{-g} - b)'.
+
+    ONE grouped pass collects the per-cluster Gram blocks (the same
+    :func:`cluster_gram_frame` the wild bootstrap uses); each leave-out
+    estimate is then the driver-side solve (A - A_g)^{-1}(b - b_g) — no
+    G extra data passes. Recommended over CR1 for few clusters
+    (MacKinnon, Nielsen & Webb 2022); a cluster whose removal makes the
+    design singular (it alone carries a regressor's variation) raises a
+    clear error naming the cluster."""
+    gf = cluster_gram_frame(
+        df, y_col, x_cols, cluster, weight_col=weight_col,
+        intercept=intercept,
+    )
+    rows = gf.limit(MAX_CLUSTERS + 1).collect()
+    if len(rows) > MAX_CLUSTERS:
+        raise ValueError(
+            f"cr3 supports at most {MAX_CLUSTERS:,} clusters (each "
+            "collects an O(p^2) Gram block); use '~cluster' CR1 instead"
+        )
+    G = len(rows)
+    if G < 2:
+        raise ValueError("cr3 needs >= 2 clusters")
+    p = (1 if intercept else 0) + len(x_cols)
+    A_g = np.zeros((G, p, p))
+    b_g = np.zeros((G, p))
+    keys = []
+    for gi, r in enumerate(rows):
+        keys.append(r[cluster])
+        for i in range(p):
+            b_g[gi, i] = float(r[f"b_{i}"] or 0.0)
+            for k2 in range(i, p):
+                v = float(r[f"a_{i}_{k2}"] or 0.0)
+                A_g[gi, i, k2] = A_g[gi, k2, i] = v
+    A = A_g.sum(axis=0)
+    b = b_g.sum(axis=0)
+    D = np.zeros((G, p))
+    for gi in range(G):
+        try:
+            D[gi] = np.linalg.solve(A - A_g[gi], b - b_g[gi]) - beta
+        except np.linalg.LinAlgError:
+            raise ValueError(
+                f"cr3: leaving out cluster {keys[gi]!r} makes the design "
+                "singular (that cluster alone identifies a coefficient); "
+                "CV3 is undefined here — use '~cluster' CR1 or the wild "
+                "bootstrap"
+            ) from None
+    V = ((G - 1) / G) * (D.T @ D)
+    return V, G
 
 
 def _weight_matrix(kind: str, G: int, B: int, seed: int):
@@ -171,11 +236,6 @@ def wild_cluster_bootstrap(
             "wild_cluster_bootstrap absorbs at most 2 fixed effects; "
             "include further FEs as explicit factor regressors"
         )
-    if parsed.fe and len(parsed.fe) > 1 and weight_col is not None:
-        raise NotImplementedError(
-            "weighted 2-FE demeaning is not exact; use one FE or explicit "
-            "dummies"
-        )
     if spark is None and isinstance(data, DataFrame):
         spark = data.sparkSession
     source = resolve_source(spark=spark, data=data, table=table, path=path)
@@ -193,8 +253,13 @@ def wild_cluster_bootstrap(
         # The demeaned-space bootstrap algebra is EXACT only when every FE
         # level sits inside a single cluster (then the wild weight is
         # constant within each level, so re-demeaning the bootstrap outcome
-        # commutes with the draw). Enforce it — the standard designs (unit
-        # FE clustered by unit or coarser) satisfy this.
+        # commutes with the draw). An FE that fails that probe — or the
+        # second FE of a weighted model, where 2-FE demeaning itself is
+        # inexact — rides as EXPLICIT factor dummies instead (exact for
+        # arbitrary regressors) while it has at most MAX_DUMMY_LEVELS
+        # levels; the refusal now only fires past that cap.
+        dummy_fes: list[str] = []
+        absorb_fes: list[str] = []
         for f in parsed.fe:
             spans = (
                 base.df.groupBy(f)
@@ -203,27 +268,56 @@ def wild_cluster_bootstrap(
                 .limit(1)
                 .count()
             )
-            if spans:
-                raise NotImplementedError(
-                    f"wild_cluster_bootstrap with absorbed FEs requires "
-                    f"each FE level nested inside one cluster; {f!r} has "
-                    f"levels spanning multiple {cluster!r} clusters — "
-                    "include it as an explicit factor regressor instead"
-                )
-        from .plans.frames import build_demeaned_frame
-
-        counts = base.df.agg(
-            *[F.countDistinct(f).alias(f"g_{i}") for i, f in enumerate(parsed.fe)]
-        ).collect()[0]
-        g_fe = [int(counts[f"g_{i}"]) for i in range(len(parsed.fe))]
-        df_fe = float(g_fe[0] + (g_fe[1] - 1 if len(parsed.fe) == 2 else 0))
-        frame = build_demeaned_frame(base, parsed.fe, weight_col=weight_col)
-        if cluster not in frame.df.columns:
-            from .api import _reattach_cluster
-
-            frame = _reattach_cluster(
-                base, frame, parsed.fe, [cluster], True, weight_col
+            (dummy_fes if spans else absorb_fes).append(f)
+        if weight_col is not None and len(absorb_fes) > 1:
+            dummy_fes.append(absorb_fes.pop())
+        for f in dummy_fes:
+            lv_rows = (
+                base.df.select(f).distinct()
+                .limit(MAX_DUMMY_LEVELS + 1).collect()
             )
+            if len(lv_rows) > MAX_DUMMY_LEVELS:
+                raise NotImplementedError(
+                    f"wild_cluster_bootstrap: FE {f!r} is not nested "
+                    f"inside {cluster!r} clusters (or needs the weighted "
+                    f"2-FE dummy fallback) and has more than "
+                    f"{MAX_DUMMY_LEVELS} levels — too many to carry as "
+                    "explicit dummies (the Gram is p x p driver-side); "
+                    "coarsen the FE or use the analytic CR1 vcov"
+                )
+            levels = sorted(
+                (r[f] for r in lv_rows), key=lambda v: (v is None, str(v))
+            )
+            for lv in levels:
+                cname = f"{f}{lv}"
+                base.df = base.df.withColumn(
+                    cname, F.col(f).eqNullSafe(F.lit(lv)).cast("double")
+                )
+                base.x_cols = list(base.x_cols) + [cname]
+        if absorb_fes:
+            from .plans.frames import build_demeaned_frame
+
+            counts = base.df.agg(
+                *[
+                    F.countDistinct(f).alias(f"g_{i}")
+                    for i, f in enumerate(absorb_fes)
+                ]
+            ).collect()[0]
+            g_fe = [int(counts[f"g_{i}"]) for i in range(len(absorb_fes))]
+            df_fe = float(
+                g_fe[0] + (g_fe[1] - 1 if len(absorb_fes) == 2 else 0)
+            )
+            frame = build_demeaned_frame(
+                base, absorb_fes, weight_col=weight_col
+            )
+            if cluster not in frame.df.columns:
+                from .api import _reattach_cluster
+
+                frame = _reattach_cluster(
+                    base, frame, absorb_fes, [cluster], True, weight_col
+                )
+        else:
+            frame = base
     x_cols = list(frame.x_cols)
     names_all = (["(Intercept)"] if intercept else []) + [
         standardize_coef_names(n) for n in x_cols
@@ -346,4 +440,40 @@ def wild_cluster_bootstrap(
         "enumerated": bool(enumerated),
         "coef_names": names,
         "fe": list(parsed.fe),
+        "seed": int(seed),
+        # the full bootstrap t* distribution (a tuple: hashable, exact
+        # dict equality) so p/CI re-derive from a saved result without
+        # re-running the grouped pass
+        "t_star": tuple(float(v) for v in t_star),
     }
+
+
+def save_bootstrap(res: dict, path: str) -> None:
+    """Serialize a wild-cluster-bootstrap result to ``path/boot.json``.
+    json floats round-trip bit-exactly (repr), so the reloaded t*
+    distribution re-derives the identical p-value and percentile-t CI."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "boot.json"), "w") as f:
+        json.dump(
+            {"format": "dbreg_spark.boot/1", "result": dict(res)},
+            f,
+            allow_nan=True,
+        )
+
+
+def load_bootstrap(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "boot.json")) as f:
+        obj = json.load(f)
+    if obj.get("format") != "dbreg_spark.boot/1":
+        raise ValueError(f"unrecognized bootstrap format in {path}")
+    res = obj["result"]
+    res["coef_names"] = list(res["coef_names"])
+    res["fe"] = list(res["fe"])
+    res["t_star"] = tuple(float(v) for v in res["t_star"])
+    return res

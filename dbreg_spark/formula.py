@@ -244,10 +244,17 @@ def parse_vcov(vcov, cluster=None, valid=("iid", "hc1")) -> tuple[str, list[str]
             if len(cluster_vars) != 1:
                 raise ValueError("Driscoll-Kraay needs exactly one time variable")
             vcov_type = "dk"
+        elif lhs.strip().lower() in ("cr3", "cv3", "jackknife"):
+            # MacKinnon-Nielsen-Webb cluster jackknife (CV3): leave-one-
+            # cluster-out refits from per-cluster Gram blocks
+            cluster_vars = parse_cluster("~" + rhs)
+            if len(cluster_vars) != 1:
+                raise ValueError("cr3 needs exactly one cluster variable")
+            vcov_type = "cr3"
         else:
             raise ValueError(
                 f"unknown vcov form {vcov!r}; use 'iid', 'hc1', '~cluster', "
-                "or 'dk ~ time'"
+                "'dk ~ time', or 'cr3 ~ cluster'"
             )
     elif isinstance(vcov, str):
         vt = vcov.strip().lower()

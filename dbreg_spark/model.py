@@ -914,11 +914,30 @@ def _obj_to_model(obj: dict, path: str, spark=None) -> "DbregModel":
 
 
 def load_any_model(path: str, spark=None):
-    """Dispatch on the saved ``format`` tag: restores a plain dbreg OLS
-    model, a GLM, or a 2SLS model from the same directory layout."""
+    """Dispatch on the saved artifact: a directory holding ``model.json``
+    (OLS / GLM / 2SLS — resolved by its ``format`` tag), ``split.json``
+    (split-sample results), ``study.json`` (event studies),
+    ``binsreg.json`` (binscatter results), or ``boot.json`` (wild cluster
+    bootstrap)."""
     import json
     import os
 
+    if os.path.exists(os.path.join(path, "split.json")):
+        from .split import load_split
+
+        return load_split(path, spark)
+    if os.path.exists(os.path.join(path, "study.json")):
+        from .eventstudy import load_event_study
+
+        return load_event_study(path, spark)
+    if os.path.exists(os.path.join(path, "binsreg.json")):
+        from .binsreg import load_binsreg
+
+        return load_binsreg(path, spark)
+    if os.path.exists(os.path.join(path, "boot.json")):
+        from .boot import load_bootstrap
+
+        return load_bootstrap(path)
     with open(os.path.join(path, "model.json")) as f:
         fmt = json.load(f).get("format")
     if fmt == "dbreg_spark.ols/1":

@@ -1125,35 +1125,39 @@ def dedup_components_sql(
     id. ``pairs_sql`` is any query yielding (id_a, id_b) — e.g. the
     minhash-LSH pair query — so the full pairs→groups pipeline replays in
     ANSI SQL."""
+    # cc_-prefixed CTE names: this query nests inside other oracles'
+    # WITH RECURSIVE scopes (corpus_pipeline_sql), where a shared name
+    # like `walk` would misbind across recursive scopes
     return f"""
-WITH RECURSIVE pairs AS ({pairs_sql}),
-edges AS (
-  SELECT id_a AS s, id_b AS d FROM pairs
+WITH RECURSIVE cc_pairs AS ({pairs_sql}),
+cc_edges AS (
+  SELECT id_a AS s, id_b AS d FROM cc_pairs
   UNION
-  SELECT id_b AS s, id_a AS d FROM pairs
+  SELECT id_b AS s, id_a AS d FROM cc_pairs
 ),
-walk(id, reach) AS (
-  SELECT s, s FROM edges
+cc_walk(id, reach) AS (
+  SELECT s, s FROM cc_edges
   UNION
-  SELECT w.id, e.d FROM walk w JOIN edges e ON e.s = w.reach
+  SELECT w.id, e.d FROM cc_walk w JOIN cc_edges e ON e.s = w.reach
 ),
-comp AS (
-  SELECT id, MIN(reach) AS component FROM walk GROUP BY id
+cc_comp AS (
+  SELECT id, MIN(reach) AS component FROM cc_walk GROUP BY id
 ),
-joined AS (
+cc_joined AS (
   SELECT t.{id_col},
-         COALESCE(comp.component, t.{id_col}) AS component,
-         comp.component IS NOT NULL AS in_graph
+         COALESCE(cc_comp.component, t.{id_col}) AS component,
+         cc_comp.component IS NOT NULL AS in_graph
   FROM {table} t
-  LEFT JOIN comp ON comp.id = t.{id_col}
+  LEFT JOIN cc_comp ON cc_comp.id = t.{id_col}
 ),
-pmin AS (
-  SELECT component, MIN({id_col}) AS pm FROM joined WHERE in_graph GROUP BY component
+cc_pmin AS (
+  SELECT component, MIN({id_col}) AS pm
+  FROM cc_joined WHERE in_graph GROUP BY component
 )
 SELECT j.{id_col}, j.component,
        (j.{id_col} = COALESCE(p.pm, j.{id_col})) AS is_canonical
-FROM joined j
-LEFT JOIN pmin p USING (component)
+FROM cc_joined j
+LEFT JOIN cc_pmin p USING (component)
 """
 
 

@@ -357,16 +357,18 @@ def pack_greedy_sql(
     """DuckDB twin of :func:`pack_greedy`: the greedy accumulator as a
     row-by-row recursive CTE per shard (oracle-scale only — recursion depth
     = rows per shard)."""
+    # pk_-prefixed CTE names: safe to nest among other recursive oracles
+    # (corpus_pipeline_sql) — a shared `walk` would misbind across scopes
     return f"""
-WITH RECURSIVE ordered AS (
+WITH RECURSIVE pk_ordered AS (
   SELECT {id_col}, {shard_col}, {size_col},
          ROW_NUMBER() OVER (PARTITION BY {shard_col} ORDER BY {id_col}) AS rn
   FROM {table}
 ),
-walk(doc_id, shard, rn, pack_seq, pack_offset, acc) AS (
+pk_walk(doc_id, shard, rn, pack_seq, pack_offset, acc) AS (
   SELECT {id_col}, {shard_col}, rn,
          CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST({size_col} AS BIGINT)
-  FROM ordered WHERE rn = 1
+  FROM pk_ordered WHERE rn = 1
   UNION ALL
   SELECT o.{id_col}, o.{shard_col}, o.rn,
          CASE WHEN w.acc + o.{size_col} > {budget}
@@ -375,11 +377,11 @@ walk(doc_id, shard, rn, pack_seq, pack_offset, acc) AS (
               THEN CAST(0 AS BIGINT) ELSE w.acc END,
          CASE WHEN w.acc + o.{size_col} > {budget}
               THEN CAST(o.{size_col} AS BIGINT) ELSE w.acc + o.{size_col} END
-  FROM walk w JOIN ordered o
+  FROM pk_walk w JOIN pk_ordered o
     ON o.{shard_col} = w.shard AND o.rn = w.rn + 1
 )
 SELECT doc_id AS {id_col}, shard AS {shard_col}, pack_seq, pack_offset
-FROM walk
+FROM pk_walk
 """
 
 

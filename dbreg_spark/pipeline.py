@@ -131,3 +131,84 @@ __all__ = [
     # reporting / monitoring
     "corpus_report", "streaming_corpus_stats", "streaming_volume_anomaly",
 ]
+
+
+def corpus_pipeline(
+    df,
+    *,
+    budget: int = 1000,
+    n_hashes: int = 16,
+    band_rows: int = 2,
+    shingle_words: int = 2,
+    jaccard_threshold: float = 0.3,
+):
+    """The composed end-to-end corpus pipeline a training run actually
+    ships: MinHash-LSH near-dup pairs -> connected components -> keep one
+    canonical doc per duplicate group -> Gopher repetition filter ->
+    greedy sequence packing. Returns the packed manifest
+    (doc_id, source, pack_seq, pack_offset).
+
+    Every stage is its own gated operator; this composition exercises what
+    only shows up end-to-end at 100 TB — cumulative shuffle volume,
+    lineage length across the localCheckpointed stages, and the cache
+    boundaries between them. The plan stays fully distributed: the only
+    driver transfers are the stages' own bounded collects (union-find
+    under ``driver_nmax`` edges, broadcast keep-lists)."""
+    import pyspark.sql.functions as F
+
+    from .operators.dedup import dedup_components, minhash_lsh_pairs
+    from .operators.text import pack_greedy, repetition_stats
+
+    pairs = minhash_lsh_pairs(
+        df,
+        n_hashes=n_hashes,
+        band_rows=band_rows,
+        shingle_words=shingle_words,
+        jaccard_threshold=jaccard_threshold,
+    )
+    comp = dedup_components(df, pairs)
+    kept = df.join(
+        comp.where("is_canonical").select("doc_id"), "doc_id", "inner"
+    )
+    rep = repetition_stats(kept)
+    clean = kept.join(
+        rep.where(F.col("is_repetitive") == 0).select("doc_id"),
+        "doc_id",
+        "inner",
+    )
+    return pack_greedy(clean, budget=budget)
+
+
+def corpus_pipeline_sql(
+    table: str,
+    *,
+    budget: int = 1000,
+    n_hashes: int = 16,
+    band_rows: int = 2,
+    shingle_words: int = 2,
+    jaccard_threshold: float = 0.3,
+) -> str:
+    """DuckDB twin of :func:`corpus_pipeline`: the stage oracles composed
+    as nested subqueries (each stage's own WITH RECURSIVE stays scoped to
+    its derived table)."""
+    from .operators.dedup import dedup_components_sql, minhash_lsh_pairs_sql
+    from .operators.text import pack_greedy_sql, repetition_stats_sql
+
+    pairs_sql = minhash_lsh_pairs_sql(
+        table,
+        n_hashes=n_hashes,
+        band_rows=band_rows,
+        shingle_words=shingle_words,
+        jaccard_threshold=jaccard_threshold,
+    )
+    comp_sql = dedup_components_sql(table, pairs_sql)
+    kept_sql = (
+        f"SELECT t.* FROM {table} t JOIN (\n{comp_sql}\n) __comp"
+        " ON t.doc_id = __comp.doc_id AND __comp.is_canonical"
+    )
+    rep_sql = repetition_stats_sql(f"(\n{kept_sql}\n) __kept")
+    clean_sql = (
+        f"SELECT k.* FROM (\n{kept_sql}\n) k JOIN (\n{rep_sql}\n) __rep"
+        " ON k.doc_id = __rep.doc_id AND __rep.is_repetitive = 0"
+    )
+    return pack_greedy_sql(f"(\n{clean_sql}\n) __clean", budget=budget)

@@ -150,3 +150,33 @@ def test_experiment_analysis_composition(spark):
     # assignment is balanced within noise
     counts = assigned.groupBy("split").count().toPandas().set_index("split")["count"]
     assert abs(counts["treat"] - counts["control"]) < 4 * np.sqrt(n)
+
+
+def test_corpus_pipeline_composed_matches_stagewise(spark, docs):
+    """VERDICT r06 #6: the ONE-call composed pipeline (corpus_pipeline)
+    must equal running its stages by hand, and its packed manifest covers
+    exactly the canonical+clean survivors."""
+    from dbreg_spark.pipeline import corpus_pipeline
+
+    out = corpus_pipeline(docs).toPandas()
+
+    pairs = P.minhash_lsh_pairs(
+        docs, n_hashes=16, band_rows=2, shingle_words=2,
+        jaccard_threshold=0.3,
+    )
+    comp = P.dedup_components(docs, pairs)
+    kept = docs.join(
+        comp.where("is_canonical").select("doc_id"), "doc_id"
+    )
+    rep = P.repetition_stats(kept)
+    clean = kept.join(
+        rep.where(F.col("is_repetitive") == 0).select("doc_id"), "doc_id"
+    )
+    ref = P.pack_greedy(clean, budget=1000).toPandas()
+
+    key = lambda d: sorted(  # noqa: E731
+        zip(d["doc_id"], d["source"], d["pack_seq"], d["pack_offset"])
+    )
+    assert key(out) == key(ref)
+    assert len(out) == clean.count() > 0
+    assert len(out) < docs.count()  # both filters actually removed docs
