@@ -135,21 +135,26 @@ def dbreg(
         # DK needs a per-period score pass; cells drop the time dimension
         chosen = "demean" if parsed.fe else "moments"
     if vcov_type == "cr3":
-        # CV3 jackknife refits need the raw per-cluster Gram blocks — the
-        # moments strategy carries exactly those; absorbed-FE leave-out
-        # refits would change every group mean (not a block subtraction)
-        if parsed.fe:
+        # CV3 jackknife refits need leave-one-cluster-out estimates as
+        # Gram-block subtractions. Exact on the moments strategy always;
+        # with ONE absorbed FE exact iff every FE level nests inside one
+        # cluster (dropping a cluster then removes whole FE groups, so the
+        # remaining rows' demeaned values are unchanged — probed inside
+        # the demean executor). 2-FE double-demeaning shifts the grand
+        # mean when a cluster leaves, so k>=2 FEs are refused.
+        if len(parsed.fe) > 1:
             raise NotImplementedError(
-                "vcov='cr3 ~ g' does not support absorbed `| fe` fixed "
-                "effects (leaving a cluster out changes the FE means); "
-                "include the FE as factor regressors, or use '~g' CR1 / "
-                "wild_cluster_bootstrap"
+                "vcov='cr3 ~ g' absorbs at most ONE fixed effect (the "
+                "2-FE double-demean grand mean changes when a cluster "
+                "leaves); include further FEs as factor regressors, or "
+                "use '~g' CR1 / wild_cluster_bootstrap"
             )
-        if strategy not in ("auto", "moments"):
+        if strategy not in ("auto", "moments", "demean", "within"):
             raise NotImplementedError(
-                "vcov='cr3 ~ g' supports strategy='moments' only"
+                "vcov='cr3 ~ g' supports strategy='moments' (no FE) or "
+                "'demean' (one nested FE)"
             )
-        chosen = "moments"
+        chosen = "demean" if parsed.fe else "moments"
 
     kwargs = dict(
         source=source,
@@ -693,9 +698,35 @@ def _finish_demean(
             time_col=cluster_var[0], lag=hac_lag, weight_col=weight_col,
         )
 
-    V = compute_vcov(
-        vcov_type, sol.xtx_inv, rss, df_res, n_total, n_params_cluster, meat, n_clusters
-    )
+    if vcov_type == "cr3":
+        # exactness precondition (see the dbreg dispatch comment): every
+        # FE level inside ONE cluster — then leave-cluster-out demeaned
+        # values equal the full-sample demeaned values on retained rows
+        spans = (
+            base.df.groupBy(fe[0])
+            .agg(F.countDistinct(cluster_var[0]).alias("g"))
+            .where(F.col("g") > 1)
+            .limit(1)
+            .count()
+        )
+        if spans:
+            raise NotImplementedError(
+                f"vcov='cr3 ~ {cluster_var[0]}' with an absorbed FE "
+                f"requires each {fe[0]!r} level nested inside one "
+                f"{cluster_var[0]!r} cluster; include the FE as a factor "
+                "regressor, or use '~g' CR1 / wild_cluster_bootstrap"
+            )
+        from .boot import cr3_vcov
+
+        V, n_clusters = cr3_vcov(
+            frame.df, frame.y_col, kept_x, False, cluster_var[0],
+            weight_col, sol.betahat,
+        )
+    else:
+        V = compute_vcov(
+            vcov_type, sol.xtx_inv, rss, df_res, n_total, n_params_cluster,
+            meat, n_clusters,
+        )
     ct = gen_coeftable(sol.betahat, V, df_res, collin.keep_names)
     return DbregModel(
         coeftable=ct,

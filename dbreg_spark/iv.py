@@ -39,6 +39,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .design import (
@@ -351,6 +352,32 @@ def dbiv(
         weight_col=weight_col,
     )
     icpt = ivf.intercept and not ivf.fe  # FE absorb the constant
+    if vcov_type == "cr3":
+        # CV3 leave-one-cluster-out 2SLS refits are Gram-block
+        # subtractions; with ONE absorbed FE that is exact iff every FE
+        # level nests inside one cluster (same precondition as dbreg's
+        # cr3 — dropping a cluster then removes whole FE groups, leaving
+        # the remaining rows' demeaned values unchanged)
+        if len(ivf.fe) > 1:
+            raise NotImplementedError(
+                "dbiv vcov='cr3 ~ g' absorbs at most ONE fixed effect "
+                "(the 2-FE double-demean grand mean changes when a "
+                "cluster leaves)"
+            )
+        if ivf.fe:
+            spans = (
+                base.df.groupBy(ivf.fe[0])
+                .agg(F.countDistinct(cluster_vars[0]).alias("g"))
+                .where(F.col("g") > 1)
+                .limit(1)
+                .count()
+            )
+            if spans:
+                raise NotImplementedError(
+                    f"dbiv vcov='cr3 ~ {cluster_vars[0]}' requires each "
+                    f"{ivf.fe[0]!r} level nested inside one "
+                    f"{cluster_vars[0]!r} cluster"
+                )
     if ivf.fe:
         # weighted k≥2: the one-scan double-demean identity fails under
         # weights — absorb via (weighted) alternating projections instead
@@ -530,10 +557,58 @@ def _solve_2sls(
 
     from .solve import compute_vcov
 
-    V = compute_vcov(
-        vcov_type, sol.xtx_inv, rss, df_res, n_total, n_params_cluster,
-        meat, n_clusters,
-    )
+    if vcov_type == "cr3":
+        # CV3 for 2SLS (MacKinnon-Nielsen-Webb): every leave-one-cluster-
+        # out 2SLS estimate re-solved from block-subtracted Gram moments,
+        # in the FULL-SAMPLE kept column layout — one grouped pass total
+        from .boot import MAX_CLUSTERS, cluster_gram_frame
+
+        gf = cluster_gram_frame(
+            frame.df, frame.y_col, w_names, cluster_vars[0],
+            weight_col=weight_col, intercept=icpt,
+        )
+        grows = gf.limit(MAX_CLUSTERS + 1).collect()
+        if len(grows) > MAX_CLUSTERS:
+            raise ValueError(
+                f"cr3 supports at most {MAX_CLUSTERS:,} clusters; use "
+                "'~cluster' CR1 instead"
+            )
+        G = len(grows)
+        if G < 2:
+            raise ValueError("cr3 needs >= 2 clusters")
+        p_w = (1 if icpt else 0) + len(w_names)
+        devs = np.zeros((G, len(sol.betahat)))
+        for gi, r in enumerate(grows):
+            A_l = A.copy()
+            b_l = b.copy()
+            for i in range(p_w):
+                b_l[i] -= float(r[f"b_{i}"] or 0.0)
+                for k2 in range(i, p_w):
+                    v = float(r[f"a_{i}_{k2}"] or 0.0)
+                    A_l[i, k2] -= v
+                    if k2 != i:
+                        A_l[k2, i] -= v
+            Azz_l = A_l[np.ix_(zk, zk)]
+            Azx_l = A_l[np.ix_(zk, xk_idx)]
+            Azy_l = b_l[zk]
+            Azz_inv_l = np.linalg.pinv(Azz_l)
+            M_l = Azx_l.T @ Azz_inv_l @ Azx_l
+            m_l = Azx_l.T @ Azz_inv_l @ Azy_l
+            try:
+                devs[gi] = np.linalg.solve(M_l, m_l) - sol.betahat
+            except np.linalg.LinAlgError:
+                raise ValueError(
+                    f"cr3: leaving out cluster "
+                    f"{r[cluster_vars[0]]!r} makes the 2SLS system "
+                    "singular; CV3 is undefined here — use '~cluster' CR1"
+                ) from None
+        V = ((G - 1) / G) * (devs.T @ devs)
+        n_clusters = G
+    else:
+        V = compute_vcov(
+            vcov_type, sol.xtx_inv, rss, df_res, n_total, n_params_cluster,
+            meat, n_clusters,
+        )
     ct = gen_coeftable(sol.betahat, V, df_res, cx.keep_names)
 
     # --- first-stage excluded-instrument F, per endogenous column ---------

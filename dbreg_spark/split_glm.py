@@ -681,6 +681,12 @@ def _fepois_decode(row, p):
     return a, b, ll
 
 
+# observability for tests: distributed pass counts of the last
+# _fit_lockstep_fepois call (each Newton "pass" = one collect-bearing
+# grouped job over the corpus shared by every active level)
+_FEPOIS_SPLIT_STATS: dict = {}
+
+
 def _fit_lockstep_fepois(
     frame_df, sess, fam, parsed, split, x_names, names_all, offset,
     weight_col, vcov_type, cluster_vars, max_iter, tol, split_nmax, verbose,
@@ -721,6 +727,8 @@ def _fit_lockstep_fepois(
         zero, gtab0, split, fe, x_names, offset, weight_col, first=True
     )
     first_rows = _fepois_level_agg(rows0, p_all, first=True)
+    _FEPOIS_SPLIT_STATS.clear()
+    _FEPOIS_SPLIT_STATS["newton_passes"] = 1
     if len(first_rows) > split_nmax:
         raise ValueError(
             f"split variable {split!r} has more than {split_nmax:,} levels"
@@ -791,6 +799,7 @@ def _fit_lockstep_fepois(
         if not active:
             break
         rows = _passes(active, first=False)
+        _FEPOIS_SPLIT_STATS["newton_passes"] += 1
         it += 1
         for lvl, st in active.items():
             row = rows.get(lvl)
@@ -841,6 +850,9 @@ def _fit_lockstep_fepois(
                 "step"
             )
         st["beta"] = st["accepted"]
+        _FEPOIS_SPLIT_STATS["max_level_iters"] = max(
+            _FEPOIS_SPLIT_STATS.get("max_level_iters", 1), st["n_iter"]
+        )
 
     # ---- final-beta group table: G per level, fixef plans, meat pass -------
     bt_f = _beta_frame(

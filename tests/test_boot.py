@@ -443,3 +443,45 @@ def test_fe_weighted_2fe_dummy_fallback(spark):
     p_ref = float(np.mean(np.abs(t_ref) >= abs(res["t"]) - 1e-12))
     assert res["p_value"] == pytest.approx(p_ref, abs=1e-12)
     assert res["estimate"] == pytest.approx(beta[0], rel=1e-9)
+
+
+def test_cr3_nested_fe_matches_lsdv_delete_one(spark):
+    """cr3 with ONE absorbed FE (each level nested in a cluster): the
+    demeaned-frame block-subtraction jackknife must equal the explicit
+    LSDV delete-one-cluster refit oracle; a spanning FE refuses."""
+    from dbreg_spark import dbreg
+
+    rng = np.random.default_rng(13)
+    n, G = 800, 8
+    g = rng.integers(0, G, n)
+    unit = g * 4 + rng.integers(0, 4, n)
+    x = rng.normal(size=n) + 0.4 * rng.normal(size=G)[g]
+    y = 1.0 + 0.5 * x + 0.6 * rng.normal(size=32)[unit] + rng.normal(size=n)
+    pdf = pd.DataFrame({"y": y, "x": x, "g": g, "unit": unit})
+    df = spark.createDataFrame(pdf)
+    m = dbreg("y ~ x | unit", df, vcov="cr3 ~ g")
+
+    D = np.zeros((n, 32))
+    D[np.arange(n), unit] = 1.0
+    X = np.column_stack([x[:, None], D])
+    beta = np.linalg.lstsq(X, y, rcond=None)[0]
+    devs = []
+    for gi in range(G):
+        keep = g != gi
+        cols = [0] + [1 + u for u in range(32) if (u // 4) != gi]
+        b = np.linalg.lstsq(X[keep][:, cols], y[keep], rcond=None)[0]
+        devs.append(b[0] - beta[0])
+    devs = np.asarray(devs)
+    V_ref = (G - 1) / G * float(devs @ devs)
+    assert m.vcov().to_numpy()[0, 0] == pytest.approx(V_ref, rel=1e-8)
+    assert m.coef().to_numpy()[0] == pytest.approx(beta[0], rel=1e-9)
+    assert m.n_clusters == G
+
+    pdf["f_span"] = rng.integers(0, 5, n)
+    with pytest.raises(NotImplementedError, match="nested"):
+        dbreg(
+            "y ~ x | f_span", spark.createDataFrame(pdf), vcov="cr3 ~ g"
+        )
+    with pytest.raises(NotImplementedError, match="ONE fixed effect"):
+        dbreg("y ~ x | unit + f_span", df.withColumn("f_span", df.g),
+              vcov="cr3 ~ g")

@@ -648,3 +648,72 @@ def test_iv_save_load_roundtrip(iv_sdf, tmp_path):
     from dbreg_spark.model import load_any_model
 
     assert type(load_any_model(p, sdf.sparkSession)) is IvModel
+
+
+def test_iv_cr3_matches_delete_one_2sls(spark):
+    """vcov='cr3 ~ g' on dbiv: CV3 jackknife from one per-cluster Gram
+    pass must equal dense leave-one-cluster-out 2SLS refits; with one
+    nested absorbed FE the demeaned block subtraction stays exact."""
+    rng = np.random.default_rng(17)
+    n, G = 1000, 10
+    g = rng.integers(0, G, n)
+    z = rng.normal(size=n)
+    u = rng.normal(size=n) + 0.5 * rng.normal(size=G)[g]
+    d = 0.8 * z + 0.5 * u + rng.normal(size=n)
+    x1 = rng.normal(size=n)
+    y = 1.0 + 0.7 * d + 0.3 * x1 + u
+    pdf = pd.DataFrame({"y": y, "d": d, "x1": x1, "z": z, "g": g})
+    df = spark.createDataFrame(pdf)
+    m = dbiv("y ~ x1 | d ~ z", df, vcov="cr3 ~ g")
+
+    X = np.column_stack([np.ones(n), x1, d])
+    Z = np.column_stack([np.ones(n), x1, z])
+
+    def tsls(Xs, Zs, ys):
+        Pz = Zs @ np.linalg.pinv(Zs.T @ Zs) @ Zs.T
+        return np.linalg.solve(Xs.T @ Pz @ Xs, Xs.T @ Pz @ ys)
+
+    beta = tsls(X, Z, y)
+    devs = np.asarray(
+        [tsls(X[g != gi], Z[g != gi], y[g != gi]) - beta for gi in range(G)]
+    )
+    V_ref = (G - 1) / G * (devs.T @ devs)
+    np.testing.assert_allclose(m.coef().to_numpy(), beta, rtol=1e-9)
+    np.testing.assert_allclose(m.vcov().to_numpy(), V_ref, rtol=1e-8)
+    assert m.n_clusters == G
+
+    # one nested FE: exact; spanning FE: clean refusal
+    unit = g * 3 + rng.integers(0, 3, n)
+    y2 = 0.7 * d + 0.5 * rng.normal(size=30)[unit] + u
+    pdf2 = pd.DataFrame({"y": y2, "d": d, "z": z, "g": g, "unit": unit})
+    df2 = spark.createDataFrame(pdf2)
+    m2 = dbiv("y ~ 1 | unit | d ~ z", df2, vcov="cr3 ~ g")
+    Du = np.zeros((n, 30))
+    Du[np.arange(n), unit] = 1.0
+    X2 = np.column_stack([d[:, None], Du])
+    Z2 = np.column_stack([z[:, None], Du])
+
+    def tsls0(Xs, Zs, ys):
+        Pz = Zs @ np.linalg.pinv(Zs.T @ Zs) @ Zs.T
+        return np.linalg.lstsq(
+            Xs.T @ Pz @ Xs, Xs.T @ Pz @ ys, rcond=None
+        )[0][0]
+
+    b2 = tsls0(X2, Z2, y2)
+    devs2 = []
+    for gi in range(G):
+        keep = g != gi
+        cols = [0] + [1 + u2 for u2 in range(30) if u2 // 3 != gi]
+        devs2.append(
+            tsls0(X2[keep][:, cols], Z2[keep][:, cols], y2[keep]) - b2
+        )
+    V2_ref = (G - 1) / G * float(np.asarray(devs2) @ np.asarray(devs2))
+    assert float(m2.coef().iloc[0]) == pytest.approx(b2, rel=1e-8)
+    assert m2.vcov().to_numpy()[0, 0] == pytest.approx(V2_ref, rel=1e-7)
+
+    pdf2["f_span"] = rng.integers(0, 5, n)
+    with pytest.raises(NotImplementedError, match="nested"):
+        dbiv(
+            "y ~ 1 | f_span | d ~ z", spark.createDataFrame(pdf2),
+            vcov="cr3 ~ g",
+        )

@@ -348,3 +348,18 @@ def test_glm_split_fepois_refusals(fedata):
         dbglm_split("cnt ~ x1 | fe", df, split="g", family="binomial")
     with pytest.raises(NotImplementedError, match="at most ONE"):
         dbglm_split("cnt ~ x1 | fe + cl", df, split="g", family="poisson")
+
+
+def test_glm_split_fepois_passes_track_slowest_level(fedata):
+    """The lockstep contract: Newton passes == the SLOWEST level's
+    iteration count (every pass advances all active levels), independent
+    of the number of levels G."""
+    from dbreg_spark import split_glm as sgm
+
+    df, _ = fedata
+    ms = dbglm_split(
+        "cnt ~ x1 + x2 | fe", df, split="g", family="poisson"
+    )
+    stats = sgm._FEPOIS_SPLIT_STATS
+    assert stats["newton_passes"] == stats["max_level_iters"]
+    assert stats["max_level_iters"] == max(m.n_iter for m in ms.values())
