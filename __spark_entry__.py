@@ -1156,6 +1156,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["similarity_cosine_topk"] = q_cosine_topk
 
+    # product quantization ADC search (compressed-domain ANN): fixed
+    # codebooks so the DuckDB twin replays the exact codes
+    def q_pq_topk(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        emb = t["embeddings"]
+        return similarity.pq_topk(
+            emb, emb.where("vec_id < 5"), similarity.fixed_pq_codebooks(),
+            k=10,
+        )
+
+    Q["similarity_pq_topk"] = q_pq_topk
+
     # IVF with the deterministic centroid fixture: cell assignment, probe
     # selection and scoring all replayable by the DuckDB twin (hash-matched)
     def q_ivf(spark, sf_dir):
@@ -2357,6 +2369,9 @@ FROM g CROSS JOIN tot
     O["similarity_ivf_topk"] = _sim.ivf_topk_sql(
         "embeddings", [0, 1, 2, 3, 4],
         centroids=_sim.fixed_ivf_centroids(8, 64), k=10, nprobe=3,
+    )
+    O["similarity_pq_topk"] = _sim.pq_topk_sql(
+        "embeddings", _sim.fixed_pq_codebooks(), [0, 1, 2, 3, 4], k=10
     )
     O["dedup_embedding_neardup"] = _sim.embedding_neardup_pairs_sql(
         "embeddings", threshold=0.2, n_planes=4, dim=64

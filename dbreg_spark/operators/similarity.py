@@ -941,3 +941,215 @@ def random_projection_sql(
 WITH c AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table})
 SELECT {id_col}, [{comps}] AS projected FROM c
 """
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ): the compressed-domain ANN scale path
+# --------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    sample_cap: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train PQ codebooks (Jegou et al. 2011): split each vector into ``m``
+    subvectors and run driver-side k-means with ``n_codes`` centroids per
+    subspace on ONE sampled matrix — (m, n_codes, dim/m). The corpus then
+    compresses to m small ints per vector (:func:`pq_encode`), and search
+    runs in the compressed domain (:func:`pq_topk`) — at 100 TB the codes
+    table is ~1% of the raw embeddings and scans accordingly faster."""
+    n = corpus.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    pdf = corpus.select(vec_col).sample(fraction=frac, seed=seed).toPandas()
+    Xm = np.array(pdf[vec_col].tolist(), dtype=float)
+    dim = Xm.shape[1]
+    if dim % m:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, n_codes, dsub))
+    for j in range(m):
+        S = Xm[:, j * dsub : (j + 1) * dsub]
+        cents = S[rng.choice(len(S), size=min(n_codes, len(S)), replace=False)]
+        ss = (S * S).sum(axis=1)
+        for _ in range(iters):
+            d2 = ss[:, None] - 2.0 * S @ cents.T + (cents * cents).sum(axis=1)[None, :]
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = S[mask].mean(axis=0)
+        books[j, : len(cents)] = cents
+    return books
+
+
+def fixed_pq_codebooks(
+    m: int = 8, n_codes: int = 16, dim: int = 64, seed: int = 303
+) -> np.ndarray:
+    """Deterministic, data-independent codebooks (the :func:`fixed_ivf_centroids`
+    convention) so the DuckDB oracle replays the exact same codes — keeps
+    the ``similarity_pq_topk`` gate hash-matched; real fits use
+    :func:`pq_train`."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((m, n_codes, dim // m)) * 0.12
+
+
+def _pq_lits(books: np.ndarray, duck: bool) -> list[str]:
+    """One literal array-of-arrays per subquantizer, both dialects."""
+    out = []
+    for j in range(books.shape[0]):
+        rows = []
+        for cw in books[j]:
+            vals = ", ".join(repr(float(v)) for v in cw)
+            rows.append(f"[{vals}]" if duck else f"array({vals})")
+        out.append(
+            "[" + ", ".join(rows) + "]" if duck
+            else "array(" + ", ".join(rows) + ")"
+        )
+    return out
+
+
+def _pq_code_exprs(vec_col: str, books: np.ndarray, duck: bool) -> list[str]:
+    """Per-subquantizer nearest-codeword index (0-based): argmin over the
+    literal codeword list of the squared subvector distance. First-match
+    tie rule on both engines (array_position / list_position)."""
+    m, _k, dsub = books.shape
+    lits = _pq_lits(books, duck)
+    exprs = []
+    for j in range(m):
+        sub = (
+            f"{vec_col}[{j * dsub + 1}:{(j + 1) * dsub}]" if duck
+            else f"slice({vec_col}, {j * dsub + 1}, {dsub})"
+        )
+        if duck:
+            d = (
+                f"list_transform({lits[j]}, cw -> list_sum("
+                f"list_transform(generate_series(1, {dsub}), "
+                f"t -> ({sub}[t] - cw[t]) * ({sub}[t] - cw[t]))))"
+            )
+            exprs.append(f"(list_position({d}, list_min({d})) - 1)")
+        else:
+            d = (
+                f"transform({lits[j]}, cw -> aggregate("
+                f"zip_with({sub}, cw, (a, b) -> (a - b) * (a - b)), "
+                f"0D, (acc, x) -> acc + x))"
+            )
+            exprs.append(f"(array_position({d}, array_min({d})) - 1)")
+    return exprs
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress each vector to ``m`` small-int codes — pure column
+    expressions (argmin over literal codewords), zero shuffles, zero
+    Python on the data path. Returns (``id_col``, code array<int>)."""
+    exprs = _pq_code_exprs(f"CAST({vec_col} AS ARRAY<DOUBLE>)", books, duck=False)
+    return corpus.select(
+        F.col(id_col),
+        F.expr("array(" + ", ".join(f"CAST({e} AS INT)" for e in exprs) + ")").alias("code"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC): the corpus side
+    scans COMPRESSED codes only; each candidate's distance is the sum over
+    subquantizers of ||q_sub − codeword(code_j)||² — codewords ride as
+    literals, so the whole search is JVM column expressions over
+    (id, code) rows plus a broadcast of the queries. Returns
+    (query_id, rank, vec_id, adc_dist); ranks break ties by id.
+
+    Scale shape: encode once (store the codes table — m bytes-ish per
+    vector), then every search scans codes, never raw vectors; the
+    candidate re-rank against raw embeddings (standard PQ practice) is
+    ``cosine_topk`` on the returned id set."""
+    m, _kc, dsub = books.shape
+    codes = pq_encode(corpus, books, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    joined = codes.crossJoin(F.broadcast(q))
+    lits = _pq_lits(books, duck=False)
+    terms = []
+    for j in range(m):
+        qsub = f"slice(__qv, {j * dsub + 1}, {dsub})"
+        cw = f"element_at({lits[j]}, code[{j}] + 1)"
+        terms.append(
+            f"aggregate(zip_with({qsub}, {cw}, (a, b) -> (a - b) * (a - b)), "
+            f"0D, (acc, x) -> acc + x)"
+        )
+    scored = joined.select(
+        "query_id",
+        id_col,
+        F.expr(" + ".join(terms)).alias("adc_dist"),
+    ).where(F.col("query_id") != F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", id_col, F.round("adc_dist", 6).alias("adc_dist")
+        )
+    )
+
+
+def pq_topk_sql(
+    table: str,
+    books: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`pq_topk` (codebooks as literals, same
+    first-match argmin tie rule, same (dist, id) ranking)."""
+    m, _kc, dsub = books.shape
+    ids = ", ".join(str(i) for i in query_ids)
+    code_exprs = _pq_code_exprs("v", books, duck=True)
+    lits = _pq_lits(books, duck=True)
+    terms = []
+    for j in range(m):
+        qsub = f"q.qv[{j * dsub + 1}:{(j + 1) * dsub}]"
+        cw = f"{lits[j]}[c.code[{j + 1}] + 1]"
+        terms.append(
+            f"list_sum(list_transform(generate_series(1, {dsub}), "
+            f"t -> ({qsub}[t] - {cw}[t]) * ({qsub}[t] - {cw}[t])))"
+        )
+    return f"""
+WITH base AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}),
+codes AS (
+  SELECT {id_col}, [{", ".join(code_exprs)}] AS code FROM base
+),
+q AS (SELECT {id_col} AS query_id, v AS qv FROM base WHERE {id_col} IN ({ids})),
+scored AS (
+  SELECT q.query_id, c.{id_col}, {" + ".join(terms)} AS adc_dist
+  FROM codes c CROSS JOIN q
+  WHERE q.query_id <> c.{id_col}
+),
+ranked AS (
+  SELECT query_id, {id_col}, adc_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc_dist ASC, {id_col} ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, {id_col},
+       ROUND(adc_dist, 6) AS adc_dist
+FROM ranked WHERE rank <= {k}
+"""

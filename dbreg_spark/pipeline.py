@@ -74,6 +74,9 @@ from .operators.similarity import (
     ivf_topk,
     kmeans_centroids,
     l2_normalize,
+    pq_encode,
+    pq_topk,
+    pq_train,
     quantize_int8,
     random_projection,
     semantic_dedup,

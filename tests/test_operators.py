@@ -2150,3 +2150,69 @@ def test_top_fraction_plan_uses_broadcast_not_window(docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_pq_encode_matches_numpy_argmin(emb):
+    """PQ codes (pure column-expression argmin over literal codewords)
+    must equal the numpy per-subvector argmin exactly."""
+    books = similarity.fixed_pq_codebooks()
+    m, _k, dsub = books.shape
+    got = similarity.pq_encode(emb, books).orderBy("vec_id").limit(60).toPandas()
+    pdf = emb.orderBy("vec_id").limit(60).toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=float)
+    for row, xv in zip(got.itertuples(), X):
+        for j in range(m):
+            d = ((books[j] - xv[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+            assert row.code[j] == int(d.argmin())
+
+
+def test_pq_topk_vs_duckdb_and_numpy(emb, duck):
+    """ADC search: DuckDB twin parity (hash-level) AND exact numpy ADC
+    ranking on trained-or-fixed codebooks."""
+    books = similarity.fixed_pq_codebooks()
+    m, _k, dsub = books.shape
+    qids = [0, 1, 2]
+    queries = emb.where(emb.vec_id.isin(qids))
+    got = similarity.pq_topk(emb, queries, books, k=8).toPandas()
+    want = duck.execute(
+        similarity.pq_topk_sql("embeddings", books, qids, k=8)
+    ).fetchdf()
+    _compare(got, want, ["query_id", "rank"], ["adc_dist"], rtol=1e-5)
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=float)
+    ids = pdf["vec_id"].to_numpy()
+    codes = np.zeros((len(X), m), dtype=int)
+    for j in range(m):
+        d = (
+            (X[:, None, j * dsub : (j + 1) * dsub] - books[j][None]) ** 2
+        ).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1)
+    for qid in qids:
+        q = X[ids == qid][0]
+        adc = np.zeros(len(X))
+        for j in range(m):
+            dt = ((books[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+            adc += dt[codes[:, j]]
+        mask = ids != qid
+        order = np.lexsort((ids[mask], adc[mask]))
+        ref = ids[mask][order][:8]
+        mine = got[got.query_id == qid].sort_values("rank")["vec_id"].to_numpy()
+        np.testing.assert_array_equal(mine, ref)
+
+
+def test_pq_trained_recall_and_shortlist(spark):
+    """Trained codebooks on planted clusters: PQ shortlist must cover the
+    exact neighbors (the standard PQ-then-rerank recipe)."""
+    emb = _clustered_embeddings(spark, dim=16)
+    qids = [0, 40, 80, 120, 160]
+    queries = emb.where(emb.vec_id.isin(qids))
+    books = similarity.pq_train(emb, m=4, n_codes=16, sample_cap=10_000)
+    exact = similarity.cosine_topk(emb, queries, k=5).toPandas()
+    short = similarity.pq_topk(emb, queries, books, k=20).toPandas()
+    hits = 0
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        s = set(short[short["query_id"] == q]["vec_id"])
+        hits += len(e & s)
+    assert hits >= 20  # 25 true neighbors; clustered data keeps >=80%
