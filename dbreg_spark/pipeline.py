@@ -111,7 +111,8 @@ __all__ = [
     # similarity / embeddings
     "cosine_topk", "hyperplane_lsh_topk", "ivf_topk",
     "embedding_neardup_pairs", "kmeans_centroids", "l2_normalize",
-    "quantize_int8", "random_projection",
+    "quantize_int8", "random_projection", "pq_train", "pq_encode",
+    "pq_topk",
     # text
     "text_stats", "fingerprints", "repetition_stats", "lm_quality_score", "lm_bigram_score",
     "redact_pii", "decontaminate", "vocabulary", "vocab_with_ids", "quality_classify",
@@ -133,6 +134,8 @@ __all__ = [
     "frame_sample_plan",
     # reporting / monitoring
     "corpus_report", "streaming_corpus_stats", "streaming_volume_anomaly",
+    # composed end-to-end
+    "corpus_pipeline", "corpus_pipeline_sql",
 ]
 
 

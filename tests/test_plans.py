@@ -411,3 +411,22 @@ def test_dk_score_pass_single_exchange(tables):
     plan = _formatted(scores)
     assert _n_nodes(plan, "Exchange") == 1
     assert _n_nodes(plan, "Window") == 0
+
+
+def test_pq_plans_stateless_and_python_free(tables):
+    """PQ: encode is an embarrassingly-parallel projection (zero Exchange,
+    zero Python); ADC search adds only the broadcast of the queries and
+    the top-k machinery — the corpus side never shuffles raw vectors."""
+    from dbreg_spark.operators import similarity as sim
+
+    emb = tables["embeddings"]
+    books = sim.fixed_pq_codebooks()
+    enc_plan = _formatted(sim.pq_encode(emb, books))
+    assert _n_nodes(enc_plan, "Exchange") == 0
+    assert "BatchEvalPython" not in enc_plan and "ArrowEvalPython" not in enc_plan
+
+    topk_plan = _formatted(
+        sim.pq_topk(emb, emb.where("vec_id < 3"), books, k=5)
+    )
+    assert "BatchEvalPython" not in topk_plan and "ArrowEvalPython" not in topk_plan
+    assert _n_nodes(topk_plan, "BroadcastExchange") >= 1  # queries broadcast
