@@ -147,6 +147,14 @@ def dbreg_split(
             "for k>2 filter per level and use dbreg(strategy='demean_iter')"
         )
 
+    if vcov_type == "cr3":
+        if parsed.fe or strategy not in ("auto", "moments"):
+            raise NotImplementedError(
+                "split= with vcov='cr3 ~ g' supports strategy='moments' "
+                "(no absorbed FEs); fit levels separately with dbreg for "
+                "the nested-FE CV3"
+            )
+        strategy = "moments"
     if strategy == "compress" and vcov_type == "dk":
         raise NotImplementedError(
             "split= with strategy='compress' does not support Driscoll-"
@@ -381,6 +389,12 @@ def _grouped_fit(
             frame_df, split, base.y_col, x_cols, intercept, sols, vcov_type,
             cluster_vars, weight_col, hac_lag=hac_lag,
         )
+    cr3_V: dict = {}
+    if vcov_type == "cr3" and sols:
+        cr3_V, n_clusters = _split_cr3(
+            frame_df, split, base.y_col, x_cols, intercept, sols,
+            cluster_vars[0], weight_col,
+        )
 
     models = DbregSplit()
     for lvl, s in sols.items():
@@ -395,10 +409,13 @@ def _grouped_fit(
             df_fe = 0
         df_res = max(n_total - p - df_fe, 1)
         nc = n_clusters.get(lvl)
-        V = compute_vcov(
-            vcov_type, sol.xtx_inv, s["rss"], df_res, n_total, p + df_fe,
-            meats.get(lvl), nc,
-        )
+        if vcov_type == "cr3":
+            V = cr3_V[lvl]
+        else:
+            V = compute_vcov(
+                vcov_type, sol.xtx_inv, s["rss"], df_res, n_total, p + df_fe,
+                meats.get(lvl), nc,
+            )
         ct = gen_coeftable(sol.betahat, V, df_res, collin.keep_names)
         models[lvl] = DbregModel(
             coeftable=ct,
@@ -426,6 +443,81 @@ def _grouped_fit(
         )
     return models
 
+
+def _split_cr3(
+    frame_df, split, y_col, x_cols, intercept, sols, cluster, weight_col
+):
+    """Per-level CV3 cluster jackknife from ONE grouped pass keyed
+    (level, cluster): each level's leave-one-cluster-out estimates are
+    Gram-block subtractions in that level's full-sample kept layout —
+    the split twin of boot.cr3_vcov."""
+    import pyspark.sql.functions as F
+
+    cols = ([F.lit(1.0)] if intercept else []) + [
+        F.col(c).cast("double") for c in x_cols
+    ]
+    p_all = len(cols)
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    y = F.col(y_col).cast("double")
+    aggs = [F.sum(w).alias("n_g")]
+    for i in range(p_all):
+        for k2 in range(i, p_all):
+            aggs.append(F.sum(w * cols[i] * cols[k2]).alias(f"a_{i}_{k2}"))
+    for i in range(p_all):
+        aggs.append(F.sum(w * cols[i] * y).alias(f"b_{i}"))
+    cap = 2_000_000
+    rows = (
+        frame_df.groupBy(split, cluster).agg(*aggs).limit(cap + 1).collect()
+    )
+    if len(rows) > cap:
+        raise ValueError(
+            f"split x cluster Gram table exceeds {cap:,} rows; use a "
+            "coarser split or cluster variable (or fit levels separately)"
+        )
+    per_level: dict = {}
+    for r in rows:
+        A_g = np.zeros((p_all, p_all))
+        b_g = np.zeros(p_all)
+        for i in range(p_all):
+            b_g[i] = float(r[f"b_{i}"] or 0.0)
+            for k2 in range(i, p_all):
+                v = float(r[f"a_{i}_{k2}"] or 0.0)
+                A_g[i, k2] = A_g[k2, i] = v
+        per_level.setdefault(r[split], []).append((r[cluster], A_g, b_g))
+    Vs: dict = {}
+    ncl: dict = {}
+    for lvl, blocks in per_level.items():
+        if len(blocks) < 2:
+            raise ValueError(
+                f"cr3 needs >= 2 clusters within each split level; "
+                f"{cluster!r} has {len(blocks)} in level {lvl!r}"
+            )
+        collin, sol = sols[lvl]["collin"], sols[lvl]["sol"]
+        keep = np.asarray(collin.keep_idx, dtype=int)
+        A = np.sum([bl[1] for bl in blocks], axis=0)[np.ix_(keep, keep)]
+        b = np.sum([bl[2] for bl in blocks], axis=0)[keep]
+        G = len(blocks)
+        devs = np.zeros((G, len(keep)))
+        for gi, (gkey, A_g, b_g) in enumerate(blocks):
+            try:
+                devs[gi] = (
+                    np.linalg.solve(
+                        A - A_g[np.ix_(keep, keep)], b - b_g[keep]
+                    )
+                    - sol.betahat
+                )
+            except np.linalg.LinAlgError:
+                raise ValueError(
+                    f"cr3: leaving out cluster {gkey!r} in level {lvl!r} "
+                    "makes the design singular; use '~cluster' CR1"
+                ) from None
+        Vs[lvl] = ((G - 1) / G) * (devs.T @ devs)
+        ncl[lvl] = G
+    return Vs, ncl
 
 def combine_level_scores(per_level, key_cols, vcov_type, hac_lag, p):
     """Driver-side reduction of per-(level, key-tuple) score vectors into

@@ -355,3 +355,21 @@ def test_split_single_cluster_level_clear_error(spark):
         dbreg_split("y ~ x", df, split="g", vcov="~cl")
     with pytest.raises(ValueError, match="level 'b'"):
         dbreg_split("y ~ x", df, split="g", vcov="dk ~ cl", hac_lag=1)
+
+
+def test_split_cr3_matches_per_level_dbreg(sdata):
+    """vcov='cr3 ~ cl' per split level must equal dbreg's CV3 on the
+    filtered level (itself pinned against numpy delete-one refits)."""
+    df, _ = sdata
+    ms = dbreg_split("y ~ x1 + x2", df, split="g", vcov="cr3 ~ cl")
+    for lvl in ms:
+        ref = dbreg("y ~ x1 + x2", df.where(df.g == lvl), vcov="cr3 ~ cl")
+        np.testing.assert_allclose(
+            ms[lvl].coef().to_numpy(), ref.coef().to_numpy(), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            ms[lvl].vcov_, ref.vcov_, rtol=1e-8
+        )
+        assert ms[lvl].n_clusters == ref.n_clusters
+    with pytest.raises(NotImplementedError, match="moments"):
+        dbreg_split("y ~ x1 | f1", df, split="g", vcov="cr3 ~ cl")
