@@ -464,6 +464,11 @@ def main() -> None:
     emb = t["embeddings"]
     qs = emb.where("vec_id < 5")
     bench("similarity_topk", lambda: similarity.cosine_topk(emb, qs, k=10).count())
+    _pq_books = similarity.fixed_pq_codebooks()
+    bench(
+        "similarity_pq_topk",
+        lambda: similarity.pq_topk(emb, qs, _pq_books, k=10).count(),
+    )
     bench(
         "dedup_semantic",
         lambda: similarity.semantic_dedup(
@@ -651,6 +656,12 @@ def main() -> None:
             bench1(
                 "similarity_topk",
                 lambda: similarity.cosine_topk(emb1, qs1, k=10).count(),
+            )
+            bench1(
+                "similarity_pq_topk",
+                lambda: similarity.pq_topk(
+                    emb1, qs1, similarity.fixed_pq_codebooks(), k=10
+                ).count(),
             )
             # IVF operating point: n_centroids scales with N (8 -> 80) so
             # per-cell occupancy stays ~250 vectors — the documented scale
