@@ -704,8 +704,8 @@ def _finish_demean(
         # values equal the full-sample demeaned values on retained rows
         spans = (
             base.df.groupBy(fe[0])
-            .agg(F.countDistinct(cluster_var[0]).alias("g"))
-            .where(F.col("g") > 1)
+            .agg(F.countDistinct(cluster_var[0]).alias("__spans"))
+            .where(F.col("__spans") > 1)
             .limit(1)
             .count()
         )

@@ -263,8 +263,8 @@ def wild_cluster_bootstrap(
         for f in parsed.fe:
             spans = (
                 base.df.groupBy(f)
-                .agg(F.countDistinct(cluster).alias("g"))
-                .where(F.col("g") > 1)
+                .agg(F.countDistinct(cluster).alias("__spans"))
+                .where(F.col("__spans") > 1)
                 .limit(1)
                 .count()
             )

@@ -367,8 +367,8 @@ def dbiv(
         if ivf.fe:
             spans = (
                 base.df.groupBy(ivf.fe[0])
-                .agg(F.countDistinct(cluster_vars[0]).alias("g"))
-                .where(F.col("g") > 1)
+                .agg(F.countDistinct(cluster_vars[0]).alias("__spans"))
+                .where(F.col("__spans") > 1)
                 .limit(1)
                 .count()
             )

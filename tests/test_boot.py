@@ -296,8 +296,10 @@ def test_cr3_weighted_and_guards(spark):
     V_ref = ((G - 1) / G) * (D.T @ D)
     np.testing.assert_allclose(m.vcov().to_numpy(), V_ref, rtol=1e-9)
 
-    with pytest.raises(NotImplementedError, match="fixed effects"):
-        dbreg("y ~ x | g", df, vcov="cr3 ~ g")
+    # FE = cluster is trivially nested, so cr3 now FITS it (the nested-FE
+    # test pins that path); the strategy guard still refuses compress
+    m_fe = dbreg("y ~ x | g", df, vcov="cr3 ~ g")
+    assert m_fe.n_clusters == 7 and m_fe.vcov_type == "cr3"
     with pytest.raises(NotImplementedError, match="moments"):
         dbreg("y ~ x", df, vcov="cr3 ~ g", strategy="compress")
 
