@@ -1168,3 +1168,49 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, {id_col},
        ROUND(adc_dist, 6) AS adc_dist
 FROM ranked WHERE rank <= {k}
 """
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """The standard PQ recipe end-to-end: ADC over compressed codes makes a
+    ``shortlist`` per query, then ONLY the shortlisted raw vectors are
+    fetched (semi-join) and re-ranked by exact cosine. At 100 TB the full
+    scan touches m-byte codes; the raw-embedding read is
+    queries x shortlist rows — independent of corpus size. Returns
+    (query_id, rank, vec_id, cosine), exact on the shortlist."""
+    if shortlist < k:
+        raise ValueError("shortlist must be >= k")
+    short = pq_topk(
+        corpus, queries, books, k=shortlist, id_col=id_col, vec_col=vec_col,
+        codes=codes,
+    ).select("query_id", id_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    cand = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
+        )
+        .join(short, id_col)  # shortlist is tiny: broadcast by AQE
+        .join(F.broadcast(q), "query_id")
+    )
+    scored = cand.select(
+        "query_id", id_col, F.expr(_cos_spark("__cv", "__qv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", id_col, F.round("cosine", 6).alias("cosine")
+        )
+    )

@@ -76,6 +76,7 @@ from .operators.similarity import (
     l2_normalize,
     pq_encode,
     pq_topk,
+    pq_topk_rerank,
     pq_train,
     quantize_int8,
     random_projection,
@@ -112,7 +113,7 @@ __all__ = [
     "cosine_topk", "hyperplane_lsh_topk", "ivf_topk",
     "embedding_neardup_pairs", "kmeans_centroids", "l2_normalize",
     "quantize_int8", "random_projection", "pq_train", "pq_encode",
-    "pq_topk",
+    "pq_topk", "pq_topk_rerank",
     # text
     "text_stats", "fingerprints", "repetition_stats", "lm_quality_score", "lm_bigram_score",
     "redact_pii", "decontaminate", "vocabulary", "vocab_with_ids", "quality_classify",

@@ -2216,3 +2216,29 @@ def test_pq_trained_recall_and_shortlist(spark):
         s = set(short[short["query_id"] == q]["vec_id"])
         hits += len(e & s)
     assert hits >= 20  # 25 true neighbors; clustered data keeps >=80%
+
+
+def test_pq_rerank_exact_on_shortlist(spark):
+    """PQ shortlist + exact cosine re-rank: with a shortlist covering the
+    corpus the result must EQUAL exact cosine_topk; with a real shortlist
+    the result is exact cosine over the shortlisted candidates."""
+    emb = _clustered_embeddings(spark, dim=16)
+    qids = [0, 40, 80]
+    queries = emb.where(emb.vec_id.isin(qids))
+    books = similarity.pq_train(emb, m=4, n_codes=16, sample_cap=10_000)
+    full = similarity.pq_topk_rerank(
+        emb, queries, books, k=5, shortlist=200
+    ).toPandas()
+    exact = similarity.cosine_topk(emb, queries, k=5).toPandas()
+    key = lambda d: sorted(  # noqa: E731
+        zip(d["query_id"], d["rank"], d["vec_id"], d["cosine"])
+    )
+    assert key(full) == key(exact)  # shortlist == corpus => identical
+    small = similarity.pq_topk_rerank(
+        emb, queries, books, k=5, shortlist=25
+    ).toPandas()
+    hits = len(
+        set(zip(small.query_id, small.vec_id))
+        & set(zip(exact.query_id, exact.vec_id))
+    )
+    assert hits >= 12  # clustered data: shortlist keeps >=80% of true top5
