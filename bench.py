@@ -131,6 +131,12 @@ def main() -> None:
     from dbreg_spark.operators import dedup, similarity, text
     from dbreg_spark.sources.io import get_session, load_tables
 
+    # r07: the library's conservative local default (512m x cores, capped
+    # 16g at 32 cores) starves the sf1 tier's 6M-row shuffles of heap on
+    # this 128 GiB box — GC pressure made reg_demean_2fe's sf1 iterations
+    # ASCEND 11/24/25 s where a 48g heap measures a flat 6/3.4/3.0 s.
+    # Size the bench JVM to the machine; override via the same env var.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_session(
         "dbreg-bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
     )
