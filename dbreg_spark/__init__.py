@@ -9,7 +9,12 @@ similarity search, text analysis, multimodal plumbing).
 
 from .api import dbreg, sql_model_matrix
 from .binsreg import BinsregResult, dbbinsreg
-from .boot import load_bootstrap, save_bootstrap, wild_cluster_bootstrap
+from .boot import (
+    load_bootstrap,
+    save_bootstrap,
+    wild_cluster_bootstrap,
+    wild_score_bootstrap,
+)
 from .design import standardize_coef_names
 from .formula import parse_formula, parse_vcov
 from .glm import GlmModel, dbglm
@@ -25,6 +30,7 @@ __all__ = [
     "sql_model_matrix",
     "dbbinsreg",
     "wild_cluster_bootstrap",
+    "wild_score_bootstrap",
     "save_bootstrap",
     "load_bootstrap",
     "corpus_pipeline",

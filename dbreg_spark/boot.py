@@ -39,6 +39,8 @@ sample correction (k = p + G₁ [+ G₂ − 1]); dummied levels count inside p.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -477,3 +479,252 @@ def load_bootstrap(path: str) -> dict:
     res["fe"] = list(res["fe"])
     res["t_star"] = tuple(float(v) for v in res["t_star"])
     return res
+
+
+# --------------------------------------------------------------------------
+# wild SCORE bootstrap for GLMs (Kline & Santos 2012)
+# --------------------------------------------------------------------------
+
+
+def wild_score_bootstrap(
+    fml: str,
+    data=None,
+    *,
+    cluster: str,
+    param: str,
+    family: str = "binomial",
+    B: int = 9_999,
+    weights: str = "rademacher",
+    seed: int = 12345,
+    level: float = 0.95,
+    spark: SparkSession | None = None,
+    table: str | None = None,
+    path: str | None = None,
+    obs_weights: str | None = None,
+    offset: str | None = None,
+) -> dict:
+    """Wild cluster SCORE bootstrap for GLMs (Kline & Santos 2012) — the
+    few-cluster inference companion to :func:`wild_cluster_bootstrap` for
+    nonlinear models, where re-solving per draw is not a block subtraction.
+
+    ``param`` is a raw RHS variable name (tests = 0) or ``"x = c"``. The
+    procedure: (1) fit the RESTRICTED model (the tested regressor removed;
+    its null value rides the offset for c != 0); (2) ONE grouped pass
+    collects, per cluster, the FULL model's score vector
+    s_g = sum w(y - mu(eta_tilde)) x and its information block
+    A_g = sum w V(eta_tilde) x x' at the restricted estimate; (3) the
+    efficient score st_g = (R A^-1 s_g) makes the studentized LM statistic
+    T = (sum st_g) / sqrt(sum st_g^2), and each wild draw replaces st_g by
+    w_g st_g — every replication is exact driver-side arithmetic (no
+    refits, so the numpy oracle reproduces t* to machine precision).
+    Symmetric p-value, boottest's ``scoretest`` analog. Fixed effects are
+    refused (the restricted profile would change the concentrated scores);
+    include group columns as factor regressors instead.
+    """
+    import pandas as pd  # noqa: F401  (parity with module conventions)
+
+    from .formula import parse_formula
+    from .glm import _d, _eta_expr, get_family
+    from .plans.exprs import Lit, Var, agg_to_spark, asum, to_spark
+
+    if B < 99:
+        raise ValueError("B must be at least 99")
+    fam = get_family(family)
+    parsed = parse_formula(fml)
+    if parsed.yvar is None:
+        raise ValueError("Formula needs an outcome variable.")
+    if parsed.fe:
+        raise NotImplementedError(
+            "wild_score_bootstrap does not absorb fixed effects; include "
+            "them as factor regressors"
+        )
+    weight_col = parse_weights(obs_weights)
+
+    # ---- hypothesis: a raw RHS variable, optional "= c" ------------------
+    pname, _, rhs = param.partition("=")
+    pname = pname.strip()
+    c_null = float(rhs) if rhs.strip() else 0.0
+    xvars = list(parsed.xvars)
+    if pname not in xvars:
+        raise ValueError(
+            f"param {pname!r} must be a raw RHS variable of {fml!r} "
+            f"(got RHS {xvars})"
+        )
+    others = [v for v in xvars if v != pname]
+
+    if spark is None and isinstance(data, DataFrame):
+        spark = data.sparkSession
+    source = resolve_source(spark=spark, data=data, table=table, path=path)
+    df = source.df
+    r_offset = offset
+    if c_null != 0.0:
+        # the null value of the tested coefficient rides the offset
+        df = df.withColumn(
+            "__ks_off",
+            (F.coalesce(F.col(offset), F.lit(0.0)) if offset else F.lit(0.0))
+            + F.lit(c_null) * F.col(pname).cast("double"),
+        )
+        r_offset = "__ks_off"
+
+    # ---- the analysis frame FIRST: the restricted fit must see exactly
+    # the rows the score pass sees (the full model's missing filter spans
+    # the tested regressor too) ------------------------------------------
+    design = build_design(df, parsed, expand="all", fe_vars=None)
+    frame = build_base_frame(
+        source.__class__(df=df, sql_from=None), parsed, design,
+        drop_missings=True,
+        extra_cols=[cluster]
+        + ([offset] if offset else [])
+        + ([r_offset] if r_offset and r_offset != offset else []),
+        want_sql=False, weight_col=weight_col,
+    )
+    x_names = list(frame.x_cols)
+    icpt = bool(parsed.intercept)
+    names_full = ([("(Intercept)")] if icpt else []) + [
+        standardize_coef_names(n) for n in x_names
+    ]
+
+    # ---- 1. restricted MLE (the tested regressor dropped) ----------------
+    from .glm import dbglm
+
+    beta_t = np.zeros(len(names_full))
+    if others:
+        fml_r = f"{parsed.yvar} ~ " + " + ".join(others) + (
+            "" if icpt else " - 1"
+        )
+        m_r = dbglm(
+            fml_r, frame.df, family=family, offset=r_offset,
+            weights=obs_weights,
+        )
+        r_coef = {
+            n: float(b)
+            for n, b in zip(m_r.coef_names, m_r.coef().to_numpy())
+        }
+    elif icpt:
+        # intercept-only restricted model: 1-parameter canonical-link
+        # Newton, initialized at link(weighted mean). Without an offset
+        # this converges immediately (the link-mean IS the MLE); with one
+        # (the "x = c" null rides there) a few one-row aggregation passes
+        # finish it.
+        wcol = (
+            F.col(weight_col).cast("double")
+            if weight_col is not None
+            else F.lit(1.0)
+        )
+        row = frame.df.agg(
+            F.sum(wcol * F.col(frame.y_col).cast("double")).alias("sy"),
+            F.sum(wcol).alias("sw"),
+        ).collect()[0]
+        ybar = float(row["sy"]) / float(row["sw"])
+        if fam.name == "binomial":
+            a0 = math.log(ybar / (1.0 - ybar)) if 0.0 < ybar < 1.0 else 0.0
+        elif fam.name == "poisson":
+            a0 = math.log(ybar) if ybar > 0 else 0.0
+        else:
+            a0 = ybar
+        for _ in range(50 if r_offset is not None else 1):
+            eta0 = _eta_expr(np.array([a0]), [], True, r_offset)
+            mu0 = fam.mu(eta0)
+            w0 = fam.w(eta0, mu0)
+            s0 = _d(Var(frame.y_col)) - mu0
+            if weight_col is not None:
+                s0 = _d(Var(weight_col)) * s0
+                w0 = _d(Var(weight_col)) * w0
+            r0 = frame.df.agg(
+                F.sum(to_spark(_d(s0))).alias("S"),
+                F.sum(to_spark(_d(w0))).alias("W"),
+            ).collect()[0]
+            step = float(r0["S"]) / float(r0["W"])
+            a0 += step
+            if abs(step) <= 1e-12 * (abs(a0) + 1.0):
+                break
+        r_coef = {"(Intercept)": a0}
+    else:
+        raise NotImplementedError(
+            "wild_score_bootstrap: the restricted model has no free "
+            "parameters (single regressor, no intercept); add a control "
+            "variable or the intercept"
+        )
+    for nm, b in r_coef.items():
+        if nm in names_full:
+            beta_t[names_full.index(nm)] = b
+    beta_t[names_full.index(standardize_coef_names(pname))] = c_null
+
+    # ---- 2. ONE grouped pass: per-cluster s_g and A_g at beta_tilde ------
+    p = (1 if icpt else 0) + len(x_names)
+    y = _d(Var(frame.y_col))
+    # the FULL model's eta at the restricted estimate: the tested
+    # coefficient's null value sits in beta_t[j] — the ORIGINAL offset
+    # only here (r_offset carries c*x solely for the restricted fit,
+    # where the tested regressor is absent)
+    eta = _eta_expr(beta_t, x_names, icpt, offset)
+    mu = fam.mu(eta)
+    wirls = fam.w(eta, mu)
+    s = y - mu
+    om = _d(Var(weight_col)) if weight_col is not None else None
+    if om is not None:
+        s = om * s
+        wirls = om * wirls
+    cols = ([Lit(1.0)] if icpt else []) + [Var(n) for n in x_names]
+    proj = frame.df.select(
+        F.col(cluster),
+        to_spark(_d(s)).alias("__s"),
+        to_spark(_d(wirls)).alias("__w"),
+        *[F.col(n) for n in x_names],
+    )
+    aggs = [
+        agg_to_spark(asum(Var("__s") * _d(c))).alias(f"s_{i}")
+        for i, c in enumerate(cols)
+    ]
+    for i in range(p):
+        for k2 in range(i, p):
+            aggs.append(
+                agg_to_spark(
+                    asum(Var("__w") * _d(cols[i]) * _d(cols[k2]))
+                ).alias(f"a_{i}_{k2}")
+            )
+    rows = proj.groupBy(cluster).agg(*aggs).limit(MAX_CLUSTERS + 1).collect()
+    if len(rows) > MAX_CLUSTERS:
+        raise ValueError(
+            f"cluster variable {cluster!r} has more than {MAX_CLUSTERS:,} "
+            "levels — the score bootstrap targets FEW clusters"
+        )
+    G = len(rows)
+    if G < 2:
+        raise ValueError("need at least 2 clusters")
+    s_g = np.zeros((G, p))
+    A = np.zeros((p, p))
+    for gi, r in enumerate(rows):
+        for i in range(p):
+            s_g[gi, i] = float(r[f"s_{i}"] or 0.0)
+            for k2 in range(i, p):
+                v = float(r[f"a_{i}_{k2}"] or 0.0)
+                A[i, k2] += v
+                if k2 != i:
+                    A[k2, i] += v
+
+    # ---- 3. efficient score + wild draws, all driver numpy ---------------
+    j_idx = names_full.index(standardize_coef_names(pname))
+    R = np.zeros(p)
+    R[j_idx] = 1.0
+    st_g = s_g @ np.linalg.solve(A, R)  # R A^-1 s_g per cluster
+    T = float(st_g.sum() / np.sqrt((st_g**2).sum()))
+    W, enumerated = _weight_matrix(weights, G, B, seed)
+    num = W @ st_g
+    den = np.sqrt((W**2) @ (st_g**2))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_star = np.where(den > 0, num / den, np.inf)
+    p_val = float(np.mean(np.abs(t_star) >= abs(T) - 1e-12))
+    return {
+        "param": param,
+        "statistic": T,
+        "p_value": p_val,
+        "level": level,
+        "B": int(W.shape[0]),
+        "G": int(G),
+        "weights": weights,
+        "enumerated": bool(enumerated),
+        "family": fam.label,
+        "restricted_coef": dict(r_coef),
+        "t_star": tuple(float(v) for v in t_star),
+    }

@@ -487,3 +487,91 @@ def test_cr3_nested_fe_matches_lsdv_delete_one(spark):
     with pytest.raises(NotImplementedError, match="ONE fixed effect"):
         dbreg("y ~ x | unit + f_span", df.withColumn("f_span", df.g),
               vcov="cr3 ~ g")
+
+
+def test_wild_score_bootstrap_matches_numpy_oracle(spark):
+    """Kline-Santos wild score bootstrap for GLMs: statistic, p, and the
+    full t* distribution (as a multiset — cluster collection order is
+    arbitrary, and the enumerated Rademacher set is permutation-
+    invariant) must match an independent numpy implementation that refits
+    the restricted logit itself."""
+    from dbreg_spark.boot import wild_score_bootstrap
+
+    rng = np.random.default_rng(5)
+    n, G = 900, 9
+    g = rng.integers(0, G, n)
+    x = rng.normal(size=n) + 0.5 * rng.normal(size=G)[g]
+    z = rng.normal(size=n)
+    eta = -0.2 + 0.8 * x + 0.3 * z + 0.7 * rng.normal(size=G)[g]
+    y = (rng.random(n) < 1 / (1 + np.exp(-eta))).astype(float)
+    df = spark.createDataFrame(pd.DataFrame({"y": y, "x": x, "z": z, "g": g}))
+    res = wild_score_bootstrap(
+        "y ~ x + z", df, cluster="g", param="x", family="binomial", B=9999
+    )
+    assert res["enumerated"] and res["B"] == 512 and res["G"] == 9
+
+    # independent restricted IRLS + scores/information at beta~
+    X_r = np.column_stack([np.ones(n), z])
+    b_r = np.zeros(2)
+    for _ in range(60):
+        mu = 1 / (1 + np.exp(-(X_r @ b_r)))
+        b_r = b_r + np.linalg.solve(
+            X_r.T * (mu * (1 - mu)) @ X_r, X_r.T @ (y - mu)
+        )
+    Xf = np.column_stack([np.ones(n), x, z])
+    bt = np.array([b_r[0], 0.0, b_r[1]])
+    mu_t = 1 / (1 + np.exp(-(Xf @ bt)))
+    A = Xf.T * (mu_t * (1 - mu_t)) @ Xf
+    s_g = np.zeros((G, 3))
+    for gi in range(G):
+        m = g == gi
+        s_g[gi] = Xf[m].T @ (y[m] - mu_t[m])
+    # the restricted components' total score vanishes (MLE first-order
+    # condition) — strong internal consistency check
+    np.testing.assert_allclose(s_g.sum(axis=0)[[0, 2]], 0.0, atol=1e-8)
+    st = s_g @ np.linalg.solve(A, np.array([0.0, 1.0, 0.0]))
+    T_ref = st.sum() / np.sqrt((st**2).sum())
+    assert res["statistic"] == pytest.approx(T_ref, rel=1e-7)
+    ks = np.arange(512, dtype=np.uint64)
+    W = ((ks[:, None] >> np.arange(9, dtype=np.uint64)) & 1).astype(
+        float
+    ) * 2 - 1
+    t_ref = (W @ st) / np.sqrt((W**2) @ (st**2))
+    p_ref = float(np.mean(np.abs(t_ref) >= abs(T_ref) - 1e-12))
+    assert res["p_value"] == pytest.approx(p_ref, abs=1e-12)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(res["t_star"])), np.sort(t_ref), rtol=1e-7
+    )
+
+
+def test_wild_score_bootstrap_null_value_and_guards(spark):
+    """'x = c' rides the offset; poisson family; refusals."""
+    from dbreg_spark.boot import wild_score_bootstrap
+
+    rng = np.random.default_rng(7)
+    n, G = 1200, 12
+    g = rng.integers(0, G, n)
+    x = rng.normal(size=n)
+    cnt = rng.poisson(np.exp(0.2 + 0.5 * x + 0.3 * rng.normal(size=G)[g]))
+    df = spark.createDataFrame(
+        pd.DataFrame({"cnt": cnt.astype(float), "x": x, "g": g})
+    )
+    # test at the true value: should not reject
+    r_true = wild_score_bootstrap(
+        "cnt ~ x", df, cluster="g", param="x = 0.5", family="poisson",
+        B=4095,
+    )
+    # test at zero: strongly rejected
+    r_zero = wild_score_bootstrap(
+        "cnt ~ x", df, cluster="g", param="x", family="poisson", B=4095
+    )
+    assert r_true["p_value"] > 0.05
+    assert r_zero["p_value"] < 0.01
+    with pytest.raises(NotImplementedError, match="fixed effects"):
+        wild_score_bootstrap(
+            "cnt ~ x | g", df, cluster="g", param="x", family="poisson"
+        )
+    with pytest.raises(ValueError, match="raw RHS"):
+        wild_score_bootstrap(
+            "cnt ~ x", df, cluster="g", param="nope", family="poisson"
+        )
