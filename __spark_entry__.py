@@ -772,6 +772,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["boot_cluster_gram"] = q_boot_gram
 
+    # wild SCORE bootstrap's distributed pass: per-cluster GLM score
+    # vectors + information blocks at a fixed beta (logit, GLM_BETA)
+    def q_boot_score_gram(spark, sf_dir):
+        from dbreg_spark.boot import glm_score_gram_frame
+        from dbreg_spark.glm import get_family
+
+        t = _tables(spark, sf_dir)
+        df = t["lineitem"].withColumn(
+            "is_return", (F.col("l_returnflag") == "R").cast("double")
+        )
+        cols = ["l_linestatus", "is_return", "l_quantity", "l_discount"]
+        cond = None
+        for c in cols:
+            cc = F.col(c).isNotNull()
+            cond = cc if cond is None else (cond & cc)
+        import numpy as _np
+
+        return _round_doubles_df(
+            glm_score_gram_frame(
+                df.where(cond), get_family("binomial"),
+                _np.asarray(GLM_BETA), "is_return",
+                ["l_quantity", "l_discount"], True, "l_linestatus",
+            )
+        )
+
+    Q["boot_score_gram"] = q_boot_score_gram
+
     # ---- numeric column prep (winsorize / standardize / MAD outliers) ----
     def q_winsorize(spark, sf_dir):
         t = _tables(spark, sf_dir)
@@ -1866,6 +1893,34 @@ def oracle_sql() -> dict[str, str]:
         ),
         _bg_cols,
         [c for c in _bg_cols if c != "l_returnflag"],
+    )
+    b0, b1, b2 = GLM_BETA
+    _eta = (
+        f"({b0!r} + {b1!r} * CAST(l_quantity AS DOUBLE) "
+        f"+ {b2!r} * CAST(l_discount AS DOUBLE))"
+    )
+    _bsg_cols = ["l_linestatus", "s_0", "s_1", "s_2",
+                 "a_0_0", "a_0_1", "a_0_2", "a_1_1", "a_1_2", "a_2_2"]
+    O["boot_score_gram"] = _round_doubles_sql(
+        f"""
+SELECT l_linestatus,
+  SUM(s) AS s_0, SUM(s * x1) AS s_1, SUM(s * x2) AS s_2,
+  SUM(w) AS a_0_0, SUM(w * x1) AS a_0_1, SUM(w * x2) AS a_0_2,
+  SUM(w * x1 * x1) AS a_1_1, SUM(w * x1 * x2) AS a_1_2,
+  SUM(w * x2 * x2) AS a_2_2
+FROM (
+  SELECT l_linestatus,
+         CAST(l_quantity AS DOUBLE) AS x1,
+         CAST(l_discount AS DOUBLE) AS x2,
+         (CAST(l_returnflag = 'R' AS DOUBLE) - 1.0 / (1.0 + EXP(-{_eta}))) AS s,
+         (1.0 / (1.0 + EXP(-{_eta}))) * (1.0 - 1.0 / (1.0 + EXP(-{_eta}))) AS w
+  FROM lineitem
+  WHERE l_linestatus IS NOT NULL AND l_returnflag IS NOT NULL
+    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+) b GROUP BY l_linestatus
+""",
+        _bsg_cols,
+        [c for c in _bsg_cols if c != "l_linestatus"],
     )
     _reg_from = (
         "FROM (SELECT CAST(n_chars AS DOUBLE) AS yv, "

@@ -486,6 +486,54 @@ def load_bootstrap(path: str) -> dict:
 # --------------------------------------------------------------------------
 
 
+def glm_score_gram_frame(
+    df: DataFrame,
+    fam,
+    beta: np.ndarray,
+    y_col: str,
+    x_names: list[str],
+    intercept: bool,
+    cluster: str,
+    offset: str | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """The score bootstrap's single distributed pass: per-cluster GLM
+    score vectors s_g = sum w(y - mu) x and information blocks
+    A_g = sum w V x x' at a literal beta — one O(p^2) row per cluster."""
+    from .glm import _d, _eta_expr
+    from .plans.exprs import Lit, Var, agg_to_spark, asum, to_spark
+
+    y = _d(Var(y_col))
+    eta = _eta_expr(np.asarray(beta, dtype=float), x_names, intercept, offset)
+    mu = fam.mu(eta)
+    wirls = fam.w(eta, mu)
+    sc = y - mu
+    if weight_col is not None:
+        om = _d(Var(weight_col))
+        sc = om * sc
+        wirls = om * wirls
+    cols = ([Lit(1.0)] if intercept else []) + [Var(n) for n in x_names]
+    p = len(cols)
+    proj = df.select(
+        F.col(cluster),
+        to_spark(_d(sc)).alias("__s"),
+        to_spark(_d(wirls)).alias("__w"),
+        *[F.col(n) for n in x_names],
+    )
+    aggs = [
+        agg_to_spark(asum(Var("__s") * _d(c))).alias(f"s_{i}")
+        for i, c in enumerate(cols)
+    ]
+    for i in range(p):
+        for k2 in range(i, p):
+            aggs.append(
+                agg_to_spark(
+                    asum(Var("__w") * _d(cols[i]) * _d(cols[k2]))
+                ).alias(f"a_{i}_{k2}")
+            )
+    return proj.groupBy(cluster).agg(*aggs)
+
+
 def wild_score_bootstrap(
     fml: str,
     data=None,
@@ -652,38 +700,18 @@ def wild_score_bootstrap(
 
     # ---- 2. ONE grouped pass: per-cluster s_g and A_g at beta_tilde ------
     p = (1 if icpt else 0) + len(x_names)
-    y = _d(Var(frame.y_col))
     # the FULL model's eta at the restricted estimate: the tested
     # coefficient's null value sits in beta_t[j] — the ORIGINAL offset
     # only here (r_offset carries c*x solely for the restricted fit,
     # where the tested regressor is absent)
-    eta = _eta_expr(beta_t, x_names, icpt, offset)
-    mu = fam.mu(eta)
-    wirls = fam.w(eta, mu)
-    s = y - mu
-    om = _d(Var(weight_col)) if weight_col is not None else None
-    if om is not None:
-        s = om * s
-        wirls = om * wirls
-    cols = ([Lit(1.0)] if icpt else []) + [Var(n) for n in x_names]
-    proj = frame.df.select(
-        F.col(cluster),
-        to_spark(_d(s)).alias("__s"),
-        to_spark(_d(wirls)).alias("__w"),
-        *[F.col(n) for n in x_names],
+    rows = (
+        glm_score_gram_frame(
+            frame.df, fam, beta_t, frame.y_col, x_names, icpt, cluster,
+            offset=offset, weight_col=weight_col,
+        )
+        .limit(MAX_CLUSTERS + 1)
+        .collect()
     )
-    aggs = [
-        agg_to_spark(asum(Var("__s") * _d(c))).alias(f"s_{i}")
-        for i, c in enumerate(cols)
-    ]
-    for i in range(p):
-        for k2 in range(i, p):
-            aggs.append(
-                agg_to_spark(
-                    asum(Var("__w") * _d(cols[i]) * _d(cols[k2]))
-                ).alias(f"a_{i}_{k2}")
-            )
-    rows = proj.groupBy(cluster).agg(*aggs).limit(MAX_CLUSTERS + 1).collect()
     if len(rows) > MAX_CLUSTERS:
         raise ValueError(
             f"cluster variable {cluster!r} has more than {MAX_CLUSTERS:,} "
