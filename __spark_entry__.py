@@ -119,6 +119,9 @@ FML_3FE = (
     "l_extendedprice ~ l_quantity + l_discount | l_returnflag + l_linestatus + l_linenumber"
 )
 FML_COMPRESS = "l_tax ~ l_quantity + l_discount | l_returnflag + l_linestatus"
+# multiple estimation (fixest sw/csw/multi-LHS): the union-Gram pass that
+# fits all 4 submodels at once (dbreg_spark/multi.py)
+FML_MULTI = "c(l_extendedprice, l_tax) ~ l_quantity + csw(l_discount, l_linenumber)"
 # WLS gates: l_quantity (integer 1..50, strictly positive) as the weight
 W_COL = "l_quantity"
 FML_W = "l_extendedprice ~ l_discount + l_tax"
@@ -453,6 +456,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _round_doubles_df(df)
 
     Q["cluster_scores_multiway"] = cluster_scores_multiway
+
+    # ---- multiple estimation: ONE union-Gram pass fits every submodel of
+    # c(y1,y2) ~ x + csw(a, b) (dbreg_multi; per-model parity pinned by
+    # tests/test_multi.py — the gate verifies the shared distributed pass)
+    def moments_multi(spark, sf_dir):
+        _tables(spark, sf_dir)
+        from dbreg_spark.multi import build_multi_plan
+
+        df, _ = build_multi_plan(
+            FML_MULTI, spark=spark, table="lineitem", strategy="moments"
+        )
+        return _round_doubles_df(df)
+
+    Q["moments_multi"] = moments_multi
 
     # ---- GLM: one logit IRLS pass at fixed β (beyond-reference dbglm) ----
     def glm_irls_step(spark, sf_dir):
@@ -1749,9 +1766,12 @@ def _plan_oracle_sql(fml: str, strategy: str, weights: str | None = None) -> str
 
         spark = get_session("oracle-sql-emit", master="local[2]", shuffle_partitions=2)
     _tables(spark, os.environ.get("SPARK_GRAFT_SF_DIR_FOR_SQL", "/root/testdata/sf0.01"))
-    from dbreg_spark.api import build_plan
+    if fml.lstrip().startswith("c(") or "sw(" in fml:
+        from dbreg_spark.multi import build_multi_plan as _builder
+    else:
+        from dbreg_spark.api import build_plan as _builder
 
-    df, sql = build_plan(
+    df, sql = _builder(
         fml, spark=spark, table="lineitem", strategy=strategy, weights=weights
     )
     from pyspark.sql import types as T
@@ -1775,6 +1795,7 @@ def oracle_sql() -> dict[str, str]:
         ("mundlak_moments_2fe", FML_2FE, "mundlak"),
         ("compress_cells", FML_COMPRESS, "compress"),
         ("group_means_1fe", FML_1FE, "group_means"),
+        ("moments_multi", FML_MULTI, "moments"),
     ]:
         O[name] = _plan_oracle_sql(fml, strat)
     for name, fml, strat in [

@@ -21,6 +21,7 @@ from .glm import GlmModel, dbglm
 from .iv import IvModel, dbiv
 from .model import DbregModel
 from .eventstudy import EventStudyResult, event_study, sun_abraham
+from .multi import DbregMulti, dbreg_multi
 from .split import DbregSplit, dbreg_split
 from .split_glm import GlmSplit, dbglm_split
 from .pipeline import corpus_pipeline
@@ -39,6 +40,8 @@ __all__ = [
     "dbglm",
     "GlmModel",
     "dbiv",
+    "dbreg_multi",
+    "DbregMulti",
     "dbreg_split",
     "dbglm_split",
     "GlmSplit",
