@@ -471,6 +471,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["moments_multi"] = moments_multi
 
+    # ---- Conley spatial HAC meat: cell-bucketed score self-join at fixed
+    # β (literal-β pattern, like meat_hc1_fixed_beta). Euclidean mode with
+    # synthetic degree coordinates so the twin needs no probe floats; the
+    # haversine path is numpy-oracle-pinned in tests/test_conley.py.
+    def conley_meat_q(spark, sf_dir):
+        _tables(spark, sf_dir)
+        import numpy as _np
+
+        from dbreg_spark.plans.conley import conley_meat_plan
+        from dbreg_spark.plans.frames import Frame
+
+        li = spark.table("lineitem").selectExpr(
+            "l_extendedprice", "l_quantity", "l_discount",
+            "CAST(l_partkey % 120 AS DOUBLE) / 2.0 - 30.0 AS lat",
+            "CAST(l_suppkey % 300 AS DOUBLE) / 2.0 - 75.0 AS lon",
+        ).where(
+            "l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL "
+            "AND l_discount IS NOT NULL"
+        )
+        frame = Frame(
+            df=li, y_col="l_extendedprice",
+            x_cols=["l_quantity", "l_discount"], key_cols=[],
+            sql_cte=None, cte_name="base",
+        )
+        agg_df, _p = conley_meat_plan(
+            frame, _np.array(MEAT_BETA), ["l_quantity", "l_discount"],
+            True, "lat", "lon", cutoff=0.9, kernel="bartlett",
+            distance="euclidean",
+        )
+        return _round_doubles_df(agg_df)
+
+    Q["conley_meat_fixed_beta"] = conley_meat_q
+
     # ---- GLM: one logit IRLS pass at fixed β (beyond-reference dbglm) ----
     def glm_irls_step(spark, sf_dir):
         _tables(spark, sf_dir)
@@ -1955,6 +1988,55 @@ FROM (
 
     O["meat_hc1_fixed_beta"] = _round_doubles_sql(
         "SELECT " + ", ".join(meat_terms) + f" FROM ({base}) b", meat_names, meat_names
+    )
+
+    # Conley spatial meat twin: same cell-bucketed pair enumeration written
+    # as plain SQL (3x3 neighbor VALUES cross join + cell equi-join +
+    # exact euclidean cutoff + bartlett kernel). Independent formulation:
+    # DuckDB executes its own join order and summation order; rounding to
+    # 6 significant digits absorbs the float-order noise.
+    _co = "0.9"  # cutoff (degrees) — must match the query side's literal
+    _cb0, _cb1, _cb2 = MEAT_BETA  # b0/b1/b2 get rebound by the GLM twins
+    _cbase = (
+        "SELECT CAST((l_extendedprice - " + repr(_cb0)
+        + " - ((" + repr(_cb1) + " * l_quantity) + (" + repr(_cb2)
+        + " * l_discount))) AS DOUBLE) AS __e, "
+        "CAST(l_quantity AS DOUBLE) AS l_quantity, "
+        "CAST(l_discount AS DOUBLE) AS l_discount, "
+        "CAST(l_partkey % 120 AS DOUBLE) / 2.0 - 30.0 AS lat, "
+        "CAST(l_suppkey % 300 AS DOUBLE) / 2.0 - 75.0 AS lon "
+        "FROM lineitem "
+        "WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL "
+        "AND l_discount IS NOT NULL"
+    )
+    _cdist = (
+        "SQRT((l.lon - r.lon) * (l.lon - r.lon) "
+        "+ (l.lat - r.lat) * (l.lat - r.lat))"
+    )
+    _ccols = ["1.0", "l_quantity", "l_discount"]
+    _cterms = []
+    _cnames = []
+    for i in range(3):
+        for j in range(i, 3):
+            li_c = "1.0" if i == 0 else f"l.{_ccols[i]}"
+            rj_c = "1.0" if j == 0 else f"r.{_ccols[j]}"
+            _cterms.append(
+                f"SUM((1.0 - {_cdist} / {_co}) * l.__e * r.__e * "
+                f"CAST({li_c} AS DOUBLE) * CAST({rj_c} AS DOUBLE)) "
+                f"AS m_{i}_{j}"
+            )
+            _cnames.append(f"m_{i}_{j}")
+    O["conley_meat_fixed_beta"] = _round_doubles_sql(
+        "WITH cbase AS (" + _cbase + "), "
+        f"ccells AS (SELECT *, FLOOR(lon / {_co}) AS __cx, "
+        f"FLOOR(lat / {_co}) AS __cy FROM cbase), "
+        "clft AS (SELECT c.*, c.__cx + ox.o AS __jx, c.__cy + oy.o AS __jy "
+        "FROM ccells c CROSS JOIN (VALUES (-1.0), (0.0), (1.0)) ox(o) "
+        "CROSS JOIN (VALUES (-1.0), (0.0), (1.0)) oy(o)) "
+        "SELECT " + ", ".join(_cterms) + " FROM clft l "
+        "JOIN ccells r ON l.__jx = r.__cx AND l.__jy = r.__cy "
+        f"WHERE {_cdist} <= {_co}",
+        _cnames, _cnames,
     )
 
     score_terms = [

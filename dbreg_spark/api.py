@@ -60,6 +60,9 @@ def dbreg(
     cluster=None,
     weights: str | None = None,
     hac_lag: int | None = None,
+    conley_cutoff: float | None = None,
+    conley_kernel: str = "uniform",
+    conley_distance: str = "haversine",
     ssc: str = "full",
     strategy: str = "auto",
     compress_ratio: float | None = None,
@@ -90,6 +93,15 @@ def dbreg(
     the time column ``t`` (per-period score sums, Bartlett-weighted across
     ``hac_lag`` lags — the Newey-West plug-in bandwidth when None; lag 0
     equals clustering by ``t``). Supported on moments/demean/mundlak.
+
+    ``vcov="conley ~ lat + lon"`` requests Conley (1999) spatial HAC SEs:
+    the meat sums K(d_ij)·s_i·s_j' over every observation pair within
+    ``conley_cutoff`` of each other (``conley_kernel`` "uniform" or
+    "bartlett" distance decay; ``conley_distance`` "haversine" — degrees
+    in, cutoff in km — or "euclidean" for projected coordinates).
+    Computed exactly with a grid-cell-bucketed score self-join (shuffle =
+    10x the slim score rows, never all-pairs; see plans/conley.py).
+    Supported on moments/demean; cutoff→0 degenerates to HC1.
 
     ``weights``: a column name (or ``"~w"`` formula string) of strictly
     positive observation weights — WLS minimizing Σ wᵢ(yᵢ − xᵢ'β)², the
@@ -134,6 +146,19 @@ def dbreg(
     if vcov_type == "dk" and chosen == "compress" and strategy == "auto":
         # DK needs a per-period score pass; cells drop the time dimension
         chosen = "demean" if parsed.fe else "moments"
+    if vcov_type == "conley":
+        if conley_cutoff is None:
+            raise ValueError(
+                "vcov='conley ~ lat + lon' needs conley_cutoff= (km for "
+                "distance='haversine', coordinate units for 'euclidean')"
+            )
+        if strategy not in ("auto", "moments", "demean", "demean_iter", "within"):
+            raise NotImplementedError(
+                "conley vcov needs row-level scores; use strategy "
+                "moments/demean (cells drop the coordinates)"
+            )
+        if chosen in ("compress", "mundlak"):
+            chosen = "demean" if parsed.fe else "moments"
     if vcov_type == "cr3":
         # CV3 jackknife refits need leave-one-cluster-out estimates as
         # Gram-block subtractions. Exact on the moments strategy always;
@@ -171,6 +196,11 @@ def dbreg(
         compress_nmax=compress_nmax,
         weight_col=weight_col,
         hac_lag=hac_lag,
+        conley_opts=(
+            (conley_cutoff, conley_kernel, conley_distance)
+            if vcov_type == "conley"
+            else None
+        ),
     )
     if chosen == "moments":
         return _execute_moments(**kwargs)
@@ -443,6 +473,7 @@ def _execute_moments(
     compress_nmax,
     weight_col=None,
     hac_lag=None,
+    conley_opts=None,
 ):
     design = build_design(source.df, parsed, expand="all", fe_vars=parsed.fe)
     frame = build_base_frame(
@@ -502,6 +533,16 @@ def _execute_moments(
         meat, n_clusters, _lag, _ = dk_meat(
             frame, sol.betahat, kept_x, intercept=icpt,
             time_col=cluster_var[0], lag=hac_lag, weight_col=weight_col,
+        )
+    elif vcov_type == "conley":
+        from .plans.conley import conley_meat
+
+        cutoff, kernel, distance = conley_opts
+        meat = conley_meat(
+            frame, sol.betahat, kept_x, intercept=icpt,
+            lat_col=cluster_var[0], lon_col=cluster_var[1],
+            cutoff=cutoff, kernel=kernel, distance=distance,
+            weight_col=weight_col,
         )
 
     if vcov_type == "cr3":
@@ -567,6 +608,7 @@ def _execute_demean(
     hac_lag=None,
     force_iter=False,
     warn_unbalanced=False,
+    conley_opts=None,
 ):
     fe = parsed.fe
     if len(fe) < 1:
@@ -601,7 +643,7 @@ def _execute_demean(
         return _finish_demean(
             frame, base, design, parsed, vcov_type, cluster_var, ssc, sql_only,
             data_only, compression_ratio_est, warn_unbalanced, weight_col,
-            hac_lag,
+            hac_lag, conley_opts,
         )
     finally:
         # the one-scan GROUPING SETS means table is cached for reuse across
@@ -613,6 +655,7 @@ def _finish_demean(
     frame, base, design, parsed, vcov_type, cluster_var, ssc, sql_only,
     data_only, compression_ratio_est, warn_unbalanced=False, weight_col=None,
     hac_lag=None,
+    conley_opts=None,
 ):
     fe = parsed.fe
     n_fe_exprs = [Var(f) for f in fe]
@@ -696,6 +739,16 @@ def _finish_demean(
         meat, n_clusters, _lag, _ = dk_meat(
             frame, sol.betahat, kept_x, intercept=False,
             time_col=cluster_var[0], lag=hac_lag, weight_col=weight_col,
+        )
+    elif vcov_type == "conley":
+        from .plans.conley import conley_meat
+
+        cutoff, kernel, distance = conley_opts
+        meat = conley_meat(
+            frame, sol.betahat, kept_x, intercept=False,
+            lat_col=cluster_var[0], lon_col=cluster_var[1],
+            cutoff=cutoff, kernel=kernel, distance=distance,
+            weight_col=weight_col,
         )
 
     if vcov_type == "cr3":
@@ -839,6 +892,7 @@ def _execute_mundlak(
     compress_nmax,
     weight_col=None,
     hac_lag=None,
+    conley_opts=None,
 ):
     fe = parsed.fe
     if not fe:
@@ -1077,6 +1131,7 @@ def _execute_compress(
     compress_nmax,
     weight_col=None,
     hac_lag=None,
+    conley_opts=None,
 ):
     if vcov_type == "dk":
         raise NotImplementedError(

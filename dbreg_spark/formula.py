@@ -244,6 +244,15 @@ def parse_vcov(vcov, cluster=None, valid=("iid", "hc1")) -> tuple[str, list[str]
             if len(cluster_vars) != 1:
                 raise ValueError("Driscoll-Kraay needs exactly one time variable")
             vcov_type = "dk"
+        elif lhs.strip().lower() == "conley":
+            # Conley (1999) spatial HAC: two coordinate columns (lat, lon)
+            cluster_vars = parse_cluster("~" + rhs)
+            if len(cluster_vars) != 2:
+                raise ValueError(
+                    "conley needs exactly two coordinate variables: "
+                    "'conley ~ lat + lon'"
+                )
+            vcov_type = "conley"
         elif lhs.strip().lower() in ("cr3", "cv3", "jackknife"):
             # MacKinnon-Nielsen-Webb cluster jackknife (CV3): leave-one-
             # cluster-out refits from per-cluster Gram blocks
@@ -254,7 +263,7 @@ def parse_vcov(vcov, cluster=None, valid=("iid", "hc1")) -> tuple[str, list[str]
         else:
             raise ValueError(
                 f"unknown vcov form {vcov!r}; use 'iid', 'hc1', '~cluster', "
-                "'dk ~ time', or 'cr3 ~ cluster'"
+                "'dk ~ time', 'cr3 ~ cluster', or 'conley ~ lat + lon'"
             )
     elif isinstance(vcov, str):
         vt = vcov.strip().lower()

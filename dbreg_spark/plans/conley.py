@@ -1,0 +1,237 @@
+"""Conley (1999) spatial HAC "meat" — distributed via grid-cell bucketing.
+
+fixest's ``vcov_conley`` computes M = Σᵢ Σⱼ K(dᵢⱼ) sᵢ sⱼ' over all
+observation pairs within ``cutoff`` of each other (sᵢ = uᵢ·xᵢ the score
+row, K a uniform or Bartlett kernel in the distance). A literal all-pairs
+formulation is O(n²) — unusable at scale. This module computes the SAME
+double sum exactly with a cell-bucketed score self-join:
+
+1. ONE projection builds the score ingredients (literal-β residual +
+   regressor columns + coordinates) and assigns each row to a grid cell
+   whose side length GUARANTEES every within-cutoff pair lands in
+   adjacent cells (for haversine: lat band = cutoff/111.045 deg, lon band
+   sized by the corpus's worst-case cos(lat), probed in one tiny
+   aggregate).
+2. The left side EXPLODES each row to its 3x3 neighbor-cell keys (a 9x
+   multiplier on the slim score rows — never on the raw data); the right
+   side keeps its own cell key. The equi-join on the cell key followed by
+   the exact distance predicate enumerates every ordered within-cutoff
+   pair exactly once — including (i,i), so the double sum (diagonal +
+   both directions of each unordered pair) needs no post-correction.
+3. ONE aggregation sums K(d)·eᵢeⱼ·xᵢ[a]·xⱼ[b] for a ≤ b (the two
+   directions of each pair make the total symmetric).
+
+Shuffle: 10x the score-row bytes (9 exploded + 1 plain), independent of
+the raw table width. Per-cell work is density² — the irreducible cost of
+pairwise spatial covariance; a one-row occupancy probe rides the join
+input and raises with a clear message when a single cell would exceed
+``max_cell_rows`` (pick a larger cutoff grid or pre-aggregate to a
+coarser spatial unit).
+
+Longitude wraparound at ±180° is NOT stitched (pairs straddling the
+antimeridian are treated as far apart) — documented limitation, matching
+a plain lat/lon grid; project coordinates for polar/antimeridian data
+and use ``distance="euclidean"``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from .exprs import Cast, Lit, Var, to_spark
+from .frames import Frame
+from .meat import _d, _resid_expr
+
+# mean earth radius (km) and km per degree of latitude
+_R_EARTH_KM = 6371.0088
+_KM_PER_DEG = np.pi * _R_EARTH_KM / 180.0  # ~111.195
+
+
+def _haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance (km) as a Spark column expression."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(rl1) * F.cos(rl2) * F.sin(
+        dlon
+    ) * F.sin(dlon)
+    # guard fp overshoot: a in [0, 1]
+    a = F.least(F.greatest(a, F.lit(0.0)), F.lit(1.0))
+    return 2.0 * _R_EARTH_KM * F.asin(F.sqrt(a))
+
+
+def conley_meat_plan(
+    frame: Frame,
+    betahat: np.ndarray,
+    x_names: list[str],
+    intercept: bool,
+    lat_col: str,
+    lon_col: str,
+    cutoff: float,
+    kernel: str = "uniform",
+    distance: str = "haversine",
+    weight_col: str | None = None,
+    max_cell_rows: int = 2_000_000,
+):
+    """Lazy Conley meat aggregation: (agg_df, p). See :func:`conley_meat`."""
+    if cutoff <= 0:
+        raise ValueError("conley cutoff must be > 0")
+    if kernel not in ("uniform", "bartlett"):
+        raise ValueError("conley kernel must be 'uniform' or 'bartlett'")
+    if distance not in ("haversine", "euclidean"):
+        raise ValueError("conley distance must be 'haversine' or 'euclidean'")
+
+    r = _resid_expr(frame, betahat, x_names, intercept)
+    if weight_col is not None:
+        r = _d(Var(weight_col)) * r  # WLS score s = w·u·x
+    s_names = list(dict.fromkeys(x_names))
+    proj = frame.df.select(
+        to_spark(Cast(r, "double")).alias("__e"),
+        *[F.col(n) for n in s_names],
+        F.col(lat_col).cast("double").alias("__lat"),
+        F.col(lon_col).cast("double").alias("__lon"),
+    )
+
+    if distance == "haversine":
+        # lon degrees shrink by cos(lat): size the lon band by the corpus's
+        # worst case so |Δlon_deg| <= band for every within-cutoff pair.
+        # One tiny aggregate (min/max/null-count probe rides here too).
+        ext = proj.agg(
+            F.min("__lat"), F.max("__lat"),
+            F.sum(F.when(F.col("__lat").isNull() | F.col("__lon").isNull(), 1).otherwise(0)),
+            F.count(F.lit(1)),
+        ).collect()[0]
+        lat_min, lat_max, n_null, _n = ext
+        if n_null:
+            raise ValueError(
+                f"conley vcov: {n_null} rows have NULL {lat_col}/{lon_col}; "
+                "coordinates must be complete (drop or impute them first)"
+            )
+        if lat_min is None:
+            raise ValueError("conley vcov: no rows with coordinates")
+        if not (-90.0 <= lat_min <= 90.0 and -90.0 <= lat_max <= 90.0):
+            raise ValueError(
+                "conley distance='haversine' needs latitude in [-90, 90]; "
+                "use distance='euclidean' for projected coordinates"
+            )
+        abs_lat = max(abs(lat_min), abs(lat_max))
+        # |lat| + the cutoff's own latitude span bounds any PAIRED point
+        reach = min(abs_lat + cutoff / _KM_PER_DEG, 89.9)
+        cos_min = np.cos(np.radians(reach))
+        if cos_min < 0.02:
+            raise ValueError(
+                "conley vcov: data reaches within ~0.1 deg of a pole, where "
+                "a lat/lon grid degenerates; project coordinates and use "
+                "distance='euclidean'"
+            )
+        dlat = cutoff / _KM_PER_DEG
+        dlon = cutoff / (_KM_PER_DEG * cos_min)
+        cell_x = F.floor(F.col("__lon") / F.lit(float(dlon)))
+        cell_y = F.floor(F.col("__lat") / F.lit(float(dlat)))
+        dist = _haversine_km(
+            F.col("l.__lat"), F.col("l.__lon"),
+            F.col("r.__lat"), F.col("r.__lon"),
+        )
+    else:
+        nullprobe = proj.agg(
+            F.sum(
+                F.when(
+                    F.col("__lat").isNull() | F.col("__lon").isNull(), 1
+                ).otherwise(0)
+            )
+        ).collect()[0][0]
+        if nullprobe:
+            raise ValueError(
+                f"conley vcov: {nullprobe} rows have NULL "
+                f"{lat_col}/{lon_col}; coordinates must be complete"
+            )
+        cell_x = F.floor(F.col("__lon") / F.lit(float(cutoff)))
+        cell_y = F.floor(F.col("__lat") / F.lit(float(cutoff)))
+        dx = F.col("l.__lon") - F.col("r.__lon")
+        dy = F.col("l.__lat") - F.col("r.__lat")
+        dist = F.sqrt(dx * dx + dy * dy)
+
+    cells = proj.withColumn("__cx", cell_x).withColumn("__cy", cell_y)
+
+    # occupancy guard: one grouped count capped via sort-free max
+    occ = cells.groupBy("__cx", "__cy").count().agg(F.max("count")).collect()[0][0]
+    if occ is not None and occ > max_cell_rows:
+        raise ValueError(
+            f"conley vcov: a single {cutoff}-unit grid cell holds {occ:,} "
+            f"rows (> max_cell_rows={max_cell_rows:,}); the pairwise pass "
+            "would be quadratic there. Reduce the cutoff, pre-aggregate to "
+            "a coarser spatial unit, or raise max_cell_rows deliberately."
+        )
+
+    # left side: explode to the 3x3 neighbor cells; right side: own cell
+    offs = F.array([F.lit(o) for o in (-1, 0, 1)])
+    left = (
+        cells.withColumn("__ox", F.explode(offs))
+        .withColumn("__oy", F.explode(offs))
+        .withColumn("__jx", F.col("__cx") + F.col("__ox"))
+        .withColumn("__jy", F.col("__cy") + F.col("__oy"))
+        .drop("__ox", "__oy", "__cx", "__cy")
+        .alias("l")
+    )
+    right = cells.withColumnRenamed("__cx", "__jx").withColumnRenamed(
+        "__cy", "__jy"
+    ).alias("r")
+
+    pairs = left.join(right, on=["__jx", "__jy"]).where(dist <= F.lit(float(cutoff)))
+    if kernel == "bartlett":
+        k = 1.0 - dist / F.lit(float(cutoff))
+    else:
+        k = F.lit(1.0)
+
+    p = (1 if intercept else 0) + len(s_names)
+
+    def col_of(side: str, idx: int):
+        if intercept and idx == 0:
+            return F.lit(1.0)
+        name = s_names[idx - (1 if intercept else 0)]
+        return F.col(f"{side}.{name}").cast("double")
+
+    ee = k * F.col("l.__e") * F.col("r.__e")
+    aggs = []
+    for a in range(p):
+        for b in range(a, p):
+            aggs.append(
+                F.sum(ee * col_of("l", a) * col_of("r", b)).alias(f"m_{a}_{b}")
+            )
+    return pairs.agg(*aggs), p
+
+
+def conley_meat(
+    frame: Frame,
+    betahat: np.ndarray,
+    x_names: list[str],
+    intercept: bool,
+    lat_col: str,
+    lon_col: str,
+    cutoff: float,
+    kernel: str = "uniform",
+    distance: str = "haversine",
+    weight_col: str | None = None,
+    max_cell_rows: int = 2_000_000,
+) -> np.ndarray:
+    """Exact Conley meat matrix (p x p, p = intercept + len(x_names)).
+
+    ``kernel``: "uniform" (K=1 inside the cutoff — Conley's original) or
+    "bartlett" (K = 1 − d/cutoff, fixest's ``vcov_conley`` default
+    distance decay). ``distance``: "haversine" (coords in degrees, cutoff
+    in km) or "euclidean" (coords and cutoff in the same planar units).
+    """
+    agg_df, p = conley_meat_plan(
+        frame, betahat, x_names, intercept, lat_col, lon_col, cutoff,
+        kernel, distance, weight_col, max_cell_rows,
+    )
+    row = agg_df.collect()[0].asDict()
+    meat = np.zeros((p, p))
+    for a in range(p):
+        for b in range(a, p):
+            v = row[f"m_{a}_{b}"]
+            meat[a, b] = meat[b, a] = float(v) if v is not None else 0.0
+    # the two directions of each unordered pair are both enumerated, so the
+    # a<b cells already carry the symmetric total; nothing to double here
+    return meat

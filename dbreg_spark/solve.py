@@ -121,9 +121,12 @@ def compute_vcov(
     n_clusters: int | None = None,
 ) -> np.ndarray:
     """(reference: R/dbreg.R:1756-1803)"""
-    if vcov_type == "hc1":
+    if vcov_type in ("hc1", "conley"):
+        # Conley spatial HAC uses the HC1-style finite-sample factor, so a
+        # cutoff small enough to isolate every observation reproduces HC1
+        # exactly (pinned by tests/test_conley.py)
         if meat is None:
-            raise ValueError("HC1 requires a meat matrix")
+            raise ValueError(f"{vcov_type} requires a meat matrix")
         scale = nobs_orig / df_res
         return scale * (xtx_inv @ meat @ xtx_inv)
     if vcov_type == "cluster":
