@@ -352,6 +352,30 @@ def _glm_step_plan(spark: SparkSession):
     return agg_df, sql
 
 
+def _negbin_step_plan(spark: SparkSession):
+    """(agg_df, oracle_sql) for one NB2 IRLS pass at fixed (beta, theta)
+    over lineitem counts (l_linenumber) — the negbin family's mu/w/wz/ll
+    expressions are plain exp/ln IR, so the same pass emits a DuckDB twin."""
+    import numpy as np
+
+    from dbreg_spark.design import build_design
+    from dbreg_spark.formula import parse_formula
+    from dbreg_spark.glm import get_family, irls_pass_plan
+    from dbreg_spark.plans.common import Source
+    from dbreg_spark.plans.frames import build_base_frame
+
+    li = spark.table("lineitem")
+    src = Source(df=li, sql_from="FROM lineitem")
+    parsed = parse_formula("l_linenumber ~ l_quantity + l_discount")
+    design = build_design(src.df, parsed, expand="all", fe_vars=None)
+    frame = build_base_frame(src, parsed, design, True, want_sql=True)
+    _spec, agg_df, sql = irls_pass_plan(
+        frame, get_family("negbin", theta=2.5), np.asarray(GLM_BETA),
+        list(frame.x_cols), True,
+    )
+    return agg_df, sql
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship query
 # ---------------------------------------------------------------------------
@@ -511,6 +535,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _round_doubles_df(agg_df)
 
     Q["glm_irls_step_logit"] = glm_irls_step
+
+    # one NB2 IRLS pass at fixed (beta, theta): the negbin family's
+    # non-canonical-link weights/working response, cross-engine
+    def negbin_irls_step(spark, sf_dir):
+        _tables(spark, sf_dir)
+        agg_df, _sql = _negbin_step_plan(spark)
+        return _round_doubles_df(agg_df)
+
+    Q["glm_irls_step_negbin"] = negbin_irls_step
 
     def fepois_step(spark, sf_dir):
         _tables(spark, sf_dir)
@@ -2082,6 +2115,25 @@ FROM (
         return _round_doubles_sql(sql, cols, dbl)
 
     O["glm_irls_step_logit"] = _glm_oracle()
+
+    def _negbin_oracle() -> str:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            from dbreg_spark.sources.io import get_session
+
+            spark = get_session(
+                "oracle-sql-emit", master="local[2]", shuffle_partitions=2
+            )
+        _tables(
+            spark,
+            os.environ.get("SPARK_GRAFT_SF_DIR_FOR_SQL", "/root/testdata/sf0.01"),
+        )
+        agg_df, sql = _negbin_step_plan(spark)
+        cols = [f.name for f in agg_df.schema.fields]
+        dbl = [c for c in cols if c not in ("n_total",)]
+        return _round_doubles_sql(sql, cols, dbl)
+
+    O["glm_irls_step_negbin"] = _negbin_oracle()
 
     _fp_cols = [
         "n_total", "ll", "ll_sat", "d_0", "d_1",

@@ -21,6 +21,7 @@ from .glm import GlmModel, dbglm
 from .iv import IvModel, dbiv
 from .model import DbregModel
 from .eventstudy import EventStudyResult, event_study, sun_abraham
+from .etable import etable
 from .multi import DbregMulti, dbreg_multi
 from .split import DbregSplit, dbreg_split
 from .split_glm import GlmSplit, dbglm_split
@@ -41,6 +42,7 @@ __all__ = [
     "GlmModel",
     "dbiv",
     "dbreg_multi",
+    "etable",
     "DbregMulti",
     "dbreg_split",
     "dbglm_split",

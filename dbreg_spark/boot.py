@@ -578,6 +578,12 @@ def wild_score_bootstrap(
     if B < 99:
         raise ValueError("B must be at least 99")
     fam = get_family(family)
+    if fam.name == "negbin":
+        raise NotImplementedError(
+            "wild_score_bootstrap does not support family='negbin' (its "
+            "scores/information assume a canonical link; negbin's log link "
+            "is non-canonical for fixed theta)"
+        )
     parsed = parse_formula(fml)
     if parsed.yvar is None:
         raise ValueError("Formula needs an outcome variable.")

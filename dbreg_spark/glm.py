@@ -95,6 +95,7 @@ FAMILIES = (
     "gaussian",
     "quasibinomial",
     "quasipoisson",
+    "negbin",
 )
 
 _W_EPS = 1e-12  # pearson-residual denominator floor (never used in w·z)
@@ -140,15 +141,20 @@ class _Family:
     name: str
     link: str
     quasi: bool = False
+    # NB2 dispersion: V(mu) = mu + mu^2/theta (negbin family only)
+    theta: float | None = None
 
     @property
     def label(self) -> str:
-        return ("quasi" if self.quasi else "") + self.name
+        lbl = ("quasi" if self.quasi else "") + self.name
+        if self.name == "negbin" and self.theta is not None:
+            lbl = f"negbin(theta={self.theta!r})"  # repr: lossless round-trip
+        return lbl
 
     def mu(self, eta: Expr) -> Expr:
         if self.name == "binomial":
             return Lit(1.0) / (Lit(1.0) + Func("exp", (_neg(eta),)))
-        if self.name == "poisson":
+        if self.name in ("poisson", "negbin"):
             return Func("exp", (eta,))
         return eta
 
@@ -157,6 +163,11 @@ class _Family:
             return mu * (Lit(1.0) - mu)
         if self.name == "poisson":
             return mu
+        if self.name == "negbin":
+            # Fisher weight for log link under V(mu) = mu + mu^2/theta:
+            # w = (dmu/deta)^2 / V = mu*theta / (theta + mu)
+            th = Lit(float(self.theta))
+            return mu * th / (th + mu)
         return Lit(1.0)
 
     def wz(
@@ -173,6 +184,11 @@ class _Family:
         X'WX β = X'W(z−offset) is the IRLS step with an offset."""
         if self.name == "gaussian":
             return y if offset_expr is None else y - offset_expr
+        if self.name == "negbin":
+            # w*(z - offset) = w*eta_x + w*(y-mu)*(deta/dmu)
+            #                = w*eta_x + theta*(y-mu)/(theta+mu)
+            th = Lit(float(self.theta))
+            return w * eta_x + th * (y - mu) / (th + mu)
         return w * eta_x + (y - mu)
 
     def ll(self, eta: Expr, mu: Expr, y: Expr) -> Expr:
@@ -188,6 +204,18 @@ class _Family:
             return y * eta - sp
         if self.name == "poisson":
             return y * eta - mu
+        if self.name == "negbin":
+            # beta-and-theta-relevant per-row terms of the NB2 loglik:
+            # y*ln(mu) - (y+theta)*ln(theta+mu) + theta*ln(theta). The
+            # remaining lgamma(y+theta)-lgamma(theta)-lgamma(y+1) constant
+            # is added driver-side from the y histogram (it cancels in
+            # every deviance/convergence difference).
+            th = Lit(float(self.theta))
+            return (
+                y * eta
+                - (y + th) * Func("ln", (th + mu,))
+                + Lit(float(self.theta * math.log(self.theta)))
+            )
         return _neg((y - eta) * (y - eta)) / Lit(2.0)
 
     def ll_sat(self, y: Expr) -> Expr:
@@ -202,6 +230,15 @@ class _Family:
         if self.name == "poisson":
             # y>0: y·ln(y) − y; y=0: 0
             return CaseGE(y, 0.0, y * Func("ln", (y,)) - y, strict=True)
+        if self.name == "negbin":
+            # mu = y: y*ln(y) - (y+theta)*ln(theta+y) + theta*ln(theta)
+            # (the y*ln(y) term is 0 at y=0, CASE-guarded like poisson)
+            th = Lit(float(self.theta))
+            return (
+                CaseGE(y, 0.0, y * Func("ln", (y,)), strict=True)
+                - (y + th) * Func("ln", (th + y,))
+                + Lit(float(self.theta * math.log(self.theta)))
+            )
         return Lit(0.0)
 
     def pearson_sq(self, mu: Expr, y: Expr) -> Expr:
@@ -212,25 +249,116 @@ class _Family:
             return r2 / v
         if self.name == "poisson":
             return r2 / Func("greatest", (mu, Lit(_W_EPS)))
+        if self.name == "negbin":
+            th = float(self.theta)
+            v = mu + mu * mu / Lit(th)
+            return r2 / Func("greatest", (v, Lit(_W_EPS)))
         return r2
 
     def inverse_link_py(self, eta):
         eta = np.asarray(eta, dtype=float)
         if self.name == "binomial":
             return 1.0 / (1.0 + np.exp(-eta))
-        if self.name == "poisson":
+        if self.name in ("poisson", "negbin"):
             return np.exp(eta)
         return eta
 
+    def score(self, mu: Expr, y: Expr) -> Expr:
+        """Per-row score residual s with score vector s·x (= dl/deta).
+        Canonical links: y − μ. negbin's log link is NOT canonical for
+        fixed theta: s = theta·(y−μ)/(theta+μ)."""
+        if self.name == "negbin":
+            th = Lit(float(self.theta))
+            return th * (y - mu) / (th + mu)
+        return y - mu
 
-def get_family(name: str) -> _Family:
+
+def get_family(name: str, theta: float | None = None) -> _Family:
     n = str(name).strip().lower()
+    if n in ("negative_binomial", "negativebinomial", "nb", "nb2"):
+        n = "negbin"
+    if n.startswith("negbin(") and n.endswith(")"):
+        # round-trip the fitted label "negbin(theta=X)" (predict/save/load)
+        inner = n[len("negbin("):-1].strip()
+        if inner.startswith("theta="):
+            theta = float(inner[len("theta="):])
+        n = "negbin"
     if n not in FAMILIES:
         raise ValueError(f"family must be one of {FAMILIES}, got {name!r}")
     quasi = n.startswith("quasi")
     base = n[5:] if quasi else n
+    if base == "negbin":
+        if theta is not None and not (float(theta) > 0):
+            raise ValueError("negbin theta must be > 0")
+        return _Family(
+            "negbin", "log",
+            theta=float(theta) if theta is not None else None,
+        )
     link = {"binomial": "logit", "poisson": "log", "gaussian": "identity"}[base]
     return _Family(base, link, quasi=quasi)
+
+
+_NEGBIN_HIST_CAP = 100_000
+
+
+def _negbin_ll_const(frame: Frame, weights: str | None, theta: float) -> float:
+    """Sum_i w_i [lgamma(y_i+theta) - lgamma(theta) - lgamma(y_i+1)] via a
+    (y -> sum w) histogram: ONE grouped pass whose result is as long as the
+    number of DISTINCT outcome values (counts data: tiny), then exact
+    driver-side math.lgamma. Capped so an accidentally-continuous outcome
+    cannot collect millions of rows."""
+    wcol = (
+        F.col(weights).cast("double") if weights is not None else F.lit(1.0)
+    )
+    rows = (
+        frame.df.groupBy(F.col(frame.y_col).cast("double").alias("__y"))
+        .agg(F.sum(wcol).alias("__w"))
+        .limit(_NEGBIN_HIST_CAP + 1)
+        .collect()
+    )
+    if len(rows) > _NEGBIN_HIST_CAP:
+        raise ValueError(
+            f"dbglm(family='negbin'): the outcome has more than "
+            f"{_NEGBIN_HIST_CAP:,} distinct values — this looks like a "
+            "continuous column, not counts"
+        )
+    lg_th = math.lgamma(theta)
+    return float(
+        sum(
+            float(r["__w"])
+            * (math.lgamma(float(r["__y"]) + theta) - lg_th
+               - math.lgamma(float(r["__y"]) + 1.0))
+            for r in rows
+        )
+    )
+
+
+def _negbin_moment_theta(pois_model, df: DataFrame, weights: str | None) -> float:
+    """Cameron-Trivedi NB2 moment step: alpha-hat solves
+    Sum w[(y-mu)^2 - mu] = alpha Sum w mu^2 at the poisson mu-hat —
+    ONE distributed pass over the scored frame; theta = 1/alpha."""
+    scored = pois_model.predict(df, type="response")
+    w = F.col(weights).cast("double") if weights is not None else F.lit(1.0)
+    mu = F.col("fit").cast("double")
+    y = F.col(pois_model.yvar).cast("double")
+    row = (
+        scored.where(y.isNotNull() & mu.isNotNull())
+        .agg(
+            F.sum(w * ((y - mu) * (y - mu) - mu)).alias("num"),
+            F.sum(w * mu * mu).alias("den"),
+        )
+        .collect()[0]
+    )
+    num, den = float(row["num"]), float(row["den"])
+    alpha = num / den if den > 0 else float("nan")
+    if not (alpha > 1e-12):
+        raise ValueError(
+            "dbglm(family='negbin'): the two-step overdispersion estimate "
+            f"alpha-hat = {alpha:.3g} is not positive — the data show no "
+            "Poisson overdispersion. Use family='poisson', or pass a fixed "
+            "theta= explicitly."
+        )
+    return 1.0 / alpha
 
 
 # --------------------------------------------------------------------------
@@ -473,7 +601,7 @@ def glm_meat(
     y = _d(Var(frame.y_col))
     eta = _eta_expr(beta, x_names, intercept, offset)
     mu = family.mu(eta)
-    s = y - mu
+    s = family.score(mu, y)
     if weights is not None:
         s = _d(Var(weights)) * s
     cols: list[Expr] = ([Lit(1.0)] if intercept else []) + [Var(n) for n in x_names]
@@ -515,6 +643,50 @@ def glm_meat(
     return meat, g
 
 
+def glm_conley_meat(
+    frame: Frame,
+    family: _Family,
+    beta: np.ndarray,
+    x_names: list[str],
+    intercept: bool,
+    lat_col: str,
+    lon_col: str,
+    conley_opts,
+    offset: str | None = None,
+    weights: str | None = None,
+) -> np.ndarray:
+    """Conley (1999) spatial HAC meat for a GLM: the family score rows
+    s = [omega] score(mu, y) feed the SAME cell-bucketed pair enumeration
+    as the linear path (plans/conley.py:conley_pair_agg) — never
+    all-pairs."""
+    from .plans.conley import conley_pair_agg
+
+    cutoff, kernel, distance = conley_opts
+    y = _d(Var(frame.y_col))
+    eta = _eta_expr(beta, x_names, intercept, offset)
+    mu = family.mu(eta)
+    s = family.score(mu, y)
+    if weights is not None:
+        s = _d(Var(weights)) * s
+    s_names = list(dict.fromkeys(x_names))
+    proj = frame.df.select(
+        to_spark(_d(s)).alias("__e"),
+        *[F.col(n) for n in s_names],
+        F.col(lat_col).cast("double").alias("__lat"),
+        F.col(lon_col).cast("double").alias("__lon"),
+    )
+    agg_df, pp = conley_pair_agg(
+        proj, s_names, intercept, cutoff, kernel, distance
+    )
+    row = agg_df.collect()[0].asDict()
+    meat = np.zeros((pp, pp))
+    for i in range(pp):
+        for j in range(i, pp):
+            v = row[f"m_{i}_{j}"]
+            meat[i, j] = meat[j, i] = float(v) if v is not None else 0.0
+    return meat
+
+
 def glm_dk_meat(
     frame: Frame,
     family: _Family,
@@ -536,7 +708,7 @@ def glm_dk_meat(
     y = _d(Var(frame.y_col))
     eta = _eta_expr(beta, x_names, intercept, offset)
     mu = family.mu(eta)
-    s = y - mu
+    s = family.score(mu, y)
     if weights is not None:
         s = _d(Var(weights)) * s
     cols: list[Expr] = ([Lit(1.0)] if intercept else []) + [Var(n) for n in x_names]
@@ -932,6 +1104,10 @@ def dbglm(
     weights: str | None = None,
     l2: float = 0.0,
     hac_lag: int | None = None,
+    theta: float | None = None,
+    conley_cutoff: float | None = None,
+    conley_kernel: str = "uniform",
+    conley_distance: str = "haversine",
     max_iter: int = 25,
     tol: float = 1e-8,
     drop_missings: bool = True,
@@ -962,13 +1138,57 @@ def dbglm(
     or B·M·B (robust) with B = (X'WX + λI)⁻¹; inference is approximate
     under a penalty, as usual.
 
+    ``family="negbin"`` fits NB2 (variance μ + μ²/θ, log link): pass a
+    fixed ``theta=``, or leave it None for the two-step Cameron-Trivedi
+    estimator (poisson fit → one-pass moment α̂ → refit at θ̂ = 1/α̂;
+    reported SEs condition on θ̂). The reported loglik includes the
+    lgamma terms via one y-histogram pass.
+
+    ``vcov="conley ~ lat + lon"`` (+ ``conley_cutoff/kernel/distance``)
+    computes Conley spatial HAC SEs from the family score rows with the
+    same cell-bucketed pair enumeration as dbreg (plans/conley.py) — on
+    the plain path and the 1-FE fepois profiled path.
+
     ``cells_nmax`` bounds the k-FE Poisson driver-side inner solver: an
     occupied-FE-cell table at most this long collects to the driver (fast
     numpy alternations); a bigger one — or a maxResultSize abort — switches
     the fit to the cell-resident Spark inner solver (same algebra, the
     cells never leave the cluster) with a warning naming the extra
     per-iteration passes."""
-    fam = get_family(family)
+    fam = get_family(family, theta=theta)
+    if fam.name != "negbin" and theta is not None:
+        raise ValueError("theta= applies to family='negbin' only")
+    if fam.name == "negbin" and fam.theta is None:
+        # two-step NB2 (Cameron-Trivedi 1986): (1) poisson IRLS for mu-hat,
+        # (2) the moment estimator alpha-hat = SUM w[(y-mu)^2 - mu] / SUM
+        # w mu^2 (one extra distributed pass over the scored frame),
+        # (3) refit with theta = 1/alpha-hat FIXED. SEs condition on
+        # theta-hat (the standard two-step caveat; pass theta= explicitly
+        # for a sensitivity check). A full ML theta profile would add one
+        # pass per 1-D Newton step — the moment estimator is one pass and
+        # root-n consistent.
+        pois = dbglm(
+            fml, data=data, spark=spark, table=table, path=path,
+            family="poisson", vcov="iid", offset=offset, weights=weights,
+            max_iter=max_iter, tol=tol, drop_missings=drop_missings,
+            verbose=verbose, cells_nmax=cells_nmax,
+        )
+        th = _negbin_moment_theta(
+            pois,
+            resolve_source(spark, data=data, table=table, path=path).df,
+            weights,
+        )
+        if verbose:
+            print(f"[dbglm] negbin two-step theta-hat = {th:.6g}")
+        return dbglm(
+            fml, data=data, spark=spark, table=table, path=path,
+            family="negbin", vcov=vcov, cluster=cluster, offset=offset,
+            weights=weights, l2=l2, hac_lag=hac_lag, theta=th,
+            conley_cutoff=conley_cutoff, conley_kernel=conley_kernel,
+            conley_distance=conley_distance,
+            max_iter=max_iter, tol=tol, drop_missings=drop_missings,
+            verbose=verbose, cells_nmax=cells_nmax,
+        )
     parsed = parse_formula(fml)
     if parsed.fe and fam.name != "poisson":
         raise NotImplementedError(
@@ -985,6 +1205,20 @@ def dbglm(
             "robust inference"
         )
     vcov_type, cluster_vars = parse_vcov(vcov, cluster, valid=("iid", "hc1"))
+    conley_opts = None
+    if vcov_type == "conley":
+        if conley_cutoff is None:
+            raise ValueError(
+                "vcov='conley ~ lat + lon' needs conley_cutoff= (km for "
+                "distance='haversine', coordinate units for 'euclidean')"
+            )
+        if len(parsed.fe) > 1:
+            raise NotImplementedError(
+                "dbglm conley vcov supports at most one absorbed FE (the "
+                "k-FE cell solver has no per-row score frame); include "
+                "further FEs as factor regressors"
+            )
+        conley_opts = (float(conley_cutoff), conley_kernel, conley_distance)
 
     source = resolve_source(spark, data=data, table=table, path=path)
     design = build_design(
@@ -1022,6 +1256,7 @@ def dbglm(
         return _fe_poisson(
             frame, parsed, design, fam, vcov_type, cluster_vars,
             offset, weights, max_iter, tol, verbose, cells_nmax, hac_lag,
+            conley_opts,
         )
 
     icpt_req = bool(parsed.intercept)  # "y ~ 0 + x" / "- 1" suppresses it
@@ -1058,9 +1293,9 @@ def dbglm(
                 "dbglm(family='binomial', weights=...) needs a proportion "
                 f"outcome in [0, 1]; {parsed.yvar} is outside that range"
             )
-    if fam.name == "poisson" and float(row["y_min"]) < 0:
+    if fam.name in ("poisson", "negbin") and float(row["y_min"]) < 0:
         raise ValueError(
-            f"dbglm(family='poisson') needs a non-negative outcome; "
+            f"dbglm(family={fam.name!r}) needs a non-negative outcome; "
             f"min({parsed.yvar}) = {row['y_min']}"
         )
     sum_wt = float(row["sum_wt"])  # = n_total when weights is None
@@ -1175,7 +1410,14 @@ def dbglm(
                 )
 
     ll_final = ll_raw
-    deviance = 2.0 * (ll_sat - ll_final)
+    deviance = 2.0 * (ll_sat - ll_raw)
+    if fam.name == "negbin":
+        # reported loglik adds the beta-free lgamma(y+theta) terms from ONE
+        # y-histogram pass (exact for any y >= 0, weighted); deviance and
+        # null_dev difference the constant away, so they stay raw
+        ll_final = ll_raw + _negbin_ll_const(
+            frame, weights, float(fam.theta)
+        )
     # null model in closed form from the weighted sums: intercept-only
     # (μ̂ = Σωy/Σω) when the model has an intercept, else the zero linear
     # predictor (R convention for no-intercept GLMs). With an offset the
@@ -1201,6 +1443,19 @@ def dbglm(
         else:
             null_ll = -sum_wt  # η=0 ⇒ μ=1: Σω(y·0 − 1)
         null_dev = 2.0 * (ll_sat - null_ll)
+    elif fam.name == "negbin":
+        th = float(fam.theta)
+        # null model mu = ybar (weighted); at mu = 1 without an intercept
+        mu0 = ybar if icpt_req else 1.0
+        if mu0 > 0:
+            null_ll = (
+                sum_y * math.log(mu0)
+                - (sum_y + th * sum_wt) * math.log(th + mu0)
+                + sum_wt * th * math.log(th)
+            )
+        else:
+            null_ll = 0.0
+        null_dev = 2.0 * (ll_sat - null_ll)
     else:
         # weighted TSS about ȳ with an intercept, about 0 without
         null_dev = sum_y_sq - (sum_y**2 / sum_wt if icpt_req else 0.0)
@@ -1220,7 +1475,12 @@ def dbglm(
     )
 
     meat = n_clusters = None
-    if vcov_type == "hc1":
+    if vcov_type == "conley":
+        meat = glm_conley_meat(
+            frame, fam, beta, x_kept, icpt, cluster_vars[0], cluster_vars[1],
+            conley_opts, offset=offset, weights=weights,
+        )
+    elif vcov_type == "hc1":
         meat, _ = glm_meat(
             frame, fam, beta, x_kept, icpt, offset=offset, weights=weights
         )
@@ -1452,6 +1712,7 @@ def _fe_poisson(
     verbose: bool,
     cells_nmax: int = 5_000_000,
     hac_lag: int | None = None,
+    conley_opts=None,
 ) -> GlmModel:
     """Poisson regression with one absorbed fixed effect, by concentrated
     (profiled) IRLS — the `fepois` / PPML workhorse, at Spark scale.
@@ -1668,7 +1929,30 @@ def _fe_poisson(
         info_inv = solve_with_fallback(final_a, np.zeros(p)).xtx_inv
 
         meat = n_clusters = None
-        if vcov_type in ("hc1", "cluster", "dk"):
+        if vcov_type == "conley":
+            from .plans.conley import conley_pair_agg
+
+            cutoff, kernel, distance = conley_opts
+            sc = profiled_pass(beta, gtab, extra_keys=list(cluster_vars))
+            cproj = sc.select(
+                F.col("__s").alias("__e"),
+                *[F.col(f"__xt{i}") for i in range(p)],
+                F.col(cluster_vars[0]).cast("double").alias("__lat"),
+                F.col(cluster_vars[1]).cast("double").alias("__lon"),
+            )
+            agg_df_c, _pc = conley_pair_agg(
+                cproj, [f"__xt{i}" for i in range(p)], False,
+                cutoff, kernel, distance,
+            )
+            crow = agg_df_c.collect()[0].asDict()
+            meat = np.zeros((p, p))
+            for i in range(p):
+                for j in range(i, p):
+                    v = crow[f"m_{i}_{j}"]
+                    meat[i, j] = meat[j, i] = (
+                        float(v) if v is not None else 0.0
+                    )
+        elif vcov_type in ("hc1", "cluster", "dk"):
             keys = list(cluster_vars) if vcov_type in ("cluster", "dk") else []
             sc = profiled_pass(beta, gtab, extra_keys=keys)
             if vcov_type == "dk":

@@ -75,13 +75,6 @@ def conley_meat_plan(
     max_cell_rows: int = 2_000_000,
 ):
     """Lazy Conley meat aggregation: (agg_df, p). See :func:`conley_meat`."""
-    if cutoff <= 0:
-        raise ValueError("conley cutoff must be > 0")
-    if kernel not in ("uniform", "bartlett"):
-        raise ValueError("conley kernel must be 'uniform' or 'bartlett'")
-    if distance not in ("haversine", "euclidean"):
-        raise ValueError("conley distance must be 'haversine' or 'euclidean'")
-
     r = _resid_expr(frame, betahat, x_names, intercept)
     if weight_col is not None:
         r = _d(Var(weight_col)) * r  # WLS score s = w·u·x
@@ -92,6 +85,31 @@ def conley_meat_plan(
         F.col(lat_col).cast("double").alias("__lat"),
         F.col(lon_col).cast("double").alias("__lon"),
     )
+    return conley_pair_agg(
+        proj, s_names, intercept, cutoff, kernel, distance, max_cell_rows
+    )
+
+
+def conley_pair_agg(
+    proj,
+    score_cols: list[str],
+    intercept: bool,
+    cutoff: float,
+    kernel: str = "uniform",
+    distance: str = "haversine",
+    max_cell_rows: int = 2_000_000,
+):
+    """Generic pair-enumeration meat over a prebuilt score projection
+    (columns: ``__e`` + ``score_cols`` + ``__lat``/``__lon``). Shared by
+    the OLS path (residual scores) and the GLM path (family scores) —
+    returns the lazy (agg_df, p)."""
+    if cutoff <= 0:
+        raise ValueError("conley cutoff must be > 0")
+    if kernel not in ("uniform", "bartlett"):
+        raise ValueError("conley kernel must be 'uniform' or 'bartlett'")
+    if distance not in ("haversine", "euclidean"):
+        raise ValueError("conley distance must be 'haversine' or 'euclidean'")
+    s_names = list(dict.fromkeys(score_cols))
 
     if distance == "haversine":
         # lon degrees shrink by cos(lat): size the lon band by the corpus's
@@ -105,7 +123,7 @@ def conley_meat_plan(
         lat_min, lat_max, n_null, _n = ext
         if n_null:
             raise ValueError(
-                f"conley vcov: {n_null} rows have NULL {lat_col}/{lon_col}; "
+                f"conley vcov: {n_null} rows have NULL coordinates; "
                 "coordinates must be complete (drop or impute them first)"
             )
         if lat_min is None:
@@ -143,8 +161,8 @@ def conley_meat_plan(
         ).collect()[0][0]
         if nullprobe:
             raise ValueError(
-                f"conley vcov: {nullprobe} rows have NULL "
-                f"{lat_col}/{lon_col}; coordinates must be complete"
+                f"conley vcov: {nullprobe} rows have NULL coordinates; "
+                "coordinates must be complete"
             )
         cell_x = F.floor(F.col("__lon") / F.lit(float(cutoff)))
         cell_y = F.floor(F.col("__lat") / F.lit(float(cutoff)))

@@ -188,6 +188,13 @@ def dbglm_split(
 
     weight_col = parse_weights(weights)
     fam = get_family(family)
+    if fam.name == "negbin":
+        raise NotImplementedError(
+            "dbglm_split does not support family='negbin' (the lockstep "
+            "frame would need one shared theta across levels, which is "
+            "rarely what a split analysis wants); fit per level with "
+            "dbglm(family='negbin')"
+        )
     parsed = parse_formula(fml)
     if parsed.fe and (fam.name != "poisson" or fam.quasi):
         raise NotImplementedError(

@@ -232,3 +232,90 @@ def test_conley_cell_occupancy_guard(geo):
             frame, np.array([0.0, 0.0]), ["x1"], True, "lat", "lon",
             cutoff=1e6, distance="euclidean", max_cell_rows=100,
         )
+
+
+# --------------------------------------------------------------------------
+# GLM conley (dbglm vcov="conley ~ lat + lon")
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def geo_glm(spark):
+    rng = np.random.default_rng(5)
+    n = 1200
+    lat = rng.uniform(35, 45, n)
+    lon = rng.uniform(-90, -80, n)
+    x1 = rng.normal(size=n)
+    x2 = rng.uniform(size=n)
+    fe = rng.integers(0, 6, n)
+    eta = 0.3 + 0.5 * x1 - 0.8 * x2 + 0.2 * fe
+    y = rng.poisson(np.exp(eta)).astype(float)
+    pdf = pd.DataFrame(
+        dict(y=y, x1=x1, x2=x2, lat=lat, lon=lon, fe=fe.astype("int32"))
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_glm_conley_poisson_matches_dense(geo_glm):
+    from dbreg_spark import dbglm
+
+    df, pdf = geo_glm
+    n = len(pdf)
+    X = np.column_stack([np.ones(n), pdf.x1, pdf.x2])
+    y = pdf.y.values
+    b = np.zeros(3)
+    for _ in range(60):
+        mu = np.exp(X @ b)
+        z = X @ b + (y - mu) / mu
+        bn = np.linalg.solve(X.T @ (mu[:, None] * X), X.T @ (mu * z))
+        if np.max(np.abs(bn - b)) < 1e-13:
+            b = bn
+            break
+        b = bn
+    mu = np.exp(X @ b)
+    d = _dist_matrix(pdf.lat.values, pdf.lon.values)
+    S = (y - mu)[:, None] * X
+    K = (d <= CUT).astype(float)
+    A_inv = np.linalg.inv(X.T @ (mu[:, None] * X))
+    V = (n / (n - 3)) * A_inv @ (S.T @ K @ S) @ A_inv
+    m = dbglm("y ~ x1 + x2", df, family="poisson",
+              vcov="conley ~ lat + lon", conley_cutoff=CUT)
+    np.testing.assert_allclose(
+        m.coeftable["std.error"].values, np.sqrt(np.diag(V)), rtol=1e-6
+    )
+
+
+def test_glm_conley_cutoff_zero_is_hc1(geo_glm):
+    from dbreg_spark import dbglm
+
+    df, _ = geo_glm
+    m0 = dbglm("y ~ x1 + x2", df, family="poisson",
+               vcov="conley ~ lat + lon", conley_cutoff=1e-9)
+    mh = dbglm("y ~ x1 + x2", df, family="poisson", vcov="hc1")
+    np.testing.assert_allclose(
+        m0.coeftable["std.error"].values,
+        mh.coeftable["std.error"].values, rtol=1e-9,
+    )
+
+
+def test_fepois_conley_cutoff_zero_is_hc1(geo_glm):
+    """The profiled-score conley path: cutoff->0 reproduces fepois hc1
+    exactly (same scores, same n/df_res scale)."""
+    from dbreg_spark import dbglm
+
+    df, _ = geo_glm
+    m0 = dbglm("y ~ x1 + x2 | fe", df, family="poisson",
+               vcov="conley ~ lat + lon", conley_cutoff=1e-9)
+    mh = dbglm("y ~ x1 + x2 | fe", df, family="poisson", vcov="hc1")
+    np.testing.assert_allclose(
+        m0.coeftable["std.error"].values,
+        mh.coeftable["std.error"].values, rtol=1e-8,
+    )
+
+
+def test_glm_conley_refusals(geo_glm):
+    from dbreg_spark import dbglm
+
+    df, _ = geo_glm
+    with pytest.raises(ValueError, match="conley_cutoff"):
+        dbglm("y ~ x1", df, family="poisson", vcov="conley ~ lat + lon")

@@ -51,6 +51,11 @@ def test_vcov_parse():
     assert parse_vcov("~firm") == ("cluster", ["firm"])
     assert parse_vcov("iid", cluster="~firm") == ("cluster", ["firm"])
     assert parse_vcov("~firm + year") == ("cluster", ["firm", "year"])
+    assert parse_vcov("conley ~ lat + lon") == ("conley", ["lat", "lon"])
+    with pytest.raises(ValueError, match="two coordinate"):
+        parse_vcov("conley ~ lat")
+    with pytest.raises(ValueError, match="two coordinate"):
+        parse_vcov("conley ~ a + b + c")
 
 
 def test_errors():

@@ -245,3 +245,36 @@ def test_multi_plan_sql_twin(tables, duck, sf_dir):
         np.testing.assert_allclose(
             float(v), float(orow[k]), rtol=1e-9, err_msg=k
         )
+
+
+# --------------------------------------------------------------------------
+# etable (model comparison presentation)
+# --------------------------------------------------------------------------
+
+
+def test_etable_shapes_and_stars(tables):
+    from dbreg_spark import dbglm, etable
+
+    li = tables["lineitem"]
+    m1 = dbreg("l_extendedprice ~ l_quantity + l_discount", li,
+               vcov="hc1", strategy="moments")
+    m2 = dbreg("l_extendedprice ~ l_quantity | l_returnflag", li,
+               vcov="~ l_linestatus", strategy="demean")
+    g = dbglm("l_linenumber ~ l_quantity", li, family="poisson")
+    t = etable({"ols": m1, "fe": m2, "pois": g})
+    assert list(t.columns) == ["ols", "fe", "pois"]
+    # the union coefficient rows + FE row + stats rows all present
+    assert "(Intercept)" in t.index and "FE: l_returnflag" in t.index
+    assert "N" in t.index and "vcov" in t.index
+    assert t.loc["FE: l_returnflag", "fe"] == "Yes"
+    assert t.loc["FE: l_returnflag", "ols"] == ""
+    assert t.loc["N", "ols"] == "6,000"
+    # the highly-significant intercept carries stars; SEs are parenthesized
+    assert "***" in t.loc["(Intercept)", "ols"]
+    icpt_pos = list(t.index).index("(Intercept)")
+    assert t.iloc[icpt_pos + 1]["ols"].startswith("(")
+    # a DbregMulti expands into one column per submodel
+    mm = dbreg_multi("l_extendedprice ~ sw(l_quantity, l_discount)", li,
+                     strategy="moments")
+    t2 = etable(mm)
+    assert len(t2.columns) == 2
