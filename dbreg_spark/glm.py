@@ -333,6 +333,89 @@ def _negbin_ll_const(frame: Frame, weights: str | None, theta: float) -> float:
     )
 
 
+def _negbin_y_hist(df: DataFrame, y_col: str, weights: str | None):
+    """(y, sum-of-omega) histogram rows for the driver-side lgamma sums
+    (capped like _negbin_ll_const)."""
+    wcol = (
+        F.col(weights).cast("double") if weights is not None else F.lit(1.0)
+    )
+    rows = (
+        df.where(F.col(y_col).isNotNull())
+        .groupBy(F.col(y_col).cast("double").alias("__y"))
+        .agg(F.sum(wcol).alias("__w"))
+        .limit(_NEGBIN_HIST_CAP + 1)
+        .collect()
+    )
+    if len(rows) > _NEGBIN_HIST_CAP:
+        raise ValueError(
+            f"dbglm(family='negbin'): the outcome has more than "
+            f"{_NEGBIN_HIST_CAP:,} distinct values — this looks like a "
+            "continuous column, not counts"
+        )
+    return [(float(r["__y"]), float(r["__w"])) for r in rows]
+
+
+def _negbin_profile_theta(
+    model, df: DataFrame, weights: str | None, th0: float, hist
+) -> float:
+    """Maximize the NB2 profile loglik over theta at the CURRENT mu-hat.
+
+    Each refinement round evaluates a geometric candidate grid around the
+    incumbent in ONE pass over the scored frame: the only mu-dependent
+    term is S(theta) = sum w (y+theta) ln(theta+mu) — K candidates ride as
+    K aggregate columns. The lgamma / theta*ln(theta) terms are exact
+    driver arithmetic from the y histogram. Grid spacing shrinks 10x per
+    round; 5 rounds pin theta to ~1e-5 relative."""
+    scored = model.predict(df, type="response").where(
+        F.col("fit").isNotNull() & F.col(model.yvar).isNotNull()
+    )
+    w = F.col(weights).cast("double") if weights is not None else F.lit(1.0)
+    y = F.col(model.yvar).cast("double")
+    mu = F.col("fit").cast("double")
+    n_w = sum(wr for _, wr in hist)
+
+    def driver_const(th: float) -> float:
+        lg = math.lgamma(th)
+        return (
+            sum(
+                wr * (math.lgamma(yv + th) - lg - math.lgamma(yv + 1.0))
+                for yv, wr in hist
+            )
+            + n_w * th * math.log(th)
+        )
+
+    # theta-free pieces ride the first pass once
+    base_aggs = [F.sum(w * y * F.log(mu)).alias("__ylnmu")]
+    ylnmu = None
+
+    incumbent = max(float(th0), 1e-6)
+    span = 10.0  # initial bracket: [incumbent/10, incumbent*10]
+    for _round in range(7):
+        cands = [
+            incumbent * span ** (k / 4.0 - 1.0) for k in range(9)
+        ]  # 9 geometric points across [inc/span, inc*span]
+        aggs = list(base_aggs) if ylnmu is None else []
+        for k, th in enumerate(cands):
+            aggs.append(
+                F.sum(
+                    w * (y + F.lit(th)) * F.log(F.lit(th) + mu)
+                ).alias(f"__s{k}")
+            )
+        row = scored.agg(*aggs).collect()[0].asDict()
+        if ylnmu is None:
+            ylnmu = float(row["__ylnmu"])
+        lls = [
+            ylnmu - float(row[f"__s{k}"]) + driver_const(th)
+            for k, th in enumerate(cands)
+        ]
+        best = int(np.argmax(lls))
+        incumbent = cands[best]
+        # next round brackets the winner's immediate neighbors
+        span = (cands[min(best + 1, 8)] / cands[max(best - 1, 0)]) ** 0.5
+        span = max(span, 1.00001)
+    return incumbent
+
+
 def _negbin_moment_theta(pois_model, df: DataFrame, weights: str | None) -> float:
     """Cameron-Trivedi NB2 moment step: alpha-hat solves
     Sum w[(y-mu)^2 - mu] = alpha Sum w mu^2 at the poisson mu-hat —
@@ -1155,9 +1238,49 @@ def dbglm(
     the fit to the cell-resident Spark inner solver (same algebra, the
     cells never leave the cluster) with a warning naming the extra
     per-iteration passes."""
+    want_ml_theta = isinstance(theta, str)
+    if want_ml_theta:
+        if theta.strip().lower() != "ml":
+            raise ValueError("theta must be a positive float, None, or 'ml'")
+        theta = None
     fam = get_family(family, theta=theta)
-    if fam.name != "negbin" and theta is not None:
+    if fam.name != "negbin" and (theta is not None or want_ml_theta):
         raise ValueError("theta= applies to family='negbin' only")
+    if fam.name == "negbin" and fam.theta is None and want_ml_theta:
+        # full profile maximum likelihood for theta (MASS glm.nb / fixest
+        # fenegbin equivalent): alternate (a) a fixed-theta IRLS fit and
+        # (b) a derivative-free profile search over theta given mu-hat —
+        # each search ROUND evaluates a geometric candidate grid in ONE
+        # pass over the scored frame (the lgamma terms come driver-side
+        # from the y histogram, collected once), so no digamma is needed.
+        # The two-step moment estimate seeds the bracket.
+        src_df = resolve_source(spark, data=data, table=table, path=path).df
+        m = dbglm(
+            fml, data=data, spark=spark, table=table, path=path,
+            family="negbin", vcov="iid", offset=offset, weights=weights,
+            max_iter=max_iter, tol=tol, drop_missings=drop_missings,
+            verbose=verbose, cells_nmax=cells_nmax,
+        )
+        th = float(m.family[len("negbin(theta="):-1])
+        hist = _negbin_y_hist(src_df, parse_formula(fml).yvar, weights)
+        for _outer in range(8):
+            th_new = _negbin_profile_theta(m, src_df, weights, th, hist)
+            if verbose:
+                print(f"[dbglm] negbin ML theta sweep: {th:.6g} -> {th_new:.6g}")
+            converged_th = abs(th_new - th) <= 1e-6 * max(th, 1.0)
+            th = th_new
+            m = dbglm(
+                fml, data=data, spark=spark, table=table, path=path,
+                family="negbin", vcov=vcov, cluster=cluster, offset=offset,
+                weights=weights, l2=l2, hac_lag=hac_lag, theta=th,
+                conley_cutoff=conley_cutoff, conley_kernel=conley_kernel,
+                conley_distance=conley_distance,
+                max_iter=max_iter, tol=tol, drop_missings=drop_missings,
+                verbose=verbose, cells_nmax=cells_nmax,
+            )
+            if converged_th:
+                break
+        return m
     if fam.name == "negbin" and fam.theta is None:
         # two-step NB2 (Cameron-Trivedi 1986): (1) poisson IRLS for mu-hat,
         # (2) the moment estimator alpha-hat = SUM w[(y-mu)^2 - mu] / SUM

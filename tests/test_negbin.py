@@ -206,3 +206,48 @@ def test_negbin_refusals(nb, spark):
     with pytest.raises(NotImplementedError, match="negbin"):
         wild_score_bootstrap("y ~ x1", df, param="x1", cluster="~ g",
                              family="negbin")
+
+
+def test_negbin_ml_theta_matches_profile_oracle(nb):
+    """theta='ml' (full profile ML) vs an independent derivative-free
+    oracle: golden-section over ln(theta) with a fresh numpy IRLS beta at
+    every candidate, exact lgamma loglik."""
+    df, pdf = nb
+    m = dbglm("y ~ x1 + x2", df, family="negbin", theta="ml")
+    th_hat = float(m.family[len("negbin(theta="):-1])
+
+    X = np.column_stack([np.ones(N), pdf.x1, pdf.x2])
+    y = pdf.y.values
+
+    def prof_ll(th):
+        b = _nb_irls(X, y, th)
+        mu = np.exp(X @ b)
+        return sum(
+            math.lgamma(yi + th) - math.lgamma(th) - math.lgamma(yi + 1.0)
+            + th * math.log(th) + yi * math.log(mi)
+            - (yi + th) * math.log(th + mi)
+            for yi, mi in zip(y, mu)
+        )
+
+    lo, hi = math.log(0.2), math.log(50.0)
+    gr = (math.sqrt(5) - 1) / 2
+    c = hi - gr * (hi - lo)
+    d = lo + gr * (hi - lo)
+    fc, fd = prof_ll(math.exp(c)), prof_ll(math.exp(d))
+    for _ in range(50):
+        if fc > fd:
+            hi, d, fd = d, c, fc
+            c = hi - gr * (hi - lo)
+            fc = prof_ll(math.exp(c))
+        else:
+            lo, c, fc = c, d, fd
+            d = lo + gr * (hi - lo)
+            fd = prof_ll(math.exp(d))
+    th_star = math.exp((lo + hi) / 2)
+    np.testing.assert_allclose(th_hat, th_star, rtol=5e-4)
+    b_star = _nb_irls(X, y, th_star)
+    np.testing.assert_allclose(
+        m.coeftable["estimate"].values, b_star, rtol=1e-5
+    )
+    with pytest.raises(ValueError, match="positive float"):
+        dbglm("y ~ x1", df, family="negbin", theta="mle-ish")
