@@ -236,6 +236,36 @@ def main() -> None:
             vcov="hc1",
         ),
     )
+    # multiple estimation: 6 models (2 LHS x 3 csw steps) with batched HC1
+    # from exactly TWO distributed passes (union Gram + batched meat)
+    from dbreg_spark import dbreg_multi
+
+    bench(
+        "reg_multi_sw_hc1",
+        lambda: dbreg_multi(
+            "c(l_extendedprice, l_tax) ~ l_quantity + "
+            "csw(l_discount, l_linenumber)",
+            li, vcov="hc1", strategy="moments",
+        ),
+    )
+    # Conley spatial HAC: cell-bucketed score self-join (pairwise meat).
+    # Synthetic coords give ~17 rows/coordinate at sf0.1; cutoff 0.5 pairs
+    # each row with its 5-coordinate neighborhood — the density regime a
+    # county/grid-level dataset shows.
+    li_geo = li.withColumn(
+        "lat", (F.pmod(F.col("l_partkey"), F.lit(1200)) / 20.0 - 30.0)
+    ).withColumn(
+        "lon", (F.pmod(F.col("l_suppkey"), F.lit(3000)) / 20.0 - 75.0)
+    )
+    bench(
+        "reg_conley",
+        lambda: dbreg(
+            "l_extendedprice ~ l_quantity + l_discount", li_geo,
+            vcov="conley ~ lat + lon", conley_cutoff=0.5,
+            conley_kernel="bartlett", conley_distance="euclidean",
+            strategy="moments",
+        ),
+    )
     # split-sample: 50 regressions with cluster SEs from TWO grouped passes
     # (pass count independent of the level count)
     from dbreg_spark import dbreg_split

@@ -23,6 +23,7 @@ from .model import DbregModel
 from .eventstudy import EventStudyResult, event_study, sun_abraham
 from .etable import etable
 from .multi import DbregMulti, dbreg_multi
+from .multi_glm import GlmMulti, dbglm_multi
 from .split import DbregSplit, dbreg_split
 from .split_glm import GlmSplit, dbglm_split
 from .pipeline import corpus_pipeline
@@ -43,6 +44,8 @@ __all__ = [
     "dbiv",
     "dbreg_multi",
     "etable",
+    "dbglm_multi",
+    "GlmMulti",
     "DbregMulti",
     "dbreg_split",
     "dbglm_split",

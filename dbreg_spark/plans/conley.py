@@ -182,7 +182,15 @@ def conley_pair_agg(
             "a coarser spatial unit, or raise max_cell_rows deliberately."
         )
 
-    # left side: explode to the 3x3 neighbor cells; right side: own cell
+    # left side: explode to the 3x3 neighbor cells; right side: own cell.
+    # The join MUST be a cell-keyed shuffle join, never a broadcast: Spark's
+    # size estimate under-counts the 9x-exploded side (observed: a 5.4M-row
+    # broadcast build inheriting the scan's 3 partitions — the whole
+    # pairwise pass ran on 3 cores, 101 s at sf0.1 vs ~4 s shuffled), and at
+    # scale broadcasting the exploded corpus is impossible outright. The
+    # shuffle co-partitions both sides on the cell key, spreading the
+    # density^2 pair work across shuffle partitions (AQE skew-join splits
+    # any hot cell's partition further).
     offs = F.array([F.lit(o) for o in (-1, 0, 1)])
     left = (
         cells.withColumn("__ox", F.explode(offs))
@@ -190,6 +198,7 @@ def conley_pair_agg(
         .withColumn("__jx", F.col("__cx") + F.col("__ox"))
         .withColumn("__jy", F.col("__cy") + F.col("__oy"))
         .drop("__ox", "__oy", "__cx", "__cy")
+        .hint("shuffle_hash")
         .alias("l")
     )
     right = cells.withColumnRenamed("__cx", "__jx").withColumnRenamed(
