@@ -299,6 +299,9 @@ def dbiv(
     cluster=None,
     weights: str | None = None,
     hac_lag: int | None = None,
+    conley_cutoff: float | None = None,
+    conley_kernel: str = "uniform",
+    conley_distance: str = "haversine",
     drop_missings: bool = True,
     sql_only: bool = False,
     data_only: bool = False,
@@ -324,6 +327,14 @@ def dbiv(
     driver-side numpy on that row, identical across engines).
     """
     vcov_type, cluster_vars = parse_vcov(vcov, cluster)
+    conley_opts = None
+    if vcov_type == "conley":
+        if conley_cutoff is None:
+            raise ValueError(
+                "vcov='conley ~ lat + lon' needs conley_cutoff= (km for "
+                "distance='haversine', coordinate units for 'euclidean')"
+            )
+        conley_opts = (float(conley_cutoff), conley_kernel, conley_distance)
     ivf = parse_iv_formula(fml)
     weight_col = parse_weights(weights)
     if spark is None and isinstance(data, DataFrame):
@@ -428,6 +439,7 @@ def dbiv(
         return _solve_2sls(
             row, frame, ivf, design, exog_names, endog_names, inst_names,
             icpt, vcov_type, cluster_vars, sql, verbose, weight_col, hac_lag,
+            conley_opts,
         )
     finally:
         frame.cleanup()
@@ -437,6 +449,7 @@ def _solve_2sls(
     row, frame, ivf, design, exog_names, endog_names, inst_names,
     icpt, vcov_type, cluster_vars, sql, verbose, weight_col=None,
     hac_lag=None,
+    conley_opts=None,
 ):
     from .api import _cluster_meat_any, _cluster_label
 
@@ -553,6 +566,38 @@ def _solve_2sls(
             score_names=kept_z_cols, score_intercept=icpt_z,
             weight_col=weight_col,
         )
+        meat = Gamma.T @ S @ Gamma
+    elif vcov_type == "conley":
+        # Conley 2SLS: the spatial pair meat over Z SCORES with the
+        # structural residual, mapped into coefficient space by the same
+        # Gamma (exactly the hc1 pattern with the spatial kernel)
+        import pyspark.sql.functions as F
+
+        from .plans.conley import conley_pair_agg
+        from .plans.exprs import Cast, to_spark
+        from .plans.meat import _resid_expr
+
+        r = _resid_expr(frame, sol.betahat, kept_x_cols, icpt_x)
+        if weight_col is not None:
+            from .plans.exprs import Var as _V
+
+            r = Cast(_V(weight_col), "double") * r
+        proj = frame.df.select(
+            to_spark(Cast(r, "double")).alias("__e"),
+            *[F.col(n) for n in dict.fromkeys(kept_z_cols)],
+            F.col(cluster_vars[0]).cast("double").alias("__lat"),
+            F.col(cluster_vars[1]).cast("double").alias("__lon"),
+        )
+        cutoff_c, kernel_c, distance_c = conley_opts
+        agg_df_c, pz = conley_pair_agg(
+            proj, kept_z_cols, icpt_z, cutoff_c, kernel_c, distance_c
+        )
+        crow = agg_df_c.collect()[0].asDict()
+        S = np.zeros((pz, pz))
+        for i in range(pz):
+            for j in range(i, pz):
+                v = crow[f"m_{i}_{j}"]
+                S[i, j] = S[j, i] = float(v) if v is not None else 0.0
         meat = Gamma.T @ S @ Gamma
 
     from .solve import compute_vcov

@@ -319,3 +319,48 @@ def test_glm_conley_refusals(geo_glm):
     df, _ = geo_glm
     with pytest.raises(ValueError, match="conley_cutoff"):
         dbglm("y ~ x1", df, family="poisson", vcov="conley ~ lat + lon")
+
+
+def test_iv_conley_matches_dense(spark):
+    """Conley 2SLS: Z-score spatial meat mapped by Gamma, vs a dense
+    numpy 2SLS sandwich; cutoff->0 reproduces dbiv hc1."""
+    from dbreg_spark import dbiv
+
+    rng = np.random.default_rng(13)
+    n = 900
+    lat = rng.uniform(35, 45, n)
+    lon = rng.uniform(-90, -80, n)
+    z = rng.normal(size=n)
+    u = rng.normal(size=n)
+    x_end = 0.7 * z + 0.5 * u + rng.normal(size=n)
+    x_ex = rng.normal(size=n)
+    y = 1.0 + 1.5 * x_end + 0.8 * x_ex + u
+    df = spark.createDataFrame(
+        pd.DataFrame(dict(y=y, x_end=x_end, x_ex=x_ex, z=z, lat=lat, lon=lon))
+    )
+    m = dbiv("y ~ x_ex | x_end ~ z", df, vcov="conley ~ lat + lon",
+             conley_cutoff=CUT)
+    X = np.column_stack([np.ones(n), x_ex, x_end])
+    Z = np.column_stack([np.ones(n), x_ex, z])
+    Azz, Azx, Azy = Z.T @ Z, Z.T @ X, Z.T @ y
+    M = Azx.T @ np.linalg.inv(Azz) @ Azx
+    b = np.linalg.solve(M, Azx.T @ np.linalg.inv(Azz) @ Azy)
+    uu = y - X @ b
+    d = _dist_matrix(lat, lon)
+    K = (d <= CUT).astype(float)
+    Sz = uu[:, None] * Z
+    Gamma = np.linalg.inv(Azz) @ Azx
+    Minv = np.linalg.inv(M)
+    V = (n / (n - 3)) * Minv @ (Gamma.T @ (Sz.T @ K @ Sz) @ Gamma) @ Minv
+    np.testing.assert_allclose(
+        m.coeftable["std.error"].values, np.sqrt(np.diag(V)), rtol=1e-7
+    )
+    m0 = dbiv("y ~ x_ex | x_end ~ z", df, vcov="conley ~ lat + lon",
+              conley_cutoff=1e-9)
+    mh = dbiv("y ~ x_ex | x_end ~ z", df, vcov="hc1")
+    np.testing.assert_allclose(
+        m0.coeftable["std.error"].values,
+        mh.coeftable["std.error"].values, rtol=1e-9,
+    )
+    with pytest.raises(ValueError, match="conley_cutoff"):
+        dbiv("y ~ x_ex | x_end ~ z", df, vcov="conley ~ lat + lon")
