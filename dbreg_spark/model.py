@@ -922,6 +922,10 @@ def load_any_model(path: str, spark=None):
     import json
     import os
 
+    if os.path.exists(os.path.join(path, "multi.json")):
+        from .multi import load_multi
+
+        return load_multi(path, spark)
     if os.path.exists(os.path.join(path, "split.json")):
         from .split import load_split
 

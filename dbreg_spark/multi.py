@@ -856,3 +856,61 @@ def build_multi_plan(
             f"\n  FROM {frame.cte_name}\n)\nSELECT * FROM moments"
         )
     return agg_df, sql
+
+
+# --------------------------------------------------------------------------
+# persistence: one subdirectory per submodel + a manifest
+# --------------------------------------------------------------------------
+
+
+def save_multi(mm: "DbregMulti", path: str) -> None:
+    """Persist a multi-estimation result: ``multi.json`` manifest (keys,
+    steps, pass count, container kind) + one ``model_<i>`` subdirectory per
+    submodel (each the standard json+parquet model directory)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    keys = list(mm.models.keys())
+    manifest = {
+        "format": "dbreg_spark.multi/1",
+        "kind": type(mm).__name__,
+        "lhs": mm.lhs,
+        "steps": mm.steps,
+        "n_passes": mm.n_passes,
+        "keys": [[y, step] for y, step in keys],
+    }
+    with open(os.path.join(path, "multi.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    for i, m in enumerate(mm.models.values()):
+        m.save(os.path.join(path, f"model_{i:03d}"))
+
+
+def load_multi(path: str, spark=None) -> "DbregMulti":
+    import json
+    import os
+
+    from .model import load_any_model
+
+    with open(os.path.join(path, "multi.json")) as f:
+        man = json.load(f)
+    models = {}
+    for i, (y, step) in enumerate(man["keys"]):
+        models[(y, step)] = load_any_model(
+            os.path.join(path, f"model_{i:03d}"), spark
+        )
+    cls = DbregMulti
+    if man.get("kind") == "GlmMulti":
+        from .multi_glm import GlmMulti
+
+        cls = GlmMulti
+    return cls(
+        models=models,
+        lhs=man["lhs"],
+        steps=man["steps"],
+        n_passes=man["n_passes"],
+    )
+
+
+DbregMulti.save = save_multi
+DbregMulti.load = staticmethod(load_multi)

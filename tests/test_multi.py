@@ -278,3 +278,47 @@ def test_etable_shapes_and_stars(tables):
                      strategy="moments")
     t2 = etable(mm)
     assert len(t2.columns) == 2
+
+
+def test_multi_save_load_roundtrip(tables, tmp_path):
+    from dbreg_spark.model import load_any_model
+
+    li = tables["lineitem"]
+    mm = dbreg_multi(
+        "c(l_extendedprice, l_tax) ~ sw(l_quantity, l_discount)", li,
+        vcov="hc1", strategy="moments",
+    )
+    path = str(tmp_path / "mm")
+    mm.save(path)
+    mm2 = load_any_model(path, spark=li.sparkSession)
+    assert type(mm2).__name__ == "DbregMulti"
+    assert list(mm2.models.keys()) == list(mm.models.keys())
+    assert mm2.n_passes == mm.n_passes
+    for k in mm.models:
+        np.testing.assert_array_equal(
+            mm.models[k].coeftable["estimate"].values,
+            mm2.models[k].coeftable["estimate"].values,
+        )
+        np.testing.assert_array_equal(
+            mm.models[k].vcov_, mm2.models[k].vcov_
+        )
+
+
+def test_multi_glm_save_load_roundtrip(tables, tmp_path):
+    from dbreg_spark import dbglm_multi
+    from dbreg_spark.model import load_any_model
+
+    li = tables["lineitem"]
+    mm = dbglm_multi(
+        "l_linenumber ~ sw(l_quantity, l_discount)", li, family="poisson",
+    )
+    path = str(tmp_path / "gm")
+    mm.save(path)
+    mm2 = load_any_model(path, spark=li.sparkSession)
+    assert type(mm2).__name__ == "GlmMulti"
+    for k in mm.models:
+        np.testing.assert_array_equal(
+            mm.models[k].coeftable["estimate"].values,
+            mm2.models[k].coeftable["estimate"].values,
+        )
+        assert mm2.models[k].family == mm.models[k].family
