@@ -122,6 +122,10 @@ FML_COMPRESS = "l_tax ~ l_quantity + l_discount | l_returnflag + l_linestatus"
 # multiple estimation (fixest sw/csw/multi-LHS): the union-Gram pass that
 # fits all 4 submodels at once (dbreg_spark/multi.py)
 FML_MULTI = "c(l_extendedprice, l_tax) ~ l_quantity + csw(l_discount, l_linenumber)"
+FML_MULTI_FE = (
+    "c(l_extendedprice, l_tax) ~ l_quantity + sw(l_discount, l_linenumber)"
+    " | l_returnflag"
+)
 # WLS gates: l_quantity (integer 1..50, strictly positive) as the weight
 W_COL = "l_quantity"
 FML_W = "l_extendedprice ~ l_discount + l_tax"
@@ -494,6 +498,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _round_doubles_df(df)
 
     Q["moments_multi"] = moments_multi
+
+    def moments_multi_demean(spark, sf_dir):
+        _tables(spark, sf_dir)
+        from dbreg_spark.multi import build_multi_plan
+
+        df, _ = build_multi_plan(
+            FML_MULTI_FE, spark=spark, table="lineitem", strategy="demean"
+        )
+        return _round_doubles_df(df)
+
+    Q["demean_moments_multi_1fe"] = moments_multi_demean
 
     # ---- Conley spatial HAC meat: cell-bucketed score self-join at fixed
     # β (literal-β pattern, like meat_hc1_fixed_beta). Euclidean mode with
@@ -1862,6 +1877,7 @@ def oracle_sql() -> dict[str, str]:
         ("compress_cells", FML_COMPRESS, "compress"),
         ("group_means_1fe", FML_1FE, "group_means"),
         ("moments_multi", FML_MULTI, "moments"),
+        ("demean_moments_multi_1fe", FML_MULTI_FE, "demean"),
     ]:
         O[name] = _plan_oracle_sql(fml, strat)
     for name, fml, strat in [
