@@ -103,7 +103,7 @@ def etable(models, *, digits: int = 4, se_below: bool = True) -> pd.DataFrame:
             if f not in fe_order:
                 fe_order.append(f)
 
-    cols: dict[str, list[str]] = {}
+    col_cells: list[list[str]] = []  # parallel to pairs (labels may repeat)
     rows: list[str] = []
     for lab, m in pairs:
         ct = m.coeftable
@@ -136,7 +136,7 @@ def etable(models, *, digits: int = 4, se_below: bool = True) -> pd.DataFrame:
         cells.append(_fmt(float(ll), 2) if ll is not None else "")
         fam = getattr(m, "family", None)
         cells.append(str(fam) if fam else "OLS")
-        cols[lab] = cells
+        col_cells.append(cells)
 
     for n in coef_order:
         rows.extend([n, ""] if se_below else [n])
@@ -155,7 +155,7 @@ def etable(models, *, digits: int = 4, se_below: bool = True) -> pd.DataFrame:
             labels.append(lab)
 
     df = pd.DataFrame(
-        {lab: cols[orig] for lab, (orig, _) in zip(labels, pairs)},
+        {lab: cells for lab, cells in zip(labels, col_cells)},
         index=rows,
     )
     # drop all-empty stat rows (e.g. R2 for GLMs, LogLik for OLS)

@@ -333,45 +333,45 @@ def _negbin_ll_const(frame: Frame, weights: str | None, theta: float) -> float:
     )
 
 
-def _negbin_y_hist(df: DataFrame, y_col: str, weights: str | None):
-    """(y, sum-of-omega) histogram rows for the driver-side lgamma sums
-    (capped like _negbin_ll_const)."""
-    wcol = (
-        F.col(weights).cast("double") if weights is not None else F.lit(1.0)
-    )
-    rows = (
-        df.where(F.col(y_col).isNotNull())
-        .groupBy(F.col(y_col).cast("double").alias("__y"))
-        .agg(F.sum(wcol).alias("__w"))
-        .limit(_NEGBIN_HIST_CAP + 1)
-        .collect()
-    )
-    if len(rows) > _NEGBIN_HIST_CAP:
-        raise ValueError(
-            f"dbglm(family='negbin'): the outcome has more than "
-            f"{_NEGBIN_HIST_CAP:,} distinct values — this looks like a "
-            "continuous column, not counts"
-        )
-    return [(float(r["__y"]), float(r["__w"])) for r in rows]
-
-
 def _negbin_profile_theta(
-    model, df: DataFrame, weights: str | None, th0: float, hist
-) -> float:
+    model, df: DataFrame, weights: str | None, th0: float, hist=None
+):
     """Maximize the NB2 profile loglik over theta at the CURRENT mu-hat.
 
     Each refinement round evaluates a geometric candidate grid around the
     incumbent in ONE pass over the scored frame: the only mu-dependent
     term is S(theta) = sum w (y+theta) ln(theta+mu) — K candidates ride as
     K aggregate columns. The lgamma / theta*ln(theta) terms are exact
-    driver arithmetic from the y histogram. Grid spacing shrinks 10x per
-    round; 5 rounds pin theta to ~1e-5 relative."""
-    scored = model.predict(df, type="response").where(
-        F.col("fit").isNotNull() & F.col(model.yvar).isNotNull()
-    )
+    driver arithmetic from the y histogram, which is collected (once,
+    then passed back in) from the SAME scored complete-case rows the
+    distributed term sums — so the objective is the sample profile
+    likelihood even when regressors/offset/weights have NULLs. A round
+    whose winner sits on the bracket edge RE-CENTERS at the same span
+    instead of shrinking, so the search escapes a bad moment seed instead
+    of capping at ~14x of it. Returns (theta, hist)."""
+    scored = model.predict(df, type="response")
     w = F.col(weights).cast("double") if weights is not None else F.lit(1.0)
     y = F.col(model.yvar).cast("double")
     mu = F.col("fit").cast("double")
+    keep = F.col("fit").isNotNull() & y.isNotNull()
+    if weights is not None:
+        keep = keep & F.col(weights).isNotNull()
+    scored = scored.where(keep)
+
+    if hist is None:
+        rows = (
+            scored.groupBy(y.alias("__y"))
+            .agg(F.sum(w).alias("__w"))
+            .limit(_NEGBIN_HIST_CAP + 1)
+            .collect()
+        )
+        if len(rows) > _NEGBIN_HIST_CAP:
+            raise ValueError(
+                f"dbglm(family='negbin'): the outcome has more than "
+                f"{_NEGBIN_HIST_CAP:,} distinct values — this looks like a "
+                "continuous column, not counts"
+            )
+        hist = [(float(r["__y"]), float(r["__w"])) for r in rows]
     n_w = sum(wr for _, wr in hist)
 
     def driver_const(th: float) -> float:
@@ -390,7 +390,10 @@ def _negbin_profile_theta(
 
     incumbent = max(float(th0), 1e-6)
     span = 10.0  # initial bracket: [incumbent/10, incumbent*10]
-    for _round in range(7):
+    shrink_rounds = 0
+    total_rounds = 0
+    while shrink_rounds < 7 and total_rounds < 20:
+        total_rounds += 1
         cands = [
             incumbent * span ** (k / 4.0 - 1.0) for k in range(9)
         ]  # 9 geometric points across [inc/span, inc*span]
@@ -410,10 +413,15 @@ def _negbin_profile_theta(
         ]
         best = int(np.argmax(lls))
         incumbent = cands[best]
+        if best in (0, 8):
+            # the optimum is outside the bracket: re-center at the edge
+            # and search again at the SAME span (expansion round)
+            continue
+        shrink_rounds += 1
         # next round brackets the winner's immediate neighbors
-        span = (cands[min(best + 1, 8)] / cands[max(best - 1, 0)]) ** 0.5
+        span = (cands[best + 1] / cands[best - 1]) ** 0.5
         span = max(span, 1.00001)
-    return incumbent
+    return incumbent, hist
 
 
 def _negbin_moment_theta(pois_model, df: DataFrame, weights: str | None) -> float:
@@ -758,10 +766,12 @@ def glm_conley_meat(
         F.col(lat_col).cast("double").alias("__lat"),
         F.col(lon_col).cast("double").alias("__lon"),
     )
-    agg_df, pp = conley_pair_agg(
-        proj, s_names, intercept, cutoff, kernel, distance
+    agg_df, pp, _cc = conley_pair_agg(
+        proj, s_names, intercept, cutoff, kernel, distance, cache=True
     )
     row = agg_df.collect()[0].asDict()
+    if _cc is not None:
+        _cc.unpersist()
     meat = np.zeros((pp, pp))
     for i in range(pp):
         for j in range(i, pp):
@@ -1262,25 +1272,39 @@ def dbglm(
             verbose=verbose, cells_nmax=cells_nmax,
         )
         th = float(m.family[len("negbin(theta="):-1])
-        hist = _negbin_y_hist(src_df, parse_formula(fml).yvar, weights)
-        for _outer in range(8):
-            th_new = _negbin_profile_theta(m, src_df, weights, th, hist)
+        # the y histogram is collected ONCE, from the SAME complete-case
+        # sample the fit uses (scored rows with non-null fit/y/weights) —
+        # a raw-source histogram would add excluded rows' lgamma terms and
+        # bias the profile gradient whenever regressors have NULLs
+        hist = None
+        for _outer in range(10):
+            th_new, hist = _negbin_profile_theta(
+                m, src_df, weights, th, hist
+            )
             if verbose:
                 print(f"[dbglm] negbin ML theta sweep: {th:.6g} -> {th_new:.6g}")
-            converged_th = abs(th_new - th) <= 1e-6 * max(th, 1.0)
+            if abs(th_new - th) <= 1e-6 * max(th, 1.0):
+                th = th_new
+                break
             th = th_new
+            # intermediate refits carry vcov='iid' — only the FINAL refit
+            # below pays for the requested (possibly expensive) sandwich
             m = dbglm(
                 fml, data=data, spark=spark, table=table, path=path,
-                family="negbin", vcov=vcov, cluster=cluster, offset=offset,
-                weights=weights, l2=l2, hac_lag=hac_lag, theta=th,
-                conley_cutoff=conley_cutoff, conley_kernel=conley_kernel,
-                conley_distance=conley_distance,
-                max_iter=max_iter, tol=tol, drop_missings=drop_missings,
-                verbose=verbose, cells_nmax=cells_nmax,
+                family="negbin", vcov="iid", offset=offset, weights=weights,
+                l2=l2, theta=th, max_iter=max_iter, tol=tol,
+                drop_missings=drop_missings, verbose=verbose,
+                cells_nmax=cells_nmax,
             )
-            if converged_th:
-                break
-        return m
+        return dbglm(
+            fml, data=data, spark=spark, table=table, path=path,
+            family="negbin", vcov=vcov, cluster=cluster, offset=offset,
+            weights=weights, l2=l2, hac_lag=hac_lag, theta=th,
+            conley_cutoff=conley_cutoff, conley_kernel=conley_kernel,
+            conley_distance=conley_distance,
+            max_iter=max_iter, tol=tol, drop_missings=drop_missings,
+            verbose=verbose, cells_nmax=cells_nmax,
+        )
     if fam.name == "negbin" and fam.theta is None:
         # two-step NB2 (Cameron-Trivedi 1986): (1) poisson IRLS for mu-hat,
         # (2) the moment estimator alpha-hat = SUM w[(y-mu)^2 - mu] / SUM
@@ -2063,11 +2087,13 @@ def _fe_poisson(
                 F.col(cluster_vars[0]).cast("double").alias("__lat"),
                 F.col(cluster_vars[1]).cast("double").alias("__lon"),
             )
-            agg_df_c, _pc = conley_pair_agg(
+            agg_df_c, _pc, _cc = conley_pair_agg(
                 cproj, [f"__xt{i}" for i in range(p)], False,
-                cutoff, kernel, distance,
+                cutoff, kernel, distance, cache=True,
             )
             crow = agg_df_c.collect()[0].asDict()
+            if _cc is not None:
+                _cc.unpersist()
             meat = np.zeros((p, p))
             for i in range(p):
                 for j in range(i, p):

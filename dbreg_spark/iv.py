@@ -589,10 +589,13 @@ def _solve_2sls(
             F.col(cluster_vars[1]).cast("double").alias("__lon"),
         )
         cutoff_c, kernel_c, distance_c = conley_opts
-        agg_df_c, pz = conley_pair_agg(
-            proj, kept_z_cols, icpt_z, cutoff_c, kernel_c, distance_c
+        agg_df_c, pz, _cc = conley_pair_agg(
+            proj, kept_z_cols, icpt_z, cutoff_c, kernel_c, distance_c,
+            cache=True,
         )
         crow = agg_df_c.collect()[0].asDict()
+        if _cc is not None:
+            _cc.unpersist()
         S = np.zeros((pz, pz))
         for i in range(pz):
             for j in range(i, pz):

@@ -159,6 +159,32 @@ def parse_multi_formula(fml: str) -> MultiSpec:
     return MultiSpec(lhs=lhs, steps=steps, fe_str=fe_str)
 
 
+def union_parsed_formula(
+    parsed_list: list[ParsedFormula], lhs: list[str], fe: list[str],
+    intercept: bool,
+) -> ParsedFormula:
+    """The union model: all submodel RHS terms (first-appearance order,
+    order-insensitive dedup) plus the extra outcomes riding as plain
+    regressor terms — ONE definition shared by dbreg_multi,
+    build_multi_plan (the gate twin) and dbglm_multi so the union
+    semantics cannot drift between the fit and its oracle."""
+    from .formula import Term
+
+    union_terms, seen = [], set()
+    for p in parsed_list:
+        for t in p.terms:
+            if t.sorted_key not in seen:
+                seen.add(t.sorted_key)
+                union_terms.append(t)
+    for y in lhs[1:]:
+        if (y,) not in seen:
+            seen.add((y,))
+            union_terms.append(Term((y,)))
+    return ParsedFormula(
+        yvar=lhs[0], terms=union_terms, fe=fe, intercept=intercept
+    )
+
+
 @dataclass
 class _SubFit:
     """Driver-side state for one submodel between the Gram and meat passes."""
@@ -504,6 +530,11 @@ def dbreg_multi(
             "vcov='cr3 ~ g' jackknife refits are per-model leave-one-out "
             "solves; fit each model with dbreg(vcov='cr3 ~ g') instead"
         )
+    if vcov_type == "conley":
+        raise NotImplementedError(
+            "dbreg_multi does not batch the conley spatial pair pass; fit "
+            "each model with dbreg(vcov='conley ~ lat + lon')"
+        )
     weight_col = parse_weights(weights)
     if ssc not in ("full", "nested"):
         raise ValueError("ssc must be 'full' or 'nested'")
@@ -540,24 +571,7 @@ def dbreg_multi(
             "dbreg_multi supports strategy auto/moments/demean/demean_iter"
         )
 
-    # ---- union formula: all RHS terms (first appearance order), then the
-    # extra outcomes riding as plain numeric regressor columns ----
-    union_terms = []
-    seen = set()
-    for p in parsed_list:
-        for t in p.terms:
-            if t.sorted_key not in seen:
-                seen.add(t.sorted_key)
-                union_terms.append(t)
-    from .formula import Term
-
-    for y in spec.lhs[1:]:
-        if (y,) not in seen:
-            seen.add((y,))
-            union_terms.append(Term((y,)))
-    uparsed = ParsedFormula(
-        yvar=spec.lhs[0], terms=union_terms, fe=fe, intercept=has_icpt
-    )
+    uparsed = union_parsed_formula(parsed_list, spec.lhs, fe, has_icpt)
 
     if spark is None and hasattr(data, "sparkSession"):
         spark = data.sparkSession
@@ -803,21 +817,7 @@ def build_multi_plan(
         for _, rhs1 in spec.steps
     ]
     fe = parsed_list[0].fe
-    union_terms, seen = [], set()
-    for p in parsed_list:
-        for t in p.terms:
-            if t.sorted_key not in seen:
-                seen.add(t.sorted_key)
-                union_terms.append(t)
-    from .formula import Term
-
-    for y in spec.lhs[1:]:
-        if (y,) not in seen:
-            seen.add((y,))
-            union_terms.append(Term((y,)))
-    uparsed = ParsedFormula(
-        yvar=spec.lhs[0], terms=union_terms, fe=fe, intercept=True
-    )
+    uparsed = union_parsed_formula(parsed_list, spec.lhs, fe, intercept=True)
     if spark is None and hasattr(data, "sparkSession"):
         spark = data.sparkSession
     source = resolve_source(spark=spark, data=data, table=table, path=path)

@@ -109,22 +109,9 @@ def dbglm_multi(
         raise ValueError("all submodels must share the intercept setting")
     icpt_req = icpts.pop()
 
-    # union formula (same construction as dbreg_multi)
-    from .formula import Term
+    from .multi import union_parsed_formula
 
-    union_terms, seen = [], set()
-    for p in parsed_list:
-        for t in p.terms:
-            if t.sorted_key not in seen:
-                seen.add(t.sorted_key)
-                union_terms.append(t)
-    for y in spec.lhs[1:]:
-        if (y,) not in seen:
-            seen.add((y,))
-            union_terms.append(Term((y,)))
-    uparsed = ParsedFormula(
-        yvar=spec.lhs[0], terms=union_terms, fe=[], intercept=icpt_req
-    )
+    uparsed = union_parsed_formula(parsed_list, spec.lhs, [], icpt_req)
 
     if spark is None and hasattr(data, "sparkSession"):
         spark = data.sparkSession

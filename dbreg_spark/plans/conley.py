@@ -73,8 +73,12 @@ def conley_meat_plan(
     distance: str = "haversine",
     weight_col: str | None = None,
     max_cell_rows: int = 2_000_000,
+    cache: bool = False,
 ):
-    """Lazy Conley meat aggregation: (agg_df, p). See :func:`conley_meat`."""
+    """Lazy Conley meat aggregation: (agg_df, p, cached-or-None). See
+    :func:`conley_meat`; ``cache=True`` persists the slim score projection
+    so the probes and both join sides read ONE upstream scan (the caller
+    unpersists after collecting)."""
     r = _resid_expr(frame, betahat, x_names, intercept)
     if weight_col is not None:
         r = _d(Var(weight_col)) * r  # WLS score s = w·u·x
@@ -86,7 +90,8 @@ def conley_meat_plan(
         F.col(lon_col).cast("double").alias("__lon"),
     )
     return conley_pair_agg(
-        proj, s_names, intercept, cutoff, kernel, distance, max_cell_rows
+        proj, s_names, intercept, cutoff, kernel, distance, max_cell_rows,
+        cache=cache,
     )
 
 
@@ -98,11 +103,17 @@ def conley_pair_agg(
     kernel: str = "uniform",
     distance: str = "haversine",
     max_cell_rows: int = 2_000_000,
+    cache: bool = False,
 ):
     """Generic pair-enumeration meat over a prebuilt score projection
     (columns: ``__e`` + ``score_cols`` + ``__lat``/``__lon``). Shared by
-    the OLS path (residual scores) and the GLM path (family scores) —
-    returns the lazy (agg_df, p)."""
+    the OLS path (residual scores), the GLM path (family scores) and 2SLS
+    (Z scores) — returns (lazy agg_df, p, cached-projection-or-None).
+
+    ``cache=True`` persists the slim projection so the extent/occupancy
+    probes AND both join sides replay cached rows instead of re-deriving
+    the residual from the raw table per action (3-4 upstream scans -> 1);
+    collecting callers unpersist it after the aggregation."""
     if cutoff <= 0:
         raise ValueError("conley cutoff must be > 0")
     if kernel not in ("uniform", "bartlett"):
@@ -110,6 +121,10 @@ def conley_pair_agg(
     if distance not in ("haversine", "euclidean"):
         raise ValueError("conley distance must be 'haversine' or 'euclidean'")
     s_names = list(dict.fromkeys(score_cols))
+    cached = None
+    if cache:
+        proj = proj.cache()
+        cached = proj
 
     if distance == "haversine":
         # lon degrees shrink by cos(lat): size the lon band by the corpus's
@@ -152,18 +167,8 @@ def conley_pair_agg(
             F.col("r.__lat"), F.col("r.__lon"),
         )
     else:
-        nullprobe = proj.agg(
-            F.sum(
-                F.when(
-                    F.col("__lat").isNull() | F.col("__lon").isNull(), 1
-                ).otherwise(0)
-            )
-        ).collect()[0][0]
-        if nullprobe:
-            raise ValueError(
-                f"conley vcov: {nullprobe} rows have NULL coordinates; "
-                "coordinates must be complete"
-            )
+        # euclidean needs no extents probe; the NULL check rides the
+        # occupancy pass below (a NULL coordinate floors to a NULL cell)
         cell_x = F.floor(F.col("__lon") / F.lit(float(cutoff)))
         cell_y = F.floor(F.col("__lat") / F.lit(float(cutoff)))
         dx = F.col("l.__lon") - F.col("r.__lon")
@@ -172,8 +177,29 @@ def conley_pair_agg(
 
     cells = proj.withColumn("__cx", cell_x).withColumn("__cy", cell_y)
 
-    # occupancy guard: one grouped count capped via sort-free max
-    occ = cells.groupBy("__cx", "__cy").count().agg(F.max("count")).collect()[0][0]
+    # occupancy guard + NULL-coordinate check in ONE grouped pass: a NULL
+    # lat/lon lands in the (NULL, NULL) cell, so its row count falls out of
+    # the same aggregation (sort-free max for the cap)
+    occ_row = (
+        cells.groupBy("__cx", "__cy")
+        .count()
+        .agg(
+            F.max("count").alias("__occ"),
+            F.sum(
+                F.when(
+                    F.col("__cx").isNull() | F.col("__cy").isNull(),
+                    F.col("count"),
+                ).otherwise(0)
+            ).alias("__nulls"),
+        )
+        .collect()[0]
+    )
+    if occ_row["__nulls"]:
+        raise ValueError(
+            f"conley vcov: {occ_row['__nulls']} rows have NULL coordinates; "
+            "coordinates must be complete (drop or impute them first)"
+        )
+    occ = occ_row["__occ"]
     if occ is not None and occ > max_cell_rows:
         raise ValueError(
             f"conley vcov: a single {cutoff}-unit grid cell holds {occ:,} "
@@ -190,7 +216,10 @@ def conley_pair_agg(
     # scale broadcasting the exploded corpus is impossible outright. The
     # shuffle co-partitions both sides on the cell key, spreading the
     # density^2 pair work across shuffle partitions (AQE skew-join splits
-    # any hot cell's partition further).
+    # any hot cell's partition further). The hint sits on the RIGHT (1x)
+    # side so the per-partition hash table builds over the un-exploded
+    # rows — hinting the 9x side would build a 9x-larger map for the same
+    # join and risk build-side OOM exactly in the hot-cell case.
     offs = F.array([F.lit(o) for o in (-1, 0, 1)])
     left = (
         cells.withColumn("__ox", F.explode(offs))
@@ -198,12 +227,14 @@ def conley_pair_agg(
         .withColumn("__jx", F.col("__cx") + F.col("__ox"))
         .withColumn("__jy", F.col("__cy") + F.col("__oy"))
         .drop("__ox", "__oy", "__cx", "__cy")
-        .hint("shuffle_hash")
         .alias("l")
     )
-    right = cells.withColumnRenamed("__cx", "__jx").withColumnRenamed(
-        "__cy", "__jy"
-    ).alias("r")
+    right = (
+        cells.withColumnRenamed("__cx", "__jx")
+        .withColumnRenamed("__cy", "__jy")
+        .hint("shuffle_hash")
+        .alias("r")
+    )
 
     pairs = left.join(right, on=["__jx", "__jy"]).where(dist <= F.lit(float(cutoff)))
     if kernel == "bartlett":
@@ -226,7 +257,7 @@ def conley_pair_agg(
             aggs.append(
                 F.sum(ee * col_of("l", a) * col_of("r", b)).alias(f"m_{a}_{b}")
             )
-    return pairs.agg(*aggs), p
+    return pairs.agg(*aggs), p, cached
 
 
 def conley_meat(
@@ -249,11 +280,13 @@ def conley_meat(
     distance decay). ``distance``: "haversine" (coords in degrees, cutoff
     in km) or "euclidean" (coords and cutoff in the same planar units).
     """
-    agg_df, p = conley_meat_plan(
+    agg_df, p, cached = conley_meat_plan(
         frame, betahat, x_names, intercept, lat_col, lon_col, cutoff,
-        kernel, distance, weight_col, max_cell_rows,
+        kernel, distance, weight_col, max_cell_rows, cache=True,
     )
     row = agg_df.collect()[0].asDict()
+    if cached is not None:
+        cached.unpersist()
     meat = np.zeros((p, p))
     for a in range(p):
         for b in range(a, p):

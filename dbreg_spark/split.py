@@ -116,6 +116,11 @@ def dbreg_split(
     """
     # parse_vcov caps clustering at 3 variables (CGM subsets grow as 2^k)
     vcov_type, cluster_vars = parse_vcov(vcov, cluster)
+    if vcov_type == "conley":
+        raise NotImplementedError(
+            "dbreg_split does not batch the conley spatial pair pass across "
+            "levels; fit per level with the single-model API"
+        )
     weight_col = parse_weights(weights)
     parsed = parse_formula(fml)
     if parsed.yvar is None:

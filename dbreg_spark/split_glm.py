@@ -185,6 +185,11 @@ def dbglm_split(
     (see module docstring). Returns ``{level: GlmModel}``."""
     # parse_vcov caps clustering at 3 variables (CGM subsets grow as 2^k)
     vcov_type, cluster_vars = parse_vcov(vcov, cluster)
+    if vcov_type == "conley":
+        raise NotImplementedError(
+            "dbglm_split does not batch the conley spatial pair pass across "
+            "levels; fit per level with the single-model API"
+        )
 
     weight_col = parse_weights(weights)
     fam = get_family(family)

@@ -251,3 +251,41 @@ def test_negbin_ml_theta_matches_profile_oracle(nb):
     )
     with pytest.raises(ValueError, match="positive float"):
         dbglm("y ~ x1", df, family="negbin", theta="mle-ish")
+
+
+def test_negbin_ml_theta_null_regressors_use_fit_sample(nb, spark):
+    """ML theta's lgamma histogram must come from the complete-case fit
+    sample, not the raw source: rows with NULL x are excluded from both
+    the distributed S(theta) term and the driver constant."""
+    df, pdf = nb
+    # poison 15% of x1 with NULLs; the ml fit on the poisoned frame must
+    # equal the ml fit on the pre-filtered complete-case frame
+    import pyspark.sql.functions as F
+
+    poisoned = df.withColumn(
+        "x1", F.when(F.col("g") % 7 == 0, F.lit(None)).otherwise(F.col("x1"))
+    )
+    complete = poisoned.where(F.col("x1").isNotNull())
+    m_p = dbglm("y ~ x1 + x2", poisoned, family="negbin", theta="ml")
+    m_c = dbglm("y ~ x1 + x2", complete, family="negbin", theta="ml")
+    th_p = float(m_p.family[len("negbin(theta="):-1])
+    th_c = float(m_c.family[len("negbin(theta="):-1])
+    np.testing.assert_allclose(th_p, th_c, rtol=1e-6)
+    np.testing.assert_allclose(
+        m_p.coeftable["estimate"].values,
+        m_c.coeftable["estimate"].values, rtol=1e-10,
+    )
+
+
+def test_negbin_profile_search_escapes_bad_seed(nb):
+    """The grid search re-centers at the bracket edge instead of
+    shrinking, so a seed 1000x off still reaches the profile optimum."""
+    from dbreg_spark.glm import _negbin_profile_theta
+
+    df, _ = nb
+    m = dbglm("y ~ x1 + x2", df, family="negbin", theta="ml")
+    th_star = float(m.family[len("negbin(theta="):-1])
+    th_lo, _h = _negbin_profile_theta(m, df, None, th_star / 1000.0)
+    th_hi, _h = _negbin_profile_theta(m, df, None, th_star * 1000.0)
+    np.testing.assert_allclose(th_lo, th_star, rtol=2e-3)
+    np.testing.assert_allclose(th_hi, th_star, rtol=2e-3)
