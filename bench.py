@@ -248,6 +248,19 @@ def main() -> None:
             li, vcov="hc1", strategy="moments",
         ),
     )
+    # multi-GLM lockstep: 4 logits advanced by ONE pass per iteration
+    from dbreg_spark import dbglm_multi
+
+    li_ret = li.withColumn(
+        "is_return", (F.col("l_returnflag") == "R").cast("double")
+    )
+    bench(
+        "glm_multi_sw_logit",
+        lambda: dbglm_multi(
+            "is_return ~ l_quantity + csw(l_discount, l_linenumber, l_tax)",
+            li_ret, family="binomial", vcov="hc1",
+        ),
+    )
     # Conley spatial HAC: cell-bucketed score self-join (pairwise meat).
     # Synthetic coords give ~17 rows/coordinate at sf0.1; cutoff 0.5 pairs
     # each row with its 5-coordinate neighborhood — the density regime a
