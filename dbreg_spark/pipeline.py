@@ -148,12 +148,19 @@ def corpus_pipeline(
     band_rows: int = 2,
     shingle_words: int = 2,
     jaccard_threshold: float = 0.3,
+    keep: str = "canonical",
 ):
     """The composed end-to-end corpus pipeline a training run actually
     ships: MinHash-LSH near-dup pairs -> connected components -> keep one
     canonical doc per duplicate group -> Gopher repetition filter ->
     greedy sequence packing. Returns the packed manifest
     (doc_id, source, pack_seq, pack_offset).
+
+    ``keep``: which document survives each duplicate group —
+    "canonical" (min present doc id, dedup_components' default) or
+    "best_quality" (argmax of the composite text-quality score, ties to
+    the smaller id; the ranking window runs over the SLIM
+    (doc_id, component, quality) table, never the text).
 
     Every stage is its own gated operator; this composition exercises what
     only shows up end-to-end at 100 TB — cumulative shuffle volume,
@@ -166,6 +173,8 @@ def corpus_pipeline(
     from .operators.dedup import dedup_components, minhash_lsh_pairs
     from .operators.text import pack_greedy, repetition_stats
 
+    if keep not in ("canonical", "best_quality"):
+        raise ValueError("keep must be 'canonical' or 'best_quality'")
     pairs = minhash_lsh_pairs(
         df,
         n_hashes=n_hashes,
@@ -174,9 +183,28 @@ def corpus_pipeline(
         jaccard_threshold=jaccard_threshold,
     )
     comp = dedup_components(df, pairs)
-    kept = df.join(
-        comp.where("is_canonical").select("doc_id"), "doc_id", "inner"
-    )
+    if keep == "canonical":
+        keep_ids = comp.where("is_canonical").select("doc_id")
+    else:
+        from pyspark.sql import Window
+
+        from .functions.xdialect import SPARK, X
+        from .operators.text import quality_score_expr
+
+        q = df.select(
+            "doc_id",
+            F.expr(quality_score_expr(X(SPARK), "text")).alias("__q"),
+        )
+        win = Window.partitionBy("component").orderBy(
+            F.col("__q").desc(), F.col("doc_id")
+        )
+        keep_ids = (
+            comp.join(q, "doc_id")
+            .withColumn("__rn", F.row_number().over(win))
+            .where("__rn = 1")
+            .select("doc_id")
+        )
+    kept = df.join(keep_ids, "doc_id", "inner")
     rep = repetition_stats(kept)
     clean = kept.join(
         rep.where(F.col("is_repetitive") == 0).select("doc_id"),
@@ -194,6 +222,7 @@ def corpus_pipeline_sql(
     band_rows: int = 2,
     shingle_words: int = 2,
     jaccard_threshold: float = 0.3,
+    keep: str = "canonical",
 ) -> str:
     """DuckDB twin of :func:`corpus_pipeline`: the stage oracles composed
     as nested subqueries (each stage's own WITH RECURSIVE stays scoped to
@@ -209,10 +238,31 @@ def corpus_pipeline_sql(
         jaccard_threshold=jaccard_threshold,
     )
     comp_sql = dedup_components_sql(table, pairs_sql)
-    kept_sql = (
-        f"SELECT t.* FROM {table} t JOIN (\n{comp_sql}\n) __comp"
-        " ON t.doc_id = __comp.doc_id AND __comp.is_canonical"
-    )
+    if keep == "canonical":
+        kept_sql = (
+            f"SELECT t.* FROM {table} t JOIN (\n{comp_sql}\n) __comp"
+            " ON t.doc_id = __comp.doc_id AND __comp.is_canonical"
+        )
+    elif keep == "best_quality":
+        from .functions.xdialect import DUCK, X
+        from .operators.text import quality_score_expr
+
+        qs = quality_score_expr(X(DUCK), "t.text")
+        keep_ids_sql = (
+            "SELECT doc_id FROM ("
+            "SELECT c.doc_id, ROW_NUMBER() OVER ("
+            "PARTITION BY c.component "
+            f"ORDER BY ({qs}) DESC, c.doc_id"
+            f") AS __rn FROM (\n{comp_sql}\n) c "
+            f"JOIN {table} t ON t.doc_id = c.doc_id"
+            ") WHERE __rn = 1"
+        )
+        kept_sql = (
+            f"SELECT t.* FROM {table} t JOIN (\n{keep_ids_sql}\n) __keep"
+            " ON t.doc_id = __keep.doc_id"
+        )
+    else:
+        raise ValueError("keep must be 'canonical' or 'best_quality'")
     rep_sql = repetition_stats_sql(f"(\n{kept_sql}\n) __kept")
     clean_sql = (
         f"SELECT k.* FROM (\n{kept_sql}\n) k JOIN (\n{rep_sql}\n) __rep"

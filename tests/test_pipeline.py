@@ -180,3 +180,48 @@ def test_corpus_pipeline_composed_matches_stagewise(spark, docs):
     assert key(out) == key(ref)
     assert len(out) == clean.count() > 0
     assert len(out) < docs.count()  # both filters actually removed docs
+
+
+def test_corpus_pipeline_keep_best_quality(spark, docs, duck):
+    """keep='best_quality': each duplicate group keeps its argmax-quality
+    member (ties to the smaller id), verified two ways — against the
+    composed DuckDB twin, and semantically against a stagewise argmax."""
+    from dbreg_spark.functions.xdialect import SPARK, X
+    from dbreg_spark.operators.text import quality_score_expr
+    from dbreg_spark.pipeline import corpus_pipeline, corpus_pipeline_sql
+    import dbreg_spark.pipeline as P
+
+    out = (
+        corpus_pipeline(docs, keep="best_quality")
+        .orderBy("doc_id")
+        .collect()
+    )
+    sql = corpus_pipeline_sql("documents", keep="best_quality")
+    orows = duck.execute(
+        f"SELECT * FROM ({sql}) t ORDER BY doc_id"
+    ).fetchall()
+    assert [tuple(r) for r in out] == [tuple(r) for r in orows]
+
+    # semantic check: the kept doc of every multi-member group maximizes
+    # the quality score (stagewise reference, window-free)
+    pairs = P.minhash_lsh_pairs(
+        docs, n_hashes=16, band_rows=2, shingle_words=2,
+        jaccard_threshold=0.3,
+    )
+    comp = P.dedup_components(docs, pairs).toPandas()
+    q = docs.selectExpr(
+        "doc_id", f"{quality_score_expr(X(SPARK), 'text')} AS q"
+    ).toPandas().set_index("doc_id")["q"]
+    kept_ids = {r[0] for r in out}
+    groups = comp.groupby("component")["doc_id"].apply(list)
+    import pytest as _pt
+
+    for _, members in groups.items():
+        best = sorted(members, key=lambda d: (-q[d], d))[0]
+        survivors = [d for d in members if d in kept_ids]
+        # groups fully removed by the repetition filter may have none
+        if survivors:
+            assert survivors == [best] or q[survivors[0]] == _pt.approx(q[best])
+
+    with _pt.raises(ValueError, match="keep must be"):
+        corpus_pipeline(docs, keep="nope")
