@@ -181,6 +181,31 @@ def test_conley_plan_no_cartesian(geo):
     assert "CartesianProduct" not in plan
 
 
+def test_conley_pair_join_is_shuffled_not_broadcast(geo):
+    """The REAL conley plan must shuffle on the cell key: Spark's size
+    estimate undercounts the 9x-exploded side and (without the hint)
+    picked a broadcast build inheriting the scan's few partitions — the
+    pairwise pass ran on 3 cores (101 s at sf0.1). Pin the plan shape."""
+    import pyspark.sql.functions as F
+
+    from dbreg_spark.plans.conley import conley_pair_agg
+
+    df, _ = geo
+    proj = df.select(
+        F.lit(1.0).alias("__e"), "x1", "x2",
+        F.col("lat").cast("double").alias("__lat"),
+        F.col("lon").cast("double").alias("__lon"),
+    )
+    agg_df, _p, cached = conley_pair_agg(
+        proj, ["x1", "x2"], True, 2.0, "uniform", "euclidean"
+    )
+    plan = agg_df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    if cached is not None:
+        cached.unpersist()
+
+
 def test_conley_refusals(geo, spark):
     df, pdf = geo
     with pytest.raises(ValueError, match="conley_cutoff"):
