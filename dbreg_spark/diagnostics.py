@@ -1,0 +1,121 @@
+"""Post-estimation diagnostic tests (lmtest-style, distributed).
+
+Breusch-Pagan / Koenker and White heteroskedasticity tests for fitted
+:class:`DbregModel` results. Each test is ONE auxiliary regression of the
+squared residual on (functions of) the model's design columns, run through
+``dbreg``'s moments machinery — a single sufficient-statistics pass over
+the data, with the LM statistic and chi-square p-value assembled
+driver-side (stats.chi2_sf — no scipy).
+
+Supported for models without absorbed fixed effects (the within-residual
+variants need the demeaned frame back; use robust vcov directly for FE
+models). Factor regressors are fine — the auxiliary regression runs over
+the model's EXPANDED design columns, and collinear aux terms (e.g. the
+square of a dummy) are dropped by the standard pivoted-QR layer, with the
+test df following the kept count (White's convention).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .plans.exprs import Cast, Lit, Var, to_spark
+from .stats import chi2_sf
+
+
+def _aux_frame(model, data):
+    """(aux DataFrame with __u2 + __z<i> design columns, z names)."""
+    import pyspark.sql.functions as F
+
+    from .design import standardize_coef_names
+
+    if model.fe:
+        raise NotImplementedError(
+            "heteroskedasticity tests need the raw residual; models with "
+            "absorbed fixed effects are not supported (their residuals "
+            "live in the demeaned frame) — use vcov='hc1'/'~g' directly"
+        )
+    name_to_expr = dict(
+        zip(
+            [standardize_coef_names(n) for n in model.design_info.names],
+            model.design_info.exprs,
+        )
+    )
+    kept = [n for n in model.coef_names if n != "(Intercept)"]
+    missing = [n for n in kept if n not in name_to_expr]
+    if missing:
+        raise ValueError(f"no design expression for {missing}")
+    icpt = "(Intercept)" in model.coef_names
+    b = np.asarray(model.coeftable["estimate"].values, dtype=float)
+    off = 1 if icpt else 0
+    fit = Lit(float(b[0])) if icpt else Lit(0.0)
+    for j, n in enumerate(kept):
+        fit = fit + Lit(float(b[j + off])) * Cast(name_to_expr[n], "double")
+    u = Cast(Var(model.yvar), "double") - fit
+    zcols = [
+        to_spark(Cast(name_to_expr[n], "double")).alias(f"__z{i}")
+        for i, n in enumerate(kept)
+    ]
+    aux = data.select(
+        to_spark(u * u).alias("__u2"), *zcols
+    )
+    return aux, [f"__z{i}" for i in range(len(kept))]
+
+
+def bp_test(model, data) -> dict:
+    """Breusch-Pagan LM test (Koenker's studentized form, the R
+    ``lmtest::bptest`` default): LM = n R² from regressing the squared
+    residual on the model's regressors; LM ~ chi²(k) under
+    homoskedasticity. One distributed moments pass."""
+    from .api import dbreg
+
+    aux, znames = _aux_frame(model, data)
+    if not znames:
+        raise ValueError("bp_test needs at least one non-intercept regressor")
+    m = dbreg(
+        "__u2 ~ " + " + ".join(znames), aux, strategy="moments", vcov="iid"
+    )
+    lm = float(m.nobs_orig) * float(m.r2())
+    df = len(m.coef_names) - (1 if "(Intercept)" in m.coef_names else 0)
+    return {
+        "statistic": lm,
+        "df": df,
+        "p_value": chi2_sf(lm, df),
+        "method": "studentized Breusch-Pagan (Koenker)",
+    }
+
+
+def white_test(model, data) -> dict:
+    """White's general test: the auxiliary regression adds squares and
+    pairwise products of the regressors; collinear aux terms (dummy
+    squares etc.) are dropped and the df follows the kept count."""
+    import pyspark.sql.functions as F
+
+    from .api import dbreg
+
+    aux, znames = _aux_frame(model, data)
+    if not znames:
+        raise ValueError("white_test needs at least one non-intercept regressor")
+    prods = []
+    for i in range(len(znames)):
+        for j in range(i, len(znames)):
+            prods.append(
+                (F.col(znames[i]) * F.col(znames[j])).alias(f"__w{i}_{j}")
+            )
+    aux2 = aux.select("*", *prods)
+    terms = znames + [
+        f"__w{i}_{j}"
+        for i in range(len(znames))
+        for j in range(i, len(znames))
+    ]
+    m = dbreg(
+        "__u2 ~ " + " + ".join(terms), aux2, strategy="moments", vcov="iid"
+    )
+    lm = float(m.nobs_orig) * float(m.r2())
+    df = len(m.coef_names) - (1 if "(Intercept)" in m.coef_names else 0)
+    return {
+        "statistic": lm,
+        "df": df,
+        "p_value": chi2_sf(lm, df),
+        "method": "White",
+    }

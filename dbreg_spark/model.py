@@ -957,5 +957,19 @@ def load_any_model(path: str, spark=None):
     raise ValueError(f"unrecognized model format {fmt!r} in {path}")
 
 
+def _bp_test(self, data):
+    from .diagnostics import bp_test
+
+    return bp_test(self, data)
+
+
+def _white_test(self, data):
+    from .diagnostics import white_test
+
+    return white_test(self, data)
+
+
+DbregModel.bp_test = _bp_test
+DbregModel.white_test = _white_test
 DbregModel.save = lambda self, path: save_model(self, path)
 DbregModel.load = staticmethod(load_model)

@@ -1,0 +1,85 @@
+"""Breusch-Pagan / White heteroskedasticity tests: LM statistics pinned
+against dense numpy auxiliary regressions; power/level sanity; factor
+handling (collinear aux terms dropped, df follows); FE refusal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dbreg_spark import dbreg
+
+N = 2000
+
+
+@pytest.fixture(scope="module")
+def het(spark):
+    rng = np.random.default_rng(21)
+    x1 = rng.normal(size=N)
+    x2 = rng.uniform(size=N)
+    g = rng.integers(0, 3, N)
+    # monotone-in-x1 conditional variance: both BP and White should fire
+    y = 1.0 + 2.0 * x1 - x2 + rng.normal(size=N) * np.exp(0.6 * x1)
+    y0 = 1.0 + 2.0 * x1 - x2 + rng.normal(size=N)
+    pdf = pd.DataFrame(
+        dict(y=y, y0=y0, x1=x1, x2=x2, g=g.astype("int32"))
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_bp_matches_dense_oracle(het):
+    df, pdf = het
+    m = dbreg("y ~ x1 + x2", df, strategy="moments")
+    bp = m.bp_test(df)
+    X = np.column_stack([np.ones(N), pdf.x1, pdf.x2])
+    b = np.linalg.lstsq(X, pdf.y.values, rcond=None)[0]
+    u2 = (pdf.y.values - X @ b) ** 2
+    g = np.linalg.lstsq(X, u2, rcond=None)[0]
+    r2 = 1 - np.sum((u2 - X @ g) ** 2) / np.sum((u2 - u2.mean()) ** 2)
+    np.testing.assert_allclose(bp["statistic"], N * r2, rtol=1e-8)
+    assert bp["df"] == 2
+    assert bp["p_value"] < 1e-6  # strong heteroskedasticity detected
+
+
+def test_white_matches_dense_oracle(het):
+    df, pdf = het
+    m = dbreg("y ~ x1 + x2", df, strategy="moments")
+    wh = m.white_test(df)
+    X = np.column_stack([np.ones(N), pdf.x1, pdf.x2])
+    b = np.linalg.lstsq(X, pdf.y.values, rcond=None)[0]
+    u2 = (pdf.y.values - X @ b) ** 2
+    W = np.column_stack(
+        [X, pdf.x1 * pdf.x1, pdf.x1 * pdf.x2, pdf.x2 * pdf.x2]
+    )
+    gw = np.linalg.lstsq(W, u2, rcond=None)[0]
+    r2 = 1 - np.sum((u2 - W @ gw) ** 2) / np.sum((u2 - u2.mean()) ** 2)
+    np.testing.assert_allclose(wh["statistic"], N * r2, rtol=1e-8)
+    assert wh["df"] == 5
+    assert wh["p_value"] < 1e-6
+
+
+def test_bp_level_under_homoskedasticity(het):
+    df, _ = het
+    m = dbreg("y0 ~ x1 + x2", df, strategy="moments")
+    assert m.bp_test(df)["p_value"] > 0.01
+    assert m.white_test(df)["p_value"] > 0.01
+
+
+def test_white_factor_regressors_drop_collinear_aux(het):
+    """Dummy squares duplicate the dummies; the aux collinearity layer
+    drops them and the df follows the kept count."""
+    df, _ = het
+    m = dbreg("y ~ x1 + g", df, strategy="moments")
+    wh = m.white_test(df)
+    # design: x1, g1, g2 -> aux adds 6 products, but g1^2==g1, g2^2==g2,
+    # g1*g2==0 are collinear/degenerate -> kept aux regressors < 9
+    assert wh["df"] < 9
+    assert 0.0 <= wh["p_value"] <= 1.0
+
+
+def test_fe_model_refused(het):
+    df, _ = het
+    m = dbreg("y ~ x1 | g", df, strategy="demean")
+    with pytest.raises(NotImplementedError, match="fixed effects"):
+        m.bp_test(df)
