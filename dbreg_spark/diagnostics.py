@@ -119,3 +119,67 @@ def white_test(model, data) -> dict:
         "p_value": chi2_sf(lm, df),
         "method": "White",
     }
+
+
+def reset_test(model, data, powers=(2, 3)) -> dict:
+    """Ramsey RESET: refit with powers of the fitted value added
+    (``y ~ X + fit^2 + fit^3`` by default) and F-test the added terms
+    against the original fit's stored RSS — ONE extra moments pass.
+    F ~ F(q, n - k_u) under correct functional form."""
+    import pyspark.sql.functions as F
+
+    from .api import dbreg
+    from .stats import f_sf
+
+    if model.fe:
+        raise NotImplementedError(
+            "reset_test needs the raw residual; models with absorbed "
+            "fixed effects are not supported"
+        )
+    from .design import standardize_coef_names
+
+    name_to_expr = dict(
+        zip(
+            [standardize_coef_names(n) for n in model.design_info.names],
+            model.design_info.exprs,
+        )
+    )
+    kept = [n for n in model.coef_names if n != "(Intercept)"]
+    icpt = "(Intercept)" in model.coef_names
+    b = np.asarray(model.coeftable["estimate"].values, dtype=float)
+    off = 1 if icpt else 0
+    fit = Lit(float(b[0])) if icpt else Lit(0.0)
+    for j, n in enumerate(kept):
+        fit = fit + Lit(float(b[j + off])) * Cast(name_to_expr[n], "double")
+    sel = [
+        to_spark(Cast(Var(model.yvar), "double")).alias("__y"),
+        *[
+            to_spark(Cast(name_to_expr[n], "double")).alias(f"__z{i}")
+            for i, n in enumerate(kept)
+        ],
+    ]
+    fit_col = to_spark(Cast(fit, "double"))
+    for p_ in powers:
+        sel.append((fit_col ** int(p_)).alias(f"__f{p_}"))
+    aux = data.select(*sel)
+    terms = [f"__z{i}" for i in range(len(kept))] + [
+        f"__f{p_}" for p_ in powers
+    ]
+    mu = dbreg("__y ~ " + " + ".join(terms), aux, strategy="moments")
+    rss_r, rss_u = float(model.rss), float(mu.rss)
+    # q = ADDED terms that survived collinearity in the unrestricted fit
+    q = sum(1 for n in mu.coef_names if n.startswith("__f"))
+    if q == 0:
+        raise ValueError(
+            "reset_test: every added power was collinear; the test is "
+            "undefined for this model"
+        )
+    df2 = float(mu.df_residual)
+    stat = ((rss_r - rss_u) / q) / (rss_u / df2)
+    return {
+        "statistic": stat,
+        "df1": q,
+        "df2": df2,
+        "p_value": f_sf(stat, q, df2),
+        "method": f"Ramsey RESET (powers {tuple(powers)})",
+    }

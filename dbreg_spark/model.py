@@ -969,6 +969,13 @@ def _white_test(self, data):
     return white_test(self, data)
 
 
+def _reset_test(self, data, powers=(2, 3)):
+    from .diagnostics import reset_test
+
+    return reset_test(self, data, powers)
+
+
+DbregModel.reset_test = _reset_test
 DbregModel.bp_test = _bp_test
 DbregModel.white_test = _white_test
 DbregModel.save = lambda self, path: save_model(self, path)

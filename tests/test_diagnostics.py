@@ -83,3 +83,29 @@ def test_fe_model_refused(het):
     m = dbreg("y ~ x1 | g", df, strategy="demean")
     with pytest.raises(NotImplementedError, match="fixed effects"):
         m.bp_test(df)
+
+
+def test_reset_matches_dense_oracle(het, spark):
+    rng = np.random.default_rng(5)
+    n = 1500
+    x = rng.normal(size=n)
+    y_quad = 1 + 2 * x + 1.5 * x * x + rng.normal(size=n)
+    y_lin = 1 + 2 * x + rng.normal(size=n)
+    df = spark.createDataFrame(
+        pd.DataFrame(dict(y_quad=y_quad, y_lin=y_lin, x=x))
+    )
+    m = dbreg("y_quad ~ x", df, strategy="moments")
+    r = m.reset_test(df)
+    X = np.column_stack([np.ones(n), x])
+    b = np.linalg.lstsq(X, y_quad, rcond=None)[0]
+    fit = X @ b
+    Xu = np.column_stack([X, fit**2, fit**3])
+    bu = np.linalg.lstsq(Xu, y_quad, rcond=None)[0]
+    rss_r = np.sum((y_quad - fit) ** 2)
+    rss_u = np.sum((y_quad - Xu @ bu) ** 2)
+    Fs = ((rss_r - rss_u) / 2) / (rss_u / (n - 4))
+    np.testing.assert_allclose(r["statistic"], Fs, rtol=1e-7)
+    assert r["p_value"] < 1e-6
+    # correctly-specified model: no rejection
+    m0 = dbreg("y_lin ~ x", df, strategy="moments")
+    assert m0.reset_test(df)["p_value"] > 0.01
