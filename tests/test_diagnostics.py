@@ -86,7 +86,7 @@ def test_fe_model_refused(het):
 
 
 def test_reset_matches_dense_oracle(het, spark):
-    rng = np.random.default_rng(5)
+    rng = np.random.default_rng(7)
     n = 1500
     x = rng.normal(size=n)
     y_quad = 1 + 2 * x + 1.5 * x * x + rng.normal(size=n)
