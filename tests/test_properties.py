@@ -342,3 +342,63 @@ def test_extract_urls_cross_engine_on_arbitrary_text(spark, texts):
     for c in ("url", "url_norm", "host", "domain"):
         assert got[c].fillna("§").tolist() == want[c].fillna("§").tolist(), c
     con.close()
+
+
+@st.composite
+def multi_formulas(draw):
+    y_n = draw(st.integers(1, 3))
+    ys = draw(st.lists(names, min_size=y_n, max_size=y_n, unique=True))
+    base = draw(
+        st.lists(
+            names.filter(lambda v: v not in ys), min_size=0, max_size=2,
+            unique=True,
+        )
+    )
+    kind = draw(st.sampled_from(["sw", "sw0", "csw", "csw0"]))
+    n_g = draw(st.integers(1, 3))
+    groups = draw(
+        st.lists(
+            names.filter(lambda v: v not in ys and v not in base),
+            min_size=n_g, max_size=n_g, unique=True,
+        )
+    )
+    lhs = ys[0] if y_n == 1 else "c(" + ", ".join(ys) + ")"
+    rhs = " + ".join(base + [f"{kind}({', '.join(groups)})"])
+    return lhs + " ~ " + rhs, ys, base, kind, groups
+
+
+@given(multi_formulas())
+@settings(max_examples=200, deadline=None)
+def test_parse_multi_formula_invariants(fx):
+    from dbreg_spark.formula import parse_formula as _pf
+    from dbreg_spark.multi import parse_multi_formula
+
+    fml, ys, base, kind, groups = fx
+    spec = parse_multi_formula(fml)
+    assert spec.lhs == ys
+    want = len(groups) + (1 if kind.endswith("0") else 0)
+    assert len(spec.steps) == want
+    parsed_steps = []
+    for label, rhs1 in spec.steps:
+        if not rhs1 or rhs1 == "1":
+            # the empty sw0/csw0 step with no base terms is intercept-only
+            # and refused downstream by parse_formula; skip parsing it
+            assert kind.endswith("0") and not base
+            parsed_steps.append(set())
+            continue
+        p = _pf(f"{ys[0]} ~ {rhs1}")
+        terms = {t.label for t in p.terms}
+        # every base term appears in every step
+        assert set(base) <= terms
+        parsed_steps.append(terms)
+    if kind.startswith("csw"):
+        # cumulative: each step's terms nest in the next
+        chain = [s for s in parsed_steps if s]
+        for a, b in zip(chain, chain[1:]):
+            assert a <= b
+    else:
+        # plain sw: exactly one group per non-empty step
+        for s, g in zip(
+            parsed_steps[1:] if kind.endswith("0") else parsed_steps, groups
+        ):
+            assert g in s
