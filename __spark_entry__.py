@@ -534,7 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_cols=["l_quantity", "l_discount"], key_cols=[],
             sql_cte=None, cte_name="base",
         )
-        agg_df, _p = conley_meat_plan(
+        agg_df, _p, _cc = conley_meat_plan(
             frame, _np.array(MEAT_BETA), ["l_quantity", "l_discount"],
             True, "lat", "lon", cutoff=0.9, kernel="bartlett",
             distance="euclidean",
