@@ -183,3 +183,64 @@ def reset_test(model, data, powers=(2, 3)) -> dict:
         "p_value": f_sf(stat, q, df2),
         "method": f"Ramsey RESET (powers {tuple(powers)})",
     }
+
+
+def jb_test(model, data) -> dict:
+    """Jarque-Bera residual normality test: ONE pass over the literal-β
+    residual collects Σu..Σu⁴; JB = n/6 (S² + (K−3)²/4) ~ chi²(2)."""
+    import pyspark.sql.functions as F
+
+    from .design import standardize_coef_names
+
+    if model.fe:
+        raise NotImplementedError(
+            "jb_test needs the raw residual; models with absorbed fixed "
+            "effects are not supported"
+        )
+    name_to_expr = dict(
+        zip(
+            [standardize_coef_names(n) for n in model.design_info.names],
+            model.design_info.exprs,
+        )
+    )
+    kept = [n for n in model.coef_names if n != "(Intercept)"]
+    icpt = "(Intercept)" in model.coef_names
+    b = np.asarray(model.coeftable["estimate"].values, dtype=float)
+    off = 1 if icpt else 0
+    fit = Lit(float(b[0])) if icpt else Lit(0.0)
+    for j, n in enumerate(kept):
+        fit = fit + Lit(float(b[j + off])) * Cast(name_to_expr[n], "double")
+    u = Cast(Var(model.yvar), "double") - fit
+    proj = data.select(to_spark(Cast(u, "double")).alias("__u"))
+    uc = F.col("__u")
+    row = proj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(uc).alias("s1"),
+        F.sum(uc * uc).alias("s2"),
+        F.sum(uc * uc * uc).alias("s3"),
+        F.sum(uc * uc * uc * uc).alias("s4"),
+    ).collect()[0]
+    n = float(row["n"])
+    m1 = float(row["s1"]) / n
+    # central moments from raw sums
+    m2 = float(row["s2"]) / n - m1 * m1
+    m3 = float(row["s3"]) / n - 3 * m1 * m2 - m1**3
+    m4 = (
+        float(row["s4"]) / n
+        - 4 * m1 * (float(row["s3"]) / n)
+        + 6 * m1 * m1 * (float(row["s2"]) / n)
+        - 3 * m1**4
+    )
+    if m2 <= 0:
+        raise ValueError("jb_test: residuals are constant")
+    S = m3 / m2**1.5
+    K = m4 / m2**2
+    jb = n / 6.0 * (S * S + (K - 3.0) ** 2 / 4.0)
+    return {
+        "statistic": jb,
+        "df": 2,
+        "skewness": S,
+        "kurtosis": K,
+        "p_value": chi2_sf(jb, 2),
+        "method": "Jarque-Bera",
+    }

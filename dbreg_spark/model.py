@@ -975,6 +975,13 @@ def _reset_test(self, data, powers=(2, 3)):
     return reset_test(self, data, powers)
 
 
+def _jb_test(self, data):
+    from .diagnostics import jb_test
+
+    return jb_test(self, data)
+
+
+DbregModel.jb_test = _jb_test
 DbregModel.reset_test = _reset_test
 DbregModel.bp_test = _bp_test
 DbregModel.white_test = _white_test

@@ -109,3 +109,26 @@ def test_reset_matches_dense_oracle(het, spark):
     # correctly-specified model: no rejection
     m0 = dbreg("y_lin ~ x", df, strategy="moments")
     assert m0.reset_test(df)["p_value"] > 0.01
+
+
+def test_jb_matches_dense_oracle(het, spark):
+    rng = np.random.default_rng(3)
+    n = 2000
+    x = rng.normal(size=n)
+    y_norm = 1 + 2 * x + rng.normal(size=n)
+    y_skew = 1 + 2 * x + (rng.exponential(size=n) - 1.0)
+    df = spark.createDataFrame(
+        pd.DataFrame(dict(y_norm=y_norm, y_skew=y_skew, x=x))
+    )
+    m = dbreg("y_skew ~ x", df, strategy="moments")
+    jb = m.jb_test(df)
+    X = np.column_stack([np.ones(n), x])
+    b = np.linalg.lstsq(X, y_skew, rcond=None)[0]
+    u = y_skew - X @ b
+    S = np.mean((u - u.mean()) ** 3) / np.var(u) ** 1.5
+    K = np.mean((u - u.mean()) ** 4) / np.var(u) ** 2
+    ref = n / 6 * (S**2 + (K - 3) ** 2 / 4)
+    np.testing.assert_allclose(jb["statistic"], ref, rtol=1e-8)
+    assert jb["p_value"] < 1e-10  # exponential errors: clearly non-normal
+    m0 = dbreg("y_norm ~ x", df, strategy="moments")
+    assert m0.jb_test(df)["p_value"] > 0.01
