@@ -244,3 +244,76 @@ def jb_test(model, data) -> dict:
         "p_value": chi2_sf(jb, 2),
         "method": "Jarque-Bera",
     }
+
+
+def bg_test(model, data, *, time: str, order: int = 1, panel: str | None = None) -> dict:
+    """Breusch-Godfrey serial-correlation LM test: regress the residual on
+    the model regressors plus its own ``order`` lags; LM = n_eff R² ~
+    chi²(order) under no autocorrelation.
+
+    ``panel`` orders lags WITHIN each unit (the window shuffles by the
+    panel key — scale-safe; rows at each unit's start lack lags and drop
+    out, the lmtest ``fill=NA`` convention). Without a panel the lag
+    window is a single global sort — fine for one time series, warned
+    against for big data."""
+    import warnings
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from .api import dbreg
+    from .design import standardize_coef_names
+
+    if model.fe:
+        raise NotImplementedError(
+            "bg_test needs the raw residual; models with absorbed fixed "
+            "effects are not supported"
+        )
+    if order < 1:
+        raise ValueError("order must be >= 1")
+    name_to_expr = dict(
+        zip(
+            [standardize_coef_names(n) for n in model.design_info.names],
+            model.design_info.exprs,
+        )
+    )
+    kept = [n for n in model.coef_names if n != "(Intercept)"]
+    icpt = "(Intercept)" in model.coef_names
+    b = np.asarray(model.coeftable["estimate"].values, dtype=float)
+    off = 1 if icpt else 0
+    fit = Lit(float(b[0])) if icpt else Lit(0.0)
+    for j, n in enumerate(kept):
+        fit = fit + Lit(float(b[j + off])) * Cast(name_to_expr[n], "double")
+    u = Cast(Var(model.yvar), "double") - fit
+    sel = [
+        to_spark(Cast(u, "double")).alias("__u"),
+        *[
+            to_spark(Cast(name_to_expr[n], "double")).alias(f"__z{i}")
+            for i, n in enumerate(kept)
+        ],
+        F.col(time).alias("__t"),
+    ]
+    if panel is not None:
+        sel.append(F.col(panel).alias("__p"))
+        win = Window.partitionBy("__p").orderBy("__t")
+    else:
+        warnings.warn(
+            "[bg_test] no panel= given: the lag window is a single global "
+            "sort — fine for one series, not for large data"
+        )
+        win = Window.orderBy("__t")
+    aux = data.select(*sel)
+    for k in range(1, order + 1):
+        aux = aux.withColumn(f"__ul{k}", F.lag("__u", k).over(win))
+    aux = aux.dropna(subset=[f"__ul{k}" for k in range(1, order + 1)])
+    terms = [f"__z{i}" for i in range(len(kept))] + [
+        f"__ul{k}" for k in range(1, order + 1)
+    ]
+    m = dbreg("__u ~ " + " + ".join(terms), aux, strategy="moments")
+    lm = float(m.nobs_orig) * float(m.r2())
+    return {
+        "statistic": lm,
+        "df": order,
+        "p_value": chi2_sf(lm, order),
+        "method": f"Breusch-Godfrey (order {order})",
+    }

@@ -981,6 +981,13 @@ def _jb_test(self, data):
     return jb_test(self, data)
 
 
+def _bg_test(self, data, *, time, order=1, panel=None):
+    from .diagnostics import bg_test
+
+    return bg_test(self, data, time=time, order=order, panel=panel)
+
+
+DbregModel.bg_test = _bg_test
 DbregModel.jb_test = _jb_test
 DbregModel.reset_test = _reset_test
 DbregModel.bp_test = _bp_test

@@ -132,3 +132,44 @@ def test_jb_matches_dense_oracle(het, spark):
     assert jb["p_value"] < 1e-10  # exponential errors: clearly non-normal
     m0 = dbreg("y_norm ~ x", df, strategy="moments")
     assert m0.jb_test(df)["p_value"] > 0.01
+
+
+def test_bg_matches_dense_oracle(spark):
+    rng = np.random.default_rng(2)
+    G, T = 40, 50
+    rows = []
+    for g in range(G):
+        x = rng.normal(size=T)
+        e = np.zeros(T)
+        eps = rng.normal(size=T)
+        for t in range(T):
+            e[t] = (0.6 * e[t - 1] if t else 0) + eps[t]
+        y_ar = 1 + 2 * x + e
+        y_iid = 1 + 2 * x + rng.normal(size=T)
+        rows += [(g, t, x[t], y_ar[t], y_iid[t]) for t in range(T)]
+    pdf = pd.DataFrame(rows, columns=["g", "t", "x", "y_ar", "y_iid"])
+    df = spark.createDataFrame(pdf)
+    m = dbreg("y_ar ~ x", df, strategy="moments")
+    bg = m.bg_test(df, time="t", panel="g", order=1)
+    X = np.column_stack([np.ones(len(pdf)), pdf.x])
+    b = np.linalg.lstsq(X, pdf.y_ar, rcond=None)[0]
+    pdf["u"] = pdf.y_ar - X @ b
+    pdf = pdf.sort_values(["g", "t"])
+    pdf["ul1"] = pdf.groupby("g")["u"].shift(1)
+    sub = pdf.dropna(subset=["ul1"])
+    Xa = np.column_stack([np.ones(len(sub)), sub.x, sub.ul1])
+    ba = np.linalg.lstsq(Xa, sub.u, rcond=None)[0]
+    r2 = 1 - np.sum((sub.u - Xa @ ba) ** 2) / np.sum(
+        (sub.u - sub.u.mean()) ** 2
+    )
+    np.testing.assert_allclose(bg["statistic"], len(sub) * r2, rtol=1e-8)
+    assert bg["p_value"] < 1e-20
+    m0 = dbreg("y_iid ~ x", df, strategy="moments")
+    assert m0.bg_test(df, time="t", panel="g")["p_value"] > 0.01
+    # no panel: single-sort warning
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        m0.bg_test(df.where("g = 0"), time="t")
+    assert any("global sort" in str(r.message) for r in rec)
