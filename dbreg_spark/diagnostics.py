@@ -317,3 +317,47 @@ def bg_test(model, data, *, time: str, order: int = 1, panel: str | None = None)
         "p_value": chi2_sf(lm, order),
         "method": f"Breusch-Godfrey (order {order})",
     }
+
+
+def overdispersion_test(model, data) -> dict:
+    """Cameron-Trivedi (1990) overdispersion test for a fitted POISSON
+    GLM: regress z = ((y − μ̂)² − y) / μ̂ on μ̂ without an intercept and
+    t-test the slope (H0 no overdispersion; alpha > 0 ⇒ NB2-type
+    variance μ + α μ², exactly the α that dbglm(family='negbin')'s
+    two-step inverts for theta). ONE pass over the scored frame."""
+    import pyspark.sql.functions as F
+
+    from .stats import t_sf
+
+    if getattr(model, "family", "").split("(")[0] not in ("poisson", "quasipoisson"):
+        raise ValueError(
+            "overdispersion_test applies to poisson-family models"
+        )
+    scored = model.predict(data, type="response")
+    y = F.col(model.yvar).cast("double")
+    mu = F.col("fit").cast("double")
+    z = ((y - mu) * (y - mu) - y) / mu
+    row = (
+        scored.where(y.isNotNull() & mu.isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(z * mu).alias("num"),
+            F.sum(mu * mu).alias("den"),
+            F.sum(z * z).alias("zz"),
+            F.sum(z).alias("zs"),
+        )
+        .collect()[0]
+    )
+    n = float(row["n"])
+    alpha = float(row["num"]) / float(row["den"])
+    # OLS-through-origin se of alpha: s^2 / sum(mu^2), s^2 from residuals
+    rss = float(row["zz"]) - 2 * alpha * float(row["num"]) + alpha**2 * float(row["den"])
+    se = (max(rss, 0.0) / max(n - 1, 1) / float(row["den"])) ** 0.5
+    t = alpha / se if se > 0 else float("inf")
+    return {
+        "statistic": t,
+        "alpha": alpha,
+        "df": n - 1,
+        "p_value": float(t_sf(t, n - 1)) if np.isfinite(t) else 0.0,
+        "method": "Cameron-Trivedi overdispersion (NB2 alternative)",
+    }

@@ -949,6 +949,11 @@ class GlmModel:
             )
         return regression_metrics(scored, self.yvar, "fit")
 
+    def overdispersion_test(self, data):
+        from .diagnostics import overdispersion_test
+
+        return overdispersion_test(self, data)
+
     def predict(self, data: DataFrame, type: str = "response") -> DataFrame:
         """Attach the fitted value as column ``fit`` (link scale with
         type="link", mean scale with type="response") — a pure column

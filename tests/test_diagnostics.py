@@ -173,3 +173,47 @@ def test_bg_matches_dense_oracle(spark):
         _w.simplefilter("always")
         m0.bg_test(df.where("g = 0"), time="t")
     assert any("global sort" in str(r.message) for r in rec)
+
+
+def test_overdispersion_matches_dense_oracle(spark):
+    from dbreg_spark import dbglm
+
+    rng = np.random.default_rng(8)
+    n = 3000
+    x = rng.normal(size=n)
+    mu = np.exp(0.5 + 0.7 * x)
+    y_over = rng.poisson(rng.gamma(2.0, mu / 2.0)).astype(float)
+    y_pois = rng.poisson(mu).astype(float)
+    df = spark.createDataFrame(
+        pd.DataFrame(dict(y_over=y_over, y_pois=y_pois, x=x))
+    )
+    m = dbglm("y_over ~ x", df, family="poisson")
+    od = m.overdispersion_test(df)
+    X = np.column_stack([np.ones(n), x])
+    b = np.zeros(2)
+    for _ in range(60):
+        mm_ = np.exp(X @ b)
+        zz = X @ b + (y_over - mm_) / mm_
+        bn = np.linalg.solve(X.T @ (mm_[:, None] * X), X.T @ (mm_ * zz))
+        if np.max(np.abs(bn - b)) < 1e-13:
+            b = bn
+            break
+        b = bn
+    muh = np.exp(X @ b)
+    z = ((y_over - muh) ** 2 - y_over) / muh
+    alpha = np.sum(z * muh) / np.sum(muh * muh)
+    se = np.sqrt(
+        np.sum((z - alpha * muh) ** 2) / (n - 1) / np.sum(muh * muh)
+    )
+    np.testing.assert_allclose(od["statistic"], alpha / se, rtol=1e-7)
+    assert od["p_value"] < 1e-10 and od["alpha"] > 0.3
+    # equidispersed: no rejection; binomial model refused
+    m0 = dbglm("y_pois ~ x", df, family="poisson")
+    assert m0.overdispersion_test(df)["p_value"] > 0.01
+    with pytest.raises(ValueError, match="poisson"):
+        mb = dbglm(
+            "y_pois ~ x",
+            df.withColumn("y_pois", (df.y_pois > 1).cast("double")),
+            family="binomial",
+        )
+        mb.overdispersion_test(df)
