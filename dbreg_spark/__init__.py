@@ -21,6 +21,7 @@ from .glm import GlmModel, dbglm
 from .iv import IvModel, dbiv
 from .model import DbregModel
 from .eventstudy import EventStudyResult, event_study, sun_abraham
+from .diagnostics import mundlak_hausman
 from .etable import etable
 from .multi import DbregMulti, dbreg_multi
 from .multi_glm import GlmMulti, dbglm_multi
@@ -44,6 +45,7 @@ __all__ = [
     "dbiv",
     "dbreg_multi",
     "etable",
+    "mundlak_hausman",
     "dbglm_multi",
     "GlmMulti",
     "DbregMulti",

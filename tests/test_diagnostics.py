@@ -217,3 +217,36 @@ def test_overdispersion_matches_dense_oracle(spark):
             family="binomial",
         )
         mb.overdispersion_test(df)
+
+
+def test_mundlak_hausman(spark):
+    """Wooldridge's CRE Hausman: rejects when unit effects correlate with
+    x, holds under the RE null — and the default MUST cluster by unit
+    (hc1 over-rejects under the null because the unit effect itself
+    correlates errors within unit)."""
+    from dbreg_spark import mundlak_hausman
+
+    rng = np.random.default_rng(4)
+    G, T = 60, 20
+    rows = []
+    for g in range(G):
+        a = rng.normal()
+        for t in range(T):
+            x_corr = a + rng.normal()
+            x_unc = rng.normal()
+            rows.append(
+                (g, x_corr, x_unc,
+                 1 + 2 * x_corr + a + rng.normal(),
+                 1 + 2 * x_unc + a + rng.normal())
+            )
+    pdf = pd.DataFrame(rows, columns=["g", "x_corr", "x_unc", "y_fe", "y_re"])
+    df = spark.createDataFrame(pdf)
+    h1 = mundlak_hausman("y_fe ~ x_corr | g", df)
+    assert h1["p_value"] < 1e-10
+    assert h1["tested"] == ["x_corr:bar:g"] or h1["tested"] == ["x_corr_bar_g"]
+    h0 = mundlak_hausman("y_re ~ x_unc | g", df)
+    assert h0["p_value"] > 0.05
+    # the model rides along for inspection
+    assert h1["model"].strategy == "mundlak"
+    with pytest.raises(ValueError, match="fe"):
+        mundlak_hausman("y_re ~ x_unc", df)
