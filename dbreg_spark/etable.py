@@ -85,8 +85,9 @@ def etable(models, *, digits: int = 4, se_below: bool = True) -> pd.DataFrame:
     """Model comparison table: one column per model, coefficient rows
     ``est[stars]`` with ``(se)`` beneath (``se_below=False`` puts them on
     one line), then the fixed-effects block and fit statistics. Returns a
-    pandas DataFrame whose string repr prints cleanly; feed it to
-    ``.to_markdown()``/``.to_latex()`` for documents."""
+    pandas DataFrame whose string repr prints cleanly; ``.to_latex()`` /
+    ``.to_csv()`` export it (``.to_markdown()`` additionally needs the
+    ``tabulate`` package)."""
     pairs = _iter_models(models)
     if not pairs:
         raise ValueError("etable: no models given")
