@@ -356,6 +356,45 @@ def _glm_step_plan(spark: SparkSession):
     return agg_df, sql
 
 
+def _diag_bp_plan(spark: SparkSession):
+    """(agg_df, oracle_sql) for the BP/White auxiliary moments pass: the
+    squared literal-beta residual regressed on the model columns."""
+    from dbreg_spark.design import build_design
+    from dbreg_spark.formula import parse_formula
+    from dbreg_spark.plans.common import Source, agg_select_sql, moment_spec
+    from dbreg_spark.plans.exprs import Var, agg_to_spark
+    from dbreg_spark.plans.frames import build_base_frame
+
+    b0, b1, b2 = MEAT_BETA
+    resid = (
+        f"(l_extendedprice - {b0!r} - (({b1!r} * l_quantity) + "
+        f"({b2!r} * l_discount)))"
+    )
+    u2 = f"CAST({resid} AS DOUBLE) * CAST({resid} AS DOUBLE)"
+    li = spark.table("lineitem").selectExpr(
+        f"{u2} AS __u2", "l_quantity", "l_discount"
+    )
+    src_ = Source(
+        df=li,
+        sql_from=(
+            f"FROM (SELECT {u2} AS __u2, l_quantity, l_discount "
+            "FROM lineitem)"
+        ),
+    )
+    parsed = parse_formula("__u2 ~ l_quantity + l_discount")
+    design = build_design(src_.df, parsed, expand="all", fe_vars=None)
+    frame = build_base_frame(src_, parsed, design, True, want_sql=True)
+    mspec = moment_spec(
+        Var(frame.y_col), [Var(n) for n in frame.x_cols], intercept=True
+    )
+    agg_df = frame.df.agg(*[agg_to_spark(a).alias(n) for n, a in mspec])
+    sql = (
+        f"{frame.sql_cte},\nmoments AS (\n  SELECT {agg_select_sql(mspec)}"
+        f"\n  FROM {frame.cte_name}\n)\nSELECT * FROM moments"
+    )
+    return agg_df, sql
+
+
 def _negbin_step_plan(spark: SparkSession):
     """(agg_df, oracle_sql) for one NB2 IRLS pass at fixed (beta, theta)
     over lineitem counts (l_linenumber) — the negbin family's mu/w/wz/ll
@@ -542,6 +581,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _round_doubles_df(agg_df)
 
     Q["conley_meat_fixed_beta"] = conley_meat_q
+
+    # ---- diagnostics aux pass: the BP/White family's squared-residual
+    # moments regression at fixed beta — the exact distributed pass
+    # bp_test runs, emitted through the same frame/moment IR
+    def diag_bp_aux(spark, sf_dir):
+        _tables(spark, sf_dir)
+        agg_df, _sql = _diag_bp_plan(spark)
+        return _round_doubles_df(agg_df)
+
+    Q["diag_bp_aux_moments"] = diag_bp_aux
 
     # ---- GLM: one logit IRLS pass at fixed β (beyond-reference dbglm) ----
     def glm_irls_step(spark, sf_dir):
@@ -2150,6 +2199,25 @@ FROM (
         return _round_doubles_sql(sql, cols, dbl)
 
     O["glm_irls_step_negbin"] = _negbin_oracle()
+
+    def _diag_bp_oracle() -> str:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            from dbreg_spark.sources.io import get_session
+
+            spark = get_session(
+                "oracle-sql-emit", master="local[2]", shuffle_partitions=2
+            )
+        _tables(
+            spark,
+            os.environ.get("SPARK_GRAFT_SF_DIR_FOR_SQL", "/root/testdata/sf0.01"),
+        )
+        agg_df, sql = _diag_bp_plan(spark)
+        cols = [f.name for f in agg_df.schema.fields]
+        dbl = [c for c in cols if c not in ("n_total",)]
+        return _round_doubles_sql(sql, cols, dbl)
+
+    O["diag_bp_aux_moments"] = _diag_bp_oracle()
 
     _fp_cols = [
         "n_total", "ll", "ll_sat", "d_0", "d_1",
