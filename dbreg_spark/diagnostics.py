@@ -336,7 +336,10 @@ def overdispersion_test(model, data) -> dict:
     scored = model.predict(data, type="response")
     y = F.col(model.yvar).cast("double")
     mu = F.col("fit").cast("double")
-    z = ((y - mu) * (y - mu) - y) / mu
+    # Floor the denominator like glm.py's Pearson residuals (_W_EPS): a mu
+    # that underflows to 0.0 would make z NULL/Inf, silently dropping the
+    # row from the score sums while still counting it in n and the t df.
+    z = ((y - mu) * (y - mu) - y) / F.greatest(mu, F.lit(1e-12))
     row = (
         scored.where(y.isNotNull() & mu.isNotNull())
         .agg(

@@ -1273,7 +1273,7 @@ def dbglm(
         m = dbglm(
             fml, data=data, spark=spark, table=table, path=path,
             family="negbin", vcov="iid", offset=offset, weights=weights,
-            max_iter=max_iter, tol=tol, drop_missings=drop_missings,
+            l2=l2, max_iter=max_iter, tol=tol, drop_missings=drop_missings,
             verbose=verbose, cells_nmax=cells_nmax,
         )
         th = float(m.family[len("negbin(theta="):-1])

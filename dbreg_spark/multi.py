@@ -817,7 +817,11 @@ def build_multi_plan(
         for _, rhs1 in spec.steps
     ]
     fe = parsed_list[0].fe
-    uparsed = union_parsed_formula(parsed_list, spec.lhs, fe, intercept=True)
+    # mirror dbreg_multi exactly (this is its gate/oracle twin): the shared
+    # intercept flag comes from the formulas, the iterative-demean decision
+    # and sweep count match the fit path — the twin must not drift
+    has_icpt = {p.intercept for p in parsed_list}.pop()
+    uparsed = union_parsed_formula(parsed_list, spec.lhs, fe, has_icpt)
     if spark is None and hasattr(data, "sparkSession"):
         spark = data.sparkSession
     source = resolve_source(spark=spark, data=data, table=table, path=path)
@@ -828,14 +832,17 @@ def build_multi_plan(
     )
     if strategy == "auto":
         strategy = "demean" if fe else "moments"
+    if strategy == "within":
+        strategy = "demean"
     if strategy == "moments":
         frame, use_intercept, n_fe_exprs = base, True, None
     else:
+        force_iter = (strategy == "demean_iter") or (
+            weight_col is not None and len(fe) >= 2
+        )
         frame = (
-            build_demeaned_frame_iterative(
-                base, fe, weight_col=weight_col, sweeps=2
-            )
-            if len(fe) > 2 or (weight_col and len(fe) >= 2)
+            build_demeaned_frame_iterative(base, fe, weight_col=weight_col)
+            if len(fe) > 2 or force_iter
             else build_demeaned_frame(base, fe, weight_col=weight_col)
         )
         use_intercept, n_fe_exprs = False, [Var(f) for f in fe]

@@ -9,9 +9,9 @@ double sum exactly with a cell-bucketed score self-join:
 1. ONE projection builds the score ingredients (literal-β residual +
    regressor columns + coordinates) and assigns each row to a grid cell
    whose side length GUARANTEES every within-cutoff pair lands in
-   adjacent cells (for haversine: lat band = cutoff/111.045 deg, lon band
-   sized by the corpus's worst-case cos(lat), probed in one tiny
-   aggregate).
+   adjacent cells (for haversine: lat band = cutoff/_KM_PER_DEG ~
+   cutoff/111.195 deg, lon band sized by the corpus's worst-case
+   cos(lat), probed in one tiny aggregate).
 2. The left side EXPLODES each row to its 3x3 neighbor-cell keys (a 9x
    multiplier on the slim score rows — never on the raw data); the right
    side keeps its own cell key. The equi-join on the cell key followed by
@@ -25,7 +25,9 @@ Shuffle: 10x the score-row bytes (9 exploded + 1 plain), independent of
 the raw table width. Per-cell work is density² — the irreducible cost of
 pairwise spatial covariance; a one-row occupancy probe rides the join
 input and raises with a clear message when a single cell would exceed
-``max_cell_rows`` (pick a larger cutoff grid or pre-aggregate to a
+``max_cell_rows`` OR when the total candidate-pair estimate (9 · Σ
+occupancy² across cells — what the join actually evaluates) would exceed
+``max_pair_estimate`` (pick a larger cutoff grid or pre-aggregate to a
 coarser spatial unit).
 
 Longitude wraparound at ±180° is NOT stitched (pairs straddling the
@@ -72,8 +74,9 @@ def conley_meat_plan(
     kernel: str = "uniform",
     distance: str = "haversine",
     weight_col: str | None = None,
-    max_cell_rows: int = 2_000_000,
+    max_cell_rows: int = 150_000,
     cache: bool = False,
+    max_pair_estimate: float = 2e10,
 ):
     """Lazy Conley meat aggregation: (agg_df, p, cached-or-None). See
     :func:`conley_meat`; ``cache=True`` persists the slim score projection
@@ -91,7 +94,7 @@ def conley_meat_plan(
     )
     return conley_pair_agg(
         proj, s_names, intercept, cutoff, kernel, distance, max_cell_rows,
-        cache=cache,
+        cache=cache, max_pair_estimate=max_pair_estimate,
     )
 
 
@@ -102,8 +105,9 @@ def conley_pair_agg(
     cutoff: float,
     kernel: str = "uniform",
     distance: str = "haversine",
-    max_cell_rows: int = 2_000_000,
+    max_cell_rows: int = 150_000,
     cache: bool = False,
+    max_pair_estimate: float = 2e10,
 ):
     """Generic pair-enumeration meat over a prebuilt score projection
     (columns: ``__e`` + ``score_cols`` + ``__lat``/``__lon``). Shared by
@@ -185,6 +189,9 @@ def conley_pair_agg(
         .count()
         .agg(
             F.max("count").alias("__occ"),
+            F.sum(F.col("count").cast("double") * F.col("count")).alias(
+                "__pairs2"
+            ),
             F.sum(
                 F.when(
                     F.col("__cx").isNull() | F.col("__cy").isNull(),
@@ -206,6 +213,18 @@ def conley_pair_agg(
             f"rows (> max_cell_rows={max_cell_rows:,}); the pairwise pass "
             "would be quadratic there. Reduce the cutoff, pre-aggregate to "
             "a coarser spatial unit, or raise max_cell_rows deliberately."
+        )
+    # total-work guard: the join evaluates ~9·Σ occupancy² candidate pairs
+    # (each row meets its 3x3 neighborhood). A distribution of many
+    # mid-sized cells can be intractable even when no single cell trips
+    # max_cell_rows — cap on the estimate, not just the max.
+    est_pairs = 9.0 * float(occ_row["__pairs2"] or 0.0)
+    if est_pairs > max_pair_estimate:
+        raise ValueError(
+            f"conley vcov: the grid would evaluate ~{est_pairs:.2e} "
+            f"candidate pairs (> max_pair_estimate={max_pair_estimate:.0e})."
+            " Reduce the cutoff, pre-aggregate to a coarser spatial unit, "
+            "or raise max_pair_estimate deliberately."
         )
 
     # left side: explode to the 3x3 neighbor cells; right side: own cell.
@@ -271,7 +290,8 @@ def conley_meat(
     kernel: str = "uniform",
     distance: str = "haversine",
     weight_col: str | None = None,
-    max_cell_rows: int = 2_000_000,
+    max_cell_rows: int = 150_000,
+    max_pair_estimate: float = 2e10,
 ) -> np.ndarray:
     """Exact Conley meat matrix (p x p, p = intercept + len(x_names)).
 
@@ -283,6 +303,7 @@ def conley_meat(
     agg_df, p, cached = conley_meat_plan(
         frame, betahat, x_names, intercept, lat_col, lon_col, cutoff,
         kernel, distance, weight_col, max_cell_rows, cache=True,
+        max_pair_estimate=max_pair_estimate,
     )
     row = agg_df.collect()[0].asDict()
     if cached is not None:
