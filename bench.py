@@ -15,6 +15,7 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -763,7 +764,42 @@ def main() -> None:
             for k in timings_sf1
             if timings.get(k)
         }
-    print(json.dumps(out))
+
+    # The full result object (all tiers' medians + raw iteration arrays)
+    # goes to a committed file: the driver's BENCH_r<N>.json keeps only the
+    # last 2000 stdout chars, so a single giant JSON line loses the sf0.1
+    # medians the 2x gate is judged on. The printed line stays compact —
+    # headline + per-query medians + a pointer to the file — so the tail
+    # capture and the file are jointly self-contained.
+    import glob as _glob
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for f in _glob.glob(str(Path(__file__).parent / "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
+    ]
+    this_round = (max(rounds) + 1) if rounds else 0
+    full_path = Path(__file__).parent / f"bench_results_r{this_round:02d}.json"
+    full_path.write_text(json.dumps(out, indent=1))
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "cpus": out["cpus"],
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "full_results": full_path.name,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # the driver keeps only the last ~2000 stdout chars and parses the
+        # final line — a longer line truncates unparseable; drop to the
+        # headline and point at the committed file for the rest
+        compact["queries"] = {"reg_compress_hc1": round(timings["reg_compress_hc1"], 3)}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

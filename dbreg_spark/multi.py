@@ -185,6 +185,69 @@ def union_parsed_formula(
     )
 
 
+# Hard cap on the number of aggregate columns in ONE union moment pass.
+# Catalyst's planning + codegen cost for a single wide Aggregate grows
+# SUPERLINEARLY in the aggregate count (measured on this box, 100k rows so
+# planning dominates: 1k cols 4.0 s, 2k 7.8 s, 4k 17.2 s, 8k 41.5 s, 12k
+# 83.1 s) — so k capped passes strictly beat one k-times-wider pass. Wide
+# sw()/csw() unions past the cap are segmented by steps into multiple
+# passes; a single step too wide on its own is refused.
+MULTI_AGG_MAX = 4000
+
+
+def _union_agg_count(p: int, intercept: bool, n_fe: int, weighted: bool) -> int:
+    """Exact ``len(moment_spec(...))`` for ``p`` design columns — kept in
+    lockstep with plans.common.moment_spec (pinned by a test) so the width
+    guard gates on the true aggregate count, not an approximation."""
+    return (
+        2  # n_total + sum_y_sq
+        + n_fe
+        + (2 if weighted else 0)  # sum_w + w_min
+        + (1 if intercept else 0)  # sum_y
+        + p * (2 if intercept else 1)  # sum_i (+ sum_i_y)
+        + p * (p + 1) // 2  # cross moments
+    )
+
+
+def _plan_step_segments(spec, subs, design_names, col_term, est, cap):
+    """Greedy in-order grouping of steps so each group's union moment
+    aggregation fits under ``cap``. All outcomes ride every group (width
+    is step-driven); raises if a single step exceeds the cap alone."""
+    term_cols: dict[str, list[str]] = {}
+    for n, t in zip(design_names, col_term):
+        term_cols.setdefault(t, []).append(n)
+    base_cols: set[str] = set()
+    for y in spec.lhs[1:]:
+        base_cols.update(term_cols.get(y, [y]))
+    groups: list[list[tuple[str, str]]] = []
+    cur: list[tuple[str, str]] = []
+    cur_cols = set(base_cols)
+    for label, rhs1 in spec.steps:
+        cols: set[str] = set()
+        for t in subs[(spec.lhs[0], label)].terms:
+            cols.update(term_cols.get(t.label, []))
+        trial = cur_cols | cols
+        if cur and est(len(trial)) > cap:
+            groups.append(cur)
+            cur, cur_cols = [], set(base_cols)
+            trial = cur_cols | cols
+        cur.append((label, rhs1))
+        cur_cols = trial
+        if len(cur) == 1 and est(len(cur_cols)) > cap:
+            raise ValueError(
+                f"dbreg_multi: step {label or rhs1!r} alone expands to "
+                f"{len(cur_cols):,} design columns — its moment pass would "
+                f"need {est(len(cur_cols)):,} aggregate columns "
+                f"(> MULTI_AGG_MAX={cap:,}), past the width where one "
+                "Catalyst aggregate degrades. Narrow the step, or fit it "
+                "with dbreg (compress/gram strategies handle wide factor "
+                "designs)."
+            )
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 @dataclass
 class _SubFit:
     """Driver-side state for one submodel between the Gram and meat passes."""
@@ -513,6 +576,8 @@ def dbreg_multi(
     strategy: str = "auto",
     drop_missings: bool = True,
     broadcast_means: bool = True,
+    _spec: "MultiSpec | None" = None,
+    _case_vars: list[str] | None = None,
 ) -> DbregMulti:
     """Fit every submodel of a stepwise / multi-outcome formula from shared
     distributed passes (see the module docstring for the pass accounting
@@ -522,8 +587,22 @@ def dbreg_multi(
     and mundlak have no shared-Gram form — call :func:`dbreg` per model);
     ``vcov`` iid / hc1 / ``"~g"`` (1-way and multiway CGM) /
     ``"dk ~ t"``; ``weights=`` composes with everything.
+
+    Width guard: a union whose single-pass moment aggregation would exceed
+    ``MULTI_AGG_MAX`` columns is automatically SEGMENTED by steps into the
+    fewest passes that each fit under the cap (Catalyst's planning/codegen
+    cost grows superlinearly in the aggregate count — measured on this
+    box: 4 s at 1k columns, 17 s at 4k, 83 s at 12k — so k capped passes
+    beat one k-times-wider pass outright). Segments share the FULL union
+    complete-case sample (the union variable set rides every segment's
+    null filter), so segmentation never changes results, only
+    ``n_passes``. A single step too wide for the cap on its own raises.
+
+    ``_spec`` / ``_case_vars`` are the internal segmentation hooks: a
+    pre-parsed sub-spec to fit instead of parsing ``fml``, and the full
+    union variable list for the shared null filter.
     """
-    spec = parse_multi_formula(fml)
+    spec = _spec if _spec is not None else parse_multi_formula(fml)
     vcov_type, cluster_var = parse_vcov(vcov, cluster)
     if vcov_type == "cr3":
         raise NotImplementedError(
@@ -596,6 +675,52 @@ def dbreg_multi(
         raise ValueError(f"outcome variables must be numeric: {bad}")
 
     design, col_term, _types = _union_design(source.df, uparsed, fe)
+
+    # ---- union-width guard / auto-segmentation (see MULTI_AGG_MAX) ------
+    def _est(p: int) -> int:
+        return _union_agg_count(
+            p,
+            strategy == "moments",
+            len(fe) if strategy != "moments" else 0,
+            weight_col is not None,
+        )
+
+    if _est(len(design.names)) > MULTI_AGG_MAX:
+        if len(spec.steps) == 1:
+            raise ValueError(
+                f"dbreg_multi: the union design expands to "
+                f"{len(design.names):,} columns — one moment pass would "
+                f"need {_est(len(design.names)):,} aggregate columns "
+                f"(> MULTI_AGG_MAX={MULTI_AGG_MAX:,}). Narrow the formula, "
+                "or fit per model with dbreg."
+            )
+        groups = _plan_step_segments(
+            spec, subs, design.names, col_term, _est, MULTI_AGG_MAX
+        )
+        parts = [
+            dbreg_multi(
+                fml, data=data, spark=spark, table=table, path=path,
+                vcov=vcov, cluster=cluster, weights=weights,
+                hac_lag=hac_lag, ssc=ssc, strategy=strategy,
+                drop_missings=drop_missings,
+                broadcast_means=broadcast_means,
+                _spec=MultiSpec(lhs=spec.lhs, steps=g, fe_str=spec.fe_str),
+                _case_vars=_case_vars
+                or list(dict.fromkeys(uparsed.xvars + spec.lhs)),
+            )
+            for g in groups
+        ]
+        merged: dict = {}
+        for part in parts:
+            merged.update(part.models)
+        return DbregMulti(
+            models={k: merged[k] for k in subs},
+            lhs=spec.lhs,
+            steps=[s for s, _ in spec.steps],
+            n_passes=sum(p.n_passes for p in parts),
+            query_string=parts[0].query_string,
+        )
+
     base = build_base_frame(
         source,
         uparsed,
@@ -604,6 +729,7 @@ def dbreg_multi(
         extra_cols=cluster_var if cluster_var else None,
         want_sql=source.sql_from is not None,
         weight_col=weight_col,
+        extra_filter_cols=_case_vars,
     )
 
     n_passes = 0

@@ -73,9 +73,19 @@ def dbglm_multi(
     tol: float = 1e-8,
     drop_missings: bool = True,
     verbose: bool = False,
+    _spec=None,
+    _case_vars: list[str] | None = None,
 ) -> GlmMulti:
     """Fit every submodel of a stepwise / multi-outcome GLM formula in
-    lockstep (module docstring has the pass accounting)."""
+    lockstep (module docstring has the pass accounting).
+
+    Width guard: a lockstep iteration whose aggregation would exceed
+    ``multi.MULTI_AGG_MAX`` columns (Σ per-model Gram blocks) is
+    automatically segmented by steps into separate lockstep fits — each
+    segment keeps the FULL union complete-case sample via the shared null
+    filter, so only ``n_passes`` changes, never results. A single step too
+    wide on its own raises. ``_spec`` / ``_case_vars`` are the internal
+    segmentation hooks (pre-parsed sub-spec; full union variable list)."""
     fam = get_family(family, theta=theta)
     if fam.name == "negbin" and fam.theta is None:
         raise NotImplementedError(
@@ -91,7 +101,7 @@ def dbglm_multi(
         )
     weight_col = parse_weights(weights)
 
-    spec = parse_multi_formula(fml)
+    spec = _spec if _spec is not None else parse_multi_formula(fml)
     if spec.fe_str:
         raise NotImplementedError(
             "dbglm_multi does not absorb `| fe` fixed effects (dbglm's "
@@ -135,11 +145,77 @@ def dbglm_multi(
         raise ValueError(f"outcome variables must be numeric: {bad}")
 
     design, col_term, _ty = _union_design(source.df, uparsed, [])
+
+    # ---- lockstep-width guard / auto-segmentation (multi.MULTI_AGG_MAX) --
+    from .multi import MULTI_AGG_MAX, MultiSpec
+
+    _tc: dict[str, list[str]] = {}
+    for n, t in zip(design.names, col_term):
+        _tc.setdefault(t, []).append(n)
+
+    def _step_block(label: str) -> int:
+        """One model's aggregate-column count for this step: ll + pearson
+        + b_i (p) + upper-triangular a_{i,j} (p(p+1)/2)."""
+        sub_x: list[str] = []
+        for t in subs[(spec.lhs[0], label)].terms:
+            for c in _tc.get(t.label, []):
+                if c not in sub_x:
+                    sub_x.append(c)
+        p = (1 if icpt_req else 0) + len(sub_x)
+        return 2 + p + p * (p + 1) // 2
+
+    step_costs = {lab: len(spec.lhs) * _step_block(lab) for lab, _ in spec.steps}
+    if 1 + sum(step_costs.values()) > MULTI_AGG_MAX:
+        groups: list[list[tuple[str, str]]] = []
+        cur: list[tuple[str, str]] = []
+        cur_cost = 1
+        for lab, rhs1 in spec.steps:
+            c = step_costs[lab]
+            if 1 + c > MULTI_AGG_MAX:
+                raise ValueError(
+                    f"dbglm_multi: step {lab or rhs1!r} alone needs "
+                    f"{1 + c:,} aggregate columns per lockstep iteration "
+                    f"(> MULTI_AGG_MAX={MULTI_AGG_MAX:,}), past the width "
+                    "where one Catalyst aggregate degrades. Narrow the "
+                    "step, or fit it per model with dbglm."
+                )
+            if cur and cur_cost + c > MULTI_AGG_MAX:
+                groups.append(cur)
+                cur, cur_cost = [], 1
+            cur.append((lab, rhs1))
+            cur_cost += c
+        if cur:
+            groups.append(cur)
+        parts = [
+            dbglm_multi(
+                fml, data=data, spark=spark, table=table, path=path,
+                family=family, vcov=vcov, cluster=cluster, offset=offset,
+                weights=weights, theta=theta, hac_lag=hac_lag,
+                max_iter=max_iter, tol=tol, drop_missings=drop_missings,
+                verbose=verbose,
+                _spec=MultiSpec(lhs=spec.lhs, steps=g, fe_str=""),
+                _case_vars=_case_vars
+                or list(dict.fromkeys(uparsed.xvars + spec.lhs)),
+            )
+            for g in groups
+        ]
+        merged: dict = {}
+        for part in parts:
+            merged.update(part.models)
+        return GlmMulti(
+            models={k: merged[k] for k in subs},
+            lhs=spec.lhs,
+            steps=[s for s, _ in spec.steps],
+            n_passes=sum(p.n_passes for p in parts),
+            query_string=None,
+        )
+
     aux = [c for c in (offset, weight_col) if c]
     frame = build_base_frame(
         source, uparsed, design, drop_missings,
         extra_cols=(list(cluster_vars) if cluster_vars else []) + aux or None,
         want_sql=False, weight_col=weight_col,
+        extra_filter_cols=_case_vars,
     )
     if aux and drop_missings:
         cond = None

@@ -104,6 +104,7 @@ def build_base_frame(
     extra_cols: list[str] | None = None,
     want_sql: bool = True,
     weight_col: str | None = None,
+    extra_filter_cols: list[str] | None = None,
 ) -> Frame:
     """Base frame: filtered source projected to keys + y + design columns.
 
@@ -124,8 +125,17 @@ def build_base_frame(
         )
     )
     sel = _base_select_exprs(parsed, design, keys)
-    filter_cols = [parsed.yvar] + parsed.xvars + (parsed.fe or []) + (
-        [weight_col] if weight_col else []
+    # extra_filter_cols join the null filter WITHOUT being projected: the
+    # segmented multi-fit threads the FULL union variable set through each
+    # segment so every segment sees the same common complete-case sample
+    filter_cols = list(
+        dict.fromkeys(
+            [parsed.yvar]
+            + parsed.xvars
+            + (parsed.fe or [])
+            + ([weight_col] if weight_col else [])
+            + (extra_filter_cols or [])
+        )
     )
 
     df = source.df

@@ -322,3 +322,125 @@ def test_multi_glm_save_load_roundtrip(tables, tmp_path):
             mm2.models[k].coeftable["estimate"].values,
         )
         assert mm2.models[k].family == mm.models[k].family
+
+
+# --------------------------------------------------------------------------
+# union-width guard / auto-segmentation (MULTI_AGG_MAX)
+# --------------------------------------------------------------------------
+
+
+def test_union_agg_count_matches_moment_spec():
+    """The width guard's count formula is pinned to the REAL moment_spec
+    length — if the spec grows a column, this fails before the guard can
+    silently under-count."""
+    from dbreg_spark.multi import _union_agg_count
+    from dbreg_spark.plans.common import moment_spec
+    from dbreg_spark.plans.exprs import Var
+
+    for p in (0, 1, 3, 7):
+        for icpt in (True, False):
+            for nfe in (0, 2):
+                for w in (None, Var("w")):
+                    spec = moment_spec(
+                        Var("y"),
+                        [Var(f"x{i}") for i in range(p)],
+                        intercept=icpt,
+                        n_fe_exprs=[Var(f"f{k}") for k in range(nfe)] or None,
+                        weight=w,
+                    )
+                    assert len(spec) == _union_agg_count(
+                        p, icpt, nfe, w is not None
+                    )
+
+
+def test_multi_width_segmentation_matches_unsegmented(tables, monkeypatch):
+    """Past the cap, the fit segments by steps into >1 union passes; every
+    submodel's coefficients/SEs are IDENTICAL to the one-pass fit and
+    n_passes records the true (doubled) pass count."""
+    import dbreg_spark.multi as multi_mod
+
+    li = tables["lineitem"]
+    fml = "l_extendedprice ~ sw(l_quantity, l_discount, l_tax)"
+    full = dbreg_multi(fml, li, vcov="hc1")
+    assert full.n_passes == 2  # one union Gram + one batched HC1 meat
+
+    # est(p): moments strategy, intercept, unweighted = 3 + 2p + p(p+1)/2
+    # steps are p=1 (est 6); union of two steps p=2 (est 10); cap 10 =>
+    # groups [s1, s2] and [s3]
+    monkeypatch.setattr(multi_mod, "MULTI_AGG_MAX", 10)
+    seg = dbreg_multi(fml, li, vcov="hc1")
+    assert seg.n_passes == 4
+    assert list(seg.models) == list(full.models)
+    for k in full.models:
+        _assert_model_match(seg[k], full[k])
+
+
+def test_multi_segmentation_keeps_common_sample(spark, monkeypatch):
+    """A segment that does NOT carry a variable still drops rows where that
+    variable is NULL — the full union variable set rides every segment's
+    null filter, so segmentation never changes the sample."""
+    import dbreg_spark.multi as multi_mod
+
+    rows = [
+        (1.0, 1.0, 2.0, 1.0),
+        (2.0, 2.0, 1.0, None),  # NULL in c: dropped EVERYWHERE
+        (3.0, 1.0, 1.0, 2.0),
+        (4.0, 4.0, 3.0, 1.0),
+        (5.0, 2.0, 5.0, 3.0),
+        (6.0, 3.0, 1.0, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "y double, a double, b double, c double")
+    full = dbreg_multi("y ~ sw(a, b, c)", df, strategy="moments")
+    monkeypatch.setattr(multi_mod, "MULTI_AGG_MAX", 10)
+    seg = dbreg_multi("y ~ sw(a, b, c)", df, strategy="moments")
+    assert seg.n_passes > full.n_passes
+    for k in full.models:
+        assert seg[k].nobs_orig == 5
+        _assert_model_match(seg[k], full[k])
+
+
+def test_multi_width_single_step_refusal(tables, monkeypatch):
+    """A single step wider than the cap cannot be segmented — clean raise."""
+    import dbreg_spark.multi as multi_mod
+
+    li = tables["lineitem"]
+    monkeypatch.setattr(multi_mod, "MULTI_AGG_MAX", 5)
+    with pytest.raises(ValueError, match="MULTI_AGG_MAX"):
+        dbreg_multi(
+            "l_extendedprice ~ sw(l_quantity, l_discount)", li, vcov="iid"
+        )
+    # single-step formula over the cap: immediate refusal, no recursion
+    with pytest.raises(ValueError, match="MULTI_AGG_MAX"):
+        dbreg_multi("c(l_extendedprice, l_tax) ~ l_quantity", li)
+
+
+def test_multi_glm_width_segmentation(tables, monkeypatch):
+    """dbglm_multi segments its lockstep by steps past the cap; results
+    match the unsegmented lockstep exactly (per-model IRLS trajectories
+    are independent)."""
+    import dbreg_spark.multi as multi_mod
+    from dbreg_spark import dbglm_multi
+
+    li = tables["lineitem"]
+    fml = "l_linenumber ~ sw(l_quantity, l_discount)"
+    full = dbglm_multi(fml, li, family="poisson", vcov="hc1")
+    # per-step block: p=2 -> 2 + 2 + 3 = 7; total 1 + 14 = 15; cap 10 =>
+    # one step per segment
+    monkeypatch.setattr(multi_mod, "MULTI_AGG_MAX", 10)
+    seg = dbglm_multi(fml, li, family="poisson", vcov="hc1")
+    assert seg.n_passes >= full.n_passes
+    assert list(seg.models) == list(full.models)
+    for k in full.models:
+        np.testing.assert_allclose(
+            seg[k].coeftable["estimate"].values,
+            full[k].coeftable["estimate"].values, rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            seg[k].coeftable["std.error"].values,
+            full[k].coeftable["std.error"].values, rtol=1e-12,
+        )
+        assert seg[k].nobs == full[k].nobs
+
+    monkeypatch.setattr(multi_mod, "MULTI_AGG_MAX", 5)
+    with pytest.raises(ValueError, match="MULTI_AGG_MAX"):
+        dbglm_multi(fml, li, family="poisson")
