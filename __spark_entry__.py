@@ -395,6 +395,153 @@ def _diag_bp_plan(spark: SparkSession):
     return agg_df, sql
 
 
+def _diag_reset_plan(spark: SparkSession):
+    """(agg_df, oracle_sql) for the RESET auxiliary moments pass: the
+    outcome regressed on the model columns plus powers 2/3 of the
+    literal-beta fitted value (dbreg_spark/diagnostics.py:reset_test)."""
+    from dbreg_spark.design import build_design
+    from dbreg_spark.formula import parse_formula
+    from dbreg_spark.plans.common import Source, agg_select_sql, moment_spec
+    from dbreg_spark.plans.exprs import Var, agg_to_spark
+    from dbreg_spark.plans.frames import build_base_frame
+
+    b0, b1, b2 = MEAT_BETA
+    fit = f"({b0!r} + (({b1!r} * l_quantity) + ({b2!r} * l_discount)))"
+    # scale the fitted value so its cube keeps ~9 significant digits of
+    # agreement across engines (fit ~ 5e4 -> fit^3 ~ 1e14 raw)
+    inner = (
+        "SELECT l_extendedprice AS __y, l_quantity, l_discount, "
+        f"CAST(POWER({fit} / 10000.0, 2) AS DOUBLE) AS __f2, "
+        f"CAST(POWER({fit} / 10000.0, 3) AS DOUBLE) AS __f3 "
+        "FROM lineitem"
+    )
+    src_ = Source(df=spark.sql(inner), sql_from=f"FROM ({inner})")
+    parsed = parse_formula("__y ~ l_quantity + l_discount + __f2 + __f3")
+    design = build_design(src_.df, parsed, expand="all", fe_vars=None)
+    frame = build_base_frame(src_, parsed, design, True, want_sql=True)
+    mspec = moment_spec(
+        Var(frame.y_col), [Var(n) for n in frame.x_cols], intercept=True
+    )
+    agg_df = frame.df.agg(*[agg_to_spark(a).alias(n) for n, a in mspec])
+    sql = (
+        f"{frame.sql_cte},\nmoments AS (\n  SELECT {agg_select_sql(mspec)}"
+        f"\n  FROM {frame.cte_name}\n)\nSELECT * FROM moments"
+    )
+    return agg_df, sql
+
+
+def _diag_jb_plan(spark: SparkSession):
+    """(agg_df, oracle_sql) for the Jarque-Bera moments pass: n + Σu..Σu⁴
+    of the literal-beta residual (diagnostics.py:_jb_from_proj), scaled to
+    residual/1e4 so u⁴ keeps cross-engine significant digits."""
+    b0, b1, b2 = MEAT_BETA
+    u = (
+        f"((l_extendedprice - {b0!r} - (({b1!r} * l_quantity) + "
+        f"({b2!r} * l_discount))) / 10000.0)"
+    )
+    where = (
+        "l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL "
+        "AND l_discount IS NOT NULL"
+    )
+    inner = (
+        f"SELECT COUNT(*) AS n_total, SUM(__u) AS s1, SUM(__u * __u) AS s2, "
+        "SUM(__u * __u * __u) AS s3, SUM(__u * __u * __u * __u) AS s4 "
+        f"FROM (SELECT CAST({u} AS DOUBLE) AS __u FROM lineitem WHERE {where}) __j"
+    )
+    return spark.sql(inner), inner
+
+
+def _diag_bg_plan(spark: SparkSession):
+    """(agg_df, oracle_sql) for the Breusch-Godfrey auxiliary moments pass:
+    literal-beta residual + its order-1 lag WITHIN l_orderkey. The driver
+    testdata has duplicate (l_orderkey, l_linenumber) pairs, so the window
+    orders by (l_linenumber, __u, l_quantity, l_discount): any rows still
+    tied are identical in every aux-relevant column, making the lag
+    sequence engine-independent. Then ONE moments aggregation of
+    __u ~ l_quantity + __ul1
+    (diagnostics.py:bg_test's exact plan: one unit-keyed window shuffle +
+    one aux moments pass)."""
+    from dbreg_spark.design import build_design
+    from dbreg_spark.formula import parse_formula
+    from dbreg_spark.plans.common import Source, agg_select_sql, moment_spec
+    from dbreg_spark.plans.exprs import Var, agg_to_spark
+    from dbreg_spark.plans.frames import build_base_frame
+
+    b0, b1, b2 = MEAT_BETA
+    u = (
+        f"((l_extendedprice - {b0!r} - (({b1!r} * l_quantity) + "
+        f"({b2!r} * l_discount))) / 10000.0)"
+    )
+    where = (
+        "l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL "
+        "AND l_discount IS NOT NULL"
+    )
+    inner = (
+        "SELECT __u, l_quantity, "
+        "LAG(__u) OVER (PARTITION BY l_orderkey "
+        "ORDER BY l_linenumber, __u, l_quantity, l_discount) AS __ul1 "
+        f"FROM (SELECT CAST({u} AS DOUBLE) AS __u, l_quantity, l_discount, "
+        f"l_orderkey, l_linenumber FROM lineitem WHERE {where}) __b"
+    )
+    src_ = Source(df=spark.sql(inner), sql_from=f"FROM ({inner})")
+    parsed = parse_formula("__u ~ l_quantity + __ul1")
+    design = build_design(src_.df, parsed, expand="all", fe_vars=None)
+    # build_base_frame's null filter drops each order's first row (no lag)
+    # — the lmtest fill=NA convention bg_test documents
+    frame = build_base_frame(src_, parsed, design, True, want_sql=True)
+    mspec = moment_spec(
+        Var(frame.y_col), [Var(n) for n in frame.x_cols], intercept=True
+    )
+    agg_df = frame.df.agg(*[agg_to_spark(a).alias(n) for n, a in mspec])
+    sql = (
+        f"{frame.sql_cte},\nmoments AS (\n  SELECT {agg_select_sql(mspec)}"
+        f"\n  FROM {frame.cte_name}\n)\nSELECT * FROM moments"
+    )
+    return agg_df, sql
+
+
+def _diag_bp_within_plan(spark: SparkSession):
+    """(agg_df, oracle_sql) for the WITHIN Breusch-Pagan aux pass on an
+    absorbed-FE model: the demeaned frame (the estimator's own transform,
+    plans/frames.py:build_demeaned_frame) -> squared within residual at a
+    literal no-intercept beta -> ONE moments aggregation on the demeaned
+    design columns (diagnostics.py:_within_frame + bp_test)."""
+    from dbreg_spark.design import build_design
+    from dbreg_spark.formula import parse_formula
+    from dbreg_spark.plans.common import Source, agg_select_sql, moment_spec
+    from dbreg_spark.plans.exprs import Var, agg_to_spark
+    from dbreg_spark.plans.frames import build_base_frame, build_demeaned_frame
+
+    b1, b2 = MEAT_BETA[1], MEAT_BETA[2]
+    li = spark.table("lineitem")
+    src_ = Source(df=li, sql_from="FROM lineitem")
+    parsed = parse_formula(
+        "l_extendedprice ~ l_quantity + l_discount | l_returnflag"
+    )
+    design = build_design(src_.df, parsed, expand="all", fe_vars=parsed.fe)
+    base = build_base_frame(src_, parsed, design, True, want_sql=True)
+    frame = build_demeaned_frame(base, parsed.fe)
+    u = (
+        f"(l_extendedprice - (({b1!r} * l_quantity) + ({b2!r} * l_discount)))"
+        " / 10000.0"
+    )
+    aux_df = frame.df.selectExpr(
+        f"CAST({u} AS DOUBLE) * CAST({u} AS DOUBLE) AS __u2",
+        "l_quantity", "l_discount",
+    )
+    mspec = moment_spec(
+        Var("__u2"), [Var("l_quantity"), Var("l_discount")], intercept=True
+    )
+    agg_df = aux_df.agg(*[agg_to_spark(a).alias(n) for n, a in mspec])
+    sql = (
+        f"{frame.sql_cte},\naux AS (\n  SELECT CAST({u} AS DOUBLE) * "
+        f"CAST({u} AS DOUBLE) AS __u2, l_quantity, l_discount"
+        f"\n  FROM {frame.cte_name}\n),\nmoments AS (\n  SELECT "
+        f"{agg_select_sql(mspec)}\n  FROM aux\n)\nSELECT * FROM moments"
+    )
+    return agg_df, sql
+
+
 def _negbin_step_plan(spark: SparkSession):
     """(agg_df, oracle_sql) for one NB2 IRLS pass at fixed (beta, theta)
     over lineitem counts (l_linenumber) — the negbin family's mu/w/wz/ll
@@ -591,6 +738,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _round_doubles_df(agg_df)
 
     Q["diag_bp_aux_moments"] = diag_bp_aux
+
+    def _diag_q(plan_fn):
+        def run(spark, sf_dir):
+            _tables(spark, sf_dir)
+            agg_df, _sql = plan_fn(spark)
+            return _round_doubles_df(agg_df)
+
+        return run
+
+    # RESET / JB / BG aux passes + the within-BP pass on the demeaned frame
+    Q["diag_reset_aux_moments"] = _diag_q(_diag_reset_plan)
+    Q["diag_jb_aux_moments"] = _diag_q(_diag_jb_plan)
+    Q["diag_bg_aux_moments"] = _diag_q(_diag_bg_plan)
+    Q["diag_bp_within_aux_moments"] = _diag_q(_diag_bp_within_plan)
 
     # ---- GLM: one logit IRLS pass at fixed β (beyond-reference dbglm) ----
     def glm_irls_step(spark, sf_dir):
@@ -2218,6 +2379,28 @@ FROM (
         return _round_doubles_sql(sql, cols, dbl)
 
     O["diag_bp_aux_moments"] = _diag_bp_oracle()
+
+    def _diag_oracle(plan_fn, int_cols=("n_total",)) -> str:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            from dbreg_spark.sources.io import get_session
+
+            spark = get_session(
+                "oracle-sql-emit", master="local[2]", shuffle_partitions=2
+            )
+        _tables(
+            spark,
+            os.environ.get("SPARK_GRAFT_SF_DIR_FOR_SQL", "/root/testdata/sf0.01"),
+        )
+        agg_df, sql = plan_fn(spark)
+        cols = [f.name for f in agg_df.schema.fields]
+        dbl = [c for c in cols if c not in int_cols]
+        return _round_doubles_sql(sql, cols, dbl)
+
+    O["diag_reset_aux_moments"] = _diag_oracle(_diag_reset_plan)
+    O["diag_jb_aux_moments"] = _diag_oracle(_diag_jb_plan)
+    O["diag_bg_aux_moments"] = _diag_oracle(_diag_bg_plan)
+    O["diag_bp_within_aux_moments"] = _diag_oracle(_diag_bp_within_plan)
 
     _fp_cols = [
         "n_total", "ll", "ll_sat", "d_0", "d_1",

@@ -7,12 +7,17 @@ squared residual on (functions of) the model's design columns, run through
 the data, with the LM statistic and chi-square p-value assembled
 driver-side (stats.chi2_sf — no scipy).
 
-Supported for models without absorbed fixed effects (the within-residual
-variants need the demeaned frame back; use robust vcov directly for FE
-models). Factor regressors are fine — the auxiliary regression runs over
-the model's EXPANDED design columns, and collinear aux terms (e.g. the
-square of a dummy) are dropped by the standard pivoted-QR layer, with the
-test df following the kept count (White's convention).
+Models with absorbed fixed effects (strategy='demean', unweighted) run
+the WITHIN variants: the demeaned frame is rebuilt with the estimator's
+own plans/frames transform, the within residual ỹ − X̃β̂ comes from the
+stored literal β, and the aux regressions use the demeaned design
+columns (BP/White/RESET/JB; BG stays refused — serial-correlation
+testing on within residuals is a different test family). Mundlak and
+compress models are refused (no recoverable per-row residual). Factor
+regressors are fine — the auxiliary regression runs over the model's
+EXPANDED design columns, and collinear aux terms (e.g. the square of a
+dummy) are dropped by the standard pivoted-QR layer, with the test df
+following the kept count (White's convention).
 """
 
 from __future__ import annotations
@@ -23,18 +28,93 @@ from .plans.exprs import Cast, Lit, Var, to_spark
 from .stats import chi2_sf
 
 
+def _check_fe_supported(model, what: str):
+    """FE models are supported on the DEMEAN path only (the within
+    residual is distributed-computable by rebuilding the demeaned frame);
+    mundlak/compress carry no recoverable per-row residual."""
+    if not model.fe:
+        return False
+    if model.strategy != "demean":
+        raise NotImplementedError(
+            f"{what} on a strategy={model.strategy!r} FE model: the "
+            "per-row residual is not recoverable from the fitted object "
+            "(mundlak folds group means into the design; compress "
+            "aggregates rows away). Refit with strategy='demean'."
+        )
+    if model.weight_col:
+        raise NotImplementedError(
+            f"{what} for weighted FE models is not defined here (the "
+            "within transform is w-weighted but the classic aux "
+            "regressions are unweighted); run the test on the unweighted "
+            "refit, or use robust vcov directly"
+        )
+    return True
+
+
+def _within_frame(model, data):
+    """Rebuild the estimator's demeaned frame on ``data`` and return
+    ``(df, znames)``: ``__u`` = within residual (ỹ − X̃β̂ at the stored
+    literal β), ``__f`` = within fit X̃β̂, ``__z<i>`` = the demeaned KEPT
+    design columns. One means pass + one projection — the same
+    plans/frames machinery as estimation, so the transform cannot drift
+    from the fit."""
+    import pyspark.sql.functions as F
+
+    from .design import standardize_coef_names
+    from .plans.common import resolve_source
+    from .plans.frames import (
+        build_base_frame,
+        build_demeaned_frame,
+        build_demeaned_frame_iterative,
+    )
+
+    parsed, design = model.parsed, model.design_info
+    if parsed is None or design is None:
+        raise ValueError(
+            "model does not carry formula/design info; cannot rebuild the "
+            "demeaned frame"
+        )
+    source = resolve_source(data.sparkSession, data=data)
+    base = build_base_frame(
+        source, parsed, design, drop_missings=True, want_sql=False
+    )
+    fe = list(model.fe)
+    if getattr(model, "demean_iterated", False) or len(fe) > 2:
+        frame = build_demeaned_frame_iterative(base, fe)
+    else:
+        frame = build_demeaned_frame(base, fe)
+    b = dict(
+        zip(model.coeftable.index, model.coeftable["estimate"].astype(float))
+    )
+    kept = []
+    for raw in frame.x_cols:
+        cname = standardize_coef_names(raw)
+        if cname in b:
+            kept.append((raw, cname))
+    fit = F.lit(0.0)
+    for raw, cname in kept:
+        fit = fit + F.lit(b[cname]) * F.col(raw).cast("double")
+    sel = [
+        (F.col(frame.y_col).cast("double") - fit).alias("__u"),
+        fit.alias("__f"),
+        *[
+            F.col(raw).cast("double").alias(f"__z{i}")
+            for i, (raw, _) in enumerate(kept)
+        ],
+    ]
+    return frame.df.select(*sel), [f"__z{i}" for i in range(len(kept))]
+
+
 def _aux_frame(model, data):
     """(aux DataFrame with __u2 + __z<i> design columns, z names)."""
     import pyspark.sql.functions as F
 
     from .design import standardize_coef_names
 
-    if model.fe:
-        raise NotImplementedError(
-            "heteroskedasticity tests need the raw residual; models with "
-            "absorbed fixed effects are not supported (their residuals "
-            "live in the demeaned frame) — use vcov='hc1'/'~g' directly"
-        )
+    if _check_fe_supported(model, "heteroskedasticity tests"):
+        wdf, znames = _within_frame(model, data)
+        u = F.col("__u")
+        return wdf.select((u * u).alias("__u2"), *znames), znames
     name_to_expr = dict(
         zip(
             [standardize_coef_names(n) for n in model.design_info.names],
@@ -131,11 +211,36 @@ def reset_test(model, data, powers=(2, 3)) -> dict:
     from .api import dbreg
     from .stats import f_sf
 
-    if model.fe:
-        raise NotImplementedError(
-            "reset_test needs the raw residual; models with absorbed "
-            "fixed effects are not supported"
-        )
+    if _check_fe_supported(model, "reset_test"):
+        # within-RESET: refit ỹ ~ X̃ + (X̃β̂)^p on the demeaned frame and
+        # F-test the added powers against the stored within-RSS; the
+        # denominator df keeps the absorbed-FE correction via the model's
+        # own df_residual
+        wdf, znames = _within_frame(model, data)
+        sel = [
+            (F.col("__u") + F.col("__f")).alias("__yt"),
+            *znames,
+            *[(F.col("__f") ** int(p_)).alias(f"__f{p_}") for p_ in powers],
+        ]
+        aux = wdf.select(*sel)
+        terms = znames + [f"__f{p_}" for p_ in powers]
+        mu = dbreg("__yt ~ " + " + ".join(terms), aux, strategy="moments")
+        rss_r, rss_u = float(model.rss), float(mu.rss)
+        q = sum(1 for n in mu.coef_names if n.startswith("__f"))
+        if q == 0:
+            raise ValueError(
+                "reset_test: every added power was collinear; the test is "
+                "undefined for this model"
+            )
+        df2 = float(model.df_residual) - q
+        stat = ((rss_r - rss_u) / q) / (rss_u / df2)
+        return {
+            "statistic": stat,
+            "df1": q,
+            "df2": df2,
+            "p_value": f_sf(stat, q, df2),
+            "method": f"Ramsey RESET (within, powers {tuple(powers)})",
+        }
     from .design import standardize_coef_names
 
     name_to_expr = dict(
@@ -192,11 +297,9 @@ def jb_test(model, data) -> dict:
 
     from .design import standardize_coef_names
 
-    if model.fe:
-        raise NotImplementedError(
-            "jb_test needs the raw residual; models with absorbed fixed "
-            "effects are not supported"
-        )
+    if _check_fe_supported(model, "jb_test"):
+        wdf, _zn = _within_frame(model, data)
+        return _jb_from_proj(wdf.select("__u"))
     name_to_expr = dict(
         zip(
             [standardize_coef_names(n) for n in model.design_info.names],
@@ -212,6 +315,15 @@ def jb_test(model, data) -> dict:
         fit = fit + Lit(float(b[j + off])) * Cast(name_to_expr[n], "double")
     u = Cast(Var(model.yvar), "double") - fit
     proj = data.select(to_spark(Cast(u, "double")).alias("__u"))
+    return _jb_from_proj(proj)
+
+
+def _jb_from_proj(proj) -> dict:
+    """JB statistic from ONE Σu..Σu⁴ pass over a ``__u`` projection."""
+    import pyspark.sql.functions as F
+
+    from .stats import chi2_sf
+
     uc = F.col("__u")
     row = proj.agg(
         F.count(F.lit(1)).alias("n"),
@@ -266,8 +378,10 @@ def bg_test(model, data, *, time: str, order: int = 1, panel: str | None = None)
 
     if model.fe:
         raise NotImplementedError(
-            "bg_test needs the raw residual; models with absorbed fixed "
-            "effects are not supported"
+            "bg_test is not defined for absorbed-FE models here (lagged "
+            "WITHIN residuals test a different null than the raw-residual "
+            "Breusch-Godfrey; use Wooldridge's panel serial-correlation "
+            "test on first differences instead)"
         )
     if order < 1:
         raise ValueError("order must be >= 1")

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyspark.sql.functions as F
 import pytest
 
 from dbreg_spark import dbreg
@@ -78,11 +79,88 @@ def test_white_factor_regressors_drop_collinear_aux(het):
     assert 0.0 <= wh["p_value"] <= 1.0
 
 
-def test_fe_model_refused(het):
-    df, _ = het
-    m = dbreg("y ~ x1 | g", df, strategy="demean")
-    with pytest.raises(NotImplementedError, match="fixed effects"):
-        m.bp_test(df)
+def test_fe_refusals_narrowed(het):
+    """demean FE models are now supported (within variants); mundlak,
+    weighted demean, and BG-on-FE stay refused with clear messages."""
+    df, pdf = het
+    mk = dbreg("y ~ x1 + x2 | g", df, strategy="mundlak")
+    with pytest.raises(NotImplementedError, match="mundlak"):
+        mk.bp_test(df)
+    dfw = df.withColumn("w", (F.col("x2") + 1.0))
+    mw = dbreg("y ~ x1 | g", dfw, strategy="demean", weights="~ w")
+    with pytest.raises(NotImplementedError, match="weighted"):
+        mw.bp_test(dfw)
+    md = dbreg("y ~ x1 | g", df, strategy="demean")
+    with pytest.raises(NotImplementedError, match="WITHIN residuals"):
+        md.bg_test(df, time="x2")
+
+
+def _within_oracle(pdf, xcols, ycol="y", g="g"):
+    """numpy 1-FE within fit: (u, Xt demeaned cols, beta, fit)."""
+    dm = lambda s: (s - pdf.groupby(g)[s.name].transform("mean")).values
+    Xt = np.column_stack([dm(pdf[c]) for c in xcols])
+    yt = dm(pdf[ycol])
+    b = np.linalg.lstsq(Xt, yt, rcond=None)[0]
+    fit = Xt @ b
+    return yt - fit, Xt, b, fit
+
+
+def test_bp_within_matches_dense_oracle(het):
+    df, pdf = het
+    m = dbreg("y ~ x1 + x2 | g", df, strategy="demean")
+    bp = m.bp_test(df)
+    u, Xt, _b, _f = _within_oracle(pdf, ["x1", "x2"])
+    A = np.column_stack([np.ones(N), Xt])
+    u2 = u * u
+    gam = np.linalg.lstsq(A, u2, rcond=None)[0]
+    r2 = 1 - np.sum((u2 - A @ gam) ** 2) / np.sum((u2 - u2.mean()) ** 2)
+    np.testing.assert_allclose(bp["statistic"], N * r2, rtol=1e-8)
+    assert bp["df"] == 2
+
+
+def test_white_within_matches_dense_oracle(het):
+    df, pdf = het
+    m = dbreg("y ~ x1 + x2 | g", df, strategy="demean")
+    wh = m.white_test(df)
+    u, Xt, _b, _f = _within_oracle(pdf, ["x1", "x2"])
+    W = np.column_stack(
+        [np.ones(N), Xt, Xt[:, 0] ** 2, Xt[:, 0] * Xt[:, 1], Xt[:, 1] ** 2]
+    )
+    u2 = u * u
+    gam = np.linalg.lstsq(W, u2, rcond=None)[0]
+    r2 = 1 - np.sum((u2 - W @ gam) ** 2) / np.sum((u2 - u2.mean()) ** 2)
+    np.testing.assert_allclose(wh["statistic"], N * r2, rtol=1e-8)
+    assert wh["df"] == 5
+
+
+def test_reset_within_matches_dense_oracle(het):
+    df, pdf = het
+    m = dbreg("y ~ x1 + x2 | g", df, strategy="demean")
+    rs = m.reset_test(df)
+    u, Xt, _b, fit = _within_oracle(pdf, ["x1", "x2"])
+    rss_r = float(np.sum(u * u))
+    np.testing.assert_allclose(rss_r, float(m.rss), rtol=1e-9)
+    A = np.column_stack([np.ones(N), Xt, fit**2, fit**3])
+    g2 = np.linalg.lstsq(A, u + fit, rcond=None)[0]
+    rss_u = float(np.sum((u + fit - A @ g2) ** 2))
+    q = 2
+    df2 = float(m.df_residual) - q
+    stat = ((rss_r - rss_u) / q) / (rss_u / df2)
+    np.testing.assert_allclose(rs["statistic"], stat, rtol=1e-7)
+    assert rs["df1"] == 2 and rs["df2"] == df2
+
+
+def test_jb_within_matches_dense_oracle(het):
+    df, pdf = het
+    m = dbreg("y ~ x1 + x2 | g", df, strategy="demean")
+    jb = m.jb_test(df)
+    u, _X, _b, _f = _within_oracle(pdf, ["x1", "x2"])
+    m2 = np.mean((u - u.mean()) ** 2)
+    S = np.mean((u - u.mean()) ** 3) / m2**1.5
+    K = np.mean((u - u.mean()) ** 4) / m2**2
+    np.testing.assert_allclose(
+        jb["statistic"], N / 6 * (S**2 + (K - 3) ** 2 / 4), rtol=1e-8
+    )
 
 
 def test_reset_matches_dense_oracle(het, spark):
