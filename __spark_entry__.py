@@ -967,6 +967,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["binscatter_deg0_manual"] = binscatter_deg0
 
+    # ---- GLM binscatter (dbbinsglm): saturated logit on manual bins ----
+    # no controls => the bin dummies saturate the design, so the oracle is
+    # the closed form fit_b = mean(y|b), se_b = sqrt(p(1-p)/n_b), CI =
+    # invlogit(logit(p) -+ z/sqrt(n p(1-p))) — the gate still runs the
+    # FULL dbglm IRLS + delta-method path (tol tightened so the MLE
+    # matches the closed form past the 6-sig-digit rounding)
+    def binscatter_glm(spark, sf_dir):
+        t = _tables(spark, sf_dir)
+        from dbreg_spark import dbbinsglm
+
+        li = t["lineitem"].withColumn(
+            "is_return", (F.col("l_returnflag") == "R").cast("double")
+        )
+        r = dbbinsglm(
+            "is_return ~ l_extendedprice", li, family="binomial",
+            binspos=EP_BREAKS, vcov="iid",
+        )
+        pdf = r.points[["bin", "x", "fit", "se", "lwr", "upr"]].copy()
+        pdf["bin"] = pdf["bin"].astype("int64")
+        return _round_doubles_df(spark.createDataFrame(pdf))
+
+    Q["binscatter_glm_manual"] = binscatter_glm
+
     # ---- text / dedup / similarity pipeline operators ----
     def q_text_stats(spark, sf_dir):
         t = _tables(spark, sf_dir)
@@ -2648,6 +2671,32 @@ FROM g CROSS JOIN tot
 """
     O["binscatter_deg0_manual"] = _round_doubles_sql(
         bs_inner, ["bin", "x", "fit", "se"], ["x", "fit", "se"]
+    )
+
+    # saturated-logit GLM binscatter closed form (see Q-side comment)
+    zc = 1.959963984540054  # norm_ppf(0.975)
+    bsg_inner = f"""
+WITH binned AS (
+  SELECT CAST(l_returnflag = 'R' AS DOUBLE) AS y, l_extendedprice AS x,
+         {bin_expr} AS bin
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+    AND l_extendedprice >= {lo!r} AND l_extendedprice <= {hi!r}
+),
+g AS (
+  SELECT bin, COUNT(*) AS n_b, AVG(x) AS x_mean, AVG(y) AS p
+  FROM binned GROUP BY bin
+)
+SELECT CAST(bin AS BIGINT) AS bin, x_mean AS x, p AS fit,
+       SQRT(p * (1 - p) / n_b) AS se,
+       1.0 / (1.0 + EXP(-(LN(p / (1 - p)) - {zc!r} / SQRT(n_b * p * (1 - p))))) AS lwr,
+       1.0 / (1.0 + EXP(-(LN(p / (1 - p)) + {zc!r} / SQRT(n_b * p * (1 - p))))) AS upr
+FROM g
+"""
+    O["binscatter_glm_manual"] = _round_doubles_sql(
+        bsg_inner,
+        ["bin", "x", "fit", "se", "lwr", "upr"],
+        ["x", "fit", "se", "lwr", "upr"],
     )
 
     # ---- pipeline operators (cross-dialect templates) ----

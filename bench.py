@@ -28,6 +28,14 @@ SF1_DIR = os.environ.get(
     "SPARK_GRAFT_SF1_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_sf1"),
 )
+# third tier: a derived sf5.0 (50x sf0.1) for the scale-critical families
+# only — two datapoints fit any curve; the third distinguishes linear from
+# n log n from quadratic-with-small-constant. "0" disables.
+SF5 = os.environ.get("SPARK_GRAFT_BENCH_SF5", "1") == "1"
+SF5_DIR = os.environ.get(
+    "SPARK_GRAFT_SF5_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_sf5"),
+)
 
 
 def _ensure_sf1(spark) -> str | None:
@@ -123,6 +131,59 @@ def _ensure_sf1(spark) -> str | None:
     with open(done, "w") as f:
         f.write("ok\n")
     return SF1_DIR
+
+
+def _ensure_sf5(spark) -> str | None:
+    """Materialize a ~50x sf0.1 dataset once (idempotent): lineitem is 50
+    key-shifted copies (30M rows; FE/cluster cardinalities unchanged) and
+    documents 50 DISTINCT-vowel-permutation copies straight from sf0.1
+    (5! = 120 permutations available, so all 50 composites are distinct
+    and replicas are not near-duplicates of each other — the corpus
+    near-dup rate, hence dedup candidate volume, stays ~linear). Only the
+    tables the scale-critical families read are derived."""
+    import itertools
+
+    import pyspark.sql.functions as F
+
+    from dbreg_spark.sources.io import load_parquet
+
+    done = os.path.join(SF5_DIR, "_DONE_v1")
+    if os.path.exists(done):
+        return SF5_DIR
+    base = "/root/testdata/sf0.1"
+    if not os.path.isdir(base):
+        return None
+    os.makedirs(SF5_DIR, exist_ok=True)
+    li = load_parquet(spark, f"{base}/lineitem.parquet")
+    parts = [
+        li.withColumn(
+            "l_orderkey",
+            (F.col("l_orderkey") + F.lit(i * 100_000_000)).cast("long"),
+        )
+        for i in range(50)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{SF5_DIR}/lineitem.parquet")
+
+    docs = load_parquet(spark, f"{base}/documents.parquet")
+    perms = ["".join(p) for p in itertools.permutations("aeiou")][:50]
+    dparts = []
+    for i, perm in enumerate(perms):
+        dparts.append(
+            docs.withColumn(
+                "doc_id",
+                (F.col("doc_id") + F.lit(i * 100_000_000)).cast("long"),
+            ).withColumn("text", F.translate(F.col("text"), "aeiou", perm))
+        )
+    dout = dparts[0]
+    for p in dparts[1:]:
+        dout = dout.unionByName(p)
+    dout.write.mode("overwrite").parquet(f"{SF5_DIR}/documents.parquet")
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return SF5_DIR
 
 
 def main() -> None:
@@ -726,6 +787,75 @@ def main() -> None:
                 ).agg(F.sum("keep")).collect(),
             )
 
+    # ---- third tier: sf5 (50x sf0.1) for the scale-critical families ----
+    # Two datapoints (sf0.1 -> sf1) fit any curve; the third distinguishes
+    # linear from n log n from quadratic-with-small-constant. Only the 5
+    # families whose plans carry the real scale risk run here; 2 timed
+    # iterations after the GC barrier (min is the steady-state signal).
+    timings_sf5: dict[str, float] = {}
+    iters_sf5: dict[str, list[float]] = {}
+    rows_sf5 = None
+    if SF5:
+        try:
+            sf5_dir = _ensure_sf5(spark)
+        except Exception:
+            sf5_dir = None
+        if sf5_dir is not None:
+            import gc as _gc5
+
+            li5 = _lp(spark, f"{sf5_dir}/lineitem.parquet")
+            docs5 = _lp(spark, f"{sf5_dir}/documents.parquet")
+            rows_sf5 = li5.count()
+            docs5.count()  # warm footers
+
+            def bench5(name, fn, repeats=2):
+                _gc5.collect()
+                spark.sparkContext._jvm.System.gc()
+                times = []
+                for _ in range(repeats):
+                    t0 = time.perf_counter()
+                    fn()
+                    times.append(time.perf_counter() - t0)
+                iters_sf5[name] = [round(v, 4) for v in times]
+                timings_sf5[name] = round(min(times), 4)
+
+            bench5(
+                "reg_compress_hc1",
+                lambda: dbreg(
+                    "l_tax ~ l_quantity + l_discount | "
+                    "l_returnflag + l_linestatus",
+                    li5, strategy="compress", vcov="hc1",
+                ),
+            )
+            bench5(
+                "reg_demean_2fe_hc1",
+                lambda: dbreg(
+                    "l_extendedprice ~ l_quantity + l_discount | "
+                    "l_returnflag + l_linestatus",
+                    li5, strategy="demean", vcov="hc1",
+                ),
+            )
+            bench5(
+                "glm_fepois_cluster",
+                lambda: dbglm(
+                    "l_linenumber ~ l_quantity + l_discount | l_returnflag",
+                    li5, family="poisson", vcov="~ l_linestatus",
+                ),
+            )
+            bench5(
+                "dedup_minhash_lsh",
+                lambda: dedup.minhash_lsh_pairs(
+                    docs5, n_hashes=16, band_rows=2, shingle_words=2,
+                    jaccard_threshold=0.3,
+                ).count(),
+            )
+            bench5(
+                "dedup_ngram_jaccard",
+                lambda: dedup.ngram_jaccard_pairs(
+                    docs5, shingle_words=3, threshold=0.5
+                ).count(),
+            )
+
     sf = None
     for tok in SF_DIR.replace("/", " ").split():
         if tok.startswith("sf"):
@@ -764,6 +894,24 @@ def main() -> None:
             for k in timings_sf1
             if timings.get(k)
         }
+    if timings_sf5:
+        out["queries_sf5"] = timings_sf5
+        out["iters_sf5"] = iters_sf5
+        out["sf5"] = 5.0
+        out["rows_lineitem_sf5"] = rows_sf5
+        # min-based 50x ratio vs sf0.1 (and 5x vs the sf1 min where both
+        # tiers ran) — linear would be 50 and 5 respectively
+        out["scaling_50x_min"] = {
+            k: round(v / timings[k], 2)
+            for k, v in timings_sf5.items()
+            if timings.get(k)
+        }
+        if timings_sf1:
+            out["scaling_5x_vs_sf1_min"] = {
+                k: round(v / min(iters_sf1[k]), 2)
+                for k, v in timings_sf5.items()
+                if iters_sf1.get(k)
+            }
 
     # The full result object (all tiers' medians + raw iteration arrays)
     # goes to a committed file: the driver's BENCH_r<N>.json keeps only the

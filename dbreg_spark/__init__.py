@@ -8,7 +8,7 @@ similarity search, text analysis, multimodal plumbing).
 """
 
 from .api import dbreg, sql_model_matrix
-from .binsreg import BinsregResult, dbbinsreg
+from .binsreg import BinsregResult, dbbinsglm, dbbinsreg
 from .boot import (
     load_bootstrap,
     save_bootstrap,
@@ -32,6 +32,7 @@ from .pipeline import corpus_pipeline
 __all__ = [
     "dbreg",
     "sql_model_matrix",
+    "dbbinsglm",
     "dbbinsreg",
     "wild_cluster_bootstrap",
     "wild_score_bootstrap",

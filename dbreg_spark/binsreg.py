@@ -701,3 +701,198 @@ def load_binsreg(path: str, spark=None) -> BinsregResult:
 
 BinsregResult.save = save_binsreg
 BinsregResult.load = staticmethod(load_binsreg)
+
+
+# --------------------------------------------------------------------------
+# GLM binscatter (beyond the reference; fixest-world binscatter for
+# logit / poisson / negbin outcomes)
+# --------------------------------------------------------------------------
+
+
+def dbbinsglm(
+    fml: str,
+    data=None,
+    *,
+    family: str = "binomial",
+    spark: SparkSession | None = None,
+    table: str | None = None,
+    path: str | None = None,
+    nbins: int = 20,
+    binspos="qs",
+    randcut: float | None = None,
+    ci: bool = True,
+    vcov=None,
+    level: float = 0.95,
+    scale: str = "response",
+    theta: float | None = None,
+    offset: str | None = None,
+    weights: str | None = None,
+    seed: int = 42,
+    verbose: bool = False,
+) -> BinsregResult:
+    """GLM binned scatterplot: degree-0 bin dummies through
+    :func:`dbreg_spark.dbglm` (``y ~ bin [+ controls]``, the natural
+    composition of the compress-style binned design with the GLM tier).
+
+    The fitted point per bin is the GLM fitted value at that bin's dummy
+    with controls at 0 (the same partialling convention as
+    :func:`dbbinsreg`'s points): on the LINK scale eta_b = icpt + beta_b,
+    with delta-method SEs; ``scale='response'`` maps through the inverse
+    link (CIs transform monotonically from the link scale, so they stay
+    inside the family's range — e.g. [0, 1] for binomial). With no
+    controls, the binomial/poisson fitted value per bin is exactly the bin
+    mean of y (bin dummies saturate the design) — pinned by tests against
+    a dense numpy IRLS oracle, controls included.
+
+    Absorbed ``| fe`` parts are refused (compose low-cardinality groups as
+    factor controls, or use dbglm's fepois directly); splines/polynomials
+    within bins are OLS-only (:func:`dbbinsreg`)."""
+    from .glm import dbglm, get_family
+
+    if not 0.0 < level < 1.0:
+        raise ValueError("level must be in (0, 1)")
+    if scale not in ("response", "link"):
+        raise ValueError("scale must be 'response' or 'link'")
+    alpha = 1 - level
+    if vcov is None:
+        vcov = "hc1" if ci else "iid"
+
+    parsed = parse_formula(fml)
+    if parsed.has_interactions:
+        raise ValueError(
+            "dbbinsglm does not support interaction terms; specify "
+            "controls as separate additive terms."
+        )
+    if parsed.fe:
+        raise NotImplementedError(
+            "dbbinsglm does not absorb `| fe` parts; include low-"
+            "cardinality groups as factor controls, or fit dbglm fepois "
+            "directly"
+        )
+    y = parsed.yvar
+    x = parsed.xvars[0]
+    controls = parsed.xvars[1:]
+
+    if spark is None and isinstance(data, DataFrame):
+        spark = data.sparkSession
+    source = resolve_source(spark=spark, data=data, table=table, path=path)
+    df = source.df
+    from .api import _require_columns
+
+    weight_col = parse_weights(weights)
+    aux = [c for c in (offset, weight_col) if c]
+    _require_columns(df, [y, x] + controls + aux)
+
+    if isinstance(binspos, str):
+        method = {"qs": "quantile", "es": "equal", "log": "log_equal"}.get(
+            binspos
+        )
+        if method is None:
+            raise ValueError(
+                "binspos must be 'qs', 'es', 'log', or a numeric vector"
+            )
+        bi = compute_breaks(
+            df, x, nbins, method=method, randcut=randcut, seed=seed,
+            extra_notnull=[y],
+        )
+        breaks = bi.breaks
+    else:
+        breaks = np.sort(np.asarray(binspos, dtype=float))
+        if len(breaks) < 2:
+            raise ValueError("binspos needs at least 2 break values")
+
+    binned = assign_bins(df, x, y, breaks, keep_cols=controls + aux)
+    geo = bin_geometry(binned, x)
+    present = geo["bin"].tolist()
+
+    frame = binned.withColumn("bin", F.col("bin").cast("string"))
+    rhs = ["bin"] + list(controls)
+    fit = dbglm(
+        f"{y} ~ {' + '.join(rhs)}", frame, family=family,
+        vcov=vcov if ci else "iid", theta=theta, offset=offset,
+        weights=weights, verbose=verbose,
+    )
+
+    fam = get_family(
+        family,
+        theta=(theta if isinstance(theta, (int, float)) else 1.0)
+        if family == "negbin"
+        else None,
+    )
+    link = "identity" if fam.name == "gaussian" else (
+        "logit" if fam.name == "binomial" else "log"
+    )
+
+    def inv_link(eta):
+        if link == "logit":
+            return 1.0 / (1.0 + np.exp(-eta))
+        if link == "log":
+            return np.exp(eta)
+        return eta
+
+    coefs = fit.coeftable["estimate"]
+    names = list(coefs.index)
+    V = np.asarray(fit.vcov_, dtype=float) if ci else None
+    crit = float(_tstats.norm_ppf(1 - alpha / 2))
+
+    def _lvl(b):
+        # geo carries bins as pandas floats; the factor level (hence the
+        # coefficient name) is the STRING of the integer bin id
+        fb = float(b)
+        return str(int(fb)) if fb.is_integer() else str(b)
+
+    rows = []
+    for _, g in geo.iterrows():
+        b = g["bin"]
+        w = np.zeros(len(names))
+        if "(Intercept)" in names:
+            w[names.index("(Intercept)")] = 1.0
+        bc = f"bin{_lvl(b)}"
+        if bc in names:
+            w[names.index(bc)] = 1.0
+        eta = float(w @ coefs.to_numpy())
+        se_eta = (
+            float(np.sqrt(max(w @ V @ w, 0.0))) if V is not None else np.nan
+        )
+        lo_eta, hi_eta = eta - crit * se_eta, eta + crit * se_eta
+        if scale == "response":
+            mu = float(inv_link(eta))
+            dmu = (
+                mu * (1 - mu) if link == "logit"
+                else (mu if link == "log" else 1.0)
+            )
+            row = dict(
+                x=g["x_mean"], bin=b, fit=mu, se=abs(dmu) * se_eta,
+                lwr=float(inv_link(lo_eta)), upr=float(inv_link(hi_eta)),
+            )
+        else:
+            row = dict(
+                x=g["x_mean"], bin=b, fit=eta, se=se_eta,
+                lwr=lo_eta, upr=hi_eta,
+            )
+        if not ci:
+            row.pop("se"), row.pop("lwr"), row.pop("upr")
+        rows.append(row)
+    points = pd.DataFrame(rows).sort_values("x").reset_index(drop=True)
+
+    bins_df = pd.DataFrame(
+        dict(
+            id=geo["bin"],
+            left=geo["x_left"],
+            right=geo["x_right"],
+            n=geo["n"],
+        )
+    )
+    return BinsregResult(
+        points=points,
+        line=None,
+        bins=bins_df,
+        model=fit,
+        opt=dict(
+            y_var=y, x_var=x, nbins=len(breaks) - 1,
+            binspos=binspos if isinstance(binspos, str) else "manual",
+            points=(0, 0), line=None, N=int(fit.nobs),
+            family=fit.family, scale=scale, level=level,
+        ),
+        knots=breaks,
+    )

@@ -534,6 +534,37 @@ def _batched_cluster(frame, fits, weight_col, cluster_vars, n_total):
     return n_passes
 
 
+def _batched_conley(frame, fits, weight_col, cluster_var, conley_opts):
+    """EVERY model's Conley spatial meat from ONE exploded cell join
+    (plans/conley.py:conley_pair_agg_batched): the shared residual
+    projection carries one ``__e{m}`` per model and each model's
+    K(d)·eᵢeⱼ·xᵢxⱼ sums land in its own column group of the same
+    aggregate row — M models, one pair pass instead of M."""
+    from .plans.conley import conley_pair_agg_batched
+
+    cutoff, kernel, distance = conley_opts
+    lat_col, lon_col = cluster_var
+    proj = _batched_resid_proj(frame, fits, weight_col, [lat_col, lon_col])
+    proj = proj.withColumn(
+        "__lat", F.col(lat_col).cast("double")
+    ).withColumn("__lon", F.col(lon_col).cast("double"))
+    groups = [(f"__e{m}", list(f.kept_x), f.icpt) for m, f in enumerate(fits)]
+    agg_df, ps, cached = conley_pair_agg_batched(
+        proj, groups, cutoff, kernel, distance, cache=True
+    )
+    row = agg_df.collect()[0].asDict()
+    if cached is not None:
+        cached.unpersist()
+    for m, f in enumerate(fits):
+        p = ps[m]
+        meat = np.zeros((p, p))
+        for i in range(p):
+            for j in range(i, p):
+                v = row[f"m{m}_{i}_{j}"]
+                meat[i, j] = meat[j, i] = float(v) if v is not None else 0.0
+        f.meat = meat
+
+
 def _batched_dk(frame, fits, weight_col, time_col, hac_lag):
     """Driscoll-Kraay for every model from ONE per-period grouped pass:
     collect the T x (sum of model widths) score table once, slice per model,
@@ -576,6 +607,9 @@ def dbreg_multi(
     strategy: str = "auto",
     drop_missings: bool = True,
     broadcast_means: bool = True,
+    conley_cutoff: float | None = None,
+    conley_kernel: str = "uniform",
+    conley_distance: str = "haversine",
     _spec: "MultiSpec | None" = None,
     _case_vars: list[str] | None = None,
 ) -> DbregMulti:
@@ -586,7 +620,9 @@ def dbreg_multi(
     Supported: ``strategy`` in auto/moments/demean/demean_iter (compress
     and mundlak have no shared-Gram form — call :func:`dbreg` per model);
     ``vcov`` iid / hc1 / ``"~g"`` (1-way and multiway CGM) /
-    ``"dk ~ t"``; ``weights=`` composes with everything.
+    ``"dk ~ t"`` / ``"conley ~ lat + lon"`` (every model's spatial meat
+    from ONE batched pair join; needs ``conley_cutoff=``); ``weights=``
+    composes with everything.
 
     Width guard: a union whose single-pass moment aggregation would exceed
     ``MULTI_AGG_MAX`` columns is automatically SEGMENTED by steps into the
@@ -609,11 +645,17 @@ def dbreg_multi(
             "vcov='cr3 ~ g' jackknife refits are per-model leave-one-out "
             "solves; fit each model with dbreg(vcov='cr3 ~ g') instead"
         )
+    conley_opts = None
     if vcov_type == "conley":
-        raise NotImplementedError(
-            "dbreg_multi does not batch the conley spatial pair pass; fit "
-            "each model with dbreg(vcov='conley ~ lat + lon')"
-        )
+        # batched: every submodel's spatial meat rides ONE exploded cell
+        # join — per-model __e{m} residual columns share the pair pass
+        # (plans/conley.py:conley_pair_agg_batched)
+        if conley_cutoff is None:
+            raise ValueError(
+                "vcov='conley ~ lat + lon' needs conley_cutoff= (km for "
+                "distance='haversine', coordinate units for 'euclidean')"
+            )
+        conley_opts = (conley_cutoff, conley_kernel, conley_distance)
     weight_col = parse_weights(weights)
     if ssc not in ("full", "nested"):
         raise ValueError("ssc must be 'full' or 'nested'")
@@ -704,6 +746,8 @@ def dbreg_multi(
                 hac_lag=hac_lag, ssc=ssc, strategy=strategy,
                 drop_missings=drop_missings,
                 broadcast_means=broadcast_means,
+                conley_cutoff=conley_cutoff, conley_kernel=conley_kernel,
+                conley_distance=conley_distance,
                 _spec=MultiSpec(lhs=spec.lhs, steps=g, fe_str=spec.fe_str),
                 _case_vars=_case_vars
                 or list(dict.fromkeys(uparsed.xvars + spec.lhs)),
@@ -859,6 +903,9 @@ def dbreg_multi(
             )
         elif vcov_type == "dk":
             _batched_dk(frame, fits, weight_col, cluster_var[0], hac_lag)
+            n_passes += 1
+        elif vcov_type == "conley":
+            _batched_conley(frame, fits, weight_col, cluster_var, conley_opts)
             n_passes += 1
     finally:
         frame.cleanup()

@@ -15,10 +15,14 @@ records the actual count for tests to pin.
 
 Same documented semantics as dbreg_multi: common complete-case sample
 over the union variable set, union contrast coding. Families: binomial /
-poisson / gaussian / quasi variants / negbin with a FIXED ``theta=``
-(per-model theta estimation would break the lockstep frame — fit those
-per model). No absorbed FEs (dbglm's fepois profile has no shared
-multi-model frame); list low-cardinality groups as factor regressors.
+poisson / gaussian / quasi variants / negbin. negbin with ``theta=None``
+runs the PER-MODEL two-step: poisson lockstep to convergence, ONE shared
+scored pass computing every model's Cameron-Trivedi alpha-hat, then a
+negbin lockstep refit where each model carries its own fixed theta
+(per-model _Family objects in the same shared aggregation). ML theta
+profiling stays per model (``dbglm(theta='ml')``). No absorbed FEs
+(dbglm's fepois profile has no shared multi-model frame); list
+low-cardinality groups as factor regressors.
 """
 
 from __future__ import annotations
@@ -87,12 +91,12 @@ def dbglm_multi(
     wide on its own raises. ``_spec`` / ``_case_vars`` are the internal
     segmentation hooks (pre-parsed sub-spec; full union variable list)."""
     fam = get_family(family, theta=theta)
-    if fam.name == "negbin" and fam.theta is None:
-        raise NotImplementedError(
-            "dbglm_multi needs a FIXED theta= for family='negbin' (the "
-            "two-step/ML theta estimation is per-model); fit each model "
-            "with dbglm, or pass theta= explicitly"
-        )
+    # negbin with theta=None runs the PER-MODEL two-step (Cameron-Trivedi):
+    # poisson lockstep to convergence -> ONE shared scored pass computing
+    # every model's alpha-hat -> negbin lockstep refit with each model's
+    # own fixed theta (per-model _Family objects ride the same shared
+    # aggregation). ML theta profiling stays per-model (dbglm theta='ml').
+    want_auto_theta = fam.name == "negbin" and fam.theta is None
     vcov_type, cluster_vars = parse_vcov(vcov, cluster, valid=("iid", "hc1"))
     if vcov_type in ("cr3", "conley"):
         raise NotImplementedError(
@@ -250,6 +254,7 @@ def dbglm_multi(
         m.names_all = (["(Intercept)"] if icpt_req else []) + [
             standardize_coef_names(n) for n in sub_x
         ]
+        m.fam = get_family("poisson") if want_auto_theta else fam
         models.append(m)
 
     om: Expr | None = _d(Var(weight_col)) if weight_col else None
@@ -266,11 +271,11 @@ def dbglm_multi(
             beta = m.cand_full  # full-width β (dropped cols as 0)
             eta_x = _eta_expr(beta, m.x, icpt_req)
             eta = off_e + eta_x if off_e is not None else eta_x
-            mu = fam.mu(eta)
-            w = fam.w(eta, mu)
-            wz = fam.wz(eta_x, mu, y, w, off_e)
-            ll = fam.ll(eta, mu, y)
-            p2 = fam.pearson_sq(mu, y)
+            mu = m.fam.mu(eta)
+            w = m.fam.w(eta, mu)
+            wz = m.fam.wz(eta_x, mu, y, w, off_e)
+            ll = m.fam.ll(eta, mu, y)
+            p2 = m.fam.pearson_sq(mu, y)
             if om is not None:
                 w, wz, ll, p2 = om * w, om * wz, om * ll, om * p2
             proj_exprs += [
@@ -296,14 +301,18 @@ def dbglm_multi(
             carry += m.x
         if first:
             # per-outcome diagnostics (shared across models with the same y)
+            # saturated ll is PER MODEL (negbin's depends on each model's
+            # theta); min/max/sum diagnostics stay per outcome
+            for k, m in enumerate(active):
+                yv = _d(Var(m.y))
+                llsat = m.fam.ll_sat(yv)
+                proj_exprs.append(
+                    (f"m{k}__sat", _d(llsat if om is None else om * llsat))
+                )
+                spec_aggs.append((f"m{k}_ll_sat", asum(Var(f"m{k}__sat"))))
             for yi, yn in enumerate(dict.fromkeys([m.y for m in active])):
                 yv = _d(Var(yn))
-                llsat = fam.ll_sat(yv)
-                proj_exprs.append(
-                    (f"y{yi}__sat", _d(llsat if om is None else om * llsat))
-                )
                 spec_aggs += [
-                    (f"y{yi}_ll_sat", asum(Var(f"y{yi}__sat"))),
                     (f"y{yi}_min", amin(yv)),
                     (f"y{yi}_max", amax(yv)),
                     (f"y{yi}_sum", asum(om * yv if om is not None else yv)),
@@ -334,121 +343,182 @@ def dbglm_multi(
         n_passes += 1
         return row
 
-    # binomial 0/1 validation rides a dedicated tiny expression set on the
-    # first pass result via y_min/y_max (weights => proportions in [0,1])
-    for m in models:
-        m.cand_full = np.zeros(m.p_all)
-    row0 = pass_once(models, first=True)
-    n_total = float(row0["n_total"])
-    if n_total == 0:
-        raise ValueError("dbglm_multi: zero rows after missing-value filtering")
-    if weight_col is not None and float(row0["wt_min"]) <= 0:
-        raise ValueError("dbglm_multi: weights must be strictly positive")
-    y_order = list(dict.fromkeys([m.y for m in models]))
-    y_stats = {}
-    for yi, yn in enumerate(y_order):
-        y_stats[yn] = dict(
-            ll_sat=float(row0[f"y{yi}_ll_sat"]),
-            y_min=float(row0[f"y{yi}_min"]),
-            y_max=float(row0[f"y{yi}_max"]),
-            sum_y=float(row0[f"y{yi}_sum"]),
-        )
-        if fam.name == "binomial":
-            lo, hi = y_stats[yn]["y_min"], y_stats[yn]["y_max"]
-            if lo < 0 or hi > 1:
-                raise ValueError(
-                    f"dbglm_multi(family='binomial'): outcome {yn} outside "
-                    "[0, 1]"
-                )
-            if weight_col is None and float(row0.get(f"y{yi}_bad") or 0.0) > 0:
-                raise ValueError(
-                    f"dbglm_multi(family='binomial') needs 0/1 outcomes; "
-                    f"{yn} has values outside {{0, 1}}"
-                )
-        if fam.name in ("poisson", "negbin") and y_stats[yn]["y_min"] < 0:
-            raise ValueError(
-                f"dbglm_multi(family={fam.name!r}): outcome {yn} has "
-                "negative values"
-            )
-    sum_wt = float(row0["sum_wt"])
-
-    # per-model collinearity from the β=0 blocks + first Newton candidate
-    for k, m in enumerate(models):
-        a0, b0, ll0 = _decode_block(row0, f"m{k}_", m.p_all)
-        collin = detect_collinearity(a0, b0, m.names_all)
-        m.keep_idx = list(collin.keep_idx)
-        m.names = list(collin.keep_names)
-        m.collin_drop = list(collin.drop_names)
-        sol = solve_with_fallback(collin.xtx, collin.xty)
-        m.cand = sol.betahat
-        m.accepted = np.zeros(len(m.keep_idx))
-        m.prev = np.zeros(len(m.keep_idx))
-        m.ll_prev = ll0
-        m.halvings = 0
-        m.converged = False
-        m.gave_up = False
-        m.n_iter = 1
-        m.final_a = collin.xtx
-        m.final_ll = ll0
-        m.final_pearson = float(row0[f"m{k}_pearson"])
-        off0 = 1 if icpt_req else 0
-        m.icpt = icpt_req and 0 in m.keep_idx
-        m.x_kept = [m.x[i - off0] for i in m.keep_idx if i >= off0]
+    n_total = sum_wt = 0.0
+    y_order: list = []
+    y_stats: dict = {}
 
     def to_full(m, b):
         full = np.zeros(m.p_all)
         full[np.asarray(m.keep_idx, dtype=int)] = b
         return full
 
-    it = 1
-    while it < max_iter:
-        active = [m for m in models if not m.converged and not m.gave_up]
-        if not active:
-            break
-        for m in active:
-            m.cand_full = to_full(m, m.cand)
-        row = pass_once(active)
-        it += 1
-        for k, m in enumerate(active):
-            ki = np.asarray(m.keep_idx, dtype=int)
-            a_f, b_f, ll_i = _decode_block(row, f"m{k}_", m.p_all)
-            a_i, b_i = a_f[np.ix_(ki, ki)], b_f[ki]
-            m.n_iter += 1
-            if not math.isfinite(ll_i) or ll_i < m.ll_prev - 1e-10 * (
-                abs(m.ll_prev) + 1.0
-            ):
-                m.halvings += 1
-                if m.halvings > 12:
-                    warnings.warn(
-                        f"[dbglm_multi] model {m.key}: step-halving failed; "
-                        "stopping at the last accepted coefficients"
-                    )
-                    m.gave_up = True
-                    m.cand = m.accepted
-                    continue
-                m.cand = 0.5 * (m.cand + m.prev)
-                continue
-            m.halvings = 0
-            m.final_a, m.final_ll = a_i, ll_i
-            m.final_pearson = float(row[f"m{k}_pearson"])
-            m.accepted = m.cand
-            if verbose:
-                print(f"[dbglm_multi] {m.key} iter {m.n_iter}: ll = {ll_i:.10g}")
-            if abs(ll_i - m.ll_prev) <= tol * (abs(ll_i) + 0.1):
-                m.ll_prev = ll_i
-                m.converged = True
-                continue
-            sol = solve_with_fallback(a_i, b_i)
-            m.prev, m.cand = m.cand, sol.betahat
-            m.ll_prev = ll_i
-
-    for m in models:
-        if not m.converged and not m.gave_up:
-            warnings.warn(
-                f"[dbglm_multi] model {m.key}: IRLS did not converge in "
-                f"{max_iter} iterations"
+    def fit_lockstep():
+        """Initial pass (collinearity + validation + saturated ll at each
+        model's CURRENT m.fam) then the IRLS lockstep to convergence."""
+        nonlocal n_total, sum_wt, y_order, y_stats
+        # binomial 0/1 validation rides a dedicated tiny expression set on the
+        # first pass result via y_min/y_max (weights => proportions in [0,1])
+        for m in models:
+            m.cand_full = np.zeros(m.p_all)
+        row0 = pass_once(models, first=True)
+        n_total = float(row0["n_total"])
+        if n_total == 0:
+            raise ValueError("dbglm_multi: zero rows after missing-value filtering")
+        if weight_col is not None and float(row0["wt_min"]) <= 0:
+            raise ValueError("dbglm_multi: weights must be strictly positive")
+        y_order = list(dict.fromkeys([m.y for m in models]))
+        y_stats = {}
+        for yi, yn in enumerate(y_order):
+            y_stats[yn] = dict(
+                y_min=float(row0[f"y{yi}_min"]),
+                y_max=float(row0[f"y{yi}_max"]),
+                sum_y=float(row0[f"y{yi}_sum"]),
             )
-        m.beta = m.accepted
+            if fam.name == "binomial":
+                lo, hi = y_stats[yn]["y_min"], y_stats[yn]["y_max"]
+                if lo < 0 or hi > 1:
+                    raise ValueError(
+                        f"dbglm_multi(family='binomial'): outcome {yn} outside "
+                        "[0, 1]"
+                    )
+                if weight_col is None and float(row0.get(f"y{yi}_bad") or 0.0) > 0:
+                    raise ValueError(
+                        f"dbglm_multi(family='binomial') needs 0/1 outcomes; "
+                        f"{yn} has values outside {{0, 1}}"
+                    )
+            if fam.name in ("poisson", "negbin") and y_stats[yn]["y_min"] < 0:
+                raise ValueError(
+                    f"dbglm_multi(family={fam.name!r}): outcome {yn} has "
+                    "negative values"
+                )
+        sum_wt = float(row0["sum_wt"])
+
+        # per-model collinearity from the β=0 blocks + first Newton candidate
+        for k, m in enumerate(models):
+            a0, b0, ll0 = _decode_block(row0, f"m{k}_", m.p_all)
+            collin = detect_collinearity(a0, b0, m.names_all)
+            m.keep_idx = list(collin.keep_idx)
+            m.names = list(collin.keep_names)
+            m.collin_drop = list(collin.drop_names)
+            sol = solve_with_fallback(collin.xtx, collin.xty)
+            m.cand = sol.betahat
+            m.accepted = np.zeros(len(m.keep_idx))
+            m.prev = np.zeros(len(m.keep_idx))
+            m.ll_prev = ll0
+            m.halvings = 0
+            m.converged = False
+            m.gave_up = False
+            m.n_iter = 1
+            m.final_a = collin.xtx
+            m.final_ll = ll0
+            m.final_pearson = float(row0[f"m{k}_pearson"])
+            m.ll_sat = float(row0[f"m{k}_ll_sat"])
+            off0 = 1 if icpt_req else 0
+            m.icpt = icpt_req and 0 in m.keep_idx
+            m.x_kept = [m.x[i - off0] for i in m.keep_idx if i >= off0]
+
+        it = 1
+        while it < max_iter:
+            active = [m for m in models if not m.converged and not m.gave_up]
+            if not active:
+                break
+            for m in active:
+                m.cand_full = to_full(m, m.cand)
+            row = pass_once(active)
+            it += 1
+            for k, m in enumerate(active):
+                ki = np.asarray(m.keep_idx, dtype=int)
+                a_f, b_f, ll_i = _decode_block(row, f"m{k}_", m.p_all)
+                a_i, b_i = a_f[np.ix_(ki, ki)], b_f[ki]
+                m.n_iter += 1
+                if not math.isfinite(ll_i) or ll_i < m.ll_prev - 1e-10 * (
+                    abs(m.ll_prev) + 1.0
+                ):
+                    m.halvings += 1
+                    if m.halvings > 12:
+                        warnings.warn(
+                            f"[dbglm_multi] model {m.key}: step-halving failed; "
+                            "stopping at the last accepted coefficients"
+                        )
+                        m.gave_up = True
+                        m.cand = m.accepted
+                        continue
+                    m.cand = 0.5 * (m.cand + m.prev)
+                    continue
+                m.halvings = 0
+                m.final_a, m.final_ll = a_i, ll_i
+                m.final_pearson = float(row[f"m{k}_pearson"])
+                m.accepted = m.cand
+                if verbose:
+                    print(f"[dbglm_multi] {m.key} iter {m.n_iter}: ll = {ll_i:.10g}")
+                if abs(ll_i - m.ll_prev) <= tol * (abs(ll_i) + 0.1):
+                    m.ll_prev = ll_i
+                    m.converged = True
+                    continue
+                sol = solve_with_fallback(a_i, b_i)
+                m.prev, m.cand = m.cand, sol.betahat
+                m.ll_prev = ll_i
+
+        for m in models:
+            if not m.converged and not m.gave_up:
+                warnings.warn(
+                    f"[dbglm_multi] model {m.key}: IRLS did not converge in "
+                    f"{max_iter} iterations"
+                )
+            m.beta = m.accepted
+
+    fit_lockstep()
+
+    if want_auto_theta:
+        # ---- ONE shared scored pass: every model's Cameron-Trivedi
+        # alpha-hat at its converged poisson mu-hat (glm.py's
+        # _negbin_moment_theta, batched: 2 agg columns per model) ----------
+        aggs = []
+        proj_cols = []
+        for k, m in enumerate(models):
+            y = _d(Var(m.y))
+            eta_x = _eta_expr(to_full(m, m.beta), m.x, icpt_req)
+            eta = off_e + eta_x if off_e is not None else eta_x
+            mu = m.fam.mu(eta)
+            wexp = om if om is not None else Lit(1.0)
+            proj_cols += [
+                (f"t{k}__num", _d(wexp * ((y - mu) * (y - mu) - mu))),
+                (f"t{k}__den", _d(wexp * mu * mu)),
+            ]
+            aggs += [
+                (f"t{k}_num", asum(Var(f"t{k}__num"))),
+                (f"t{k}_den", asum(Var(f"t{k}__den"))),
+            ]
+        carry = dict.fromkeys(
+            sum([m.x for m in models], [])
+            + [m.y for m in models]
+            + [c for c in (offset, weight_col) if c]
+        )
+        proj = fdf.select(
+            *[to_spark(e).alias(n) for n, e in proj_cols],
+            *[F.col(c) for c in carry],
+        )
+        trow = run_agg(proj, aggs)
+        n_passes += 1
+        for k, m in enumerate(models):
+            num, den = float(trow[f"t{k}_num"]), float(trow[f"t{k}_den"])
+            alpha = num / den if den > 0 else float("nan")
+            if not (alpha > 1e-12):
+                raise ValueError(
+                    f"dbglm_multi(family='negbin'): model {m.key} has a "
+                    f"non-positive two-step alpha-hat ({alpha:.3g}) — no "
+                    "Poisson overdispersion. Fit it with family='poisson', "
+                    "or pass a fixed theta= explicitly."
+                )
+            m.fam = get_family("negbin", theta=1.0 / alpha)
+            if verbose:
+                print(
+                    f"[dbglm_multi] {m.key} two-step theta-hat = "
+                    f"{1.0 / alpha:.6g}"
+                )
+        # ---- negbin lockstep refit at the per-model FIXED thetas (warm
+        # saturated-ll / collinearity re-derived under the negbin fams) ----
+        fit_lockstep()
 
     # ---- batched sandwiches at the final βs ------------------------------
     for m in models:
@@ -461,16 +531,21 @@ def dbglm_multi(
         )
 
     # negbin: the reported loglik adds the beta-free lgamma terms (one
-    # y-histogram pass per DISTINCT outcome; deviance stays constant-free,
-    # matching dbglm)
-    nb_const = {yn: 0.0 for yn in y_order}
+    # y-histogram pass per DISTINCT (outcome, theta); deviance stays
+    # constant-free, matching dbglm)
+    for m in models:
+        m.nb_const = 0.0
     if fam.name == "negbin":
         from .glm import _negbin_ll_const
 
-        for yn in y_order:
-            shim = type("_Shim", (), {"df": fdf, "y_col": yn})()
-            nb_const[yn] = _negbin_ll_const(shim, weight_col, float(fam.theta))
-            n_passes += 1
+        _nb_cache: dict = {}
+        for m in models:
+            ck = (m.y, float(m.fam.theta))
+            if ck not in _nb_cache:
+                shim = type("_Shim", (), {"df": fdf, "y_col": m.y})()
+                _nb_cache[ck] = _negbin_ll_const(shim, weight_col, ck[1])
+                n_passes += 1
+            m.nb_const = _nb_cache[ck]
 
     fdf.unpersist()
 
@@ -486,7 +561,7 @@ def dbglm_multi(
     for m in models:
         p = len(m.keep_idx)
         df_res = max(n_total - p, 1.0)
-        ll_sat = y_stats[m.y]["ll_sat"]
+        ll_sat = m.ll_sat
         deviance = 2.0 * (ll_sat - m.final_ll)
         ybar = y_stats[m.y]["sum_y"] / sum_wt if sum_wt > 0 else float("nan")
         if offset is not None:
@@ -507,7 +582,7 @@ def dbglm_multi(
             )
             null_dev = 2.0 * (ll_sat - null_ll)
         elif fam.name == "negbin":
-            th = float(fam.theta)
+            th = float(m.fam.theta)
             mu0 = ybar if icpt_req else 1.0
             null_ll = (
                 y_stats[m.y]["sum_y"] * math.log(mu0)
@@ -541,14 +616,14 @@ def dbglm_multi(
             coeftable=ct,
             vcov_=V,
             coef_names=m.names,
-            family=fam.label,
-            link=fam.link,
+            family=m.fam.label,
+            link=m.fam.link,
             yvar=m.key[0],
             vcov_type=vcov_type,
             cluster_var="+".join(cluster_vars) if cluster_vars else None,
             nobs=int(n_total),
             df_residual=df_res,
-            loglik=m.final_ll + nb_const[m.y],
+            loglik=m.final_ll + m.nb_const,
             deviance=deviance,
             null_deviance=null_dev,
             dispersion=dispersion,
@@ -582,8 +657,11 @@ def _batched_glm_meats(
         for k, m in enumerate(models):
             y = _d(Var(m.y))
             eta = _eta_expr(to_full_beta(m), m.x, icpt_req, offset)
-            mu = fam.mu(eta)
-            s = fam.score(mu, y)
+            # per-model family (negbin auto-theta gives each model its own
+            # theta, hence its own score weight mu/(1+mu/theta))
+            mfam = getattr(m, "fam", fam)
+            mu = mfam.mu(eta)
+            s = mfam.score(mu, y)
             if om is not None:
                 s = om * s
             proj_cols.append(to_spark(_d(s)).alias(f"__s{k}"))

@@ -98,41 +98,34 @@ def conley_meat_plan(
     )
 
 
-def conley_pair_agg(
-    proj,
-    score_cols: list[str],
-    intercept: bool,
-    cutoff: float,
-    kernel: str = "uniform",
-    distance: str = "haversine",
-    max_cell_rows: int = 150_000,
-    cache: bool = False,
-    max_pair_estimate: float = 2e10,
-):
-    """Generic pair-enumeration meat over a prebuilt score projection
-    (columns: ``__e`` + ``score_cols`` + ``__lat``/``__lon``). Shared by
-    the OLS path (residual scores), the GLM path (family scores) and 2SLS
-    (Z scores) — returns (lazy agg_df, p, cached-projection-or-None).
-
-    ``cache=True`` persists the slim projection so the extent/occupancy
-    probes AND both join sides replay cached rows instead of re-deriving
-    the residual from the raw table per action (3-4 upstream scans -> 1);
-    collecting callers unpersist it after the aggregation."""
+def _validate_conley_opts(cutoff, kernel, distance):
     if cutoff <= 0:
         raise ValueError("conley cutoff must be > 0")
     if kernel not in ("uniform", "bartlett"):
         raise ValueError("conley kernel must be 'uniform' or 'bartlett'")
     if distance not in ("haversine", "euclidean"):
         raise ValueError("conley distance must be 'haversine' or 'euclidean'")
-    s_names = list(dict.fromkeys(score_cols))
-    cached = None
-    if cache:
-        proj = proj.cache()
-        cached = proj
 
+
+def _enumerate_pairs(
+    proj,
+    cutoff: float,
+    kernel: str,
+    distance: str,
+    max_cell_rows: int,
+    max_pair_estimate: float,
+    group_col: str | None = None,
+):
+    """Grid-cell bucketed within-cutoff pair enumeration over a score
+    projection: (pairs_df aliased l/r, kernel_column). ``group_col``
+    restricts pairs to rows sharing the group value (split levels: the
+    group joins the cell key, so each level's pairwise pass shares the ONE
+    exploded join; NULL groups match NULL via null-safe equality) and the
+    occupancy guard counts per (cell, group) — only same-group pairs are
+    ever evaluated."""
     if distance == "haversine":
         # lon degrees shrink by cos(lat): size the lon band by the corpus's
-        # worst case so |Δlon_deg| <= band for every within-cutoff pair.
+        # worst case so |dlon_deg| <= band for every within-cutoff pair.
         # One tiny aggregate (min/max/null-count probe rides here too).
         ext = proj.agg(
             F.min("__lat"), F.max("__lat"),
@@ -183,9 +176,12 @@ def conley_pair_agg(
 
     # occupancy guard + NULL-coordinate check in ONE grouped pass: a NULL
     # lat/lon lands in the (NULL, NULL) cell, so its row count falls out of
-    # the same aggregation (sort-free max for the cap)
+    # the same aggregation (sort-free max for the cap). With a group column
+    # the density that matters is per (cell, group) — cross-group pairs are
+    # never evaluated.
+    occ_keys = ["__cx", "__cy"] + ([group_col] if group_col else [])
     occ_row = (
-        cells.groupBy("__cx", "__cy")
+        cells.groupBy(*occ_keys)
         .count()
         .agg(
             F.max("count").alias("__occ"),
@@ -214,8 +210,8 @@ def conley_pair_agg(
             "would be quadratic there. Reduce the cutoff, pre-aggregate to "
             "a coarser spatial unit, or raise max_cell_rows deliberately."
         )
-    # total-work guard: the join evaluates ~9·Σ occupancy² candidate pairs
-    # (each row meets its 3x3 neighborhood). A distribution of many
+    # total-work guard: the join evaluates ~9 * sum occupancy^2 candidate
+    # pairs (each row meets its 3x3 neighborhood). A distribution of many
     # mid-sized cells can be intractable even when no single cell trips
     # max_cell_rows — cap on the estimate, not just the max.
     est_pairs = 9.0 * float(occ_row["__pairs2"] or 0.0)
@@ -255,28 +251,122 @@ def conley_pair_agg(
         .alias("r")
     )
 
-    pairs = left.join(right, on=["__jx", "__jy"]).where(dist <= F.lit(float(cutoff)))
+    cond = (F.col("l.__jx") == F.col("r.__jx")) & (
+        F.col("l.__jy") == F.col("r.__jy")
+    )
+    if group_col:
+        # null-safe: a NULL split level is a real level and pairs with itself
+        cond = cond & F.col(f"l.{group_col}").eqNullSafe(
+            F.col(f"r.{group_col}")
+        )
+    pairs = left.join(right, on=cond).where(dist <= F.lit(float(cutoff)))
     if kernel == "bartlett":
         k = 1.0 - dist / F.lit(float(cutoff))
     else:
         k = F.lit(1.0)
+    return pairs, k
 
-    p = (1 if intercept else 0) + len(s_names)
 
-    def col_of(side: str, idx: int):
+def _group_aggs(k, e_col, s_names, intercept, prefix):
+    """Upper-triangular sum(K * e_l * e_r * x_l[a] * x_r[b]) aggregate
+    columns for one score group."""
+
+    def col_of(side, idx):
         if intercept and idx == 0:
             return F.lit(1.0)
         name = s_names[idx - (1 if intercept else 0)]
         return F.col(f"{side}.{name}").cast("double")
 
-    ee = k * F.col("l.__e") * F.col("r.__e")
+    p = (1 if intercept else 0) + len(s_names)
+    ee = k * F.col(f"l.{e_col}") * F.col(f"r.{e_col}")
     aggs = []
     for a in range(p):
         for b in range(a, p):
             aggs.append(
-                F.sum(ee * col_of("l", a) * col_of("r", b)).alias(f"m_{a}_{b}")
+                F.sum(ee * col_of("l", a) * col_of("r", b)).alias(
+                    f"{prefix}_{a}_{b}"
+                )
             )
+    return aggs, p
+
+
+def conley_pair_agg(
+    proj,
+    score_cols: list[str],
+    intercept: bool,
+    cutoff: float,
+    kernel: str = "uniform",
+    distance: str = "haversine",
+    max_cell_rows: int = 150_000,
+    cache: bool = False,
+    max_pair_estimate: float = 2e10,
+):
+    """Generic pair-enumeration meat over a prebuilt score projection
+    (columns: ``__e`` + ``score_cols`` + ``__lat``/``__lon``). Shared by
+    the OLS path (residual scores), the GLM path (family scores) and 2SLS
+    (Z scores) — returns (lazy agg_df, p, cached-projection-or-None).
+
+    ``cache=True`` persists the slim projection so the extent/occupancy
+    probes AND both join sides replay cached rows instead of re-deriving
+    the residual from the raw table per action (3-4 upstream scans -> 1);
+    collecting callers unpersist it after the aggregation."""
+    _validate_conley_opts(cutoff, kernel, distance)
+    s_names = list(dict.fromkeys(score_cols))
+    cached = None
+    if cache:
+        proj = proj.cache()
+        cached = proj
+    pairs, k = _enumerate_pairs(
+        proj, cutoff, kernel, distance, max_cell_rows, max_pair_estimate
+    )
+    aggs, p = _group_aggs(k, "__e", s_names, intercept, "m")
     return pairs.agg(*aggs), p, cached
+
+
+def conley_pair_agg_batched(
+    proj,
+    groups: list[tuple[str, list[str], bool]],
+    cutoff: float,
+    kernel: str = "uniform",
+    distance: str = "haversine",
+    max_cell_rows: int = 150_000,
+    cache: bool = False,
+    max_pair_estimate: float = 2e10,
+    group_col: str | None = None,
+):
+    """Batched Conley pair aggregation: MANY score groups ride ONE
+    exploded cell join (the expensive part of the spatial pass).
+
+    ``groups``: one ``(e_col, score_cols, intercept)`` per model — each
+    model's K(d)*e_i*e_j*x_a*x_b sums land in ``m{k}_{a}_{b}`` columns of
+    the same aggregate row (dbreg_multi: M models, one pair pass instead
+    of M). ``group_col``: restrict pairs to rows sharing the column value
+    and GROUP the aggregation by it (dbreg_split: each level's meat from
+    the one join; the level joins the cell key so no cross-level pair is
+    ever evaluated). Returns (lazy agg_df [+ group_col column], [p_k],
+    cached-projection-or-None)."""
+    _validate_conley_opts(cutoff, kernel, distance)
+    cached = None
+    if cache:
+        proj = proj.cache()
+        cached = proj
+    pairs, k = _enumerate_pairs(
+        proj, cutoff, kernel, distance, max_cell_rows, max_pair_estimate,
+        group_col=group_col,
+    )
+    aggs, ps = [], []
+    for gi, (e_col, score_cols, icpt) in enumerate(groups):
+        s_names = list(dict.fromkeys(score_cols))
+        a_g, p_g = _group_aggs(k, e_col, s_names, icpt, f"m{gi}")
+        aggs += a_g
+        ps.append(p_g)
+    if group_col:
+        out = pairs.groupBy(
+            F.col(f"l.{group_col}").alias(group_col)
+        ).agg(*aggs)
+    else:
+        out = pairs.agg(*aggs)
+    return out, ps, cached
 
 
 def conley_meat(

@@ -104,6 +104,9 @@ def dbreg_split(
     verbose: bool = False,
     split_nmax: int = SPLIT_NMAX,
     include_full: bool = False,
+    conley_cutoff: float | None = None,
+    conley_kernel: str = "uniform",
+    conley_distance: str = "haversine",
 ) -> DbregSplit:
     """Fit ``fml`` separately for every level of ``split`` — see module
     docstring for the pass-count contract. NULL split values form their own
@@ -116,11 +119,23 @@ def dbreg_split(
     """
     # parse_vcov caps clustering at 3 variables (CGM subsets grow as 2^k)
     vcov_type, cluster_vars = parse_vcov(vcov, cluster)
+    conley_opts = None
     if vcov_type == "conley":
-        raise NotImplementedError(
-            "dbreg_split does not batch the conley spatial pair pass across "
-            "levels; fit per level with the single-model API"
-        )
+        # batched: every level's spatial meat rides ONE exploded cell join
+        # (the level joins the cell key — see plans/conley.py:
+        # conley_pair_agg_batched); per-level betas enter as a broadcast
+        # (level -> beta) table exactly like _split_meats
+        if conley_cutoff is None:
+            raise ValueError(
+                "vcov='conley ~ lat + lon' needs conley_cutoff= (km for "
+                "distance='haversine', coordinate units for 'euclidean')"
+            )
+        if strategy == "compress":
+            raise NotImplementedError(
+                "conley vcov needs row-level scores; use strategy "
+                "moments/demean (cells drop the coordinates)"
+            )
+        conley_opts = (conley_cutoff, conley_kernel, conley_distance)
     weight_col = parse_weights(weights)
     parsed = parse_formula(fml)
     if parsed.yvar is None:
@@ -204,7 +219,7 @@ def dbreg_split(
         models = _grouped_fit(
             frame_df, base, split, intercept, fe, fe_counts, vcov_type,
             cluster_vars, weight_col, split_nmax, parsed, design, strategy,
-            hac_lag=hac_lag,
+            hac_lag=hac_lag, conley_opts=conley_opts,
         )
     finally:
         if cached is not None:
@@ -214,14 +229,14 @@ def dbreg_split(
     if include_full:
         out["(full)"] = _full_fit(
             source, parsed, strategy, vcov, cluster, weights, drop_missings,
-            hac_lag=hac_lag,
+            hac_lag=hac_lag, conley_opts=conley_opts,
         )
     return out
 
 
 def _full_fit(
     source, parsed, strategy, vcov, cluster, weights, drop_missings,
-    hac_lag=None,
+    hac_lag=None, conley_opts=None,
 ):
     from .api import dbreg
 
@@ -232,9 +247,17 @@ def _full_fit(
         fml += " + 0"
     if parsed.fe:
         fml += " | " + " + ".join(parsed.fe)
+    ck = {}
+    if conley_opts is not None:
+        ck = dict(
+            conley_cutoff=conley_opts[0],
+            conley_kernel=conley_opts[1],
+            conley_distance=conley_opts[2],
+        )
     return dbreg(
         fml, data=source.df, vcov=vcov, cluster=cluster, weights=weights,
         hac_lag=hac_lag, strategy=strategy, drop_missings=drop_missings,
+        **ck,
     )
 
 
@@ -334,6 +357,7 @@ def _demean_within_split(base, split, fe, weight_col):
 def _grouped_fit(
     frame_df, base, split, intercept, fe, fe_counts, vcov_type, cluster_vars,
     weight_col, split_nmax, parsed, design, strategy, hac_lag=None,
+    conley_opts=None,
 ):
     x_cols = base.x_cols
     spec = moment_spec(
@@ -394,6 +418,11 @@ def _grouped_fit(
             frame_df, split, base.y_col, x_cols, intercept, sols, vcov_type,
             cluster_vars, weight_col, hac_lag=hac_lag,
         )
+    if vcov_type == "conley" and sols:
+        meats = _split_conley_meats(
+            frame_df, split, base.y_col, x_cols, intercept, sols,
+            cluster_vars, weight_col, conley_opts,
+        )
     cr3_V: dict = {}
     if vcov_type == "cr3" and sols:
         cr3_V, n_clusters = _split_cr3(
@@ -447,6 +476,77 @@ def _grouped_fit(
             weight_col=weight_col,
         )
     return models
+
+
+def _split_conley_meats(
+    frame_df, split, y_col, x_cols, intercept, sols, cluster_vars,
+    weight_col, conley_opts,
+):
+    """Every level's Conley spatial meat from ONE exploded cell join
+    (plans/conley.py:conley_pair_agg_batched, group_col=split): per-level
+    betas ride the same broadcast (level -> beta) table as _split_meats,
+    the level joins the cell key so no cross-level pair is ever evaluated,
+    and the grouped aggregation returns one meat row per level, sliced to
+    each level's kept coefficient layout driver-side."""
+    from .plans.conley import conley_pair_agg_batched
+
+    cutoff, kernel, distance = conley_opts
+    lat_col, lon_col = cluster_vars
+    spark = frame_df.sparkSession
+    p_x = len(x_cols)
+    off = 1 if intercept else 0
+    names_all = (["(Intercept)"] if intercept else []) + [
+        standardize_coef_names(n) for n in x_cols
+    ]
+    pos = {}
+    beta_rows = []
+    for lvl, s in sols.items():
+        collin, sol = s["collin"], s["sol"]
+        full = np.zeros(off + p_x)
+        for name, b in zip(collin.keep_names, sol.betahat):
+            full[names_all.index(name)] = b
+        beta_rows.append((lvl,) + tuple(float(v) for v in full))
+        pos[lvl] = collin
+    bcols = [f"__b{i}" for i in range(off + p_x)]
+    bt = spark.createDataFrame(
+        beta_rows,
+        schema=beta_schema(frame_df.schema[split].dataType, off + p_x),
+    )
+    j = frame_df.join(
+        F.broadcast(bt), on=F.col(split).eqNullSafe(F.col("__lvl"))
+    ).drop("__lvl")
+    fitted = F.col("__b0") if intercept else F.lit(0.0)
+    for i, xc in enumerate(x_cols):
+        fitted = fitted + F.col(bcols[off + i]) * F.col(xc).cast("double")
+    e = F.col(y_col).cast("double") - fitted
+    if weight_col is not None:
+        e = F.col(weight_col).cast("double") * e  # WLS score s = w·u·x
+    proj = j.select(
+        F.col(split),
+        e.alias("__e"),
+        *[F.col(c) for c in x_cols],
+        F.col(lat_col).cast("double").alias("__lat"),
+        F.col(lon_col).cast("double").alias("__lon"),
+    )
+    agg_df, ps, cached = conley_pair_agg_batched(
+        proj, [("__e", list(x_cols), intercept)], cutoff, kernel, distance,
+        cache=True, group_col=split,
+    )
+    rows = agg_df.collect()
+    if cached is not None:
+        cached.unpersist()
+    p = ps[0]
+    meats = {}
+    for r in rows:
+        lvl = r[split]
+        Mfull = np.zeros((p, p))
+        for a in range(p):
+            for b in range(a, p):
+                v = r[f"m0_{a}_{b}"]
+                Mfull[a, b] = Mfull[b, a] = float(v) if v is not None else 0.0
+        keep = np.asarray(pos[lvl].keep_idx, dtype=int)
+        meats[lvl] = Mfull[np.ix_(keep, keep)]
+    return meats
 
 
 def _split_cr3(

@@ -180,16 +180,26 @@ def dbglm_split(
     tol: float = 1e-8,
     split_nmax: int = 1000,
     verbose: bool = False,
+    conley_cutoff: float | None = None,
+    conley_kernel: str = "uniform",
+    conley_distance: str = "haversine",
 ) -> GlmSplit:
     """Fit one GLM per level of ``split`` in lockstep grouped IRLS passes
     (see module docstring). Returns ``{level: GlmModel}``."""
     # parse_vcov caps clustering at 3 variables (CGM subsets grow as 2^k)
     vcov_type, cluster_vars = parse_vcov(vcov, cluster)
+    conley_opts = None
     if vcov_type == "conley":
-        raise NotImplementedError(
-            "dbglm_split does not batch the conley spatial pair pass across "
-            "levels; fit per level with the single-model API"
-        )
+        # batched: every level's spatial meat rides ONE exploded cell join
+        # (the level joins the cell key, plans/conley.py:
+        # conley_pair_agg_batched) with per-level family scores at the
+        # broadcast (level -> beta) table
+        if conley_cutoff is None:
+            raise ValueError(
+                "vcov='conley ~ lat + lon' needs conley_cutoff= (km for "
+                "distance='haversine', coordinate units for 'euclidean')"
+            )
+        conley_opts = (conley_cutoff, conley_kernel, conley_distance)
 
     weight_col = parse_weights(weights)
     fam = get_family(family)
@@ -239,6 +249,12 @@ def dbglm_split(
 
     try:
         if parsed.fe:
+            if vcov_type == "conley":
+                raise NotImplementedError(
+                    "dbglm_split(conley) does not batch the per-level "
+                    "fepois profiled score pass; fit per level with "
+                    "dbglm(family='poisson', vcov='conley ~ lat + lon')"
+                )
             names_fe = [standardize_coef_names(n) for n in base.x_cols]
             return _fit_lockstep_fepois(
                 frame_df, sess, fam, parsed, split, list(base.x_cols),
@@ -249,6 +265,7 @@ def dbglm_split(
             frame_df, sess, fam, parsed, split, x_names, names_all, icpt,
             offset, weight_col, vcov_type, cluster_vars, max_iter, tol,
             split_nmax, verbose, p_all, design, hac_lag,
+            conley_opts=conley_opts,
         )
     finally:
         frame_df.unpersist()
@@ -257,7 +274,7 @@ def dbglm_split(
 def _fit_lockstep(
     frame_df, sess, fam, parsed, split, x_names, names_all, icpt, offset,
     weight_col, vcov_type, cluster_vars, max_iter, tol, split_nmax, verbose,
-    p_all, design, hac_lag=None,
+    p_all, design, hac_lag=None, conley_opts=None,
 ):
     # ---- first pass at β = 0 for every level (no join needed) ------------
     zero = frame_df
@@ -368,6 +385,11 @@ def _fit_lockstep(
         meats, n_clusters = _grouped_glm_meat(
             frame_df, sess, fam, split, states, x_names, icpt, offset,
             weight_col, vcov_type, cluster_vars, p_all, hac_lag,
+        )
+    if vcov_type == "conley":
+        meats = _grouped_glm_conley(
+            frame_df, sess, fam, split, states, x_names, icpt, offset,
+            weight_col, cluster_vars, p_all, conley_opts,
         )
 
     out = GlmSplit()
@@ -485,6 +507,61 @@ def _grouped_glm_meat(
         ki = keep_sets[lvl]
         meats[lvl] = meats[lvl][np.ix_(ki, ki)]
     return meats, ncl
+
+
+def _grouped_glm_conley(
+    frame_df, sess, fam, split, states, x_names, icpt, offset, weight_col,
+    cluster_vars, p_all, conley_opts,
+):
+    """Every level's Conley spatial GLM meat from ONE exploded cell join
+    (plans/conley.py:conley_pair_agg_batched, group_col=split): family
+    scores s = fam.score(mu, y)·x at the per-level broadcast beta, the
+    level joins the cell key so no cross-level pair is evaluated, one
+    grouped aggregation returns every level's meat row."""
+    from .plans.conley import conley_pair_agg_batched
+
+    cutoff, kernel, distance = conley_opts
+    lat_col, lon_col = cluster_vars
+    bt = _beta_frame(
+        sess, frame_df.schema[split].dataType,
+        {l: dict(s, cand=s["beta"]) for l, s in states.items()},
+        p_all,
+    )
+    j = frame_df.join(
+        F.broadcast(bt), on=F.col(split).eqNullSafe(F.col("__lvl"))
+    ).drop("__lvl")
+    y = _d(Var("__y_raw"))
+    eta = _col_eta(x_names, icpt, offset)
+    mu = fam.mu(eta)
+    s = fam.score(mu, y)
+    if weight_col is not None:
+        s = _d(Var(weight_col)) * s
+    proj = j.select(
+        F.col(split),
+        to_spark(_d(s)).alias("__e"),
+        *[F.col(n) for n in x_names],
+        F.col(lat_col).cast("double").alias("__lat"),
+        F.col(lon_col).cast("double").alias("__lon"),
+    )
+    agg_df, ps, cached = conley_pair_agg_batched(
+        proj, [("__e", list(x_names), icpt)], cutoff, kernel, distance,
+        cache=True, group_col=split,
+    )
+    rows = agg_df.collect()
+    if cached is not None:
+        cached.unpersist()
+    p = ps[0]
+    meats = {}
+    for r in rows:
+        lvl = r[split]
+        M = np.zeros((p, p))
+        for i in range(p):
+            for k in range(i, p):
+                v = r[f"m0_{i}_{k}"]
+                M[i, k] = M[k, i] = float(v) if v is not None else 0.0
+        ki = np.asarray(states[lvl]["keep_idx"], dtype=int)
+        meats[lvl] = M[np.ix_(ki, ki)]
+    return meats
 
 
 def _finish_level(

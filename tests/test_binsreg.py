@@ -294,3 +294,110 @@ def test_binsreg_save_load_roundtrip(bdata, tmp_path):
         np.testing.assert_array_equal(r2.model.vcov_, r.model.vcov_)
     # seed-reproducible: the sup-t cb columns came from the saved points
     assert "cb_lwr" in r.points.columns
+
+
+# --------------------------------------------------------------------------
+# GLM binscatter (dbbinsglm)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gdata(spark):
+    rng = np.random.default_rng(11)
+    n = 3000
+    x = rng.uniform(0, 10, n)
+    c = rng.normal(size=n)
+    eta = -1.0 + 0.3 * x - 0.8 * c
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-eta))).astype(float)
+    ypois = rng.poisson(np.exp(0.1 * x + 0.2 * c)).astype(float)
+    pdf = pd.DataFrame(dict(y=y, ypois=ypois, x=x, c=c))
+    return spark.createDataFrame(pdf), pdf
+
+
+def _numpy_irls(X, y, family, iters=50):
+    b = np.zeros(X.shape[1])
+    for _ in range(iters):
+        eta = X @ b
+        if family == "binomial":
+            mu = 1 / (1 + np.exp(-eta))
+            w = mu * (1 - mu)
+        else:
+            mu = np.exp(eta)
+            w = mu
+        z = eta + (y - mu) / np.maximum(w, 1e-12)
+        b = np.linalg.solve(X.T @ (X * w[:, None]), X.T @ (w * z))
+    eta = X @ b
+    if family == "binomial":
+        mu = 1 / (1 + np.exp(-eta))
+        w = mu * (1 - mu)
+    else:
+        mu = np.exp(eta)
+        w = mu
+    V = np.linalg.inv(X.T @ (X * w[:, None]))
+    return b, V
+
+
+def test_binsglm_logit_matches_numpy_irls(gdata):
+    """Link-scale per-bin fits + iid delta SEs vs a dense numpy IRLS on
+    the SAME binned design (controls included)."""
+    from dbreg_spark import dbbinsglm
+    from dbreg_spark.operators.binning import assign_bins
+
+    df, pdf = gdata
+    r = dbbinsglm(
+        "y ~ x + c", df, family="binomial", nbins=5, vcov="iid",
+        scale="link",
+    )
+    # oracle design: Spark's own bin assignment (binning is gate-tested)
+    bp = assign_bins(df, "x", "y", r.knots, keep_cols=["c"]).toPandas()
+    bins_int = bp["bin"].astype(int)
+    lv = sorted(bins_int.unique())
+    Dm = np.column_stack(
+        [np.ones(len(bp))]
+        + [(bins_int == b).astype(float).values for b in lv[1:]]
+        + [bp["c"].values]
+    )
+    b_np, V_np = _numpy_irls(Dm, bp["y"].values, "binomial")
+    flat = len(set(np.round(r.points["fit"], 6))) == 1
+    assert not flat, "per-bin fits must differ (dummy lookup broken)"
+    for i, row in r.points.iterrows():
+        bi = int(row["bin"])
+        w = np.zeros(Dm.shape[1])
+        w[0] = 1.0
+        if bi in lv[1:]:
+            w[1 + lv[1:].index(bi)] = 1.0
+        np.testing.assert_allclose(row["fit"], w @ b_np, rtol=1e-6)
+        np.testing.assert_allclose(
+            row["se"], np.sqrt(w @ V_np @ w), rtol=1e-5
+        )
+
+
+def test_binsglm_saturated_equals_bin_means(gdata):
+    """No controls: bin dummies saturate the design, so the response-scale
+    fitted value per bin is EXACTLY the bin mean of y (binomial and
+    poisson), and binomial CIs stay inside [0, 1]."""
+    from dbreg_spark import dbbinsglm
+    from dbreg_spark.operators.binning import assign_bins
+
+    df, pdf = gdata
+    for fam, yc in (("binomial", "y"), ("poisson", "ypois")):
+        r = dbbinsglm(f"{yc} ~ x", df, family=fam, nbins=4)
+        bp = assign_bins(df, "x", yc, r.knots).toPandas()
+        means = bp.groupby(bp["bin"].astype(int))[yc].mean()
+        for _, row in r.points.iterrows():
+            np.testing.assert_allclose(
+                row["fit"], means[int(row["bin"])], rtol=1e-6
+            )
+        if fam == "binomial":
+            assert (r.points["lwr"] >= 0).all()
+            assert (r.points["upr"] <= 1).all()
+
+
+def test_binsglm_refusals(gdata):
+    from dbreg_spark import dbbinsglm
+
+    df, _ = gdata
+    with pytest.raises(NotImplementedError, match="fe"):
+        dbbinsglm("y ~ x | c", df, family="binomial")
+    with pytest.raises(ValueError, match="scale"):
+        dbbinsglm("y ~ x", df, family="binomial", scale="nope")

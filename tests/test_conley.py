@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyspark.sql.functions as F
 import pytest
 
 from dbreg_spark import dbreg
@@ -389,3 +390,175 @@ def test_iv_conley_matches_dense(spark):
     )
     with pytest.raises(ValueError, match="conley_cutoff"):
         dbiv("y ~ x_ex | x_end ~ z", df, vcov="conley ~ lat + lon")
+
+
+def test_split_conley_batched_matches_per_level(geo, monkeypatch):
+    """dbreg_split(vcov='conley ~ lat + lon') matches a per-level dbreg
+    conley fit exactly, and every level's meat rides ONE batched pair
+    join (call count pinned)."""
+    import dbreg_spark.plans.conley as conley_mod
+    import dbreg_spark.split as split_mod
+    from dbreg_spark.split import dbreg_split
+
+    df, pdf = geo
+    df2 = df.withColumn("grp", (F.col("fe") % 2).cast("int"))
+
+    calls = {"n": 0}
+    orig = conley_mod.conley_pair_agg_batched
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(conley_mod, "conley_pair_agg_batched", counting)
+    # split.py imports the symbol inside the function body from the module,
+    # so patching the module attribute is enough
+
+    sp = dbreg_split(
+        "y ~ x1 + x2", df2, split="grp",
+        vcov="conley ~ lat + lon", conley_cutoff=CUT,
+    )
+    assert calls["n"] == 1
+    for lvl in (0, 1):
+        o = dbreg(
+            "y ~ x1 + x2", df2.where(F.col("grp") == lvl),
+            vcov="conley ~ lat + lon", conley_cutoff=CUT,
+        )
+        m = sp[lvl]
+        np.testing.assert_allclose(
+            m.coeftable["estimate"].values,
+            o.coeftable["estimate"].values, rtol=1e-10,
+        )
+        np.testing.assert_allclose(
+            m.coeftable["std.error"].values,
+            o.coeftable["std.error"].values, rtol=1e-9,
+        )
+
+
+def test_split_conley_demean_matches_per_level(geo):
+    """Batched split conley on a 1-FE demean model: the within residual
+    scores and per-level FE dof match the single-model path."""
+    from dbreg_spark.split import dbreg_split
+
+    df, pdf = geo
+    df2 = df.withColumn("grp", (F.col("fe") % 2).cast("int"))
+    sp = dbreg_split(
+        "y ~ x1 + x2 | fe", df2, split="grp", strategy="demean",
+        vcov="conley ~ lat + lon", conley_cutoff=CUT,
+        conley_kernel="bartlett",
+    )
+    for lvl in (0, 1):
+        o = dbreg(
+            "y ~ x1 + x2 | fe", df2.where(F.col("grp") == lvl),
+            strategy="demean", vcov="conley ~ lat + lon",
+            conley_cutoff=CUT, conley_kernel="bartlett",
+        )
+        m = sp[lvl]
+        np.testing.assert_allclose(
+            m.coeftable["estimate"].values,
+            o.coeftable["estimate"].values, rtol=1e-9,
+        )
+        np.testing.assert_allclose(
+            m.coeftable["std.error"].values,
+            o.coeftable["std.error"].values, rtol=1e-8,
+        )
+
+
+def test_multi_conley_batched_matches_per_model(geo, monkeypatch):
+    """dbreg_multi(vcov='conley ~ lat + lon'): every submodel's spatial
+    meat from ONE batched pair join — parity vs per-model dbreg conley,
+    pair-pass count pinned at 1."""
+    import dbreg_spark.plans.conley as conley_mod
+    from dbreg_spark.multi import dbreg_multi
+
+    df, pdf = geo
+    calls = {"n": 0}
+    orig = conley_mod.conley_pair_agg_batched
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(conley_mod, "conley_pair_agg_batched", counting)
+    mm = dbreg_multi(
+        "y ~ sw(x1, x2)", df, vcov="conley ~ lat + lon",
+        conley_cutoff=CUT,
+    )
+    assert calls["n"] == 1
+    assert mm.n_passes == 2  # union Gram + ONE batched conley pair pass
+    for (yv, step), m in mm.models.items():
+        o = dbreg(
+            f"{yv} ~ {step}", df, vcov="conley ~ lat + lon",
+            conley_cutoff=CUT,
+        )
+        np.testing.assert_allclose(
+            m.coeftable["estimate"].values,
+            o.coeftable["estimate"].values, rtol=1e-10,
+        )
+        np.testing.assert_allclose(
+            m.coeftable["std.error"].values,
+            o.coeftable["std.error"].values, rtol=1e-9,
+        )
+
+
+def test_multi_conley_demean_matches_per_model(geo):
+    from dbreg_spark.multi import dbreg_multi
+
+    df, pdf = geo
+    mm = dbreg_multi(
+        "y ~ csw(x1, x2) | fe", df, vcov="conley ~ lat + lon",
+        conley_cutoff=CUT, conley_kernel="bartlett",
+    )
+    for (yv, step), m in mm.models.items():
+        o = dbreg(
+            f"{yv} ~ {step} | fe", df, strategy="demean",
+            vcov="conley ~ lat + lon", conley_cutoff=CUT,
+            conley_kernel="bartlett",
+        )
+        np.testing.assert_allclose(
+            m.coeftable["estimate"].values,
+            o.coeftable["estimate"].values, rtol=1e-9,
+        )
+        np.testing.assert_allclose(
+            m.coeftable["std.error"].values,
+            o.coeftable["std.error"].values, rtol=1e-8,
+        )
+
+
+def test_glm_split_conley_batched_matches_per_level(geo_glm, monkeypatch):
+    """dbglm_split(vcov='conley ~ lat + lon'): per-level family scores in
+    ONE batched pair join — parity vs per-level dbglm conley."""
+    import dbreg_spark.plans.conley as conley_mod
+    from dbreg_spark import dbglm
+    from dbreg_spark.split_glm import dbglm_split
+
+    df, pdf = geo_glm
+    df2 = df.withColumn("grp", (F.col("fe") % 2).cast("int"))
+    calls = {"n": 0}
+    orig = conley_mod.conley_pair_agg_batched
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(conley_mod, "conley_pair_agg_batched", counting)
+    sp = dbglm_split(
+        "y ~ x1 + x2", df2, split="grp", family="poisson",
+        vcov="conley ~ lat + lon", conley_cutoff=CUT,
+    )
+    assert calls["n"] == 1
+    for lvl in (0, 1):
+        o = dbglm(
+            "y ~ x1 + x2", df2.where(F.col("grp") == lvl),
+            family="poisson", vcov="conley ~ lat + lon",
+            conley_cutoff=CUT,
+        )
+        m = sp[lvl]
+        np.testing.assert_allclose(
+            m.coeftable["estimate"].values,
+            o.coeftable["estimate"].values, rtol=1e-7,
+        )
+        np.testing.assert_allclose(
+            m.coeftable["std.error"].values,
+            o.coeftable["std.error"].values, rtol=1e-6,
+        )

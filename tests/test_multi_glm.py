@@ -124,9 +124,6 @@ def test_multi_glm_refusals(li_glm):
     with pytest.raises(NotImplementedError, match="fixed effects"):
         dbglm_multi("l_linenumber ~ sw(l_quantity, l_discount) | l_returnflag",
                     li_glm, family="poisson")
-    with pytest.raises(NotImplementedError, match="FIXED theta"):
-        dbglm_multi("l_linenumber ~ sw(l_quantity, l_discount)", li_glm,
-                    family="negbin")
     with pytest.raises(NotImplementedError, match="cr3"):
         dbglm_multi("is_return ~ sw(l_quantity, l_discount)", li_glm,
                     family="binomial", vcov="cr3 ~ l_returnflag")
@@ -136,3 +133,34 @@ def test_multi_glm_refusals(li_glm):
     with pytest.raises(ValueError, match="outside"):
         dbglm_multi("c(is_return, l_quantity) ~ l_discount", li_glm,
                     family="binomial")
+
+
+def test_multi_glm_negbin_auto_theta_matches_single(li_glm):
+    """negbin with theta=None: the per-model two-step (poisson lockstep ->
+    ONE shared alpha pass -> per-model fixed-theta negbin lockstep) must
+    reproduce each dbglm(family='negbin', theta=None) two-step fit —
+    including each model's own theta-hat in the family label."""
+    mm = dbglm_multi(
+        "l_linenumber ~ sw(l_quantity, l_discount)", li_glm,
+        family="negbin", vcov="hc1",
+    )
+    thetas = set()
+    for (y, step), m in mm.models.items():
+        o = dbglm(f"{y} ~ {step}", li_glm, family="negbin", vcov="hc1")
+        assert m.coef_names == o.coef_names
+        np.testing.assert_allclose(
+            m.coeftable["estimate"].values, o.coeftable["estimate"].values,
+            rtol=1e-7,
+        )
+        np.testing.assert_allclose(
+            m.coeftable["std.error"].values,
+            o.coeftable["std.error"].values, rtol=1e-6,
+        )
+        np.testing.assert_allclose(m.loglik, o.loglik, rtol=1e-8)
+        assert m.family.startswith("negbin(theta=")
+        th_m = float(m.family[len("negbin(theta="):-1])
+        th_o = float(o.family[len("negbin(theta="):-1])
+        np.testing.assert_allclose(th_m, th_o, rtol=1e-7)
+        thetas.add(round(th_m, 6))
+    # the two submodels genuinely get DIFFERENT thetas
+    assert len(thetas) == 2
