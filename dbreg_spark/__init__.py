@@ -21,7 +21,7 @@ from .glm import GlmModel, dbglm
 from .iv import IvModel, dbiv
 from .model import DbregModel
 from .eventstudy import EventStudyResult, event_study, sun_abraham
-from .diagnostics import mundlak_hausman
+from .diagnostics import mundlak_hausman, wooldridge_fd_test
 from .etable import etable
 from .multi import DbregMulti, dbreg_multi
 from .multi_glm import GlmMulti, dbglm_multi
@@ -47,6 +47,7 @@ __all__ = [
     "dbreg_multi",
     "etable",
     "mundlak_hausman",
+    "wooldridge_fd_test",
     "dbglm_multi",
     "GlmMulti",
     "DbregMulti",

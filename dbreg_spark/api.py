@@ -485,8 +485,12 @@ def _execute_moments(
         want_sql=source.sql_from is not None,
         weight_col=weight_col,
     )
+    # honor the formula's intercept flag (`y ~ 0 + x` / `- 1`): the
+    # moment spec, the assembled normal equations and the TSS convention
+    # (uncentered for no-intercept, R's summary.lm convention) all follow
+    has_icpt = parsed.intercept
     spec = moment_spec(
-        Var(frame.y_col), [Var(n) for n in frame.x_cols], intercept=True,
+        Var(frame.y_col), [Var(n) for n in frame.x_cols], intercept=has_icpt,
         weight=Var(weight_col) if weight_col else None,
     )
     sql = None
@@ -502,16 +506,21 @@ def _execute_moments(
         return pd.DataFrame([row])
     _check_weights_valid(row, weight_col)
 
-    names_all = ["(Intercept)"] + [standardize_coef_names(n) for n in frame.x_cols]
+    names_all = (["(Intercept)"] if has_icpt else []) + [
+        standardize_coef_names(n) for n in frame.x_cols
+    ]
     xtx, xty, n_total, sum_y, sum_y_sq = assemble_normal_eqs(
-        row, len(frame.x_cols), intercept=True
+        row, len(frame.x_cols), intercept=has_icpt
     )
     collin = detect_collinearity(xtx, xty, names_all)
     sol = solve_with_fallback(collin.xtx, collin.xty)
     rss = rss_from_moments(sum_y_sq, sol.betahat, collin.xtx, collin.xty)
-    # weighted TSS centers on the weighted mean: Σw·y² − (Σw·y)²/Σw
-    tss_n = float(row["sum_w"]) if weight_col else n_total
-    tss = tss_from_moments(sum_y_sq, sum_y, tss_n)
+    if has_icpt:
+        # weighted TSS centers on the weighted mean: Σw·y² − (Σw·y)²/Σw
+        tss_n = float(row["sum_w"]) if weight_col else n_total
+        tss = tss_from_moments(sum_y_sq, sum_y, tss_n)
+    else:
+        tss = sum_y_sq  # uncentered (R's no-intercept R² convention)
     p = len(collin.keep_names)
     df_res = max(n_total - p, 1)
 
@@ -579,6 +588,7 @@ def _execute_moments(
         design_info=design,
         parsed=parsed,
         weight_col=weight_col,
+        intercept=has_icpt,
     )
 
 
@@ -1762,7 +1772,8 @@ def build_plan(
         want_sql=source.sql_from is not None, weight_col=weight_col,
     )
     if strategy == "moments":
-        frame, intercept, n_fe = base, True, []
+        # mirror _execute_moments: the formula's intercept flag rules
+        frame, intercept, n_fe = base, parsed.intercept, []
     elif strategy == "demean":
         # k>2 (or any weighted k≥2): fixed-sweep iterated demeaning so the
         # plan (and its SQL mirror) is deterministic — pins the transform

@@ -520,3 +520,87 @@ def mundlak_hausman(fml: str, data=None, *, vcov=None, **kwargs) -> dict:
         "method": "Mundlak-Hausman (CRE group-mean Wald)",
         "model": m,
     }
+
+
+def wooldridge_fd_test(
+    fml: str, data=None, *, panel: str, time: str, **kwargs
+) -> dict:
+    """Wooldridge's (2002, §10.6.3) first-difference test for serial
+    correlation in panel models (Drukker 2003 / Stata ``xtserial``): fit
+    Δy on Δx (no constant — it differences out), then regress the FD
+    residual on its own within-panel lag; under NO serial correlation in
+    the LEVEL errors, corr(e_it, e_i,t-1) = −0.5, so the test is the
+    panel-clustered Wald of slope = −0.5. This is the right tool for
+    absorbed-FE models (bg_test's raw-residual null does not transfer to
+    within residuals — its FE refusal points here).
+
+    Distributed plan: one within-panel window pass builds the Δ frame,
+    one moments pass fits the FD regression, one more window + moments +
+    clustered-meat pass tests the lag slope — no driver-side data.
+
+    ``fml`` is the LEVELS formula (``y ~ x1 + x2``, optionally
+    ``| panel`` which must match ``panel=``); numeric regressors only.
+    ``time`` must be unique within each panel for a deterministic lag.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from .api import dbreg
+    from .formula import parse_formula
+    from .stats import t_sf
+
+    parsed = parse_formula(fml)
+    if parsed.fe and parsed.fe != [panel]:
+        raise ValueError(
+            f"wooldridge_fd_test: the formula's FE part {parsed.fe} must "
+            f"be the panel unit {panel!r} (unit effects difference out; "
+            "other FEs do not)"
+        )
+    if any(len(t.vars) > 1 for t in parsed.terms):
+        raise ValueError("wooldridge_fd_test supports additive numeric terms")
+    y, xs = parsed.yvar, [t.vars[0] for t in parsed.terms]
+
+    w = Window.partitionBy(panel).orderBy(time)
+    dcols = [
+        (F.col(v).cast("double") - F.lag(F.col(v).cast("double")).over(w)).alias(
+            f"__d{i}"
+        )
+        for i, v in enumerate([y] + xs)
+    ]
+    fd = (
+        data.select(F.col(panel).alias("__p"), F.col(time).alias("__t"), *dcols)
+        .dropna(subset=[f"__d{i}" for i in range(1 + len(xs))])
+    )
+    rhs = " + ".join([f"__d{i}" for i in range(1, 1 + len(xs))] + ["0"])
+    m1 = dbreg(f"__d0 ~ {rhs}", fd, strategy="moments", vcov="iid", **kwargs)
+    b = dict(
+        zip(m1.coeftable.index, m1.coeftable["estimate"].astype(float))
+    )
+    e = F.col("__d0")
+    for i in range(1, 1 + len(xs)):
+        name = f"__d{i}"
+        if name in b:  # collinear FD regressors carry beta = 0
+            e = e - F.lit(b[name]) * F.col(name)
+    w2 = Window.partitionBy("__p").orderBy("__t")
+    aux = (
+        fd.select("__p", "__t", e.alias("__e"))
+        .withColumn("__el", F.lag("__e").over(w2))
+        .dropna(subset=["__el"])
+    )
+    m2 = dbreg(
+        "__e ~ __el + 0", aux, strategy="moments", vcov="~ __p",
+    )
+    slope = float(m2.coeftable["estimate"]["__el"])
+    se = float(m2.coeftable["std.error"]["__el"])
+    g = int(m2.n_clusters or 0)
+    df = max(g - 1, 1)
+    stat = (slope + 0.5) / se
+    return {
+        "statistic": stat,
+        "slope": slope,
+        "se": se,
+        "df": df,
+        "n_clusters": g,
+        "p_value": float(t_sf(stat, df)),
+        "method": "Wooldridge FD serial-correlation (H0: slope = -0.5)",
+    }

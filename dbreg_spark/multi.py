@@ -779,7 +779,7 @@ def dbreg_multi(
     n_passes = 0
     if strategy == "moments":
         frame = base
-        use_intercept = True
+        use_intercept = has_icpt  # the formulas' shared intercept flag
         n_fe_exprs = None
     else:
         force_iter = (strategy == "demean_iter") or (
@@ -1008,7 +1008,7 @@ def build_multi_plan(
     if strategy == "within":
         strategy = "demean"
     if strategy == "moments":
-        frame, use_intercept, n_fe_exprs = base, True, None
+        frame, use_intercept, n_fe_exprs = base, has_icpt, None
     else:
         force_iter = (strategy == "demean_iter") or (
             weight_col is not None and len(fe) >= 2

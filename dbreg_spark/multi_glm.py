@@ -77,6 +77,9 @@ def dbglm_multi(
     tol: float = 1e-8,
     drop_missings: bool = True,
     verbose: bool = False,
+    conley_cutoff: float | None = None,
+    conley_kernel: str = "uniform",
+    conley_distance: str = "haversine",
     _spec=None,
     _case_vars: list[str] | None = None,
 ) -> GlmMulti:
@@ -98,11 +101,21 @@ def dbglm_multi(
     # aggregation). ML theta profiling stays per-model (dbglm theta='ml').
     want_auto_theta = fam.name == "negbin" and fam.theta is None
     vcov_type, cluster_vars = parse_vcov(vcov, cluster, valid=("iid", "hc1"))
-    if vcov_type in ("cr3", "conley"):
+    if vcov_type == "cr3":
         raise NotImplementedError(
             f"dbglm_multi does not support vcov={vcov!r}; fit per model "
             "with dbglm"
         )
+    conley_opts = None
+    if vcov_type == "conley":
+        # batched like dbreg_multi: every model's spatial meat (family
+        # scores at its own final beta) rides ONE exploded cell join
+        if conley_cutoff is None:
+            raise ValueError(
+                "vcov='conley ~ lat + lon' needs conley_cutoff= (km for "
+                "distance='haversine', coordinate units for 'euclidean')"
+            )
+        conley_opts = (conley_cutoff, conley_kernel, conley_distance)
     weight_col = parse_weights(weights)
 
     spec = _spec if _spec is not None else parse_multi_formula(fml)
@@ -196,7 +209,8 @@ def dbglm_multi(
                 family=family, vcov=vcov, cluster=cluster, offset=offset,
                 weights=weights, theta=theta, hac_lag=hac_lag,
                 max_iter=max_iter, tol=tol, drop_missings=drop_missings,
-                verbose=verbose,
+                verbose=verbose, conley_cutoff=conley_cutoff,
+                conley_kernel=conley_kernel, conley_distance=conley_distance,
                 _spec=MultiSpec(lhs=spec.lhs, steps=g, fe_str=""),
                 _case_vars=_case_vars
                 or list(dict.fromkeys(uparsed.xvars + spec.lhs)),
@@ -529,6 +543,12 @@ def dbglm_multi(
             fdf, fam, models, icpt_req, offset, weight_col, vcov_type,
             cluster_vars, hac_lag, n_total,
         )
+    if vcov_type == "conley":
+        _batched_glm_conley(
+            fdf, models, icpt_req, offset, weight_col, cluster_vars,
+            conley_opts,
+        )
+        n_passes += 1
 
     # negbin: the reported loglik adds the beta-free lgamma terms (one
     # y-histogram pass per DISTINCT (outcome, theta); deviance stays
@@ -641,6 +661,54 @@ def dbglm_multi(
             _betahat=m.beta,
         )
     return out
+
+
+def _batched_glm_conley(
+    fdf, models, icpt_req, offset, weight_col, cluster_vars, conley_opts
+):
+    """EVERY model's Conley spatial GLM meat from ONE exploded cell join
+    (plans/conley.py:conley_pair_agg_batched): per-model family scores
+    s_k = m.fam.score(mu_k, y_k) at each model's final beta ride the
+    shared projection as __e{k}; each model's K(d)-weighted block lands
+    in its own column group of the same aggregate row."""
+    from .plans.conley import conley_pair_agg_batched
+
+    cutoff, kernel, distance = conley_opts
+    lat_col, lon_col = cluster_vars
+    om: Expr | None = _d(Var(weight_col)) if weight_col else None
+    proj_cols = []
+    for k, m in enumerate(models):
+        y = _d(Var(m.y))
+        full = np.zeros(m.p_all)
+        full[np.asarray(m.keep_idx, dtype=int)] = m.beta
+        eta = _eta_expr(full, m.x, icpt_req, offset)
+        mu = m.fam.mu(eta)
+        s = m.fam.score(mu, y)
+        if om is not None:
+            s = om * s
+        proj_cols.append(to_spark(_d(s)).alias(f"__e{k}"))
+    carry = dict.fromkeys(sum([m.x_kept for m in models], []))
+    proj = fdf.select(
+        *proj_cols,
+        *[F.col(c) for c in carry],
+        F.col(lat_col).cast("double").alias("__lat"),
+        F.col(lon_col).cast("double").alias("__lon"),
+    )
+    groups = [(f"__e{k}", list(m.x_kept), m.icpt) for k, m in enumerate(models)]
+    agg_df, ps, cached = conley_pair_agg_batched(
+        proj, groups, cutoff, kernel, distance, cache=True
+    )
+    row = agg_df.collect()[0].asDict()
+    if cached is not None:
+        cached.unpersist()
+    for k, m in enumerate(models):
+        p = ps[k]
+        meat = np.zeros((p, p))
+        for i in range(p):
+            for j in range(i, p):
+                v = row[f"m{k}_{i}_{j}"]
+                meat[i, j] = meat[j, i] = float(v) if v is not None else 0.0
+        m.meat = meat
 
 
 def _batched_glm_meats(

@@ -562,3 +562,40 @@ def test_glm_split_conley_batched_matches_per_level(geo_glm, monkeypatch):
             m.coeftable["std.error"].values,
             o.coeftable["std.error"].values, rtol=1e-6,
         )
+
+
+def test_glm_multi_conley_batched_matches_per_model(geo_glm, monkeypatch):
+    """dbglm_multi(vcov='conley ~ lat + lon'): every submodel's spatial
+    meat (family scores at its own final beta) from ONE batched pair
+    join — parity vs per-model dbglm conley, pair passes pinned."""
+    import dbreg_spark.plans.conley as conley_mod
+    from dbreg_spark import dbglm
+    from dbreg_spark.multi_glm import dbglm_multi
+
+    df, pdf = geo_glm
+    calls = {"n": 0}
+    orig = conley_mod.conley_pair_agg_batched
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(conley_mod, "conley_pair_agg_batched", counting)
+    mm = dbglm_multi(
+        "y ~ sw(x1, x2)", df, family="poisson",
+        vcov="conley ~ lat + lon", conley_cutoff=CUT,
+    )
+    assert calls["n"] == 1
+    for (yv, step), m in mm.models.items():
+        o = dbglm(
+            f"{yv} ~ {step}", df, family="poisson",
+            vcov="conley ~ lat + lon", conley_cutoff=CUT,
+        )
+        np.testing.assert_allclose(
+            m.coeftable["estimate"].values,
+            o.coeftable["estimate"].values, rtol=1e-8,
+        )
+        np.testing.assert_allclose(
+            m.coeftable["std.error"].values,
+            o.coeftable["std.error"].values, rtol=1e-6,
+        )

@@ -328,3 +328,65 @@ def test_mundlak_hausman(spark):
     assert h1["model"].strategy == "mundlak"
     with pytest.raises(ValueError, match="fe"):
         mundlak_hausman("y_re ~ x_unc", df)
+
+
+def test_wooldridge_fd_matches_dense_oracle(spark):
+    """Parity vs a numpy implementation of Drukker's xtserial recipe
+    (FD regression -> residual-on-lag, panel-clustered slope test of
+    -0.5), plus level/power: AR(1) level errors reject, iid don't."""
+    from dbreg_spark import wooldridge_fd_test
+
+    rng = np.random.default_rng(3)
+    G, T = 120, 8
+    g = np.repeat(np.arange(G), T)
+    t = np.tile(np.arange(T), G)
+    x = rng.normal(size=G * T)
+    alpha = np.repeat(rng.normal(size=G), T)
+    u_iid = rng.normal(size=G * T)
+    # AR(1) level errors
+    u_ar = np.zeros(G * T)
+    for i in range(G * T):
+        u_ar[i] = (0.6 * u_ar[i - 1] if t[i] > 0 else 0.0) + rng.normal()
+    pdf = pd.DataFrame(
+        dict(
+            g=g.astype("int64"), t=t.astype("int64"), x=x,
+            y0=1.0 + 2.0 * x + alpha + u_iid,
+            y1=1.0 + 2.0 * x + alpha + u_ar,
+        )
+    )
+    df = spark.createDataFrame(pdf)
+
+    def oracle(ycol):
+        d = pdf.sort_values(["g", "t"]).copy()
+        dy = d.groupby("g")[ycol].diff().values
+        dx = d.groupby("g")["x"].diff().values
+        keep = ~np.isnan(dy)
+        dyk, dxk, gk = dy[keep], dx[keep], d["g"].values[keep]
+        b = (dxk @ dyk) / (dxk @ dxk)  # no constant
+        e = dyk - b * dxk
+        ed = pd.DataFrame(dict(g=gk, e=e, t=d["t"].values[keep]))
+        ed["el"] = ed.groupby("g")["e"].shift()
+        ed = ed.dropna()
+        s = float((ed.el @ ed.e) / (ed.el @ ed.el))
+        r = ed.e.values - s * ed.el.values
+        # CR1 clustered se of the no-intercept slope
+        sg = ed.assign(sc=r * ed.el.values).groupby("g")["sc"].sum()
+        Gc = len(sg)
+        n = len(ed)
+        meat = float((sg**2).sum())
+        bread = float((ed.el**2).sum())
+        scale = (Gc / (Gc - 1)) * ((n) / (n - 1))
+        return s, np.sqrt(scale * meat) / bread, Gc
+
+    r0 = wooldridge_fd_test("y0 ~ x", df, panel="g", time="t")
+    s, se, Gc = oracle("y0")
+    np.testing.assert_allclose(r0["slope"], s, rtol=1e-8)
+    np.testing.assert_allclose(r0["se"], se, rtol=1e-6)
+    assert r0["n_clusters"] == Gc
+    assert r0["p_value"] > 0.05  # iid level errors: do not reject
+
+    r1 = wooldridge_fd_test("y1 ~ x | g", df, panel="g", time="t")
+    assert r1["p_value"] < 1e-4  # AR(1) level errors: reject hard
+
+    with pytest.raises(ValueError, match="panel unit"):
+        wooldridge_fd_test("y0 ~ x | t", df, panel="g", time="t")

@@ -118,3 +118,39 @@ def test_gof(spark, li):
     ss_res = resid @ resid
     ss_tot = ((yv - yv.mean()) ** 2).sum()
     np.testing.assert_allclose(m.r2(), 1 - ss_res / ss_tot, rtol=1e-9)
+
+
+def test_no_intercept_moments_matches_numpy(tables):
+    """`y ~ 0 + x` on the moments strategy: the formula's intercept flag
+    is honored (no silent intercept), R² uses the uncentered TSS (R's
+    no-intercept summary.lm convention), HC1 follows the kept layout."""
+    import numpy as np
+
+    li = tables["lineitem"].select(
+        "l_extendedprice", "l_quantity", "l_discount"
+    ).dropna()
+    from dbreg_spark import dbreg
+
+    m = dbreg(
+        "l_extendedprice ~ 0 + l_quantity + l_discount", li,
+        strategy="moments", vcov="hc1",
+    )
+    assert "(Intercept)" not in m.coef_names
+    pdf = li.toPandas()
+    X = pdf[["l_quantity", "l_discount"]].to_numpy(dtype=float)
+    y = pdf["l_extendedprice"].to_numpy(dtype=float)
+    b = np.linalg.solve(X.T @ X, X.T @ y)
+    np.testing.assert_allclose(
+        m.coeftable["estimate"].values, b, rtol=1e-9
+    )
+    u = y - X @ b
+    n, p = X.shape
+    XtXi = np.linalg.inv(X.T @ X)
+    V = (n / (n - p)) * XtXi @ (X * (u * u)[:, None]).T @ X @ XtXi
+    np.testing.assert_allclose(
+        m.coeftable["std.error"].values, np.sqrt(np.diag(V)), rtol=1e-8
+    )
+    # uncentered R²
+    np.testing.assert_allclose(
+        m.r2(), 1 - (u @ u) / (y @ y), rtol=1e-10
+    )
