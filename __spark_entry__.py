@@ -500,6 +500,52 @@ def _diag_bg_plan(spark: SparkSession):
     return agg_df, sql
 
 
+def _diag_wooldridge_plan(spark: SparkSession):
+    """(agg_df, oracle_sql) for the Wooldridge FD test's final moments
+    pass: first-difference a literal-beta FD residual WITHIN l_orderkey
+    (ordered by the fully-tiebroken key — duplicate (orderkey, linenumber)
+    pairs exist in the testdata), lag it once more, and aggregate the
+    no-intercept __e ~ __el moments (diagnostics.py:wooldridge_fd_test's
+    second regression input)."""
+    from dbreg_spark.design import build_design
+    from dbreg_spark.formula import parse_formula
+    from dbreg_spark.plans.common import Source, agg_select_sql, moment_spec
+    from dbreg_spark.plans.exprs import Var, agg_to_spark
+    from dbreg_spark.plans.frames import build_base_frame
+
+    b1 = -20.0  # literal FD slope (the gate pins the PASS, not the fit)
+    where = (
+        "l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL "
+        "AND l_discount IS NOT NULL"
+    )
+    ordk = "l_linenumber, l_extendedprice, l_quantity, l_discount"
+    inner = (
+        "SELECT __e, LAG(__e) OVER (PARTITION BY l_orderkey "
+        "ORDER BY rn) AS __el FROM ("
+        "SELECT l_orderkey, rn, (dy - " + repr(b1) + " * dx) / 10000.0 AS __e "
+        "FROM (SELECT l_orderkey, rn, "
+        "y - LAG(y) OVER (PARTITION BY l_orderkey ORDER BY rn) AS dy, "
+        "x - LAG(x) OVER (PARTITION BY l_orderkey ORDER BY rn) AS dx "
+        "FROM (SELECT l_orderkey, l_extendedprice AS y, l_quantity AS x, "
+        f"ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY {ordk}) AS rn "
+        f"FROM lineitem WHERE {where}) __w0) __w1 "
+        "WHERE dy IS NOT NULL AND dx IS NOT NULL) __w2"
+    )
+    src_ = Source(df=spark.sql(inner), sql_from=f"FROM ({inner})")
+    parsed = parse_formula("__e ~ __el + 0")
+    design = build_design(src_.df, parsed, expand="all", fe_vars=None)
+    frame = build_base_frame(src_, parsed, design, True, want_sql=True)
+    mspec = moment_spec(
+        Var(frame.y_col), [Var(n) for n in frame.x_cols], intercept=False
+    )
+    agg_df = frame.df.agg(*[agg_to_spark(a).alias(n) for n, a in mspec])
+    sql = (
+        f"{frame.sql_cte},\nmoments AS (\n  SELECT {agg_select_sql(mspec)}"
+        f"\n  FROM {frame.cte_name}\n)\nSELECT * FROM moments"
+    )
+    return agg_df, sql
+
+
 def _diag_bp_within_plan(spark: SparkSession):
     """(agg_df, oracle_sql) for the WITHIN Breusch-Pagan aux pass on an
     absorbed-FE model: the demeaned frame (the estimator's own transform,
@@ -752,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["diag_jb_aux_moments"] = _diag_q(_diag_jb_plan)
     Q["diag_bg_aux_moments"] = _diag_q(_diag_bg_plan)
     Q["diag_bp_within_aux_moments"] = _diag_q(_diag_bp_within_plan)
+    Q["diag_wooldridge_fd_moments"] = _diag_q(_diag_wooldridge_plan)
 
     # ---- GLM: one logit IRLS pass at fixed β (beyond-reference dbglm) ----
     def glm_irls_step(spark, sf_dir):
@@ -2424,6 +2471,7 @@ FROM (
     O["diag_jb_aux_moments"] = _diag_oracle(_diag_jb_plan)
     O["diag_bg_aux_moments"] = _diag_oracle(_diag_bg_plan)
     O["diag_bp_within_aux_moments"] = _diag_oracle(_diag_bp_within_plan)
+    O["diag_wooldridge_fd_moments"] = _diag_oracle(_diag_wooldridge_plan)
 
     _fp_cols = [
         "n_total", "ll", "ll_sat", "d_0", "d_1",
