@@ -546,6 +546,44 @@ def _diag_wooldridge_plan(spark: SparkSession):
     return agg_df, sql
 
 
+def _meat_hc3_plan(spark: SparkSession):
+    """(agg_df, oracle_sql) for the HC3 leverage-corrected meat pass
+    (plans/meat.py:hck_meat's algebra at a FIXED beta and a FIXED literal
+    inverse-Gram): h = quadratic form in the design columns, psi2 =
+    u^2/(1-h)^2 (squared as (1-h)*(1-h) — POWER() differs by 1 ulp across
+    engines), meat = upper-triangular psi2-weighted cross products."""
+    b0, b1, b2 = MEAT_BETA
+    u = (
+        f"((l_extendedprice - {b0!r} - (({b1!r} * l_quantity) + "
+        f"({b2!r} * l_discount))) / 10000.0)"
+    )
+    # fixed literal (X'X)^-1 stand-in sized so h lands in (0, 1e-2) for
+    # every lineitem row (quantity <= 50, discount <= 0.1)
+    m00, m01, m02 = 1e-4, -2e-6, -1e-4
+    m11, m12, m22 = 1e-7, 1e-6, 2e-2
+    h = (
+        f"({m00!r} + (2.0 * {m01!r}) * l_quantity + (2.0 * {m02!r}) * "
+        f"l_discount + {m11!r} * l_quantity * l_quantity + (2.0 * {m12!r})"
+        f" * l_quantity * l_discount + {m22!r} * l_discount * l_discount)"
+    )
+    where = (
+        "l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL "
+        "AND l_discount IS NOT NULL"
+    )
+    inner = (
+        "SELECT "
+        "SUM(psi2) AS m_0_0, SUM(psi2 * x1) AS m_0_1, "
+        "SUM(psi2 * x2) AS m_0_2, SUM(psi2 * x1 * x1) AS m_1_1, "
+        "SUM(psi2 * x1 * x2) AS m_1_2, SUM(psi2 * x2 * x2) AS m_2_2 "
+        "FROM (SELECT CAST(l_quantity AS DOUBLE) AS x1, "
+        "CAST(l_discount AS DOUBLE) AS x2, "
+        f"(CAST({u} AS DOUBLE) * CAST({u} AS DOUBLE)) / "
+        f"((1.0 - {h}) * (1.0 - {h})) AS psi2 "
+        f"FROM lineitem WHERE {where}) __m"
+    )
+    return spark.sql(inner), inner
+
+
 def _diag_bp_within_plan(spark: SparkSession):
     """(agg_df, oracle_sql) for the WITHIN Breusch-Pagan aux pass on an
     absorbed-FE model: the demeaned frame (the estimator's own transform,
@@ -799,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["diag_bg_aux_moments"] = _diag_q(_diag_bg_plan)
     Q["diag_bp_within_aux_moments"] = _diag_q(_diag_bp_within_plan)
     Q["diag_wooldridge_fd_moments"] = _diag_q(_diag_wooldridge_plan)
+    Q["meat_hc3_fixed_beta"] = _diag_q(_meat_hc3_plan)
 
     # ---- GLM: one logit IRLS pass at fixed β (beyond-reference dbglm) ----
     def glm_irls_step(spark, sf_dir):
@@ -2472,6 +2511,7 @@ FROM (
     O["diag_bg_aux_moments"] = _diag_oracle(_diag_bg_plan)
     O["diag_bp_within_aux_moments"] = _diag_oracle(_diag_bp_within_plan)
     O["diag_wooldridge_fd_moments"] = _diag_oracle(_diag_wooldridge_plan)
+    O["meat_hc3_fixed_beta"] = _diag_oracle(_meat_hc3_plan, int_cols=())
 
     _fp_cols = [
         "n_total", "ll", "ll_sat", "d_0", "d_1",

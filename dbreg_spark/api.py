@@ -110,7 +110,9 @@ def dbreg(
     every strategy; weighted 2-FE demeaning routes to the iterated path
     (the single-pass double-demean identity does not hold under weights).
     """
-    vcov_type, cluster_var = parse_vcov(vcov, cluster)
+    vcov_type, cluster_var = parse_vcov(
+        vcov, cluster, valid=("iid", "hc1", "hc2", "hc3")
+    )
     parsed = parse_formula(fml)
     if parsed.yvar is None:
         raise ValueError("Formula needs an outcome variable.")
@@ -146,6 +148,25 @@ def dbreg(
     if vcov_type == "dk" and chosen == "compress" and strategy == "auto":
         # DK needs a per-period score pass; cells drop the time dimension
         chosen = "demean" if parsed.fe else "moments"
+    if vcov_type in ("hc2", "hc3"):
+        # leverage needs row-level quadratic forms: cells (compress) drop
+        # rows; mundlak's design leverage is not the LSDV leverage; the
+        # 1-FE LSDV hat matrix decomposes exactly (plans/meat.py:hck_meat)
+        # but k >= 2 absorbed FEs have no closed decomposition
+        if len(parsed.fe) > 1:
+            raise NotImplementedError(
+                f"vcov={vcov_type!r} absorbs at most ONE fixed effect (the "
+                "k-FE LSDV leverage has no closed per-row decomposition); "
+                "use hc1 or cluster-robust SEs, or include further FEs as "
+                "factor regressors"
+            )
+        if strategy not in ("auto", "moments", "demean", "within"):
+            raise NotImplementedError(
+                f"vcov={vcov_type!r} needs row-level leverage; use strategy "
+                "moments/demean"
+            )
+        if chosen in ("compress", "mundlak"):
+            chosen = "demean" if parsed.fe else "moments"
     if vcov_type == "conley":
         if conley_cutoff is None:
             raise ValueError(
@@ -533,6 +554,13 @@ def _execute_moments(
         meat, _ = hc1_meat(
             frame, sol.betahat, kept_x, intercept=icpt, weight_col=weight_col
         )
+    elif vcov_type in ("hc2", "hc3"):
+        from .plans.meat import hck_meat
+
+        meat = hck_meat(
+            frame, sol.betahat, kept_x, intercept=icpt,
+            xtx_inv=sol.xtx_inv, kind=vcov_type, weight_col=weight_col,
+        )
     elif vcov_type == "cluster":
         meat, n_clusters, _ = _cluster_meat_any(
             frame, sol.betahat, kept_x, icpt, cluster_var, n_total, p,
@@ -734,6 +762,16 @@ def _finish_demean(
     if vcov_type == "hc1":
         meat, _ = hc1_meat(
             frame, sol.betahat, kept_x, intercept=False, weight_col=weight_col
+        )
+    elif vcov_type in ("hc2", "hc3"):
+        from .plans.meat import hck_meat
+
+        # exact 1-FE LSDV leverage: w_i/W_g + within quadratic form
+        # (k >= 2 FEs refused upstream in dbreg)
+        meat = hck_meat(
+            frame, sol.betahat, kept_x, intercept=False,
+            xtx_inv=sol.xtx_inv, kind=vcov_type, weight_col=weight_col,
+            fe_col=fe[0],
         )
     elif vcov_type == "cluster":
         meat, n_clusters, _ = _cluster_meat_any(

@@ -296,3 +296,98 @@ def nw_combine(S: np.ndarray, lag: int | None = None):
         G = S[ell:].T @ S[:-ell]
         meat = meat + w * (G + G.T)
     return meat, T, lag
+
+
+def hck_meat(
+    frame: Frame,
+    betahat: np.ndarray,
+    x_names: list[str],
+    intercept: bool,
+    xtx_inv: np.ndarray,
+    kind: str = "hc2",
+    weight_col: str | None = None,
+    fe_col: str | None = None,
+) -> np.ndarray:
+    """HC2/HC3 leverage-corrected meat, fully distributed.
+
+    The leverage h_i = w_i · x̃ᵢ'(X'WX)⁻¹x̃ᵢ is a COLUMN quadratic form
+    with the literal inverse-Gram — no per-row driver work, one
+    projection + one aggregation like HC1. meat = Σ (wᵢuᵢ)²/(1−hᵢ)^k ·
+    xᵢxⱼ with k = 1 (HC2) or 2 (HC3).
+
+    ``fe_col``: ONE absorbed fixed effect. The LSDV hat matrix decomposes
+    orthogonally (in the W metric) as P_D + P_{M_D X}, so the full-design
+    leverage is EXACTLY w_i/W_g(i) + h̃_i with h̃ from the demeaned
+    columns — a tiny groupBy(fe) weight-sum table broadcast back. k ≥ 2
+    absorbed FEs have no such closed decomposition (callers refuse)."""
+    if kind not in ("hc2", "hc3"):
+        raise ValueError("kind must be 'hc2' or 'hc3'")
+    r = _resid_expr(frame, betahat, x_names, intercept)
+    w = _d(Var(weight_col)) if weight_col is not None else None
+    if w is not None:
+        r = w * r  # WLS score factor w·u (matching hc1_meat)
+    cols: list[Expr] = ([Lit(1.0)] if intercept else []) + [
+        Var(n) for n in x_names
+    ]
+    Minv = np.asarray(xtx_inv, dtype=float)
+    p = len(cols)
+    assert Minv.shape == (p, p), "xtx_inv must match the kept layout"
+    h: Expr = Lit(0.0)
+    for a in range(p):
+        for b in range(a, p):
+            coef = float(Minv[a, b] * (1.0 if a == b else 2.0))
+            if coef != 0.0:
+                h = h + Lit(coef) * _d(cols[a]) * _d(cols[b])
+    if w is not None:
+        h = w * h
+
+    df = frame.df
+    if fe_col is not None:
+        wsum = (
+            F.sum(F.col(weight_col).cast("double"))
+            if weight_col is not None
+            else F.count(F.lit(1)).cast("double")
+        )
+        gtab = df.groupBy(fe_col).agg(wsum.alias("__Wg"))
+        df = df.join(F.broadcast(gtab), on=fe_col)
+        wg = (
+            F.col(weight_col).cast("double")
+            if weight_col is not None
+            else F.lit(1.0)
+        )
+        h_fe = wg / F.col("__Wg")
+    else:
+        h_fe = F.lit(0.0)
+
+    from .exprs import to_spark
+
+    proj = df.select(
+        to_spark(_d(r)).alias("__e"),
+        (to_spark(_d(h)) + h_fe).alias("__h"),
+        *[F.col(n) for n in dict.fromkeys(x_names)],
+    )
+    k = 1 if kind == "hc2" else 2
+    # guard: numerically-degenerate leverage (h -> 1 for a row that is a
+    # whole group / pins a coefficient) would blow the correction up;
+    # cap like sandwich::vcovHC's behavior is to let it grow — we floor
+    # the denominator at 1e-12 only against exact-1 fp noise
+    denom = F.greatest(F.lit(1.0) - F.col("__h"), F.lit(1e-12))
+    psi2 = (F.col("__e") * F.col("__e")) / denom**k
+
+    def col_of(idx: int):
+        if intercept and idx == 0:
+            return F.lit(1.0)
+        return F.col(x_names[idx - (1 if intercept else 0)]).cast("double")
+
+    aggs = []
+    for i in range(p):
+        for j in range(i, p):
+            aggs.append(
+                F.sum(psi2 * col_of(i) * col_of(j)).alias(f"meat_{i}_{j}")
+            )
+    row = proj.agg(*aggs).collect()[0].asDict()
+    meat = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            meat[i, j] = meat[j, i] = float(row[f"meat_{i}_{j}"])
+    return meat

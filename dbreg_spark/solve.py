@@ -121,6 +121,13 @@ def compute_vcov(
     n_clusters: int | None = None,
 ) -> np.ndarray:
     """(reference: R/dbreg.R:1756-1803)"""
+    if vcov_type in ("hc2", "hc3"):
+        # leverage-corrected meats carry their correction per row; no
+        # finite-sample scale (MacKinnon-White / fixest vcov="hetero"
+        # ssc-free convention for HC2/HC3)
+        if meat is None:
+            raise ValueError(f"{vcov_type} requires a meat matrix")
+        return xtx_inv @ meat @ xtx_inv
     if vcov_type in ("hc1", "conley"):
         # Conley spatial HAC uses the HC1-style finite-sample factor, so a
         # cutoff small enough to isolate every observation reproduces HC1

@@ -1,0 +1,117 @@
+"""HC2/HC3 leverage-corrected sandwiches: parity vs dense numpy oracles
+computing the FULL (LSDV) hat-matrix leverage — including the weighted
+and 1-absorbed-FE cases, where the engine uses the exact orthogonal
+decomposition h = w/W_g + within-quadratic-form."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from dbreg_spark import dbreg
+
+N = 1500
+
+
+@pytest.fixture(scope="module")
+def hdata(spark):
+    rng = np.random.default_rng(9)
+    x1 = rng.normal(size=N)
+    x2 = rng.uniform(size=N)
+    g = rng.integers(0, 12, N)
+    w = rng.uniform(0.5, 2.0, N)
+    y = 1.0 + 2.0 * x1 - x2 + 0.3 * g + rng.normal(size=N) * (1 + 0.5 * np.abs(x1))
+    pdf = pd.DataFrame(dict(y=y, x1=x1, x2=x2, g=g.astype("int32"), w=w))
+    return spark.createDataFrame(pdf), pdf
+
+
+def _oracle(A, y, k, w=None):
+    """WLS HC2/HC3 sandwich over design A; returns (beta, V)."""
+    W = np.ones(len(y)) if w is None else w
+    AW = A * W[:, None]
+    G = A.T @ AW
+    Gi = np.linalg.inv(G)
+    b = Gi @ (AW.T @ y)
+    u = y - A @ b
+    h = W * np.einsum("ij,jk,ik->i", A, Gi, A)
+    psi2 = (W * u) ** 2 / (1 - h) ** k
+    M = (A * psi2[:, None]).T @ A
+    return b, Gi @ M @ Gi
+
+
+@pytest.mark.parametrize("kind,k", [("hc2", 1), ("hc3", 2)])
+def test_hck_moments_matches_numpy(hdata, kind, k):
+    df, pdf = hdata
+    m = dbreg("y ~ x1 + x2", df, strategy="moments", vcov=kind)
+    A = np.column_stack([np.ones(N), pdf.x1, pdf.x2])
+    b, V = _oracle(A, pdf.y.values, k)
+    np.testing.assert_allclose(
+        m.coeftable["estimate"].values, b, rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        m.coeftable["std.error"].values, np.sqrt(np.diag(V)), rtol=1e-8
+    )
+    # HC3 >= HC2 >= ... elementwise on this heteroskedastic design
+    m1 = dbreg("y ~ x1 + x2", df, strategy="moments", vcov="hc1")
+    if kind == "hc3":
+        assert (
+            m.coeftable["std.error"].values
+            >= m1.coeftable["std.error"].values * 0.999
+        ).all()
+
+
+@pytest.mark.parametrize("kind,k", [("hc2", 1), ("hc3", 2)])
+def test_hck_weighted_matches_numpy(hdata, kind, k):
+    df, pdf = hdata
+    m = dbreg(
+        "y ~ x1 + x2", df, strategy="moments", vcov=kind, weights="~ w"
+    )
+    A = np.column_stack([np.ones(N), pdf.x1, pdf.x2])
+    b, V = _oracle(A, pdf.y.values, k, w=pdf.w.values)
+    np.testing.assert_allclose(m.coeftable["estimate"].values, b, rtol=1e-9)
+    np.testing.assert_allclose(
+        m.coeftable["std.error"].values, np.sqrt(np.diag(V)), rtol=1e-8
+    )
+
+
+@pytest.mark.parametrize("kind,k", [("hc2", 1), ("hc3", 2)])
+def test_hck_one_fe_matches_lsdv_oracle(hdata, kind, k):
+    """1 absorbed FE: the engine's h = 1/n_g + within form must equal the
+    FULL LSDV hat-matrix leverage — oracle builds the dummies explicitly
+    and slices the X block of the LSDV sandwich."""
+    df, pdf = hdata
+    m = dbreg("y ~ x1 + x2 | g", df, strategy="demean", vcov=kind)
+    D = pd.get_dummies(pdf.g).to_numpy(dtype=float)
+    A = np.column_stack([D, pdf.x1, pdf.x2])
+    _b, V = _oracle(A, pdf.y.values, k)
+    sl = slice(D.shape[1], D.shape[1] + 2)
+    np.testing.assert_allclose(
+        m.coeftable["std.error"].values,
+        np.sqrt(np.diag(V[sl, sl])), rtol=1e-8,
+    )
+
+
+@pytest.mark.parametrize("kind,k", [("hc2", 1)])
+def test_hck_weighted_one_fe_matches_lsdv_oracle(hdata, kind, k):
+    df, pdf = hdata
+    m = dbreg(
+        "y ~ x1 + x2 | g", df, strategy="demean", vcov=kind, weights="~ w"
+    )
+    D = pd.get_dummies(pdf.g).to_numpy(dtype=float)
+    A = np.column_stack([D, pdf.x1, pdf.x2])
+    _b, V = _oracle(A, pdf.y.values, k, w=pdf.w.values)
+    sl = slice(D.shape[1], D.shape[1] + 2)
+    np.testing.assert_allclose(
+        m.coeftable["std.error"].values,
+        np.sqrt(np.diag(V[sl, sl])), rtol=1e-8,
+    )
+
+
+def test_hck_refusals(hdata):
+    df, _ = hdata
+    with pytest.raises(NotImplementedError, match="ONE fixed effect"):
+        dbreg("y ~ x1 | g + x2", df, vcov="hc2")
+    with pytest.raises(NotImplementedError, match="row-level leverage"):
+        dbreg("y ~ x1 | g", df, strategy="compress", vcov="hc3")
