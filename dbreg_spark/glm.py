@@ -780,6 +780,72 @@ def glm_conley_meat(
     return meat
 
 
+def glm_hck_meat(
+    frame: Frame,
+    family: _Family,
+    beta: np.ndarray,
+    x_names: list[str],
+    intercept: bool,
+    info_inv: np.ndarray,
+    kind: str,
+    offset: str | None = None,
+    weights: str | None = None,
+) -> np.ndarray:
+    """HC2/HC3 leverage-corrected GLM meat: the IRLS hat-matrix leverage
+    h_i = omega_i w_i(eta) x_i'(X'WX)^-1 x_i is a COLUMN quadratic form
+    with the literal inverse-information (plans/meat.py:hck_meat's shape
+    with the GLM working weight riding the form); meat =
+    sum s_i^2/(1-h_i)^k x x' with s the (prior-weighted) score residual,
+    k = 1 (HC2) or 2 (HC3) — one projection + one aggregation."""
+    k = 1 if kind == "hc2" else 2
+    y = _d(Var(frame.y_col))
+    eta = _eta_expr(beta, x_names, intercept, offset)
+    mu = family.mu(eta)
+    s = family.score(mu, y)
+    w_irls = family.w(eta, mu)
+    om = _d(Var(weights)) if weights is not None else None
+    if om is not None:
+        s = om * s
+        w_irls = om * w_irls
+    cols: list[Expr] = ([Lit(1.0)] if intercept else []) + [
+        Var(n) for n in x_names
+    ]
+    p = len(cols)
+    Minv = np.asarray(info_inv, dtype=float)
+    q: Expr = Lit(0.0)
+    for a in range(p):
+        for b in range(a, p):
+            coef = float(Minv[a, b] * (1.0 if a == b else 2.0))
+            if coef != 0.0:
+                q = q + Lit(coef) * _d(cols[a]) * _d(cols[b])
+    h = _d(w_irls) * q
+    proj = frame.df.select(
+        to_spark(_d(s)).alias("__s"),
+        to_spark(_d(h)).alias("__h"),
+        *[F.col(n) for n in dict.fromkeys(x_names)],
+    )
+    denom = F.greatest(F.lit(1.0) - F.col("__h"), F.lit(1e-12))
+    psi2 = (F.col("__s") * F.col("__s")) / denom**k
+
+    def col_of(idx: int):
+        if intercept and idx == 0:
+            return F.lit(1.0)
+        return F.col(x_names[idx - (1 if intercept else 0)]).cast("double")
+
+    aggs = []
+    for i in range(p):
+        for j in range(i, p):
+            aggs.append(
+                F.sum(psi2 * col_of(i) * col_of(j)).alias(f"m_{i}_{j}")
+            )
+    row = proj.agg(*aggs).collect()[0].asDict()
+    meat = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            meat[i, j] = meat[j, i] = float(row[f"m_{i}_{j}"])
+    return meat
+
+
 def glm_dk_meat(
     frame: Frame,
     family: _Family,
@@ -1356,7 +1422,15 @@ def dbglm(
             "dispersion yet; use vcov='hc1' or a cluster formula for "
             "robust inference"
         )
-    vcov_type, cluster_vars = parse_vcov(vcov, cluster, valid=("iid", "hc1"))
+    vcov_type, cluster_vars = parse_vcov(
+        vcov, cluster, valid=("iid", "hc1", "hc2", "hc3")
+    )
+    if vcov_type in ("hc2", "hc3") and parsed.fe:
+        raise NotImplementedError(
+            f"dbglm vcov={vcov_type!r} does not cover absorbed FEs (the "
+            "profiled-FE hat matrix has no per-row pass here); include "
+            "low-cardinality groups as factor regressors, or use hc1"
+        )
     conley_opts = None
     if vcov_type == "conley":
         if conley_cutoff is None:
@@ -1635,6 +1709,11 @@ def dbglm(
     elif vcov_type == "hc1":
         meat, _ = glm_meat(
             frame, fam, beta, x_kept, icpt, offset=offset, weights=weights
+        )
+    elif vcov_type in ("hc2", "hc3"):
+        meat = glm_hck_meat(
+            frame, fam, beta, x_kept, icpt, info_inv, vcov_type,
+            offset=offset, weights=weights,
         )
     elif vcov_type == "dk":
         # Driscoll-Kraay: per-period score sums + NW weighting; the period

@@ -115,3 +115,79 @@ def test_hck_refusals(hdata):
         dbreg("y ~ x1 | g + x2", df, vcov="hc2")
     with pytest.raises(NotImplementedError, match="row-level leverage"):
         dbreg("y ~ x1 | g", df, strategy="compress", vcov="hc3")
+
+
+@pytest.fixture(scope="module")
+def gdata_hck(spark):
+    rng = np.random.default_rng(17)
+    n = 1800
+    x1 = rng.normal(size=n)
+    x2 = rng.uniform(size=n)
+    w = rng.uniform(0.5, 2.0, n)
+    eta = -0.5 + 0.8 * x1 - 0.6 * x2
+    yb = (rng.uniform(size=n) < 1 / (1 + np.exp(-eta))).astype(float)
+    yp = rng.poisson(np.exp(0.2 + 0.4 * x1 + 0.3 * x2)).astype(float)
+    pdf = pd.DataFrame(dict(yb=yb, yp=yp, x1=x1, x2=x2, w=w))
+    return spark.createDataFrame(pdf), pdf
+
+
+def _glm_oracle_hck(A, y, family, k, w=None):
+    W0 = np.ones(len(y)) if w is None else w
+    b = np.zeros(A.shape[1])
+    for _ in range(60):
+        eta = A @ b
+        if family == "binomial":
+            mu = 1 / (1 + np.exp(-eta)); wi = mu * (1 - mu)
+        else:
+            mu = np.exp(eta); wi = mu
+        z = eta + (y - mu) / np.maximum(wi, 1e-12)
+        ww = W0 * wi
+        b = np.linalg.solve(A.T @ (A * ww[:, None]), A.T @ (ww * z))
+    eta = A @ b
+    if family == "binomial":
+        mu = 1 / (1 + np.exp(-eta)); wi = mu * (1 - mu)
+    else:
+        mu = np.exp(eta); wi = mu
+    ww = W0 * wi
+    Gi = np.linalg.inv(A.T @ (A * ww[:, None]))
+    h = ww * np.einsum("ij,jk,ik->i", A, Gi, A)
+    s = W0 * (y - mu)
+    psi2 = s * s / (1 - h) ** k
+    M = (A * psi2[:, None]).T @ A
+    return b, Gi @ M @ Gi
+
+
+@pytest.mark.parametrize(
+    "kind,k,fam,ycol,wcol",
+    [
+        ("hc2", 1, "binomial", "yb", None),
+        ("hc3", 2, "binomial", "yb", None),
+        ("hc2", 1, "poisson", "yp", "w"),
+        ("hc3", 2, "poisson", "yp", None),
+    ],
+)
+def test_glm_hck_matches_numpy(gdata_hck, kind, k, fam, ycol, wcol):
+    from dbreg_spark import dbglm
+
+    df, pdf = gdata_hck
+    m = dbglm(
+        f"{ycol} ~ x1 + x2", df, family=fam, vcov=kind, weights=wcol,
+    )
+    A = np.column_stack([np.ones(len(pdf)), pdf.x1, pdf.x2])
+    b, V = _glm_oracle_hck(
+        A, pdf[ycol].values, fam, k,
+        w=pdf[wcol].values if wcol else None,
+    )
+    np.testing.assert_allclose(m.coeftable["estimate"].values, b, rtol=1e-7)
+    np.testing.assert_allclose(
+        m.coeftable["std.error"].values, np.sqrt(np.diag(V)), rtol=1e-6
+    )
+
+
+def test_glm_hck_fe_refused(gdata_hck):
+    from dbreg_spark import dbglm
+
+    df, _ = gdata_hck
+    df2 = df.withColumn("f", (F.col("x2") * 3).cast("int"))
+    with pytest.raises(NotImplementedError, match="absorbed FEs"):
+        dbglm("yp ~ x1 | f", df2, family="poisson", vcov="hc2")
