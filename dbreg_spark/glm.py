@@ -1020,12 +1020,38 @@ class GlmModel:
 
         return overdispersion_test(self, data)
 
-    def predict(self, data: DataFrame, type: str = "response") -> DataFrame:
+    def predict(
+        self,
+        data: DataFrame,
+        type: str = "response",
+        se_fit: bool = False,
+        interval: str | None = None,
+        level: float = 0.95,
+    ) -> DataFrame:
         """Attach the fitted value as column ``fit`` (link scale with
         type="link", mean scale with type="response") — a pure column
-        expression, fully distributed."""
+        expression, fully distributed.
+
+        ``se_fit=True`` adds ``se_fit``: the link-scale delta-method
+        standard error sqrt(x'Vx) as a column quadratic form with the
+        literal vcov (response scale multiplies by |dmu/deta|).
+        ``interval="confidence"`` adds ``lwr``/``upr`` — computed on the
+        LINK scale and transformed monotonically, so response CIs stay
+        inside the family's range. Refused for absorbed-FE models (V
+        does not carry the fixed-effect uncertainty)."""
         if type not in ("response", "link"):
             raise ValueError("type must be 'response' or 'link'")
+        if interval not in (None, "none", "confidence"):
+            raise ValueError("interval must be None or 'confidence'")
+        if interval == "none":
+            interval = None
+        want_se = se_fit or interval is not None
+        if want_se and self.fe:
+            raise NotImplementedError(
+                "predict(se_fit/interval) for absorbed-FE models: the "
+                "stored vcov does not carry the fixed-effect uncertainty; "
+                "use point predictions"
+            )
         fam = get_family(self.family)
         icpt = "(Intercept)" in self.coef_names
         # design exprs for the KEPT columns, re-derived on newdata
@@ -1100,7 +1126,48 @@ class GlmModel:
         col = to_spark(eta)
         if type == "response" and self.family != "gaussian":
             col = to_spark(fam.mu(eta))
-        return data.withColumn("fit", col).drop(*dropcols)
+        out = data.withColumn("fit", col).drop(*dropcols)
+        if not want_se:
+            return out
+        # link-scale var(eta-hat) = x'Vx as a column quadratic form over
+        # the KEPT design columns (upper triangle doubled)
+        V = np.asarray(self.vcov_, dtype=float)
+        xs = ([F.lit(1.0)] if icpt else []) + [
+            to_spark(_d(name_to_expr[n])) for n in kept
+        ]
+        var_eta = F.lit(0.0)
+        for i in range(len(xs)):
+            for j in range(i, len(xs)):
+                c = float(V[i, j] * (1.0 if i == j else 2.0))
+                if c != 0.0:
+                    var_eta = var_eta + F.lit(c) * xs[i] * xs[j]
+        se_eta = F.sqrt(F.greatest(var_eta, F.lit(0.0)))
+        eta_col = to_spark(eta)
+        if type == "response" and self.link == "logit":
+            mu = 1.0 / (1.0 + F.exp(-eta_col))
+            dmu = mu * (1.0 - mu)
+        elif type == "response" and self.link == "log":
+            dmu = F.exp(eta_col)
+        else:
+            dmu = F.lit(1.0)
+        if se_fit:
+            out = out.withColumn("se_fit", F.abs(dmu) * se_eta)
+        if interval == "confidence":
+            from .stats import norm_ppf, t_ppf
+
+            crit = float(
+                t_ppf(1 - (1 - level) / 2, self.df_residual)
+                if self.inference == "t"
+                else norm_ppf(1 - (1 - level) / 2)
+            )
+            lo = eta_col - F.lit(crit) * se_eta
+            hi = eta_col + F.lit(crit) * se_eta
+            if type == "response" and self.link == "logit":
+                lo, hi = 1.0 / (1.0 + F.exp(-lo)), 1.0 / (1.0 + F.exp(-hi))
+            elif type == "response" and self.link == "log":
+                lo, hi = F.exp(lo), F.exp(hi)
+            out = out.withColumn("lwr", lo).withColumn("upr", hi)
+        return out
 
     def fixef(self):
         """Recovered fixed-effect levels for FE models: a DataFrame

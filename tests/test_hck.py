@@ -191,3 +191,44 @@ def test_glm_hck_fe_refused(gdata_hck):
     df2 = df.withColumn("f", (F.col("x2") * 3).cast("int"))
     with pytest.raises(NotImplementedError, match="absorbed FEs"):
         dbglm("yp ~ x1 | f", df2, family="poisson", vcov="hc2")
+
+
+def test_glm_predict_se_and_ci_match_numpy(gdata_hck):
+    """GlmModel.predict(se_fit=True, interval='confidence'): link-scale
+    x'Vx delta SEs and monotone-transformed response CIs vs a numpy
+    oracle at the fitted vcov."""
+    from dbreg_spark import dbglm
+    from dbreg_spark.stats import norm_ppf
+
+    df, pdf = gdata_hck
+    m = dbglm("yb ~ x1 + x2", df, family="binomial", vcov="hc1")
+    out = (
+        m.predict(df, type="response", se_fit=True, interval="confidence")
+        .select("x1", "x2", "fit", "se_fit", "lwr", "upr")
+        .toPandas()
+        .sort_values(["x1", "x2"])
+        .reset_index(drop=True)
+    )
+    b = m.coeftable["estimate"].values
+    V = np.asarray(m.vcov_)
+    A = np.column_stack(
+        [np.ones(len(out)), out.x1.values, out.x2.values]
+    )
+    eta = A @ b
+    mu = 1 / (1 + np.exp(-eta))
+    se_eta = np.sqrt(np.einsum("ij,jk,ik->i", A, V, A))
+    np.testing.assert_allclose(out.fit.values, mu, rtol=1e-9)
+    np.testing.assert_allclose(
+        out.se_fit.values, mu * (1 - mu) * se_eta, rtol=1e-7
+    )
+    z = norm_ppf(0.975)
+    np.testing.assert_allclose(
+        out.lwr.values, 1 / (1 + np.exp(-(eta - z * se_eta))), rtol=1e-7
+    )
+    assert (out.lwr >= 0).all() and (out.upr <= 1).all()
+
+    mp = dbglm("yp ~ x1", df, family="poisson")
+    op = mp.predict(df, se_fit=True).select("fit", "se_fit").toPandas()
+    assert (op.se_fit > 0).all()
+    with pytest.raises(ValueError, match="interval"):
+        m.predict(df, interval="prediction")
