@@ -444,6 +444,18 @@ def main() -> None:
             "l_tax ~ l_extendedprice", li, points=(0, 0), nbins=20, vcov="hc1"
         ),
     )
+    from dbreg_spark import dbbinsglm as _dbbinsglm
+
+    li_ret = li.withColumn(
+        "is_return", (F.col("l_returnflag") == "R").cast("double")
+    )
+    bench(
+        "binscatter_glm20",
+        lambda: _dbbinsglm(
+            "is_return ~ l_extendedprice", li_ret, family="binomial",
+            nbins=20, vcov="hc1",
+        ),
+    )
     bench(
         "text_stats",
         lambda: text.text_stats(t["documents"]).agg(F.count(F.lit(1))).collect(),
