@@ -118,8 +118,19 @@ def dbreg_split(
     frame with full-sample demeaning).
     """
     # parse_vcov caps clustering at 3 variables (CGM subsets grow as 2^k)
-    vcov_type, cluster_vars = parse_vcov(vcov, cluster)
+    vcov_type, cluster_vars = parse_vcov(
+        vcov, cluster, valid=("iid", "hc1", "hc2", "hc3")
+    )
     conley_opts = None
+    if vcov_type in ("hc2", "hc3"):
+        # batched leverage: each level's kept inverse-Gram rides a second
+        # broadcast (level -> Minv upper triangle) table next to the beta
+        # table; one grouped pass returns every level's corrected meat
+        if strategy == "compress":
+            raise NotImplementedError(
+                f"vcov={vcov_type!r} needs row-level leverage; use "
+                "strategy moments/demean"
+            )
     if vcov_type == "conley":
         # batched: every level's spatial meat rides ONE exploded cell join
         # (the level joins the cell key — see plans/conley.py:
@@ -165,6 +176,11 @@ def dbreg_split(
         raise NotImplementedError(
             "split= absorbs at most 2 FEs (per-level double demeaning); "
             "for k>2 filter per level and use dbreg(strategy='demean_iter')"
+        )
+    if vcov_type in ("hc2", "hc3") and len(parsed.fe) > 1:
+        raise NotImplementedError(
+            f"vcov={vcov_type!r} absorbs at most ONE fixed effect (the "
+            "k-FE LSDV leverage has no closed per-row decomposition)"
         )
 
     if vcov_type == "cr3":
@@ -418,6 +434,11 @@ def _grouped_fit(
             frame_df, split, base.y_col, x_cols, intercept, sols, vcov_type,
             cluster_vars, weight_col, hac_lag=hac_lag,
         )
+    if vcov_type in ("hc2", "hc3") and sols:
+        meats = _split_hck_meats(
+            frame_df, split, base.y_col, x_cols, intercept, sols, vcov_type,
+            weight_col, fe,
+        )
     if vcov_type == "conley" and sols:
         meats = _split_conley_meats(
             frame_df, split, base.y_col, x_cols, intercept, sols,
@@ -476,6 +497,128 @@ def _grouped_fit(
             weight_col=weight_col,
         )
     return models
+
+
+def _split_hck_meats(
+    frame_df, split, y_col, x_cols, intercept, sols, kind, weight_col, fe
+):
+    """Every level's HC2/HC3 leverage-corrected meat from ONE grouped
+    pass: per-level betas AND per-level kept inverse-Grams ride broadcast
+    (level -> values) tables (dropped-column entries are 0, so the full-
+    layout quadratic form equals the kept-design leverage); 1-FE demean
+    adds the exact w/W_(level,g) hat-matrix term from a tiny
+    (level, fe) weight table — the same decomposition as
+    plans/meat.py:hck_meat."""
+    from pyspark.sql import types as T
+
+    spark = frame_df.sparkSession
+    p_x = len(x_cols)
+    off = 1 if intercept else 0
+    p = off + p_x
+    names_all = (["(Intercept)"] if intercept else []) + [
+        standardize_coef_names(n) for n in x_cols
+    ]
+    pos = {}
+    beta_rows = []
+    minv_rows = []
+    for lvl, s in sols.items():
+        collin, sol = s["collin"], s["sol"]
+        full = np.zeros(p)
+        keep = []
+        for name, b in zip(collin.keep_names, sol.betahat):
+            full[names_all.index(name)] = b
+        beta_rows.append((lvl,) + tuple(float(v) for v in full))
+        Mfull = np.zeros((p, p))
+        ki = np.asarray(collin.keep_idx, dtype=int)
+        Mfull[np.ix_(ki, ki)] = sol.xtx_inv
+        tri = [
+            float(Mfull[a, b_]) for a in range(p) for b_ in range(a, p)
+        ]
+        minv_rows.append((lvl,) + tuple(tri))
+        pos[lvl] = collin
+    bt = spark.createDataFrame(
+        beta_rows,
+        schema=beta_schema(frame_df.schema[split].dataType, p),
+    )
+    n_tri = p * (p + 1) // 2
+    mt_fields = [T.StructField("__lvl", frame_df.schema[split].dataType)] + [
+        T.StructField(f"__q{i}", T.DoubleType()) for i in range(n_tri)
+    ]
+    mt = spark.createDataFrame(minv_rows, schema=T.StructType(mt_fields))
+    j = (
+        frame_df.join(
+            F.broadcast(bt), on=F.col(split).eqNullSafe(F.col("__lvl"))
+        )
+        .drop("__lvl")
+        .join(
+            F.broadcast(mt), on=F.col(split).eqNullSafe(F.col("__lvl"))
+        )
+        .drop("__lvl")
+    )
+    bcols = [f"__b{i}" for i in range(p)]
+    fitted = F.col("__b0") if intercept else F.lit(0.0)
+    for i, xc in enumerate(x_cols):
+        fitted = fitted + F.col(bcols[off + i]) * F.col(xc).cast("double")
+    e = F.col(y_col).cast("double") - fitted
+    wcol = (
+        F.col(weight_col).cast("double") if weight_col is not None else None
+    )
+    if wcol is not None:
+        e = wcol * e
+
+    score_cols = ([F.lit(1.0)] if intercept else []) + [
+        F.col(xc).cast("double") for xc in x_cols
+    ]
+    h = F.lit(0.0)
+    qi = 0
+    for a in range(p):
+        for b_ in range(a, p):
+            mult = F.lit(1.0) if a == b_ else F.lit(2.0)
+            h = h + mult * F.col(f"__q{qi}") * score_cols[a] * score_cols[b_]
+            qi += 1
+    if wcol is not None:
+        h = wcol * h
+    if fe:
+        # exact 1-FE LSDV leverage: + w / W_(level, g)
+        fe1 = fe[0]
+        wsum = (
+            F.sum(F.col(weight_col).cast("double"))
+            if weight_col is not None
+            else F.count(F.lit(1)).cast("double")
+        )
+        gt = frame_df.groupBy(
+            F.col(split).alias("__s1"), F.col(fe1).alias("__f1")
+        ).agg(wsum.alias("__Wg"))
+        j = j.join(
+            F.broadcast(gt),
+            on=F.col(split).eqNullSafe(F.col("__s1"))
+            & (F.col(fe1) == F.col("__f1")),
+        ).drop("__s1", "__f1")
+        h = h + (wcol if wcol is not None else F.lit(1.0)) / F.col("__Wg")
+
+    k = 1 if kind == "hc2" else 2
+    denom = F.greatest(F.lit(1.0) - h, F.lit(1e-12))
+    psi2 = (e * e) / denom**k
+    aggs = []
+    for a in range(p):
+        for b_ in range(a, p):
+            aggs.append(
+                F.sum(psi2 * score_cols[a] * score_cols[b_]).alias(
+                    f"m_{a}_{b_}"
+                )
+            )
+    rows = j.groupBy(split).agg(*aggs).collect()
+    meats = {}
+    for r in rows:
+        lvl = r[split]
+        Mf = np.zeros((p, p))
+        for a in range(p):
+            for b_ in range(a, p):
+                v = r[f"m_{a}_{b_}"]
+                Mf[a, b_] = Mf[b_, a] = float(v) if v is not None else 0.0
+        ki = np.asarray(pos[lvl].keep_idx, dtype=int)
+        meats[lvl] = Mf[np.ix_(ki, ki)]
+    return meats
 
 
 def _split_conley_meats(

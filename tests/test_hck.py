@@ -232,3 +232,39 @@ def test_glm_predict_se_and_ci_match_numpy(gdata_hck):
     assert (op.se_fit > 0).all()
     with pytest.raises(ValueError, match="interval"):
         m.predict(df, interval="prediction")
+
+
+def test_split_hck_batched_matches_per_level(hdata):
+    """dbreg_split(vcov='hc2'/'hc3'): per-level leverage-corrected meats
+    from ONE grouped pass (betas AND kept inverse-Grams broadcast) match
+    per-level dbreg fits, moments and 1-FE demean."""
+    from dbreg_spark.split import dbreg_split
+
+    df, pdf = hdata
+    df2 = df.withColumn("grp", (F.col("g") % 2).cast("int"))
+    for kind in ("hc2", "hc3"):
+        sp = dbreg_split("y ~ x1 + x2", df2, split="grp", vcov=kind)
+        for lvl in (0, 1):
+            o = dbreg(
+                "y ~ x1 + x2", df2.where(F.col("grp") == lvl), vcov=kind
+            )
+            np.testing.assert_allclose(
+                sp[lvl].coeftable["std.error"].values,
+                o.coeftable["std.error"].values, rtol=1e-8,
+            )
+    # 1-FE demean + weights
+    sp = dbreg_split(
+        "y ~ x1 + x2 | g", df2, split="grp", strategy="demean",
+        vcov="hc2", weights="~ w",
+    )
+    for lvl in (0, 1):
+        o = dbreg(
+            "y ~ x1 + x2 | g", df2.where(F.col("grp") == lvl),
+            strategy="demean", vcov="hc2", weights="~ w",
+        )
+        np.testing.assert_allclose(
+            sp[lvl].coeftable["std.error"].values,
+            o.coeftable["std.error"].values, rtol=1e-8,
+        )
+    with pytest.raises(NotImplementedError, match="ONE fixed"):
+        dbreg_split("y ~ x1 | g + x2", df2, split="grp", vcov="hc3")
