@@ -534,6 +534,63 @@ def _batched_cluster(frame, fits, weight_col, cluster_vars, n_total):
     return n_passes
 
 
+def _batched_hck(frame, fits, weight_col, kind, fe):
+    """EVERY model's HC2/HC3 leverage-corrected meat from ONE aggregation:
+    each model's leverage is a LITERAL quadratic form with its own kept
+    inverse-Gram (driver-side constants), riding the shared residual
+    projection; 1 absorbed FE adds the exact w/W_g hat-matrix term from a
+    tiny group-weight table shared by all models (common sample)."""
+    k = 2 if kind == "hc3" else 1
+    extra = list(fe[:1])
+    proj = _batched_resid_proj(frame, fits, weight_col, extra)
+    w = F.col(weight_col).cast("double") if weight_col else None
+    if fe:
+        fe1 = fe[0]
+        wsum = (
+            F.sum(F.col(weight_col).cast("double"))
+            if weight_col
+            else F.count(F.lit(1)).cast("double")
+        )
+        gt = frame.df.groupBy(fe1).agg(wsum.alias("__Wg"))
+        proj = proj.join(F.broadcast(gt), on=fe1)
+        h_fe = (w if w is not None else F.lit(1.0)) / F.col("__Wg")
+    else:
+        h_fe = F.lit(0.0)
+    aggs = []
+    for m, f in enumerate(fits):
+        Minv = np.asarray(f.sol.xtx_inv, dtype=float)
+        cols = ([F.lit(1.0)] if f.icpt else []) + [
+            F.col(n).cast("double") for n in f.kept_x
+        ]
+        p = len(cols)
+        h = F.lit(0.0)
+        for a in range(p):
+            for b in range(a, p):
+                c = float(Minv[a, b] * (1.0 if a == b else 2.0))
+                if c != 0.0:
+                    h = h + F.lit(c) * cols[a] * cols[b]
+        if w is not None:
+            h = w * h
+        h = h + h_fe
+        denom = F.greatest(F.lit(1.0) - h, F.lit(1e-12))
+        e = F.col(f"__e{m}")
+        psi2 = (e * e) / denom**k
+        for i in range(p):
+            for j in range(i, p):
+                aggs.append(
+                    F.sum(psi2 * cols[i] * cols[j]).alias(f"m{m}_{i}_{j}")
+                )
+    row = proj.agg(*aggs).collect()[0].asDict()
+    for m, f in enumerate(fits):
+        p = (1 if f.icpt else 0) + len(f.kept_x)
+        meat = np.zeros((p, p))
+        for i in range(p):
+            for j in range(i, p):
+                v = row[f"m{m}_{i}_{j}"]
+                meat[i, j] = meat[j, i] = float(v) if v is not None else 0.0
+        f.meat = meat
+
+
 def _batched_conley(frame, fits, weight_col, cluster_var, conley_opts):
     """EVERY model's Conley spatial meat from ONE exploded cell join
     (plans/conley.py:conley_pair_agg_batched): the shared residual
@@ -639,12 +696,23 @@ def dbreg_multi(
     union variable list for the shared null filter.
     """
     spec = _spec if _spec is not None else parse_multi_formula(fml)
-    vcov_type, cluster_var = parse_vcov(vcov, cluster)
+    vcov_type, cluster_var = parse_vcov(
+        vcov, cluster, valid=("iid", "hc1", "hc2", "hc3")
+    )
     if vcov_type == "cr3":
         raise NotImplementedError(
             "vcov='cr3 ~ g' jackknife refits are per-model leave-one-out "
             "solves; fit each model with dbreg(vcov='cr3 ~ g') instead"
         )
+    if vcov_type in ("hc2", "hc3"):
+        fe_probe = [
+            t.strip() for t in _split_top(spec.fe_str, "+") if t.strip()
+        ] if spec.fe_str else []
+        if len(fe_probe) > 1:
+            raise NotImplementedError(
+                f"vcov={vcov_type!r} absorbs at most ONE fixed effect (the "
+                "k-FE LSDV leverage has no closed per-row decomposition)"
+            )
     conley_opts = None
     if vcov_type == "conley":
         # batched: every submodel's spatial meat rides ONE exploded cell
@@ -906,6 +974,9 @@ def dbreg_multi(
             n_passes += 1
         elif vcov_type == "conley":
             _batched_conley(frame, fits, weight_col, cluster_var, conley_opts)
+            n_passes += 1
+        elif vcov_type in ("hc2", "hc3"):
+            _batched_hck(frame, fits, weight_col, vcov_type, fe)
             n_passes += 1
     finally:
         frame.cleanup()

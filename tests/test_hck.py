@@ -268,3 +268,30 @@ def test_split_hck_batched_matches_per_level(hdata):
         )
     with pytest.raises(NotImplementedError, match="ONE fixed"):
         dbreg_split("y ~ x1 | g + x2", df2, split="grp", vcov="hc3")
+
+
+def test_multi_hck_batched_matches_per_model(hdata):
+    """dbreg_multi(vcov='hc2'/'hc3'): every submodel's leverage-corrected
+    meat (literal per-model inverse-Grams) from ONE batched pass matches
+    per-model dbreg — moments and 1-FE demean."""
+    from dbreg_spark.multi import dbreg_multi
+
+    df, pdf = hdata
+    for kind in ("hc2", "hc3"):
+        mm = dbreg_multi("y ~ sw(x1, x2)", df, vcov=kind)
+        assert mm.n_passes == 2
+        for (yv, step), m in mm.models.items():
+            o = dbreg(f"{yv} ~ {step}", df, vcov=kind)
+            np.testing.assert_allclose(
+                m.coeftable["std.error"].values,
+                o.coeftable["std.error"].values, rtol=1e-8,
+            )
+    mm = dbreg_multi("y ~ csw(x1, x2) | g", df, vcov="hc2")
+    for (yv, step), m in mm.models.items():
+        o = dbreg(f"{yv} ~ {step} | g", df, strategy="demean", vcov="hc2")
+        np.testing.assert_allclose(
+            m.coeftable["std.error"].values,
+            o.coeftable["std.error"].values, rtol=1e-8,
+        )
+    with pytest.raises(NotImplementedError, match="ONE fixed"):
+        dbreg_multi("y ~ sw(x1, x2) | g + w", df, vcov="hc3")
