@@ -148,6 +148,12 @@ def dbreg(
     if vcov_type == "dk" and chosen == "compress" and strategy == "auto":
         # DK needs a per-period score pass; cells drop the time dimension
         chosen = "demean" if parsed.fe else "moments"
+    if not parsed.intercept and chosen in ("compress", "mundlak"):
+        raise NotImplementedError(
+            "no-intercept formulas (`y ~ 0 + x`) run on the moments/demean "
+            "strategies; compress and mundlak build the intercept into "
+            "their cell/group-mean designs"
+        )
     if vcov_type in ("hc2", "hc3"):
         # leverage needs row-level quadratic forms: cells (compress) drop
         # rows; mundlak's design leverage is not the LSDV leverage; the

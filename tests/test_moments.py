@@ -154,3 +154,15 @@ def test_no_intercept_moments_matches_numpy(tables):
     np.testing.assert_allclose(
         m.r2(), 1 - (u @ u) / (y @ y), rtol=1e-10
     )
+
+
+def test_no_intercept_compress_refused(tables):
+    from dbreg_spark import dbreg
+    import pytest as _pt
+
+    li = tables["lineitem"]
+    with _pt.raises(NotImplementedError, match="no-intercept"):
+        dbreg(
+            "l_tax ~ 0 + l_quantity | l_returnflag", li,
+            strategy="compress",
+        )
