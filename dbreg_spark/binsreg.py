@@ -721,6 +721,8 @@ def dbbinsglm(
     binspos="qs",
     randcut: float | None = None,
     ci: bool = True,
+    cb: bool = False,
+    nsims: int = 500,
     vcov=None,
     level: float = 0.95,
     scale: str = "response",
@@ -842,6 +844,7 @@ def dbbinsglm(
         return str(int(fb)) if fb.is_integer() else str(b)
 
     rows = []
+    W_rows, etas, ses = [], [], []
     for _, g in geo.iterrows():
         b = g["bin"]
         w = np.zeros(len(names))
@@ -854,6 +857,9 @@ def dbbinsglm(
         se_eta = (
             float(np.sqrt(max(w @ V @ w, 0.0))) if V is not None else np.nan
         )
+        W_rows.append(w)
+        etas.append(eta)
+        ses.append(se_eta)
         lo_eta, hi_eta = eta - crit * se_eta, eta + crit * se_eta
         if scale == "response":
             mu = float(inv_link(eta))
@@ -873,6 +879,26 @@ def dbbinsglm(
         if not ci:
             row.pop("se"), row.pop("lwr"), row.pop("upr")
         rows.append(row)
+    if cb and ci and V is not None and len(W_rows):
+        # sup-t band (the same simulation as _supt_critical, link scale):
+        # draws from N(0, WVW'), crit = (1-alpha) quantile of max |z|/se,
+        # bounds transformed monotonically like the pointwise CIs
+        Wm = np.vstack(W_rows)
+        C = Wm @ V @ Wm.T
+        se_arr = np.sqrt(np.clip(np.diag(C), 1e-300, None))
+        rng = np.random.default_rng(seed)
+        draws = rng.multivariate_normal(
+            np.zeros(len(W_rows)), C, size=nsims, method="svd"
+        )
+        crit_cb = float(
+            np.quantile(np.abs(draws / se_arr).max(axis=1), 1 - alpha)
+        )
+        for i, row in enumerate(rows):
+            lo = etas[i] - crit_cb * ses[i]
+            hi = etas[i] + crit_cb * ses[i]
+            if scale == "response":
+                lo, hi = float(inv_link(lo)), float(inv_link(hi))
+            row["cb_lwr"], row["cb_upr"] = lo, hi
     points = pd.DataFrame(rows).sort_values("x").reset_index(drop=True)
 
     bins_df = pd.DataFrame(

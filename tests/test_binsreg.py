@@ -401,3 +401,17 @@ def test_binsglm_refusals(gdata):
         dbbinsglm("y ~ x | c", df, family="binomial")
     with pytest.raises(ValueError, match="scale"):
         dbbinsglm("y ~ x", df, family="binomial", scale="nope")
+
+
+def test_binsglm_supt_band_wider_than_ci(gdata):
+    from dbreg_spark import dbbinsglm
+
+    df, _ = gdata
+    r = dbbinsglm(
+        "y ~ x", df, family="binomial", nbins=6, cb=True, nsims=400
+    )
+    p = r.points
+    assert {"cb_lwr", "cb_upr"} <= set(p.columns)
+    assert (p["cb_lwr"] <= p["lwr"] + 1e-12).all()
+    assert (p["cb_upr"] >= p["upr"] - 1e-12).all()
+    assert (p["cb_lwr"] >= 0).all() and (p["cb_upr"] <= 1).all()
