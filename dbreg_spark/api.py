@@ -102,6 +102,12 @@ def dbreg(
     Computed exactly with a grid-cell-bucketed score self-join (shuffle =
     10x the slim score rows, never all-pairs; see plans/conley.py).
     Supported on moments/demean; cutoff→0 degenerates to HC1.
+    Work guards: the pair pass refuses when any single grid cell holds
+    more than 150,000 score rows or when the 9·Σ(cell count)² pair
+    estimate exceeds 2e10 — dense grids at a large cutoff would otherwise
+    explode the self-join. Both are plan-level defaults
+    (``plans.conley.conley_meat(max_cell_rows=, max_pair_estimate=)``);
+    call that directly to raise them deliberately.
 
     ``weights``: a column name (or ``"~w"`` formula string) of strictly
     positive observation weights — WLS minimizing Σ wᵢ(yᵢ − xᵢ'β)², the

@@ -601,6 +601,8 @@ def wooldridge_fd_test(
         "se": se,
         "df": df,
         "n_clusters": g,
-        "p_value": float(t_sf(stat, df)),
+        # two-sided vs the point null (Drukker's xtserial uses F(1, G-1),
+        # equivalent to |t| two-sided)
+        "p_value": float(2.0 * t_sf(abs(stat), df)),
         "method": "Wooldridge FD serial-correlation (H0: slope = -0.5)",
     }

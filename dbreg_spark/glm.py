@@ -1378,7 +1378,11 @@ def dbglm(
     ``vcov="conley ~ lat + lon"`` (+ ``conley_cutoff/kernel/distance``)
     computes Conley spatial HAC SEs from the family score rows with the
     same cell-bucketed pair enumeration as dbreg (plans/conley.py) — on
-    the plain path and the 1-FE fepois profiled path.
+    the plain path and the 1-FE fepois profiled path. The same work
+    guards apply: >150,000 score rows in one grid cell or a 9·Σ(cell
+    count)² pair estimate above 2e10 refuses rather than exploding the
+    self-join (raise via ``plans.conley.conley_meat(max_cell_rows=,
+    max_pair_estimate=)`` directly if that is deliberate).
 
     ``cells_nmax`` bounds the k-FE Poisson driver-side inner solver: an
     occupied-FE-cell table at most this long collects to the driver (fast

@@ -541,7 +541,9 @@ def _batched_hck(frame, fits, weight_col, kind, fe):
     projection; 1 absorbed FE adds the exact w/W_g hat-matrix term from a
     tiny group-weight table shared by all models (common sample)."""
     k = 2 if kind == "hc3" else 1
-    extra = list(fe[:1])
+    # weight_col must ride the projection: the leverage terms below
+    # (h = w*h, h_fe = w/__Wg) reference it by name
+    extra = list(fe[:1]) + ([weight_col] if weight_col else [])
     proj = _batched_resid_proj(frame, fits, weight_col, extra)
     w = F.col(weight_col).cast("double") if weight_col else None
     if fe:
@@ -788,9 +790,12 @@ def dbreg_multi(
 
     # ---- union-width guard / auto-segmentation (see MULTI_AGG_MAX) ------
     def _est(p: int) -> int:
+        # the intercept column only rides the moment pass when the formulas
+        # actually request one — no-intercept moments unions would otherwise
+        # over-count by 1 + p (segmentation triggering early)
         return _union_agg_count(
             p,
-            strategy == "moments",
+            has_icpt if strategy == "moments" else False,
             len(fe) if strategy != "moments" else 0,
             weight_col is not None,
         )

@@ -384,6 +384,16 @@ def test_wooldridge_fd_matches_dense_oracle(spark):
     np.testing.assert_allclose(r0["se"], se, rtol=1e-6)
     assert r0["n_clusters"] == Gc
     assert r0["p_value"] > 0.05  # iid level errors: do not reject
+    # two-sided p pinned to the oracle t stat (xtserial's F(1, G-1) form
+    # == two-sided |t|); y0's slope sits ABOVE -0.5, the side the old
+    # one-sided p halved — and a mirrored stat must give the same p
+    from dbreg_spark.stats import t_sf
+
+    t_stat = (s + 0.5) / se
+    np.testing.assert_allclose(
+        r0["p_value"], 2.0 * t_sf(abs(t_stat), Gc - 1), rtol=1e-9
+    )
+    assert t_stat > 0 and r0["p_value"] > t_sf(t_stat, Gc - 1) * 1.5
 
     r1 = wooldridge_fd_test("y1 ~ x | g", df, panel="g", time="t")
     assert r1["p_value"] < 1e-4  # AR(1) level errors: reject hard

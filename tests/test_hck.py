@@ -295,3 +295,31 @@ def test_multi_hck_batched_matches_per_model(hdata):
         )
     with pytest.raises(NotImplementedError, match="ONE fixed"):
         dbreg_multi("y ~ sw(x1, x2) | g + w", df, vcov="hc3")
+
+
+def test_multi_hck_weighted_matches_per_model(hdata):
+    """dbreg_multi(vcov='hc2'/'hc3', weights=...): the shared residual
+    projection must carry the weight column (regression: the batched
+    leverage references it by name) — parity vs per-model dbreg on
+    moments and 1-FE demean."""
+    from dbreg_spark.multi import dbreg_multi
+
+    df, _ = hdata
+    for kind in ("hc2", "hc3"):
+        mm = dbreg_multi("y ~ sw(x1, x2)", df, vcov=kind, weights="~ w")
+        for (yv, step), m in mm.models.items():
+            o = dbreg(f"{yv} ~ {step}", df, vcov=kind, weights="~ w")
+            np.testing.assert_allclose(
+                m.coeftable["std.error"].values,
+                o.coeftable["std.error"].values, rtol=1e-8,
+            )
+    mm = dbreg_multi("y ~ csw(x1, x2) | g", df, vcov="hc3", weights="~ w")
+    for (yv, step), m in mm.models.items():
+        o = dbreg(
+            f"{yv} ~ {step} | g", df, strategy="demean", vcov="hc3",
+            weights="~ w",
+        )
+        np.testing.assert_allclose(
+            m.coeftable["std.error"].values,
+            o.coeftable["std.error"].values, rtol=1e-8,
+        )
