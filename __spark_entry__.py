@@ -626,6 +626,53 @@ def _diag_bp_within_plan(spark: SparkSession):
     return agg_df, sql
 
 
+def _diag_bp_mundlak_plan(spark: SparkSession):
+    """(agg_df, oracle_sql) for the MUNDLAK (CRE) Breusch-Pagan aux pass:
+    the group-mean-augmented frame (the estimator's own build,
+    plans/frames.py:build_mundlak_frame) -> squared CRE residual
+    y − β₀ − Xβ − x̄γ at literal coefficients -> ONE moments aggregation
+    on the [X, x̄] design (diagnostics.py:_mundlak_frame + bp_test —
+    VERDICT r8 #5's narrowed refusal)."""
+    from dbreg_spark.design import build_design
+    from dbreg_spark.formula import parse_formula
+    from dbreg_spark.plans.common import Source, agg_select_sql, moment_spec
+    from dbreg_spark.plans.exprs import Var, agg_to_spark
+    from dbreg_spark.plans.frames import build_base_frame, build_mundlak_frame
+
+    b0, b1, b2 = MEAT_BETA
+    g1, g2 = 0.25, -0.125  # literal CRE mean coefficients
+    li = spark.table("lineitem")
+    src_ = Source(df=li, sql_from="FROM lineitem")
+    parsed = parse_formula(
+        "l_extendedprice ~ l_quantity + l_discount | l_returnflag"
+    )
+    design = build_design(src_.df, parsed, expand="all", fe_vars=parsed.fe)
+    base = build_base_frame(src_, parsed, design, True, want_sql=True)
+    frame = build_mundlak_frame(
+        base, parsed.fe, design.numeric_vars, one_scan_means=False
+    )
+    xb1 = "l_quantity_bar_l_returnflag"
+    xb2 = "l_discount_bar_l_returnflag"
+    u = (
+        f"(l_extendedprice - ({b0!r} + ({b1!r} * l_quantity) + "
+        f"({b2!r} * l_discount) + ({g1!r} * {xb1}) + ({g2!r} * {xb2})))"
+        " / 10000.0"
+    )
+    zcols = ["l_quantity", "l_discount", xb1, xb2]
+    aux_df = frame.df.selectExpr(
+        f"CAST({u} AS DOUBLE) * CAST({u} AS DOUBLE) AS __u2", *zcols
+    )
+    mspec = moment_spec(Var("__u2"), [Var(c) for c in zcols], intercept=True)
+    agg_df = aux_df.agg(*[agg_to_spark(a).alias(n) for n, a in mspec])
+    sql = (
+        f"{frame.sql_cte},\naux AS (\n  SELECT CAST({u} AS DOUBLE) * "
+        f"CAST({u} AS DOUBLE) AS __u2, {', '.join(zcols)}"
+        f"\n  FROM {frame.cte_name}\n),\nmoments AS (\n  SELECT "
+        f"{agg_select_sql(mspec)}\n  FROM aux\n)\nSELECT * FROM moments"
+    )
+    return agg_df, sql
+
+
 def _negbin_step_plan(spark: SparkSession):
     """(agg_df, oracle_sql) for one NB2 IRLS pass at fixed (beta, theta)
     over lineitem counts (l_linenumber) — the negbin family's mu/w/wz/ll
@@ -836,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["diag_jb_aux_moments"] = _diag_q(_diag_jb_plan)
     Q["diag_bg_aux_moments"] = _diag_q(_diag_bg_plan)
     Q["diag_bp_within_aux_moments"] = _diag_q(_diag_bp_within_plan)
+    Q["diag_bp_mundlak_aux_moments"] = _diag_q(_diag_bp_mundlak_plan)
     Q["diag_wooldridge_fd_moments"] = _diag_q(_diag_wooldridge_plan)
     Q["meat_hc3_fixed_beta"] = _diag_q(_meat_hc3_plan)
 
@@ -901,6 +949,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _round_doubles_df(cells)
 
     Q["glm_kfe_cells"] = fepois_kfe_cells
+
+    # cells-compressed GLM (dbglm strategy='cells'): the ONE compress pass
+    # whose per-cell sufficient statistics replace every raw-frame IRLS
+    # scan — weighted poisson stats incl. the omega^2 robust sums and the
+    # saturated-ll rider (dbreg_spark/glm_cells.py:_cells_table, the real
+    # production plan builder)
+    def glm_cells_compress(spark, sf_dir):
+        from dbreg_spark.glm import get_family
+        from dbreg_spark.glm_cells import _cells_table
+        from dbreg_spark.plans.frames import Frame
+
+        _tables(spark, sf_dir)
+        cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"]
+        li = spark.table("lineitem").select(*cols)
+        cond = None
+        for c in cols:
+            cc = F.col(c).isNotNull()
+            cond = cc if cond is None else cond & cc
+        li = li.where(cond).withColumn(
+            "w", F.lit(0.5) + F.col("l_discount").cast("double")
+        )
+        frame = Frame(
+            df=li, y_col="l_quantity",
+            x_cols=["l_returnflag", "l_linestatus"], key_cols=[],
+            sql_cte=None, cte_name="base",
+        )
+        cells, _keys = _cells_table(
+            frame, get_family("poisson"), None, "w", [], True
+        )
+        return _round_doubles_df(cells)
+
+    Q["glm_cells_compress"] = glm_cells_compress
 
     # ---- dbiv / 2SLS (beyond reference; fixest-style IV) ----
     def iv_gram(spark, sf_dir):
@@ -2510,6 +2590,7 @@ FROM (
     O["diag_jb_aux_moments"] = _diag_oracle(_diag_jb_plan)
     O["diag_bg_aux_moments"] = _diag_oracle(_diag_bg_plan)
     O["diag_bp_within_aux_moments"] = _diag_oracle(_diag_bp_within_plan)
+    O["diag_bp_mundlak_aux_moments"] = _diag_oracle(_diag_bp_mundlak_plan)
     O["diag_wooldridge_fd_moments"] = _diag_oracle(_diag_wooldridge_plan)
     O["meat_hc3_fixed_beta"] = _diag_oracle(_meat_hc3_plan, int_cols=())
 
@@ -2551,6 +2632,39 @@ FROM (
 """,
         ["l_returnflag", "l_linestatus", "c_sum", "y_sum", "x_0", "x_1"],
         ["c_sum", "y_sum", "x_0", "x_1"],
+    )
+
+    _gcc_cols = [
+        "l_returnflag", "l_linestatus", "__n", "__sw", "__swy", "__swy2",
+        "__llsat", "__ymin", "__ymax", "__wmin", "__sw2", "__sw2y",
+        "__sw2y2",
+    ]
+    O["glm_cells_compress"] = _round_doubles_sql(
+        """
+SELECT l_returnflag, l_linestatus,
+  COUNT(*) AS __n,
+  SUM(w) AS __sw,
+  SUM(w * y) AS __swy,
+  SUM(w * y * y) AS __swy2,
+  SUM(w * (CASE WHEN y > 0.0 THEN y * LN(y) - y ELSE 0.0 END)) AS __llsat,
+  MIN(y) AS __ymin,
+  MAX(y) AS __ymax,
+  MIN(w) AS __wmin,
+  SUM(w * w) AS __sw2,
+  SUM(w * w * y) AS __sw2y,
+  SUM(w * w * y * y) AS __sw2y2
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS DOUBLE) AS y,
+         0.5 + CAST(l_discount AS DOUBLE) AS w
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+) b GROUP BY l_returnflag, l_linestatus
+""",
+        _gcc_cols,
+        [c for c in _gcc_cols
+         if c not in ("l_returnflag", "l_linestatus", "__n")],
     )
 
     # ---- dbiv / 2SLS oracles ----

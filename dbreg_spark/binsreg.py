@@ -746,8 +746,13 @@ def dbbinsglm(
     mean of y (bin dummies saturate the design) — pinned by tests against
     a dense numpy IRLS oracle, controls included.
 
-    Absorbed ``| fe`` parts are refused (compose low-cardinality groups as
-    factor controls, or use dbglm's fepois directly); splines/polynomials
+    Absorbed ``| fe`` parts are supported for ``family='poisson'`` via
+    dbglm's fepois/PPML path (the log link's FE profile is closed-form):
+    the link-scale point per bin is its coefficient RELATIVE to the
+    reference bin with the FE profiled out — dbbinsreg's OLS ``| fe``
+    partialling convention — and ``scale='response'`` is then the rate
+    ratio vs the reference bin. Other families refuse ``| fe`` (compose
+    low-cardinality groups as factor controls); splines/polynomials
     within bins are OLS-only (:func:`dbbinsreg`)."""
     from .glm import dbglm, get_family
 
@@ -765,12 +770,14 @@ def dbbinsglm(
             "dbbinsglm does not support interaction terms; specify "
             "controls as separate additive terms."
         )
-    if parsed.fe:
+    if parsed.fe and family != "poisson":
         raise NotImplementedError(
-            "dbbinsglm does not absorb `| fe` parts; include low-"
-            "cardinality groups as factor controls, or fit dbglm fepois "
-            "directly"
+            "dbbinsglm absorbs `| fe` parts for family='poisson' only "
+            "(the fepois/PPML profile is closed-form — dbglm's FE path); "
+            "for other families include low-cardinality groups as factor "
+            "controls"
         )
+    fe = list(parsed.fe)
     y = parsed.yvar
     x = parsed.xvars[0]
     controls = parsed.xvars[1:]
@@ -783,7 +790,7 @@ def dbbinsglm(
 
     weight_col = parse_weights(weights)
     aux = [c for c in (offset, weight_col) if c]
-    _require_columns(df, [y, x] + controls + aux)
+    _require_columns(df, [y, x] + controls + fe + aux)
 
     if isinstance(binspos, str):
         method = {"qs": "quantile", "es": "equal", "log": "log_equal"}.get(
@@ -803,16 +810,44 @@ def dbbinsglm(
         if len(breaks) < 2:
             raise ValueError("binspos needs at least 2 break values")
 
-    binned = assign_bins(df, x, y, breaks, keep_cols=controls + aux)
+    binned = assign_bins(df, x, y, breaks, keep_cols=controls + fe + aux)
     geo = bin_geometry(binned, x)
     present = geo["bin"].tolist()
 
     frame = binned.withColumn("bin", F.col("bin").cast("string"))
     rhs = ["bin"] + list(controls)
+    # the binned design is pure compression fodder whenever the controls
+    # are discrete (factor dummies) and the offset doesn't explode the
+    # cells: route through dbglm's cells strategy — ONE groupBy pass +
+    # driver IRLS on <= nbins x control-level cells instead of ~10 full
+    # raw-frame scans (identical estimates, pinned by parity tests)
+    from .design import classify_columns
+
+    glm_strategy = "auto"
+    if offset is None and not fe:
+        ctypes = classify_columns(binned, list(controls)) if controls else {}
+        if all(t != "numeric" for t in ctypes.values()):
+            glm_strategy = "cells"
+    # bin levels are already enumerated (geo is the per-bin aggregate of
+    # the SAME complete-case frame assign_bins built), so dbglm can skip
+    # factor_levels' probe + distinct scans for the bin factor; the string
+    # sort matches factor_levels' lexicographic orderBy
+    bin_levels = sorted(
+        str(int(b)) if float(b).is_integer() else str(b) for b in present
+    )
+    fml_fit = f"{y} ~ {' + '.join(rhs)}"
+    if fe:
+        # poisson only (guarded above): dbglm's fepois/PPML path profiles
+        # the FE out, so the link-scale points below are RELATIVE to the
+        # reference bin with the FE absorbed — the same partialling
+        # convention as dbbinsreg's OLS `| fe` points (response scale is
+        # then a rate ratio vs the reference bin)
+        fml_fit += " | " + " + ".join(fe)
     fit = dbglm(
-        f"{y} ~ {' + '.join(rhs)}", frame, family=family,
+        fml_fit, frame, family=family,
         vcov=vcov if ci else "iid", theta=theta, offset=offset,
-        weights=weights, verbose=verbose,
+        weights=weights, verbose=verbose, strategy=glm_strategy,
+        _known_levels={"bin": bin_levels},
     )
 
     fam = get_family(

@@ -168,6 +168,7 @@ def build_design(
     parsed: ParsedFormula,
     expand: str = "all",
     fe_vars: list[str] | None = None,
+    known_levels: dict[str, list] | None = None,
 ) -> DesignInfo:
     """Expand RHS part-1 terms into named expressions.
 
@@ -175,6 +176,11 @@ def build_design(
     paths); ``expand="interactions"`` expands only interaction terms, leaving
     factor main effects as raw grouping columns (compress path; reference:
     R/dbreg.R:1514-1534).
+
+    ``known_levels``: caller-supplied factor levels (sorted ascending, the
+    same order :func:`factor_levels` would return) — skips the
+    probe + distinct scans for those columns. Used by callers that already
+    enumerated the levels from an earlier pass (e.g. dbbinsglm's bins).
     """
     fe_vars = fe_vars if fe_vars is not None else parsed.fe
     vars_ = parsed.xvars
@@ -189,7 +195,11 @@ def build_design(
             v for t in parsed.terms if len(t.vars) > 1 for v in t.vars
         }
         fvars = [v for v in fvars if v in in_interaction]
-    levels = factor_levels(df, fvars) if fvars else {}
+    levels = dict(known_levels or {})
+    probe_vars = [v for v in fvars if v not in levels]
+    if probe_vars:
+        levels.update(factor_levels(df, probe_vars))
+    levels = {v: levels[v] for v in fvars}  # only the formula's factors
 
     all_term_keys = {t.sorted_key for t in parsed.terms}
     # FE vars count as terms for the drop-reference rule

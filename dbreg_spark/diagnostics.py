@@ -7,13 +7,16 @@ squared residual on (functions of) the model's design columns, run through
 the data, with the LM statistic and chi-square p-value assembled
 driver-side (stats.chi2_sf — no scipy).
 
-Models with absorbed fixed effects (strategy='demean', unweighted) run
-the WITHIN variants: the demeaned frame is rebuilt with the estimator's
+Models with absorbed fixed effects (unweighted) run the WITHIN variants
+(strategy='demean': the demeaned frame is rebuilt with the estimator's
 own plans/frames transform, the within residual ỹ − X̃β̂ comes from the
 stored literal β, and the aux regressions use the demeaned design
-columns (BP/White/RESET/JB; BG stays refused — serial-correlation
-testing on within residuals is a different test family). Mundlak and
-compress models are refused (no recoverable per-row residual). Factor
+columns) or the CRE variants (strategy='mundlak': the CRE residual
+y − β̂₀ − Xβ̂ − x̄γ̂ is per-row computable from the rebuilt augmented
+frame, and the aux regressions use the [X, x̄] design). BG stays refused
+for both — serial-correlation testing on within/CRE residuals is a
+different test family. Only compress models are refused (cells carry no
+per-row residual). Factor
 regressors are fine — the auxiliary regression runs over the model's
 EXPANDED design columns, and collinear aux terms (e.g. the square of a
 dummy) are dropped by the standard pivoted-QR layer, with the test df
@@ -29,26 +32,28 @@ from .stats import chi2_sf
 
 
 def _check_fe_supported(model, what: str):
-    """FE models are supported on the DEMEAN path only (the within
-    residual is distributed-computable by rebuilding the demeaned frame);
-    mundlak/compress carry no recoverable per-row residual."""
+    """FE models are supported on the DEMEAN path (within residual from
+    the rebuilt demeaned frame) and the MUNDLAK path (the CRE residual
+    y − β̂₀ − Xβ̂ − x̄γ̂ IS per-row computable at the stored literal
+    coefficients — the design folds group means in, it does not aggregate
+    rows away). Only compress is refused: its cells have no per-row
+    residual. Returns the strategy name, or False for non-FE models."""
     if not model.fe:
         return False
-    if model.strategy != "demean":
+    if model.strategy not in ("demean", "mundlak"):
         raise NotImplementedError(
-            f"{what} on a strategy={model.strategy!r} FE model: the "
-            "per-row residual is not recoverable from the fitted object "
-            "(mundlak folds group means into the design; compress "
-            "aggregates rows away). Refit with strategy='demean'."
+            f"{what} on a strategy={model.strategy!r} FE model: compress "
+            "aggregates rows into cells, so no per-row residual exists. "
+            "Refit with strategy='demean' or 'mundlak'."
         )
     if model.weight_col:
         raise NotImplementedError(
             f"{what} for weighted FE models is not defined here (the "
-            "within transform is w-weighted but the classic aux "
+            "within/CRE transform is w-weighted but the classic aux "
             "regressions are unweighted); run the test on the unweighted "
             "refit, or use robust vcov directly"
         )
-    return True
+    return model.strategy
 
 
 def _within_frame(model, data):
@@ -105,14 +110,71 @@ def _within_frame(model, data):
     return frame.df.select(*sel), [f"__z{i}" for i in range(len(kept))]
 
 
+def _mundlak_frame(model, data):
+    """Rebuild the estimator's CRE-augmented frame on ``data`` and return
+    ``(df, znames)``: ``__u`` = the CRE residual y − (β̂₀ + Xβ̂ + x̄γ̂) at
+    the stored literal coefficients, ``__f`` = the fitted value, ``__z<i>``
+    = the kept [X, x̄] design columns. One means pass per FE + one
+    projection — the same plans/frames build as estimation
+    (build_mundlak_frame), so the augmentation cannot drift from the fit.
+    ``one_scan_means=False`` keeps the build cache-free (the diagnostic's
+    consumers run lazily after this function returns)."""
+    import pyspark.sql.functions as F
+
+    from .design import standardize_coef_names
+    from .plans.common import resolve_source
+    from .plans.frames import build_base_frame, build_mundlak_frame
+
+    parsed, design = model.parsed, model.design_info
+    if parsed is None or design is None:
+        raise ValueError(
+            "model does not carry formula/design info; cannot rebuild the "
+            "mundlak frame"
+        )
+    source = resolve_source(data.sparkSession, data=data)
+    base = build_base_frame(
+        source, parsed, design, drop_missings=True, want_sql=False
+    )
+    frame = build_mundlak_frame(
+        base, list(model.fe), design.numeric_vars, one_scan_means=False
+    )
+    b = dict(
+        zip(model.coeftable.index, model.coeftable["estimate"].astype(float))
+    )
+    kept = []
+    for raw in frame.x_cols:
+        cname = standardize_coef_names(raw)
+        if cname in b:
+            kept.append((raw, cname))
+    fit = F.lit(float(b.get("(Intercept)", 0.0)))
+    for raw, cname in kept:
+        fit = fit + F.lit(b[cname]) * F.col(raw).cast("double")
+    sel = [
+        (F.col(frame.y_col).cast("double") - fit).alias("__u"),
+        fit.alias("__f"),
+        *[
+            F.col(raw).cast("double").alias(f"__z{i}")
+            for i, (raw, _) in enumerate(kept)
+        ],
+    ]
+    return frame.df.select(*sel), [f"__z{i}" for i in range(len(kept))]
+
+
+def _fe_frame(model, data, mode):
+    return (_within_frame if mode == "demean" else _mundlak_frame)(
+        model, data
+    )
+
+
 def _aux_frame(model, data):
     """(aux DataFrame with __u2 + __z<i> design columns, z names)."""
     import pyspark.sql.functions as F
 
     from .design import standardize_coef_names
 
-    if _check_fe_supported(model, "heteroskedasticity tests"):
-        wdf, znames = _within_frame(model, data)
+    mode = _check_fe_supported(model, "heteroskedasticity tests")
+    if mode:
+        wdf, znames = _fe_frame(model, data, mode)
         u = F.col("__u")
         return wdf.select((u * u).alias("__u2"), *znames), znames
     name_to_expr = dict(
@@ -211,12 +273,14 @@ def reset_test(model, data, powers=(2, 3)) -> dict:
     from .api import dbreg
     from .stats import f_sf
 
-    if _check_fe_supported(model, "reset_test"):
-        # within-RESET: refit ỹ ~ X̃ + (X̃β̂)^p on the demeaned frame and
-        # F-test the added powers against the stored within-RSS; the
+    mode = _check_fe_supported(model, "reset_test")
+    if mode:
+        # within-RESET: refit ỹ ~ X̃ + (X̃β̂)^p on the demeaned frame
+        # (mundlak: y ~ [X, x̄] + fit^p on the CRE-augmented frame) and
+        # F-test the added powers against the stored RSS; the demean
         # denominator df keeps the absorbed-FE correction via the model's
-        # own df_residual
-        wdf, znames = _within_frame(model, data)
+        # own df_residual, the mundlak one has no correction to make
+        wdf, znames = _fe_frame(model, data, mode)
         sel = [
             (F.col("__u") + F.col("__f")).alias("__yt"),
             *znames,
@@ -232,14 +296,18 @@ def reset_test(model, data, powers=(2, 3)) -> dict:
                 "reset_test: every added power was collinear; the test is "
                 "undefined for this model"
             )
-        df2 = float(model.df_residual) - q
+        df2 = (
+            float(model.df_residual) - q
+            if mode == "demean"
+            else float(mu.df_residual)
+        )
         stat = ((rss_r - rss_u) / q) / (rss_u / df2)
         return {
             "statistic": stat,
             "df1": q,
             "df2": df2,
             "p_value": f_sf(stat, q, df2),
-            "method": f"Ramsey RESET (within, powers {tuple(powers)})",
+            "method": f"Ramsey RESET ({mode}, powers {tuple(powers)})",
         }
     from .design import standardize_coef_names
 
@@ -297,8 +365,9 @@ def jb_test(model, data) -> dict:
 
     from .design import standardize_coef_names
 
-    if _check_fe_supported(model, "jb_test"):
-        wdf, _zn = _within_frame(model, data)
+    mode = _check_fe_supported(model, "jb_test")
+    if mode:
+        wdf, _zn = _fe_frame(model, data, mode)
         return _jb_from_proj(wdf.select("__u"))
     name_to_expr = dict(
         zip(
@@ -379,9 +448,9 @@ def bg_test(model, data, *, time: str, order: int = 1, panel: str | None = None)
     if model.fe:
         raise NotImplementedError(
             "bg_test is not defined for absorbed-FE models here (lagged "
-            "WITHIN residuals test a different null than the raw-residual "
-            "Breusch-Godfrey; use Wooldridge's panel serial-correlation "
-            "test on first differences instead)"
+            "WITHIN or CRE residuals test a different null than the "
+            "raw-residual Breusch-Godfrey; use Wooldridge's panel "
+            "serial-correlation test on first differences instead)"
         )
     if order < 1:
         raise ValueError("order must be >= 1")

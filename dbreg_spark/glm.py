@@ -1321,6 +1321,58 @@ class GlmModel:
 # --------------------------------------------------------------------------
 
 
+def _null_deviance(
+    fam: _Family,
+    icpt_req: bool,
+    offset: str | None,
+    sum_wt: float,
+    sum_y: float,
+    sum_y_sq: float,
+    ll_sat: float,
+) -> float:
+    """Null model in closed form from the weighted sums: intercept-only
+    (μ̂ = Σωy/Σω) when the model has an intercept, else the zero linear
+    predictor (R convention for no-intercept GLMs). With an offset the
+    closed form does not exist (the null model must still carry the
+    offset) — report NaN rather than a wrong number. Shared by the raw
+    IRLS tail and the cells-compressed path (glm_cells.py)."""
+    ybar = sum_y / sum_wt if sum_wt > 0 else float("nan")
+    if offset is not None:
+        return float("nan")
+    if fam.name == "binomial":
+        if icpt_req:
+            # Σω[y·ln(μ̂) + (1−y)·ln(1−μ̂)] from the weighted sums
+            null_ll = (
+                sum_y * math.log(ybar) + (sum_wt - sum_y) * math.log(1 - ybar)
+                if 0.0 < ybar < 1.0
+                else 0.0
+            )
+        else:
+            null_ll = -sum_wt * math.log(2.0)  # η=0 ⇒ μ=1/2
+        return 2.0 * (ll_sat - null_ll)
+    if fam.name == "poisson":
+        if icpt_req:
+            null_ll = (sum_y * math.log(ybar) - sum_wt * ybar) if ybar > 0 else 0.0
+        else:
+            null_ll = -sum_wt  # η=0 ⇒ μ=1: Σω(y·0 − 1)
+        return 2.0 * (ll_sat - null_ll)
+    if fam.name == "negbin":
+        th = float(fam.theta)
+        # null model mu = ybar (weighted); at mu = 1 without an intercept
+        mu0 = ybar if icpt_req else 1.0
+        if mu0 > 0:
+            null_ll = (
+                sum_y * math.log(mu0)
+                - (sum_y + th * sum_wt) * math.log(th + mu0)
+                + sum_wt * th * math.log(th)
+            )
+        else:
+            null_ll = 0.0
+        return 2.0 * (ll_sat - null_ll)
+    # gaussian: weighted TSS about ȳ with an intercept, about 0 without
+    return sum_y_sq - (sum_y**2 / sum_wt if icpt_req else 0.0)
+
+
 def dbglm(
     fml: str,
     data=None,
@@ -1344,9 +1396,22 @@ def dbglm(
     drop_missings: bool = True,
     verbose: bool = False,
     cells_nmax: int = 5_000_000,
+    strategy: str = "auto",
+    _known_levels: dict | None = None,
 ) -> GlmModel:
     """Fit a GLM by distributed IRLS. See the module docstring for the
     per-pass computation; the driver holds only the p×p system.
+
+    ``strategy``: "auto"/"irls" runs the distributed IRLS above (one pass
+    per iteration). "cells" compresses first — ONE
+    groupBy(design columns).agg(...) pass collects per-cell sufficient
+    statistics (Σω, Σωy, Σωy², …) and the IRLS iterates driver-side in
+    numpy over the ≤ ``cells_nmax`` cells (every family's per-row ll /
+    working response is linear in y at fixed η, so the compression is
+    lossless — see glm_cells.py). The right choice for ALL-DISCRETE
+    designs (bin dummies, factor controls): ~10 corpus scans become 1.
+    Falls back to raw IRLS with a warning when the design has more than
+    ``cells_nmax`` distinct rows; refuses absorbed ``| fe`` (use fepois).
 
     ``fml`` is the same formula syntax as :func:`dbreg.dbreg` WITHOUT the
     ``| fe`` part (string/factor regressors expand to dummies; ``y ~ 0 + x``
@@ -1395,6 +1460,10 @@ def dbglm(
         if theta.strip().lower() != "ml":
             raise ValueError("theta must be a positive float, None, or 'ml'")
         theta = None
+    if strategy not in ("auto", "irls", "cells"):
+        raise ValueError(
+            "dbglm strategy must be 'auto', 'irls', or 'cells'"
+        )
     fam = get_family(family, theta=theta)
     if fam.name != "negbin" and (theta is not None or want_ml_theta):
         raise ValueError("theta= applies to family='negbin' only")
@@ -1411,7 +1480,8 @@ def dbglm(
             fml, data=data, spark=spark, table=table, path=path,
             family="negbin", vcov="iid", offset=offset, weights=weights,
             l2=l2, max_iter=max_iter, tol=tol, drop_missings=drop_missings,
-            verbose=verbose, cells_nmax=cells_nmax,
+            verbose=verbose, cells_nmax=cells_nmax, strategy=strategy,
+            _known_levels=_known_levels,
         )
         th = float(m.family[len("negbin(theta="):-1])
         # the y histogram is collected ONCE, from the SAME complete-case
@@ -1436,7 +1506,8 @@ def dbglm(
                 family="negbin", vcov="iid", offset=offset, weights=weights,
                 l2=l2, theta=th, max_iter=max_iter, tol=tol,
                 drop_missings=drop_missings, verbose=verbose,
-                cells_nmax=cells_nmax,
+                cells_nmax=cells_nmax, strategy=strategy,
+                _known_levels=_known_levels,
             )
         return dbglm(
             fml, data=data, spark=spark, table=table, path=path,
@@ -1445,7 +1516,8 @@ def dbglm(
             conley_cutoff=conley_cutoff, conley_kernel=conley_kernel,
             conley_distance=conley_distance,
             max_iter=max_iter, tol=tol, drop_missings=drop_missings,
-            verbose=verbose, cells_nmax=cells_nmax,
+            verbose=verbose, cells_nmax=cells_nmax, strategy=strategy,
+            _known_levels=_known_levels,
         )
     if fam.name == "negbin" and fam.theta is None:
         # two-step NB2 (Cameron-Trivedi 1986): (1) poisson IRLS for mu-hat,
@@ -1460,7 +1532,8 @@ def dbglm(
             fml, data=data, spark=spark, table=table, path=path,
             family="poisson", vcov="iid", offset=offset, weights=weights,
             max_iter=max_iter, tol=tol, drop_missings=drop_missings,
-            verbose=verbose, cells_nmax=cells_nmax,
+            verbose=verbose, cells_nmax=cells_nmax, strategy=strategy,
+            _known_levels=_known_levels,
         )
         th = _negbin_moment_theta(
             pois,
@@ -1476,7 +1549,8 @@ def dbglm(
             conley_cutoff=conley_cutoff, conley_kernel=conley_kernel,
             conley_distance=conley_distance,
             max_iter=max_iter, tol=tol, drop_missings=drop_missings,
-            verbose=verbose, cells_nmax=cells_nmax,
+            verbose=verbose, cells_nmax=cells_nmax, strategy=strategy,
+            _known_levels=_known_levels,
         )
     parsed = parse_formula(fml)
     if parsed.fe and fam.name != "poisson":
@@ -1519,7 +1593,8 @@ def dbglm(
 
     source = resolve_source(spark, data=data, table=table, path=path)
     design = build_design(
-        source.df, parsed, expand="all", fe_vars=parsed.fe or None
+        source.df, parsed, expand="all", fe_vars=parsed.fe or None,
+        known_levels=_known_levels,
     )
     aux_cols = [c for c in (offset, weights) if c is not None]
     frame = build_base_frame(
@@ -1543,6 +1618,25 @@ def dbglm(
 
     if l2 < 0:
         raise ValueError("l2 must be >= 0")
+    if strategy == "cells":
+        if parsed.fe:
+            raise NotImplementedError(
+                "dbglm strategy='cells' does not absorb `| fe` parts (the "
+                "profiled FE is not a cell function); use the fepois path "
+                "(strategy='auto') or list low-cardinality groups as "
+                "factor regressors — those compress."
+            )
+        from .glm_cells import glm_cells_fit
+
+        m = glm_cells_fit(
+            frame, parsed, design, fam, vcov_type, cluster_vars, offset,
+            weights, l2, hac_lag, conley_opts, max_iter, tol, verbose,
+            cells_nmax,
+        )
+        if m is not None:
+            return m
+        # cell count exceeded cells_nmax — fall through to raw IRLS
+        # (glm_cells_fit already warned)
     if parsed.fe:
         if l2 > 0:
             raise NotImplementedError(
@@ -1715,47 +1809,9 @@ def dbglm(
         ll_final = ll_raw + _negbin_ll_const(
             frame, weights, float(fam.theta)
         )
-    # null model in closed form from the weighted sums: intercept-only
-    # (μ̂ = Σωy/Σω) when the model has an intercept, else the zero linear
-    # predictor (R convention for no-intercept GLMs). With an offset the
-    # closed form does not exist (the null model must still carry the
-    # offset) — report NaN rather than a wrong number.
-    ybar = sum_y / sum_wt if sum_wt > 0 else float("nan")
-    if offset is not None:
-        null_dev = float("nan")
-    elif fam.name == "binomial":
-        if icpt_req:
-            # Σω[y·ln(μ̂) + (1−y)·ln(1−μ̂)] from the weighted sums
-            null_ll = (
-                sum_y * math.log(ybar) + (sum_wt - sum_y) * math.log(1 - ybar)
-                if 0.0 < ybar < 1.0
-                else 0.0
-            )
-        else:
-            null_ll = -sum_wt * math.log(2.0)  # η=0 ⇒ μ=1/2
-        null_dev = 2.0 * (ll_sat - null_ll)
-    elif fam.name == "poisson":
-        if icpt_req:
-            null_ll = (sum_y * math.log(ybar) - sum_wt * ybar) if ybar > 0 else 0.0
-        else:
-            null_ll = -sum_wt  # η=0 ⇒ μ=1: Σω(y·0 − 1)
-        null_dev = 2.0 * (ll_sat - null_ll)
-    elif fam.name == "negbin":
-        th = float(fam.theta)
-        # null model mu = ybar (weighted); at mu = 1 without an intercept
-        mu0 = ybar if icpt_req else 1.0
-        if mu0 > 0:
-            null_ll = (
-                sum_y * math.log(mu0)
-                - (sum_y + th * sum_wt) * math.log(th + mu0)
-                + sum_wt * th * math.log(th)
-            )
-        else:
-            null_ll = 0.0
-        null_dev = 2.0 * (ll_sat - null_ll)
-    else:
-        # weighted TSS about ȳ with an intercept, about 0 without
-        null_dev = sum_y_sq - (sum_y**2 / sum_wt if icpt_req else 0.0)
+    null_dev = _null_deviance(
+        fam, icpt_req, offset, sum_wt, sum_y, sum_y_sq, ll_sat
+    )
     if fam.name == "gaussian":
         deviance = -2.0 * ll_final  # ω-weighted RSS (ll = −Σω(y−η)²/2)
 

@@ -403,6 +403,48 @@ def test_binsglm_refusals(gdata):
         dbbinsglm("y ~ x", df, family="binomial", scale="nope")
 
 
+def test_binsglm_fepois_fe_matches_dense_irls(gdata):
+    """family='poisson' absorbs `| fe` via dbglm's fepois path: link-scale
+    per-bin points (relative to the reference bin, FE profiled out) must
+    match a dense poisson IRLS on [FE dummies + bin dummies]; iid SEs
+    match the dense inverse-information slice (Schur-complement
+    identity)."""
+    import pyspark.sql.functions as F
+
+    from dbreg_spark import dbbinsglm
+    from dbreg_spark.operators.binning import assign_bins
+
+    df, _ = gdata
+    dff = df.withColumn(
+        "g", F.concat(F.lit("g"), (F.col("c") * 2).cast("int").cast("string"))
+    )
+    r = dbbinsglm(
+        "ypois ~ x | g", dff, family="poisson", nbins=5, vcov="iid",
+        scale="link",
+    )
+    bp = assign_bins(dff, "x", "ypois", r.knots, keep_cols=["g"]).toPandas()
+    bins_int = bp["bin"].astype(int)
+    lv = sorted(bins_int.unique())
+    glv = sorted(bp["g"].unique())
+    Dm = np.column_stack(
+        [(bp["g"] == g).astype(float).values for g in glv]
+        + [(bins_int == b).astype(float).values for b in lv[1:]]
+    )
+    b_np, V_np = _numpy_irls(Dm, bp["ypois"].values, "poisson")
+    off = len(glv)
+    assert len(set(np.round(r.points["fit"], 6))) > 1
+    for _, row in r.points.iterrows():
+        bi = int(row["bin"])
+        if bi == lv[0]:
+            np.testing.assert_allclose(row["fit"], 0.0, atol=1e-12)
+            continue
+        j = off + lv[1:].index(bi)
+        np.testing.assert_allclose(row["fit"], b_np[j], rtol=1e-6)
+        np.testing.assert_allclose(
+            row["se"], np.sqrt(V_np[j, j]), rtol=1e-5
+        )
+
+
 def test_binsglm_supt_band_wider_than_ci(gdata):
     from dbreg_spark import dbbinsglm
 

@@ -80,19 +80,23 @@ def test_white_factor_regressors_drop_collinear_aux(het):
 
 
 def test_fe_refusals_narrowed(het):
-    """demean FE models are now supported (within variants); mundlak,
-    weighted demean, and BG-on-FE stay refused with clear messages."""
+    """demean AND mundlak FE models are supported (within/CRE variants);
+    compress, weighted demean, and BG-on-FE stay refused with clear
+    messages."""
     df, pdf = het
-    mk = dbreg("y ~ x1 + x2 | g", df, strategy="mundlak")
-    with pytest.raises(NotImplementedError, match="mundlak"):
-        mk.bp_test(df)
+    mc = dbreg("y ~ x1 + x2 | g", df, strategy="compress")
+    with pytest.raises(NotImplementedError, match="compress"):
+        mc.bp_test(df)
     dfw = df.withColumn("w", (F.col("x2") + 1.0))
     mw = dbreg("y ~ x1 | g", dfw, strategy="demean", weights="~ w")
     with pytest.raises(NotImplementedError, match="weighted"):
         mw.bp_test(dfw)
     md = dbreg("y ~ x1 | g", df, strategy="demean")
-    with pytest.raises(NotImplementedError, match="WITHIN residuals"):
+    with pytest.raises(NotImplementedError, match="WITHIN or CRE"):
         md.bg_test(df, time="x2")
+    mk = dbreg("y ~ x1 + x2 | g", df, strategy="mundlak")
+    with pytest.raises(NotImplementedError, match="WITHIN or CRE"):
+        mk.bg_test(df, time="x2")
 
 
 def _within_oracle(pdf, xcols, ycol="y", g="g"):
@@ -155,6 +159,57 @@ def test_jb_within_matches_dense_oracle(het):
     m = dbreg("y ~ x1 + x2 | g", df, strategy="demean")
     jb = m.jb_test(df)
     u, _X, _b, _f = _within_oracle(pdf, ["x1", "x2"])
+    m2 = np.mean((u - u.mean()) ** 2)
+    S = np.mean((u - u.mean()) ** 3) / m2**1.5
+    K = np.mean((u - u.mean()) ** 4) / m2**2
+    np.testing.assert_allclose(
+        jb["statistic"], N / 6 * (S**2 + (K - 3) ** 2 / 4), rtol=1e-8
+    )
+
+
+def _mundlak_oracle(pdf, xcols, ycol="y", g="g"):
+    """numpy 1-FE CRE fit: (u, A = [1, X, x̄_g], beta, fit)."""
+    xb = np.column_stack(
+        [pdf.groupby(g)[c].transform("mean").values for c in xcols]
+    )
+    A = np.column_stack(
+        [np.ones(len(pdf))] + [pdf[c].values for c in xcols] + [xb]
+    )
+    b = np.linalg.lstsq(A, pdf[ycol].values, rcond=None)[0]
+    fit = A @ b
+    return pdf[ycol].values - fit, A, b, fit
+
+
+def test_bp_mundlak_matches_dense_oracle(het):
+    """BP on a mundlak (CRE) model: the residual y − β̂₀ − Xβ̂ − x̄γ̂ at
+    the stored literal coefficients, aux regressors = [X, x̄]."""
+    df, pdf = het
+    m = dbreg("y ~ x1 + x2 | g", df, strategy="mundlak")
+    bp = m.bp_test(df)
+    u, A, _b, _f = _mundlak_oracle(pdf, ["x1", "x2"])
+    u2 = u * u
+    gam = np.linalg.lstsq(A, u2, rcond=None)[0]
+    r2 = 1 - np.sum((u2 - A @ gam) ** 2) / np.sum((u2 - u2.mean()) ** 2)
+    np.testing.assert_allclose(bp["statistic"], N * r2, rtol=1e-8)
+    assert bp["df"] == 4  # x1, x2, x1_bar_g, x2_bar_g
+
+
+def test_reset_jb_mundlak_match_dense_oracle(het):
+    df, pdf = het
+    m = dbreg("y ~ x1 + x2 | g", df, strategy="mundlak")
+    u, A, _b, fit = _mundlak_oracle(pdf, ["x1", "x2"])
+    rss_r = float(np.sum(u * u))
+    np.testing.assert_allclose(rss_r, float(m.rss), rtol=1e-9)
+    rs = m.reset_test(df)
+    Au = np.column_stack([A, fit**2, fit**3])
+    g2 = np.linalg.lstsq(Au, pdf.y.values, rcond=None)[0]
+    rss_u = float(np.sum((pdf.y.values - Au @ g2) ** 2))
+    q = 2
+    df2 = N - Au.shape[1]
+    stat = ((rss_r - rss_u) / q) / (rss_u / df2)
+    np.testing.assert_allclose(rs["statistic"], stat, rtol=1e-7)
+    assert rs["df1"] == q and rs["df2"] == df2
+    jb = m.jb_test(df)
     m2 = np.mean((u - u.mean()) ** 2)
     S = np.mean((u - u.mean()) ** 3) / m2**1.5
     K = np.mean((u - u.mean()) ** 4) / m2**2

@@ -1,6 +1,8 @@
 """Pipeline operators (text / dedup / similarity / multimodal) vs DuckDB
 oracles on the documents & embeddings testdata tables."""
 
+import re
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -2242,3 +2244,51 @@ def test_pq_rerank_exact_on_shortlist(spark):
         & set(zip(exact.query_id, exact.vec_id))
     )
     assert hits >= 12  # clustered data: shortlist keeps >=80% of true top5
+
+
+def test_ngram_jaccard_partition_adaptive_candidate_join(spark):
+    """With candidate_partition_rows forced below the exploded-row count,
+    the candidate self-join (and the pair dedup) must run at the widened
+    adaptive width — pinned in the executed plan — and produce IDENTICAL
+    pairs to the session-width plan."""
+    n = 30
+    texts = [f"common tail words plus unique{i} token{i} here{i}" for i in range(n)]
+    texts[0] = "common tail words plus alpha beta gamma delta"
+    texts[1] = "common tail words plus alpha beta gamma epsilon"
+    pdf = pd.DataFrame({"doc_id": list(range(n)), "text": texts})
+    df = spark.createDataFrame(pdf)
+
+    def _formatted(d):
+        qe = d._jdf.queryExecution()
+        mode = (
+            d.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        return qe.explainString(mode)
+
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out = dedup.ngram_jaccard_pairs(
+        df, shingle_words=2, threshold=0.3, max_df=5,
+        candidate_partition_rows=1,  # n_part = exploded-row count
+    )
+    plan = _formatted(out)
+    m = re.search(r"hashpartitioning\(gh\S*, (\d+)\), REPARTITION", plan)
+    assert m and int(m.group(1)) > cur, plan
+    m2 = re.search(
+        r"hashpartitioning\(id_a\S*, id_b\S*, (\d+)\), REPARTITION", plan
+    )
+    assert m2 and int(m2.group(1)) == int(m.group(1)), plan
+    got = out.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    ref = (
+        dedup.ngram_jaccard_pairs(df, shingle_words=2, threshold=0.3, max_df=5)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
+
+    # below the threshold the session width is untouched (no repartition)
+    out2 = dedup.ngram_jaccard_pairs(
+        df, shingle_words=2, threshold=0.3, max_df=5,
+        candidate_partition_rows=10_000_000,
+    )
+    assert "REPARTITION_BY_NUM" not in _formatted(out2)
+    assert cur == int(spark.conf.get("spark.sql.shuffle.partitions"))
