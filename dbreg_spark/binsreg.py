@@ -731,6 +731,8 @@ def dbbinsglm(
     weights: str | None = None,
     seed: int = 42,
     verbose: bool = False,
+    line: int | tuple | None = None,
+    linegrid: int = 20,
 ) -> BinsregResult:
     """GLM binned scatterplot: degree-0 bin dummies through
     :func:`dbreg_spark.dbglm` (``y ~ bin [+ controls]``, the natural
@@ -752,8 +754,16 @@ def dbbinsglm(
     reference bin with the FE profiled out — dbbinsreg's OLS ``| fe``
     partialling convention — and ``scale='response'`` is then the rate
     ratio vs the reference bin. Other families refuse ``| fe`` (compose
-    low-cardinality groups as factor controls); splines/polynomials
-    within bins are OLS-only (:func:`dbbinsreg`)."""
+    low-cardinality groups as factor controls).
+
+    ``line=p`` (or ``(p, 0)``) adds a smooth per-bin degree-``p``
+    polynomial fit: a SECOND dbglm on bin dummies + per-bin scaled
+    ``u^d`` columns (dbbinsreg's unconstrained design, fed through the
+    GLM link), evaluated on a ``linegrid``-point grid per bin. The line
+    carries delta-method bands on the link scale, transformed
+    monotonically for ``scale='response'`` — r.line columns
+    (x, bin, fit, se, lwr, upr). Constrained splines (smoothness s > 0)
+    are OLS-only (:func:`dbbinsreg`)."""
     from .glm import dbglm, get_family
 
     if not 0.0 < level < 1.0:
@@ -763,6 +773,22 @@ def dbbinsglm(
     alpha = 1 - level
     if vcov is None:
         vcov = "hc1" if ci else "iid"
+    line_deg = None
+    if line is not None:
+        if isinstance(line, (tuple, list)):
+            if len(line) != 2 or int(line[1]) != 0:
+                raise NotImplementedError(
+                    "dbbinsglm line= supports per-bin polynomials only "
+                    "(smoothness s = 0); constrained splines are OLS-only "
+                    "(dbbinsreg)"
+                )
+            line_deg = int(line[0])
+        else:
+            line_deg = int(line)
+        if line_deg < 1:
+            raise ValueError("line degree must be >= 1")
+        if linegrid < 2:
+            raise ValueError("linegrid must be >= 2")
 
     parsed = parse_formula(fml)
     if parsed.has_interactions:
@@ -936,6 +962,87 @@ def dbbinsglm(
             row["cb_lwr"], row["cb_upr"] = lo, hi
     points = pd.DataFrame(rows).sort_values("x").reset_index(drop=True)
 
+    line_df = None
+    if line_deg is not None:
+        # per-bin degree-p polynomial through the link: a SECOND dbglm on
+        # bin dummies + per-bin scaled u^d columns (the unconstrained OLS
+        # design of dbbinsreg._unconstrained, GLM-linked), evaluated on a
+        # linegrid-point grid per bin with delta-method link-scale bands
+        left = dict(zip(geo["bin"], geo["x_left"]))
+        width = dict(zip(geo["bin"], geo["x_right"] - geo["x_left"]))
+        lsel = [F.col(y), F.col("bin").cast("string").alias("bin")] + [
+            F.col(c) for c in list(controls) + fe + aux
+        ]
+        ucols = []
+        for b in present:
+            h = float(width[b]) if width[b] != 0 else 1.0
+            u = (F.col(x) - F.lit(float(left[b]))) / F.lit(h)
+            for d in range(1, line_deg + 1):
+                cname = f"u_{_lvl(b)}" if d == 1 else f"u{d}_{_lvl(b)}"
+                lsel.append(
+                    F.when(F.col("bin") == b, u ** d)
+                    .otherwise(F.lit(0.0)).alias(cname)
+                )
+                ucols.append(cname)
+        lframe = binned.select(*lsel)
+        rhs2 = ["bin"] + ucols + list(controls)
+        fml2 = f"{y} ~ {' + '.join(rhs2)}"
+        if fe:
+            fml2 += " | " + " + ".join(fe)
+        fit2 = dbglm(
+            fml2, lframe, family=family, vcov=vcov if ci else "iid",
+            theta=theta, offset=offset, weights=weights, verbose=verbose,
+            _known_levels={"bin": bin_levels},
+        )
+        c2 = fit2.coeftable["estimate"].to_numpy()
+        n2 = list(fit2.coeftable.index)
+        V2 = np.asarray(fit2.vcov_, dtype=float) if ci else None
+        pos2 = {nm: i for i, nm in enumerate(n2)}
+        lrows = []
+        for _, g2 in geo.iterrows():
+            b = g2["bin"]
+            bl = _lvl(b)
+            xl, xr = float(g2["x_left"]), float(g2["x_right"])
+            h = (xr - xl) or 1.0
+            for xv in np.linspace(xl, xr, linegrid):
+                w = np.zeros(len(n2))
+                if "(Intercept)" in pos2:
+                    w[pos2["(Intercept)"]] = 1.0
+                if f"bin{bl}" in pos2:
+                    w[pos2[f"bin{bl}"]] = 1.0
+                uu = (xv - xl) / h
+                for d in range(1, line_deg + 1):
+                    cn = f"u_{bl}" if d == 1 else f"u{d}_{bl}"
+                    if cn in pos2:
+                        w[pos2[cn]] = uu ** d
+                eta = float(w @ c2)
+                se_eta = (
+                    float(np.sqrt(max(w @ V2 @ w, 0.0)))
+                    if V2 is not None else np.nan
+                )
+                lo, hi = eta - crit * se_eta, eta + crit * se_eta
+                if scale == "response":
+                    muv = float(inv_link(eta))
+                    dmu = (
+                        muv * (1 - muv) if link == "logit"
+                        else (muv if link == "log" else 1.0)
+                    )
+                    rowd = dict(
+                        x=xv, bin=b, fit=muv, se=abs(dmu) * se_eta,
+                        lwr=float(inv_link(lo)), upr=float(inv_link(hi)),
+                    )
+                else:
+                    rowd = dict(
+                        x=xv, bin=b, fit=eta, se=se_eta, lwr=lo, upr=hi
+                    )
+                if not ci:
+                    rowd.pop("se"), rowd.pop("lwr"), rowd.pop("upr")
+                lrows.append(rowd)
+        line_df = (
+            pd.DataFrame(lrows).sort_values(["bin", "x"])
+            .reset_index(drop=True)
+        )
+
     bins_df = pd.DataFrame(
         dict(
             id=geo["bin"],
@@ -946,13 +1053,15 @@ def dbbinsglm(
     )
     return BinsregResult(
         points=points,
-        line=None,
+        line=line_df,
         bins=bins_df,
         model=fit,
         opt=dict(
             y_var=y, x_var=x, nbins=len(breaks) - 1,
             binspos=binspos if isinstance(binspos, str) else "manual",
-            points=(0, 0), line=None, N=int(fit.nobs),
+            points=(0, 0),
+            line=(line_deg, 0) if line_deg is not None else None,
+            N=int(fit.nobs),
             family=fit.family, scale=scale, level=level,
         ),
         knots=breaks,

@@ -518,8 +518,10 @@ def irls_pass_plan(
         if family.name == "binomial":
             # y(1−y) ≠ 0 ⇔ y ∉ {0,1}; Σ|·| > 0 flags a non-binary outcome
             proj_exprs.append(("__ybad", Func("abs", (y * (Lit(1.0) - y),))))
+    from .plans.exprs import aggs_to_spark_fast, to_spark_fast
+
     proj = frame.df.select(
-        *[to_spark(e).alias(n) for n, e in proj_exprs],
+        *[to_spark_fast(e).alias(n) for n, e in proj_exprs],
         *[F.col(n) for n in x_names],
     )
 
@@ -549,7 +551,9 @@ def irls_pass_plan(
     for i in range(p):
         spec.append((f"b_{i}", asum(Var("__wz") * _d(cols[i]))))
 
-    agg_df = proj.agg(*[agg_to_spark(a).alias(n) for n, a in spec])
+    # one F.expr per aggregate (contract: every sum/min/max here is
+    # double-typed — projections are _d-cast, products are over casts)
+    agg_df = proj.agg(*aggs_to_spark_fast(spec))
 
     sql = None
     if frame.sql_cte:

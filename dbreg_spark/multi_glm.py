@@ -38,7 +38,7 @@ from .formula import ParsedFormula, parse_formula, parse_vcov, parse_weights
 from .glm import GlmModel, _Family, _d, _eta_expr, get_family
 from .multi import DbregMulti, _union_design, parse_multi_formula
 from .plans.common import resolve_source, run_agg
-from .plans.exprs import Agg, Expr, Lit, Var, agg_to_spark, asum, count_star, amin, amax, to_spark
+from .plans.exprs import Agg, Expr, Lit, Var, agg_to_spark, asum, count_star, amin, amax, to_spark, to_spark_fast
 from .plans.frames import build_base_frame
 from .plans.meat import nw_combine
 from .solve import compute_vcov, detect_collinearity, gen_coeftable, solve_with_fallback
@@ -346,14 +346,14 @@ def dbglm_multi(
             )
             if om is not None:
                 spec_aggs.append(("wt_min", amin(om)))
-        proj_cols = [to_spark(e).alias(n) for n, e in proj_exprs]
+        proj_cols = [to_spark_fast(e).alias(n) for n, e in proj_exprs]
         carry_all = dict.fromkeys(
             carry
             + [m.y for m in active]
             + ([weight_col] if weight_col else [])
         )
         proj = fdf.select(*proj_cols, *[F.col(c) for c in carry_all])
-        row = run_agg(proj, spec_aggs)
+        row = run_agg(proj, spec_aggs, fast=True)
         n_passes += 1
         return row
 
@@ -509,10 +509,10 @@ def dbglm_multi(
             + [c for c in (offset, weight_col) if c]
         )
         proj = fdf.select(
-            *[to_spark(e).alias(n) for n, e in proj_cols],
+            *[to_spark_fast(e).alias(n) for n, e in proj_cols],
             *[F.col(c) for c in carry],
         )
-        trow = run_agg(proj, aggs)
+        trow = run_agg(proj, aggs, fast=True)
         n_passes += 1
         for k, m in enumerate(models):
             num, den = float(trow[f"t{k}_num"]), float(trow[f"t{k}_den"])
@@ -686,7 +686,7 @@ def _batched_glm_conley(
         s = m.fam.score(mu, y)
         if om is not None:
             s = om * s
-        proj_cols.append(to_spark(_d(s)).alias(f"__e{k}"))
+        proj_cols.append(to_spark_fast(_d(s)).alias(f"__e{k}"))
     carry = dict.fromkeys(sum([m.x_kept for m in models], []))
     proj = fdf.select(
         *proj_cols,
@@ -732,7 +732,7 @@ def _batched_glm_meats(
             s = mfam.score(mu, y)
             if om is not None:
                 s = om * s
-            proj_cols.append(to_spark(_d(s)).alias(f"__s{k}"))
+            proj_cols.append(to_spark_fast(_d(s)).alias(f"__s{k}"))
             carry += m.x_kept
         carry = list(dict.fromkeys(carry + list(extra_keys)))
         return fdf.select(*proj_cols, *[F.col(c) for c in carry])
@@ -757,7 +757,7 @@ def _batched_glm_meats(
                         (f"m{k}_{i}_{j}",
                          asum(e * e * _d(cols[i]) * _d(cols[j])))
                     )
-        row = run_agg(proj, spec)
+        row = run_agg(proj, spec, fast=True)
         for k, m in enumerate(models):
             p = len(model_cols(m))
             meat = np.zeros((p, p))

@@ -179,7 +179,10 @@ def moment_spec(
 
 
 def run_agg(
-    df: DataFrame, spec: list[tuple[str, Agg]], fe_cols: list[str] | None = None
+    df: DataFrame,
+    spec: list[tuple[str, Agg]],
+    fe_cols: list[str] | None = None,
+    fast: bool = False,
 ) -> dict:
     """Execute a single-row aggregation and return it as a plain dict.
 
@@ -199,7 +202,15 @@ def run_agg(
         and all(isinstance(a.expr, Var) and a.expr.name in fe_cols for _, a in cd)
     )
     if not two_level:
-        cols = [agg_to_spark(a).alias(name) for name, a in spec]
+        # fast=True: one F.expr JVM call per aggregate instead of a py4j
+        # round-trip per IR node (exprs.aggs_to_spark_fast's caller
+        # contract: every non-count aggregate is double-typed)
+        if fast:
+            from .exprs import aggs_to_spark_fast
+
+            cols = aggs_to_spark_fast(spec)
+        else:
+            cols = [agg_to_spark(a).alias(name) for name, a in spec]
         row = df.agg(*cols).collect()[0]
         return row.asDict()
 

@@ -11,6 +11,8 @@ semantics of every emitted expression.
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 from typing import Union
 
@@ -184,6 +186,74 @@ def to_spark(e: Expr) -> Column:
     if isinstance(e, Cast):
         return to_spark(e.expr).cast(e.to)
     raise TypeError(f"unknown expr {e!r}")
+
+
+_SAFE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def expr_vars(e: Expr) -> set[str]:
+    """Every column name referenced anywhere in the IR tree."""
+    out: set[str] = set()
+    stack: list[Expr] = [e]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, Var):
+            out.add(n.name)
+        elif isinstance(n, BinOp):
+            stack += [n.left, n.right]
+        elif isinstance(n, Func):
+            stack += list(n.args)
+        elif isinstance(n, OneHot):
+            out.add(n.var)
+        elif isinstance(n, CaseGE):
+            stack += [n.cond_var, n.then]
+        elif isinstance(n, Cast):
+            stack.append(n.expr)
+    return out
+
+
+def to_spark_fast(e: Expr) -> Column:
+    """Column for ``e`` via ONE JVM call — F.expr over the SQL rendering —
+    instead of one py4j round-trip per IR node. The node-by-node builder
+    measured ~10 s of pure driver socket time for one 4-model IRLS
+    lockstep fit (55k py4j commands; SCALE.md round 9). Exactness
+    contract: the fast path fires only when (a) the top node is
+    CAST(· AS DOUBLE), so SQL's DECIMAL literal typing cannot reach the
+    result type, and (b) every referenced column is a bare-safe
+    identifier (F.expr would need quoting otherwise). Any other shape
+    falls back to :func:`to_spark` — always correct, just slower."""
+    if (
+        isinstance(e, Cast)
+        and e.to == "double"
+        and all(_SAFE_IDENT.match(v) for v in expr_vars(e))
+    ):
+        return F.expr(to_sql(e))
+    return to_spark(e)
+
+
+def aggs_to_spark_fast(spec: list[tuple[str, "Agg"]]) -> list[Column]:
+    """Aliased aggregate Columns, one F.expr JVM call each.
+
+    CALLER CONTRACT: every sum/min/max/avg aggregate in ``spec`` is
+    double-typed (its expr is a double cast or a product/sum of
+    double-cast columns) — the rendering wraps CAST(· AS DOUBLE) so SQL
+    DECIMAL literal typing cannot drift the result schema, and the cast
+    is a no-op on the contract's types. count_star / count_distinct /
+    explicitly-cast aggregates keep the builder path, as does any
+    aggregate referencing a non-bare-safe column name."""
+    out: list[Column] = []
+    for name, a in spec:
+        if (
+            a.kind in ("sum", "min", "max", "avg")
+            and not a.cast_to
+            and all(_SAFE_IDENT.match(v) for v in expr_vars(a.expr))
+        ):
+            out.append(
+                F.expr(f"CAST({agg_to_sql(a)} AS DOUBLE)").alias(name)
+            )
+        else:
+            out.append(agg_to_spark(a).alias(name))
+    return out
 
 
 def agg_to_spark(a: Agg) -> Column:

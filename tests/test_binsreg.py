@@ -445,6 +445,62 @@ def test_binsglm_fepois_fe_matches_dense_irls(gdata):
         )
 
 
+def test_binsglm_line_matches_dense_irls(gdata):
+    """line=(2, 0): per-bin quadratic through the logit link — grid fits
+    and delta-method SEs vs a dense numpy IRLS on the SAME design (bin
+    dummies + per-bin scaled u^d columns)."""
+    from dbreg_spark import dbbinsglm
+    from dbreg_spark.operators.binning import assign_bins
+
+    df, _ = gdata
+    r = dbbinsglm(
+        "y ~ x", df, family="binomial", nbins=4, vcov="iid",
+        scale="link", line=2, linegrid=7,
+    )
+    assert r.line is not None and set(r.line.columns) >= {
+        "x", "bin", "fit", "se", "lwr", "upr"
+    }
+    bp = assign_bins(df, "x", "y", r.knots).toPandas()
+    bins_int = bp["bin"].astype(int)
+    lv = sorted(bins_int.unique())
+    geo = bp.groupby(bins_int)["x"].agg(["min", "max"])
+    cols = [np.ones(len(bp))]
+    names = ["icpt"]
+    for b in lv[1:]:
+        cols.append((bins_int == b).astype(float).values)
+        names.append(f"bin{b}")
+    for b in lv:
+        xl, xr = float(geo.loc[b, "min"]), float(geo.loc[b, "max"])
+        h = (xr - xl) or 1.0
+        u = ((bp["x"].values - xl) / h) * (bins_int == b).values
+        for d in (1, 2):
+            cols.append(u**d)
+            names.append(f"u{d}_{b}")
+    Dm = np.column_stack(cols)
+    b_np, V_np = _numpy_irls(Dm, bp["y"].values, "binomial")
+    for _, row in r.line.iterrows():
+        bi = int(row["bin"])
+        xl, xr = float(geo.loc[bi, "min"]), float(geo.loc[bi, "max"])
+        h = (xr - xl) or 1.0
+        uu = (row["x"] - xl) / h
+        w = np.zeros(Dm.shape[1])
+        w[0] = 1.0
+        if f"bin{bi}" in names:
+            w[names.index(f"bin{bi}")] = 1.0
+        for d in (1, 2):
+            w[names.index(f"u{d}_{bi}")] = uu**d
+        np.testing.assert_allclose(row["fit"], w @ b_np, rtol=1e-6)
+        np.testing.assert_allclose(
+            row["se"], np.sqrt(w @ V_np @ w), rtol=1e-5
+        )
+    # line grid spans each bin with linegrid points, monotone x within bin
+    for bi, seg in r.line.groupby("bin"):
+        assert len(seg) == 7
+        assert (np.diff(seg["x"].values) >= 0).all()
+    with pytest.raises(NotImplementedError, match="OLS-only"):
+        dbbinsglm("y ~ x", df, family="binomial", line=(2, 1))
+
+
 def test_binsglm_supt_band_wider_than_ci(gdata):
     from dbreg_spark import dbbinsglm
 
