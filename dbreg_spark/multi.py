@@ -65,7 +65,15 @@ from .plans.common import (
     resolve_source,
     run_agg,
 )
-from .plans.exprs import Agg, Cast, Lit, Var, agg_to_spark, asum, to_spark
+from .plans.exprs import (
+    Agg,
+    Cast,
+    Lit,
+    Var,
+    aggs_to_spark_fast,
+    asum,
+    to_spark,
+)
 from .plans.frames import (
     build_base_frame,
     build_demeaned_frame,
@@ -448,7 +456,7 @@ def _batched_hc1(frame, fits, weight_col):
                         asum(e * e * Cast(cols[i], "double") * Cast(cols[j], "double")),
                     )
                 )
-    row = run_agg(proj, spec)
+    row = run_agg(proj, spec, fast=True)
     for m, f in enumerate(fits):
         p = (1 if f.icpt else 0) + len(f.kept_x)
         meat = np.zeros((p, p))
@@ -462,15 +470,16 @@ def _batched_cluster_pass(frame, fits, weight_col, cluster_cols):
     """One grouped pass -> every model's CR1 meat clustered on
     ``cluster_cols`` (their interaction). Returns (meats list, G)."""
     proj = _batched_resid_proj(frame, fits, weight_col, cluster_cols)
-    score_aggs = []
+    score_spec: list[tuple[str, Agg]] = []
     for m, f in enumerate(fits):
         cols = _model_cols(f)
         e = Var(f"__e{m}")
         for i, c in enumerate(cols):
-            score_aggs.append(
-                agg_to_spark(asum(e * Cast(c, "double"))).alias(f"s{m}_{i}")
-            )
-    scores = proj.groupBy(*[F.col(c) for c in cluster_cols]).agg(*score_aggs)
+            score_spec.append((f"s{m}_{i}", asum(e * Cast(c, "double"))))
+    # wide pass (models x columns): fast rendering — one F.expr per agg
+    scores = proj.groupBy(*[F.col(c) for c in cluster_cols]).agg(
+        *aggs_to_spark_fast(score_spec)
+    )
     outer: list[tuple[str, Agg]] = [
         ("n_clusters", Agg("count_star", None, "long"))
     ]
@@ -481,7 +490,7 @@ def _batched_cluster_pass(frame, fits, weight_col, cluster_cols):
                 outer.append(
                     (f"m{m}_{i}_{j}", asum(Var(f"s{m}_{i}") * Var(f"s{m}_{j}")))
                 )
-    row = run_agg(scores, outer)
+    row = run_agg(scores, outer, fast=True)
     g = int(row["n_clusters"])
     meats = []
     for m, f in enumerate(fits):
@@ -629,17 +638,15 @@ def _batched_dk(frame, fits, weight_col, time_col, hac_lag):
     collect the T x (sum of model widths) score table once, slice per model,
     Newey-West combine driver-side."""
     proj = _batched_resid_proj(frame, fits, weight_col, [time_col])
-    score_aggs = []
+    score_spec: list[tuple[str, Agg]] = []
     for m, f in enumerate(fits):
         for i, c in enumerate(_model_cols(f)):
-            score_aggs.append(
-                agg_to_spark(asum(Var(f"__e{m}") * Cast(c, "double"))).alias(
-                    f"s{m}_{i}"
-                )
+            score_spec.append(
+                (f"s{m}_{i}", asum(Var(f"__e{m}") * Cast(c, "double")))
             )
     pdf = (
         proj.groupBy(F.col(time_col))
-        .agg(*score_aggs)
+        .agg(*aggs_to_spark_fast(score_spec))
         .toPandas()
         .sort_values(time_col)
         .reset_index(drop=True)
@@ -889,7 +896,12 @@ def dbreg_multi(
                 f"{frame.sql_cte},\nmoments AS (\n  SELECT {agg_select_sql(mspec)}"
                 f"\n  FROM {frame.cte_name}\n)\nSELECT * FROM moments"
             )
-        urow = run_agg(frame.df, mspec, fe_cols=fe if strategy != "moments" else None)
+        urow = run_agg(
+            frame.df,
+            mspec,
+            fe_cols=fe if strategy != "moments" else None,
+            fast=True,
+        )
         n_passes += 1
         _check_weights_valid(urow, weight_col)
 
@@ -1102,9 +1114,9 @@ def build_multi_plan(
         n_fe_exprs=n_fe_exprs,
         weight=Var(weight_col) if weight_col else None,
     )
-    agg_df = frame.df.agg(
-        *[agg_to_spark(a).alias(n) for n, a in mspec]
-    )
+    # union-wide moment pass: fast rendering (moment_spec aggregates are
+    # all double-cast sums / count_star — exprs.aggs_to_spark_fast contract)
+    agg_df = frame.df.agg(*aggs_to_spark_fast(mspec))
     sql = None
     if frame.sql_cte:
         sql = (

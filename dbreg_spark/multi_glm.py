@@ -38,7 +38,19 @@ from .formula import ParsedFormula, parse_formula, parse_vcov, parse_weights
 from .glm import GlmModel, _Family, _d, _eta_expr, get_family
 from .multi import DbregMulti, _union_design, parse_multi_formula
 from .plans.common import resolve_source, run_agg
-from .plans.exprs import Agg, Expr, Lit, Var, agg_to_spark, asum, count_star, amin, amax, to_spark, to_spark_fast
+from .plans.exprs import (
+    Agg,
+    Expr,
+    Lit,
+    Var,
+    aggs_to_spark_fast,
+    amax,
+    amin,
+    asum,
+    count_star,
+    to_spark,
+    to_spark_fast,
+)
 from .plans.frames import build_base_frame
 from .plans.meat import nw_combine
 from .solve import compute_vcov, detect_collinearity, gen_coeftable, solve_with_fallback
@@ -770,16 +782,12 @@ def _batched_glm_meats(
     if vcov_type == "dk":
         tcol = cluster_vars[0]
         proj = score_proj([tcol])
-        aggs = []
+        sspec: list[tuple[str, Agg]] = []
         for k, m in enumerate(models):
             for i, c in enumerate(model_cols(m)):
-                aggs.append(
-                    agg_to_spark(asum(Var(f"__s{k}") * _d(c))).alias(
-                        f"s{k}_{i}"
-                    )
-                )
+                sspec.append((f"s{k}_{i}", asum(Var(f"__s{k}") * _d(c))))
         pdf = (
-            proj.groupBy(F.col(tcol)).agg(*aggs).toPandas()
+            proj.groupBy(F.col(tcol)).agg(*aggs_to_spark_fast(sspec)).toPandas()
             .sort_values(tcol).reset_index(drop=True)
         )
         for k, m in enumerate(models):
@@ -794,15 +802,13 @@ def _batched_glm_meats(
 
     def one_subset(keys):
         proj = score_proj(keys)
-        score_aggs = []
+        score_spec: list[tuple[str, Agg]] = []
         for k, m in enumerate(models):
             for i, c in enumerate(model_cols(m)):
-                score_aggs.append(
-                    agg_to_spark(asum(Var(f"__s{k}") * _d(c))).alias(
-                        f"s{k}_{i}"
-                    )
-                )
-        scores = proj.groupBy(*[F.col(c) for c in keys]).agg(*score_aggs)
+                score_spec.append((f"s{k}_{i}", asum(Var(f"__s{k}") * _d(c))))
+        scores = proj.groupBy(*[F.col(c) for c in keys]).agg(
+            *aggs_to_spark_fast(score_spec)
+        )
         outer: list[tuple[str, Agg]] = [
             ("n_clusters", Agg("count_star", None, "long"))
         ]
@@ -814,7 +820,7 @@ def _batched_glm_meats(
                         (f"m{k}_{i}_{j}",
                          asum(Var(f"s{k}_{i}") * Var(f"s{k}_{j}")))
                     )
-        row = run_agg(scores, outer)
+        row = run_agg(scores, outer, fast=True)
         g = int(row["n_clusters"])
         meats = []
         for k, m in enumerate(models):

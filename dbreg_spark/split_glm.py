@@ -36,10 +36,11 @@ from .formula import parse_formula, parse_vcov, parse_weights
 from .glm import GlmModel, _decode_pass, get_family
 from .plans.common import resolve_source
 from .plans.exprs import (
+    Agg,
     Func,
     Lit,
     Var,
-    agg_to_spark,
+    aggs_to_spark_fast,
     amax,
     amin,
     asum,
@@ -142,9 +143,7 @@ def _grouped_pass(
             spec.append((f"a_{i}_{k}", asum(wv * _d(cols[i]) * _d(cols[k]))))
     for i in range(p):
         spec.append((f"b_{i}", asum(Var("__wz") * _d(cols[i]))))
-    rows = proj.groupBy("__sp").agg(
-        *[agg_to_spark(a).alias(n) for n, a in spec]
-    ).collect()
+    rows = proj.groupBy("__sp").agg(*aggs_to_spark_fast(spec)).collect()
     return {r["__sp"]: r.asDict() for r in rows}, p
 
 
@@ -454,15 +453,13 @@ def _grouped_glm_meat(
             *[F.col(n) for n in x_names],
         )
         sv = Var("__s")
-        aggs = []
+        mspec: list[tuple[str, Agg]] = []
         for i in range(p):
             for k in range(i, p):
-                aggs.append(
-                    agg_to_spark(asum(sv * sv * _d(cols[i]) * _d(cols[k]))).alias(
-                        f"m_{i}_{k}"
-                    )
+                mspec.append(
+                    (f"m_{i}_{k}", asum(sv * sv * _d(cols[i]) * _d(cols[k])))
                 )
-        rows = proj.groupBy("__sp").agg(*aggs).collect()
+        rows = proj.groupBy("__sp").agg(*aggs_to_spark_fast(mspec)).collect()
         meats = {}
         for r in rows:
             lvl = r["__sp"]
@@ -484,10 +481,10 @@ def _grouped_glm_meat(
         *[F.col(n) for n in x_names],
     )
     sv = Var("__s")
-    aggs = [
-        agg_to_spark(asum(sv * _d(c))).alias(f"s_{i}") for i, c in enumerate(cols)
-    ]
-    scores_df = proj.groupBy("__sp", *cluster_vars).agg(*aggs)
+    sspec = [(f"s_{i}", asum(sv * _d(c))) for i, c in enumerate(cols)]
+    scores_df = proj.groupBy("__sp", *cluster_vars).agg(
+        *aggs_to_spark_fast(sspec)
+    )
     cap = 2_000_000
     rows = scores_df.limit(cap + 1).collect()
     if len(rows) > cap:
