@@ -686,10 +686,17 @@ def main() -> None:
                 # leftover checkpoint storage and measured 86 s vs 20 s
                 # steady-state (r06's "20x" scaling artifact). 3 iterations,
                 # median-of-all reported (plus min in iters run-order).
-                _gc.collect()
-                spark.sparkContext._jvm.System.gc()
+                # r9: the barrier moves INSIDE the iteration loop — the
+                # demean probe at 30M rows showed each heavy fit leaves GBs
+                # of collectible garbage whose ContextCleaner drain happens
+                # only on a driver GC, so back-to-back iterations sample a
+                # mid-fit GC storm (fresh-process ngram iterations measured
+                # 22/58/16 s, the 58 the storm). Per-iteration draining
+                # keeps every sample at steady state.
                 times = []
                 for _ in range(repeats):
+                    _gc.collect()
+                    spark.sparkContext._jvm.System.gc()
                     t0 = time.perf_counter()
                     fn()
                     times.append(time.perf_counter() - t0)
@@ -821,10 +828,19 @@ def main() -> None:
             docs5.count()  # warm footers
 
             def bench5(name, fn, repeats=2):
-                _gc5.collect()
-                spark.sparkContext._jvm.System.gc()
+                # r9: GC BETWEEN timed iterations, not just before the set.
+                # Probed at 30M rows (SCALE.md r9): each fit leaves ~2 GB of
+                # collectible garbage plus ~140 MB of storage blocks whose
+                # cleanup (ContextCleaner's weak-ref queue) only drains on a
+                # DRIVER GC — under the 48g heap no GC fires until pressure
+                # forces a mid-fit stop-the-world storm (observed 6.4 s
+                # collector time, 40.6 s wall on iteration 2 vs a 12-15 s
+                # steady state). Draining proactively keeps every iteration
+                # at steady state; min remains the reported signal.
                 times = []
                 for _ in range(repeats):
+                    _gc5.collect()
+                    spark.sparkContext._jvm.System.gc()
                     t0 = time.perf_counter()
                     fn()
                     times.append(time.perf_counter() - t0)

@@ -817,27 +817,46 @@ def ngram_jaccard_pairs(
     any sensible cap).
 
     ``candidate_partition_rows`` makes the candidate self-join
-    PARTITION-ADAPTIVE: the exploded shingle-row count (a free local read
-    of the checkpointed table) divided by this target sets the join's
-    partition count, floored at the session's shuffle width and capped at
-    4096. With a fixed session width the per-partition candidate blocks
-    grow linearly with the corpus (sf1→sf5 measured 8.0× for 5× rows,
-    round-8 bench) — widening ∝ rows keeps per-partition work bounded,
-    which a conf knob cannot do per-operator. The candidate dedup is
-    repartitioned to the same width so neither stage funnels through the
-    session default.
+    PARTITION-ADAPTIVE: the estimated candidate-pair count
+    (Σ df·(df−1)/2 over retained shingles, read off the same
+    document-frequency aggregate that builds the hot set) divided by this
+    target sets the join/aggregation width, floored at the session's
+    shuffle width and capped at 4096. With a fixed session width the
+    per-partition candidate blocks grow linearly with the corpus
+    (sf1→sf5 measured 8.0× for 5× rows, round-8 bench) — widening ∝
+    pairs keeps per-partition work bounded, which a conf knob cannot do
+    per-operator. (Round 9: the r8 width estimate keyed on exploded
+    shingle ROWS, which stay far below the pair count — at the sf5 bench
+    point 13M shingle rows produced 197M candidate pairs and the widening
+    never fired; the pair-count estimate is the actual work.)
 
-    The shingle-hash table (id, int array) feeds FIVE plan branches (hot
-    probe, anti-joined self-join sides, both verification sides);
+    Round-9 plan shape — the intersection size IS the candidate-pair
+    count: shingle lists are distinct per document, so each shared
+    retained shingle contributes exactly one self-join row and
+    ``groupBy(id_a, id_b).count()`` yields |A∩B| over retained shingles
+    directly. The full-array Jaccard is then ARITHMETIC for every pair of
+    hot-free documents (the common case: the bench corpus has zero hot
+    shingles, so ALL pairs), and pairs touching hot-shingle documents
+    pass through an exact ``array_intersect`` verify join guarded by a
+    proven upper bound (true |A∩B| ≤ retained count + min of the two
+    documents' hot-shingle counts; Jaccard is monotone in |A∩B|, so no
+    true positive is dropped). The r8 shape shipped EVERY candidate pair
+    twice through array joins + per-pair ``array_intersect`` — 204 s of
+    the 314 s sf5 wall; the verify join now sees only upper-bound
+    survivors (≈ the output size).
+
+    The shingle-hash table (id, int array) feeds several plan branches;
     ``materialize_shingles`` localCheckpoints it eagerly so the expensive
     tokenize+md5 scan of the corpus runs ONCE, not per branch (measured 2×
     end-to-end at sf0.1; blocks are executor-local and freed on GC).
-    ``False`` keeps the fully lazy plan.
+    ``False`` keeps the fully lazy plan (and skips the driver probes: hot
+    broadcast decision and adaptive width fall back to their safe
+    defaults — shuffled anti-join, session width).
 
     The hot-shingle set itself is broadcast only while it holds ≤
-    ``max_hot_broadcast`` hashes (size-probed first); past that the
-    anti-join runs as a shuffle — identical pairs, no unbounded driver
-    broadcast."""
+    ``max_hot_broadcast`` hashes (counted on the same aggregation pass
+    that estimates the candidate volume); past that the anti-join runs as
+    a shuffle — identical pairs, no unbounded driver broadcast."""
     x = X(SPARK)
     staged = df.select(
         F.col(id_col),
@@ -850,80 +869,126 @@ def ngram_jaccard_pairs(
     if materialize_shingles:
         staged = staged.localCheckpoint(eager=True)
     tok = staged.select(F.col(id_col), F.explode("hs").alias("gh"))
-    if max_df is not None:
-        hot = (
-            tok.groupBy("gh")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") > max_df)
-            .select("gh")
-        )
-        # guard the broadcast itself: at trillion-doc scale the >max_df set
-        # can be millions of hashes — size-probe it (bounded count) and past
-        # the bound fall back to a shuffled anti-join, same semantics. The
-        # probe and the anti-join would each run the document-frequency
-        # groupBy, so checkpoint the (small) hot set first: one aggregation
-        # pass, and the probe count is then a local read. With a lazy
-        # shingle table (materialize_shingles=False) even the checkpoint
-        # would repeat the full tokenize+md5 corpus scan, so skip the probe
-        # there and keep the always-correct shuffle anti-join.
-        if materialize_shingles:
-            hot = hot.localCheckpoint(eager=True)
-            if hot.limit(max_hot_broadcast + 1).count() <= max_hot_broadcast:
-                hot = F.broadcast(hot)
-        tok = tok.join(hot, "gh", "left_anti")
-    # partition-adaptive candidate join: per-partition self-join blocks
-    # must stay bounded as the corpus grows, so the join width follows the
-    # exploded-row count instead of the fixed session shuffle width. The
-    # count is one cheap scan of the checkpointed shingle table (skipped
-    # for a lazy table — counting would re-run the tokenize+md5 scan).
+    n_full = staged.select(
+        F.col(id_col), F.size("hs").alias("__nf")
+    )
+
     sess = df.sparkSession
     cur_width = int(sess.conf.get("spark.sql.shuffle.partitions"))
     n_part = cur_width
-    if materialize_shingles and candidate_partition_rows:
-        tok_n = int(
-            staged.select(F.sum(F.size("hs")).alias("n")).collect()[0]["n"]
-            or 0
+    hot_possible = max_df is not None
+    if max_df is not None:
+        dfreq = tok.groupBy("gh").agg(F.count(F.lit(1)).alias("__df"))
+        hot = dfreq.where(F.col("__df") > max_df).select("gh")
+        if materialize_shingles:
+            # ONE aggregation over the document-frequency table yields both
+            # driver decisions: the candidate-volume estimate (adaptive
+            # width) and the hot-set size (broadcast vs shuffled anti-join)
+            dd = F.col("__df").cast("double")
+            st = dfreq.agg(
+                F.sum(
+                    F.when(F.col("__df") <= max_df, dd * (dd - 1) / 2.0)
+                ).alias("__cand"),
+                F.count(F.when(F.col("__df") > max_df, F.lit(1))).alias(
+                    "__nhot"
+                ),
+            ).collect()[0]
+            cand_est = int(st["__cand"] or 0)
+            n_hot = int(st["__nhot"] or 0)
+            if candidate_partition_rows:
+                n_part = max(
+                    cur_width,
+                    min(
+                        4096,
+                        -(-cand_est // int(candidate_partition_rows)),
+                    ),
+                )
+            if n_hot == 0:
+                hot_possible = False
+            else:
+                hot = hot.localCheckpoint(eager=True)
+                if n_hot <= max_hot_broadcast:
+                    hot = F.broadcast(hot)
+        if hot_possible:
+            tok = tok.join(hot, "gh", "left_anti")
+    if hot_possible:
+        # per-document retained-shingle count: pairs whose documents carry
+        # no hot shingles get an exact arithmetic Jaccard; the rest go
+        # through the verify join below
+        n_kept = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nk"))
+        sz = n_full.join(n_kept, id_col)
+    else:
+        sz = n_full.select(
+            F.col(id_col), F.col("__nf"), F.col("__nf").alias("__nk")
         )
-        n_part = max(
-            cur_width,
-            min(4096, -(-tok_n // int(candidate_partition_rows))),
-        )
+    tok = tok.join(sz, id_col)
     if n_part > cur_width:
         tok = tok.repartition(n_part, "gh")
     a = tok.alias("a")
     b = tok.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.gh") == F.col("b.gh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    cand = a.join(
+        b,
+        (F.col("a.gh") == F.col("b.gh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.__nf").alias("__nfa"),
+        F.col("a.__nk").alias("__nka"),
+        F.col("b.__nf").alias("__nfb"),
+        F.col("b.__nk").alias("__nkb"),
     )
     if n_part > cur_width:
-        # the pair dedup is candidate-count-sized too: partition it to the
-        # same adaptive width (the aggregate then reuses that partitioning
+        # the pair aggregation is candidate-count-sized: partition it to
+        # the same adaptive width (the aggregate reuses that partitioning
         # instead of funnelling through the session default)
-        cand = cand.repartition(n_part, "id_a", "id_b").dropDuplicates()
-    else:
-        cand = cand.distinct()
-    sa = staged.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
-    sb = staged.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
-    inter = F.expr("size(array_intersect(hs_a, hs_b))")
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                inter.cast("double")
-                / (F.expr("size(hs_a)") + F.expr("size(hs_b)") - inter)
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        cand = cand.repartition(n_part, "id_a", "id_b")
+    pc = cand.groupBy(
+        "id_a", "id_b", "__nfa", "__nka", "__nfb", "__nkb"
+    ).agg(F.count(F.lit(1)).alias("__ik"))
+    # upper bound on the FULL-array intersection: retained-shingle matches
+    # plus at most min(hot_a, hot_b) hot-shingle matches
+    ub_i = F.col("__ik") + F.least(
+        F.col("__nfa") - F.col("__nka"), F.col("__nfb") - F.col("__nkb")
     )
+    ub_j = ub_i.cast("double") / (
+        F.col("__nfa") + F.col("__nfb") - ub_i
+    )
+    pre = pc.where(ub_j >= threshold)
+    clean_cond = (F.col("__nfa") == F.col("__nka")) & (
+        F.col("__nfb") == F.col("__nkb")
+    )
+    jac_clean = F.col("__ik").cast("double") / (
+        F.col("__nfa") + F.col("__nfb") - F.col("__ik")
+    )
+    out = pre.where(clean_cond).select(
+        "id_a", "id_b", jac_clean.alias("jaccard")
+    )
+    if hot_possible:
+        sa = staged.select(
+            F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")
+        )
+        sb = staged.select(
+            F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")
+        )
+        inter = F.expr("size(array_intersect(hs_a, hs_b))")
+        dirty = (
+            pre.where(~clean_cond)
+            .select("id_a", "id_b")
+            .join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    inter.cast("double")
+                    / (F.expr("size(hs_a)") + F.expr("size(hs_b)") - inter)
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+        out = out.unionByName(dirty)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def ngram_jaccard_pairs_sql(

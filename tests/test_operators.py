@@ -2247,14 +2247,22 @@ def test_pq_rerank_exact_on_shortlist(spark):
 
 
 def test_ngram_jaccard_partition_adaptive_candidate_join(spark):
-    """With candidate_partition_rows forced below the exploded-row count,
-    the candidate self-join (and the pair dedup) must run at the widened
-    adaptive width — pinned in the executed plan — and produce IDENTICAL
-    pairs to the session-width plan."""
-    n = 30
-    texts = [f"common tail words plus unique{i} token{i} here{i}" for i in range(n)]
-    texts[0] = "common tail words plus alpha beta gamma delta"
-    texts[1] = "common tail words plus alpha beta gamma epsilon"
+    """With candidate_partition_rows forced below the estimated
+    candidate-pair count (Σ df·(df−1)/2 over retained shingles — round 9
+    keys the width on PAIRS, the actual join work, not exploded rows),
+    the candidate self-join (and the pair aggregation) must run at the
+    widened adaptive width — pinned in the executed plan — and produce
+    IDENTICAL pairs to the session-width plan. The corpus is 40 docs in
+    20 clone-pairs: each pair shares ~6 retained bigrams (df=2), so the
+    pair estimate (~120) clears any test session width, while the 3
+    ubiquitous lead bigrams (df=40 > max_df=5) exercise the hot path."""
+    n = 40
+    texts = [
+        f"common tail words plus alpha{i // 2} beta{i // 2} gamma{i // 2} "
+        f"delta{i // 2} epsilon{i // 2} zeta{i // 2} "
+        + ("end" if i % 2 else "fin")
+        for i in range(n)
+    ]
     pdf = pd.DataFrame({"doc_id": list(range(n)), "text": texts})
     df = spark.createDataFrame(pdf)
 
