@@ -104,6 +104,9 @@ _W_EPS = 1e-12  # pearson-residual denominator floor (never used in w·z)
 # pass counts for the λ alternation and the AP corrections (tests pin the
 # one-grouping-sets-pass-per-sweep contract here)
 _KFE_PASS_STATS: dict = {}
+# scan-pass ledger for the 1-FE profiled path (r9: ONE suffstats scan per
+# Newton iteration + one meat scan; tests pin the contract)
+_FEPOIS_PASS_STATS: dict = {}
 
 
 def _d(e: Expr) -> Expr:
@@ -1991,13 +1994,36 @@ def fepois_profiled_rows(
     first: bool = False,
     extra_keys: list[str] | None = None,
     broadcast: bool = False,
+    center: np.ndarray | None = None,
 ) -> DataFrame:
     """Pass 2 projection: join the group table, emit per-row weight
     (ω·μ̂), score (ω(y−μ̂)), log-likelihood, and the profiled regressors
     x̃ⱼ = xⱼ − T_gj/W_g, with μ̂ = (Y_g/W_g)·m. ``broadcast=True`` pins
     the group table to the broadcast side (the caller knows G is small);
-    otherwise Catalyst/AQE picks the join strategy."""
-    y, om, m = _fepois_exprs(y_col, x_names, beta, offset, weights)
+    otherwise Catalyst/AQE picks the join strategy.
+
+    ``center``: run in the PRIMED coordinates of a centered
+    :func:`fepois_suffstats_table` group table (x → x−c everywhere, so m,
+    W_g, T_gj are the primed ones). Every emitted quantity — x̃, μ̂,
+    score, ll — is exactly invariant to the centering, but the primed
+    evaluation stays finite where raw exp(x'β) overflows (large-mean
+    regressors)."""
+    y = _d(Var(y_col))
+    om: Expr | None = _d(Var(weights)) if weights is not None else None
+    if center is None:
+        _y2, _om2, m = _fepois_exprs(y_col, x_names, beta, offset, weights)
+        eta_x = _eta_expr(beta, x_names, intercept=False)
+        xs = [_d(Var(xn)) for xn in x_names]
+    else:
+        xs = [
+            _d(Var(xn)) - Lit(float(cj))
+            for xn, cj in zip(x_names, center)
+        ]
+        eta_x = Lit(0.0)
+        for bj, xj in zip(beta, xs):
+            eta_x = eta_x + Lit(float(bj)) * xj
+        full = _d(Var(offset)) + eta_x if offset is not None else eta_x
+        m = Func("exp", (full,))
     lam = Var("__Yg") / Var("__Wg")
     mu = lam * m
     wexpr = om * mu if om is not None else mu  # ω·μ̂
@@ -2009,7 +2035,6 @@ def fepois_profiled_rows(
     # likelihood-destroying step. In log form the term stays a finite
     # large-negative (or −inf on W_g overflow, which correctly trips the
     # non-finite check). y>0 ⇒ Y_g>0, so ln(Y_g) is defined where used.
-    eta_x = _eta_expr(beta, x_names, intercept=False)
     full_eta = _d(Var(offset)) + eta_x if offset is not None else eta_x
     lnlam = Func("ln", (Var("__Yg"),)) - Func("ln", (Var("__Wg"),))
     ylnmu = CaseGE(y, 0.0, y * (lnlam + full_eta), strict=True)
@@ -2028,8 +2053,8 @@ def fepois_profiled_rows(
         # Σw·x² is the scale Σw·x̃² is compared against
         for j, xn in enumerate(x_names):
             proj_cols.append(to_spark(_d(Var(xn))).alias(f"__xr{j}"))
-    for j, xn in enumerate(x_names):
-        xt = _d(Var(xn)) - Var(f"__T{j}") / Var("__Wg")
+    for j, xj in enumerate(xs):
+        xt = xj - Var(f"__T{j}") / Var("__Wg")
         proj_cols.append(to_spark(xt).alias(f"__xt{j}"))
     gt = F.broadcast(gtab) if broadcast else gtab
     return df.join(gt, fe).select(*(extra_keys or []), *proj_cols)
@@ -2058,6 +2083,156 @@ def fepois_profiled_agg(joined: DataFrame, p: int, first: bool = False) -> DataF
     for i in range(p):
         aggs.append(F.sum(F.col("__s") * F.col(f"__xt{i}")).alias(f"b_{i}"))
     return joined.agg(*aggs)
+
+
+def fepois_suffstats_table(
+    df: DataFrame,
+    y_col: str,
+    x_names: list[str],
+    fe: str,
+    beta: np.ndarray,
+    offset: str | None = None,
+    weights: str | None = None,
+    center: np.ndarray | None = None,
+    first: bool = False,
+) -> DataFrame:
+    """ONE groupBy(fe) pass collecting the per-group sufficient statistics
+    of the whole profiled Newton step (r9 optimization; guide §1.2 —
+    remove passes at the algorithm level).
+
+    The two-pass shape (:func:`fepois_group_table` then
+    :func:`fepois_profiled_rows` + :func:`fepois_profiled_agg`, kept as-is
+    for the `glm_fepois_profile_step` gate and the meat pass) scans the
+    data twice per Newton iteration. But at fixed β the profiled system is
+    a GROUP-LEVEL function of {W_g=Σωm, Y_g=Σωy, T_gj=Σωm·xⱼ, S_gj=Σωy·xⱼ,
+    M_gjk=Σωm·xⱼxₖ}: with t_g = T_g/W_g and λ_g = Y_g/W_g,
+
+        A_jk = Σ_g λ_g (M_gjk − T_gj T_gk / W_g)      (= Σ ωμ̂ x̃ⱼx̃ₖ)
+        s_j  = Σ_g (S_gj − λ_g T_gj)                   (= Σ ω(y−μ̂) x̃ⱼ)
+        ll   = Σ_g ([Y_g ln λ_g]_{Y_g>0} + Σⱼ βⱼS_gj + L_g − Y_g)
+
+    so one grouped pass per iteration suffices; :func:`_fepois_assemble`
+    runs the G-row reduction (no data scan).
+
+    ``center``: optional literal offsets cⱼ — every xⱼ enters as xⱼ−cⱼ.
+    The profiled system is exactly invariant to centering (x̃, μ̂, ll all
+    unchanged: the constant shifts are absorbed into λ_g), but the
+    grouped difference M − TT'/W cancels catastrophically when the
+    between-group variation dwarfs the within-group variation; centering
+    at the global (ω-weighted) means — free from the first pass at β=0 —
+    bounds the cancellation by the between/within variance ratio of the
+    CENTERED columns. Raw-coordinate {W_g, Y_g, T_gj} for the meat join
+    are reconstructed exactly from the centered ones
+    (:func:`_fepois_gtab_from_stats`).
+
+    ``first`` additionally collects N_g (row count), the saturated
+    log-likelihood pieces, and the RAW second moments D_gj = Σωm·xⱼ²
+    (the absorbed-column check scale — same semantics as the two-pass
+    shape)."""
+    y = _d(Var(y_col))
+    om: Expr | None = _d(Var(weights)) if weights is not None else None
+    c = center if center is not None else np.zeros(len(x_names))
+    xs = [_d(Var(xn)) - Lit(float(cj)) for xn, cj in zip(x_names, c)]
+    # η must be built from the SAME centered columns as T/S/M: primed
+    # coordinates throughout (m′ = e^{o+(x−c)'β}), so λ′, the system and
+    # the ll are mutually consistent — mixing raw η with centered moments
+    # shifts the ll by the β-dependent constant (β·c)·ΣY and breaks the
+    # step-halving comparisons
+    eta_x: Expr = Lit(0.0)
+    for bj, xj in zip(beta, xs):
+        eta_x = eta_x + Lit(float(bj)) * xj
+    full = _d(Var(offset)) + eta_x if offset is not None else eta_x
+    m = Func("exp", (full,))
+    wm = om * m if om is not None else m
+    wy = om * y if om is not None else y
+    aggs = [
+        F.sum(to_spark(_d(wm))).alias("__Wg"),
+        F.sum(to_spark(_d(wy))).alias("__Yg"),
+        F.count(F.lit(1)).alias("__Ng"),
+    ]
+    for j, xj in enumerate(xs):
+        aggs.append(F.sum(to_spark(_d(wm * xj))).alias(f"__T{j}"))
+        aggs.append(F.sum(to_spark(_d(wy * xj))).alias(f"__S{j}"))
+    for j, xj in enumerate(xs):
+        for k in range(j, len(xs)):
+            aggs.append(
+                F.sum(to_spark(_d(wm * xj * xs[k]))).alias(f"__M{j}_{k}")
+            )
+    if offset is not None:
+        aggs.append(
+            F.sum(to_spark(_d(wy * _d(Var(offset))))).alias("__Lo")
+        )
+    if first:
+        llsat = CaseGE(y, 0.0, y * Func("ln", (y,)) - y, strict=True)
+        if om is not None:
+            llsat = om * llsat
+        aggs.append(F.sum(to_spark(_d(llsat))).alias("__LS"))
+        for j, xn in enumerate(x_names):
+            xr = _d(Var(xn))
+            aggs.append(F.sum(to_spark(_d(wm * xr * xr))).alias(f"__D{j}"))
+    return df.groupBy(fe).agg(*aggs)
+
+
+def _fepois_assemble(
+    stats: DataFrame, p: int, beta: np.ndarray, offset: bool, first: bool
+) -> dict:
+    """G-row reduction of :func:`fepois_suffstats_table` to the Newton
+    system row — same output keys as :func:`fepois_profiled_agg` (plus
+    the global ΣW/ΣT sums the centering derives from). Runs as one tiny
+    aggregation over the (persisted) group table; never scans the data."""
+    lam = "(__Yg / __Wg)"
+    aggs = [
+        F.sum(F.col("__Ng")).alias("n_total"),
+    ]
+    bs = " + ".join(
+        f"({repr(float(beta[j]))} * __S{j})" for j in range(p)
+    ) or "0.0D"
+    lo = " + __Lo" if offset else ""
+    aggs.append(
+        F.sum(
+            F.expr(
+                f"CASE WHEN __Yg > 0 THEN __Yg * (LN(__Yg) - LN(__Wg)) "
+                f"ELSE 0.0D END + {bs}{lo} - __Yg"
+            )
+        ).alias("ll")
+    )
+    if first:
+        aggs.append(F.sum(F.col("__LS")).alias("ll_sat"))
+        for i in range(p):
+            aggs.append(
+                F.sum(F.expr(f"{lam} * __D{i}")).alias(f"d_{i}")
+            )
+        # global ω-weighted sums (β=0 first pass ⇒ m=1): the centering
+        # means are ΣT/ΣW over these two columns
+        aggs.append(F.sum(F.col("__Wg")).alias("w_sum"))
+        for i in range(p):
+            aggs.append(F.sum(F.col(f"__T{i}")).alias(f"t_sum_{i}"))
+    for i in range(p):
+        for j in range(i, p):
+            aggs.append(
+                F.sum(
+                    F.expr(f"{lam} * (__M{i}_{j} - __T{i} * __T{j} / __Wg)")
+                ).alias(f"a_{i}_{j}")
+            )
+    for i in range(p):
+        aggs.append(
+            F.sum(F.expr(f"__S{i} - {lam} * __T{i}")).alias(f"b_{i}")
+        )
+    return stats.agg(*aggs).collect()[0].asDict()
+
+
+def _fepois_gtab_from_stats(stats: DataFrame, p: int) -> DataFrame:
+    """Group table (__Wg, __Yg, __T0..) projected from a suffstats table —
+    no data scan. The columns stay in whatever (possibly centered/primed)
+    coordinates the stats were built in; downstream consumers
+    (:func:`fepois_profiled_rows` with ``center=``, the fixef column with
+    its β·c correction) evaluate in the same coordinates, where
+    everything stays finite even when raw exp(x'β) would overflow."""
+    first_col = stats.columns[0]
+    return stats.select(
+        F.col(first_col), F.col("__Wg"), F.col("__Yg"),
+        *[F.col(f"__T{j}") for j in range(p)],
+    )
 
 
 def _fe_poisson(
@@ -2117,12 +2292,13 @@ def _fe_poisson(
     p = len(x_names)
     spark_df = frame.df
 
-    def group_table(beta):
-        return fepois_group_table(
-            spark_df, frame.y_col, x_names, fe, beta, offset, weights
+    def stats_table(beta, center, first):
+        return fepois_suffstats_table(
+            spark_df, frame.y_col, x_names, fe, beta, offset, weights,
+            center=center, first=first,
         )
 
-    def profiled_pass(beta, gtab, first=False, extra_keys=None):
+    def profiled_pass(beta, gtab, first=False, extra_keys=None, center=None):
         # once the first pass materialized the group table we know G; a
         # small table is pinned broadcast (the demean-strategy convention)
         # so every later iteration joins without shuffling the big side
@@ -2130,6 +2306,7 @@ def _fe_poisson(
             spark_df, gtab, frame.y_col, x_names, fe, beta,
             offset, weights, first=first, extra_keys=extra_keys,
             broadcast=g_levels is not None and g_levels <= FEPOIS_BROADCAST_GMAX,
+            center=center,
         )
         if extra_keys is not None:
             return joined  # caller aggregates (cluster scores)
@@ -2149,26 +2326,50 @@ def _fe_poisson(
     n_iter = 0
     final_row = None
     final_a = None
-    gtab = None
+    gtab = None  # suffstats table (r9: ONE scan/iteration, see
+    # fepois_suffstats_table; the raw-coordinate meat/fixef group table is
+    # a zero-scan projection of it)
     gtab_beta = None  # (β, x tuple) the cached group table was built at
     gtab_x = None
     g_levels = None
+    center = None  # global-mean x offsets, fixed after the β=0 pass
+    gtab_center = None  # the center the cached suffstats were built with
     ll_sat = 0.0
     collin_dropped: list[str] = []
+    _FEPOIS_PASS_STATS["scan_passes"] = 0
+    _FEPOIS_PASS_STATS["meat_passes"] = 0
 
     try:
         while n_iter < max_iter:
-            new_gtab = group_table(beta).persist()
+            new_gtab = stats_table(beta, center, n_iter == 0).persist()
+            _FEPOIS_PASS_STATS["scan_passes"] += 1
             # hand over BEFORE the collect so the finally block releases the
             # new table even if this pass's job fails mid-flight
             prev_gtab, gtab = gtab, new_gtab
             gtab_beta, gtab_x = beta.copy(), tuple(x_names)
+            gtab_center = None if center is None else center.copy()
             first = n_iter == 0
-            rowi = profiled_pass(beta, gtab, first=first)
+            rowi = _fepois_assemble(
+                gtab, p, beta, offset is not None, first
+            )
             if prev_gtab is not None:
                 prev_gtab.unpersist()
             if g_levels is None:
-                g_levels = gtab.count()  # free: gtab just materialized
+                g_levels = gtab.count()  # cheap: gtab just materialized
+            if first:
+                # center every x at its global ω-weighted mean from this
+                # β=0 pass (m=1 ⇒ ΣT/ΣW ARE the plain weighted means):
+                # exactly result-invariant, and it bounds the grouped
+                # M−TT'/W cancellation by the centered between/within
+                # variance ratio (fepois_suffstats_table docstring)
+                w_sum = float(rowi["w_sum"] or 0.0)
+                if w_sum > 0:
+                    center = np.array(
+                        [
+                            float(rowi[f"t_sum_{i}"] or 0.0) / w_sum
+                            for i in range(p)
+                        ]
+                    )
             n_iter += 1
             if first and float(rowi["n_total"]) == 0:
                 raise ValueError(
@@ -2238,6 +2439,8 @@ def _fe_poisson(
                     beta = beta[np.asarray(keep)]
                     beta_prev = beta_prev[np.asarray(keep)]
                     accepted_beta = accepted_beta[np.asarray(keep)]
+                    if center is not None:
+                        center = center[np.asarray(keep)]
                     # gtab's __T columns are positionally stale now; the
                     # next build (or the post-loop rebuild) refreshes them
                     gtab_x = None
@@ -2278,10 +2481,15 @@ def _fe_poisson(
             or not np.array_equal(gtab_beta, beta)
             or gtab_x != tuple(x_names)
         ):
-            new_gtab = group_table(beta).persist()
+            new_gtab = stats_table(beta, center, False).persist()
+            _FEPOIS_PASS_STATS["scan_passes"] += 1
             prev_gtab, gtab = gtab, new_gtab
+            gtab_center = None if center is None else center.copy()
             if prev_gtab is not None:
                 prev_gtab.unpersist()
+        # raw-coordinate group table for the meat join and the fixef
+        # column — a zero-scan projection over the persisted suffstats
+        raw_gtab = _fepois_gtab_from_stats(gtab, p)
 
         n_total = float(final_row["n_total"])
         ll_final = ll_prev
@@ -2295,7 +2503,8 @@ def _fe_poisson(
             from .plans.conley import conley_pair_agg
 
             cutoff, kernel, distance = conley_opts
-            sc = profiled_pass(beta, gtab, extra_keys=list(cluster_vars))
+            sc = profiled_pass(beta, raw_gtab, extra_keys=list(cluster_vars), center=gtab_center)
+            _FEPOIS_PASS_STATS["meat_passes"] += 1
             cproj = sc.select(
                 F.col("__s").alias("__e"),
                 *[F.col(f"__xt{i}") for i in range(p)],
@@ -2318,7 +2527,8 @@ def _fe_poisson(
                     )
         elif vcov_type in ("hc1", "cluster", "dk"):
             keys = list(cluster_vars) if vcov_type in ("cluster", "dk") else []
-            sc = profiled_pass(beta, gtab, extra_keys=keys)
+            sc = profiled_pass(beta, raw_gtab, extra_keys=keys, center=gtab_center)
+            _FEPOIS_PASS_STATS["meat_passes"] += 1
             if vcov_type == "dk":
                 meat, n_clusters, _lag = _dk_meat_from_scores(
                     sc, p, cluster_vars[0], hac_lag
@@ -2351,10 +2561,20 @@ def _fe_poisson(
 
         ct = gen_coeftable(beta, V, df_res, names, use_z=True)
         # α̂_g = ln(λ̂_g); Spark's log yields NULL at λ̂=0, which doubles as
-        # the marker for perfectly-predicted (all-zero-outcome) groups
-        fixef_df = gtab.select(
+        # the marker for perfectly-predicted (all-zero-outcome) groups.
+        # With a centered group table λ′ = λ_raw·e^{β·c}, so the raw-scale
+        # fixef is ln λ′ − β·c (an exact literal correction — finite even
+        # where raw exp(x'β) overflows)
+        bc = (
+            float(np.dot(beta, gtab_center))
+            if gtab_center is not None
+            else 0.0
+        )
+        fixef_df = raw_gtab.select(
             F.col(fe),
-            F.log(F.col("__Yg") / F.col("__Wg")).alias("fixef"),
+            (
+                F.log(F.col("__Yg") / F.col("__Wg")) - F.lit(bc)
+            ).alias("fixef"),
         )
         # release the cached group table — fixef_df keeps only the logical
         # plan and recomputes (one groupBy) if evaluated later

@@ -1043,6 +1043,36 @@ def _pq_code_exprs(vec_col: str, books: np.ndarray, duck: bool) -> list[str]:
     return exprs
 
 
+def _pq_dist_arrays_flat(vec_col: str, books: np.ndarray) -> list[str]:
+    """Per-subquantizer codeword-distance arrays as FLAT arithmetic: each
+    squared-difference term references one vector element (cast per
+    element), summed left-associatively — the exact addition order of the
+    higher-order ``aggregate`` form (``((0+t1)+t2)+...`` with ``0+t1 ≡
+    t1`` for the non-negative squares), so the distances are bit-identical
+    while the expression is whole-stage-codegen straight-line arithmetic
+    instead of interpreted per-element lambda dispatch (guide §4.1:
+    prefer built-in/codegen expressions over interpreted evaluation)."""
+    m, _k, dsub = books.shape
+    out = []
+    for j in range(m):
+        cw_terms = []
+        for cw in books[j]:
+            diffs = []
+            for t in range(dsub):
+                e = f"CAST({vec_col}[{j * dsub + t}] AS DOUBLE)"
+                c = repr(float(cw[t]))
+                diffs.append(f"(({e} - {c}) * ({e} - {c}))")
+            cw_terms.append("(" + " + ".join(diffs) + ")")
+        out.append("array(" + ", ".join(cw_terms) + ")")
+    return out
+
+
+# past this many flat squared-difference terms the generated SQL text (and
+# its parse/codegen cost) outgrows the per-row win — fall back to the
+# compact higher-order-function form
+_PQ_FLAT_MAX_TERMS = 8192
+
+
 def pq_encode(
     corpus: DataFrame,
     books: np.ndarray,
@@ -1051,12 +1081,41 @@ def pq_encode(
 ) -> DataFrame:
     """Compress each vector to ``m`` small-int codes — pure column
     expressions (argmin over literal codewords), zero shuffles, zero
-    Python on the data path. Returns (``id_col``, code array<int>)."""
-    exprs = _pq_code_exprs(f"CAST({vec_col} AS ARRAY<DOUBLE>)", books, duck=False)
-    return corpus.select(
+    Python on the data path. Returns (``id_col``, code array<int>).
+
+    r9 optimization: the codeword-distance arrays are computed ONCE into
+    intermediate columns (the previous shape inlined each array into
+    ``array_position(d, array_min(d))``, evaluating every distance twice
+    — no common-subexpression elimination fires across those two
+    arguments), and as flat codegen arithmetic rather than interpreted
+    ``transform``/``aggregate`` lambdas when the codebook is small enough
+    (``_PQ_FLAT_MAX_TERMS``). Distances are bit-identical by
+    construction; codes and the gate hash are unchanged."""
+    m, kc, dsub = books.shape
+    if m * kc * dsub <= _PQ_FLAT_MAX_TERMS:
+        dists = _pq_dist_arrays_flat(vec_col, books)
+    else:
+        lits = _pq_lits(books, duck=False)
+        v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+        dists = [
+            f"transform({lits[j]}, cw -> aggregate("
+            f"zip_with(slice({v}, {j * dsub + 1}, {dsub}), cw, "
+            f"(a, b) -> (a - b) * (a - b)), "
+            f"0D, (acc, x) -> acc + x))"
+            for j in range(m)
+        ]
+    staged = corpus.select(
         F.col(id_col),
-        F.expr("array(" + ", ".join(f"CAST({e} AS INT)" for e in exprs) + ")").alias("code"),
+        *[F.expr(dists[j]).alias(f"__d{j}") for j in range(m)],
     )
+    # separate Project: each __dj is referenced twice below; Catalyst's
+    # CollapseProject keeps non-cheap duplicated expressions un-inlined,
+    # so every distance array is evaluated exactly once
+    code = "array(" + ", ".join(
+        f"CAST((array_position(__d{j}, array_min(__d{j})) - 1) AS INT)"
+        for j in range(m)
+    ) + ")"
+    return staged.select(F.col(id_col), F.expr(code).alias("code"))
 
 
 def pq_topk(

@@ -206,7 +206,12 @@ def corpus_pipeline(
         )
     kept = df.join(keep_ids, "doc_id", "inner")
     rep = repetition_stats(kept)
-    clean = kept.join(
+    # r9: the repetition survivors are a SUBSET of keep_ids, so the clean
+    # corpus is df ⋈ survivors directly — joining kept again would replay
+    # the df ⋈ keep_ids subtree (one extra full text scan + join in the
+    # same plan; guide §2.4, remove duplicated subtrees). Row set is
+    # identical: kept ∩ ok = df ⋈ (keep ∩ ok) = df ⋈ ok.
+    clean = df.join(
         rep.where(F.col("is_repetitive") == 0).select("doc_id"),
         "doc_id",
         "inner",

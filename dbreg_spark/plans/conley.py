@@ -223,7 +223,20 @@ def _enumerate_pairs(
             "or raise max_pair_estimate deliberately."
         )
 
-    # left side: explode to the 3x3 neighbor cells; right side: own cell.
+    # left side: explode to the FORWARD half of the 3x3 neighborhood
+    # (r9 optimization, guide §2.3 — do less work per shuffle): the meat
+    # Σᵢⱼ K·sᵢsⱼ' is symmetric, so each unordered cross-cell pair needs
+    # evaluating once. The forward offset set {(1,0),(−1,1),(0,1),(1,1)}
+    # and its negation partition the 8 neighbors, so a cross-cell pair
+    # (cellA, cellB) joins exactly once — from the side whose cell
+    # difference is forward — and its contribution is SYMMETRIZED in the
+    # aggregation (x_l[a]x_r[b] + x_r[a]x_l[b], see _group_aggs). The
+    # (0,0) offset keeps the old both-orders semantics (plus the i=i
+    # self-pair) because within-cell rows have no cheap orientation key;
+    # the ``__xcell`` flag tells the aggregation which rule applies.
+    # Candidate volume drops from ~9·Σocc² to ~5·Σocc² (the est_pairs
+    # guard above keeps the conservative 9× estimate).
+    # right side: own cell.
     # The join MUST be a cell-keyed shuffle join, never a broadcast: Spark's
     # size estimate under-counts the 9x-exploded side (observed: a 5.4M-row
     # broadcast build inheriting the scan's 3 partitions — the whole
@@ -235,13 +248,21 @@ def _enumerate_pairs(
     # side so the per-partition hash table builds over the un-exploded
     # rows — hinting the 9x side would build a 9x-larger map for the same
     # join and risk build-side OOM exactly in the hot-cell case.
-    offs = F.array([F.lit(o) for o in (-1, 0, 1)])
+    fwd = F.array(
+        *[
+            F.struct(F.lit(ox).alias("ox"), F.lit(oy).alias("oy"))
+            for ox, oy in ((0, 0), (1, 0), (-1, 1), (0, 1), (1, 1))
+        ]
+    )
     left = (
-        cells.withColumn("__ox", F.explode(offs))
-        .withColumn("__oy", F.explode(offs))
-        .withColumn("__jx", F.col("__cx") + F.col("__ox"))
-        .withColumn("__jy", F.col("__cy") + F.col("__oy"))
-        .drop("__ox", "__oy", "__cx", "__cy")
+        cells.withColumn("__o", F.explode(fwd))
+        .withColumn("__jx", F.col("__cx") + F.col("__o.ox"))
+        .withColumn("__jy", F.col("__cy") + F.col("__o.oy"))
+        .withColumn(
+            "__xcell",
+            (F.col("__o.ox") != 0) | (F.col("__o.oy") != 0),
+        )
+        .drop("__o", "__cx", "__cy")
         .alias("l")
     )
     right = (
@@ -269,7 +290,15 @@ def _enumerate_pairs(
 
 def _group_aggs(k, e_col, s_names, intercept, prefix):
     """Upper-triangular sum(K * e_l * e_r * x_l[a] * x_r[b]) aggregate
-    columns for one score group."""
+    columns for one score group.
+
+    Pairs arrive half-enumerated (see the forward-offset comment in
+    :func:`_enumerate_pairs`): cross-cell rows (``__xcell``) represent an
+    unordered pair once and contribute the SYMMETRIZED product
+    x_l[a]x_r[b] + x_r[a]x_l[b]; same-cell rows still carry both orders
+    (and the self-pair), so they contribute the single product exactly as
+    before. The resulting a≤b cells hold the same symmetric totals as the
+    full 9-neighborhood enumeration."""
 
     def col_of(side, idx):
         if intercept and idx == 0:
@@ -282,11 +311,11 @@ def _group_aggs(k, e_col, s_names, intercept, prefix):
     aggs = []
     for a in range(p):
         for b in range(a, p):
-            aggs.append(
-                F.sum(ee * col_of("l", a) * col_of("r", b)).alias(
-                    f"{prefix}_{a}_{b}"
-                )
-            )
+            sym = col_of("l", a) * col_of("r", b) + F.when(
+                F.col("l.__xcell"),
+                col_of("r", a) * col_of("l", b),
+            ).otherwise(F.lit(0.0))
+            aggs.append(F.sum(ee * sym).alias(f"{prefix}_{a}_{b}"))
     return aggs, p
 
 
@@ -403,6 +432,8 @@ def conley_meat(
         for b in range(a, p):
             v = row[f"m_{a}_{b}"]
             meat[a, b] = meat[b, a] = float(v) if v is not None else 0.0
-    # the two directions of each unordered pair are both enumerated, so the
-    # a<b cells already carry the symmetric total; nothing to double here
+    # the half-enumerated join already symmetrizes in the aggregation
+    # (_group_aggs: cross-cell rows carry both product orders, same-cell
+    # rows arrive in both orders), so the a<b cells hold the full
+    # symmetric totals; nothing to double here
     return meat

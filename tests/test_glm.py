@@ -546,6 +546,67 @@ def test_fe_poisson_refusals(fe_sdf):
         dbglm("ypois ~ x1 | gcat", sdf, family="quasipoisson")
 
 
+def test_fepois_suffstats_matches_two_pass_system(fe_sdf):
+    """r9 fused pass: the Newton system assembled from the ONE-scan
+    sufficient statistics (fepois_suffstats_table + _fepois_assemble) must
+    equal the two-pass gate shape (fepois_group_table →
+    fepois_profiled_rows → fepois_profiled_agg) at the same literal β —
+    A, s, ll, ll_sat, d_raw and n, centered and uncentered."""
+    import numpy as np
+
+    from dbreg_spark.glm import (
+        _fepois_assemble,
+        fepois_group_table,
+        fepois_profiled_agg,
+        fepois_profiled_rows,
+        fepois_suffstats_table,
+    )
+
+    sdf, _ = fe_sdf
+    x = ["x1", "x2"]
+    beta = np.array([0.02, -0.01])
+    gtab = fepois_group_table(sdf, "ypois", x, "gcat", beta)
+    rows = fepois_profiled_rows(sdf, gtab, "ypois", x, "gcat", beta, first=True)
+    ref = fepois_profiled_agg(rows, 2, first=True).collect()[0].asDict()
+    for center in (None, np.array([5.0, -2.0])):
+        stats = fepois_suffstats_table(
+            sdf, "ypois", x, "gcat", beta, center=center, first=True
+        )
+        got = _fepois_assemble(stats, 2, beta, False, True)
+        assert got["n_total"] == ref["n_total"]
+        for key in ("ll", "ll_sat", "a_0_0", "a_0_1", "a_1_1", "b_0",
+                    "b_1", "d_0", "d_1"):
+            assert got[key] == pytest.approx(ref[key], rel=1e-9), (center, key)
+
+
+def test_fepois_scan_pass_contract(fe_sdf):
+    """r9: ONE data scan per Newton iteration (was two) + one meat scan —
+    the pass ledger pins the contract."""
+    from dbreg_spark.glm import _FEPOIS_PASS_STATS
+
+    sdf, _ = fe_sdf
+    m = dbglm("ypois ~ x1 + x2 | gcat", sdf, family="poisson", vcov="hc1")
+    # scan_passes == n_iter, +1 only when the post-loop rebuild fired
+    assert _FEPOIS_PASS_STATS["scan_passes"] in (m.n_iter, m.n_iter + 1)
+    assert _FEPOIS_PASS_STATS["meat_passes"] == 1
+
+
+def test_fepois_large_mean_regressor_shift_invariance(fe_sdf):
+    """The profiled system is invariant to shifting a regressor (the
+    shift is absorbed into the FE); with the grouped M − TT'/W assembly
+    this is also the cancellation stress test that the global-mean
+    centering exists for — a +1e4 shift must leave slope and SE intact."""
+    sdf, pdf = fe_sdf
+    pdf2 = pdf.assign(x1s=pdf["x1"] + 1.0e4)
+    sdf2 = sdf.sparkSession.createDataFrame(pdf2)
+    base = dbglm("ypois ~ x1 + x2 | gcat", sdf, family="poisson", vcov="hc1")
+    shifted = dbglm(
+        "ypois ~ x1s + x2 | gcat", sdf2, family="poisson", vcov="hc1"
+    )
+    assert shifted.coef()["x1s"] == pytest.approx(base.coef()["x1"], rel=1e-6)
+    assert shifted.se()["x1s"] == pytest.approx(base.se()["x1"], rel=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # k-FE Poisson (alternating profiles + weighted AP demeaning)
 # ---------------------------------------------------------------------------
