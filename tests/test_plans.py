@@ -414,16 +414,23 @@ def test_dk_score_pass_single_exchange(tables):
 
 
 def test_pq_plans_stateless_and_python_free(tables):
-    """PQ: encode is an embarrassingly-parallel projection (zero Exchange,
-    zero Python); ADC search adds only the broadcast of the queries and
-    the top-k machinery — the corpus side never shuffles raw vectors."""
+    """PQ: encode is an embarrassingly-parallel Arrow-batched projection
+    (zero Exchange; since r9 a disclosed mapInPandas numpy argmin — the
+    literal-expression form paid seconds of optimizer+codegen per action)
+    fed ONLY the (id, vector) columns; ADC search adds only the broadcast
+    of the queries and the top-k machinery — the corpus side never
+    shuffles raw vectors, and the scoring side stays row-at-a-time
+    Python-free."""
     from dbreg_spark.operators import similarity as sim
 
     emb = tables["embeddings"]
     books = sim.fixed_pq_codebooks()
     enc_plan = _formatted(sim.pq_encode(emb, books))
     assert _n_nodes(enc_plan, "Exchange") == 0
-    assert "BatchEvalPython" not in enc_plan and "ArrowEvalPython" not in enc_plan
+    assert "MapInPandas" in enc_plan  # the one disclosed Arrow site
+    assert "BatchEvalPython" not in enc_plan
+    # column pruning reaches the scan: only (vec_id, embedding) are read
+    assert "label" not in enc_plan
 
     topk_plan = _formatted(
         sim.pq_topk(emb, emb.where("vec_id < 3"), books, k=5)
