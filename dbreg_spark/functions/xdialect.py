@@ -234,15 +234,30 @@ class X:
     def shingle_hashes(self, s: str, n_shingle: int, modb: int) -> str:
         """Array of distinct-shingle hashes, reduced mod ``modb`` — computed
         ONCE per document and shared by all H minhash functions (md5 per
-        shingle is the expensive part)."""
+        shingle is the expensive part).
+
+        Spark stores the array as INT (r9, guide §2.3 — narrower types):
+        values are < modb = 2³¹ by construction, so the cast is lossless,
+        and these arrays are the dominant payload of every minhash band
+        shuffle — bigint elements doubled its bytes for nothing. DuckDB
+        keeps BIGINT (the oracle never shuffles; values are identical)."""
         sh = self.array_distinct(self.word_ngrams(s, n_shingle))
-        return self.transform(sh, f"g -> {self.md5int('g')} % {modb}")
+        h = f"{self.md5int('g')} % {modb}"
+        if self.e == SPARK:
+            h = f"CAST({h} AS INT)"
+        return self.transform(sh, f"g -> {h}")
 
     def minhash_from_hashes(self, h_arr: str, a: int, b: int, prime: int) -> str:
         """One MinHash value from a precomputed shingle-hash array:
         min over h of (a·h + b) mod p (a·h stays inside int64 by
-        construction: a < p < 2³¹, h < modb = 2³¹)."""
-        return self.array_min(self.transform(h_arr, f"h -> ({a} * h + {b}) % {prime}"))
+        construction: a < p < 2³¹, h < modb = 2³¹ — the CAST pins the
+        multiply to 64-bit now that Spark's h is a 32-bit INT; DuckDB's h
+        is already BIGINT, where the CAST is a no-op)."""
+        return self.array_min(
+            self.transform(
+                h_arr, f"h -> (CAST({a} AS BIGINT) * h + {b}) % {prime}"
+            )
+        )
 
     def minhash_sig(self, s: str, n_shingle: int, a: int, b: int, prime: int, modb: int) -> str:
         """One MinHash value straight from text (single-hash convenience)."""

@@ -917,11 +917,21 @@ def ngram_jaccard_pairs(
         # through the verify join below
         n_kept = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nk"))
         sz = n_full.join(n_kept, id_col)
+        if materialize_shingles:
+            # sz feeds BOTH per-side joins onto the pair table below; one
+            # doc-sized checkpoint stops the token aggregation subtree
+            # from executing twice
+            sz = sz.localCheckpoint(eager=True)
     else:
         sz = n_full.select(
             F.col(id_col), F.col("__nf"), F.col("__nf").alias("__nk")
         )
-    tok = tok.join(sz, id_col)
+    # r9 (guide §2.3 — shuffle fewer bytes): the per-document size columns
+    # join onto the AGGREGATED pair table, not the exploded token table.
+    # The old shape joined sz into tok before the self-join, which (a)
+    # shuffled the whole exploded token table against the per-doc table
+    # and (b) dragged four int columns through every candidate row; pairs
+    # after aggregation are orders of magnitude fewer rows than tokens.
     if n_part > cur_width:
         tok = tok.repartition(n_part, "gh")
     a = tok.alias("a")
@@ -933,19 +943,32 @@ def ngram_jaccard_pairs(
     ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        F.col("a.__nf").alias("__nfa"),
-        F.col("a.__nk").alias("__nka"),
-        F.col("b.__nf").alias("__nfb"),
-        F.col("b.__nk").alias("__nkb"),
     )
     if n_part > cur_width:
         # the pair aggregation is candidate-count-sized: partition it to
         # the same adaptive width (the aggregate reuses that partitioning
         # instead of funnelling through the session default)
         cand = cand.repartition(n_part, "id_a", "id_b")
-    pc = cand.groupBy(
-        "id_a", "id_b", "__nfa", "__nka", "__nfb", "__nkb"
-    ).agg(F.count(F.lit(1)).alias("__ik"))
+    pc = (
+        cand.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__ik"))
+        .join(
+            sz.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__nf").alias("__nfa"),
+                F.col("__nk").alias("__nka"),
+            ),
+            "id_a",
+        )
+        .join(
+            sz.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__nf").alias("__nfb"),
+                F.col("__nk").alias("__nkb"),
+            ),
+            "id_b",
+        )
+    )
     # upper bound on the FULL-array intersection: retained-shingle matches
     # plus at most min(hot_a, hot_b) hot-shingle matches
     ub_i = F.col("__ik") + F.least(

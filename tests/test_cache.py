@@ -8,8 +8,14 @@ import pytest
 from dbreg_spark import dbreg
 
 
-def _n_cached(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _cached_ids(spark) -> set:
+    """IDs of currently persistent RDDs. Leak assertions compare ID SETS,
+    not counts: earlier tests' transient localCheckpoint blocks (hot-path
+    rescues hold them alive through the returned lazy plan, released by
+    GC + the async ContextCleaner) may be swept mid-test, so a count
+    equality races the cleaner — a new-ID check does not."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
 
 
 def test_minhash_lsh_releases_cache(spark, tables):
@@ -17,13 +23,13 @@ def test_minhash_lsh_releases_cache(spark, tables):
     persistent blocks at any point, before or after the action."""
     from dbreg_spark.operators import dedup
 
-    before = _n_cached(spark)
+    before = _cached_ids(spark)
     pairs = dedup.minhash_lsh_pairs(
         tables["documents"], n_hashes=16, band_rows=2, shingle_words=2,
         jaccard_threshold=0.3,
     )
     assert pairs.count() >= 0
-    assert _n_cached(spark) == before
+    assert _cached_ids(spark) - before == set()
 
 
 def test_demean_one_scan_means_released(spark):
@@ -42,16 +48,17 @@ def test_demean_one_scan_means_released(spark):
     design = build_design(source.df, parsed, expand="all", fe_vars=parsed.fe)
     base = build_base_frame(source, parsed, design, want_sql=False)
 
-    before = _n_cached(spark)
+    before = _cached_ids(spark)
     frame = build_demeaned_frame(base, parsed.fe, one_scan_means=True)
     frame.df.count()  # materializes the cached gs table
-    assert _n_cached(spark) == before + 1
+    new = _cached_ids(spark) - before
+    assert len(new) == 1
     frame.cleanup()
-    assert _n_cached(spark) == before
+    assert _cached_ids(spark) & new == set()
 
 
 def test_dbreg_strategies_leave_no_cache(spark, tables):
-    before = _n_cached(spark)
+    before = _cached_ids(spark)
     li = tables["lineitem"]
     dbreg("l_extendedprice ~ l_quantity | l_returnflag + l_linestatus", li,
           strategy="demean", vcov="hc1")
@@ -65,4 +72,4 @@ def test_dbreg_strategies_leave_no_cache(spark, tables):
     # iterated 3-FE demeaning checkpoints each sweep internally
     dbreg("l_extendedprice ~ l_quantity | l_returnflag + l_linestatus + l_linenumber",
           li, strategy="demean")
-    assert _n_cached(spark) == before
+    assert _cached_ids(spark) - before == set()
