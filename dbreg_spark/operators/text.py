@@ -621,87 +621,44 @@ def repetition_stats(
 
     NULL/empty documents get all-zero metrics (no row is dropped).
 
-    Scale shape (r9, guide §2.4 — remove shuffles outright): every metric
-    is a PER-DOCUMENT function of its own token multiset, so no shuffle is
-    fundamentally required. Each token family is sorted in place
-    (``array_sort``) and the duplicate-run statistics are read off the
-    sorted array with one sequential ``aggregate`` fold per family —
-    count/char-sum of elements in runs ≥ 2 (lines), max run·length (top
-    n-gram), char-sum of beyond-first occurrences (dup n-grams). The
-    whole operator is a single map-only projection: ZERO Exchange, no
-    explode→groupBy token shuffle, no re-join against the corpus
-    (the pre-r9 shape shuffled every (id, kind, token) string twice;
-    verified exact-equal row-for-row on the bench corpus and under the
-    hypothesis cross-engine property test). The DuckDB twin keeps its
-    unions of unnest scans — same counts by construction."""
+    Scale shape: the three token families (lines, short grams, long grams)
+    travel as ONE tagged array, so the corpus is scanned once; explode →
+    two-level groupBy means the only shuffle carries (id, kind, token)
+    rows with map-side partial counts — linear in corpus size, no per-doc
+    O(tokens²) array scans, no Python. The DuckDB twin unions three unnest
+    scans (same computation; the oracle table is small)."""
     x = X(SPARK)
     arrs = _repetition_token_arrays(x, col, top_ngram, dup_ngram)
-
-    def elem(s: str, i: str) -> str:
-        return f"element_at({s}, {i})"
-
-    def peq(s: str, i: str) -> str:
-        # equal to the previous sorted element (CASE keeps the i=1 probe
-        # un-evaluated — element_at(s, 0) would raise under ANSI)
-        return (
-            f"(CASE WHEN {i} > 1 THEN {elem(s, i)} = {elem(s, f'({i})-1')} "
-            f"ELSE false END)"
-        )
-
-    def neq(s: str, i: str) -> str:
-        return (
-            f"(CASE WHEN {i} < size({s}) THEN {elem(s, i)} = {elem(s, f'({i})+1')} "
-            f"ELSE false END)"
-        )
-
-    sL, sT, sD = "__sL", "__sT", "__sD"
-    tlen = lambda s: f"CAST(length({elem(s, 'i')}) AS BIGINT)"  # noqa: E731
-    dup = f"{peq(sL, 'i')} OR {neq(sL, 'i')}"
-    l_fold = (
-        f"CASE WHEN size({sL}) >= 1 THEN aggregate(sequence(1, size({sL})), "
-        f"named_struct('ndl', 0L, 'dlc', 0L), (acc, i) -> named_struct("
-        f"'ndl', acc.ndl + IF({dup}, 1L, 0L), "
-        f"'dlc', acc.dlc + IF({dup}, {tlen(sL)}, 0L))) "
-        f"ELSE named_struct('ndl', 0L, 'dlc', 0L) END"
+    tagged = "concat(%s)" % ", ".join(
+        f"{x.transform(a, f'v -> named_struct({chr(39)}kind{chr(39)}, {chr(39)}{k}{chr(39)}, {chr(39)}tok{chr(39)}, v)')}"
+        for k, a in arrs.items()
     )
-    run = f"IF({peq(sT, 'i')}, acc.cur + 1L, 1L)"
-    t_fold = (
-        f"CASE WHEN size({sT}) >= 1 THEN aggregate(sequence(1, size({sT})), "
-        f"named_struct('best', CAST(NULL AS BIGINT), 'cur', 0L), "
-        f"(acc, i) -> named_struct("
-        f"'best', greatest(coalesce(acc.best, 0L), {run} * {tlen(sT)}), "
-        f"'cur', {run}), acc -> acc.best) "
-        f"ELSE CAST(NULL AS BIGINT) END"
+    expl = df.select(
+        F.col(id_col), F.explode(F.expr(tagged)).alias("__t")
+    ).select(id_col, F.col("__t.kind").alias("kind"), F.col("__t.tok").alias("tok"))
+    counts = expl.groupBy(id_col, "kind", "tok").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    d_fold = (
-        f"CASE WHEN size({sD}) >= 1 THEN aggregate(sequence(1, size({sD})), 0L, "
-        f"(acc, i) -> acc + IF({peq(sD, 'i')}, {tlen(sD)}, 0L)) "
-        f"ELSE 0L END"
+    tl = F.length(F.col("tok"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum(F.when(F.col("kind") == "L", F.col("c"))).alias("__nl"),
+        F.sum(
+            F.when((F.col("kind") == "L") & (F.col("c") > 1), F.col("c"))
+        ).alias("__ndl"),
+        F.sum(
+            F.when((F.col("kind") == "L") & (F.col("c") > 1), F.col("c") * tl)
+        ).alias("__dlc"),
+        F.max(F.when(F.col("kind") == "T", F.col("c") * tl)).alias("__top"),
+        F.sum(
+            F.when(
+                (F.col("kind") == "D") & (F.col("c") > 1),
+                (F.col("c") - 1) * tl,
+            )
+        ).alias("__dgc"),
     )
-    # stage the sorted arrays once: each is probed by several element_at
-    # references in the folds, and the Project boundary stops Catalyst
-    # from inlining (re-sorting) them per reference
-    staged = df.select(
-        F.col(id_col),
-        F.length(F.col(col)).cast("long").alias("__nch"),
-        *[F.expr(f"array_sort({a})").alias(f"__s{k}") for k, a in arrs.items()],
-    )
-    per_doc = staged.select(
-        id_col,
-        "__nch",
-        F.coalesce(F.expr(f"size({sL})"), F.lit(0)).cast("long").alias("__nl"),
-        F.expr(l_fold).alias("__l"),
-        F.expr(t_fold).alias("__top"),
-        F.expr(d_fold).alias("__dgc"),
-    ).select(
-        id_col,
-        "__nch",
-        "__nl",
-        F.col("__l.ndl").alias("__ndl"),
-        F.col("__l.dlc").alias("__dlc"),
-        "__top",
-        "__dgc",
-    )
+    # the metrics only need the document's LENGTH — project it before the
+    # join so the shuffle/probe side carries (id, long), never the text
+    # payload itself
     nch = F.greatest(F.coalesce(F.col("__nch"), F.lit(0)), F.lit(1))
     z = lambda c: F.coalesce(c, F.lit(0)).cast("double")  # noqa: E731
     one = F.lit(1.0)
@@ -723,13 +680,17 @@ def repetition_stats(
     flag = F.lit(False)
     for k, thr in thresholds.items():
         flag = flag | (metrics[k] > F.lit(float(thr)))
-    # per_doc already carries one row per document (no explode dropped
-    # empty docs), so the old corpus re-join is gone with the shuffles
-    return per_doc.select(
-        id_col,
-        F.coalesce(F.col("__nl"), F.lit(0)).cast("long").alias("n_lines"),
-        *[v.alias(k) for k, v in metrics.items()],
-        flag.cast("int").alias("is_repetitive"),
+    return (
+        df.select(
+            id_col, F.length(F.col(col)).cast("long").alias("__nch")
+        )
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__nl"), F.lit(0)).cast("long").alias("n_lines"),
+            *[v.alias(k) for k, v in metrics.items()],
+            flag.cast("int").alias("is_repetitive"),
+        )
     )
 
 
