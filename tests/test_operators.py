@@ -1158,6 +1158,32 @@ def test_driver_mem_heuristic_local_only():
     assert f("k8s://https://1.2.3.4:6443") is None
 
 
+def test_local_spark_dir_heuristic(monkeypatch):
+    """Local masters route shuffle/spill to tmpfs only when it has real
+    headroom; an env override wins; cluster masters must return None
+    (local dirs belong to the deployment)."""
+    import os as _os
+
+    from dbreg_spark.sources.io import _default_local_spark_dir as f
+
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_DIR", raising=False)
+    assert f("spark://host:7077") is None
+    assert f("yarn") is None
+    got = f("local[4]")
+    try:
+        st = _os.statvfs("/dev/shm")
+        roomy = st.f_bavail * st.f_frsize >= 32 << 30
+    except OSError:
+        roomy = False
+    if roomy:
+        assert got == "/dev/shm/dbreg-spark-local"
+    else:
+        assert got is None
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", "/scratch/fast")
+    assert f("local[4]") == "/scratch/fast"
+    assert f("yarn") is None  # override still never applies off-local
+
+
 def test_write_parquet_map_column_ok(spark, tmp_path):
     """A map-typed column must not break the salt (F.hash rejects maps);
     it is simply excluded from the salt source."""
