@@ -883,7 +883,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["diag_jb_aux_moments"] = _diag_q(_diag_jb_plan)
     Q["diag_bg_aux_moments"] = _diag_q(_diag_bg_plan)
     Q["diag_bp_within_aux_moments"] = _diag_q(_diag_bp_within_plan)
-    Q["diag_bp_mundlak_aux_moments"] = _diag_q(_diag_bp_mundlak_plan)
     Q["diag_wooldridge_fd_moments"] = _diag_q(_diag_wooldridge_plan)
     Q["meat_hc3_fixed_beta"] = _diag_q(_meat_hc3_plan)
 
@@ -979,8 +978,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             frame, get_family("poisson"), None, "w", [], True
         )
         return _round_doubles_df(cells)
-
-    Q["glm_cells_compress"] = glm_cells_compress
 
     # ---- dbiv / 2SLS (beyond reference; fixest-style IV) ----
     def iv_gram(spark, sf_dir):
@@ -2047,6 +2044,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     Q["sampling_top_fraction"] = q_top_fraction
+
+    # New gates are APPENDED, never inserted mid-dict: the external verifier
+    # oracle-checks the first 50 declared queries, so insertion pushes
+    # previously-verified gates out of its window
+    # (tests/test_gate_order.py pins the prefix).
+    Q["diag_bp_mundlak_aux_moments"] = _diag_q(_diag_bp_mundlak_plan)
+    Q["glm_cells_compress"] = glm_cells_compress
 
     return Q
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import glob
 import os
+import sys
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -72,6 +73,17 @@ def get_session(
         if local_dir is not None:
             os.makedirs(local_dir, exist_ok=True)
             b = b.config("spark.local.dir", local_dir)
+            # one visible line when the tmpfs default engages (VERDICT r9
+            # #8): with < 32 GiB free in /dev/shm the default silently
+            # falls back to Spark's own dir, and two "identical" local
+            # runs can differ 10x for environment reasons — make which
+            # mode a run used greppable from its log.
+            print(
+                f"[dbreg-spark] spark.local.dir -> {local_dir} "
+                "(local-mode shuffle/spill on tmpfs; override with "
+                "$SPARK_GRAFT_LOCAL_DIR)",
+                file=sys.stderr,
+            )
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return b.getOrCreate()
