@@ -37,7 +37,7 @@ from .design import standardize_coef_names
 from .formula import ParsedFormula, parse_formula, parse_vcov, parse_weights
 from .glm import GlmModel, _Family, _d, _eta_expr, get_family
 from .multi import DbregMulti, _union_design, parse_multi_formula
-from .plans.common import resolve_source, run_agg
+from .plans.common import resolve_source, run_agg, run_agg_via_sql
 from .plans.exprs import (
     Agg,
     Expr,
@@ -58,6 +58,9 @@ from .solve import compute_vcov, detect_collinearity, gen_coeftable, solve_with_
 
 class GlmMulti(DbregMulti):
     """Ordered dict of fitted :class:`GlmModel` (same container API)."""
+
+
+_PASS_VIEW_SEQ = 0
 
 
 def _decode_block(row, prefix, p):
@@ -254,6 +257,18 @@ def dbglm_multi(
             cond = cc if cond is None else (cond & cc)
         frame.df = frame.df.where(cond)
     fdf = frame.df.cache()
+    # one temp view over the cached frame: every lockstep pass renders to
+    # SQL text and submits via ONE spark.sql call (plans.common.
+    # run_agg_via_sql; guide §4 — the Column-builder path measured ~1000
+    # py4j round-trips per pass). The view resolves to the same analyzed
+    # plan as fdf, so the CacheManager serves the cached relation.
+    global _PASS_VIEW_SEQ
+    _PASS_VIEW_SEQ += 1
+    pass_view = f"__dbglm_multi_frame_{_PASS_VIEW_SEQ}"
+    try:
+        fdf.createOrReplaceTempView(pass_view)
+    except Exception:  # pragma: no cover - exotic session states
+        pass_view = None
     n_passes = 0
 
     term_cols: dict[str, list[str]] = {}
@@ -346,9 +361,12 @@ def dbglm_multi(
                 if fam.name == "binomial" and om is None:
                     from .plans.exprs import Func
 
+                    # _d wrap keeps the projection on run_agg_via_sql's
+                    # top-level double-cast contract (no value change —
+                    # the product is already double)
                     proj_exprs.append(
                         (f"y{yi}__bad",
-                         Func("abs", (yv * (Lit(1.0) - yv),)))
+                         _d(Func("abs", (yv * (Lit(1.0) - yv),))))
                     )
                     spec_aggs.append(
                         (f"y{yi}_bad", asum(Var(f"y{yi}__bad")))
@@ -358,14 +376,19 @@ def dbglm_multi(
             )
             if om is not None:
                 spec_aggs.append(("wt_min", amin(om)))
-        proj_cols = [to_spark_fast(e).alias(n) for n, e in proj_exprs]
         carry_all = dict.fromkeys(
             carry
             + [m.y for m in active]
             + ([weight_col] if weight_col else [])
         )
-        proj = fdf.select(*proj_cols, *[F.col(c) for c in carry_all])
-        row = run_agg(proj, spec_aggs, fast=True)
+        row = run_agg_via_sql(
+            fdf.sparkSession, pass_view, proj_exprs, list(carry_all),
+            spec_aggs,
+        )
+        if row is None:  # non-bare-safe identifiers: Column-builder path
+            proj_cols = [to_spark_fast(e).alias(n) for n, e in proj_exprs]
+            proj = fdf.select(*proj_cols, *[F.col(c) for c in carry_all])
+            row = run_agg(proj, spec_aggs, fast=True)
         n_passes += 1
         return row
 
@@ -520,11 +543,15 @@ def dbglm_multi(
             + [m.y for m in models]
             + [c for c in (offset, weight_col) if c]
         )
-        proj = fdf.select(
-            *[to_spark_fast(e).alias(n) for n, e in proj_cols],
-            *[F.col(c) for c in carry],
+        trow = run_agg_via_sql(
+            fdf.sparkSession, pass_view, proj_cols, list(carry), aggs
         )
-        trow = run_agg(proj, aggs, fast=True)
+        if trow is None:
+            proj = fdf.select(
+                *[to_spark_fast(e).alias(n) for n, e in proj_cols],
+                *[F.col(c) for c in carry],
+            )
+            trow = run_agg(proj, aggs, fast=True)
         n_passes += 1
         for k, m in enumerate(models):
             num, den = float(trow[f"t{k}_num"]), float(trow[f"t{k}_den"])
@@ -553,7 +580,7 @@ def dbglm_multi(
     if vcov_type in ("hc1", "cluster", "dk"):
         n_passes += _batched_glm_meats(
             fdf, fam, models, icpt_req, offset, weight_col, vcov_type,
-            cluster_vars, hac_lag, n_total,
+            cluster_vars, hac_lag, n_total, pass_view=pass_view,
         )
     if vcov_type == "conley":
         _batched_glm_conley(
@@ -579,6 +606,11 @@ def dbglm_multi(
                 n_passes += 1
             m.nb_const = _nb_cache[ck]
 
+    if pass_view is not None:
+        try:
+            fdf.sparkSession.catalog.dropTempView(pass_view)
+        except Exception:  # pragma: no cover
+            pass
     fdf.unpersist()
 
     # ---- assemble GlmModels ----------------------------------------------
@@ -725,14 +757,15 @@ def _batched_glm_conley(
 
 def _batched_glm_meats(
     fdf, fam: _Family, models, icpt_req, offset, weight_col, vcov_type,
-    cluster_vars, hac_lag, n_total,
+    cluster_vars, hac_lag, n_total, pass_view=None,
 ):
     """All models' HC1 / CR1 / DK meats from shared passes (one per
     cluster subset for CGM). Mirrors multi._batched_* with GLM scores."""
     om: Expr | None = _d(Var(weight_col)) if weight_col else None
 
-    def score_proj(extra_keys):
-        proj_cols = []
+    def score_exprs(extra_keys):
+        """(name, Expr) score columns + carry names for one shared pass."""
+        proj_exprs: list[tuple[str, Expr]] = []
         carry: list[str] = []
         for k, m in enumerate(models):
             y = _d(Var(m.y))
@@ -744,10 +777,17 @@ def _batched_glm_meats(
             s = mfam.score(mu, y)
             if om is not None:
                 s = om * s
-            proj_cols.append(to_spark_fast(_d(s)).alias(f"__s{k}"))
+            proj_exprs.append((f"__s{k}", _d(s)))
             carry += m.x_kept
         carry = list(dict.fromkeys(carry + list(extra_keys)))
-        return fdf.select(*proj_cols, *[F.col(c) for c in carry])
+        return proj_exprs, carry
+
+    def score_proj(extra_keys):
+        proj_exprs, carry = score_exprs(extra_keys)
+        return fdf.select(
+            *[to_spark_fast(e).alias(n) for n, e in proj_exprs],
+            *[F.col(c) for c in carry],
+        )
 
     def to_full_beta(m):
         full = np.zeros(m.p_all)
@@ -758,7 +798,6 @@ def _batched_glm_meats(
         return ([Lit(1.0)] if m.icpt else []) + [Var(n) for n in m.x_kept]
 
     if vcov_type == "hc1":
-        proj = score_proj([])
         spec: list[tuple[str, Agg]] = []
         for k, m in enumerate(models):
             cols = model_cols(m)
@@ -769,7 +808,12 @@ def _batched_glm_meats(
                         (f"m{k}_{i}_{j}",
                          asum(e * e * _d(cols[i]) * _d(cols[j])))
                     )
-        row = run_agg(proj, spec, fast=True)
+        proj_exprs, carry = score_exprs([])
+        row = run_agg_via_sql(
+            fdf.sparkSession, pass_view, proj_exprs, carry, spec
+        )
+        if row is None:
+            row = run_agg(score_proj([]), spec, fast=True)
         for k, m in enumerate(models):
             p = len(model_cols(m))
             meat = np.zeros((p, p))

@@ -7,28 +7,35 @@ formulation is O(n²) — unusable at scale. This module computes the SAME
 double sum exactly with a cell-bucketed score self-join:
 
 1. ONE projection builds the score ingredients (literal-β residual +
-   regressor columns + coordinates) and assigns each row to a grid cell
-   whose side length GUARANTEES every within-cutoff pair lands in
+   regressor columns + coordinates); the pair product
+   K(d)·eᵢeⱼ·xᵢ[a]·xⱼ[b] depends on rows only through their coordinates,
+   so the projection is PRE-AGGREGATED to one row per distinct coordinate
+   carrying the score sums s_c[a] = Σ e·x[a] (r10, guide §2.3/§8 —
+   aggregate before the pairwise shuffle; exact factorization, see
+   :func:`_coord_compress`). Each coordinate row is assigned to a grid
+   cell whose side length GUARANTEES every within-cutoff pair lands in
    adjacent cells (for haversine: lat band = cutoff/_KM_PER_DEG ~
    cutoff/111.195 deg, lon band sized by the corpus's worst-case
    cos(lat), probed in one tiny aggregate).
-2. The left side EXPLODES each row to its 3x3 neighbor-cell keys (a 9x
-   multiplier on the slim score rows — never on the raw data); the right
-   side keeps its own cell key. The equi-join on the cell key followed by
-   the exact distance predicate enumerates every ordered within-cutoff
-   pair exactly once — including (i,i), so the double sum (diagonal +
-   both directions of each unordered pair) needs no post-correction.
-3. ONE aggregation sums K(d)·eᵢeⱼ·xᵢ[a]·xⱼ[b] for a ≤ b (the two
-   directions of each pair make the total symmetric).
+2. The left side EXPLODES each coordinate row to the forward half of its
+   3x3 neighbor-cell keys (a 5x multiplier on the compressed score rows —
+   never on the raw data); the right side keeps its own cell key. The
+   equi-join on the cell key followed by the exact distance predicate
+   enumerates every within-cutoff coordinate pair — including (c,c),
+   which absorbs all same-coordinate row pairs and the i=i self-pairs —
+   so the double sum needs no post-correction.
+3. ONE aggregation sums K(d)·s_l[a]·s_r[b] for a ≤ b (cross-cell pairs
+   symmetrized in the aggregation, see :func:`_group_aggs`).
 
-Shuffle: 10x the score-row bytes (9 exploded + 1 plain), independent of
-the raw table width. Per-cell work is density² — the irreducible cost of
+Shuffle: 6x the compressed score-row bytes (5 exploded + 1 plain),
+independent of the raw table width AND of per-coordinate multiplicity.
+Per-cell work is (distinct coordinates)² — the irreducible cost of
 pairwise spatial covariance; a one-row occupancy probe rides the join
 input and raises with a clear message when a single cell would exceed
-``max_cell_rows`` OR when the total candidate-pair estimate (9 · Σ
-occupancy² across cells — what the join actually evaluates) would exceed
-``max_pair_estimate`` (pick a larger cutoff grid or pre-aggregate to a
-coarser spatial unit).
+``max_cell_rows`` coordinates OR when the total candidate-pair estimate
+(9 · Σ occupancy² across cells, conservative vs the 5x forward half)
+would exceed ``max_pair_estimate`` (pick a larger cutoff grid or
+pre-aggregate to a coarser spatial unit).
 
 Longitude wraparound at ±180° is NOT stitched (pairs straddling the
 antimeridian are treated as far apart) — documented limitation, matching
@@ -107,6 +114,46 @@ def _validate_conley_opts(cutoff, kernel, distance):
         raise ValueError("conley distance must be 'haversine' or 'euclidean'")
 
 
+def _coord_compress(proj, groups, group_col: str | None = None):
+    """Pre-aggregate score rows by EXACT coordinate (guide §2.3/§8 —
+    aggregate before the pairwise shuffle; r10). The pair contribution
+    K(d)·eᵢ·eⱼ·xᵢ[a]·xⱼ[b] depends on (i, j) only through their
+    coordinates, so the double sum factorizes over same-coordinate rows:
+    with s_c[a] = Σ_{i at c} eᵢ·xᵢ[a], the meat equals
+    Σ_{c₁,c₂ : d(c₁,c₂) ≤ cutoff} K(d)·s_{c₁}[a]·s_{c₂}[b] — including
+    c₁ = c₂, which absorbs every same-coordinate pair AND the i = j
+    self-pairs exactly. The pair join then enumerates DISTINCT
+    coordinates, not rows: on gridded/county-style data with m rows per
+    location the candidate volume drops by m² (the sf0.1 bench point has
+    ~17 rows/coordinate ⇒ ~289× fewer join rows); with all-unique
+    coordinates it degenerates to the row-level join at the cost of one
+    map-side-combinable groupBy of the slim score rows.
+
+    ``groups``: (e_col, score_cols, intercept) per model. Returns
+    (compressed_df, per-group aggregated score column names). The
+    compressed frame carries ``__cnt`` (source rows per coordinate) so
+    the guard probes keep reporting ROW counts for NULL coordinates."""
+    keys = ["__lat", "__lon"] + ([group_col] if group_col else [])
+    aggs = [F.count(F.lit(1)).cast("long").alias("__cnt")]
+    out_cols_per_group: list[list[str]] = []
+    for gi, (e_col, score_cols, icpt) in enumerate(groups):
+        s_names = list(dict.fromkeys(score_cols))
+        p = (1 if icpt else 0) + len(s_names)
+        out_cols = []
+        for a in range(p):
+            e = F.col(e_col).cast("double")
+            if icpt and a == 0:
+                prod = e
+            else:
+                nm = s_names[a - (1 if icpt else 0)]
+                prod = e * F.col(nm).cast("double")
+            alias = f"__s{gi}_{a}"
+            aggs.append(F.sum(prod).alias(alias))
+            out_cols.append(alias)
+        out_cols_per_group.append(out_cols)
+    return proj.groupBy(*keys).agg(*aggs), out_cols_per_group
+
+
 def _enumerate_pairs(
     proj,
     cutoff: float,
@@ -116,20 +163,28 @@ def _enumerate_pairs(
     max_pair_estimate: float,
     group_col: str | None = None,
 ):
-    """Grid-cell bucketed within-cutoff pair enumeration over a score
-    projection: (pairs_df aliased l/r, kernel_column). ``group_col``
-    restricts pairs to rows sharing the group value (split levels: the
-    group joins the cell key, so each level's pairwise pass shares the ONE
-    exploded join; NULL groups match NULL via null-safe equality) and the
-    occupancy guard counts per (cell, group) — only same-group pairs are
-    ever evaluated."""
+    """Grid-cell bucketed within-cutoff pair enumeration over a
+    coordinate-compressed score projection (one row per distinct
+    coordinate [+ group], carrying ``__cnt`` source rows):
+    (pairs_df aliased l/r, kernel_column). ``group_col`` restricts pairs
+    to rows sharing the group value (split levels: the group joins the
+    cell key, so each level's pairwise pass shares the ONE exploded join;
+    NULL groups match NULL via null-safe equality) and the occupancy
+    guard counts per (cell, group) — only same-group pairs are ever
+    evaluated. ``max_cell_rows`` caps DISTINCT COORDINATES per cell — the
+    unit the pair join is quadratic in after compression."""
     if distance == "haversine":
         # lon degrees shrink by cos(lat): size the lon band by the corpus's
         # worst case so |dlon_deg| <= band for every within-cutoff pair.
         # One tiny aggregate (min/max/null-count probe rides here too).
         ext = proj.agg(
             F.min("__lat"), F.max("__lat"),
-            F.sum(F.when(F.col("__lat").isNull() | F.col("__lon").isNull(), 1).otherwise(0)),
+            F.sum(
+                F.when(
+                    F.col("__lat").isNull() | F.col("__lon").isNull(),
+                    F.col("__cnt"),
+                ).otherwise(F.lit(0))
+            ),
             F.count(F.lit(1)),
         ).collect()[0]
         lat_min, lat_max, n_null, _n = ext
@@ -182,7 +237,10 @@ def _enumerate_pairs(
     occ_keys = ["__cx", "__cy"] + ([group_col] if group_col else [])
     occ_row = (
         cells.groupBy(*occ_keys)
-        .count()
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum("__cnt").alias("__rows"),
+        )
         .agg(
             F.max("count").alias("__occ"),
             F.sum(F.col("count").cast("double") * F.col("count")).alias(
@@ -191,8 +249,8 @@ def _enumerate_pairs(
             F.sum(
                 F.when(
                     F.col("__cx").isNull() | F.col("__cy").isNull(),
-                    F.col("count"),
-                ).otherwise(0)
+                    F.col("__rows"),
+                ).otherwise(F.lit(0))
             ).alias("__nulls"),
         )
         .collect()[0]
@@ -206,9 +264,10 @@ def _enumerate_pairs(
     if occ is not None and occ > max_cell_rows:
         raise ValueError(
             f"conley vcov: a single {cutoff}-unit grid cell holds {occ:,} "
-            f"rows (> max_cell_rows={max_cell_rows:,}); the pairwise pass "
-            "would be quadratic there. Reduce the cutoff, pre-aggregate to "
-            "a coarser spatial unit, or raise max_cell_rows deliberately."
+            f"distinct coordinate rows (> max_cell_rows={max_cell_rows:,}); "
+            "the pairwise pass would be quadratic there. Reduce the cutoff, "
+            "pre-aggregate to a coarser spatial unit, or raise "
+            "max_cell_rows deliberately."
         )
     # total-work guard: the join evaluates ~9 * sum occupancy^2 candidate
     # pairs (each row meets its 3x3 neighborhood). A distribution of many
@@ -288,34 +347,29 @@ def _enumerate_pairs(
     return pairs, k
 
 
-def _group_aggs(k, e_col, s_names, intercept, prefix):
-    """Upper-triangular sum(K * e_l * e_r * x_l[a] * x_r[b]) aggregate
-    columns for one score group.
+def _group_aggs(k, s_cols, prefix):
+    """Upper-triangular sum(K * s_l[a] * s_r[b]) aggregate columns for one
+    score group over COORDINATE-COMPRESSED pairs (``s_cols`` are the
+    per-coordinate score sums from :func:`_coord_compress`; the e·x
+    factors are already folded into them).
 
     Pairs arrive half-enumerated (see the forward-offset comment in
     :func:`_enumerate_pairs`): cross-cell rows (``__xcell``) represent an
     unordered pair once and contribute the SYMMETRIZED product
-    x_l[a]x_r[b] + x_r[a]x_l[b]; same-cell rows still carry both orders
-    (and the self-pair), so they contribute the single product exactly as
-    before. The resulting a≤b cells hold the same symmetric totals as the
-    full 9-neighborhood enumeration."""
-
-    def col_of(side, idx):
-        if intercept and idx == 0:
-            return F.lit(1.0)
-        name = s_names[idx - (1 if intercept else 0)]
-        return F.col(f"{side}.{name}").cast("double")
-
-    p = (1 if intercept else 0) + len(s_names)
-    ee = k * F.col(f"l.{e_col}") * F.col(f"r.{e_col}")
+    s_l[a]s_r[b] + s_r[a]s_l[b]; same-cell rows still carry both orders
+    (and the c = c self-pair, which absorbs all same-coordinate row
+    pairs), so they contribute the single product exactly as before. The
+    resulting a≤b cells hold the same symmetric totals as the full
+    row-level 9-neighborhood enumeration."""
+    p = len(s_cols)
     aggs = []
     for a in range(p):
         for b in range(a, p):
-            sym = col_of("l", a) * col_of("r", b) + F.when(
+            sym = F.col(f"l.{s_cols[a]}") * F.col(f"r.{s_cols[b]}") + F.when(
                 F.col("l.__xcell"),
-                col_of("r", a) * col_of("l", b),
+                F.col(f"r.{s_cols[a]}") * F.col(f"l.{s_cols[b]}"),
             ).otherwise(F.lit(0.0))
-            aggs.append(F.sum(ee * sym).alias(f"{prefix}_{a}_{b}"))
+            aggs.append(F.sum(k * sym).alias(f"{prefix}_{a}_{b}"))
     return aggs, p
 
 
@@ -335,20 +389,23 @@ def conley_pair_agg(
     the OLS path (residual scores), the GLM path (family scores) and 2SLS
     (Z scores) — returns (lazy agg_df, p, cached-projection-or-None).
 
-    ``cache=True`` persists the slim projection so the extent/occupancy
-    probes AND both join sides replay cached rows instead of re-deriving
-    the residual from the raw table per action (3-4 upstream scans -> 1);
-    collecting callers unpersist it after the aggregation."""
+    ``cache=True`` persists the coordinate-compressed score table (one row
+    per distinct coordinate — far smaller than the raw projection) so the
+    extent/occupancy probes AND both join sides replay cached rows instead
+    of re-deriving the residual from the raw table per action (3-4
+    upstream scans -> 1); collecting callers unpersist it after the
+    aggregation."""
     _validate_conley_opts(cutoff, kernel, distance)
     s_names = list(dict.fromkeys(score_cols))
+    comp, (s_cols,) = _coord_compress(proj, [("__e", s_names, intercept)])
     cached = None
     if cache:
-        proj = proj.cache()
-        cached = proj
+        comp = comp.cache()
+        cached = comp
     pairs, k = _enumerate_pairs(
-        proj, cutoff, kernel, distance, max_cell_rows, max_pair_estimate
+        comp, cutoff, kernel, distance, max_cell_rows, max_pair_estimate
     )
-    aggs, p = _group_aggs(k, "__e", s_names, intercept, "m")
+    aggs, p = _group_aggs(k, s_cols, "m")
     return pairs.agg(*aggs), p, cached
 
 
@@ -375,18 +432,18 @@ def conley_pair_agg_batched(
     ever evaluated). Returns (lazy agg_df [+ group_col column], [p_k],
     cached-projection-or-None)."""
     _validate_conley_opts(cutoff, kernel, distance)
+    comp, group_s_cols = _coord_compress(proj, groups, group_col=group_col)
     cached = None
     if cache:
-        proj = proj.cache()
-        cached = proj
+        comp = comp.cache()
+        cached = comp
     pairs, k = _enumerate_pairs(
-        proj, cutoff, kernel, distance, max_cell_rows, max_pair_estimate,
+        comp, cutoff, kernel, distance, max_cell_rows, max_pair_estimate,
         group_col=group_col,
     )
     aggs, ps = [], []
-    for gi, (e_col, score_cols, icpt) in enumerate(groups):
-        s_names = list(dict.fromkeys(score_cols))
-        a_g, p_g = _group_aggs(k, e_col, s_names, icpt, f"m{gi}")
+    for gi, s_cols in enumerate(group_s_cols):
+        a_g, p_g = _group_aggs(k, s_cols, f"m{gi}")
         aggs += a_g
         ps.append(p_g)
     if group_col:
