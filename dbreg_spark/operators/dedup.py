@@ -30,6 +30,12 @@ from ..functions.xdialect import DUCK, SPARK, WS, X
 MH_PRIME = 2_147_483_647  # 2^31 - 1
 MH_MODB = 1 << 31
 
+# hot-shingle sets up to this size are inlined as an array literal so the
+# anti-join + per-doc retained-count aggregation become ONE map-side
+# array_except over the checkpointed shingle table (r10, guide §2.4);
+# per-row cost is O(|hs|·|hot|) against a tiny set, so keep it small
+_HOT_LITERAL_MAX = 256
+
 
 def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = np.random.default_rng(seed)
@@ -877,6 +883,7 @@ def ngram_jaccard_pairs(
     cur_width = int(sess.conf.get("spark.sql.shuffle.partitions"))
     n_part = cur_width
     hot_possible = max_df is not None
+    hot_literal = None  # small hot set inlined as an array literal (r10)
     if max_df is not None:
         dfreq = tok.groupBy("gh").agg(F.count(F.lit(1)).alias("__df"))
         hot = dfreq.where(F.col("__df") > max_df).select("gh")
@@ -905,13 +912,42 @@ def ngram_jaccard_pairs(
                 )
             if n_hot == 0:
                 hot_possible = False
+            elif n_hot <= min(_HOT_LITERAL_MAX, max_hot_broadcast):
+                # r10 (guide §2.4 — remove passes outright): a boilerplate
+                # hot set is typically a handful of shingles. Inlined as a
+                # sorted array literal, the anti-join becomes a map-side
+                # array_except on the checkpointed shingle table, and the
+                # per-document retained count __nk becomes size(__hsk) in
+                # the SAME projection — deleting the hot checkpoint, the
+                # n_kept aggregation (a full token-table pass + shuffle)
+                # and the sz checkpoint. Identical pairs: array_except
+                # removes exactly the hot elements the anti-join dropped
+                # (hs is element-distinct by construction). Capped so the
+                # per-row lookup set stays trivially small; bigger hot
+                # sets keep the broadcast/shuffled anti-join.
+                hot_literal = sorted(
+                    int(r["gh"]) for r in hot.collect()
+                )
             else:
                 hot = hot.localCheckpoint(eager=True)
                 if n_hot <= max_hot_broadcast:
                     hot = F.broadcast(hot)
-        if hot_possible:
+        if hot_possible and hot_literal is not None:
+            hot_arr = F.array(*[F.lit(h) for h in hot_literal])
+            kept_stage = staged.select(
+                F.col(id_col),
+                F.size("hs").alias("__nf"),
+                F.array_except("hs", hot_arr).alias("__hsk"),
+            )
+            tok = kept_stage.select(
+                F.col(id_col), F.explode("__hsk").alias("gh")
+            )
+            sz = kept_stage.select(
+                F.col(id_col), "__nf", F.size("__hsk").alias("__nk")
+            )
+        elif hot_possible:
             tok = tok.join(hot, "gh", "left_anti")
-    if hot_possible:
+    if hot_possible and hot_literal is None:
         # per-document retained-shingle count: pairs whose documents carry
         # no hot shingles get an exact arithmetic Jaccard; the rest go
         # through the verify join below
@@ -922,7 +958,7 @@ def ngram_jaccard_pairs(
             # doc-sized checkpoint stops the token aggregation subtree
             # from executing twice
             sz = sz.localCheckpoint(eager=True)
-    else:
+    elif not hot_possible:
         sz = n_full.select(
             F.col(id_col), F.col("__nf"), F.col("__nf").alias("__nk")
         )

@@ -622,11 +622,15 @@ def repetition_stats(
     NULL/empty documents get all-zero metrics (no row is dropped).
 
     Scale shape: the three token families (lines, short grams, long grams)
-    travel as ONE tagged array, so the corpus is scanned once; explode →
-    two-level groupBy means the only shuffle carries (id, kind, token)
-    rows with map-side partial counts — linear in corpus size, no per-doc
-    O(tokens²) array scans, no Python. The DuckDB twin unions three unnest
-    scans (same computation; the oracle table is small)."""
+    travel as ONE tagged array, so the corpus is scanned ONCE;
+    explode_outer → two-level groupBy means the only shuffle carries
+    (id, nchars, kind, token) rows with map-side partial counts — linear
+    in corpus size, no per-doc O(tokens²) array scans, no Python.
+    explode_outer (r10, guide §2.4) keeps NULL/empty documents as a
+    NULL-token row, so every document reconstructs from the ONE exploded
+    subtree — the former second corpus scan + (id, length) join existed
+    only to re-surface empty documents. The DuckDB twin unions three
+    unnest scans (same computation; the oracle table is small)."""
     x = X(SPARK)
     arrs = _repetition_token_arrays(x, col, top_ngram, dup_ngram)
     tagged = "concat(%s)" % ", ".join(
@@ -634,13 +638,23 @@ def repetition_stats(
         for k, a in arrs.items()
     )
     expl = df.select(
-        F.col(id_col), F.explode(F.expr(tagged)).alias("__t")
-    ).select(id_col, F.col("__t.kind").alias("kind"), F.col("__t.tok").alias("tok"))
+        F.col(id_col),
+        F.length(F.col(col)).cast("long").alias("__nch0"),
+        F.explode_outer(F.expr(tagged)).alias("__t"),
+    ).select(
+        id_col,
+        "__nch0",
+        F.col("__t.kind").alias("kind"),
+        F.col("__t.tok").alias("tok"),
+    )
     counts = expl.groupBy(id_col, "kind", "tok").agg(
-        F.count(F.lit(1)).alias("c")
+        F.count(F.lit(1)).alias("c"),
+        # constant per document; min() re-combines partials for free
+        F.min("__nch0").alias("__nch1"),
     )
     tl = F.length(F.col("tok"))
     per_doc = counts.groupBy(id_col).agg(
+        F.min("__nch1").alias("__nch"),
         F.sum(F.when(F.col("kind") == "L", F.col("c"))).alias("__nl"),
         F.sum(
             F.when((F.col("kind") == "L") & (F.col("c") > 1), F.col("c"))
@@ -656,9 +670,6 @@ def repetition_stats(
             )
         ).alias("__dgc"),
     )
-    # the metrics only need the document's LENGTH — project it before the
-    # join so the shuffle/probe side carries (id, long), never the text
-    # payload itself
     nch = F.greatest(F.coalesce(F.col("__nch"), F.lit(0)), F.lit(1))
     z = lambda c: F.coalesce(c, F.lit(0)).cast("double")  # noqa: E731
     one = F.lit(1.0)
@@ -680,17 +691,11 @@ def repetition_stats(
     flag = F.lit(False)
     for k, thr in thresholds.items():
         flag = flag | (metrics[k] > F.lit(float(thr)))
-    return (
-        df.select(
-            id_col, F.length(F.col(col)).cast("long").alias("__nch")
-        )
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("__nl"), F.lit(0)).cast("long").alias("n_lines"),
-            *[v.alias(k) for k, v in metrics.items()],
-            flag.cast("int").alias("is_repetitive"),
-        )
+    return per_doc.select(
+        id_col,
+        F.coalesce(F.col("__nl"), F.lit(0)).cast("long").alias("n_lines"),
+        *[v.alias(k) for k, v in metrics.items()],
+        flag.cast("int").alias("is_repetitive"),
     )
 
 

@@ -204,6 +204,17 @@ def corpus_pipeline(
             .where("__rn = 1")
             .select("doc_id")
         )
+    # r10 (guide §2.4/§5): the keep-list and the repetition-survivor list
+    # are the pipeline's stage frontiers — slim doc_id tables consumed by
+    # MULTIPLE downstream subtrees. Un-checkpointed, keep_ids replayed its
+    # whole upstream (df-id scan + component map + present-min aggregate)
+    # once per reference (repetition_stats reads `kept` twice), and
+    # pack_greedy's sub-shard probe is an ACTION that executed the entire
+    # composed plan once before the final pass re-ran it — the corpus was
+    # scanned 14x per run and the 8->32-core scaling ratio was 1.05
+    # (driver/planning-bound). localCheckpointing both frontiers runs each
+    # stage ONCE and truncates the plan the final action re-analyzes.
+    keep_ids = keep_ids.localCheckpoint(eager=True)
     kept = df.join(keep_ids, "doc_id", "inner")
     rep = repetition_stats(kept)
     # r9: the repetition survivors are a SUBSET of keep_ids, so the clean
@@ -211,11 +222,12 @@ def corpus_pipeline(
     # the df ⋈ keep_ids subtree (one extra full text scan + join in the
     # same plan; guide §2.4, remove duplicated subtrees). Row set is
     # identical: kept ∩ ok = df ⋈ (keep ∩ ok) = df ⋈ ok.
-    clean = df.join(
-        rep.where(F.col("is_repetitive") == 0).select("doc_id"),
-        "doc_id",
-        "inner",
+    surv = (
+        rep.where(F.col("is_repetitive") == 0)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
     )
+    clean = df.join(surv, "doc_id", "inner")
     return pack_greedy(clean, budget=budget)
 
 

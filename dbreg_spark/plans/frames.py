@@ -361,6 +361,14 @@ def build_demeaned_frame_iterative(
 
     def one_sweep(df: DataFrame) -> DataFrame:
         for f in fe:
+            # each level reads `df` TWICE (the means aggregate + the join's
+            # probe side): left as pure lineage the subtree count doubles
+            # per level — 2^(k·sweeps) replays of the base scan (the r9
+            # 3-FE gate plan carried 256 Exchanges). A localCheckpoint per
+            # level truncates the plan to a constant-size LogicalRDD, so
+            # every level runs ONE scan of the previous level's rows
+            # (guide §5 — lineage; §2.4 — duplicated subtrees).
+            df = df.localCheckpoint(eager=True)
             means = df.groupBy(f).agg(*[_mean_agg(c, f"{c}__m") for c in vals])
             df = df.join(bc(means), on=f).select(
                 *keys, *[(F.col(c) - F.col(f"{c}__m")).alias(c) for c in vals]

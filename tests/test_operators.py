@@ -254,6 +254,30 @@ def test_ngram_jaccard_hot_set_over_broadcast_bound(spark, duck):
     assert key(got) == key(ref) and set(zip(got["id_a"], got["id_b"])) == {(0, 1)}
 
 
+def test_ngram_jaccard_small_hot_set_inlined(spark):
+    """r10: a hot set within _HOT_LITERAL_MAX is inlined as an array_except
+    literal — no anti-join and no separate n_kept aggregation appear in the
+    plan — and the surfaced pairs are IDENTICAL to the anti-join path
+    (forced via max_hot_broadcast below the hot count)."""
+    n = 40
+    texts = [f"common tail words plus unique{i} token{i} here{i}" for i in range(n)]
+    texts[0] = "common tail words plus alpha beta gamma delta"
+    texts[1] = "common tail words plus alpha beta gamma epsilon"
+    pdf = pd.DataFrame({"doc_id": list(range(n)), "text": texts})
+    df = spark.createDataFrame(pdf)
+
+    out = dedup.ngram_jaccard_pairs(df, shingle_words=2, threshold=0.3, max_df=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan
+    assert "array_except" in plan
+    got = out.toPandas()
+    ref = dedup.ngram_jaccard_pairs(
+        df, shingle_words=2, threshold=0.3, max_df=5, max_hot_broadcast=1
+    ).toPandas()
+    key = lambda d: sorted(zip(d["id_a"], d["id_b"], d["jaccard"]))  # noqa: E731
+    assert key(got) == key(ref) and set(zip(got["id_a"], got["id_b"])) == {(0, 1)}
+
+
 def test_scale_guard_defaults():
     """VERDICT r02/r03: the 100 TB scale guards are the DEFAULTS, with the
     unguarded behavior an explicit opt-out — not the other way round."""
