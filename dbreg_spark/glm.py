@@ -457,10 +457,11 @@ def _negbin_moment_theta(pois_model, df: DataFrame, weights: str | None) -> floa
 
 # --------------------------------------------------------------------------
 # One IRLS pass: spec + projection + oracle SQL
+_IRLS_VIEW_SEQ = 0
 # --------------------------------------------------------------------------
 
 
-def irls_pass_plan(
+def _irls_pass_exprs(
     frame: Frame,
     family: _Family,
     beta: np.ndarray,
@@ -470,21 +471,9 @@ def irls_pass_plan(
     offset: str | None = None,
     weights: str | None = None,
 ):
-    """Build the single-pass weighted-moment aggregation at literal β.
-
-    Returns (spec, agg_df, sql). ``first=True`` adds the once-per-fit free
-    riders (Σωy, Σωy², Σω, min/max of y and ω, a non-binary-y detector, the
-    saturated log-likelihood) to the same scan.
-
-    ``offset`` adds a per-row linear-predictor shift (η = offset + Xβ);
-    ``weights`` are prior weights ω: the IRLS weight becomes ω·w, the score
-    ω·(y−μ), and the log-likelihood/pearson terms are ω-scaled — R's
-    ``glm(weights=)`` semantics (for binomial: y = proportion, ω = trials).
-
-    The per-row μ/w/wz/ll expressions are materialized ONCE in a projection
-    before the aggregation — inlining η into all p(p+1)/2 product terms
-    blows up codegen quadratically (same finding as hc1_meat_plan).
-    """
+    """IR for one IRLS pass: (proj_exprs, spec) — shared by the lazy
+    DataFrame/SQL builder (:func:`irls_pass_plan`) and the one-round-trip
+    SQL executor in the fit loop (plans.common.run_agg_via_sql)."""
     y = _d(Var(frame.y_col))
     eta_x = _eta_expr(beta, x_names, intercept)  # Xβ part only
     off_e: Expr | None = _d(Var(offset)) if offset is not None else None
@@ -517,16 +506,14 @@ def irls_pass_plan(
             ("__llsat", _d(llsat if om is None else om * llsat))
         )
         proj_exprs.append(("__y", y))
-        proj_exprs.append(("__wt", _d(om) if om is not None else Lit(1.0)))
+        # _d wraps keep every projection on run_agg_via_sql's top-level
+        # double-cast contract (no value change — already double)
+        proj_exprs.append(("__wt", _d(om if om is not None else Lit(1.0))))
         if family.name == "binomial":
             # y(1−y) ≠ 0 ⇔ y ∉ {0,1}; Σ|·| > 0 flags a non-binary outcome
-            proj_exprs.append(("__ybad", Func("abs", (y * (Lit(1.0) - y),))))
-    from .plans.exprs import aggs_to_spark_fast, to_spark_fast
-
-    proj = frame.df.select(
-        *[to_spark_fast(e).alias(n) for n, e in proj_exprs],
-        *[F.col(n) for n in x_names],
-    )
+            proj_exprs.append(
+                ("__ybad", _d(Func("abs", (y * (Lit(1.0) - y),))))
+            )
 
     cols: list[Expr] = ([Lit(1.0)] if intercept else []) + [Var(n) for n in x_names]
     p = len(cols)
@@ -553,7 +540,43 @@ def irls_pass_plan(
             spec.append((f"a_{i}_{j}", asum(wv * _d(cols[i]) * _d(cols[j]))))
     for i in range(p):
         spec.append((f"b_{i}", asum(Var("__wz") * _d(cols[i]))))
+    return proj_exprs, spec
 
+
+def irls_pass_plan(
+    frame: Frame,
+    family: _Family,
+    beta: np.ndarray,
+    x_names: list[str],
+    intercept: bool = True,
+    first: bool = False,
+    offset: str | None = None,
+    weights: str | None = None,
+):
+    """Build the single-pass weighted-moment aggregation at literal β.
+
+    Returns (spec, agg_df, sql). ``first=True`` adds the once-per-fit free
+    riders (Σωy, Σωy², Σω, min/max of y and ω, a non-binary-y detector, the
+    saturated log-likelihood) to the same scan.
+
+    ``offset`` adds a per-row linear-predictor shift (η = offset + Xβ);
+    ``weights`` are prior weights ω: the IRLS weight becomes ω·w, the score
+    ω·(y−μ), and the log-likelihood/pearson terms are ω-scaled — R's
+    ``glm(weights=)`` semantics (for binomial: y = proportion, ω = trials).
+
+    The per-row μ/w/wz/ll expressions are materialized ONCE in a projection
+    before the aggregation — inlining η into all p(p+1)/2 product terms
+    blows up codegen quadratically (same finding as hc1_meat_plan).
+    """
+    proj_exprs, spec = _irls_pass_exprs(
+        frame, family, beta, x_names, intercept, first, offset, weights
+    )
+    from .plans.exprs import aggs_to_spark_fast, to_spark_fast
+
+    proj = frame.df.select(
+        *[to_spark_fast(e).alias(n) for n, e in proj_exprs],
+        *[F.col(n) for n in x_names],
+    )
     # one F.expr per aggregate (contract: every sum/min/max here is
     # double-typed — projections are _d-cast, products are over casts)
     agg_df = proj.agg(*aggs_to_spark_fast(spec))
@@ -1664,13 +1687,43 @@ def dbglm(
     x_names = list(frame.x_cols)
     p_all = len(names_all)
 
+    # every IRLS pass goes through ONE spark.sql round-trip against a temp
+    # view over the frame (plans.common.run_agg_via_sql; guide §4 — the
+    # Column-builder path pays 2+ py4j round-trips per aggregate column).
+    # Table-sourced fits (sql_cte set) keep the plan builder so the SQL
+    # mirror text rides along unchanged; non-bare-safe names fall back too.
+    pass_view = None
+    if not frame.sql_cte:
+        global _IRLS_VIEW_SEQ
+        _IRLS_VIEW_SEQ += 1
+        pass_view = f"__dbglm_irls_frame_{_IRLS_VIEW_SEQ}"
+        try:
+            frame.df.createOrReplaceTempView(pass_view)
+        except Exception:  # pragma: no cover - exotic session states
+            pass_view = None
+
+    def run_pass(beta_, x_, icpt_, first_=False):
+        """(row, sql) for one IRLS pass at literal β."""
+        from .plans.common import run_agg_via_sql
+
+        if pass_view is not None:
+            proj_exprs, spec_ = _irls_pass_exprs(
+                frame, fam, beta_, x_, icpt_, first_, offset, weights
+            )
+            r = run_agg_via_sql(
+                frame.df.sparkSession, pass_view, proj_exprs, list(x_), spec_
+            )
+            if r is not None:
+                return r, None
+        _, agg_df_, sql_ = irls_pass_plan(
+            frame, fam, beta_, x_, icpt_, first=first_,
+            offset=offset, weights=weights,
+        )
+        return agg_df_.collect()[0].asDict(), sql_
+
     # ---- first pass at β = 0: moments + collinearity + y diagnostics ----
     beta = np.zeros(p_all)
-    spec, agg_df, sql = irls_pass_plan(
-        frame, fam, beta, x_names, icpt_req, first=True,
-        offset=offset, weights=weights,
-    )
-    row = agg_df.collect()[0].asDict()
+    row, sql = run_pass(beta, x_names, icpt_req, first_=True)
     n_total = float(row["n_total"])
     if n_total == 0:
         raise ValueError("dbglm: zero rows after missing-value filtering")
@@ -1748,10 +1801,7 @@ def dbglm(
     if fam.name == "gaussian":
         # identity link: IRLS is exact in one step; run one pass at β̂ for
         # the final log-likelihood / information
-        spec, agg_df, last_sql = irls_pass_plan(
-            frame, fam, beta, x_kept, icpt, offset=offset, weights=weights
-        )
-        r2 = agg_df.collect()[0].asDict()
+        r2, last_sql = run_pass(beta, x_kept, icpt)
         a2, b2, ll2, _ = _decode_pass(r2, p)
         final_a, ll_prev, final_row = a2, ll2, r2
         ll_raw = ll2
@@ -1759,10 +1809,7 @@ def dbglm(
         converged = True
     else:
         while n_iter < max_iter:
-            spec, agg_df, last_sql = irls_pass_plan(
-                frame, fam, beta, x_kept, icpt, offset=offset, weights=weights
-            )
-            rowi = agg_df.collect()[0].asDict()
+            rowi, last_sql = run_pass(beta, x_kept, icpt)
             a_i, b_i, ll_i, _ = _decode_pass(rowi, p)
             llp_i = ll_i - pen(beta)
             n_iter += 1
@@ -1905,6 +1952,11 @@ def dbglm(
     # df_residual, R's summary.glm convention; fixed dispersion ⇒ Wald-z
     use_t = fam.name == "gaussian" or fam.quasi
     ct = gen_coeftable(beta, V, df_res, names, use_z=not use_t)
+    if pass_view is not None:
+        try:
+            frame.df.sparkSession.catalog.dropTempView(pass_view)
+        except Exception:  # pragma: no cover
+            pass
     frame.cleanup()
     return GlmModel(
         coeftable=ct,

@@ -1289,9 +1289,13 @@ def dedup_components_sql(
     # cc_-prefixed CTE names: this query nests inside other oracles'
     # WITH RECURSIVE scopes (corpus_pipeline_sql), where a shared name
     # like `walk` would misbind across recursive scopes
+    # cc_pairs/cc_edges are MATERIALIZED (r10): the recursive walk joins
+    # cc_edges once per round, and DuckDB otherwise re-inlines the full
+    # pairs subquery (the entire minhash-LSH pipeline when composed) into
+    # every recursive step. Same rows either way.
     return f"""
-WITH RECURSIVE cc_pairs AS ({pairs_sql}),
-cc_edges AS (
+WITH RECURSIVE cc_pairs AS MATERIALIZED ({pairs_sql}),
+cc_edges AS MATERIALIZED (
   SELECT id_a AS s, id_b AS d FROM cc_pairs
   UNION
   SELECT id_b AS s, id_a AS d FROM cc_pairs

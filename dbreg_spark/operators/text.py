@@ -358,9 +358,14 @@ def pack_greedy_sql(
     row-by-row recursive CTE per shard (oracle-scale only — recursion depth
     = rows per shard)."""
     # pk_-prefixed CTE names: safe to nest among other recursive oracles
-    # (corpus_pipeline_sql) — a shared `walk` would misbind across scopes
+    # (corpus_pipeline_sql) — a shared `walk` would misbind across scopes.
+    # pk_ordered is MATERIALIZED (r10): the recursive walk joins it once
+    # per row, and DuckDB otherwise re-inlines the (possibly deeply
+    # composed) ``table`` subquery into every recursive step — measured
+    # 583 s for the sf0.001 corpus_pipeline oracle vs ~2 s materialized.
+    # Same rows either way.
     return f"""
-WITH RECURSIVE pk_ordered AS (
+WITH RECURSIVE pk_ordered AS MATERIALIZED (
   SELECT {id_col}, {shard_col}, {size_col},
          ROW_NUMBER() OVER (PARTITION BY {shard_col} ORDER BY {id_col}) AS rn
   FROM {table}

@@ -280,9 +280,19 @@ def corpus_pipeline_sql(
         )
     else:
         raise ValueError("keep must be 'canonical' or 'best_quality'")
-    rep_sql = repetition_stats_sql(f"(\n{kept_sql}\n) __kept")
-    clean_sql = (
-        f"SELECT k.* FROM (\n{kept_sql}\n) k JOIN (\n{rep_sql}\n) __rep"
-        " ON k.doc_id = __rep.doc_id AND __rep.is_repetitive = 0"
+    # r10: the stage results are MATERIALIZED CTEs in a nested scope, so
+    # the kept corpus (which embeds the recursive connected-components
+    # walk) and the repetition table each evaluate ONCE — inlined as bare
+    # subqueries, DuckDB re-evaluated kept inside rep AND clean, and the
+    # outer pack walk re-inlined the whole composition per recursive step
+    # (583 s at sf0.001 vs ~2 s materialized). Same rows either way.
+    rep_sql = repetition_stats_sql("cp_kept")
+    clean_with_ctes = (
+        "(\nWITH cp_kept AS MATERIALIZED (\n"
+        f"{kept_sql}\n),\n"
+        f"cp_rep AS MATERIALIZED (\n{rep_sql}\n)\n"
+        "SELECT k.* FROM cp_kept k JOIN cp_rep"
+        " ON k.doc_id = cp_rep.doc_id AND cp_rep.is_repetitive = 0"
+        "\n) __clean"
     )
-    return pack_greedy_sql(f"(\n{clean_sql}\n) __clean", budget=budget)
+    return pack_greedy_sql(clean_with_ctes, budget=budget)

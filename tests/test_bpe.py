@@ -132,6 +132,7 @@ def corpus(spark):
     return spark.createDataFrame(pdf), pdf
 
 
+@pytest.mark.slowparity
 def test_learn_bpe_distributed_equals_driver(corpus):
     df, pdf = corpus
     m = learn_bpe(df, num_merges=12)

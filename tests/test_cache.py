@@ -57,6 +57,7 @@ def test_demean_one_scan_means_released(spark):
     assert _cached_ids(spark) & new == set()
 
 
+@pytest.mark.slowparity
 def test_dbreg_strategies_leave_no_cache(spark, tables):
     before = _cached_ids(spark)
     li = tables["lineitem"]

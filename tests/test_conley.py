@@ -66,6 +66,7 @@ def _oracle_se(X, y, d, cutoff, kernel, w=None, df_extra=0):
     return np.sqrt(np.diag(V))
 
 
+@pytest.mark.slowparity
 def test_conley_moments_matches_dense_oracle(geo):
     df, pdf = geo
     d = _dist_matrix(pdf.lat.values, pdf.lon.values)

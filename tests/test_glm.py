@@ -888,6 +888,7 @@ def test_irls_pass_cross_engine_fuzz(spark, duck, family):
         duck.unregister(tname)
 
 
+@pytest.mark.slowparity
 def test_fe_poisson_2fe_cell_resident_matches_driver(fe2_sdf):
     """Past cells_nmax the inner solve switches to the cell-RESIDENT Spark
     solver (_kfe_solve_cells_spark). Force the switch with a tiny cap and
@@ -956,6 +957,7 @@ def test_fe_poisson_2fe_cell_resident_dead_group(fe2_sdf):
     assert len(dead) == 1 and dead["fixef"].isna().all()
 
 
+@pytest.mark.slowparity
 def test_fe_poisson_3fe_cell_resident_one_pass_per_sweep(fe2_sdf):
     """The cell-resident tier's inner loops run ONE grouping-sets pass per
     sweep regardless of k (k=3 here), and the damped-Jacobi sweeps land on
