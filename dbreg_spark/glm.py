@@ -728,10 +728,12 @@ def glm_meat(
     cols: list[Expr] = ([Lit(1.0)] if intercept else []) + [Var(n) for n in x_names]
     p = len(cols)
 
+    from .plans.exprs import aggs_to_spark_fast, to_spark_fast
+
     key_cols = cluster_cols or []
     proj = frame.df.select(
         *[F.col(c) for c in key_cols],
-        to_spark(_d(s)).alias("__s"),
+        to_spark_fast(_d(s)).alias("__s"),
         *[F.col(n) for n in x_names],
     )
     sv = Var("__s")
@@ -740,22 +742,20 @@ def glm_meat(
         for i in range(p):
             for j in range(i, p):
                 spec.append((f"m_{i}_{j}", asum(sv * sv * _d(cols[i]) * _d(cols[j]))))
-        row = proj.agg(*[agg_to_spark(a).alias(n) for n, a in spec]).collect()[0].asDict()
+        row = proj.agg(*aggs_to_spark_fast(spec)).collect()[0].asDict()
         meat = np.zeros((p, p))
         for i in range(p):
             for j in range(i, p):
                 meat[i, j] = meat[j, i] = float(row[f"m_{i}_{j}"])
         return meat, None
 
-    score_aggs = [
-        agg_to_spark(asum(sv * _d(c))).alias(f"score_{j}") for j, c in enumerate(cols)
-    ]
-    scores = proj.groupBy(*cluster_cols).agg(*score_aggs)
+    score_spec = [(f"score_{j}", asum(sv * _d(c))) for j, c in enumerate(cols)]
+    scores = proj.groupBy(*cluster_cols).agg(*aggs_to_spark_fast(score_spec))
     outer = [("n_clusters", Agg("count_star", None, "long"))]
     for i in range(p):
         for j in range(i, p):
             outer.append((f"m_{i}_{j}", asum(Var(f"score_{i}") * Var(f"score_{j}"))))
-    row = scores.agg(*[agg_to_spark(a).alias(n) for n, a in outer]).collect()[0].asDict()
+    row = scores.agg(*aggs_to_spark_fast(outer)).collect()[0].asDict()
     g = int(row["n_clusters"])
     meat = np.zeros((p, p))
     for i in range(p):
